@@ -1,0 +1,257 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * A graph represented as a pair of DataFrames: `vertices` (requires column
+ * `id`) and `edges` (requires columns `src`, `dst`). Directed multigraph;
+ * duplicate edges allowed. All other columns are user attributes.
+ *
+ * Data model follows the reference semantics
+ * (reference: core/src/main/scala/org/graphframes/GraphFrame.scala:55-59)
+ * but the implementation is written Spark-first for DataFrame execution:
+ * every operator lowers to Catalyst logical plans (joins, aggregates,
+ * generators) so predicate pushdown / column pruning / AQE apply.
+ */
+class GraphFrame private (
+    @transient val vertices: DataFrame,
+    @transient val edges: DataFrame) extends Serializable {
+  import GraphFrame._
+
+  require(vertices.columns.contains(ID),
+    s"Vertex DataFrame must have a column named '$ID'. Found: ${vertices.columns.mkString(",")}")
+  require(edges.columns.contains(SRC) && edges.columns.contains(DST),
+    s"Edge DataFrame must have columns '$SRC' and '$DST'. Found: ${edges.columns.mkString(",")}")
+
+  def spark: SparkSession = vertices.sparkSession
+
+  /** Column names of the vertex attribute table. */
+  def vertexColumns: Array[String] = vertices.columns
+  /** Column names of the edge attribute table. */
+  def edgeColumns: Array[String] = edges.columns
+
+  /** True when the id type is one of Byte/Short/Int/Long (fast path: no
+   * surrogate ids needed for algorithms that emit Long components). */
+  lazy val hasIntegralIdType: Boolean = {
+    import org.apache.spark.sql.types._
+    vertices.schema(ID).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Persistence
+  // ---------------------------------------------------------------------
+
+  def persist(level: StorageLevel = StorageLevel.MEMORY_AND_DISK): this.type = {
+    vertices.persist(level); edges.persist(level); this
+  }
+  def cache(): this.type = persist()
+  def unpersist(blocking: Boolean = false): this.type = {
+    vertices.unpersist(blocking); edges.unpersist(blocking); this
+  }
+
+  // ---------------------------------------------------------------------
+  // Validation
+  // ---------------------------------------------------------------------
+
+  /** Checks that ids are unique and that every edge endpoint exists in
+   * `vertices`. Runs two Spark jobs; call explicitly (construction stays
+   * lazy so huge graphs don't pay for it).
+   */
+  def validate(): Unit = {
+    val cnts = vertices.agg(count(col(ID)).as("n"), countDistinct(col(ID)).as("d"))
+      .head()
+    require(cnts.getLong(0) == cnts.getLong(1),
+      s"Vertex ids must be unique: ${cnts.getLong(0)} rows, ${cnts.getLong(1)} distinct ids")
+    val dangling = edges.select(col(SRC).as(ID))
+      .unionAll(edges.select(col(DST).as(ID)))
+      .distinct()
+      .join(vertices.select(ID), Seq(ID), "left_anti")
+    val bad = dangling.take(1)
+    require(bad.isEmpty, s"Edges reference missing vertex id: ${bad.mkString(",")}")
+  }
+
+  // ---------------------------------------------------------------------
+  // Structure operators
+  // ---------------------------------------------------------------------
+
+  /** One row per edge with struct columns (src, edge, dst) holding the full
+   * source-vertex row, edge row, and destination-vertex row. */
+  lazy val triplets: DataFrame = {
+    val e = edges.select(nestAsCol(edges, EDGE))
+    val s = vertices.select(nestAsCol(vertices, SRC))
+    val d = vertices.select(nestAsCol(vertices, DST))
+    e.join(s, col(s"$EDGE.$SRC") === col(s"$SRC.$ID"))
+      .join(d, col(s"$EDGE.$DST") === col(s"$DST.$ID"))
+      .select(SRC, EDGE, DST)
+  }
+
+  /** Filter vertices by `cond`; edges incident to removed vertices are
+   * dropped (two left_semi joins keep pushdown-friendly plans). */
+  def filterVertices(cond: Column): GraphFrame = {
+    val v2 = vertices.filter(cond)
+    val vIds = v2.select(ID)
+    val e2 = edges
+      .join(vIds.withColumnRenamed(ID, SRC), Seq(SRC), "left_semi")
+      .join(vIds.withColumnRenamed(ID, DST), Seq(DST), "left_semi")
+      .select(edges.columns.map(col).toIndexedSeq: _*)
+    new GraphFrame(v2, e2)
+  }
+  def filterVertices(cond: String): GraphFrame = filterVertices(expr(cond))
+
+  /** Filter edges by `cond`; all vertices kept. */
+  def filterEdges(cond: Column): GraphFrame = new GraphFrame(vertices, edges.filter(cond))
+  def filterEdges(cond: String): GraphFrame = filterEdges(expr(cond))
+
+  /** Drop vertices that appear in no edge. */
+  def dropIsolatedVertices(): GraphFrame = {
+    val used = edges.select(explode(array(col(SRC), col(DST))).as(ID))
+    new GraphFrame(vertices.join(used, Seq(ID), "left_semi"), edges)
+  }
+
+  /** Add the reversed copy of every edge (emulates an undirected graph). */
+  def asUndirected(): GraphFrame = {
+    val attrs = edges.columns.filter(c => c != SRC && c != DST)
+    val fwd = edges.select((Seq(SRC, DST) ++ attrs).map(col).toIndexedSeq: _*)
+    val rev = edges.select(
+      (Seq(col(DST).as(SRC), col(SRC).as(DST)) ++ attrs.map(col).toIndexedSeq): _*)
+    new GraphFrame(vertices, fwd.unionAll(rev))
+  }
+
+  /** Flip the direction of every edge. */
+  def asReversed(): GraphFrame = {
+    val attrs = edges.columns.filter(c => c != SRC && c != DST)
+    new GraphFrame(vertices, edges.select(
+      (Seq(col(DST).as(SRC), col(SRC).as(DST)) ++ attrs.map(col).toIndexedSeq): _*))
+  }
+
+  // ---------------------------------------------------------------------
+  // Degrees
+  // ---------------------------------------------------------------------
+
+  /** (id, outDegree) — map-side-combinable hash aggregation on src. */
+  def outDegrees: DataFrame =
+    edges.groupBy(col(SRC).as(ID)).agg(count(lit(1)).cast("int").as("outDegree"))
+
+  /** (id, inDegree). */
+  def inDegrees: DataFrame =
+    edges.groupBy(col(DST).as(ID)).agg(count(lit(1)).cast("int").as("inDegree"))
+
+  /** (id, degree) counting both endpoints of every edge. */
+  def degrees: DataFrame =
+    edges.select(explode(array(col(SRC), col(DST))).as(ID))
+      .groupBy(ID).agg(count(lit(1)).cast("int").as("degree"))
+
+  private def typedDegree(endpoints: Column, typeCol: String, outName: String,
+      values: Seq[String]): DataFrame = {
+    val exploded = edges.select(explode(endpoints).as(ID), col(typeCol))
+    val piv = exploded.groupBy(ID)
+    val pivoted =
+      (if (values.nonEmpty) piv.pivot(typeCol, values) else piv.pivot(typeCol))
+        .agg(count(lit(1)).cast("int"))
+    val typeCols = pivoted.columns.filter(_ != ID)
+    pivoted.na.fill(0, typeCols.toIndexedSeq)
+      .select(col(ID), struct(typeCols.map(col).toIndexedSeq: _*).as(outName))
+  }
+
+  /** Per-edge-type out-degree as one struct column `outDegrees`. Pass
+   * `values` to skip the distinct-scan the pivot otherwise needs. */
+  def typeOutDegree(typeCol: String, values: Seq[String] = Nil): DataFrame =
+    typedDegree(array(col(SRC)), typeCol, "outDegrees", values)
+  def typeInDegree(typeCol: String, values: Seq[String] = Nil): DataFrame =
+    typedDegree(array(col(DST)), typeCol, "inDegrees", values)
+  def typeDegree(typeCol: String, values: Seq[String] = Nil): DataFrame =
+    typedDegree(array(col(SRC), col(DST)), typeCol, "degrees", values)
+
+  // ---------------------------------------------------------------------
+  // Surrogate integral ids (for algorithms that emit Long labels)
+  // ---------------------------------------------------------------------
+
+  /** Vertices with a surrogate Long id column [[GraphFrame.LONG_ID]].
+   * Integral ids pass through (cast to Long); otherwise a stable surrogate
+   * is minted per partition after a hash repartition + in-partition sort so
+   * the assignment is deterministic for a fixed partition count.
+   */
+  lazy val indexedVertices: DataFrame = {
+    if (hasIntegralIdType) {
+      vertices.select(col(ID).cast("long").as(LONG_ID), col(ID),
+        nestAsCol(vertices, ATTR))
+    } else {
+      val sorted = vertices.repartition(col(ID)).sortWithinPartitions(ID)
+      sorted.select(monotonically_increasing_id().as(LONG_ID), col(ID),
+        nestAsCol(vertices, ATTR))
+    }
+  }
+
+  /** Edges with [[GraphFrame.LONG_SRC]] / [[GraphFrame.LONG_DST]] columns. */
+  lazy val indexedEdges: DataFrame = {
+    if (hasIntegralIdType) {
+      edges.select(col(SRC).cast("long").as(LONG_SRC),
+        col(DST).cast("long").as(LONG_DST), nestAsCol(edges, ATTR))
+    } else {
+      val idx = indexedVertices.select(col(LONG_ID), col(ID))
+      edges.select(nestAsCol(edges, ATTR), col(SRC), col(DST))
+        .join(idx.select(col(LONG_ID).as(LONG_SRC), col(ID).as(SRC)), SRC)
+        .join(idx.select(col(LONG_ID).as(LONG_DST), col(ID).as(DST)), DST)
+        .select(LONG_SRC, LONG_DST, ATTR)
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Message passing + algorithms (builder entry points)
+  // ---------------------------------------------------------------------
+
+  def aggregateMessages: lib.AggregateMessages = new lib.AggregateMessages(this)
+  def pregel: lib.Pregel = new lib.Pregel(this)
+
+  def find(motif: String): DataFrame = pattern.MotifCompiler.find(this, motif)
+
+  def bfs: lib.BFS = new lib.BFS(this)
+  def connectedComponents: lib.ConnectedComponents = new lib.ConnectedComponents(this)
+  def stronglyConnectedComponents: lib.StronglyConnectedComponents =
+    new lib.StronglyConnectedComponents(this)
+  def labelPropagation: lib.LabelPropagation = new lib.LabelPropagation(this)
+  def pageRank: lib.PageRank = new lib.PageRank(this)
+  def shortestPaths: lib.ShortestPaths = new lib.ShortestPaths(this)
+  def triangleCount: lib.TriangleCount = new lib.TriangleCount(this)
+  def kCore: lib.KCore = new lib.KCore(this)
+  def detectingCycles: lib.DetectingCycles = new lib.DetectingCycles(this)
+  def maximalIndependentSet: lib.MaximalIndependentSet = new lib.MaximalIndependentSet(this)
+
+  override def toString: String =
+    s"GraphFrame(v:[${vertices.columns.mkString(",")}], e:[${edges.columns.mkString(",")}])"
+}
+
+object GraphFrame {
+  /** Reserved column names. */
+  val ID = "id"
+  val SRC = "src"
+  val DST = "dst"
+  val EDGE = "edge"
+  val WEIGHT = "weight"
+  // internal
+  private[graft] val ATTR = "attr"
+  private[graft] val LONG_ID = "new_id"
+  private[graft] val LONG_SRC = "new_src"
+  private[graft] val LONG_DST = "new_dst"
+
+  def apply(vertices: DataFrame, edges: DataFrame): GraphFrame =
+    new GraphFrame(vertices, edges)
+
+  /** Build a graph from edges only: the vertex set is derived as the
+   * distinct union of endpoints. */
+  def fromEdges(edges: DataFrame): GraphFrame = {
+    val v = edges.select(col(SRC).as(ID))
+      .unionAll(edges.select(col(DST).as(ID)))
+      .distinct()
+    new GraphFrame(v, edges)
+  }
+
+  /** Pack all columns of `df` into a single struct column named `name`. */
+  private[graft] def nestAsCol(df: DataFrame, name: String): Column =
+    struct(df.columns.map(col).toIndexedSeq: _*).as(name)
+}

@@ -1,0 +1,89 @@
+package graft.lib
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.GraphFrame
+
+/**
+ * Connected components via alternating large-star / small-star contraction
+ * (Kiveris et al., "Connected Components in MapReduce and Beyond";
+ * reference default algorithm, lib/TwoPhase.scala:178-443).
+ *
+ * AQE-first stance: the reference's own benchmarks found pure-AQE skew
+ * handling ~5x faster than its manual hub-broadcast path
+ * (reference mixins.scala:76-79), so we implement only the AQE shape —
+ * every round is two hash aggregations + two shuffled joins whose skew AQE
+ * splits at runtime. Rounds converge in O(log diameter); per-round state
+ * is the contracted edge list only (never the full input), and lineage is
+ * cut through [[IterationManager]] so the plan stays flat at any scale.
+ *
+ * Output: original vertices + `component: long` (surrogate Long ids are
+ * mapped back for non-integral id types).
+ */
+class ConnectedComponents(g: GraphFrame) {
+  import GraphFrame.{ID, LONG_ID, LONG_SRC, LONG_DST}
+
+  private var maxIterV: Int = 100
+  private var checkpointIntervalV: Int = 2
+
+  def maxIter(n: Int): this.type = { maxIterV = n; this }
+  def setCheckpointInterval(n: Int): this.type = { checkpointIntervalV = n; this }
+
+  def run(): DataFrame = {
+    val spark = g.spark
+    val iv = g.indexedVertices.select(col(LONG_ID).as("vid"), col(ID))
+
+    // canonical undirected edge list on surrogate longs: src > dst, no loops
+    var ee = g.indexedEdges
+      .select(col(LONG_SRC).as("s"), col(LONG_DST).as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(greatest(col("s"), col("d")).as("src"), least(col("s"), col("d")).as("dst"))
+      .distinct()
+
+    val mgr = new IterationManager(checkpointIntervalV)
+    ee = mgr.cycle(ee, 0)
+
+    var prevChecksum: Option[Row] = None
+    var converged = ee.isEmpty
+    var iter = 1
+    while (!converged && iter <= maxIterV) {
+      // ---- large-star: connect every bigger neighbor to the minimum ----
+      val nbr = ee.unionAll(ee.select(col("dst").as("src"), col("src").as("dst")))
+      val minNbrs = nbr.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      val large = nbr.filter(col("dst") > col("src"))
+        .join(minNbrs, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+
+      // ---- small-star: hang each node and its smaller neighbors off the min ----
+      val mins2 = large.groupBy("src").agg(min("dst").as("m"))
+      val small = large.join(mins2, "src")
+        .select(explode(array(
+          struct(col("dst").as("a"), col("m").as("b")),
+          struct(col("src").as("a"), col("m").as("b")))).as("p"))
+        .select(col("p.a").as("src"), col("p.b").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+
+      ee = mgr.cycle(small, iter)
+
+      // convergence: stable (sum of parent pointers, edge count) checksum
+      val cs = ee.agg(
+        sum(col("dst").cast(DecimalType(38, 0))).as("s"),
+        count(lit(1)).as("c")).head()
+      converged = prevChecksum.contains(cs)
+      prevChecksum = Some(cs)
+      iter += 1
+    }
+
+    // at fixpoint every non-root points straight at its component minimum
+    val comp = ee.select(col("src").as("vid"), col("dst").as("comp"))
+    val labeled = iv.join(comp, Seq("vid"), "left_outer")
+      .select(col(ID), coalesce(col("comp"), col("vid")).as("component"))
+    mgr.close()
+    g.vertices.join(labeled, Seq(ID), "left_outer")
+  }
+}

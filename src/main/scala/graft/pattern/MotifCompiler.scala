@@ -1,0 +1,138 @@
+package graft.pattern
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.GraphFrame
+
+/**
+ * Compiles a parsed motif into a DataFrame by folding terms left-to-right,
+ * each term augmenting the running plan with equi-joins (reference
+ * GraphFrame.scala:988-996, 1434-1618). Every named element becomes a
+ * struct column holding the full vertex/edge row; negation lowers to
+ * `except`; anonymous elements get generated names that are dropped from
+ * the final projection.
+ *
+ * Scale: each term is an inner equi-join that Catalyst plans (broadcast vs
+ * shuffled-hash vs sort-merge chosen by AQE at runtime); no driver-side
+ * iteration, one job for the whole motif.
+ */
+private[graft] object MotifCompiler {
+  import GraphFrame.{ID, SRC, DST}
+
+  private case class State(df: Option[DataFrame], seenV: Set[String])
+
+  def find(g: GraphFrame, motif: String): DataFrame = {
+    val parsed = PatternParser.parse(motif)
+    val augmented = augmentNegationOnlyVertices(parsed)
+    var tmpCounter = 0
+    def freshName(): String = { tmpCounter += 1; s"__tmp$tmpCounter" }
+
+    // output order: first appearance of user-visible names
+    val outOrder = scala.collection.mutable.LinkedHashSet.empty[String]
+    parsed.foreach {
+      case VertexPattern(NamedVertex(n)) => outOrder += n
+      case EdgePattern(a, e, b) =>
+        a match { case NamedVertex(n) => outOrder += n; case _ => }
+        e match { case NamedEdge(n) => outOrder += n; case _ => }
+        b match { case NamedVertex(n) => outOrder += n; case _ => }
+      case Negation(EdgePattern(a, _, b)) =>
+        a match { case NamedVertex(n) => outOrder += n; case _ => }
+        b match { case NamedVertex(n) => outOrder += n; case _ => }
+      case _ =>
+    }
+
+    def nestV(name: String): DataFrame =
+      g.vertices.select(GraphFrame.nestAsCol(g.vertices, name))
+    def nestE(name: String): DataFrame =
+      g.edges.select(GraphFrame.nestAsCol(g.edges, name))
+
+    def applyEdge(st: State, a0: VertexTerm, e0: EdgeTerm, b0: VertexTerm): State = {
+      val eName = e0 match { case NamedEdge(n) => n; case AnonymousEdge => freshName() }
+      val aName = a0 match { case NamedVertex(n) => Some(n); case _ => None }
+      val bName = b0 match { case NamedVertex(n) => Some(n); case _ => None }
+      val eSrc = col(s"$eName.$SRC")
+      val eDst = col(s"$eName.$DST")
+
+      val aSeen = aName.exists(st.seenV.contains)
+      val bSeen = bName.exists(st.seenV.contains)
+
+      val withEdge: DataFrame = st.df match {
+        case None =>
+          nestE(eName)
+        case Some(prev) =>
+          if (aSeen && bSeen)
+            prev.join(nestE(eName),
+              eSrc === col(s"${aName.get}.$ID") && eDst === col(s"${bName.get}.$ID"))
+          else if (aSeen)
+            prev.join(nestE(eName), eSrc === col(s"${aName.get}.$ID"))
+          else if (bSeen)
+            prev.join(nestE(eName), eDst === col(s"${bName.get}.$ID"))
+          else
+            prev.crossJoin(nestE(eName))
+      }
+
+      // attach unseen named endpoint vertices
+      var df = withEdge
+      var seen = st.seenV
+      if (st.df.isEmpty && aSeen) { /* unreachable: nothing seen yet */ }
+      (aName, bName) match {
+        case (Some(a), Some(b)) if a == b && !aSeen =>
+          // self-loop on a new name: one vertex join constrained both ways
+          df = df.join(nestV(a), eSrc === col(s"$a.$ID") && eDst === col(s"$a.$ID"))
+          seen += a
+        case _ =>
+          aName.filterNot(seen.contains).foreach { a =>
+            df = df.join(nestV(a), eSrc === col(s"$a.$ID"))
+            seen += a
+          }
+          bName.filterNot(seen.contains).foreach { b =>
+            df = df.join(nestV(b), eDst === col(s"$b.$ID"))
+            seen += b
+          }
+      }
+      State(Some(df), seen)
+    }
+
+    def applyTerm(st: State, p: Pattern): State = p match {
+      case VertexPattern(NamedVertex(n)) =>
+        if (st.seenV.contains(n)) st
+        else st.df match {
+          case None => State(Some(nestV(n)), st.seenV + n)
+          case Some(prev) => State(Some(prev.crossJoin(nestV(n))), st.seenV + n)
+        }
+      case VertexPattern(AnonymousVertex) => st
+      case EdgePattern(a, e, b) => applyEdge(st, a, e, b)
+      case Negation(EdgePattern(a, _, b)) =>
+        val prev = st.df.getOrElse(throw new IllegalArgumentException(
+          "Motif: negated term cannot be the only term"))
+        val prevCols = prev.columns.toIndexedSeq
+        val positive = applyEdge(st, a, AnonymousEdge, b).df.get
+          .select(prevCols.map(col): _*)
+        State(Some(prev.except(positive)), st.seenV)
+    }
+
+    val res = augmented.foldLeft(State(None, Set.empty))(applyTerm)
+    val out = res.df.getOrElse(
+      throw new IllegalArgumentException("Motif: empty pattern"))
+    val visible = outOrder.toSeq.filterNot(_.startsWith("__tmp"))
+    if (visible.isEmpty) out
+    else out.select(visible.map(col).toIndexedSeq: _*)
+  }
+
+  /** Vertices appearing only inside negated terms must still be bound:
+   * prepend them as positive standalone terms (reference
+   * GraphFrame.scala:659-674). */
+  private def augmentNegationOnlyVertices(ps: Seq[Pattern]): Seq[Pattern] = {
+    val positive = ps.flatMap {
+      case VertexPattern(NamedVertex(n)) => Seq(n)
+      case EdgePattern(a, _, b) => Seq(a, b).collect { case NamedVertex(n) => n }
+      case _ => Nil
+    }.toSet
+    val negOnly = ps.flatMap {
+      case Negation(EdgePattern(a, _, b)) =>
+        Seq(a, b).collect { case NamedVertex(n) if !positive.contains(n) => n }
+      case _ => Nil
+    }.distinct
+    negOnly.map(n => VertexPattern(NamedVertex(n))) ++ ps
+  }
+}

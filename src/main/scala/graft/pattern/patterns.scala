@@ -1,0 +1,130 @@
+package graft.pattern
+
+import scala.util.parsing.combinator.RegexParsers
+
+/**
+ * Motif-pattern AST + parser.
+ *
+ * Grammar (semantics follow reference pattern/patterns.scala:29-134):
+ *   pattern  := term (';' term)*
+ *   term     := '!' edgeTerm | edgeTerm | vertex
+ *   edgeTerm := vertex arrow vertex
+ *   arrow    := '-[' name? ('*' int)? ']->'      forward
+ *             | '<-[' name? ']-'                 backward (rewritten to forward)
+ *   vertex   := '(' name? ')'
+ *
+ * Fixed-length `(a)-[e*3]->(b)` expands to a 3-edge chain through generated
+ * vertices `__tmp_e_1`, `__tmp_e_2` with edges `e1..e3`.
+ */
+sealed trait VertexTerm
+case class NamedVertex(name: String) extends VertexTerm
+case object AnonymousVertex extends VertexTerm
+
+sealed trait EdgeTerm
+case class NamedEdge(name: String) extends EdgeTerm
+case object AnonymousEdge extends EdgeTerm
+
+sealed trait Pattern
+case class VertexPattern(v: VertexTerm) extends Pattern
+case class EdgePattern(src: VertexTerm, edge: EdgeTerm, dst: VertexTerm) extends Pattern
+case class Negation(child: EdgePattern) extends Pattern
+
+object PatternParser extends RegexParsers {
+  private def name: Parser[String] = "[a-zA-Z0-9_]+".r
+
+  private def vertex: Parser[VertexTerm] =
+    "(" ~> opt(name) <~ ")" ^^ {
+      case Some(n) => NamedVertex(n)
+      case None => AnonymousVertex
+    }
+
+  private case class Arrow(edge: EdgeTerm, repeat: Int, backward: Boolean)
+
+  private def fwdArrow: Parser[Arrow] =
+    "-[" ~> opt(name) ~ opt("*" ~> "\\d+".r) <~ "]->" ^^ {
+      case n ~ rep => Arrow(n.map(NamedEdge).getOrElse(AnonymousEdge),
+        rep.map(_.toInt).getOrElse(1), backward = false)
+    }
+  private def bwdArrow: Parser[Arrow] =
+    "<-[" ~> opt(name) ~ opt("*" ~> "\\d+".r) <~ "]-" ^^ {
+      case n ~ rep => Arrow(n.map(NamedEdge).getOrElse(AnonymousEdge),
+        rep.map(_.toInt).getOrElse(1), backward = true)
+    }
+
+  private def expandEdge(a: VertexTerm, arrow: Arrow, b: VertexTerm): List[EdgePattern] = {
+    val (s, d) = if (arrow.backward) (b, a) else (a, b)
+    if (arrow.repeat == 1) List(EdgePattern(s, arrow.edge, d))
+    else {
+      require(arrow.repeat >= 1, s"edge repetition must be >= 1, got ${arrow.repeat}")
+      val base = arrow.edge match {
+        case NamedEdge(n) => n
+        case AnonymousEdge => "__tmpe"
+      }
+      val mids = (1 until arrow.repeat).map(i => NamedVertex(s"__tmp_${base}_$i"))
+      val chain = (s +: mids) :+ d
+      chain.sliding(2).zipWithIndex.map { case (Seq(x, y), i) =>
+        EdgePattern(x, NamedEdge(s"$base${i + 1}"), y)
+      }.toList
+    }
+  }
+
+  private def edgeTerm: Parser[List[EdgePattern]] =
+    vertex ~ (fwdArrow | bwdArrow) ~ vertex ^^ {
+      case a ~ arrow ~ b => expandEdge(a, arrow, b)
+    }
+
+  private def term: Parser[List[Pattern]] =
+    ("!" ~> edgeTerm ^^ { es =>
+      require(es.size == 1, "fixed-length edges cannot be negated")
+      List(Negation(es.head))
+    }) |
+    (edgeTerm ^^ { es => es: List[Pattern] }) |
+    (vertex ^^ { v => List(VertexPattern(v)) })
+
+  private def patterns: Parser[List[Pattern]] =
+    repsep(term, ";") ^^ (_.flatten)
+
+  def parse(s: String): Seq[Pattern] = parseAll(patterns, s) match {
+    case Success(result, _) => validate(result); result
+    case failure: NoSuccess =>
+      throw new IllegalArgumentException(s"Invalid motif pattern '$s': ${failure.msg}")
+  }
+
+  /** Structural validation (reference pattern/patterns.scala:144-231). */
+  private def validate(ps: Seq[Pattern]): Unit = {
+    def vNames(p: Pattern): Seq[String] = p match {
+      case VertexPattern(NamedVertex(n)) => Seq(n)
+      case EdgePattern(a, _, b) =>
+        Seq(a, b).collect { case NamedVertex(n) => n }
+      case Negation(e) => vNames(e)
+      case _ => Nil
+    }
+    def eNames(p: Pattern): Seq[String] = p match {
+      case EdgePattern(_, NamedEdge(n), _) => Seq(n)
+      case _ => Nil
+    }
+    ps.foreach {
+      case Negation(EdgePattern(_, NamedEdge(n), _)) =>
+        throw new IllegalArgumentException(
+          s"Motif: a negated edge cannot be named (edge '$n')")
+      case Negation(EdgePattern(AnonymousVertex, _, AnonymousVertex)) =>
+        throw new IllegalArgumentException(
+          "Motif: negated term must reference at least one named vertex")
+      case VertexPattern(AnonymousVertex) =>
+        throw new IllegalArgumentException("Motif: lone anonymous vertex () is not allowed")
+      case EdgePattern(AnonymousVertex, AnonymousEdge, AnonymousVertex) =>
+        throw new IllegalArgumentException("Motif: fully anonymous term ()-[]->() is not allowed")
+      case _ =>
+    }
+    val allV = ps.flatMap(vNames).toSet
+    val allE = ps.flatMap(eNames)
+    allE.groupBy(identity).foreach { case (n, occ) =>
+      if (occ.size > 1) throw new IllegalArgumentException(
+        s"Motif: edge name '$n' used ${occ.size} times; edge names must be unique")
+    }
+    allE.toSet.intersect(allV).foreach { n =>
+      throw new IllegalArgumentException(
+        s"Motif: name '$n' used for both a vertex and an edge")
+    }
+  }
+}

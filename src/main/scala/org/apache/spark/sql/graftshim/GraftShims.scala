@@ -1,0 +1,37 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/**
+ * Classic-backend bridge between the public `Column` API and Catalyst
+ * `Expression`s. Spark 4 made `Column` backend-agnostic, so converting in
+ * either direction (needed to build native expressions and to analyze
+ * user message expressions) goes through `private[sql]` utilities — this
+ * shim lives inside `org.apache.spark.sql` to reach them, mirroring the
+ * SparkShims approach of reference
+ * core/src/main/scala-spark-4/.../SparkShims.scala.
+ */
+object GraftShims {
+  /** Wrap a Catalyst expression as a user-facing Column. */
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Unwrap a Column to its (possibly unresolved) Catalyst expression. */
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly convert a Column to a full unresolved Catalyst tree (the lazy
+   * `ColumnNodeExpression` wrapper hides the children from tree walks —
+   * needed for expression analysis like the Pregel dst-join elision). */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Register a session-scoped native function (invoke via `call_function`). */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  def dropFunction(spark: SparkSession, name: String): Unit =
+    spark.sessionState.functionRegistry.dropFunction(FunctionIdentifier(name))
+}

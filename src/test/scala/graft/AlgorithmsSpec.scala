@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class AlgorithmsSpec extends TestBase {
+  import spark.implicits._
+
+  // ---- Pregel / AggregateMessages primitives ----
+
+  test("aggregateMessages: sum of neighbor ages") {
+    import graft.lib.AggregateMessages
+    val am = friends.aggregateMessages
+      .sendToSrc(AggregateMessages.dst("age"))
+      .sendToDst(AggregateMessages.src("age"))
+      .agg(sum(AggregateMessages.msg).as("summedAges"))
+    val m = am.as[(String, Long)].collect().toMap
+    // a: nbrs b(36)+e(32)+d(29) = 97
+    assert(m("a") == 97)
+    assert(!m.contains("g"))
+  }
+
+  test("pregel: in-degree via constant messages") {
+    import graft.lib.Pregel
+    val res = chain(4).pregel
+      .withVertexColumn("cnt", lit(0L), coalesce(Pregel.msg, lit(0L)))
+      .sendMsgToDst(lit(1L))
+      .aggMsgs(sum(Pregel.msg))
+      .setMaxIter(1)
+      .run()
+    val m = res.as[(Long, Long)].collect().toMap
+    assert(m == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  // ---- Algorithms ----
+
+  test("pageRank on star graph") {
+    val g = star(3) // 0 -> 1,2,3
+    val pr = g.pageRank.resetProbability(0.15).maxIter(10).run()
+    val ranks = pr.vertices.select("id", "pagerank").as[(Long, Double)].collect().toMap
+    // leaves get 0.15 + 0.85 * (rank0 / 3); center never receives: 0.15
+    assert(math.abs(ranks(0L) - 0.15) < 1e-9)
+    val leaf = 0.15 + 0.85 * 0.15 / 3
+    assert(math.abs(ranks(1L) - leaf) < 1e-9)
+    assert(math.abs(ranks(1L) - ranks(3L)) < 1e-12)
+    // edge weights = 1/outDegree
+    val w = pr.edges.select("weight").as[Double].collect()
+    assert(w.forall(x => math.abs(x - 1.0 / 3) < 1e-12))
+  }
+
+  test("pageRank sums to ~V on a cycle") {
+    val v = (0L until 4L).toDF("id")
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("src", "dst")
+    val pr = GraphFrame(v, e).pageRank.maxIter(20).run()
+    val s = pr.vertices.agg(sum("pagerank")).as[Double].head()
+    assert(math.abs(s - 4.0) < 1e-6)
+  }
+
+  test("shortestPaths hop counts to landmarks") {
+    val g = chain(4) // 0->1->2->3
+    val sp = g.shortestPaths.landmarks(Seq(3L)).run()
+    val d = sp.select($"id", element_at($"distances", 3L)).as[(Long, Option[Int])]
+      .collect().toMap
+    assert(d == Map(0L -> Some(3), 1L -> Some(2), 2L -> Some(1), 3L -> Some(0)))
+  }
+
+  test("shortestPaths undirected + multiple landmarks") {
+    val g = chain(4)
+    val sp = g.shortestPaths.landmarks(Seq(0L, 3L)).setDirected(false).run()
+    val d0 = sp.select($"id", element_at($"distances", 0L)).as[(Long, Option[Int])]
+      .collect().toMap
+    assert(d0 == Map(0L -> Some(0), 1L -> Some(1), 2L -> Some(2), 3L -> Some(3)))
+  }
+
+  test("connectedComponents on twoBlobs + isolated vertex") {
+    val g = twoBlobs(3) // cliques {0,1,2} {3,4,5} bridged 0->5
+    val cc = g.connectedComponents.run()
+    val comps = cc.select("id", "component").as[(Long, Long)].collect().toMap
+    assert(comps.values.toSet.size == 1)
+    // separate components when no bridge
+    val g2 = GraphFrame((0L until 5L).toDF("id"),
+      Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("src", "dst"))
+    val cc2 = g2.connectedComponents.run()
+    val m = cc2.select("id", "component").as[(Long, Long)].collect().toMap
+    assert(m(0L) == m(1L) && m(1L) == m(2L))
+    assert(m(3L) == m(4L))
+    assert(m(0L) != m(3L))
+  }
+
+  test("connectedComponents with string ids") {
+    val cc = friends.connectedComponents.run()
+    val m = cc.select("id", "component").as[(String, Long)].collect().toMap
+    // a,b,c,d,e,f all connected; g isolated
+    assert(Set("a", "b", "c", "d", "e", "f").map(m).size == 1)
+    assert(m("g") != m("a"))
+  }
+
+  test("triangleCount on twoBlobs") {
+    val g = twoBlobs(3)
+    val tc = g.triangleCount.run()
+    val m = tc.select("id", "count").as[(Long, Long)].collect().toMap
+    // each 3-clique is one triangle per vertex; bridge adds none
+    assert(m == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("labelPropagation converges on two cliques (undirected)") {
+    val g = twoBlobs(4)
+    // remove the bridge for clean communities
+    val g2 = g.filterEdges(!($"src" === 0L && $"dst" === 7L))
+    val lp = g2.labelPropagation.setDirected(false).maxIter(10).run()
+    val m = lp.select("id", "label").as[(Long, Long)].collect().toMap
+    assert((0L to 3L).map(m).toSet.size == 1)
+    assert((4L to 7L).map(m).toSet.size == 1)
+  }
+
+  test("bfs finds shortest path") {
+    val paths = friends.bfs
+      .fromExpr($"name" === "Esther").toExpr($"age" < 32).run()
+    // e->d (age 29) is 1 hop
+    assert(paths.columns.toSeq == Seq("from", "e0", "to"))
+    val p = paths.select($"from.id", $"to.id").as[(String, String)].collect().toSet
+    assert(p == Set(("e", "d")))
+  }
+
+  test("bfs zero-length and edge filter") {
+    val zero = friends.bfs.fromExpr($"name" === "Esther").toExpr($"age" === 32).run()
+    assert(zero.select($"from.id", $"to.id").as[(String, String)].head() == (("e", "e")))
+    val filtered = friends.bfs.fromExpr($"name" === "Esther").toExpr($"age" < 32)
+      .edgeFilter($"relationship" =!= "friend").run()
+    // without friend edges: e->f->c (age 30), 2 hops
+    assert(filtered.select($"to.id").as[String].collect().toSet == Set("c"))
+  }
+
+  test("kCore: clique has core n-1, chain has core 1") {
+    val g = twoBlobs(4) // two 4-cliques → core 3
+    val kc = g.kCore.run()
+    val m = kc.select("id", "kcore").as[(Long, Int)].collect().toMap
+    assert(m.values.toSet == Set(3))
+    val ch = chain(5)
+    val kc2 = ch.kCore.run()
+    assert(kc2.select("kcore").as[Int].collect().toSet == Set(1))
+    // isolated vertex gets 0
+    val kcf = friends.kCore.run()
+    val mf = kcf.select("id", "kcore").as[(String, Int)].collect().toMap
+    assert(mf("g") == 0)
+  }
+
+  test("detectingCycles finds directed cycles once, at min vertex") {
+    val v = (1L to 5L).toDF("id")
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L)).toDF("src", "dst")
+    val cycles = GraphFrame(v, e).detectingCycles.run()
+    val found = cycles.as[Seq[Long]].collect().toSet
+    assert(found == Set(Seq(1L, 2L, 3L)))
+    // mutual pair = 2-cycle
+    val cyc2 = friends.detectingCycles.run().as[Seq[String]].collect().toSet
+    assert(cyc2.contains(Seq("b", "c")))
+  }
+
+  test("maximalIndependentSet is independent and maximal") {
+    val g = twoBlobs(4)
+    val mis = g.maximalIndependentSet.run()
+    val ids = mis.select("id").as[Long].collect().toSet
+    // in a clique exactly one vertex can be chosen
+    assert(ids.intersect((0L to 3L).toSet).size == 1)
+    assert(ids.intersect((4L to 7L).toSet).size == 1)
+    // isolated vertices always join the MIS
+    val misF = friends.maximalIndependentSet.run()
+    assert(misF.select("id").as[String].collect().toSet.contains("g"))
+  }
+
+  test("stronglyConnectedComponents separates cycle from tail") {
+    val v = (0L until 5L).toDF("id")
+    // cycle 0->1->2->0, tail 2->3->4
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val scc = GraphFrame(v, e).stronglyConnectedComponents.run()
+    val m = scc.select("id", "component").as[(Long, Long)].collect().toMap
+    assert(m(0L) == m(1L) && m(1L) == m(2L))
+    assert(m(3L) != m(0L) && m(4L) != m(0L) && m(3L) != m(4L))
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class MotifSpec extends TestBase {
+  import spark.implicits._
+
+  test("single edge (a)-[e]->(b)") {
+    val df = friends.find("(a)-[e]->(b)")
+    assert(df.columns.toSeq == Seq("a", "e", "b"))
+    assert(df.count() == 8)
+  }
+
+  test("mutual follows (a)-[e]->(b); (b)-[e2]->(a)") {
+    val df = friends.find("(a)-[e]->(b); (b)-[e2]->(a)")
+    val pairs = df.select($"a.id", $"b.id").as[(String, String)].collect().toSet
+    assert(pairs == Set(("b", "c"), ("c", "b")))
+  }
+
+  test("chain of two (a)-[]->(b); (b)-[]->(c) drops anonymous edges") {
+    val df = friends.find("(a)-[]->(b); (b)-[]->(c)")
+    assert(df.columns.toSeq == Seq("a", "b", "c"))
+    // paths of length 2: a->b->c, b->c->b, c->b->c, f->c->b, e->f->c,
+    // e->d->a, d->a->b, d->a->e, a->e->f, a->e->d
+    assert(df.count() == 10)
+  }
+
+  test("anonymous endpoint (a)-[]->() keeps edge count") {
+    val df = friends.find("(a)-[]->()")
+    assert(df.columns.toSeq == Seq("a"))
+    assert(df.count() == 8)
+  }
+
+  test("backward arrow (a)<-[e]-(b) equals forward swapped") {
+    val fwd = friends.find("(b)-[e]->(a)").select($"a.id", $"b.id")
+      .as[(String, String)].collect().toSet
+    val bwd = friends.find("(a)<-[e]-(b)").select($"a.id", $"b.id")
+      .as[(String, String)].collect().toSet
+    assert(fwd == bwd)
+  }
+
+  test("negation (a)-[]->(b); !(b)-[]->(a)") {
+    val df = friends.find("(a)-[]->(b); !(b)-[]->(a)")
+    val pairs = df.select($"a.id", $"b.id").as[(String, String)].collect().toSet
+    // all 8 edges minus the mutual pair b<->c
+    assert(pairs.size == 6)
+    assert(!pairs.contains(("b", "c")) && !pairs.contains(("c", "b")))
+  }
+
+  test("negation-only vertex is bound positively: (a); !(a)-[]->(b)") {
+    val df = friends.find("(a); !(a)-[]->(b)")
+    // vertices with no outgoing edge to any b... b ranges over all vertices
+    val as = df.select($"a.id").distinct().as[String].collect().toSet
+    assert(as.contains("g")) // isolated vertex never has an out-edge
+  }
+
+  test("fixed-length (a)-[e*2]->(b) expands to 2-hop chain") {
+    val df = chain(4).find("(a)-[e*2]->(b)")
+    val pairs = df.select($"a.id", $"b.id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 2L), (1L, 3L)))
+    assert(df.columns.contains("e1") && df.columns.contains("e2"))
+  }
+
+  test("self-loop pattern (a)-[e]->(a)") {
+    val v = Seq(1L, 2L).toDF("id")
+    val e = Seq((1L, 1L), (1L, 2L)).toDF("src", "dst")
+    val df = GraphFrame(v, e).find("(a)-[e]->(a)")
+    assert(rows(df.select($"a.id")) == Set(Seq(1L)))
+  }
+
+  test("repeated vertex name constrains equality") {
+    // triangle a->b->c->a on friends: d->a->e? no. Use cycle d->a->e->d? e->d,d->a,a->e: yes
+    val df = friends.find("(x)-[]->(y); (y)-[]->(z); (z)-[]->(x)")
+    val tri = df.select($"x.id", $"y.id", $"z.id").as[(String, String, String)]
+      .collect().toSet
+    assert(tri == Set(("a", "e", "d"), ("e", "d", "a"), ("d", "a", "e")))
+  }
+
+  test("invalid patterns rejected") {
+    intercept[IllegalArgumentException](friends.find("(a)-[e]->(b); (c)-[e]->(d)"))
+    intercept[IllegalArgumentException](friends.find("(a)-[a]->(b)"))
+    intercept[IllegalArgumentException](friends.find("()-[]->()"))
+    intercept[IllegalArgumentException](friends.find("(a)-[e]->"))
+    intercept[IllegalArgumentException](friends.find("!(a)-[e]->(b)"))
+  }
+
+  test("lone vertex cross join (a); (b)") {
+    val df = friends.find("(a); (b)")
+    assert(df.count() == 49)
+  }
+}

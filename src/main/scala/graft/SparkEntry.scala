@@ -1,13 +1,442 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver contract: one `queries` entry per implemented operator (SURVEY §2)
+ * plus the data-pipeline operators, each with a DuckDB oracle where the
+ * semantics are SQL-expressible. Graphs are built from the TPC-H-ish
+ * driver testdata:
+ *
+ *  - graph A (string ids, exercises surrogate indexing): customers and
+ *    orders as vertices ("c<key>" / "o<key>"), one edge per order;
+ *  - graph B (int ids): nation co-occurrence — an edge src→dst when a
+ *    customer of nation src bought from a supplier of nation dst;
+ *  - event-type transition graph: consecutive events per user.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  import GraphFrame.{ID, SRC, DST}
+
+  private def load(s: SparkSession, dir: String, t: String): DataFrame =
+    s.read.parquet(s"$dir/$t.parquet")
+
+  /** customer→order bipartite graph with namespaced string ids and a `val`
+   * payload (acctbal for customers, totalprice for orders). */
+  private def graphA(s: SparkSession, dir: String): GraphFrame = {
+    val cust = load(s, dir, "customer")
+    val ord = load(s, dir, "orders")
+    val v = cust.select(concat(lit("c"), col("c_custkey")).as(ID), col("c_acctbal").as("val"))
+      .unionByName(ord.select(concat(lit("o"), col("o_orderkey")).as(ID),
+        col("o_totalprice").as("val")))
+    val e = ord.select(concat(lit("c"), col("o_custkey")).as(SRC),
+      concat(lit("o"), col("o_orderkey")).as(DST))
+    GraphFrame(v, e)
+  }
+
+  /** Distinct nation→nation trade edges (customer nation → supplier nation). */
+  private def nationEdges(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .join(load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(load(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").as(SRC), col("s_nationkey").as(DST))
+      .filter(col(SRC) =!= col(DST))
+      .distinct()
+
+  private def graphB(s: SparkSession, dir: String): GraphFrame =
+    GraphFrame(
+      load(s, dir, "nation").select(col("n_nationkey").as(ID), col("n_name")),
+      nationEdges(s, dir))
+
+  /** Event-type transition graph: edge t1→t2 when some user's consecutive
+   * events are typed t1 then t2. */
+  private def eventTypeGraph(s: SparkSession, dir: String): GraphFrame = {
+    val ev = load(s, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val e = ev.select(col("event_type").as(SRC),
+        lead(col("event_type"), 1).over(w).as(DST))
+      .filter(col(DST).isNotNull)
+      .distinct()
+    GraphFrame.fromEdges(e)
+  }
+
+  /** Flagship query (driver smoke-checks rows > 0 on sf0.001). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("g_out_degrees")(spark, "/root/testdata/sf0.001")
+
+  // -------------------------------------------------------------------
+  // Queries
+  // -------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- graph structure / degrees ---
+    "g_out_degrees" -> ((s, dir) =>
+      graphA(s, dir).outDegrees
+        .select(col(ID), col("outDegree").cast("long").as("out_degree"))),
+    "g_in_degrees" -> ((s, dir) => {
+      val li = load(s, dir, "lineitem")
+      GraphFrame.fromEdges(li.select(
+          concat(lit("s"), col("l_suppkey")).as(SRC),
+          concat(lit("p"), col("l_partkey")).as(DST)))
+        .inDegrees
+        .select(col(ID), col("inDegree").cast("long").as("in_degree"))
+    }),
+    "g_degrees" -> ((s, dir) =>
+      graphA(s, dir).degrees
+        .select(col(ID), col("degree").cast("long").as("degree"))),
+    "g_triplets" -> ((s, dir) =>
+      graphB(s, dir).triplets
+        .select(col(s"$SRC.$ID").as("src_id"), col(s"$SRC.n_name").as("src_name"),
+          col(s"$DST.$ID").as("dst_id"))),
+    "g_filter_vertices" -> ((s, dir) =>
+      // high-balance subgraph of graph A: customers with acctbal > 5000
+      // (every order vertex survives the filter; edges to dropped customers go)
+      graphA(s, dir).filterVertices(col("val") > 5000 || substring(col(ID), 1, 1) === "o")
+        .edges.select(col(SRC), col(DST))),
+
+    // --- motifs ---
+    "g_motif_mutual" -> ((s, dir) =>
+      graphB(s, dir).find("(a)-[e]->(b); (b)-[e2]->(a)")
+        .select(col(s"a.$ID").as("a_id"), col(s"b.$ID").as("b_id"))),
+    "g_motif_open_triangle" -> ((s, dir) =>
+      graphB(s, dir).find("(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
+        .select(col(s"a.$ID").as("a_id"), col(s"b.$ID").as("b_id"), col(s"c.$ID").as("c_id"))),
+
+    // --- message passing ---
+    "g_aggregate_messages" -> ((s, dir) => {
+      import graft.lib.AggregateMessages
+      graphA(s, dir).aggregateMessages
+        .sendToSrc(AggregateMessages.dst("val"))
+        .sendToDst(AggregateMessages.src("val"))
+        .agg(round(sum(AggregateMessages.msg), 2).as("total"))
+    }),
+
+    // --- algorithms ---
+    "g_connected_components" -> ((s, dir) => {
+      val cc = graphA(s, dir).connectedComponents.run()
+      cc.select(col(ID), min(ID).over(Window.partitionBy("component")).as("rep"))
+    }),
+    "g_cc_nations" -> ((s, dir) =>
+      graphB(s, dir).connectedComponents.run().select(col(ID), col("component"))),
+    "g_scc_nations" -> ((s, dir) =>
+      graphB(s, dir).stronglyConnectedComponents.run().select(col(ID), col("component"))),
+    "g_shortest_paths" -> ((s, dir) =>
+      graphB(s, dir).shortestPaths.landmarks(Seq(0)).run()
+        .select(col(ID), element_at(col("distances"), lit(0)).as("dist"))),
+    "g_pagerank" -> ((s, dir) =>
+      graphB(s, dir).pageRank.resetProbability(0.15).maxIter(10).run()
+        .vertices.select(col(ID), round(col("pagerank"), 5).as("pagerank"))),
+    "g_triangle_count" -> ((s, dir) =>
+      graphB(s, dir).triangleCount.run()
+        .select(col(ID), col("count").as("tri_count"))),
+    "g_bfs" -> ((s, dir) =>
+      graphB(s, dir).bfs
+        .fromExpr(col(ID) === 0)
+        .toExpr(col("n_name").isin("NATION_7", "NATION_13"))
+        .run()
+        .select(col(s"from.$ID").as("from_id"), col(s"to.$ID").as("to_id"))
+        .distinct()),
+    "g_label_propagation" -> ((s, dir) => // rows-only check (iterative tie-break not SQL-oracled)
+      graphB(s, dir).labelPropagation.maxIter(5).run().select(col(ID), col("label"))),
+    "g_kcore" -> ((s, dir) => // rows-only check
+      graphB(s, dir).kCore.run().select(col(ID), col("kcore"))),
+    "g_mis" -> ((s, dir) => // rows-only check (any valid MIS; ours is hash-seeded)
+      graphB(s, dir).maximalIndependentSet.run().select(col(ID))),
+    "g_cycles" -> ((s, dir) =>
+      eventTypeGraph(s, dir).detectingCycles.run()),
+
+    // --- pipeline: dedup ---
+    "p_dedup_exact" -> ((s, dir) =>
+      pipeline.Dedup.exact(load(s, dir, "documents"), "doc_id", Seq("text"))),
+    "p_minhash_lsh" -> ((s, dir) =>
+      pipeline.Dedup.minhashLsh(load(s, dir, "documents"), "doc_id", "text",
+        n = 3, bands = 8, rowsPerBand = 2)),
+    "p_simhash" -> ((s, dir) =>
+      pipeline.Dedup.simhash(load(s, dir, "documents"), "doc_id", "text", bits = 16)),
+    "p_ngram_jaccard" -> ((s, dir) =>
+      pipeline.Dedup.ngramJaccard(load(s, dir, "documents"), "doc_id", "text",
+        n = 3, minShared = 3)),
+
+    // --- pipeline: similarity ---
+    "p_cosine_pairs" -> ((s, dir) =>
+      pipeline.Similarity.bruteForcePairs(load(s, dir, "embeddings"), "vec_id", "embedding", 0.35)),
+    "p_ann_topk" -> ((s, dir) =>
+      pipeline.Similarity.topK(load(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, queryFilter = col("vec_id") < 20)),
+    "p_ann_lsh" -> ((s, dir) => // rows-only check (approximate by construction)
+      pipeline.Similarity.lshTopK(load(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, planes = 8, dim = 64)),
+
+    // --- pipeline: text analysis ---
+    "p_token_count" -> ((s, dir) =>
+      pipeline.Text.tokenCount(load(s, dir, "documents"), "doc_id", "text")),
+    "p_lang_id" -> ((s, dir) =>
+      pipeline.Text.languageId(load(s, dir, "documents"), "doc_id", "text")),
+    "p_quality" -> ((s, dir) =>
+      pipeline.Text.quality(load(s, dir, "documents"), "doc_id", "text")),
+    "p_fingerprint" -> ((s, dir) =>
+      pipeline.Text.fingerprint(load(s, dir, "documents"), "doc_id", "text")),
+
+    // --- pipeline: events ---
+    "e_window_agg" -> ((s, dir) =>
+      pipeline.Events.hourlyAgg(load(s, dir, "events"))),
+    "e_sessionize" -> ((s, dir) =>
+      pipeline.Events.sessionize(load(s, dir, "events"), gapMinutes = 30)
+        .select(col("user_id"), col("session_idx").cast("long").as("session_idx"),
+          col("n_events"), col("duration_ms")))
+  )
+
+  // -------------------------------------------------------------------
+  // DuckDB oracle SQL (same semantics, same column names & types)
+  // -------------------------------------------------------------------
+
+  /** nation trade-edge CTE body reused across graph-B oracles. */
+  private val NE =
+    """SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |WHERE c.c_nationkey <> s.s_nationkey""".stripMargin
+
+  /** DuckDB word-token list (mirrors graft.pipeline.Text.tokens). */
+  private val W = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
+  /** 3-word shingles over w (mirrors Text.wordShingles(n=3)). */
+  private val SH3 = "[array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]"
+
+  private def pagerankSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""pr$k AS (
+         |  SELECT v.id, 0.15 + 0.85 * COALESCE(SUM(p.r / o.od), 0) AS r
+         |  FROM v LEFT JOIN e ON e.dst = v.id
+         |  LEFT JOIN pr${k - 1} p ON p.id = e.src
+         |  LEFT JOIN od o ON o.src = e.src
+         |  GROUP BY v.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($NE),
+       |od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+       |v AS (SELECT n_nationkey AS id FROM nation),
+       |pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS r FROM v),
+       |$steps
+       |SELECT id, ROUND(r, 5) AS pagerank FROM pr$iters""".stripMargin
+  }
+
+  private def simhashSql(bits: Int): String = {
+    val terms = (0 until bits).map { b =>
+      val nib = b / 4 + 1
+      val m = 1 << (b % 4 + 1)
+      val h = 1 << (b % 4)
+      s"""(CASE WHEN list_sum(list_transform(w, t ->
+         | CASE WHEN (strpos('0123456789abcdef', substr(md5(t), $nib, 1)) - 1) % $m >= $h
+         | THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, $W AS w FROM documents)
+       |SELECT doc_id, CAST($terms AS BIGINT) AS simhash FROM t""".stripMargin
+  }
+
+  private def langIdSql: String = {
+    val langs = pipeline.Text.defaultMarkers.toSeq.sortBy(_._1)
+    val scoreRows = langs.map { case (lang, kws) =>
+      val cnt = kws.map { k =>
+        val kw = s" $k "
+        s"CAST((len(p) - len(replace(p, '$kw', ''))) / ${kw.length} AS INT)"
+      }.mkString(" + ")
+      s"SELECT doc_id, '$lang' AS lang, $cnt AS score FROM padded"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH padded AS (SELECT doc_id, ' ' || text || ' ' AS p FROM documents),
+       |s AS ($scoreRows)
+       |SELECT doc_id, lang AS pred_lang FROM (
+       |  SELECT doc_id, lang,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+       |  FROM s) WHERE rn = 1""".stripMargin
+  }
+
+  private val cosExpr =
+    "list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))"
+
+  def oracleSql: Map[String, String] = Map(
+    "g_out_degrees" ->
+      """SELECT 'c' || CAST(o_custkey AS VARCHAR) AS id, count(*) AS out_degree
+        |FROM orders GROUP BY 1""".stripMargin,
+    "g_in_degrees" ->
+      """SELECT 'p' || CAST(l_partkey AS VARCHAR) AS id, count(*) AS in_degree
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "g_degrees" ->
+      """WITH e AS (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS s,
+        |                  'o' || CAST(o_orderkey AS VARCHAR) AS d FROM orders),
+        |b AS (SELECT s AS id FROM e UNION ALL SELECT d FROM e)
+        |SELECT id, count(*) AS degree FROM b GROUP BY 1""".stripMargin,
+    "g_triplets" ->
+      s"""WITH e AS ($NE)
+         |SELECT e.src AS src_id, n.n_name AS src_name, e.dst AS dst_id
+         |FROM e JOIN nation n ON n.n_nationkey = e.src""".stripMargin,
+    "g_filter_vertices" ->
+      """SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |       'o' || CAST(o_orderkey AS VARCHAR) AS dst
+        |FROM orders JOIN customer ON c_custkey = o_custkey
+        |WHERE c_acctbal > 5000""".stripMargin,
+    "g_motif_mutual" ->
+      s"""WITH e AS ($NE)
+         |SELECT e1.src AS a_id, e1.dst AS b_id
+         |FROM e e1 JOIN e e2 ON e2.src = e1.dst AND e2.dst = e1.src""".stripMargin,
+    "g_motif_open_triangle" ->
+      s"""WITH e AS ($NE)
+         |SELECT e1.src AS a_id, e1.dst AS b_id, e2.dst AS c_id
+         |FROM e e1 JOIN e e2 ON e2.src = e1.dst
+         |WHERE NOT EXISTS (SELECT 1 FROM e e3 WHERE e3.src = e1.src AND e3.dst = e2.dst)""".stripMargin,
+    "g_aggregate_messages" ->
+      """WITH m AS (
+        |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS id, o_totalprice AS v FROM orders
+        |  UNION ALL
+        |  SELECT 'o' || CAST(o_orderkey AS VARCHAR), c_acctbal
+        |  FROM orders JOIN customer ON c_custkey = o_custkey)
+        |SELECT id, ROUND(SUM(v), 2) AS total FROM m GROUP BY id""".stripMargin,
+    "g_connected_components" ->
+      """SELECT 'c' || CAST(c_custkey AS VARCHAR) AS id,
+        |       'c' || CAST(c_custkey AS VARCHAR) AS rep FROM customer
+        |UNION ALL
+        |SELECT 'o' || CAST(o_orderkey AS VARCHAR),
+        |       'c' || CAST(o_custkey AS VARCHAR) FROM orders""".stripMargin,
+    "g_cc_nations" ->
+      s"""WITH RECURSIVE e AS ($NE),
+         |u AS (SELECT src AS s, dst AS d FROM e UNION SELECT dst, src FROM e),
+         |r AS (SELECT n_nationkey AS id, CAST(n_nationkey AS BIGINT) AS comp FROM nation
+         |      UNION SELECT u.d, r.comp FROM r JOIN u ON u.s = r.id)
+         |SELECT id, MIN(comp) AS component FROM r GROUP BY id""".stripMargin,
+    "g_scc_nations" ->
+      s"""WITH RECURSIVE e AS ($NE),
+         |r AS (SELECT src AS s, dst AS d FROM e
+         |      UNION SELECT r.s, e.dst FROM r JOIN e ON e.src = r.d)
+         |SELECT n.n_nationkey AS id,
+         |  CAST(COALESCE(MAX(CASE WHEN r2.s IS NOT NULL THEN r.d END), n.n_nationkey) AS BIGINT) AS component
+         |FROM nation n
+         |LEFT JOIN r ON r.s = n.n_nationkey
+         |LEFT JOIN r r2 ON r2.s = r.d AND r2.d = n.n_nationkey
+         |GROUP BY n.n_nationkey""".stripMargin,
+    "g_shortest_paths" ->
+      s"""WITH RECURSIVE e AS ($NE),
+         |b AS (SELECT 0 AS id, 0 AS d
+         |      UNION SELECT e.src, b.d + 1 FROM b JOIN e ON e.dst = b.id WHERE b.d < 50)
+         |SELECT n_nationkey AS id, CAST(MIN(b.d) AS INT) AS dist
+         |FROM nation LEFT JOIN b ON b.id = n_nationkey GROUP BY 1""".stripMargin,
+    "g_pagerank" -> pagerankSql(10),
+    "g_triangle_count" ->
+      s"""WITH e0 AS ($NE),
+         |canon AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e0),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |        FROM canon e1 JOIN canon e2 ON e2.a = e1.b
+         |        JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |pv AS (SELECT v, count(*) AS c FROM (
+         |   SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+         |   GROUP BY v)
+         |SELECT n_nationkey AS id, COALESCE(c, 0) AS tri_count
+         |FROM nation LEFT JOIN pv ON v = n_nationkey""".stripMargin,
+    "g_bfs" ->
+      s"""WITH RECURSIVE e AS ($NE),
+         |f AS (SELECT 0 AS id, 0 AS d
+         |      UNION SELECT e.dst, f.d + 1 FROM f JOIN e ON e.src = f.id WHERE f.d < 50),
+         |dmin AS (SELECT id, MIN(d) AS d FROM f GROUP BY id),
+         |t AS (SELECT n_nationkey AS tid FROM nation WHERE n_name IN ('NATION_7', 'NATION_13')),
+         |md AS (SELECT MIN(d) AS m FROM dmin JOIN t ON dmin.id = t.tid)
+         |SELECT 0 AS from_id, dmin.id AS to_id
+         |FROM dmin JOIN t ON dmin.id = t.tid CROSS JOIN md WHERE dmin.d = md.m""".stripMargin,
+    "g_cycles" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT event_type AS src,
+        |         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |e AS (SELECT DISTINCT src, dst FROM ev WHERE dst IS NOT NULL),
+        |p(start, curr, path) AS (
+        |  SELECT src, dst, [src, dst] FROM e WHERE dst > src
+        |  UNION ALL
+        |  SELECT p.start, e.dst, list_append(p.path, e.dst)
+        |  FROM p JOIN e ON e.src = p.curr
+        |  WHERE e.dst > p.start AND NOT list_contains(p.path, e.dst)),
+        |cyc AS (
+        |  SELECT DISTINCT p.path FROM p JOIN e ON e.src = p.curr AND e.dst = p.start
+        |  UNION SELECT [src] FROM e WHERE src = dst)
+        |SELECT path AS found_cycles FROM cyc""".stripMargin,
+    "p_dedup_exact" ->
+      """SELECT doc_id, md5(text) AS fp,
+        |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM documents""".stripMargin,
+    "p_minhash_lsh" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+         |s AS (SELECT doc_id, $SH3 AS sh FROM t WHERE len(w) >= 3),
+         |sig AS (SELECT doc_id, list_transform(range(0, 16), h ->
+         |   list_min(list_transform(sh, x -> md5(CAST(h AS VARCHAR) || '|' || x)))) AS mh
+         |   FROM s),
+         |bands AS (SELECT doc_id, r.b AS band,
+         |   md5(array_to_string(mh[2 * r.b + 1:2 * r.b + 2], '|')) AS bh
+         |   FROM sig, range(0, 8) r(b))
+         |SELECT x.doc_id AS a, y.doc_id AS b
+         |FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+         |GROUP BY 1, 2""".stripMargin,
+    "p_simhash" -> simhashSql(16),
+    "p_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+         |s AS (SELECT doc_id, unnest($SH3) AS sh FROM t WHERE len(w) >= 3),
+         |d AS (SELECT DISTINCT doc_id, sh FROM s),
+         |sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
+         |pr AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+         |       FROM d x JOIN d y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |       GROUP BY 1, 2 HAVING count(*) >= 3)
+         |SELECT a, b, shared,
+         |  ROUND(shared / CAST(sa.n + sb.n - shared AS DOUBLE), 4) AS jaccard
+         |FROM pr JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b""".stripMargin,
+    "p_cosine_pairs" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT * FROM (
+         |  SELECT x.vec_id AS a, y.vec_id AS b, ROUND($cosExpr, 4) AS cos
+         |  FROM e x JOIN e y ON x.vec_id < y.vec_id)
+         |WHERE cos >= 0.35""".stripMargin,
+    "p_ann_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT * FROM e WHERE vec_id < 20),
+         |sc AS (SELECT q.vec_id AS query_id, y.vec_id AS neighbor_id,
+         |   list_dot_product(q.v, y.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(y.v, y.v))) AS c
+         |   FROM q JOIN e y ON y.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
+         |  SELECT query_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rnk
+         |  FROM sc) WHERE rnk <= 3""".stripMargin,
+    "p_token_count" ->
+      s"""SELECT doc_id, CAST(len($W) AS BIGINT) AS n_tokens FROM documents""".stripMargin,
+    "p_lang_id" -> langIdSql,
+    "p_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $W AS w FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(len(text) AS BIGINT) AS n_chars,
+         |  ROUND(COALESCE(list_sum(list_transform(w, x -> len(x))), 0) /
+         |        CAST(GREATEST(len(w), 1) AS DOUBLE), 4) AS avg_token_len,
+         |  ROUND((len(list_filter(w, x -> x = 'the')) + len(list_filter(w, x -> x = 'a')) +
+         |         len(list_filter(w, x -> x = 'of')) + len(list_filter(w, x -> x = 'and')) +
+         |         len(list_filter(w, x -> x = 'is'))) /
+         |        CAST(GREATEST(len(w), 1) AS DOUBLE), 4) AS stop_ratio
+         |FROM t""".stripMargin,
+    "p_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+         |s AS (SELECT doc_id, [md5(array_to_string(w[i:i+2], ' ')) for i in range(1, len(w) - 1)] AS hs FROM t)
+         |SELECT doc_id, md5(COALESCE(array_to_string(
+         |  list_sort(list_filter(hs, h -> substr(h, 32, 1) IN ('0', '1'))), ''), '')) AS fingerprint
+         |FROM s""".stripMargin,
+    "e_window_agg" ->
+      """SELECT event_type,
+        |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS window_start,
+        |  count(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "e_sessionize" ->
+      """WITH x AS (SELECT user_id, event_id, ts, epoch_ms(ts) AS ms,
+        |  CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) > 1800000 THEN 1 ELSE 0 END AS nsess
+        |  FROM events),
+        |y AS (SELECT user_id, ms, SUM(nsess) OVER
+        |  (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM x)
+        |SELECT user_id, CAST(sess AS BIGINT) AS session_idx, count(*) AS n_events,
+        |  CAST(MAX(ms) - MIN(ms) AS BIGINT) AS duration_ms
+        |FROM y GROUP BY 1, 2""".stripMargin
+  )
 }

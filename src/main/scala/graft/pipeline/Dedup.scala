@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+ *
+ * Scale design:
+ *  - exact dedup is a single hash aggregation on the content hash (map-side
+ *    partial agg; no row ever carries the full text through the shuffle);
+ *  - minhash signatures are computed per-row over the in-row shingle array
+ *    (no explode, stays in codegen); only the tiny (id, band, hash) table
+ *    shuffles, and candidate pairs come from a bucket self-join whose
+ *    fan-out is bounded by bucket size (AQE splits skewed buckets);
+ *  - all hashing is md5-based → deterministic, retry-safe, and exactly
+ *    reproducible by any SQL oracle.
+ */
+object Dedup {
+
+  /** Exact dedup by content hash: (id, fp, keep_id) where keep_id is the
+   * minimum id sharing the same fingerprint. */
+  def exact(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame = {
+    val fp = md5(concat_ws("", contentCols.map(col): _*))
+    df.select(col(idCol), fp.as("fp"))
+      .withColumn("keep_id", min(col(idCol)).over(Window.partitionBy("fp")))
+  }
+
+  /** Per-document minhash signature as an array<string> of `numHashes`
+   * md5-minima over `n`-word shingles. */
+  def minhashSignature(text: Column, n: Int, numHashes: Int): Column = {
+    val shingles = Text.wordShingles(text, n)
+    array((0 until numHashes).map { h =>
+      array_min(transform(shingles, s => md5(concat(lit(s"$h|"), s))))
+    }: _*)
+  }
+
+  /** MinHash+LSH candidate pairs: signatures banded into `bands` groups of
+   * `rowsPerBand`; docs sharing any band bucket become a pair (a < b).
+   * Returns (a, b) distinct. Documents with no shingles are excluded. */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = minhashSignature(col(textCol), n, numHashes)
+    val withSig = df
+      .filter(size(Text.wordShingles(col(textCol), n)) > 0)
+      .select(col(idCol).as("_d_id"), sig.as("_d_sig"))
+    val bandStructs = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", slice(col("_d_sig"), b * rowsPerBand + 1, rowsPerBand))).as("bh"))
+    }: _*)
+    val buckets = withSig.select(col("_d_id"), explode(bandStructs).as("bb"))
+      .select(col("_d_id"), col("bb.band"), col("bb.bh"))
+    buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x._d_id") < col("y._d_id"))
+      .select(col("x._d_id").as("a"), col("y._d_id").as("b"))
+      .distinct()
+  }
+
+  /** Per-document SimHash over word tokens, `bits` wide (max 32; nibbles of
+   * each token's md5 drive the bit votes). Returns (id, simhash: long). */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    require(bits <= 32 && bits % 4 == 0, "bits must be multiple of 4, <= 32")
+    val toks = Text.tokens(col(textCol))
+    val fp = (0 until bits).map { b =>
+      val nibblePos = b / 4 + 1 // 1-based position in the md5 hex string
+      val k = b % 4
+      val contrib = (t: Column) => {
+        val nv = conv(substring(md5(t), nibblePos, 1), 16, 10).cast("int")
+        when(nv % lit(1 << (k + 1)) >= lit(1 << k), lit(1)).otherwise(lit(-1))
+      }
+      val vote = aggregate(toks, lit(0), (acc, t) => acc + contrib(t))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** n-gram Jaccard near-dup pairs: docs sharing >= `minShared` distinct
+   * `n`-word shingles, with exact Jaccard over distinct shingle sets.
+   * Returns (a, b, shared, jaccard). The shingle inverted index bounds the
+   * join fan-out to co-occurring shingles only. */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minShared: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("_d_id"),
+        explode(Text.wordShingles(col(textCol), n)).as("s"))
+      .distinct()
+    val sizes = sh.groupBy("_d_id").agg(count(lit(1)).as("n_sh"))
+    val shared = sh.as("x").join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x._d_id") < col("y._d_id"))
+      .groupBy(col("x._d_id").as("a"), col("y._d_id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    shared
+      .join(sizes.select(col("_d_id").as("a"), col("n_sh").as("na")), "a")
+      .join(sizes.select(col("_d_id").as("b"), col("n_sh").as("nb")), "b")
+      .select(col("a"), col("b"), col("shared"),
+        round(col("shared") / (col("na") + col("nb") - col("shared")).cast("double"), 4)
+          .as("jaccard"))
+  }
+}

@@ -27,25 +27,25 @@ object Dedup {
       .withColumn("keep_id", min(col(idCol)).over(Window.partitionBy("fp")))
   }
 
-  /** Per-document minhash signature as an array<string> of `numHashes`
-   * md5-minima over `n`-word shingles. */
-  def minhashSignature(text: Column, n: Int, numHashes: Int): Column = {
-    val shingles = Text.wordShingles(text, n)
+  /** Minhash signature (array<string> of `numHashes` md5-minima) over an
+   * already-materialized shingle-array column — materialize first, or the
+   * shingling expression tree is re-evaluated once per hash lane. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
     array((0 until numHashes).map { h =>
       array_min(transform(shingles, s => md5(concat(lit(s"$h|"), s))))
     }: _*)
-  }
 
   /** MinHash+LSH candidate pairs: signatures banded into `bands` groups of
    * `rowsPerBand`; docs sharing any band bucket become a pair (a < b).
    * Returns (a, b) distinct. Documents with no shingles are excluded. */
-  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+  def minhashLsh(df0: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val df = ensureParallelism(df0)
     val numHashes = bands * rowsPerBand
-    val sig = minhashSignature(col(textCol), n, numHashes)
     val withSig = df
-      .filter(size(Text.wordShingles(col(textCol), n)) > 0)
-      .select(col(idCol).as("_d_id"), sig.as("_d_sig"))
+      .select(col(idCol).as("_d_id"), Text.wordShingles(col(textCol), n).as("_d_sh"))
+      .filter(size(col("_d_sh")) > 0)
+      .select(col("_d_id"), minhashSignature(col("_d_sh"), numHashes).as("_d_sig"))
     val bandStructs = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|", slice(col("_d_sig"), b * rowsPerBand + 1, rowsPerBand))).as("bh"))
@@ -61,7 +61,8 @@ object Dedup {
 
   /** Per-document SimHash over word tokens, `bits` wide (max 32; nibbles of
    * each token's md5 drive the bit votes). Returns (id, simhash: long). */
-  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+  def simhash(df0: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    val df = ensureParallelism(df0)
     require(bits <= 32 && bits % 4 == 0, "bits must be multiple of 4, <= 32")
     val toks = Text.tokens(col(textCol))
     val fp = (0 until bits).map { b =>
@@ -81,8 +82,9 @@ object Dedup {
    * `n`-word shingles, with exact Jaccard over distinct shingle sets.
    * Returns (a, b, shared, jaccard). The shingle inverted index bounds the
    * join fan-out to co-occurring shingles only. */
-  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+  def ngramJaccard(df0: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minShared: Int = 3): DataFrame = {
+    val df = ensureParallelism(df0)
     val sh = df.select(col(idCol).as("_d_id"),
         explode(Text.wordShingles(col(textCol), n)).as("s"))
       .distinct()

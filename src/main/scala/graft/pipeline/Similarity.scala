@@ -15,25 +15,30 @@ import org.apache.spark.sql.functions._
  * safe under task retries.
  */
 object Similarity {
+  import graft.expressions.ArrayDotProduct.dotProduct
 
-  /** Cosine similarity of two array<double> columns (fold-based dot and
-   * norms; stays inside codegen — no UDF). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v * v))
-    dot / (na * nb)
-  }
+  /** Cosine similarity of two array<double> columns via the native
+   * [[graft.expressions.ArrayDotProduct]] kernel — no UDF, no
+   * intermediate arrays, codegen'd primitive loops. */
+  def cosine(a: Column, b: Column): Column =
+    dotProduct(a, b) / (sqrt(dotProduct(a, a)) * sqrt(dotProduct(b, b)))
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** (_s_id, _s_v, _s_n): vectors with their norm precomputed once, so the
+   * n² pair stage runs exactly one dot product per pair. */
+  private def withNorm(df0: DataFrame, idCol: String, vecCol: String): DataFrame =
+    ensureParallelism(df0).select(col(idCol).as("_s_id"), asDouble(col(vecCol)).as("_s_v"))
+      .withColumn("_s_n", sqrt(dotProduct(col("_s_v"), col("_s_v"))))
 
   /** All pairs (a < b) with cosine >= threshold: (a, b, cos rounded 4dp). */
   def bruteForcePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val v = df.select(col(idCol).as("_s_id"), asDouble(col(vecCol)).as("_s_v"))
+    val v = withNorm(df, idCol, vecCol)
     v.as("x").join(v.as("y"), col("x._s_id") < col("y._s_id"))
       .select(col("x._s_id").as("a"), col("y._s_id").as("b"),
-        round(cosine(col("x._s_v"), col("y._s_v")), 4).as("cos"))
+        round(dotProduct(col("x._s_v"), col("y._s_v")) / (col("x._s_n") * col("y._s_n")),
+          4).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -42,12 +47,12 @@ object Similarity {
    * (cosine desc, neighbor id asc) for determinism. */
   def topK(df: DataFrame, idCol: String, vecCol: String, k: Int,
       queryFilter: Column = lit(true)): DataFrame = {
-    val v = df.select(col(idCol).as("_s_id"), asDouble(col(vecCol)).as("_s_v"))
-    val q = df.filter(queryFilter)
-      .select(col(idCol).as("_q_id"), asDouble(col(vecCol)).as("_q_v"))
+    val v = withNorm(df, idCol, vecCol)
+    val q = withNorm(df.filter(queryFilter), idCol, vecCol)
+      .select(col("_s_id").as("_q_id"), col("_s_v").as("_q_v"), col("_s_n").as("_q_n"))
     val scored = q.join(v, col("_q_id") =!= col("_s_id"))
       .select(col("_q_id").as("query_id"), col("_s_id").as("neighbor_id"),
-        cosine(col("_q_v"), col("_s_v")).as("_cos"))
+        (dotProduct(col("_q_v"), col("_s_v")) / (col("_q_n") * col("_s_n"))).as("_cos"))
     val w = Window.partitionBy("query_id").orderBy(col("_cos").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -73,12 +78,12 @@ object Similarity {
    * Recall < 1 by construction; bucket fan-out replaces the full O(n²). */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
       planes: Int = 12, dim: Int = 64): DataFrame = {
-    val v = df.select(col(idCol).as("_s_id"), asDouble(col(vecCol)).as("_s_v"))
+    val v = withNorm(df, idCol, vecCol)
       .withColumn("_bucket", hyperplaneSignature(col("_s_v"), planes, dim))
     val scored = v.as("x").join(v.as("y"),
         col("x._bucket") === col("y._bucket") && col("x._s_id") =!= col("y._s_id"))
       .select(col("x._s_id").as("query_id"), col("y._s_id").as("neighbor_id"),
-        cosine(col("x._s_v"), col("y._s_v")).as("_cos"))
+        (dotProduct(col("x._s_v"), col("y._s_v")) / (col("x._s_n") * col("y._s_n"))).as("_cos"))
     val w = Window.partitionBy("query_id").orderBy(col("_cos").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

@@ -77,7 +77,8 @@ object Text {
    * keep the deterministic 1/8 sample (hash suffix in {0,1}), and hash the
    * sorted selection. Near-identical documents collide with high
    * probability; any engine with md5 reproduces it bit-for-bit. */
-  def fingerprint(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+  def fingerprint(df0: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val df = ensureParallelism(df0)
     val hashes = transform(wordShingles(col(textCol), n), s => md5(s))
     val selected = filter(hashes, h => substring(h, 32, 1).isin("0", "1"))
     df.select(col(idCol),

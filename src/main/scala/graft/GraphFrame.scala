@@ -206,6 +206,7 @@ class GraphFrame private (
   // ---------------------------------------------------------------------
 
   def aggregateMessages: lib.AggregateMessages = new lib.AggregateMessages(this)
+  def aggregateNeighbors: lib.AggregateNeighbors = new lib.AggregateNeighbors(this)
   def pregel: lib.Pregel = new lib.Pregel(this)
 
   def find(motif: String): DataFrame = pattern.MotifCompiler.find(this, motif)
@@ -221,6 +222,52 @@ class GraphFrame private (
   def kCore: lib.KCore = new lib.KCore(this)
   def detectingCycles: lib.DetectingCycles = new lib.DetectingCycles(this)
   def maximalIndependentSet: lib.MaximalIndependentSet = new lib.MaximalIndependentSet(this)
+  def randomWalks: rw.RandomWalks = new rw.RandomWalks(this)
+
+  /** Power iteration clustering, delegated to Spark ML (role of reference
+   * GraphFrame.scala:894-930): returns (id, cluster) for every vertex that
+   * appears in an edge. Weights default to 1.0 unless `weightCol` names an
+   * edge column. */
+  def powerIterationClustering(k: Int, maxIter: Int = 20,
+      weightCol: Option[String] = None): DataFrame = {
+    val e = indexedEdges.select(col(LONG_SRC).as("src"), col(LONG_DST).as("dst"),
+      weightCol.map(w => col(s"$ATTR.$w").cast("double")).getOrElse(lit(1.0)).as("weight"))
+    val pic = new org.apache.spark.ml.clustering.PowerIterationClustering()
+      .setK(k).setMaxIter(maxIter).setWeightCol("weight")
+    val assignments = pic.assignClusters(e)
+    indexedVertices
+      .join(assignments, indexedVertices(LONG_ID) === assignments("id"))
+      .select(indexedVertices(ID), col("cluster"))
+  }
+
+  /** Convert to a stock Spark GraphX `Graph[Row, Row]` over the surrogate
+   * Long ids (interop path; reference vendors its own GraphX fork —
+   * GraphFrame.scala:338-370 — while ours bridges to the public one). */
+  def toGraphX: org.apache.spark.graphx.Graph[Row, Row] = {
+    val vs = indexedVertices.select(col(LONG_ID), col(ATTR))
+      .rdd.map(r => (r.getLong(0), r.getStruct(1).asInstanceOf[Row]))
+    val es = indexedEdges.select(col(LONG_SRC), col(LONG_DST), col(ATTR))
+      .rdd.map(r => org.apache.spark.graphx.Edge(
+        r.getLong(0), r.getLong(1), r.getStruct(2).asInstanceOf[Row]))
+    org.apache.spark.graphx.Graph(vs, es)
+  }
+
+  /** Skew-aware join helper (reference GraphFrame.scala:1106-1126): keys of
+   * `big` with frequency above `threshold` are joined via an explicit
+   * broadcast of `small`, the long tail via a regular shuffle join, and the
+   * two halves unioned. Prefer plain AQE skew handling; this is the manual
+   * escape hatch. */
+  def skewedJoin(big: DataFrame, small: DataFrame, key: String,
+      threshold: Long): DataFrame = {
+    val hot = big.groupBy(key).count().filter(col("count") > threshold)
+      .select(key).collect().map(_.get(0)).toSeq
+    if (hot.isEmpty) big.join(small, key)
+    else {
+      val hotBig = big.filter(col(key).isInCollection(hot))
+      val tailBig = big.filter(!col(key).isInCollection(hot))
+      hotBig.join(broadcast(small), key).unionByName(tailBig.join(small, key))
+    }
+  }
 
   override def toString: String =
     s"GraphFrame(v:[${vertices.columns.mkString(",")}], e:[${edges.columns.mkString(",")}])"

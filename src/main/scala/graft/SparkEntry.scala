@@ -97,6 +97,12 @@ object SparkEntry {
         .edges.select(col(SRC), col(DST))),
 
     // --- motifs ---
+    "g_motif_undirected" -> ((s, dir) =>
+      graphB(s, dir).find("(a)-[e]-(b)")
+        .select(col(s"a.$ID").as("a_id"), col(s"b.$ID").as("b_id"), col("_direction"))),
+    "g_motif_varlen" -> ((s, dir) =>
+      graphB(s, dir).find("(a)-[e*1..2]->(b)")
+        .select(col(s"a.$ID").as("a_id"), col(s"b.$ID").as("b_id"), col("_hop"))),
     "g_motif_mutual" -> ((s, dir) =>
       graphB(s, dir).find("(a)-[e]->(b); (b)-[e2]->(a)")
         .select(col(s"a.$ID").as("a_id"), col(s"b.$ID").as("b_id"))),
@@ -146,6 +152,39 @@ object SparkEntry {
       graphB(s, dir).maximalIndependentSet.run().select(col(ID))),
     "g_cycles" -> ((s, dir) =>
       eventTypeGraph(s, dir).detectingCycles.run()),
+
+    "g_agg_neighbors" -> ((s, dir) => {
+      import graft.lib.AggregateNeighbors
+      graphB(s, dir).aggregateNeighbors
+        .agg(count(lit(1)).as("n"), sum(AggregateNeighbors.nbr(ID)).as("sum_nbr"))
+        .setMaxHops(2)
+        .run()
+    }),
+    "g_triangle_approx" -> ((s, dir) =>
+      // theta sketches are exact below nominal entries, so the exact-count
+      // oracle applies at this scale
+      graphB(s, dir).triangleCount.runApprox(lgNomEntries = 12)
+        .select(col(ID), col("count").as("tri_count"))),
+    "g_pic" -> ((s, dir) => // rows-only check (cluster labels arbitrary)
+      graphB(s, dir).powerIterationClustering(k = 2, maxIter = 20)),
+    "g_random_walks" -> ((s, dir) => // rows-only check (hash-seeded walks)
+      graphB(s, dir).randomWalks.setWalkLength(4).setWalksPerVertex(2).run()),
+    "p_bipartite_projection" -> ((s, dir) => {
+      import graft.propertygraph._
+      val pg = new PropertyGraphFrame(
+        Seq(VertexPropertyGroup("supplier", load(s, dir, "supplier"), "s_suppkey"),
+          VertexPropertyGroup("part", load(s, dir, "part"), "p_partkey")),
+        Seq(EdgePropertyGroup("supplies", load(s, dir, "lineitem"),
+          "l_suppkey", "supplier", "l_partkey", "part")))
+      pg.bipartiteProjection("supplies")
+    }),
+    "m_media_meta" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val docs = load(s, dir, "documents").withColumn("payload", col("text").cast("binary"))
+      Multimodal.attachMeta(docs, "doc_id", "payload")
+        .select(col("doc_id"), col("media_meta.format").as("format"),
+          col("media_meta.n_bytes").as("n_bytes"))
+    }),
 
     // --- pipeline: dedup ---
     "p_dedup_exact" -> ((s, dir) =>
@@ -281,6 +320,33 @@ object SparkEntry {
       s"""WITH e AS ($NE)
          |SELECT e1.src AS a_id, e1.dst AS b_id
          |FROM e e1 JOIN e e2 ON e2.src = e1.dst AND e2.dst = e1.src""".stripMargin,
+    "g_motif_undirected" ->
+      s"""WITH e AS ($NE)
+         |SELECT src AS a_id, dst AS b_id, 'fwd' AS _direction FROM e
+         |UNION ALL
+         |SELECT dst, src, 'rev' FROM e""".stripMargin,
+    "g_motif_varlen" ->
+      s"""WITH e AS ($NE)
+         |SELECT src AS a_id, dst AS b_id, 1 AS _hop FROM e
+         |UNION ALL
+         |SELECT e1.src, e2.dst, 2 FROM e e1 JOIN e e2 ON e2.src = e1.dst""".stripMargin,
+    "g_agg_neighbors" ->
+      s"""WITH e AS ($NE)
+         |SELECT src AS id, 1 AS hop, count(*) AS n, CAST(SUM(dst) AS BIGINT) AS sum_nbr
+         |FROM e GROUP BY src
+         |UNION ALL
+         |SELECT e1.src, 2, count(*), CAST(SUM(e2.dst) AS BIGINT)
+         |FROM e e1 JOIN e e2 ON e2.src = e1.dst
+         |WHERE e2.dst <> e1.src
+         |GROUP BY e1.src""".stripMargin,
+    "p_bipartite_projection" ->
+      """WITH d AS (SELECT DISTINCT l_suppkey AS a, l_partkey AS b FROM lineitem)
+        |SELECT x.a AS src, y.a AS dst, count(*) AS weight
+        |FROM d x JOIN d y ON x.b = y.b AND x.a < y.a
+        |GROUP BY 1, 2""".stripMargin,
+    "m_media_meta" ->
+      """SELECT doc_id, 'unknown' AS format,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents""".stripMargin,
     "g_motif_open_triangle" ->
       s"""WITH e AS ($NE)
          |SELECT e1.src AS a_id, e1.dst AS b_id, e2.dst AS c_id
@@ -322,6 +388,17 @@ object SparkEntry {
          |SELECT n_nationkey AS id, CAST(MIN(b.d) AS INT) AS dist
          |FROM nation LEFT JOIN b ON b.id = n_nationkey GROUP BY 1""".stripMargin,
     "g_pagerank" -> pagerankSql(10),
+    "g_triangle_approx" ->
+      s"""WITH e0 AS ($NE),
+         |canon AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e0),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |        FROM canon e1 JOIN canon e2 ON e2.a = e1.b
+         |        JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |pv AS (SELECT v, count(*) AS c FROM (
+         |   SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+         |   GROUP BY v)
+         |SELECT n_nationkey AS id, COALESCE(c, 0) AS tri_count
+         |FROM nation LEFT JOIN pv ON v = n_nationkey""".stripMargin,
     "g_triangle_count" ->
       s"""WITH e0 AS ($NE),
          |canon AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e0),

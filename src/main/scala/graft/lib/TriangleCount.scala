@@ -20,6 +20,34 @@ import graft.GraphFrame
 class TriangleCount(g: GraphFrame) {
   import GraphFrame.{ID, SRC, DST}
 
+  /** Approximate variant using Spark 4.1 theta sketches (reference
+   * lib/TriangleCount.scala:99-156): neighbor sets become theta sketches,
+   * per-edge common-neighbor counts become intersection estimates. Trades
+   * exactness for bounded sketch size on hub vertices — at web scale the
+   * exact `collect_set` on a 10^7-degree hub is the thing that OOMs. */
+  def runApprox(lgNomEntries: Int = 12): DataFrame = {
+    val canon = canonical
+    val nbrSk = canon.select(col(SRC).as(ID), col(DST).as("nb"))
+      .unionAll(canon.select(col(DST).as(ID), col(SRC).as("nb")))
+      .groupBy(ID).agg(expr(s"theta_sketch_agg(nb, $lgNomEntries)").as("sk"))
+    val perEdge = canon
+      .join(nbrSk.select(col(ID).as(SRC), col("sk").as("_tc_ss")), SRC)
+      .join(nbrSk.select(col(ID).as(DST), col("sk").as("_tc_ds")), DST)
+      .select(col(SRC), col(DST),
+        expr("theta_sketch_estimate(theta_intersection(_tc_ss, _tc_ds))").as("_tc_c"))
+    val perVertex = perEdge
+      .select(explode(array(col(SRC), col(DST))).as(ID), col("_tc_c"))
+      .groupBy(ID).agg(floor(sum(col("_tc_c")) / 2).cast("long").as("count"))
+    g.vertices.join(perVertex, Seq(ID), "left_outer")
+      .na.fill(0, Seq("count"))
+  }
+
+  private def canonical: DataFrame =
+    g.edges
+      .filter(col(SRC) =!= col(DST))
+      .select(least(col(SRC), col(DST)).as(SRC), greatest(col(SRC), col(DST)).as(DST))
+      .distinct()
+
   def run(): DataFrame = {
     val canon = g.edges
       .filter(col(SRC) =!= col(DST))

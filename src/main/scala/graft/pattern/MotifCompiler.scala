@@ -12,6 +12,13 @@ import graft.GraphFrame
  * `except`; anonymous elements get generated names that are dropped from
  * the final projection.
  *
+ * Extensions over the plain directed core:
+ *  - undirected terms `(a)-[e]-(b)` expand into the union of both
+ *    orientations, tagged by a `_direction` column ("fwd"/"rev" per
+ *    undirected term, `;`-joined);
+ *  - variable-length `(a)-[e*1..3]->(b)` unions the per-hop expansions
+ *    with a `_hop` column (reference GraphFrame.scala:625-657).
+ *
  * Scale: each term is an inner equi-join that Catalyst plans (broadcast vs
  * shuffled-hash vs sort-merge chosen by AQE at runtime); no driver-side
  * iteration, one job for the whole motif.
@@ -19,27 +26,78 @@ import graft.GraphFrame
 private[graft] object MotifCompiler {
   import GraphFrame.{ID, SRC, DST}
 
-  private case class State(df: Option[DataFrame], seenV: Set[String])
+  private val VarLength = """\*(\d+)\.\.(\d+)""".r
 
   def find(g: GraphFrame, motif: String): DataFrame = {
+    VarLength.findFirstMatchIn(motif) match {
+      case Some(m) =>
+        val (lo, hi) = (m.group(1).toInt, m.group(2).toInt)
+        require(lo >= 1 && hi >= lo,
+          s"Motif: variable-length bounds must satisfy 1 <= min <= max, got *$lo..$hi")
+        require(VarLength.findAllIn(motif).size == 1,
+          "Motif: at most one variable-length edge is supported")
+        val perHop = (lo to hi).map { h =>
+          findFixed(g, motif.replaceFirst(VarLength.regex, s"*$h"))
+            .withColumn("_hop", lit(h))
+        }
+        perHop.reduce(_ unionByName (_, allowMissingColumns = true))
+          .orderBy("_hop")
+      case None => findFixed(g, motif)
+    }
+  }
+
+  private def findFixed(g: GraphFrame, motif: String): DataFrame = {
     val parsed = PatternParser.parse(motif)
     val augmented = augmentNegationOnlyVertices(parsed)
-    var tmpCounter = 0
-    def freshName(): String = { tmpCounter += 1; s"__tmp$tmpCounter" }
 
     // output order: first appearance of user-visible names
     val outOrder = scala.collection.mutable.LinkedHashSet.empty[String]
-    parsed.foreach {
+    def collectNames(p: Pattern): Unit = p match {
       case VertexPattern(NamedVertex(n)) => outOrder += n
       case EdgePattern(a, e, b) =>
         a match { case NamedVertex(n) => outOrder += n; case _ => }
         e match { case NamedEdge(n) => outOrder += n; case _ => }
         b match { case NamedVertex(n) => outOrder += n; case _ => }
-      case Negation(EdgePattern(a, _, b)) =>
+      case UndirectedEdgePattern(a, e, b) =>
         a match { case NamedVertex(n) => outOrder += n; case _ => }
+        e match { case NamedEdge(n) => outOrder += n; case _ => }
         b match { case NamedVertex(n) => outOrder += n; case _ => }
+      case Negation(e) => collectNames(e) // edge names are forbidden inside
       case _ =>
     }
+    parsed.foreach(collectNames)
+
+    // expand undirected terms into every orientation combination
+    val undirectedCount = augmented.count(_.isInstanceOf[UndirectedEdgePattern])
+    require(undirectedCount <= 4,
+      s"Motif: at most 4 undirected edges per pattern (got $undirectedCount)")
+    val variants: Seq[(Seq[Pattern], Seq[String])] =
+      augmented.foldLeft(Seq((Seq.empty[Pattern], Seq.empty[String]))) {
+        case (acc, UndirectedEdgePattern(a, e, b)) =>
+          acc.flatMap { case (ps, dirs) =>
+            Seq((ps :+ EdgePattern(a, e, b), dirs :+ "fwd"),
+              (ps :+ EdgePattern(b, e, a), dirs :+ "rev"))
+          }
+        case (acc, p) => acc.map { case (ps, dirs) => (ps :+ p, dirs) }
+      }
+
+    val frames = variants.map { case (ps, dirs) =>
+      val df = compileOriented(g, ps)
+      if (undirectedCount > 0) df.withColumn("_direction", lit(dirs.mkString(";")))
+      else df
+    }
+    val out = frames.reduce(_ unionByName _)
+    val visible = outOrder.toSeq.filterNot(_.startsWith("__tmp")) ++
+      (if (undirectedCount > 0) Seq("_direction") else Nil)
+    if (visible.isEmpty) out
+    else out.select(visible.map(col).toIndexedSeq: _*)
+  }
+
+  private case class State(df: Option[DataFrame], seenV: Set[String])
+
+  private def compileOriented(g: GraphFrame, patternsSeq: Seq[Pattern]): DataFrame = {
+    var tmpCounter = 0
+    def freshName(): String = { tmpCounter += 1; s"__tmp$tmpCounter" }
 
     def nestV(name: String): DataFrame =
       g.vertices.select(GraphFrame.nestAsCol(g.vertices, name))
@@ -74,7 +132,6 @@ private[graft] object MotifCompiler {
       // attach unseen named endpoint vertices
       var df = withEdge
       var seen = st.seenV
-      if (st.df.isEmpty && aSeen) { /* unreachable: nothing seen yet */ }
       (aName, bName) match {
         case (Some(a), Some(b)) if a == b && !aSeen =>
           // self-loop on a new name: one vertex join constrained both ways
@@ -102,6 +159,8 @@ private[graft] object MotifCompiler {
         }
       case VertexPattern(AnonymousVertex) => st
       case EdgePattern(a, e, b) => applyEdge(st, a, e, b)
+      case UndirectedEdgePattern(_, _, _) =>
+        throw new IllegalStateException("undirected terms are expanded before compilation")
       case Negation(EdgePattern(a, _, b)) =>
         val prev = st.df.getOrElse(throw new IllegalArgumentException(
           "Motif: negated term cannot be the only term"))
@@ -111,12 +170,8 @@ private[graft] object MotifCompiler {
         State(Some(prev.except(positive)), st.seenV)
     }
 
-    val res = augmented.foldLeft(State(None, Set.empty))(applyTerm)
-    val out = res.df.getOrElse(
-      throw new IllegalArgumentException("Motif: empty pattern"))
-    val visible = outOrder.toSeq.filterNot(_.startsWith("__tmp"))
-    if (visible.isEmpty) out
-    else out.select(visible.map(col).toIndexedSeq: _*)
+    patternsSeq.foldLeft(State(None, Set.empty))(applyTerm).df
+      .getOrElse(throw new IllegalArgumentException("Motif: empty pattern"))
   }
 
   /** Vertices appearing only inside negated terms must still be bound:
@@ -126,6 +181,7 @@ private[graft] object MotifCompiler {
     val positive = ps.flatMap {
       case VertexPattern(NamedVertex(n)) => Seq(n)
       case EdgePattern(a, _, b) => Seq(a, b).collect { case NamedVertex(n) => n }
+      case UndirectedEdgePattern(a, _, b) => Seq(a, b).collect { case NamedVertex(n) => n }
       case _ => Nil
     }.toSet
     val negOnly = ps.flatMap {

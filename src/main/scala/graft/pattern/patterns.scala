@@ -27,6 +27,9 @@ case object AnonymousEdge extends EdgeTerm
 sealed trait Pattern
 case class VertexPattern(v: VertexTerm) extends Pattern
 case class EdgePattern(src: VertexTerm, edge: EdgeTerm, dst: VertexTerm) extends Pattern
+/** `(a)-[e]-(b)`: matches the edge in either orientation; the compiler
+ * expands it into both directions tagged by a `_direction` column. */
+case class UndirectedEdgePattern(src: VertexTerm, edge: EdgeTerm, dst: VertexTerm) extends Pattern
 case class Negation(child: EdgePattern) extends Pattern
 
 object PatternParser extends RegexParsers {
@@ -38,7 +41,8 @@ object PatternParser extends RegexParsers {
       case None => AnonymousVertex
     }
 
-  private case class Arrow(edge: EdgeTerm, repeat: Int, backward: Boolean)
+  private case class Arrow(edge: EdgeTerm, repeat: Int, backward: Boolean,
+      undirected: Boolean = false)
 
   private def fwdArrow: Parser[Arrow] =
     "-[" ~> opt(name) ~ opt("*" ~> "\\d+".r) <~ "]->" ^^ {
@@ -50,10 +54,18 @@ object PatternParser extends RegexParsers {
       case n ~ rep => Arrow(n.map(NamedEdge).getOrElse(AnonymousEdge),
         rep.map(_.toInt).getOrElse(1), backward = true)
     }
+  // undirected `-[e]-`: must not consume the `->` of a forward arrow, so it
+  // is tried after fwd/bwd and requires the closing `-` not followed by `>`
+  private def undArrow: Parser[Arrow] =
+    "-[" ~> opt(name) <~ "]-" <~ not(">") ^^ {
+      case n => Arrow(n.map(NamedEdge).getOrElse(AnonymousEdge), 1,
+        backward = false, undirected = true)
+    }
 
-  private def expandEdge(a: VertexTerm, arrow: Arrow, b: VertexTerm): List[EdgePattern] = {
+  private def expandEdge(a: VertexTerm, arrow: Arrow, b: VertexTerm): List[Pattern] = {
     val (s, d) = if (arrow.backward) (b, a) else (a, b)
-    if (arrow.repeat == 1) List(EdgePattern(s, arrow.edge, d))
+    if (arrow.undirected) List(UndirectedEdgePattern(s, arrow.edge, d))
+    else if (arrow.repeat == 1) List(EdgePattern(s, arrow.edge, d))
     else {
       require(arrow.repeat >= 1, s"edge repetition must be >= 1, got ${arrow.repeat}")
       val base = arrow.edge match {
@@ -68,15 +80,16 @@ object PatternParser extends RegexParsers {
     }
   }
 
-  private def edgeTerm: Parser[List[EdgePattern]] =
-    vertex ~ (fwdArrow | bwdArrow) ~ vertex ^^ {
+  private def edgeTerm: Parser[List[Pattern]] =
+    vertex ~ (fwdArrow | bwdArrow | undArrow) ~ vertex ^^ {
       case a ~ arrow ~ b => expandEdge(a, arrow, b)
     }
 
   private def term: Parser[List[Pattern]] =
-    ("!" ~> edgeTerm ^^ { es =>
-      require(es.size == 1, "fixed-length edges cannot be negated")
-      List(Negation(es.head))
+    ("!" ~> edgeTerm ^^ {
+      case List(e: EdgePattern) => List(Negation(e))
+      case _ => throw new IllegalArgumentException(
+        "Motif: only a plain directed edge can be negated")
     }) |
     (edgeTerm ^^ { es => es: List[Pattern] }) |
     (vertex ^^ { v => List(VertexPattern(v)) })
@@ -96,11 +109,14 @@ object PatternParser extends RegexParsers {
       case VertexPattern(NamedVertex(n)) => Seq(n)
       case EdgePattern(a, _, b) =>
         Seq(a, b).collect { case NamedVertex(n) => n }
+      case UndirectedEdgePattern(a, _, b) =>
+        Seq(a, b).collect { case NamedVertex(n) => n }
       case Negation(e) => vNames(e)
       case _ => Nil
     }
     def eNames(p: Pattern): Seq[String] = p match {
       case EdgePattern(_, NamedEdge(n), _) => Seq(n)
+      case UndirectedEdgePattern(_, NamedEdge(n), _) => Seq(n)
       case _ => Nil
     }
     ps.foreach {
@@ -114,6 +130,8 @@ object PatternParser extends RegexParsers {
         throw new IllegalArgumentException("Motif: lone anonymous vertex () is not allowed")
       case EdgePattern(AnonymousVertex, AnonymousEdge, AnonymousVertex) =>
         throw new IllegalArgumentException("Motif: fully anonymous term ()-[]->() is not allowed")
+      case UndirectedEdgePattern(AnonymousVertex, AnonymousEdge, AnonymousVertex) =>
+        throw new IllegalArgumentException("Motif: fully anonymous term ()-[]-() is not allowed")
       case _ =>
     }
     val allV = ps.flatMap(vNames).toSet

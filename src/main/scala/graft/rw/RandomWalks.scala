@@ -1,0 +1,92 @@
+package graft.rw
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.GraphFrame
+import graft.expressions.KMinSampling
+import graft.lib.IterationManager
+
+/**
+ * Batched random walks with restart (role of reference
+ * rw/RandomWalkWithRestart.scala:18-86 + rw/RandomWalkBase.scala:28-417).
+ *
+ * Deliberate divergence from the reference: every random choice is
+ * `xxhash64(...)`-derived instead of `rand()` — walks are deterministic
+ * for a (seed, walk, step) triple, safe under task retries and AQE
+ * re-planning (the reference documents that hazard at
+ * RandomWalkBase.scala:322-325).
+ *
+ * Scale: neighbor lists are pre-sampled to at most `maxNeighbors` per
+ * vertex with the O(k)-memory [[KMinSampling]] aggregator (hub vertices
+ * never materialize their full adjacency), cached once, and each step is
+ * one join frontier↔samples.
+ */
+class RandomWalks(g: GraphFrame) {
+  import GraphFrame.{ID, SRC, DST}
+
+  private var walkLength: Int = 5
+  private var walksPerVertex: Int = 1
+  private var restartProb: Double = 0.0
+  private var maxNeighbors: Int = 64
+  private var seedV: Long = 42L
+
+  def setWalkLength(n: Int): this.type = { walkLength = n; this }
+  def setWalksPerVertex(n: Int): this.type = { walksPerVertex = n; this }
+  def setRestartProbability(p: Double): this.type = { restartProb = p; this }
+  def setMaxNeighborsPerVertex(n: Int): this.type = { maxNeighbors = n; this }
+  def setSeed(s: Long): this.type = { seedV = s; this }
+
+  /** One row per walk: (walk_id: string, random_walk: array<idType>). */
+  def run(): DataFrame = {
+    val idIsLong = g.vertices.schema(ID).dataType ==
+      org.apache.spark.sql.types.LongType
+    val sampler =
+      if (idIsLong) KMinSampling.sampleLong(maxNeighbors)
+      else KMinSampling.sampleString(maxNeighbors)
+
+    // bounded, deterministic neighbor sample per vertex
+    val nbrs = g.edges
+      .select(col(SRC), col(DST), xxhash64(col(SRC), col(DST), lit(seedV)).as("_w"))
+      .groupBy(col(SRC).as("_rw_v"))
+      .agg(sampler(col("_w"), if (idIsLong) col(DST) else col(DST).cast("string"))
+        .as("_rw_nbrs"))
+      .repartition(col("_rw_v"))
+      .persist()
+
+    val mgr = new IterationManager()
+    // state: (walk_id, origin, cur, path)
+    var state = g.vertices.select(col(ID)).crossJoin(
+        spark.range(walksPerVertex).select(col("id").as("_rw_k")))
+      .select(
+        concat(col(ID).cast("string"), lit("#"), col("_rw_k")).as("walk_id"),
+        col(ID).as("_rw_origin"), col(ID).as("_rw_cur"),
+        array(col(ID)).as("random_walk"))
+    state = mgr.cycle(state, 0)
+
+    for (step <- 1 to walkLength) {
+      val joined = state.join(nbrs, col("_rw_cur") === col("_rw_v"), "left_outer")
+      val h = pmod(xxhash64(col("walk_id"), lit(step), lit(seedV)), lit(1000000L))
+      val restart = h < lit((restartProb * 1000000L).toLong)
+      val nbrCount = size(col("_rw_nbrs"))
+      val pick = element_at(col("_rw_nbrs"),
+        (pmod(xxhash64(col("walk_id"), lit(step), lit(seedV + 1)), nbrCount) + 1)
+          .cast("int"))
+      val next = when(restart, col("_rw_origin"))
+        .when(col("_rw_nbrs").isNull || nbrCount === 0, lit(null))
+        .otherwise(if (idIsLong) pick else pick)
+      val stepped = joined.select(
+        col("walk_id"), col("_rw_origin"),
+        next.as("_rw_cur"),
+        when(next.isNull, col("random_walk"))
+          .otherwise(array_append(col("random_walk"), next)).as("random_walk"))
+      state = mgr.cycle(stepped, step)
+    }
+    val out = state.select(col("walk_id"), col("random_walk")).persist()
+    out.count()
+    mgr.close()
+    nbrs.unpersist(false)
+    out
+  }
+
+  private def spark = g.spark
+}

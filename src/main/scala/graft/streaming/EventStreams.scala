@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured-Streaming forms of the event operators: watermarked tumbling
+ * windows and stateful sessionization via `flatMapGroupsWithState`.
+ *
+ * The batch forms live in [[graft.pipeline.Events]]; these run the same
+ * semantics incrementally. At 100 TB/day the windowed aggregation is the
+ * shape that matters: state is bounded by (watermark horizon × group
+ * cardinality), not input size.
+ */
+object EventStreams {
+
+  /** Read the events table as a stream (schema from the batch copy;
+   * TIMESTAMP(NANOS) surfaced as Long nanos and converted). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // FileStreamSource requires a directory: stream the sf dir, filtered
+    // down to the events file
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val ms = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+      case _ => unix_millis(col("ts"))
+    }
+    raw.withColumn("ts_utc", timestamp_millis(ms))
+  }
+
+  /** Watermarked tumbling-window aggregation; append-mode emits a window
+   * only once the watermark passes its end (`complete = true` skips the
+   * watermark for complete-mode sinks, where every window re-emits). */
+  def hourlyAggStream(events: DataFrame, watermark: String = "2 hours",
+      complete: Boolean = false): DataFrame =
+    (if (complete) events else events.withWatermark("ts_utc", watermark))
+      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  case class SessionEvent(user_id: Long, ts_ms: Long)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start_ms: Long, n_events: Long, duration_ms: Long)
+
+  /** Stateful gap sessionization: a user's session closes after
+   * `gapMinutes` idle (processing-time timeout drives emission). */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .select(col("user_id"), unix_millis(col("ts_utc")).as("ts_ms"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var cur = state.getOption
+          rows.toSeq.sortBy(_.ts_ms).foreach { ev =>
+            cur match {
+              case Some(s) if ev.ts_ms - s.last <= gapMs =>
+                cur = Some(s.copy(last = ev.ts_ms, n = s.n + 1))
+              case Some(s) =>
+                out += SessionOut(user, s.start, s.n, s.last - s.start)
+                cur = Some(SessionState(ev.ts_ms, ev.ts_ms, 1))
+              case None =>
+                cur = Some(SessionState(ev.ts_ms, ev.ts_ms, 1))
+            }
+          }
+          if (state.hasTimedOut) {
+            cur.foreach(s => out += SessionOut(user, s.start, s.n, s.last - s.start))
+            state.remove()
+          } else {
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            }
+          }
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class ExtendedSpec extends TestBase {
+  import spark.implicits._
+
+  test("undirected motif (a)-[e]-(b) matches both orientations") {
+    val df = friends.find("(a)-[e]-(b)")
+    assert(df.columns.toSeq == Seq("a", "e", "b", "_direction"))
+    assert(df.count() == 16) // 8 edges x 2 orientations
+    val pair = df.filter($"a.id" === "b" && $"b.id" === "a")
+    assert(pair.select($"_direction").as[String].head() == "rev")
+  }
+
+  test("var-length motif (a)-[e*1..2]->(b)") {
+    val df = chain(4).find("(a)-[e*1..2]->(b)")
+    assert(df.columns.contains("_hop"))
+    val hops = df.select($"a.id", $"b.id", $"_hop").as[(Long, Long, Int)].collect().toSet
+    assert(hops == Set((0L, 1L, 1), (1L, 2L, 1), (2L, 3L, 1), (0L, 2L, 2), (1L, 3L, 2)))
+  }
+
+  test("aggregateNeighbors: per-hop neighbor aggregation") {
+    import graft.lib.AggregateNeighbors
+    val res = chain(4).aggregateNeighbors
+      .agg(count(lit(1)).as("n"), sum(AggregateNeighbors.nbr("id")).as("s"))
+      .setMaxHops(2)
+      .run()
+    val m = res.select("id", "hop", "n", "s").as[(Long, Int, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(m((0L, 1)) == ((1L, 1L))) // 0 -> {1}
+    assert(m((0L, 2)) == ((1L, 2L))) // 0 -> 1 -> {2}
+    assert(m((2L, 1)) == ((1L, 3L)))
+    assert(!m.contains((3L, 1))) // sink has no out-neighbors
+  }
+
+  test("property graph: namespaced ids + bipartite projection") {
+    import graft.propertygraph._
+    val users = Seq((1L, "u1"), (2L, "u2")).toDF("uid", "name")
+    val items = Seq((1L, "i1"), (2L, "i2")).toDF("iid", "title")
+    val rates = Seq((1L, 1L, 5.0), (2L, 1L, 3.0), (2L, 2L, 4.0)).toDF("u", "i", "r")
+    val pg = new PropertyGraphFrame(
+      Seq(VertexPropertyGroup("user", users, "uid"),
+        VertexPropertyGroup("item", items, "iid")),
+      Seq(EdgePropertyGroup("rated", rates, "u", "user", "i", "item", Some("r"))))
+    val g = pg.toGraphFrame
+    assert(g.vertices.count() == 4) // user ids never collide with item ids
+    assert(g.edges.count() == 3)
+    g.validate()
+    val proj = pg.bipartiteProjection("rated")
+    // users 1 and 2 share item 1
+    assert(proj.select("src", "dst", "weight").as[(Long, Long, Long)].collect().toSet ==
+      Set((1L, 2L, 1L)))
+  }
+
+  test("KMinSampling keeps k smallest-weight values with bounded buffer") {
+    import graft.expressions.KMinSampling
+    val df = (1L to 100L).map(i => (1L, i * 37 % 101, i)).toDF("g", "w", "v")
+    val sample = df.groupBy("g").agg(KMinSampling.sampleLong(5)(col("w"), col("v")).as("s"))
+    val got = sample.select("s").as[Seq[Long]].head()
+    val expected = (1L to 100L).map(i => (i * 37 % 101, i)).sorted.take(5).map(_._2)
+    assert(got == expected)
+  }
+
+  test("randomWalks: deterministic, correct length and start") {
+    val g = twoBlobs(3)
+    val walks = g.randomWalks.setWalkLength(4).setWalksPerVertex(2).setSeed(7L).run()
+    assert(walks.count() == 12) // 6 vertices x 2 walks
+    val paths = walks.select("random_walk").as[Seq[Long]].collect()
+    assert(paths.forall(p => p.length == 5)) // start + 4 hops (no dead ends in blobs)
+    // deterministic across runs
+    val again = g.randomWalks.setWalkLength(4).setWalksPerVertex(2).setSeed(7L).run()
+    assert(walks.orderBy("walk_id").collect().toSeq ==
+      again.orderBy("walk_id").collect().toSeq)
+    // walks stay within the graph's edges
+    val edgeSet = g.edges.as[(Long, Long)].collect().toSet
+    paths.foreach { p =>
+      p.sliding(2).foreach { case Seq(a, b) =>
+        assert(edgeSet.contains((a, b)) || b == p.head) // restart goes to origin
+      }
+    }
+  }
+
+  test("approx triangle count matches exact on small graph") {
+    val g = twoBlobs(4)
+    val exact = g.triangleCount.run().select("id", "count").as[(Long, Long)].collect().toMap
+    val approx = g.triangleCount.runApprox().select("id", "count").as[(Long, Long)].collect().toMap
+    assert(exact == approx) // theta sketches are exact below nominal entries
+  }
+
+  test("powerIterationClustering separates two blobs") {
+    val g = twoBlobs(4).asUndirected()
+    val clusters = g.powerIterationClustering(k = 2, maxIter = 30)
+    val m = clusters.as[(Long, Int)].collect().toMap
+    assert(m.size == 8)
+    val c1 = (0L to 3L).map(m).toSet
+    val c2 = (4L to 7L).map(m).toSet
+    assert(c1.size == 1 && c2.size == 1 && c1 != c2)
+  }
+
+  test("toGraphX round-trips topology") {
+    val gx = friends.toGraphX
+    assert(gx.vertices.count() == 7)
+    assert(gx.edges.count() == 8)
+    assert(gx.triplets.count() == 8)
+  }
+
+  test("skewedJoin equals plain join") {
+    val g = friends
+    val big = g.edges.select($"src".as("k"), $"dst")
+    val small = g.vertices.select($"id".as("k"), $"name")
+    val plain = big.join(small, "k")
+    val skewed = g.skewedJoin(big, small, "k", threshold = 1)
+    assert(rows(plain.select("k", "dst", "name")) == rows(skewed.select("k", "dst", "name")))
+  }
+
+  test("streaming hourly agg matches batch on static data") {
+    import graft.streaming.EventStreams
+    val dir = "/root/testdata/sf0.001"
+    // complete mode: append-mode would hold back the trailing windows the
+    // watermark never passes on a finite input
+    val stream = EventStreams.hourlyAggStream(
+      EventStreams.readEvents(spark, dir), watermark = "0 seconds", complete = true)
+    val q = stream.writeStream.format("memory").queryName("hourly_out")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("hourly_out")
+      .select("event_type", "window_start", "n_events", "sum_value")
+    val want = pipeline.Events.hourlyAgg(spark.read.parquet(s"$dir/events.parquet"))
+      .select("event_type", "window_start", "n_events", "sum_value")
+    assert(rows(got) == rows(want))
+  }
+
+  test("multimodal: metadata sniffing + batched feature extraction") {
+    import graft.multimodal.Multimodal
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 1, 2, 3)
+    val jpg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0x11, 0x22)
+    val df = Seq((1L, png), (2L, jpg)).toDF("id", "payload")
+    val meta = Multimodal.attachMeta(df, "id", "payload")
+    val m = meta.select($"id", $"media_meta.format", $"media_meta.n_bytes")
+      .as[(Long, String, Long)].collect().toMap2
+    assert(m(1L) == (("png", 7L)))
+    assert(m(2L) == (("jpeg", 4L)))
+    val feats = Multimodal.extractFeatures(df, "id", "payload", dim = 4).collect()
+    assert(feats.length == 2 && feats.forall(_.feature.length == 4))
+    // deterministic stub
+    val feats2 = Multimodal.extractFeatures(df, "id", "payload", dim = 4).collect()
+    assert(feats.map(_.feature.toSeq).toSeq == feats2.map(_.feature.toSeq).toSeq)
+  }
+
+  implicit class TupleMapOps[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+}

@@ -217,6 +217,9 @@ class GraphFrame private (
     new lib.StronglyConnectedComponents(this)
   def labelPropagation: lib.LabelPropagation = new lib.LabelPropagation(this)
   def pageRank: lib.PageRank = new lib.PageRank(this)
+  def parallelPersonalizedPageRank: lib.ParallelPersonalizedPageRank =
+    new lib.ParallelPersonalizedPageRank(this)
+  def svdPlusPlus: lib.SVDPlusPlus = new lib.SVDPlusPlus(this)
   def shortestPaths: lib.ShortestPaths = new lib.ShortestPaths(this)
   def triangleCount: lib.TriangleCount = new lib.TriangleCount(this)
   def kCore: lib.KCore = new lib.KCore(this)

@@ -167,6 +167,23 @@ object SparkEntry {
         .select(col(ID), col("count").as("tri_count"))),
     "g_pic" -> ((s, dir) => // rows-only check (cluster labels arbitrary)
       graphB(s, dir).powerIterationClustering(k = 2, maxIter = 20)),
+    "g_pppr" -> ((s, dir) =>
+      graphB(s, dir).parallelPersonalizedPageRank
+        .sourceIds(Seq(0, 5)).maxIter(10).run()
+        .select(col(ID), round(element_at(col("pageranks"), 1), 5).as("r0"),
+          round(element_at(col("pageranks"), 2), 5).as("r1"))),
+    "g_svdpp" -> ((s, dir) => { // rows-only check (GraphX factor init is random)
+      val li = load(s, dir, "lineitem")
+      val e = li.select(concat(lit("s"), col("l_suppkey")).as(SRC),
+        concat(lit("p"), col("l_partkey")).as(DST),
+        col("l_quantity").as(GraphFrame.WEIGHT))
+      GraphFrame.fromEdges(e).svdPlusPlus.setRank(4).maxIter(2).run()
+        .select(col(ID), col("bias"))
+    }),
+    "g_rw_embeddings" -> ((s, dir) => // rows-only check
+      embeddings.Embeddings.randomWalkEmbeddings(graphB(s, dir), dim = 8,
+        walkLength = 3, walksPerVertex = 2)
+        .select(col(ID), size(col("embedding")).as("dim"))),
     "g_random_walks" -> ((s, dir) => // rows-only check (hash-seeded walks)
       graphB(s, dir).randomWalks.setWalkLength(4).setWalksPerVertex(2).run()),
     "p_bipartite_projection" -> ((s, dir) => {
@@ -292,6 +309,27 @@ object SparkEntry {
        |  FROM s) WHERE rn = 1""".stripMargin
   }
 
+  private def ppprSql(iters: Int, s0: Int, s1: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""pr$k AS (
+         |  SELECT v.id,
+         |    (CASE WHEN v.id = $s0 THEN 0.15 ELSE 0 END) + 0.85 * COALESCE(SUM(p.r0 / o.od), 0) AS r0,
+         |    (CASE WHEN v.id = $s1 THEN 0.15 ELSE 0 END) + 0.85 * COALESCE(SUM(p.r1 / o.od), 0) AS r1
+         |  FROM v LEFT JOIN e ON e.dst = v.id
+         |  LEFT JOIN pr${k - 1} p ON p.id = e.src
+         |  LEFT JOIN od o ON o.src = e.src
+         |  GROUP BY v.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($NE),
+       |od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+       |v AS (SELECT n_nationkey AS id FROM nation),
+       |pr0 AS (SELECT id,
+       |  CAST(CASE WHEN id = $s0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS r0,
+       |  CAST(CASE WHEN id = $s1 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS r1 FROM v),
+       |$steps
+       |SELECT id, ROUND(r0, 5) AS r0, ROUND(r1, 5) AS r1 FROM pr$iters""".stripMargin
+  }
+
   private val cosExpr =
     "list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))"
 
@@ -388,6 +426,7 @@ object SparkEntry {
          |SELECT n_nationkey AS id, CAST(MIN(b.d) AS INT) AS dist
          |FROM nation LEFT JOIN b ON b.id = n_nationkey GROUP BY 1""".stripMargin,
     "g_pagerank" -> pagerankSql(10),
+    "g_pppr" -> ppprSql(10, 0, 5),
     "g_triangle_approx" ->
       s"""WITH e0 AS ($NE),
          |canon AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e0),

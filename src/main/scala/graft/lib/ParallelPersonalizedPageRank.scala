@@ -1,0 +1,55 @@
+package graft.lib
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.GraphFrame
+
+/**
+ * Personalized PageRank from many sources at once (role of reference
+ * lib/ParallelPersonalizedPageRank.scala:56-129, GraphX-only there;
+ * re-expressed on the DataFrame Pregel per SURVEY §7).
+ *
+ * Vertex state is `pageranks: array<double>` — one lane per source — so
+ * all personalizations share every join/shuffle of a superstep; the only
+ * growth is the payload width. Teleport mass for lane i lands exclusively
+ * on source i.
+ */
+class ParallelPersonalizedPageRank(g: GraphFrame) {
+  import GraphFrame.ID
+
+  private var resetProb: Double = 0.15
+  private var maxIterV: Int = 10
+  private var sourcesV: Seq[Any] = Nil
+
+  def resetProbability(p: Double): this.type = { resetProb = p; this }
+  def maxIter(n: Int): this.type = { maxIterV = n; this }
+  def sourceIds(ids: Seq[Any]): this.type = { sourcesV = ids; this }
+
+  def run(): DataFrame = {
+    require(sourcesV.nonEmpty, "parallelPersonalizedPageRank: sourceIds required")
+    val outDeg = g.outDegrees
+    val v = g.vertices.join(outDeg, Seq(ID), "left_outer")
+      .na.fill(0, Seq("outDegree"))
+      .withColumnRenamed("outDegree", "_pr_outdeg")
+    val g2 = GraphFrame(v, g.edges)
+
+    val lanes = sourcesV.map(s => when(col(ID) === lit(s), lit(1.0)).otherwise(lit(0.0)))
+    val initRanks = array(lanes: _*)
+    val teleport = array(sourcesV.map(s =>
+      when(col(ID) === lit(s), lit(resetProb)).otherwise(lit(0.0))): _*)
+    val zeros = array(sourcesV.map(_ => lit(0.0)): _*)
+
+    val incoming = coalesce(Pregel.msg, zeros)
+    val newRanks = zip_with(teleport, incoming, (t, m) => t + lit(1.0 - resetProb) * m)
+
+    g2.pregel
+      .withVertexColumn("pageranks", initRanks, newRanks)
+      .sendMsgToDst(transform(Pregel.src("pageranks"),
+        r => r / Pregel.src("_pr_outdeg")))
+      .aggMsgs(aggregate(collect_list(Pregel.msg), zeros,
+        (acc, m) => zip_with(acc, m, (a, b) => a + b)))
+      .setMaxIter(maxIterV)
+      .run()
+      .drop("_pr_outdeg")
+  }
+}

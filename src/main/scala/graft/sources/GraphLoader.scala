@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.GraphFrame
+
+/**
+ * Graph file sources (reference §2.1: LDBC `.v`/`.e` readers at
+ * TestLDBCCases.scala:26-61, edge-list text loader at
+ * graphx/.../GraphLoader.scala).
+ *
+ * All readers produce plain DataFrames through the parquet/csv/text
+ * datasources, so column pruning and predicate pushdown behave exactly as
+ * for any other table.
+ */
+object GraphLoader {
+
+  /** Whitespace-delimited edge list (`src dst` per line, `#` comments).
+   * Long vertex ids; lines with fewer than two fields are dropped. */
+  def edgeListFile(spark: SparkSession, path: String,
+      canonicalOrientation: Boolean = false): GraphFrame = {
+    val parts = split(trim(col("value")), "\\s+")
+    val e0 = spark.read.text(path)
+      .filter(!col("value").startsWith("#") && length(trim(col("value"))) > 0)
+      .select(element_at(parts, 1).cast("long").as(GraphFrame.SRC),
+        element_at(parts, 2).cast("long").as(GraphFrame.DST))
+      .filter(col(GraphFrame.SRC).isNotNull && col(GraphFrame.DST).isNotNull)
+    val e = if (canonicalOrientation)
+      e0.select(least(col(GraphFrame.SRC), col(GraphFrame.DST)).as(GraphFrame.SRC),
+        greatest(col(GraphFrame.SRC), col(GraphFrame.DST)).as(GraphFrame.DST))
+    else e0
+    GraphFrame.fromEdges(e)
+  }
+
+  /** LDBC Graphalytics vertex file: one Long id per line. */
+  def ldbcVertices(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(StructType(Seq(StructField(GraphFrame.ID, LongType))))
+      .option("delimiter", " ").csv(path)
+
+  /** LDBC Graphalytics edge file: space-delimited `src dst [weight]`. */
+  def ldbcEdges(spark: SparkSession, path: String,
+      weighted: Boolean = false, undirected: Boolean = false): DataFrame = {
+    val base = StructType(Seq(
+      StructField(GraphFrame.SRC, LongType), StructField(GraphFrame.DST, LongType)))
+    val schema = if (weighted) base.add(GraphFrame.WEIGHT, DoubleType) else base
+    val e = spark.read.schema(schema).option("delimiter", " ").csv(path)
+    if (undirected)
+      e.unionByName(e.withColumn("_t", col(GraphFrame.SRC))
+        .withColumn(GraphFrame.SRC, col(GraphFrame.DST))
+        .withColumn(GraphFrame.DST, col("_t")).drop("_t"))
+    else e
+  }
+
+  /** LDBC graph from a directory of `<name>.v` / `<name>.e` files. */
+  def ldbcGraph(spark: SparkSession, dir: String, name: String,
+      weighted: Boolean = false, undirected: Boolean = false): GraphFrame =
+    GraphFrame(ldbcVertices(spark, s"$dir/$name.v"),
+      ldbcEdges(spark, s"$dir/$name.e", weighted, undirected))
+
+  /** Two-directory parquet graph (the save format: vertices/ + edges/). */
+  def parquetGraph(spark: SparkSession, dir: String): GraphFrame =
+    GraphFrame(spark.read.parquet(s"$dir/vertices"), spark.read.parquet(s"$dir/edges"))
+
+  /** Persist a graph as two parquet directories (round-trips with
+   * [[parquetGraph]]; reference GraphFrameSuite.scala:316). */
+  def saveParquetGraph(g: GraphFrame, dir: String): Unit = {
+    g.vertices.write.mode("overwrite").parquet(s"$dir/vertices")
+    g.edges.write.mode("overwrite").parquet(s"$dir/edges")
+  }
+}

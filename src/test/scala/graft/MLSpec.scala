@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class MLSpec extends TestBase {
+  import spark.implicits._
+
+  test("parallelPersonalizedPageRank: lanes match single-source PPR") {
+    val g = chain(4)
+    val pppr = g.parallelPersonalizedPageRank.sourceIds(Seq(0L, 2L)).maxIter(10).run()
+    val lanes = pppr.select($"id", element_at($"pageranks", 1), element_at($"pageranks", 2))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val single0 = g.pageRank.sourceId(0L).maxIter(10).run()
+      .vertices.select("id", "pagerank").as[(Long, Double)].collect().toMap
+    val single2 = g.pageRank.sourceId(2L).maxIter(10).run()
+      .vertices.select("id", "pagerank").as[(Long, Double)].collect().toMap
+    (0L to 3L).foreach { v =>
+      assert(math.abs(lanes(v)._1 - single0(v)) < 1e-9, s"lane0 vertex $v")
+      assert(math.abs(lanes(v)._2 - single2(v)) < 1e-9, s"lane1 vertex $v")
+    }
+  }
+
+  test("svdPlusPlus learns factors on a rating graph") {
+    val v = (0L to 5L).toDF("id")
+    // users 0-2 rate items 3-5
+    val e = Seq((0L, 3L, 5.0), (0L, 4L, 1.0), (1L, 3L, 4.0), (1L, 5L, 2.0),
+      (2L, 4L, 3.0), (2L, 5L, 5.0)).toDF("src", "dst", "weight")
+    val svd = GraphFrame(v, e).svdPlusPlus.setRank(4).maxIter(3)
+    val out = svd.run()
+    assert(out.count() == 6)
+    assert(out.columns.toSet.contains("q") && out.columns.contains("bias"))
+    assert(!svd.lastLoss.isNaN && svd.lastLoss >= 0)
+  }
+
+  test("randomWalkEmbeddings produces one vector per reachable vertex") {
+    val g = twoBlobs(3)
+    val emb = embeddings.Embeddings.randomWalkEmbeddings(g, dim = 8, walkLength = 3,
+      walksPerVertex = 2)
+    assert(emb.count() == 6)
+    assert(emb.select(size($"embedding")).as[Int].head() == 8)
+  }
+
+  test("samplingConvolution concatenates own and neighbor-mean embeddings") {
+    val g = chain(3) // 0 -> 1 -> 2
+    val emb = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)), (2L, Seq(2.0, 2.0)))
+      .toDF("id", "embedding")
+    val conv = embeddings.Embeddings.samplingConvolution(g, emb)
+    val m = conv.select("id", "conv_embedding").as[(Long, Seq[Double])].collect().toMap
+    assert(m(0L) == Seq(1.0, 0.0, 0.0, 1.0)) // own ++ mean of {v1}
+    assert(m(1L) == Seq(0.0, 1.0, 2.0, 2.0)) // own ++ mean of {v2}
+    assert(m(2L) == Seq(2.0, 2.0, 0.0, 0.0)) // sink: zero-filled neighbor mean
+  }
+
+  test("edgeListFile and ldbc readers parse text graphs") {
+    import java.nio.file.Files
+    val d = Files.createTempDirectory("graft-src").toFile
+    val el = new java.io.File(d, "g.txt")
+    Files.writeString(el.toPath, "# comment\n0 1\n1 2\n\n2 0\n")
+    val g = sources.GraphLoader.edgeListFile(spark, el.getAbsolutePath)
+    assert(g.edges.count() == 3 && g.vertices.count() == 3)
+
+    Files.writeString(new java.io.File(d, "t.v").toPath, "0\n1\n2\n")
+    Files.writeString(new java.io.File(d, "t.e").toPath, "0 1\n1 2\n")
+    val lg = sources.GraphLoader.ldbcGraph(spark, d.getAbsolutePath, "t", undirected = true)
+    assert(lg.vertices.count() == 3)
+    assert(lg.edges.count() == 4) // symmetrized
+
+    // parquet round-trip
+    val out = new java.io.File(d, "pq").getAbsolutePath
+    sources.GraphLoader.saveParquetGraph(friends, out)
+    val back = sources.GraphLoader.parquetGraph(spark, out)
+    assert(rows(back.vertices) == rows(friends.vertices))
+    assert(rows(back.edges) == rows(friends.edges))
+  }
+}

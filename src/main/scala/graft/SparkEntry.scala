@@ -126,6 +126,17 @@ object SparkEntry {
     }),
     "g_cc_nations" -> ((s, dir) =>
       graphB(s, dir).connectedComponents.run().select(col(ID), col("component"))),
+    "g_cc_rc" -> ((s, dir) => {
+      // randomized-contraction variant; labels canonicalized to the
+      // component minimum so the recursive-CTE oracle applies
+      val cc = graphB(s, dir).connectedComponents
+        .setAlgorithm("randomized_contraction").run()
+      cc.select(col(ID),
+        min(col(ID).cast("long")).over(Window.partitionBy("component")).as("component"))
+    }),
+    "g_hash_embeddings" -> ((s, dir) => // rows-only check
+      embeddings.HashEmbeddings.forGraph(graphB(s, dir), dim = 8, walkLength = 3)
+        .select(col(ID), size(col("embedding")).as("dim"))),
     "g_scc_nations" -> ((s, dir) =>
       graphB(s, dir).stronglyConnectedComponents.run().select(col(ID), col("component"))),
     "g_shortest_paths" -> ((s, dir) =>
@@ -209,6 +220,8 @@ object SparkEntry {
     "p_minhash_lsh" -> ((s, dir) =>
       pipeline.Dedup.minhashLsh(load(s, dir, "documents"), "doc_id", "text",
         n = 3, bands = 8, rowsPerBand = 2)),
+    "p_dedup_clusters" -> ((s, dir) =>
+      pipeline.Dedup.nearDupClusters(load(s, dir, "documents"), "doc_id", "text")),
     "p_simhash" -> ((s, dir) =>
       pipeline.Dedup.simhash(load(s, dir, "documents"), "doc_id", "text", bits = 16)),
     "p_ngram_jaccard" -> ((s, dir) =>
@@ -409,6 +422,12 @@ object SparkEntry {
          |r AS (SELECT n_nationkey AS id, CAST(n_nationkey AS BIGINT) AS comp FROM nation
          |      UNION SELECT u.d, r.comp FROM r JOIN u ON u.s = r.id)
          |SELECT id, MIN(comp) AS component FROM r GROUP BY id""".stripMargin,
+    "g_cc_rc" ->
+      s"""WITH RECURSIVE e AS ($NE),
+         |u AS (SELECT src AS s, dst AS d FROM e UNION SELECT dst, src FROM e),
+         |r AS (SELECT n_nationkey AS id, CAST(n_nationkey AS BIGINT) AS comp FROM nation
+         |      UNION SELECT u.d, r.comp FROM r JOIN u ON u.s = r.id)
+         |SELECT id, MIN(comp) AS component FROM r GROUP BY id""".stripMargin,
     "g_scc_nations" ->
       s"""WITH RECURSIVE e AS ($NE),
          |r AS (SELECT src AS s, dst AS d FROM e
@@ -489,6 +508,23 @@ object SparkEntry {
          |SELECT x.doc_id AS a, y.doc_id AS b
          |FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
          |GROUP BY 1, 2""".stripMargin,
+    "p_dedup_clusters" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $W AS w FROM documents),
+         |s AS (SELECT doc_id, $SH3 AS sh FROM t WHERE len(w) >= 3),
+         |sig AS (SELECT doc_id, list_transform(range(0, 16), h ->
+         |   list_min(list_transform(sh, x -> md5(CAST(h AS VARCHAR) || '|' || x)))) AS mh
+         |   FROM s),
+         |bands AS (SELECT doc_id, r.b AS band,
+         |   md5(array_to_string(mh[2 * r.b + 1:2 * r.b + 2], '|')) AS bh
+         |   FROM sig, range(0, 8) r(b)),
+         |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |   FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |u AS (SELECT a AS s1, b AS d1 FROM pairs UNION SELECT b, a FROM pairs),
+         |r AS (SELECT DISTINCT s1 AS id, s1 AS comp FROM u
+         |      UNION SELECT u.d1, r.comp FROM r JOIN u ON u.s1 = r.id),
+         |m AS (SELECT id, MIN(comp) AS keep FROM r GROUP BY id)
+         |SELECT doc_id, COALESCE(m.keep, doc_id) AS keep_id
+         |FROM documents LEFT JOIN m ON m.id = doc_id""".stripMargin,
     "p_simhash" -> simhashSql(16),
     "p_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),

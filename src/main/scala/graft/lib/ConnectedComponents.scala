@@ -26,11 +26,25 @@ class ConnectedComponents(g: GraphFrame) {
 
   private var maxIterV: Int = 100
   private var checkpointIntervalV: Int = 2
+  private var algorithmV: String = "two_phase"
 
   def maxIter(n: Int): this.type = { maxIterV = n; this }
   def setCheckpointInterval(n: Int): this.type = { checkpointIntervalV = n; this }
+  /** "two_phase" (default) or "randomized_contraction"
+   * (reference lib/ConnectedComponents.scala:43-56 dispatch). */
+  def setAlgorithm(a: String): this.type = {
+    require(Set("two_phase", "randomized_contraction").contains(a),
+      s"unknown connected-components algorithm '$a'")
+    algorithmV = a; this
+  }
 
   def run(): DataFrame = {
+    if (algorithmV == "randomized_contraction")
+      return new RandomizedContraction(g).maxIter(maxIterV).run()
+    runTwoPhase()
+  }
+
+  private def runTwoPhase(): DataFrame = {
     val spark = g.spark
     val iv = g.indexedVertices.select(col(LONG_ID).as("vid"), col(ID))
 

@@ -78,6 +78,25 @@ object Dedup {
     df.select(col(idCol), fp.as("simhash"))
   }
 
+  /** End-to-end near-duplicate clustering: LSH candidate pairs become an
+   * undirected similarity graph whose connected components are the dup
+   * clusters; every document maps to its cluster's minimum id
+   * (`keep_id` — itself for singletons). This is the full
+   * dedup-at-100TB shape: shingle → minhash → band-bucket join →
+   * distributed CC → canonical representative. */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val pairs = minhashLsh(df, idCol, textCol, n, bands, rowsPerBand)
+    val g = graft.GraphFrame.fromEdges(
+      pairs.select(col("a").as(graft.GraphFrame.SRC), col("b").as(graft.GraphFrame.DST)))
+    val cc = g.connectedComponents.run()
+    val reps = cc.select(col(graft.GraphFrame.ID).as(idCol),
+      min(graft.GraphFrame.ID).over(Window.partitionBy("component")).as("_rep"))
+    df.select(col(idCol))
+      .join(reps, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("_rep"), col(idCol)).as("keep_id"))
+  }
+
   /** n-gram Jaccard near-dup pairs: docs sharing >= `minShared` distinct
    * `n`-word shingles, with exact Jaccard over distinct shingle sets.
    * Returns (a, b, shared, jaccard). The shingle inverted index bounds the

@@ -45,8 +45,12 @@ class ConnectedComponents(g: GraphFrame) {
   }
 
   private def runTwoPhase(): DataFrame = {
-    val spark = g.spark
-    val iv = g.indexedVertices.select(col(LONG_ID).as("vid"), col(ID))
+    val mgr = new IterationManager(checkpointIntervalV)
+    // surrogate-id table feeds both the edge translation and the final
+    // label join — for non-integral ids it costs a shuffle+sort, so cache
+    // it instead of recomputing per consumer
+    val iv0 = g.indexedVertices.select(col(LONG_ID).as("vid"), col(ID))
+    val iv = if (g.hasIntegralIdType) iv0 else mgr.persistOnly(iv0)
 
     // canonical undirected edge list on surrogate longs: src > dst, no loops
     var ee = g.indexedEdges
@@ -54,8 +58,6 @@ class ConnectedComponents(g: GraphFrame) {
       .filter(col("s") =!= col("d"))
       .select(greatest(col("s"), col("d")).as("src"), least(col("s"), col("d")).as("dst"))
       .distinct()
-
-    val mgr = new IterationManager(checkpointIntervalV)
     ee = mgr.cycle(ee, 0)
 
     var prevChecksum: Option[Row] = None
@@ -66,11 +68,12 @@ class ConnectedComponents(g: GraphFrame) {
       val nbr = ee.unionAll(ee.select(col("dst").as("src"), col("src").as("dst")))
       val minNbrs = nbr.groupBy("src").agg(min("dst").as("mn"))
         .select(col("src"), least(col("mn"), col("src")).as("m"))
+      // no distinct here: duplicates don't change the small-star minima and
+      // the round's final distinct dedups — saves one shuffle per round
       val large = nbr.filter(col("dst") > col("src"))
         .join(minNbrs, "src")
         .select(col("dst").as("src"), col("m").as("dst"))
         .filter(col("src") =!= col("dst"))
-        .distinct()
 
       // ---- small-star: hang each node and its smaller neighbors off the min ----
       val mins2 = large.groupBy("src").agg(min("dst").as("m"))

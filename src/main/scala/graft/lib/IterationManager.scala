@@ -30,26 +30,45 @@ private[graft] class IterationManager(
   private val persisted = mutable.Queue.empty[DataFrame]
   private val sideFrames = mutable.ArrayBuffer.empty[DataFrame]
 
-  /** Persist + (maybe) checkpoint `df`, force materialization, then drop the
-   * previous round's cache. Returns the frame to use for the next round. */
+  /** Persist + (on checkpoint rounds) truncate lineage and materialize.
+   * Non-checkpoint rounds persist lazily — the next materializing action
+   * computes through (and caches) them, so each `checkpointInterval`
+   * window costs ONE job instead of one per round. Older caches are only
+   * dropped once a newer frame has actually been materialized. */
   def cycle(df: DataFrame, round: Int): DataFrame = {
     val doCheckpoint = checkpointInterval > 0 && round % checkpointInterval == 0
-    val out =
-      if (doCheckpoint) {
-        // localCheckpoint(eager=true) truncates lineage into executor block
-        // storage; `reliable` checkpoint needs a checkpoint dir and spills
-        // to the cluster FS — slower but survives executor loss.
-        if (useLocalCheckpoint) df.localCheckpoint(true)
-        else { val c = df.persist(storageLevel).checkpoint(true); c }
-      } else {
-        val p = df.persist(storageLevel)
-        p.count() // materialize so unpersisting the parent is safe
-        p
-      }
-    persisted.enqueue(out)
-    while (persisted.size > 1) persisted.dequeue().unpersist(false)
-    out
+    if (doCheckpoint) {
+      // localCheckpoint(eager=true) truncates lineage into executor block
+      // storage; `reliable` checkpoint needs a checkpoint dir and spills
+      // to the cluster FS — slower but survives executor loss.
+      val c = if (useLocalCheckpoint) df.localCheckpoint(true)
+      else { val x = df.persist(storageLevel).checkpoint(true); x }
+      persisted.enqueue(c)
+      // everything older than this materialized frame is now safe to drop
+      while (persisted.size > 1) persisted.dequeue().unpersist(false)
+      c
+    } else if (checkpointInterval <= 0) {
+      // checkpointing disabled: materialize every round (plan keeps
+      // growing — caller opted out of lineage cuts)
+      val p = df.persist(storageLevel)
+      p.count()
+      persisted.enqueue(p)
+      while (persisted.size > 1) persisted.dequeue().unpersist(false)
+      p
+    } else {
+      val p = df.persist(storageLevel)
+      persisted.enqueue(p)
+      p
+    }
   }
+
+  /** Force materialization of the latest frame (call before driver-side
+   * probes when the current round didn't checkpoint). */
+  def materializeLatest(): Unit =
+    persisted.lastOption.foreach { df =>
+      df.count()
+      while (persisted.size > 1) persisted.dequeue().unpersist(false)
+    }
 
   /** Materialize + persist without lineage truncation (for side frames);
    * tracked and released by [[close]]. */

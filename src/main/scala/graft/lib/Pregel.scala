@@ -102,6 +102,27 @@ class Pregel(g: GraphFrame) {
     }
   }
 
+  /** Fields of `<prefix>.*` referenced by any message expression, or None
+   * when a whole-struct reference makes pruning unsafe. Struct-packing
+   * hides columns from Catalyst's pruning (SURVEY §4), so shipping only
+   * the referenced fields through the per-round joins is on us. */
+  private def referencedFields(prefix: String): Option[Set[String]] = {
+    import org.apache.spark.sql.graftshim.GraftShims
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedStar
+    val fields = scala.collection.mutable.Set.empty[String]
+    var wildcard = false
+    (msgsToSrc ++ msgsToDst).map(GraftShims.catalystExpression).foreach { e =>
+      e.foreach {
+        case UnresolvedAttribute(parts) if parts.headOption.contains(prefix) =>
+          if (parts.length >= 2) fields += parts(1) else wildcard = true
+        case UnresolvedStar(Some(target)) if target.headOption.contains(prefix) =>
+          wildcard = true
+        case _ =>
+      }
+    }
+    if (wildcard) None else Some(fields.toSet)
+  }
+
   def run(): DataFrame = {
     require(vertexCols.nonEmpty, "pregel: withVertexColumn required")
     require(msgsToSrc.nonEmpty || msgsToDst.nonEmpty, "pregel: no message expressions")
@@ -110,12 +131,29 @@ class Pregel(g: GraphFrame) {
     val origCols = g.vertices.columns.toSeq
     val stateCols = origCols ++ vertexCols.map(_.name) ++
       (if (updateActiveExpr.isDefined) Seq(ACTIVE_COL) else Nil)
+    val gate = skipMessagesFromNonActive && updateActiveExpr.isDefined
 
-    // Edges shaped once: (edge_src, edge_dst, edge-struct), co-partitioned
-    // by the per-round join key and cached for every superstep.
+    // triplet pruning: only referenced fields ride in the per-round structs
+    def pruned(prefix: String, all: Seq[String], mandatory: Seq[String]): Seq[String] =
+      referencedFields(prefix) match {
+        case Some(fs) => all.filter(c => fs.contains(c) || mandatory.contains(c))
+        case None => all
+      }
+    val srcStructCols = pruned(SRC, stateCols,
+      Seq(ID) ++ (if (gate && msgsToDst.nonEmpty) Seq(ACTIVE_COL) else Nil))
+    val dstStructCols = pruned(DST, stateCols,
+      Seq(ID) ++ (if (gate && msgsToSrc.nonEmpty) Seq(ACTIVE_COL) else Nil))
+    val edgeFields = referencedFields(EDGE)
+      .map(fs => g.edges.columns.filter(fs.contains).toSeq)
+      .getOrElse(g.edges.columns.toSeq)
+
+    // Edges shaped once: (edge_src, edge_dst[, edge-struct of referenced
+    // fields]), co-partitioned by the per-round join key and cached.
     val edgeStruct = g.edges.select(
-      col(SRC).as("_p_esrc"), col(DST).as("_p_edst"),
-      GraphFrame.nestAsCol(g.edges, EDGE))
+      (Seq(col(SRC).as("_p_esrc"), col(DST).as("_p_edst")) ++
+        (if (edgeFields.nonEmpty)
+          Seq(struct(edgeFields.map(col).toIndexedSeq: _*).as(EDGE)) else Nil)
+      ).toIndexedSeq: _*)
       .repartition(col("_p_esrc"))
       .persist(storageLevel)
 
@@ -133,12 +171,13 @@ class Pregel(g: GraphFrame) {
     var iter = 1
     var done = false
     while (iter <= maxIter && !done) {
-      val vStruct = struct(stateCols.map(col).toIndexedSeq: _*)
-      val srcSide = state.select(col(ID).as("_p_vsid"), vStruct.as(SRC))
+      val srcSide = state.select(col(ID).as("_p_vsid"),
+        struct(srcStructCols.map(col).toIndexedSeq: _*).as(SRC))
       var triplets = edgeStruct.join(srcSide, col("_p_esrc") === col("_p_vsid"))
       triplets =
         if (useDstJoin) {
-          val dstSide = state.select(col(ID).as("_p_vdid"), vStruct.as(DST))
+          val dstSide = state.select(col(ID).as("_p_vdid"),
+            struct(dstStructCols.map(col).toIndexedSeq: _*).as(DST))
           triplets.join(dstSide, col("_p_edst") === col("_p_vdid"))
         } else {
           // Cheap dst stub: only `dst.id` is referenced, so materialize just

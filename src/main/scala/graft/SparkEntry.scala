@@ -106,6 +106,9 @@ object SparkEntry {
     "g_motif_mutual" -> ((s, dir) =>
       graphB(s, dir).find("(a)-[e]->(b); (b)-[e2]->(a)")
         .select(col(s"a.$ID").as("a_id"), col(s"b.$ID").as("b_id"))),
+    "g_motif_bidi" -> ((s, dir) =>
+      graphB(s, dir).find("(a)<-[e]->(b)")
+        .select(col(s"a.$ID").as("a_id"), col(s"b.$ID").as("b_id"))),
     "g_motif_open_triangle" -> ((s, dir) =>
       graphB(s, dir).find("(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
         .select(col(s"a.$ID").as("a_id"), col(s"b.$ID").as("b_id"), col(s"c.$ID").as("c_id"))),
@@ -368,6 +371,10 @@ object SparkEntry {
         |FROM orders JOIN customer ON c_custkey = o_custkey
         |WHERE c_acctbal > 5000""".stripMargin,
     "g_motif_mutual" ->
+      s"""WITH e AS ($NE)
+         |SELECT e1.src AS a_id, e1.dst AS b_id
+         |FROM e e1 JOIN e e2 ON e2.src = e1.dst AND e2.dst = e1.src""".stripMargin,
+    "g_motif_bidi" ->
       s"""WITH e AS ($NE)
          |SELECT e1.src AS a_id, e1.dst AS b_id
          |FROM e e1 JOIN e e2 ON e2.src = e1.dst AND e2.dst = e1.src""".stripMargin,

@@ -97,10 +97,29 @@ object PatternParser extends RegexParsers {
   private def patterns: Parser[List[Pattern]] =
     repsep(term, ";") ^^ (_.flatten)
 
-  def parse(s: String): Seq[Pattern] = parseAll(patterns, s) match {
-    case Success(result, _) => validate(result); result
-    case failure: NoSuccess =>
-      throw new IllegalArgumentException(s"Invalid motif pattern '$s': ${failure.msg}")
+  /** `(a)<-[e]->(b)` means both directed edges exist: rewritten to
+   * `(a)-[e1]->(b); (b)-[e2]->(a)` (anonymous stays anonymous). Negated
+   * bidirectional terms are rejected (reference
+   * pattern/patterns.scala:72-97). */
+  private def rewriteBidirectional(s: String): String = {
+    val bidi = """(!?)\(([a-zA-Z0-9_]*)\)<-\[([a-zA-Z0-9_]*)\]->\(([a-zA-Z0-9_]*)\)""".r
+    s.split(";").map(_.trim).map {
+      case bidi(neg, a, e, b) =>
+        if (neg.nonEmpty) throw new IllegalArgumentException(
+          s"Motif: negated bidirectional edge is not supported: '$s'")
+        if (e.isEmpty) s"($a)-[]->($b);($b)-[]->($a)"
+        else s"($a)-[${e}1]->($b);($b)-[${e}2]->($a)"
+      case other => other
+    }.mkString(";")
+  }
+
+  def parse(s0: String): Seq[Pattern] = {
+    val s = rewriteBidirectional(s0)
+    parseAll(patterns, s) match {
+      case Success(result, _) => validate(result); result
+      case failure: NoSuccess =>
+        throw new IllegalArgumentException(s"Invalid motif pattern '$s': ${failure.msg}")
+    }
   }
 
   /** Structural validation (reference pattern/patterns.scala:144-231). */

@@ -88,4 +88,42 @@ class MotifSpec extends TestBase {
     val df = friends.find("(a); (b)")
     assert(df.count() == 49)
   }
+
+  test("bidirectional (a)<-[e]->(b) requires both directed edges") {
+    val df = friends.find("(a)<-[e]->(b)")
+    val pairs = df.select($"a.id", $"b.id").as[(String, String)].collect().toSet
+    assert(pairs == Set(("b", "c"), ("c", "b")))
+    assert(df.columns.contains("e1") && df.columns.contains("e2"))
+    intercept[IllegalArgumentException](friends.find("!(a)<-[e]->(b)"))
+  }
+
+  test("post-hoc filters on struct columns") {
+    val df = friends.find("(a)-[e]->(b)")
+      .filter($"e.relationship" === "follow" && $"a.age" < 35)
+    val got = df.select($"a.id", $"b.id").as[(String, String)].collect().toSet
+    assert(got == Set(("c", "b"), ("e", "f")))
+  }
+
+  test("motifs on an empty graph return empty results") {
+    val g = GraphFrame(Seq.empty[Long].toDF("id"),
+      Seq.empty[(Long, Long)].toDF("src", "dst"))
+    assert(g.find("(a)-[e]->(b)").count() == 0)
+    assert(g.find("(a)-[e]-(b)").count() == 0)
+  }
+
+  test("duplicate edges produce one row each") {
+    val v = Seq(1L, 2L).toDF("id")
+    val e = Seq((1L, 2L), (1L, 2L)).toDF("src", "dst")
+    assert(GraphFrame(v, e).find("(a)-[e]->(b)").count() == 2)
+  }
+
+  test("chained var-length with other terms") {
+    // friends of friends reachable in 1..2 hops that are not direct friends
+    val df = chain(5).find("(a)-[e*1..2]->(b); (b)-[]->(c)")
+    assert(df.columns.contains("c") && df.columns.contains("_hop"))
+    val rows3 = df.select($"a.id", $"b.id", $"c.id", $"_hop")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(rows3.contains((0L, 1L, 2L, 1)))
+    assert(rows3.contains((0L, 2L, 3L, 2)))
+  }
 }

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Differential property tests: the distributed operators against naive
+ * driver-side implementations on random graphs. */
+class PropertySpec extends TestBase {
+  private def check(p: Prop, minSuccessful: Int = 30): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(minSuccessful), p)
+    assert(res.passed, res.status.toString)
+  }
+  import spark.implicits._
+
+  private val genGraph: Gen[(Int, List[(Long, Long)])] = for {
+    n <- Gen.choose(2, 24)
+    m <- Gen.choose(0, 40)
+    edges <- Gen.listOfN(m, for {
+      s <- Gen.choose(0L, n - 1L); d <- Gen.choose(0L, n - 1L)
+    } yield (s, d))
+  } yield (n, edges)
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+  }
+
+  test("two-phase CC equals union-find on random graphs") {
+    check(Prop.forAllNoShrink(genGraph) { case (n, edges) =>
+      val g = GraphFrame((0L until n.toLong).toDF("id"), edges.toDF("src", "dst"))
+      val got = g.connectedComponents.run()
+        .select("id", "component").as[(Long, Long)].collect().toMap
+      got == unionFind(n, edges)
+    }, minSuccessful = 8)
+  }
+
+  test("KCoreMerge equals brute-force capped h-index") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def brute(cores: Seq[Int], cap: Int): Int =
+      (0 to cap).reverse.find(k => cores.count(_ >= k) >= k).getOrElse(0)
+    check(Prop.forAll(Gen.listOf(Gen.choose(0, 20)), Gen.choose(0, 20)) {
+      (cores: List[Int], cap: Int) =>
+        val got = expressions.KCoreMerge.merge(
+          ArrayData.toArrayData(cores.toArray), cap)
+        got == brute(cores, cap)
+    })
+  }
+
+  test("FiniteAXPlusB: add is XOR, zero annihilates, odd a is injective") {
+    import expressions.FiniteAXPlusB.axpb
+    check(Prop.forAll { (a: Long, x: Long, b: Long) =>
+      axpb(a, x, b) == (axpb(a, x, 0L) ^ b) &&
+      axpb(0L, x, b) == b &&
+      axpb(a, 0L, b) == b
+    })
+    // distributivity of carry-less multiply over XOR
+    check(Prop.forAll { (a: Long, x: Long, y: Long) =>
+      axpb(a, x ^ y, 0L) == (axpb(a, x, 0L) ^ axpb(a, y, 0L))
+    })
+  }
+
+  test("minhash LSH candidates are a superset of exact duplicates") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "a completely different document about query engines and joins"),
+      (4L, "another unrelated text mentioning shuffles and partitions here"))
+      .toDF("doc_id", "text")
+    val pairs = pipeline.Dedup.minhashLsh(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical docs always collide
+    assert(!pairs.contains((3L, 4L)))
+  }
+
+  test("simhash of identical docs is identical; hamming grows with edits") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (4L, "totally different words everywhere nothing shared at all"))
+      .toDF("doc_id", "text")
+    val m = pipeline.Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(m(1L) == m(2L))
+    assert(hamming(m(1L), m(3L)) < hamming(m(1L), m(4L)))
+  }
+}

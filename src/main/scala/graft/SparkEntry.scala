@@ -225,6 +225,18 @@ object SparkEntry {
         n = 3, bands = 8, rowsPerBand = 2)),
     "p_dedup_clusters" -> ((s, dir) =>
       pipeline.Dedup.nearDupClusters(load(s, dir, "documents"), "doc_id", "text")),
+    "p_clean_corpus" -> ((s, dir) => {
+      // composed training-data pipeline: quality gate + near-dup removal
+      val docs = load(s, dir, "documents")
+      val quality = pipeline.Text.quality(docs, "doc_id", "text")
+        .filter(col("n_tokens") >= 20 && col("stop_ratio") <= 0.2)
+        .select("doc_id")
+      val keep = pipeline.Dedup.nearDupClusters(docs, "doc_id", "text")
+        .filter(col("keep_id") === col("doc_id"))
+        .select("doc_id")
+      docs.join(quality, "doc_id").join(keep, "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
     "p_simhash" -> ((s, dir) =>
       pipeline.Dedup.simhash(load(s, dir, "documents"), "doc_id", "text", bits = 16)),
     "p_ngram_jaccard" -> ((s, dir) =>
@@ -532,6 +544,30 @@ object SparkEntry {
          |m AS (SELECT id, MIN(comp) AS keep FROM r GROUP BY id)
          |SELECT doc_id, COALESCE(m.keep, doc_id) AS keep_id
          |FROM documents LEFT JOIN m ON m.id = doc_id""".stripMargin,
+    "p_clean_corpus" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $W AS w FROM documents),
+         |q AS (SELECT doc_id FROM t WHERE len(w) >= 20 AND
+         |  (len(list_filter(w, x -> x = 'the')) + len(list_filter(w, x -> x = 'a')) +
+         |   len(list_filter(w, x -> x = 'of')) + len(list_filter(w, x -> x = 'and')) +
+         |   len(list_filter(w, x -> x = 'is'))) /
+         |  CAST(GREATEST(len(w), 1) AS DOUBLE) <= 0.2),
+         |s AS (SELECT doc_id, $SH3 AS sh FROM t WHERE len(w) >= 3),
+         |sig AS (SELECT doc_id, list_transform(range(0, 16), h ->
+         |   list_min(list_transform(sh, x -> md5(CAST(h AS VARCHAR) || '|' || x)))) AS mh
+         |   FROM s),
+         |bands AS (SELECT doc_id, r.b AS band,
+         |   md5(array_to_string(mh[2 * r.b + 1:2 * r.b + 2], '|')) AS bh
+         |   FROM sig, range(0, 8) r(b)),
+         |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |   FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |u AS (SELECT a AS s1, b AS d1 FROM pairs UNION SELECT b, a FROM pairs),
+         |r AS (SELECT DISTINCT s1 AS id, s1 AS comp FROM u
+         |      UNION SELECT u.d1, r.comp FROM r JOIN u ON u.s1 = r.id),
+         |m AS (SELECT id, MIN(comp) AS keep FROM r GROUP BY id),
+         |kept AS (SELECT doc_id FROM documents LEFT JOIN m ON m.id = doc_id
+         |         WHERE COALESCE(m.keep, doc_id) = doc_id)
+         |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+         |JOIN q ON q.doc_id = d.doc_id JOIN kept k ON k.doc_id = d.doc_id""".stripMargin,
     "p_simhash" -> simhashSql(16),
     "p_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),

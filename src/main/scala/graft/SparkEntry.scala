@@ -252,10 +252,18 @@ object SparkEntry {
     "p_ann_lsh" -> ((s, dir) => // rows-only check (approximate by construction)
       pipeline.Similarity.lshTopK(load(s, dir, "embeddings"), "vec_id", "embedding",
         k = 3, planes = 8, dim = 64)),
+    "p_ann_ivf" -> ((s, dir) => // rows-only check (approximate by construction)
+      pipeline.Similarity.ivfTopK(load(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, nlist = 16, nprobe = 4)),
 
     // --- pipeline: text analysis ---
     "p_token_count" -> ((s, dir) =>
       pipeline.Text.tokenCount(load(s, dir, "documents"), "doc_id", "text")),
+    "p_bpe_tokens" -> ((s, dir) =>
+      pipeline.Text.regexTokenCount(load(s, dir, "documents"), "doc_id", "text")),
+    "p_embedding_dedup" -> ((s, dir) =>
+      pipeline.Dedup.embeddingDupClusters(load(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.4)),
     "p_lang_id" -> ((s, dir) =>
       pipeline.Text.languageId(load(s, dir, "documents"), "doc_id", "text")),
     "p_quality" -> ((s, dir) =>
@@ -598,6 +606,20 @@ object SparkEntry {
          |  FROM sc) WHERE rnk <= 3""".stripMargin,
     "p_token_count" ->
       s"""SELECT doc_id, CAST(len($W) AS BIGINT) AS n_tokens FROM documents""".stripMargin,
+    "p_bpe_tokens" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT)
+        |  AS n_bpe_tokens FROM documents""".stripMargin,
+    "p_embedding_dedup" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |pairs AS (SELECT * FROM (
+         |  SELECT x.vec_id AS a, y.vec_id AS b, ROUND($cosExpr, 4) AS cos
+         |  FROM e x JOIN e y ON x.vec_id < y.vec_id) WHERE cos >= 0.4),
+         |u AS (SELECT a AS s1, b AS d1 FROM pairs UNION SELECT b, a FROM pairs),
+         |r AS (SELECT DISTINCT s1 AS id, s1 AS comp FROM u
+         |      UNION SELECT u.d1, r.comp FROM r JOIN u ON u.s1 = r.id),
+         |m AS (SELECT id, MIN(comp) AS keep FROM r GROUP BY id)
+         |SELECT vec_id, COALESCE(m.keep, vec_id) AS keep_id
+         |FROM embeddings LEFT JOIN m ON m.id = vec_id""".stripMargin,
     "p_lang_id" -> langIdSql,
     "p_quality" ->
       s"""WITH t AS (SELECT doc_id, text, $W AS w FROM documents)

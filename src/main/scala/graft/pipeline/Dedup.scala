@@ -97,6 +97,24 @@ object Dedup {
       .select(col(idCol), coalesce(col("_rep"), col(idCol)).as("keep_id"))
   }
 
+  /** Embedding-space near-duplicate clustering: cosine-similar pairs above
+   * `threshold` form the similarity graph; connected components give the
+   * clusters; each row maps to its cluster minimum (`keep_id`). The pair
+   * stage here is the brute-force baseline — swap in
+   * [[Similarity.lshTopK]] buckets for the 100 TB path. */
+  def embeddingDupClusters(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val pairs = Similarity.bruteForcePairs(df, idCol, vecCol, threshold)
+    val g = graft.GraphFrame.fromEdges(
+      pairs.select(col("a").as(graft.GraphFrame.SRC), col("b").as(graft.GraphFrame.DST)))
+    val cc = g.connectedComponents.run()
+    val reps = cc.select(col(graft.GraphFrame.ID).as(idCol),
+      min(graft.GraphFrame.ID).over(Window.partitionBy("component")).as("_rep"))
+    df.select(col(idCol))
+      .join(reps, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("_rep"), col(idCol)).as("keep_id"))
+  }
+
   /** n-gram Jaccard near-dup pairs: docs sharing >= `minShared` distinct
    * `n`-word shingles, with exact Jaccard over distinct shingle sets.
    * Returns (a, b, shared, jaccard). The shingle inverted index bounds the

@@ -74,6 +74,35 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) ANN: a deterministic coarse quantizer — the
+   * `nlist` vectors with the smallest id-hash act as centroids — assigns
+   * every vector to its nearest cell; queries probe their `nprobe`
+   * nearest cells only. Candidate count drops from n to ~n·nprobe/nlist
+   * per query, the classic IVF trade of recall for fan-out. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val v = withNorm(df, idCol, vecCol)
+    val cents = v.withColumn("_h", xxhash64(col("_s_id"))).orderBy("_h").limit(nlist)
+      .select(col("_s_id").as("_c_id"), col("_s_v").as("_c_v"), col("_s_n").as("_c_n"))
+    val sim = dotProduct(col("_s_v"), col("_c_v")) / (col("_s_n") * col("_c_n"))
+    val assign = v.crossJoin(broadcast(cents)).withColumn("_sim", sim)
+    val byVec = Window.partitionBy("_s_id").orderBy(col("_sim").desc, col("_c_id").asc)
+    val ranked = assign.withColumn("_r", row_number().over(byVec))
+    val data = ranked.filter(col("_r") === 1)
+      .select(col("_s_id"), col("_s_v"), col("_s_n"), col("_c_id").as("_cell"))
+    val queries = ranked.filter(col("_r") <= nprobe)
+      .select(col("_s_id").as("_q_id"), col("_s_v").as("_q_v"),
+        col("_s_n").as("_q_n"), col("_c_id").as("_cell"))
+    val scored = queries.join(data, "_cell")
+      .filter(col("_q_id") =!= col("_s_id"))
+      .select(col("_q_id").as("query_id"), col("_s_id").as("neighbor_id"),
+        (dotProduct(col("_q_v"), col("_s_v")) / (col("_q_n") * col("_s_n"))).as("_cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("_cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+
   /** Scale path: ANN top-k searched only within hyperplane-LSH buckets.
    * Recall < 1 by construction; bucket fan-out replaces the full O(n²). */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,

@@ -30,6 +30,15 @@ object Text {
   def tokenCount(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"))
 
+  /** BPE-ish subword token count: runs of letters, runs of digits, and
+   * individual other non-space characters each count as one token (the
+   * class-based approximation of byte-pair pretokenization; regex is
+   * dialect-neutral so SQL oracles reproduce it). */
+  def regexTokenCount(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+        .cast("long").as("n_bpe_tokens"))
+
   /** Occurrences of `kw` in `text` by length arithmetic (exactly
    * reproducible in any SQL engine: (len(t)-len(replace(t,kw)))/len(kw)). */
   def countOccurrences(text: Column, kw: String): Column =

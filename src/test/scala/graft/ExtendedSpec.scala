@@ -98,6 +98,25 @@ class ExtendedSpec extends TestBase {
     assert(c1.size == 1 && c2.size == 1 && c1 != c2)
   }
 
+  test("ivf ann: valid ranked neighbors with bounded fan-out") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ivf = pipeline.Similarity.ivfTopK(df, "vec_id", "embedding", k = 3,
+      nlist = 8, nprobe = 3)
+    val rowsOut = ivf.select("query_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Int)].collect()
+    assert(rowsOut.nonEmpty)
+    // at most k per query, ranks contiguous from 1, no self-neighbors
+    rowsOut.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length))
+      assert(rs.forall(_._2 != q))
+    }
+    // deterministic
+    val again = pipeline.Similarity.ivfTopK(df, "vec_id", "embedding", k = 3,
+      nlist = 8, nprobe = 3).as[(Long, Long, Int)].collect()
+    assert(rowsOut.toSet == again.toSet)
+  }
+
   test("toGraphX round-trips topology") {
     val gx = friends.toGraphX
     assert(gx.vertices.count() == 7)

@@ -304,4 +304,18 @@ object GraphFrame {
   /** Pack all columns of `df` into a single struct column named `name`. */
   private[graft] def nestAsCol(df: DataFrame, name: String): Column =
     struct(df.columns.map(col).toIndexedSeq: _*).as(name)
+
+  /** Build a GraphFrame from a stock GraphX graph with Long vertex ids
+   * (inverse of [[GraphFrame.toGraphX]] for primitive-attribute graphs). */
+  def fromGraphX[VD, ED](spark: SparkSession,
+      graph: org.apache.spark.graphx.Graph[VD, ED])(
+      implicit vdEnc: org.apache.spark.sql.Encoder[VD],
+      edEnc: org.apache.spark.sql.Encoder[ED]): GraphFrame = {
+    import org.apache.spark.sql.Encoders
+    val v = spark.createDataset(graph.vertices.map { case (id, attr) => (id, attr) })(
+      Encoders.tuple(Encoders.scalaLong, vdEnc)).toDF(ID, ATTR)
+    val e = spark.createDataset(graph.edges.map(e => (e.srcId, e.dstId, e.attr)))(
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, edEnc)).toDF(SRC, DST, ATTR)
+    new GraphFrame(v, e)
+  }
 }

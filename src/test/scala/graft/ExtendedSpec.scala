@@ -124,6 +124,30 @@ class ExtendedSpec extends TestBase {
     assert(gx.triplets.count() == 8)
   }
 
+  test("fromGraphX builds a GraphFrame from a stock GraphX graph") {
+    val sc = spark.sparkContext
+    val gx = org.apache.spark.graphx.Graph(
+      sc.parallelize(Seq((1L, "a"), (2L, "b"))),
+      sc.parallelize(Seq(org.apache.spark.graphx.Edge(1L, 2L, 3.5))))
+    val g = GraphFrame.fromGraphX(spark, gx)
+    assert(rows(g.vertices) == Set(Seq(1L, "a"), Seq(2L, "b")))
+    assert(rows(g.edges) == Set(Seq(1L, 2L, 3.5)))
+    // full circle: run an algorithm on the converted graph
+    val cc = g.connectedComponents.run()
+    assert(cc.select("component").distinct().count() == 1)
+  }
+
+  test("typeInDegree and typeDegree pivot per edge type") {
+    val t = friends.typeInDegree("relationship", Seq("friend", "follow"))
+    val b = t.filter($"id" === "b").select("inDegrees.friend", "inDegrees.follow")
+      .as[(Int, Int)].head()
+    assert(b == ((1, 1))) // a->b friend, c->b follow
+    val d = friends.typeDegree("relationship", Seq("friend", "follow"))
+    val a = d.filter($"id" === "a").select("degrees.friend", "degrees.follow")
+      .as[(Int, Int)].head()
+    assert(a == ((3, 0)))
+  }
+
   test("skewedJoin equals plain join") {
     val g = friends
     val big = g.edges.select($"src".as("k"), $"dst")

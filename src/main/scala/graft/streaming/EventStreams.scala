@@ -46,16 +46,22 @@ object EventStreams {
   case class SessionOut(user_id: Long, session_start_ms: Long, n_events: Long, duration_ms: Long)
 
   /** Stateful gap sessionization: a user's session closes after
-   * `gapMinutes` idle (processing-time timeout drives emission). */
-  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30): Dataset[SessionOut] = {
+   * `gapMinutes` idle. With the default processing-time timeout, idle
+   * users' final sessions flush on timeout; pass
+   * `GroupStateTimeout.NoTimeout` for finite replays (timeout-driven
+   * empty batches otherwise keep `processAllAvailable` spinning). */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30,
+      timeout: org.apache.spark.sql.streaming.GroupStateTimeout =
+        GroupStateTimeout.ProcessingTimeTimeout): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    val useTimeout = timeout == GroupStateTimeout.ProcessingTimeTimeout
     val gapMs = gapMinutes * 60L * 1000L
     events
       .select(col("user_id"), unix_millis(col("ts_utc")).as("ts_ms"))
       .as[SessionEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, timeout) {
         (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
           var cur = state.getOption
@@ -76,7 +82,7 @@ object EventStreams {
           } else {
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(gapMs)
+              if (useTimeout) state.setTimeoutDuration(gapMs)
             }
           }
           out.iterator

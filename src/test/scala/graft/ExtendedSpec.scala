@@ -174,6 +174,28 @@ class ExtendedSpec extends TestBase {
     assert(rows(got) == rows(want))
   }
 
+  test("streaming sessionization emits all closed sessions") {
+    import graft.streaming.EventStreams
+    val dir = "/root/testdata/sf0.001"
+    val q = EventStreams.sessionizeStream(
+        EventStreams.readEvents(spark, dir), gapMinutes = 30,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.table("sess_out")
+    // static input arrives as one batch: every session except each user's
+    // final one (still open in state) is emitted
+    val batch = pipeline.Events.sessionize(
+      spark.read.parquet(s"$dir/events.parquet"), gapMinutes = 30)
+    val users = batch.select("user_id").distinct().count()
+    assert(emitted.count() == batch.count() - users)
+    // emitted sessions carry the same (user, n_events, duration) triples
+    val got = rows(emitted.select("user_id", "n_events", "duration_ms"))
+    val all = rows(batch.select("user_id", "n_events", "duration_ms"))
+    assert(got.subsetOf(all))
+  }
+
   test("multimodal: metadata sniffing + batched feature extraction") {
     import graft.multimodal.Multimodal
     val png = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 1, 2, 3)

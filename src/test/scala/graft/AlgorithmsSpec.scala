@@ -55,6 +55,19 @@ class AlgorithmsSpec extends TestBase {
     assert(math.abs(s - 4.0) < 1e-6)
   }
 
+  test("pageRank tolerance mode converges to the fixed-iteration answer") {
+    val v = (0L until 4L).toDF("id")
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L)).toDF("src", "dst")
+    val g = GraphFrame(v, e)
+    val fixed = g.pageRank.maxIter(60).run()
+      .vertices.select("id", "pagerank").as[(Long, Double)].collect().toMap
+    val tol = g.pageRank.tol(1e-8).run()
+      .vertices.select("id", "pagerank").as[(Long, Double)].collect().toMap
+    (0L until 4L).foreach { i =>
+      assert(math.abs(fixed(i) - tol(i)) < 1e-6, s"vertex $i")
+    }
+  }
+
   test("shortestPaths hop counts to landmarks") {
     val g = chain(4) // 0->1->2->3
     val sp = g.shortestPaths.landmarks(Seq(3L)).run()

@@ -196,6 +196,22 @@ class ExtendedSpec extends TestBase {
     assert(got.subsetOf(all))
   }
 
+  test("grid Ising belief updates: bounded, deterministic, isolated = tanh(a)") {
+    import graft.examples.GridIsing
+    val g = GridIsing.gridIsingModel(spark, 4)
+    assert(g.vertices.count() == 16 && g.edges.count() == 24)
+    g.validate()
+    val b1 = GridIsing.beliefUpdates(g, sweeps = 3)
+    val vals = b1.select("belief").as[Double].collect()
+    assert(vals.forall(v => v >= -1.0 && v <= 1.0))
+    val b2 = GridIsing.beliefUpdates(g, sweeps = 3)
+    assert(rows(b1.select("id", "belief")) == rows(b2.select("id", "belief")))
+    // 1x1 grid has no neighbors: belief = tanh(a)
+    val single = GridIsing.beliefUpdates(GridIsing.gridIsingModel(spark, 1), 2)
+      .select("a", "belief").as[(Double, Double)].head()
+    assert(math.abs(math.tanh(single._1) - single._2) < 1e-12)
+  }
+
   test("multimodal: metadata sniffing + batched feature extraction") {
     import graft.multimodal.Multimodal
     val png = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 1, 2, 3)

@@ -38,10 +38,23 @@ class ConnectedComponents(g: GraphFrame) {
     algorithmV = a; this
   }
 
+  private var labelsAsComponents: Boolean = false
+  /** Label each component with its minimum ORIGINAL vertex id (in the id's
+   * own type) instead of a surrogate Long (reference
+   * lib/ConnectedComponents.scala:40-42 `useLabelsAsComponents`). */
+  def setUseLabelsAsComponents(b: Boolean): this.type = { labelsAsComponents = b; this }
+
   def run(): DataFrame = {
-    if (algorithmV == "randomized_contraction")
-      return new RandomizedContraction(g).maxIter(maxIterV).run()
-    runTwoPhase()
+    val raw =
+      if (algorithmV == "randomized_contraction")
+        new RandomizedContraction(g).maxIter(maxIterV).run()
+      else runTwoPhase()
+    if (!labelsAsComponents) raw
+    else {
+      import org.apache.spark.sql.expressions.Window
+      raw.withColumn("component",
+        min(col(ID)).over(Window.partitionBy("component")))
+    }
   }
 
   private def runTwoPhase(): DataFrame = {

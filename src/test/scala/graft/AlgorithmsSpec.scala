@@ -107,6 +107,26 @@ class AlgorithmsSpec extends TestBase {
     assert(m("g") != m("a"))
   }
 
+  test("connectedComponents useLabelsAsComponents gives original-typed labels") {
+    val cc = friends.connectedComponents.setUseLabelsAsComponents(true).run()
+    val m = cc.select("id", "component").as[(String, String)].collect().toMap
+    assert(Set("a", "b", "c", "d", "e", "f").map(m) == Set("a"))
+    assert(m("g") == "g")
+  }
+
+  test("pregel with checkpointing disabled still converges") {
+    import graft.lib.Pregel
+    val res = chain(4).pregel
+      .withVertexColumn("cnt", lit(0L), coalesce(Pregel.msg, lit(0L)))
+      .sendMsgToDst(lit(1L))
+      .aggMsgs(sum(Pregel.msg))
+      .setMaxIter(3)
+      .setCheckpointInterval(0)
+      .run()
+    val m = res.as[(Long, Long)].collect().toMap
+    assert(m == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("triangleCount on twoBlobs") {
     val g = twoBlobs(3)
     val tc = g.triangleCount.run()

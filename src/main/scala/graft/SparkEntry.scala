@@ -165,7 +165,11 @@ object SparkEntry {
     "g_mis" -> ((s, dir) => // rows-only check (any valid MIS; ours is hash-seeded)
       graphB(s, dir).maximalIndependentSet.run().select(col(ID))),
     "g_cycles" -> ((s, dir) =>
-      eventTypeGraph(s, dir).detectingCycles.run()),
+      // array columns break the driver's pandas canonicalizer: ship the
+      // cycle as a joined string (oracle uses array_to_string likewise)
+      eventTypeGraph(s, dir).detectingCycles.run()
+        .select(array_join(col("found_cycles").cast("array<string>"), ",")
+          .as("found_cycles"))),
 
     "g_agg_neighbors" -> ((s, dir) => {
       import graft.lib.AggregateNeighbors
@@ -198,8 +202,11 @@ object SparkEntry {
       embeddings.Embeddings.randomWalkEmbeddings(graphB(s, dir), dim = 8,
         walkLength = 3, walksPerVertex = 2)
         .select(col(ID), size(col("embedding")).as("dim"))),
-    "g_random_walks" -> ((s, dir) => // rows-only check (hash-seeded walks)
-      graphB(s, dir).randomWalks.setWalkLength(4).setWalksPerVertex(2).run()),
+    "g_random_walks" -> ((s, dir) => // string-joined walks (pandas-canon-safe)
+      graphB(s, dir).randomWalks.setWalkLength(4).setWalksPerVertex(2).run()
+        .select(col("walk_id"),
+          array_join(col("random_walk").cast("array<string>"), ",")
+            .as("random_walk"))),
     "p_bipartite_projection" -> ((s, dir) => {
       import graft.propertygraph._
       val pg = new PropertyGraphFrame(
@@ -519,7 +526,7 @@ object SparkEntry {
         |cyc AS (
         |  SELECT DISTINCT p.path FROM p JOIN e ON e.src = p.curr AND e.dst = p.start
         |  UNION SELECT [src] FROM e WHERE src = dst)
-        |SELECT path AS found_cycles FROM cyc""".stripMargin,
+        |SELECT array_to_string(path, ',') AS found_cycles FROM cyc""".stripMargin,
     "p_dedup_exact" ->
       """SELECT doc_id, md5(text) AS fp,
         |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM documents""".stripMargin,

@@ -70,15 +70,18 @@ class RandomizedContraction(g: GraphFrame) {
       round += 1
     }
 
-    // backward pass: roots are fixpoints of the last round; compose
-    // rep tables newest → oldest so every vertex reaches its root label
+    // backward pass: compose rep tables newest → oldest so every vertex
+    // reaches its root label. A representative whose component went
+    // edge-free before the final round never appears in later tables, so
+    // the join must be left_outer with the rep itself as the root fallback
+    // (an inner join would silently split such components into singletons).
     var comp = repTables.lastOption
       .map(_.select(col("rep").as("v")).distinct().select(col("v"), col("v").as("comp")))
       .getOrElse(iv.select(col("vid").as("v"), col("vid").as("comp")))
     for (t <- repTables.reverseIterator) {
       comp = mgr.persistOnly(
-        t.join(comp.select(col("v").as("rep"), col("comp")), "rep")
-          .select(col("v"), col("comp")))
+        t.join(comp.select(col("v").as("rep"), col("comp")), Seq("rep"), "left_outer")
+          .select(col("v"), coalesce(col("comp"), col("rep")).as("comp")))
     }
 
     val labeled = iv.join(comp.select(col("v").as("vid"), col("comp")), Seq("vid"), "left_outer")

@@ -27,6 +27,25 @@ class ContractionSpec extends TestBase {
     }
   }
 
+  test("randomized contraction: components converging at different rounds stay whole") {
+    // Regression: a component that goes edge-free before the final round
+    // must not be split into singletons by the backward composition pass.
+    // One single edge (contracts in round 1) + a long chain (needs several
+    // rounds): reps of the early-finishing component never appear in later
+    // rep tables, so the backward join must treat them as roots.
+    val chainN = 12L
+    val v = ((0L until chainN) ++ Seq(100L, 101L)).toDF("id")
+    val e = ((0L until chainN - 1).map(i => (i, i + 1)) :+ ((100L, 101L))).toDF("src", "dst")
+    val g = GraphFrame(v, e)
+    for (seed <- Seq(1L, 42L, 7L)) {
+      val parts = new lib.RandomizedContraction(g).seed(seed).run()
+        .select(col("id").cast("long"), col("component")).as[(Long, Long)]
+        .collect().groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+      assert(parts == Set((0L until chainN).toSet, Set(100L, 101L)),
+        s"seed=$seed split a component: $parts")
+    }
+  }
+
   test("hash embeddings: deterministic, normalized width") {
     val pairs = Seq(("a", "x"), ("a", "y"), ("b", "x")).toDF("item", "context")
     val e1 = embeddings.HashEmbeddings.fromPairs(pairs, "item", "context", dim = 8)

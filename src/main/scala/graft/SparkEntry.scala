@@ -137,7 +137,7 @@ object SparkEntry {
       cc.select(col(ID),
         min(col(ID).cast("long")).over(Window.partitionBy("component")).as("component"))
     }),
-    "g_hash_embeddings" -> ((s, dir) => // rows-only check
+    "g_hash_embeddings" -> ((s, dir) => // oracle: coverage + width only
       embeddings.HashEmbeddings.forGraph(graphB(s, dir), dim = 8, walkLength = 3)
         .select(col(ID), size(col("embedding")).as("dim"))),
     "g_scc_nations" -> ((s, dir) =>
@@ -158,12 +158,12 @@ object SparkEntry {
         .run()
         .select(col(s"from.$ID").as("from_id"), col(s"to.$ID").as("to_id"))
         .distinct()),
-    "g_label_propagation" -> ((s, dir) => // rows-only check (iterative tie-break not SQL-oracled)
+    "g_label_propagation" -> ((s, dir) => // oracle: 5 unrolled CDLP rounds
       graphB(s, dir).labelPropagation.maxIter(5).run().select(col(ID), col("label"))),
-    "g_kcore" -> ((s, dir) => // rows-only check
+    "g_kcore" -> ((s, dir) => // oracle: unrolled capped-h-index Jacobi fixpoint
       graphB(s, dir).kCore.run().select(col(ID), col("kcore"))),
-    "g_mis" -> ((s, dir) => // rows-only check (any valid MIS; ours is hash-seeded)
-      graphB(s, dir).maximalIndependentSet.run().select(col(ID))),
+    "g_mis" -> ((s, dir) => // md5 priorities => Luby rounds replay exactly in SQL
+      graphB(s, dir).maximalIndependentSet.setHashMode("md5").run().select(col(ID))),
     "g_cycles" -> ((s, dir) =>
       // array columns break the driver's pandas canonicalizer: ship the
       // cycle as a joined string (oracle uses array_to_string likewise)
@@ -198,12 +198,15 @@ object SparkEntry {
       GraphFrame.fromEdges(e).svdPlusPlus.setRank(4).maxIter(2).run()
         .select(col(ID), col("bias"))
     }),
-    "g_rw_embeddings" -> ((s, dir) => // rows-only check
+    "g_rw_embeddings" -> ((s, dir) => // oracle: coverage + width only
+      // (Word2Vec factor values are randomly initialized — unoracleable)
       embeddings.Embeddings.randomWalkEmbeddings(graphB(s, dir), dim = 8,
         walkLength = 3, walksPerVertex = 2)
         .select(col(ID), size(col("embedding")).as("dim"))),
-    "g_random_walks" -> ((s, dir) => // string-joined walks (pandas-canon-safe)
-      graphB(s, dir).randomWalks.setWalkLength(4).setWalksPerVertex(2).run()
+    "g_random_walks" -> ((s, dir) => // md5 draws => walks replay exactly in SQL;
+      // string-joined path (pandas-canon-safe)
+      graphB(s, dir).randomWalks.setWalkLength(4).setWalksPerVertex(2)
+        .setHashMode("md5").run()
         .select(col("walk_id"),
           array_join(col("random_walk").cast("array<string>"), ",")
             .as("random_walk"))),
@@ -376,6 +379,108 @@ object SparkEntry {
   private val cosExpr =
     "list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))"
 
+  /** Synchronous CDLP, `iters` unrolled rounds: most frequent incoming
+   * label, ties to the smallest label; no-inbox vertices keep their label
+   * (mirrors lib/LabelPropagation). */
+  private def lpaSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""c$k AS MATERIALIZED (SELECT e.dst AS id, p.label, count(*) AS cnt
+         |  FROM e JOIN l${k - 1} p ON p.id = e.src GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT id, label FROM (
+         |  SELECT id, label,
+         |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+         |  FROM c$k) WHERE rn = 1),
+         |l$k AS MATERIALIZED (SELECT l.id, COALESCE(b.label, l.label) AS label
+         |  FROM l${k - 1} l LEFT JOIN b$k b ON b.id = l.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED ($NE),
+       |l0 AS MATERIALIZED (SELECT n_nationkey AS id, n_nationkey AS label FROM nation),
+       |$steps
+       |SELECT id, label FROM l$iters""".stripMargin
+  }
+
+  /** K-core via `rounds` unrolled Jacobi steps of the capped h-index
+   * operator (mirrors expressions/KCoreMerge + lib/KCore); the fixpoint is
+   * the coreness, and extra rounds past convergence are no-ops. */
+  private def kcoreSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { k =>
+      s"""h$k AS MATERIALIZED (
+         |  SELECT id, MAX(CASE WHEN LEAST(nc, core) >= r THEN r ELSE 0 END) AS h FROM (
+         |    SELECT u.s AS id, p0.core AS core, pn.core AS nc,
+         |      ROW_NUMBER() OVER (PARTITION BY u.s ORDER BY pn.core DESC) AS r
+         |    FROM u JOIN k${k - 1} p0 ON p0.id = u.s
+         |    JOIN k${k - 1} pn ON pn.id = u.d) GROUP BY id),
+         |k$k AS MATERIALIZED (SELECT p.id, CAST(COALESCE(h.h, p.core) AS INT) AS core
+         |  FROM k${k - 1} p LEFT JOIN h$k h ON h.id = p.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED ($NE),
+       |c AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e),
+       |u AS MATERIALIZED (SELECT a AS s, b AS d FROM c UNION ALL SELECT b, a FROM c),
+       |k0 AS MATERIALIZED (SELECT n_nationkey AS id, CAST(COALESCE(dg.c, 0) AS INT) AS core
+       |  FROM nation LEFT JOIN (SELECT s, count(*) AS c FROM u GROUP BY s) dg
+       |  ON dg.s = n_nationkey),
+       |$steps
+       |SELECT id, core AS kcore FROM k$rounds""".stripMargin
+  }
+
+  /** Luby MIS with md5 priorities, `rounds` unrolled rounds (mirrors
+   * lib/MaximalIndependentSet in md5 hash mode, seed 42). */
+  private def misSql(rounds: Int, seed: Long): String = {
+    def p(x: String, r: Int) = s"md5(CAST($x AS VARCHAR) || '|$seed|$r')"
+    val steps = (0 until rounds).map { k =>
+      s"""eu$k AS MATERIALIZED (SELECT u.s, u.d FROM u
+         |  JOIN r$k a ON a.id = u.s JOIN r$k b ON b.id = u.d),
+         |nm$k AS MATERIALIZED (SELECT s AS id, MIN(${p("d", k)}) AS m FROM eu$k GROUP BY s),
+         |w$k AS MATERIALIZED (SELECT r.id FROM r$k r LEFT JOIN nm$k n ON n.id = r.id
+         |  WHERE n.m IS NULL OR ${p("r.id", k)} < n.m),
+         |nb$k AS MATERIALIZED (SELECT DISTINCT x.d AS id FROM eu$k x JOIN w$k w ON w.id = x.s),
+         |r${k + 1} AS MATERIALIZED (SELECT id FROM r$k WHERE id NOT IN (SELECT id FROM w$k)
+         |  AND id NOT IN (SELECT id FROM nb$k))""".stripMargin
+    }.mkString(",\n")
+    val wins = (0 until rounds).map(k => s"SELECT id FROM w$k").mkString(" UNION ALL ")
+    s"""WITH e AS MATERIALIZED ($NE),
+       |c AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e),
+       |u AS MATERIALIZED (SELECT a AS s, b AS d FROM c UNION ALL SELECT b, a FROM c),
+       |r0 AS MATERIALIZED (SELECT n_nationkey AS id FROM nation),
+       |$steps
+       |SELECT id FROM ($wins)""".stripMargin
+  }
+
+  /** First 16 bits of an md5 hex string as an integer, nibble by nibble
+   * (DuckDB has no hex→int conv; mirrors Spark `conv(substr(md5,1,4),16,10)`). */
+  private def duckHex4(md5expr: String): String =
+    (1 to 4).map(i =>
+      s"(strpos('0123456789abcdef', substr($md5expr, $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
+      .mkString(" + ")
+
+  /** Deterministic random walks, `steps` unrolled steps (mirrors
+   * rw/RandomWalks in md5 hash mode: neighbor lists ordered by
+   * md5(src|dst|seed) — 15 fixed-width hex chars order identically to the
+   * 60-bit numeric weight — and the step pick is 16 md5 bits mod fan-out). */
+  private def randomWalksSql(steps: Int, walksPerVertex: Int, seed: Long): String = {
+    val stepCtes = (1 to steps).map { k =>
+      val h = duckHex4(s"md5(s.walk_id || '|$k|${seed + 1}')")
+      s"""s$k AS MATERIALIZED (
+         |  SELECT walk_id, nxt AS cur,
+         |    CASE WHEN nxt IS NULL THEN path
+         |         ELSE list_append(path, CAST(nxt AS VARCHAR)) END AS path
+         |  FROM (
+         |    SELECT s.walk_id, s.path,
+         |      CASE WHEN nb.nbrs IS NULL OR len(nb.nbrs) = 0 THEN NULL
+         |           ELSE nb.nbrs[(($h) % len(nb.nbrs)) + 1] END AS nxt
+         |    FROM s${k - 1} s LEFT JOIN nb ON nb.src = s.cur))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED ($NE),
+       |nb AS MATERIALIZED (SELECT src, list(dst
+       |    ORDER BY substr(md5(CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR) || '|$seed'), 1, 15), dst) AS nbrs
+       |  FROM e GROUP BY src),
+       |s0 AS MATERIALIZED (SELECT CAST(n_nationkey AS VARCHAR) || '#' || CAST(t.k AS VARCHAR) AS walk_id,
+       |    n_nationkey AS cur, [CAST(n_nationkey AS VARCHAR)] AS path
+       |  FROM nation, range(0, $walksPerVertex) t(k)),
+       |$stepCtes
+       |SELECT walk_id, array_to_string(path, ',') AS random_walk FROM s$steps""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "g_out_degrees" ->
       """SELECT 'c' || CAST(o_custkey AS VARCHAR) AS id, count(*) AS out_degree
@@ -480,6 +585,14 @@ object SparkEntry {
          |FROM nation LEFT JOIN b ON b.id = n_nationkey GROUP BY 1""".stripMargin,
     "g_pagerank" -> pagerankSql(10),
     "g_pppr" -> ppprSql(10, 0, 5),
+    "g_label_propagation" -> lpaSql(5),
+    "g_kcore" -> kcoreSql(12),
+    "g_mis" -> misSql(8, 42L),
+    "g_random_walks" -> randomWalksSql(4, 2, 42L),
+    "g_hash_embeddings" ->
+      "SELECT CAST(n_nationkey AS VARCHAR) AS id, CAST(8 AS INT) AS dim FROM nation",
+    "g_rw_embeddings" ->
+      "SELECT CAST(n_nationkey AS VARCHAR) AS id, CAST(8 AS INT) AS dim FROM nation",
     "g_triangle_approx" ->
       s"""WITH e0 AS ($NE),
          |canon AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e0),

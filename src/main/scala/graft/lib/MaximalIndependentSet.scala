@@ -24,9 +24,17 @@ class MaximalIndependentSet(g: GraphFrame) {
 
   private var maxIterV: Int = 100
   private var seedV: Long = 42L
+  private var hashModeV: String = "xxhash64"
 
   def maxIter(n: Int): this.type = { maxIterV = n; this }
   def seed(s: Long): this.type = { seedV = s; this }
+  /** "xxhash64" (default, fastest) or "md5" — md5 priorities reproduce in
+   * engines without xxhash64 (e.g. DuckDB), enabling exact cross-engine
+   * oracles; same determinism guarantees either way. */
+  def setHashMode(m: String): this.type = {
+    require(m == "xxhash64" || m == "md5", s"unknown hash mode $m")
+    hashModeV = m; this
+  }
 
   def run(): DataFrame = {
     val und = g.edges
@@ -42,7 +50,10 @@ class MaximalIndependentSet(g: GraphFrame) {
 
     var round = 0
     while (round < maxIterV && remaining.take(1).nonEmpty) {
-      def prio(c: Column): Column = struct(xxhash64(c, lit(seedV), lit(round)).as("h"), c.as("i"))
+      def prio(c: Column): Column =
+        if (hashModeV == "md5")
+          struct(md5(concat_ws("|", c.cast("string"), lit(seedV), lit(round))).as("h"), c.as("i"))
+        else struct(xxhash64(c, lit(seedV), lit(round)).as("h"), c.as("i"))
       val er = undP
         .join(remaining.select(col(ID).as(SRC)), Seq(SRC), "left_semi")
         .join(remaining.select(col(ID).as(DST)), Seq(DST), "left_semi")

@@ -29,12 +29,24 @@ class RandomWalks(g: GraphFrame) {
   private var restartProb: Double = 0.0
   private var maxNeighbors: Int = 64
   private var seedV: Long = 42L
+  private var hashModeV: String = "xxhash64"
 
   def setWalkLength(n: Int): this.type = { walkLength = n; this }
   def setWalksPerVertex(n: Int): this.type = { walksPerVertex = n; this }
   def setRestartProbability(p: Double): this.type = { restartProb = p; this }
   def setMaxNeighborsPerVertex(n: Int): this.type = { maxNeighbors = n; this }
   def setSeed(s: Long): this.type = { seedV = s; this }
+  /** "xxhash64" (default, fastest) or "md5" — md5-derived draws reproduce
+   * in engines without xxhash64 (e.g. DuckDB), enabling exact cross-engine
+   * oracles; same determinism guarantees either way. */
+  def setHashMode(m: String): this.type = {
+    require(m == "xxhash64" || m == "md5", s"unknown hash mode $m")
+    hashModeV = m; this
+  }
+
+  /** 60-bit positive long from the leading 15 hex chars of md5. */
+  private def md5Long(cols: Column*): Column =
+    conv(substring(md5(concat_ws("|", cols: _*)), 1, 15), 16, 10).cast("long")
 
   /** One row per walk: (walk_id: string, random_walk: array<idType>). */
   def run(): DataFrame = {
@@ -45,8 +57,12 @@ class RandomWalks(g: GraphFrame) {
       else KMinSampling.sampleString(maxNeighbors)
 
     // bounded, deterministic neighbor sample per vertex
+    val edgeW =
+      if (hashModeV == "md5")
+        md5Long(col(SRC).cast("string"), col(DST).cast("string"), lit(seedV))
+      else xxhash64(col(SRC), col(DST), lit(seedV))
     val nbrs = g.edges
-      .select(col(SRC), col(DST), xxhash64(col(SRC), col(DST), lit(seedV)).as("_w"))
+      .select(col(SRC), col(DST), edgeW.as("_w"))
       .groupBy(col(SRC).as("_rw_v"))
       .agg(sampler(col("_w"), if (idIsLong) col(DST) else col(DST).cast("string"))
         .as("_rw_nbrs"))
@@ -65,12 +81,21 @@ class RandomWalks(g: GraphFrame) {
 
     for (step <- 1 to walkLength) {
       val joined = state.join(nbrs, col("_rw_cur") === col("_rw_v"), "left_outer")
-      val h = pmod(xxhash64(col("walk_id"), lit(step), lit(seedV)), lit(1000000L))
+      val h =
+        if (hashModeV == "md5")
+          pmod(md5Long(col("walk_id"), lit(step), lit(seedV)), lit(1000000L))
+        else pmod(xxhash64(col("walk_id"), lit(step), lit(seedV)), lit(1000000L))
       val restart = h < lit((restartProb * 1000000L).toLong)
       val nbrCount = size(col("_rw_nbrs"))
-      val pick = element_at(col("_rw_nbrs"),
-        (pmod(xxhash64(col("walk_id"), lit(step), lit(seedV + 1)), nbrCount) + 1)
-          .cast("int"))
+      val pickIdx =
+        if (hashModeV == "md5")
+          // 16 bits of md5 mod fan-out: parity with the strpos-nibble
+          // arithmetic an external SQL oracle can compute
+          pmod(conv(substring(md5(concat_ws("|",
+            col("walk_id"), lit(step), lit(seedV + 1))), 1, 4), 16, 10).cast("long"),
+            nbrCount.cast("long"))
+        else pmod(xxhash64(col("walk_id"), lit(step), lit(seedV + 1)), nbrCount)
+      val pick = element_at(col("_rw_nbrs"), (pickIdx + 1).cast("int"))
       val next = when(restart, col("_rw_origin"))
         .when(col("_rw_nbrs").isNull || nbrCount === 0, lit(null))
         .otherwise(if (idIsLong) pick else pick)

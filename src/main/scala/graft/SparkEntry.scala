@@ -259,10 +259,11 @@ object SparkEntry {
     "p_ann_topk" -> ((s, dir) =>
       pipeline.Similarity.topK(load(s, dir, "embeddings"), "vec_id", "embedding",
         k = 3, queryFilter = col("vec_id") < 20)),
-    "p_ann_lsh" -> ((s, dir) => // rows-only check (approximate by construction)
+    "p_ann_lsh" -> ((s, dir) => // approximate by construction; oracle mirrors
+      // the banded bucket candidates exactly (md5-derived plane weights)
       pipeline.Similarity.lshTopK(load(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 3, planes = 8, dim = 64)),
-    "p_ann_ivf" -> ((s, dir) => // rows-only check (approximate by construction)
+        k = 3, bands = 2, planesPerBand = 4, dim = 64)),
+    "p_ann_ivf" -> ((s, dir) => // oracle mirrors the md5-sampled quantizer
       pipeline.Similarity.ivfTopK(load(s, dir, "embeddings"), "vec_id", "embedding",
         k = 3, nlist = 16, nprobe = 4)),
 
@@ -445,6 +446,57 @@ object SparkEntry {
        |$steps
        |SELECT id FROM ($wins)""".stripMargin
   }
+
+  /** One SELECT per LSH band: bucket = planesPerBand-bit signature, each
+   * bit the sign of a dot product against the ±1 md5-derived weight
+   * literal (mirrors Similarity.hyperplaneSignature / planeSign). Expects
+   * a CTE `e(vec_id, v)` with v already DOUBLE[]. */
+  private def duckBandRows(bands: Int, planesPerBand: Int, dim: Int): String =
+    (0 until bands).map { b =>
+      val bits = (0 until planesPerBand).map { p =>
+        val w = "[" + (0 until dim).map(i =>
+          if (pipeline.Similarity.planeSign(b * planesPerBand + p, i) > 0) "1.0"
+          else "-1.0").mkString(", ") + "]"
+        s"(CASE WHEN list_dot_product(v, $w) > 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $b AS band, $bits AS bucket FROM e"
+    }.mkString("\nUNION ALL\n")
+
+  private def annLshSql(k: Int, bands: Int, planesPerBand: Int, dim: Int): String =
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bk AS MATERIALIZED (${duckBandRows(bands, planesPerBand, dim)}),
+       |cand AS MATERIALIZED (SELECT DISTINCT x.vec_id AS qid, y.vec_id AS nid
+       |  FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
+       |  AND x.vec_id <> y.vec_id),
+       |sc AS (SELECT cand.qid AS query_id, cand.nid AS neighbor_id,
+       |    list_dot_product(q.v, n.v) /
+       |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))) AS c
+       |  FROM cand JOIN e q ON q.vec_id = cand.qid JOIN e n ON n.vec_id = cand.nid)
+       |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rnk
+       |  FROM sc) WHERE rnk <= $k""".stripMargin
+
+  private def annIvfSql(k: Int, nlist: Int, nprobe: Int): String =
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM e
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nlist),
+       |asg AS MATERIALIZED (SELECT vec_id, v, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS r
+       |  FROM (SELECT e.vec_id, e.v, cent.cid,
+       |      list_dot_product(e.v, cent.cv) /
+       |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))) AS sim
+       |    FROM e CROSS JOIN cent)),
+       |dat AS (SELECT vec_id, v, cid FROM asg WHERE r = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv, cid FROM asg WHERE r <= $nprobe),
+       |sc AS (SELECT q.qid AS query_id, d.vec_id AS neighbor_id,
+       |    list_dot_product(q.qv, d.v) /
+       |      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(d.v, d.v))) AS c
+       |  FROM q JOIN dat d ON d.cid = q.cid AND d.vec_id <> q.qid)
+       |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rnk
+       |  FROM sc) WHERE rnk <= $k""".stripMargin
 
   /** First 16 bits of an md5 hex string as an integer, nibble by nibble
    * (DuckDB has no hex→int conv; mirrors Spark `conv(substr(md5,1,4),16,10)`). */
@@ -730,16 +782,24 @@ object SparkEntry {
       """SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT)
         |  AS n_bpe_tokens FROM documents""".stripMargin,
     "p_embedding_dedup" ->
-      s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |pairs AS (SELECT * FROM (
-         |  SELECT x.vec_id AS a, y.vec_id AS b, ROUND($cosExpr, 4) AS cos
-         |  FROM e x JOIN e y ON x.vec_id < y.vec_id) WHERE cos >= 0.4),
+      s"""WITH RECURSIVE e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |bk AS MATERIALIZED (${duckBandRows(8, 4, 64)}),
+         |cand AS MATERIALIZED (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |  FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
+         |  AND x.vec_id < y.vec_id),
+         |pairs AS MATERIALIZED (SELECT a, b FROM (
+         |  SELECT cand.a, cand.b, ROUND(list_dot_product(q.v, n.v) /
+         |    (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 4) AS cos
+         |  FROM cand JOIN e q ON q.vec_id = cand.a JOIN e n ON n.vec_id = cand.b)
+         |  WHERE cos >= 0.4),
          |u AS (SELECT a AS s1, b AS d1 FROM pairs UNION SELECT b, a FROM pairs),
          |r AS (SELECT DISTINCT s1 AS id, s1 AS comp FROM u
          |      UNION SELECT u.d1, r.comp FROM r JOIN u ON u.s1 = r.id),
          |m AS (SELECT id, MIN(comp) AS keep FROM r GROUP BY id)
          |SELECT vec_id, COALESCE(m.keep, vec_id) AS keep_id
          |FROM embeddings LEFT JOIN m ON m.id = vec_id""".stripMargin,
+    "p_ann_lsh" -> annLshSql(3, 2, 4, 64),
+    "p_ann_ivf" -> annIvfSql(3, 16, 4),
     "p_lang_id" -> langIdSql,
     "p_quality" ->
       s"""WITH t AS (SELECT doc_id, text, $W AS w FROM documents)

@@ -100,11 +100,16 @@ object Dedup {
   /** Embedding-space near-duplicate clustering: cosine-similar pairs above
    * `threshold` form the similarity graph; connected components give the
    * clusters; each row maps to its cluster minimum (`keep_id`). The pair
-   * stage here is the brute-force baseline — swap in
-   * [[Similarity.lshTopK]] buckets for the 100 TB path. */
+   * stage is banded hyperplane-LSH candidates with exact cosine inside
+   * buckets ([[Similarity.lshSimilarPairs]]) — the 100 TB shape: an
+   * equi-join on (band, bucket), never an O(n²) cross join. Recall is
+   * governed by (bands, planesPerBand); for exact (small-data) semantics
+   * use [[Similarity.bruteForcePairs]] and cluster those. */
   def embeddingDupClusters(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
-    val pairs = Similarity.bruteForcePairs(df, idCol, vecCol, threshold)
+      threshold: Double, bands: Int = 8, planesPerBand: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val pairs = Similarity.lshSimilarPairs(df, idCol, vecCol, threshold,
+      bands, planesPerBand, dim)
     val g = graft.GraphFrame.fromEdges(
       pairs.select(col("a").as(graft.GraphFrame.SRC), col("b").as(graft.GraphFrame.DST)))
     val cc = g.connectedComponents.run()

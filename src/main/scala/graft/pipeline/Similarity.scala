@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
  * Brute-force cosine is the correctness baseline (O(n²) self-join — fine
  * for a broadcastable side); the LSH-bucketed variant is the scale path:
  * deterministic random-hyperplane signatures shrink the candidate set so
- * the quadratic join only runs inside buckets. Hyperplane weights are
- * md5-derived (±1 per (plane, dim)) — reproducible with no RNG state and
- * safe under task retries.
+ * the quadratic join only runs inside buckets, with banded
+ * OR-amplification (any shared band bucket makes a candidate) controlling
+ * the recall/fan-out trade. Hyperplane weights are md5-derived (±1 per
+ * (plane, dim)) — reproducible with no RNG state, safe under task
+ * retries, and inlineable as literal weight tables by any SQL oracle.
  */
 object Similarity {
   import graft.expressions.ArrayDotProduct.dotProduct
@@ -26,12 +28,13 @@ object Similarity {
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** (_s_id, _s_v, _s_n): vectors with their norm precomputed once, so the
-   * n² pair stage runs exactly one dot product per pair. */
+   * pair stage runs exactly one dot product per pair. */
   private def withNorm(df0: DataFrame, idCol: String, vecCol: String): DataFrame =
     ensureParallelism(df0).select(col(idCol).as("_s_id"), asDouble(col(vecCol)).as("_s_v"))
       .withColumn("_s_n", sqrt(dotProduct(col("_s_v"), col("_s_v"))))
 
-  /** All pairs (a < b) with cosine >= threshold: (a, b, cos rounded 4dp). */
+  /** All pairs (a < b) with cosine >= threshold: (a, b, cos rounded 4dp).
+   * Declared-exact O(n²) baseline — an oracle anchor, not the scale path. */
   def bruteForcePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val v = withNorm(df, idCol, vecCol)
@@ -59,34 +62,132 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 
-  /** Deterministic random-hyperplane signature: bit p of the signature is
-   * the sign of Σ_i w(p,i)·v[i] with w(p,i) = ±1 from md5(p|i). */
-  def hyperplaneSignature(vec: Column, planes: Int, dim: Int): Column = {
+  /** ±1 weight of hyperplane `p` at dimension `i`, from the parity of the
+   * first md5 byte of "p|i" — deterministic everywhere, no RNG state. */
+  def planeSign(p: Int, i: Int): Double = {
+    val b = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p|$i".getBytes("UTF-8"))
+    if ((b(0) & 0xff) % 2 == 0) 1.0 else -1.0
+  }
+
+  private def planeWeights(p: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(planeSign(p, _))
+
+  /** Deterministic random-hyperplane signature: bit p is the sign of
+   * w_p · v with w_p the ±1 md5-derived weight vector. Each plane is ONE
+   * [[graft.expressions.ArrayDotProduct]] call against a literal weight
+   * array — `planes` kernel calls per row, never a (planes × dim)-term
+   * expression tree, so the stage stays inside whole-stage codegen at any
+   * width. `planeOffset` selects the plane family (bands use disjoint
+   * plane ranges). */
+  def hyperplaneSignature(vec: Column, planes: Int, dim: Int,
+      planeOffset: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
-      val s = (0 until dim).map { i =>
-        val sign = if (Integer.parseInt(
-          java.security.MessageDigest.getInstance("MD5")
-            .digest(s"$p|$i".getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString, 16) % 2 == 0) 1.0 else -1.0
-        element_at(vec, i + 1) * lit(sign)
-      }.reduce(_ + _)
-      when(s > 0, lit(1L << p)).otherwise(lit(0L))
+      val w = typedlit(planeWeights(planeOffset + p, dim))
+      when(dotProduct(vec, w) > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
 
-  /** IVF (inverted-file) ANN: a deterministic coarse quantizer — the
-   * `nlist` vectors with the smallest id-hash act as centroids — assigns
-   * every vector to its nearest cell; queries probe their `nprobe`
-   * nearest cells only. Candidate count drops from n to ~n·nprobe/nlist
-   * per query, the classic IVF trade of recall for fan-out. */
-  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+  /** (_s_id, _band, _bucket): one row per (vector, band); band b's bucket
+   * is the `planesPerBand`-bit signature of plane family b. Only the id
+   * and two small ints shuffle — vectors are re-joined by id later, so the
+   * band explosion never multiplies vector payloads. */
+  private def bandBuckets(v: DataFrame, bands: Int, planesPerBand: Int,
+      dim: Int): DataFrame = {
+    val bandCols = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hyperplaneSignature(col("_s_v"), planesPerBand, dim, b * planesPerBand)
+          .as("bucket"))
+    }: _*)
+    v.select(col("_s_id"), explode(bandCols).as("bb"))
+      .select(col("_s_id"), col("bb.band").as("_band"), col("bb.bucket").as("_bucket"))
+  }
+
+  /** Distinct candidate pairs (qid, nid), qid != nid, sharing at least one
+   * band bucket. The self-join is an equi-join on (band, bucket) — AQE
+   * splits skewed buckets; no cartesian anywhere. */
+  private def lshCandidates(v: DataFrame, bands: Int, planesPerBand: Int,
+      dim: Int): DataFrame = {
+    val bk = bandBuckets(v, bands, planesPerBand, dim)
+    bk.as("x").join(bk.as("y"),
+        col("x._band") === col("y._band") && col("x._bucket") === col("y._bucket") &&
+        col("x._s_id") =!= col("y._s_id"))
+      .select(col("x._s_id").as("_qid"), col("y._s_id").as("_nid"))
+      .distinct()
+  }
+
+  /** LSH near-duplicate pairs (a < b, cosine >= threshold, 4dp): exact
+   * cosine evaluated only on band-bucket candidates. Approximate by
+   * construction — recall is governed by (bands, planesPerBand); the
+   * output contract matches [[bruteForcePairs]] restricted to candidates. */
+  def lshSimilarPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bands: Int = 8, planesPerBand: Int = 4,
+      dim: Int = 64): DataFrame = {
     val v = withNorm(df, idCol, vecCol)
-    val cents = v.withColumn("_h", xxhash64(col("_s_id"))).orderBy("_h").limit(nlist)
+    val cand = lshCandidates(v, bands, planesPerBand, dim)
+      .filter(col("_qid") < col("_nid"))
+    cand
+      .join(v.select(col("_s_id").as("_qid"), col("_s_v").as("_q_v"), col("_s_n").as("_q_n")), "_qid")
+      .join(v.select(col("_s_id").as("_nid"), col("_s_v").as("_n_v"), col("_s_n").as("_n_n")), "_nid")
+      .select(col("_qid").as("a"), col("_nid").as("b"),
+        round(dotProduct(col("_q_v"), col("_n_v")) / (col("_q_n") * col("_n_n")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Scale path: ANN top-k searched only within banded LSH buckets
+   * (OR-amplified: any shared band bucket makes a candidate). Recall < 1
+   * by construction; fan-out is bounded by bucket sizes instead of n². */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      bands: Int = 2, planesPerBand: Int = 4, dim: Int = 64): DataFrame = {
+    val v = withNorm(df, idCol, vecCol)
+    val scored = lshCandidates(v, bands, planesPerBand, dim)
+      .join(v.select(col("_s_id").as("_qid"), col("_s_v").as("_q_v"), col("_s_n").as("_q_n")), "_qid")
+      .join(v.select(col("_s_id").as("_nid"), col("_s_v").as("_n_v"), col("_s_n").as("_n_n")), "_nid")
+      .select(col("_qid").as("query_id"), col("_nid").as("neighbor_id"),
+        (dotProduct(col("_q_v"), col("_n_v")) / (col("_q_n") * col("_n_n"))).as("_cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("_cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+
+  /** IVF (inverted-file) ANN. The coarse quantizer seeds cells with a
+   * deterministic uniform random sample of `nlist` vectors (md5 order over
+   * ids — equivalent to sampling without an RNG), optionally refined with
+   * `lloydIters` Lloyd (k-means) steps; every vector lands in its nearest
+   * cell, and queries probe their `nprobe` nearest cells only. Candidate
+   * count drops from n to ~n·nprobe/nlist per query, the classic IVF trade
+   * of recall for fan-out. Centroids are broadcast — assignment is a
+   * narrow map stage, no shuffle of the vector table. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 0): DataFrame = {
+    val v = withNorm(df, idCol, vecCol)
+    var cents = v
+      .orderBy(md5(col("_s_id").cast("string")), col("_s_id"))
+      .limit(nlist)
       .select(col("_s_id").as("_c_id"), col("_s_v").as("_c_v"), col("_s_n").as("_c_n"))
     val sim = dotProduct(col("_s_v"), col("_c_v")) / (col("_s_n") * col("_c_n"))
-    val assign = v.crossJoin(broadcast(cents)).withColumn("_sim", sim)
     val byVec = Window.partitionBy("_s_id").orderBy(col("_sim").desc, col("_c_id").asc)
+
+    // Lloyd refinement: reassign, recompute per-cell mean vectors (cell ids
+    // stay the seed ids so the loop is stable and deterministic)
+    for (_ <- 0 until lloydIters) {
+      val assigned = v.crossJoin(broadcast(cents)).withColumn("_sim", sim)
+        .withColumn("_r", row_number().over(byVec))
+        .filter(col("_r") === 1)
+        .select(col("_c_id").as("_cell"), col("_s_v"))
+      val means = assigned
+        .select(col("_cell"), posexplode(col("_s_v")).as(Seq("_pos", "_x")))
+        .groupBy("_cell", "_pos").agg(avg(col("_x")).as("_m"))
+        .groupBy("_cell")
+        .agg(transform(array_sort(collect_list(struct(col("_pos"), col("_m")))),
+          e => e.getField("_m")).as("_c_v"))
+      cents = means.select(col("_cell").as("_c_id"), col("_c_v"),
+        sqrt(dotProduct(col("_c_v"), col("_c_v"))).as("_c_n"))
+    }
+
+    val assign = v.crossJoin(broadcast(cents)).withColumn("_sim", sim)
     val ranked = assign.withColumn("_r", row_number().over(byVec))
     val data = ranked.filter(col("_r") === 1)
       .select(col("_s_id"), col("_s_v"), col("_s_n"), col("_c_id").as("_cell"))
@@ -98,24 +199,9 @@ object Similarity {
       .select(col("_q_id").as("query_id"), col("_s_id").as("neighbor_id"),
         (dotProduct(col("_q_v"), col("_s_v")) / (col("_q_n") * col("_s_n"))).as("_cos"))
     val w = Window.partitionBy("query_id").orderBy(col("_cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
+    val out = scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
-  }
-
-  /** Scale path: ANN top-k searched only within hyperplane-LSH buckets.
-   * Recall < 1 by construction; bucket fan-out replaces the full O(n²). */
-  def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      planes: Int = 12, dim: Int = 64): DataFrame = {
-    val v = withNorm(df, idCol, vecCol)
-      .withColumn("_bucket", hyperplaneSignature(col("_s_v"), planes, dim))
-    val scored = v.as("x").join(v.as("y"),
-        col("x._bucket") === col("y._bucket") && col("x._s_id") =!= col("y._s_id"))
-      .select(col("x._s_id").as("query_id"), col("y._s_id").as("neighbor_id"),
-        (dotProduct(col("x._s_v"), col("y._s_v")) / (col("x._s_n") * col("y._s_n"))).as("_cos"))
-    val w = Window.partitionBy("query_id").orderBy(col("_cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    out
   }
 }

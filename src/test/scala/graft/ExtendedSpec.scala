@@ -117,6 +117,58 @@ class ExtendedSpec extends TestBase {
     assert(rowsOut.toSet == again.toSet)
   }
 
+  test("lsh similar pairs are a subset of brute-force pairs with identical cosines") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bf = pipeline.Similarity.bruteForcePairs(df, "vec_id", "embedding", 0.3)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val lsh = pipeline.Similarity.lshSimilarPairs(df, "vec_id", "embedding", 0.3,
+      bands = 8, planesPerBand = 4).as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty, "banded LSH found no candidate pairs at all")
+    lsh.foreach { case (a, b, c) =>
+      assert(bf.get((a, b)).contains(c), s"pair ($a,$b,$c) not in brute-force set")
+    }
+    // OR-amplification: more bands can only add candidates
+    val lshOne = pipeline.Similarity.lshSimilarPairs(df, "vec_id", "embedding", 0.3,
+      bands = 1, planesPerBand = 4).as[(Long, Long, Double)].collect()
+    assert(lshOne.map(p => (p._1, p._2)).toSet
+      .subsetOf(lsh.map(p => (p._1, p._2)).toSet))
+  }
+
+  test("hyperplane signature: wide config matches per-row recomputation") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val sig = df.select($"vec_id",
+      pipeline.Similarity.hyperplaneSignature(
+        $"embedding".cast("array<double>"), planes = 12, dim = 64).as("s"))
+      .orderBy("vec_id").limit(5).as[(Long, Long)].collect()
+    val vecs = df.orderBy("vec_id").limit(5)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    sig.foreach { case (id, s) =>
+      val v = vecs(id)
+      val expected = (0 until 12).map { p =>
+        val dot = (0 until 64).map(i => v(i) * pipeline.Similarity.planeSign(p, i)).sum
+        if (dot > 0) 1L << p else 0L
+      }.sum
+      assert(s == expected, s"signature mismatch for vec $id")
+    }
+  }
+
+  test("ivf ann with Lloyd refinement: contract holds, deterministic") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ivf = pipeline.Similarity.ivfTopK(df, "vec_id", "embedding", k = 3,
+      nlist = 8, nprobe = 3, lloydIters = 2)
+    val rowsOut = ivf.as[(Long, Long, Int)].collect()
+    assert(rowsOut.nonEmpty)
+    rowsOut.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length))
+      assert(rs.forall(_._2 != q))
+    }
+    val again = pipeline.Similarity.ivfTopK(df, "vec_id", "embedding", k = 3,
+      nlist = 8, nprobe = 3, lloydIters = 2).as[(Long, Long, Int)].collect()
+    assert(rowsOut.toSet == again.toSet)
+  }
+
   test("toGraphX round-trips topology") {
     val gx = friends.toGraphX
     assert(gx.vertices.count() == 7)

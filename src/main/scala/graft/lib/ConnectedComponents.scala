@@ -44,6 +44,14 @@ class ConnectedComponents(g: GraphFrame) {
    * lib/ConnectedComponents.scala:40-42 `useLabelsAsComponents`). */
   def setUseLabelsAsComponents(b: Boolean): this.type = { labelsAsComponents = b; this }
 
+  private var smallGraphThresholdV: Long = 100000L
+  /** Edge-count threshold below which components are finished with a
+   * single driver-side union-find instead of distributed supersteps
+   * (0 disables). Bounds driver memory at ~16 bytes/edge; the common
+   * winners are tiny LSH pair graphs and the tail rounds of contraction,
+   * where ~10 supersteps of fixed job overhead dwarf the actual work. */
+  def setSmallGraphThreshold(n: Long): this.type = { smallGraphThresholdV = n; this }
+
   def run(): DataFrame = {
     val raw =
       if (algorithmV == "randomized_contraction")
@@ -73,8 +81,14 @@ class ConnectedComponents(g: GraphFrame) {
       .distinct()
     ee = mgr.cycle(ee, 0)
 
+    // one job finishes any graph already under the union-find threshold
+    // (e.g. LSH dedup pair graphs: dozens of edges, full label fidelity)
+    val nEdges0 = ee.count()
+    if (smallGraphThresholdV > 0 && nEdges0 <= smallGraphThresholdV)
+      return finishWithUnionFind(ee, iv, mgr)
+
     var prevChecksum: Option[Row] = None
-    var converged = ee.isEmpty
+    var converged = false
     var iter = 1
     while (!converged && iter <= maxIterV) {
       // ---- large-star: connect every bigger neighbor to the minimum ----
@@ -107,11 +121,47 @@ class ConnectedComponents(g: GraphFrame) {
       converged = prevChecksum.contains(cs)
       prevChecksum = Some(cs)
       iter += 1
+      // tail rounds: once contraction shrinks the remainder under the
+      // threshold, one union-find job beats O(log diameter) more supersteps
+      // (the star-contracted remainder has the same components)
+      if (!converged && smallGraphThresholdV > 0 &&
+          cs.getLong(1) <= smallGraphThresholdV)
+        return finishWithUnionFind(ee, iv, mgr)
     }
 
     // at fixpoint every non-root points straight at its component minimum
     val comp = ee.select(col("src").as("vid"), col("dst").as("comp"))
     val labeled = iv.join(comp, Seq("vid"), "left_outer")
+      .select(col(ID), coalesce(col("comp"), col("vid")).as("component"))
+    mgr.close()
+    g.vertices.join(labeled, Seq(ID), "left_outer")
+  }
+
+  /** Collect the (bounded) edge list, union-find with min-id roots — the
+   * same min-surrogate labels the distributed fixpoint produces — and join
+   * the labels back. One job instead of one per superstep. */
+  private def finishWithUnionFind(ee: DataFrame, iv: DataFrame,
+      mgr: IterationManager): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    val edges = ee.select(col("src").cast("long"), col("dst").cast("long"))
+      .collect()
+    edges.foreach { row =>
+      val ra = find(row.getLong(0)); val rb = find(row.getLong(1))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val seen = edges.iterator.flatMap(r => Iterator(r.getLong(0), r.getLong(1)))
+      .toSet[Long]
+    val session = ee.sparkSession
+    import session.implicits._
+    val compDF = seen.iterator.map(v => (v, find(v))).toSeq.toDF("vid", "comp")
+    val labeled = iv.join(broadcast(compDF), Seq("vid"), "left_outer")
       .select(col(ID), coalesce(col("comp"), col("vid")).as("component"))
     mgr.close()
     g.vertices.join(labeled, Seq(ID), "left_outer")

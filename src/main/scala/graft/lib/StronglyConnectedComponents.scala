@@ -42,31 +42,31 @@ class StronglyConnectedComponents(g: GraphFrame) {
 
     var outer = 0
     while (outer < maxIterV && rem.take(1).nonEmpty) {
-      // -- forward max-color fixpoint --
-      var colors = rem.select(col("vid"), col("vid").as("color"))
+      // -- forward max-color fixpoint, frontier-gated: only vertices whose
+      // color changed last round send (every vertex sends once in round 1,
+      // so each edge's initial color propagates; thereafter any increase
+      // re-propagates — standard delta iteration for a monotone max).
+      // Empty frontier == fixpoint, so the loop needs ONE frontier-sized
+      // probe per round instead of a full-table checksum, and each round
+      // joins only frontier-adjacent edges rather than the whole edge set.
       val cmgr = new IterationManager()
-      colors = cmgr.persistOnly(colors)
-      // the color sum strictly increases while anything changes (colors
-      // only ever grow), so a stable checksum == fixpoint — no self-join
-      var prevSum = colors.agg(sum(col("color")).cast(
-        org.apache.spark.sql.types.DecimalType(38, 0))).head().get(0)
-      var changed = true
-      var it = 0
-      while (changed) {
-        val msgs = re.join(colors.select(col("vid").as("src"), col("color")), Seq("src"))
+      var colors = cmgr.cycle(
+        rem.select(col("vid"), col("vid").as("color"), lit(true).as("_chg")), 0)
+      var it = 1
+      while (colors.filter(col("_chg")).take(1).nonEmpty) {
+        val frontier = colors.filter(col("_chg"))
+          .select(col("vid").as("src"), col("color"))
+        val msgs = re.join(frontier, Seq("src"))
           .groupBy(col("dst").as("vid")).agg(max("color").as("inMax"))
-        val next = colors.join(msgs, Seq("vid"), "left_outer")
-          .select(col("vid"), greatest(col("color"), coalesce(col("inMax"), col("color"))).as("color"))
-        val nextP = cmgr.cycle(next, it)
-        val s = nextP.agg(sum(col("color")).cast(
-          org.apache.spark.sql.types.DecimalType(38, 0))).head().get(0)
-        changed = s != prevSum
-        prevSum = s
-        colors = nextP
+        val next = colors.select("vid", "color").join(msgs, Seq("vid"), "left_outer")
+          .select(col("vid"),
+            greatest(col("color"), coalesce(col("inMax"), col("color"))).as("color"),
+            (col("inMax").isNotNull && col("inMax") > col("color")).as("_chg"))
+        colors = cmgr.cycle(next, it)
         it += 1
       }
       // -- backward reachability from color roots within same color --
-      val colorsP = colors
+      val colorsP = colors.select("vid", "color")
       // same-color edges, reversed (walk from dst back to src)
       val sameColorRev = re
         .join(colorsP.select(col("vid").as("src"), col("color").as("_c1")), Seq("src"))

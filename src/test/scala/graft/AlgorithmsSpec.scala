@@ -99,6 +99,24 @@ class AlgorithmsSpec extends TestBase {
     assert(m(0L) != m(3L))
   }
 
+  test("connectedComponents: distributed supersteps and union-find fast path agree") {
+    for (g <- Seq(twoBlobs(3), chain(9), star(5), friends)) {
+      val fast = g.connectedComponents.run()
+        .select(col("id").cast("string"), col("component")).as[(String, Long)]
+        .collect().sortBy(_._1).toSeq
+      val dist = g.connectedComponents.setSmallGraphThreshold(0).run()
+        .select(col("id").cast("string"), col("component")).as[(String, Long)]
+        .collect().sortBy(_._1).toSeq
+      assert(fast == dist, s"fast path diverged from distributed on $g")
+    }
+    // mid-loop handoff: distributed rounds first, union-find on the
+    // contracted remainder once it drops under the threshold
+    val g = twoBlobs(4)
+    val mixed = g.connectedComponents.setSmallGraphThreshold(5).run()
+      .select("id", "component").as[(Long, Long)].collect().toMap
+    assert(mixed.values.toSet.size == 1)
+  }
+
   test("connectedComponents with string ids") {
     val cc = friends.connectedComponents.run()
     val m = cc.select("id", "component").as[(String, Long)].collect().toMap

@@ -112,6 +112,37 @@ object SparkEntry {
     "g_motif_open_triangle" -> ((s, dir) =>
       graphB(s, dir).find("(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
         .select(col(s"a.$ID").as("a_id"), col(s"b.$ID").as("b_id"), col(s"c.$ID").as("c_id"))),
+    "g_motif_fixed2" -> ((s, dir) => // fixed-length chain expansion (a)-[e*2]->(b)
+      graphB(s, dir).find("(a)-[e*2]->(b)")
+        .select(col(s"a.$ID").as("a_id"), col(s"b.$ID").as("b_id"))),
+    "g_type_degrees" -> ((s, dir) => {
+      // per-edge-type pivot degrees on the customer→order graph typed by
+      // order status (struct flattened for the driver canonicalizer)
+      val ord = load(s, dir, "orders")
+      val e = ord.select(concat(lit("c"), col("o_custkey")).as(SRC),
+        concat(lit("o"), col("o_orderkey")).as(DST), col("o_orderstatus").as("status"))
+      GraphFrame.fromEdges(e).typeOutDegree("status", Seq("F", "O", "P"))
+        .select(col(ID), col("outDegrees.F").as("deg_f"),
+          col("outDegrees.O").as("deg_o"), col("outDegrees.P").as("deg_p"))
+    }),
+    "g_sampling_convolution" -> ((s, dir) => {
+      // 1-hop mean-aggregation GNN layer over a deterministic 2-out-regular
+      // chain graph on the embeddings table; sampleSize exceeds the fan-out
+      // so the k-min sample keeps every neighbor and values are exact
+      import graft.expressions.ArrayDotProduct.dotProduct
+      val emb = load(s, dir, "embeddings")
+        .select(col("vec_id").as(ID), col("embedding").cast("array<double>").as("embedding"))
+      val w = Window.orderBy(ID)
+      val e = emb.select(col(ID).as(SRC), lead(ID, 1).over(w).as(DST))
+        .unionAll(emb.select(col(ID).as(SRC), lead(ID, 2).over(w).as(DST)))
+        .filter(col(DST).isNotNull)
+      val g = GraphFrame(emb.select(ID), e)
+      embeddings.Embeddings.samplingConvolution(g, emb, sampleSize = 16)
+        .select(col(ID).as("vec_id"),
+          size(col("conv_embedding")).as("conv_dim"),
+          round(sqrt(dotProduct(col("conv_embedding"), col("conv_embedding"))), 4)
+            .as("conv_norm"))
+    }),
 
     // --- message passing ---
     "g_aggregate_messages" -> ((s, dir) => {
@@ -572,6 +603,33 @@ object SparkEntry {
          |SELECT src AS a_id, dst AS b_id, 1 AS _hop FROM e
          |UNION ALL
          |SELECT e1.src, e2.dst, 2 FROM e e1 JOIN e e2 ON e2.src = e1.dst""".stripMargin,
+    "g_motif_fixed2" ->
+      s"""WITH e AS ($NE)
+         |SELECT e1.src AS a_id, e2.dst AS b_id
+         |FROM e e1 JOIN e e2 ON e2.src = e1.dst""".stripMargin,
+    "g_type_degrees" ->
+      """SELECT 'c' || CAST(o_custkey AS VARCHAR) AS id,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS INT) AS deg_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS INT) AS deg_o,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS INT) AS deg_p
+        |FROM orders GROUP BY 1""".stripMargin,
+    "g_sampling_convolution" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    LEAD(vec_id, 1) OVER (ORDER BY vec_id) AS n1,
+        |    LEAD(vec_id, 2) OVER (ORDER BY vec_id) AS n2
+        |  FROM embeddings),
+        |nb AS (SELECT e0.vec_id, e0.v, a.v AS v1, b.v AS v2
+        |  FROM e0 LEFT JOIN e0 a ON a.vec_id = e0.n1
+        |  LEFT JOIN e0 b ON b.vec_id = e0.n2),
+        |m AS (SELECT vec_id, v,
+        |  CASE WHEN v1 IS NULL AND v2 IS NULL THEN NULL
+        |       WHEN v2 IS NULL THEN v1
+        |       ELSE list_transform(range(1, 65), i -> (v1[i] + v2[i]) / 2.0)
+        |  END AS mean FROM nb)
+        |SELECT vec_id, CAST(128 AS INT) AS conv_dim,
+        |  ROUND(sqrt(list_dot_product(v, v) +
+        |    COALESCE(list_dot_product(mean, mean), 0.0)), 4) AS conv_norm
+        |FROM m""".stripMargin,
     "g_agg_neighbors" ->
       s"""WITH e AS ($NE)
          |SELECT src AS id, 1 AS hop, count(*) AS n, CAST(SUM(dst) AS BIGINT) AS sum_nbr

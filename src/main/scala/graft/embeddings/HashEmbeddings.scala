@@ -38,12 +38,15 @@ object HashEmbeddings {
     val walks = g.randomWalks
       .setWalkLength(walkLength).setWalksPerVertex(walksPerVertex).setSeed(seed)
       .run()
+    // symmetric window around the (1-based) center p+1: [p+1-window,
+    // p+1+window] clamped to the walk — deriving the length from the
+    // clamped ends keeps early centers from over-extending rightward
+    val start = greatest(col("_pos") - window + 1, lit(1))
+    val end = least(col("_pos") + window + 1, size(col("random_walk")))
     val pairs = walks
       .select(posexplode(col("random_walk")).as(Seq("_pos", "_center")), col("random_walk"))
       .select(col("_center"),
-        explode(slice(col("random_walk"),
-          greatest(col("_pos") - window + 1, lit(1)),
-          lit(2 * window + 1))).as("_context"))
+        explode(slice(col("random_walk"), start, end - start + 1)).as("_context"))
       .filter(col("_center") =!= col("_context"))
       .select(col("_center").cast("string").as("item"),
         col("_context").cast("string").as("context"))

@@ -42,9 +42,15 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 }
 
 object ArrayDotProduct {
-  /** Primitive-loop kernel shared by interpreted and generated code. */
+  /** Primitive-loop kernel shared by interpreted and generated code.
+   * Mismatched lengths throw: a silent partial dot product would make
+   * similarity results quietly wrong under schema drift or bad upstream
+   * data, matching the strictness of the type check. */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"ArrayDotProduct: dimension mismatch (${n} vs ${b.numElements()})")
     var s = 0.0
     var i = 0
     while (i < n) {

@@ -28,6 +28,8 @@ class ConnectedComponents(g: GraphFrame) {
   private var checkpointIntervalV: Int = 2
   private var algorithmV: String = "two_phase"
 
+  private var reliableDirV: Option[String] = None
+
   def maxIter(n: Int): this.type = { maxIterV = n; this }
   def setCheckpointInterval(n: Int): this.type = { checkpointIntervalV = n; this }
   /** "two_phase" (default) or "randomized_contraction"
@@ -36,6 +38,12 @@ class ConnectedComponents(g: GraphFrame) {
     require(Set("two_phase", "randomized_contraction").contains(a),
       s"unknown connected-components algorithm '$a'")
     algorithmV = a; this
+  }
+  /** Reliable checkpointing under `dir`: per-round state survives executor
+   * loss (local checkpoints — the default — do not; on a real cluster a
+   * long contraction would restart from round 0). */
+  def setUseReliableCheckpoint(dir: String): this.type = {
+    reliableDirV = Some(dir); this
   }
 
   private var labelsAsComponents: Boolean = false
@@ -54,9 +62,11 @@ class ConnectedComponents(g: GraphFrame) {
 
   def run(): DataFrame = {
     val raw =
-      if (algorithmV == "randomized_contraction")
-        new RandomizedContraction(g).maxIter(maxIterV).run()
-      else runTwoPhase()
+      if (algorithmV == "randomized_contraction") {
+        val rc = new RandomizedContraction(g).maxIter(maxIterV)
+        reliableDirV.foreach(rc.setUseReliableCheckpoint)
+        rc.run()
+      } else runTwoPhase()
     if (!labelsAsComponents) raw
     else {
       import org.apache.spark.sql.expressions.Window
@@ -66,7 +76,7 @@ class ConnectedComponents(g: GraphFrame) {
   }
 
   private def runTwoPhase(): DataFrame = {
-    val mgr = new IterationManager(checkpointIntervalV)
+    val mgr = IterationManager.withReliableDir(g.spark, reliableDirV, checkpointIntervalV)
     // surrogate-id table feeds both the edge translation and the final
     // label join — for non-integral ids it costs a shuffle+sort, so cache
     // it instead of recomputing per consumer

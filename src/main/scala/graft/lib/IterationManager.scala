@@ -22,6 +22,24 @@ import org.apache.spark.storage.StorageLevel
  * is unpersisted only after the new one is materialized, so recomputation
  * never cascades.
  */
+private[graft] object IterationManager {
+  /** Build a manager honoring an optional reliable-checkpoint directory:
+   * when set, lineage cuts go through `df.checkpoint()` into the cluster
+   * filesystem (surviving executor loss — a 100-round iteration resumes
+   * from the last cut instead of restarting), at the cost of FS writes;
+   * when unset, the default `localCheckpoint` keeps blocks in executor
+   * storage (fastest, but executor loss restarts the iteration). */
+  def withReliableDir(spark: org.apache.spark.sql.SparkSession,
+      dir: Option[String], checkpointInterval: Int = 2,
+      storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): IterationManager =
+    dir match {
+      case Some(d) =>
+        spark.sparkContext.setCheckpointDir(d)
+        new IterationManager(checkpointInterval, storageLevel, useLocalCheckpoint = false)
+      case None => new IterationManager(checkpointInterval, storageLevel)
+    }
+}
+
 private[graft] class IterationManager(
     checkpointInterval: Int = 2,
     storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,

@@ -30,6 +30,12 @@ class PageRank(g: GraphFrame) {
   /** Personalized PageRank from a single source vertex. */
   def sourceId(id: Any): this.type = { srcIdV = Some(id); this }
 
+  private var reliableDirV: Option[String] = None
+  /** Reliable checkpointing under `dir` (see Pregel.setUseReliableCheckpoint). */
+  def setUseReliableCheckpoint(dir: String): this.type = {
+    reliableDirV = Some(dir); this
+  }
+
   def run(): GraphFrame = {
     val outDeg = g.outDegrees
     val v = g.vertices.join(outDeg, Seq(ID), "left_outer")
@@ -58,6 +64,7 @@ class PageRank(g: GraphFrame) {
       .sendMsgToDst(Pregel.src("pagerank") / Pregel.src("_pr_outdeg"))
       .aggMsgs(sum(Pregel.msg))
       .setMaxIter(if (tolV.isDefined) 100 else maxIterV)
+    reliableDirV.foreach(pregel.setUseReliableCheckpoint)
 
     tolV.foreach { t =>
       pregel

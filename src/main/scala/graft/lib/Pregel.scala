@@ -46,6 +46,7 @@ class Pregel(g: GraphFrame) {
   private var stopIfAllNonActive: Boolean = false
   private var skipMessagesFromNonActive: Boolean = false
   private var storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK
+  private var reliableCheckpointDir: Option[String] = None
 
   /** Add (or replace the init/update of) a stateful vertex column.
    * `initExpr` sees the original vertex columns; `updateExpr` sees the
@@ -76,6 +77,14 @@ class Pregel(g: GraphFrame) {
   /** Drop messages whose *sending* endpoint is inactive. */
   def setSkipMessagesFromNonActiveVertices(b: Boolean): this.type = { skipMessagesFromNonActive = b; this }
   def setIntermediateStorageLevel(l: StorageLevel): this.type = { storageLevel = l; this }
+  /** Cut lineage through reliable `checkpoint()` files under `dir` instead
+   * of `localCheckpoint` — iteration state survives executor loss (resumes
+   * from the last cut rather than restarting), at the cost of writing each
+   * cut to the cluster filesystem (reference mixins.scala:28-63
+   * `useLocalCheckpoints` toggle). */
+  def setUseReliableCheckpoint(dir: String): this.type = {
+    reliableCheckpointDir = Some(dir); this
+  }
 
   /** True when any message expression references a `dst.<field>` other than
    * `dst.id` — only then is the dst-side vertex join required. */
@@ -165,7 +174,8 @@ class Pregel(g: GraphFrame) {
         (if (updateActiveExpr.isDefined) Seq(initialActiveExpr.as(ACTIVE_COL)) else Nil)
       ).toIndexedSeq: _*)
 
-    val mgr = new IterationManager(checkpointInterval, storageLevel)
+    val mgr = IterationManager.withReliableDir(g.spark, reliableCheckpointDir,
+      checkpointInterval, storageLevel)
     state = mgr.cycle(state, 0)
 
     var iter = 1

@@ -27,9 +27,14 @@ class RandomizedContraction(g: GraphFrame) {
 
   private var maxIterV: Int = 50
   private var seedV: Long = 42L
+  private var reliableDirV: Option[String] = None
 
   def maxIter(n: Int): this.type = { maxIterV = n; this }
   def seed(s: Long): this.type = { seedV = s; this }
+  /** Reliable checkpointing under `dir` (see ConnectedComponents). */
+  def setUseReliableCheckpoint(dir: String): this.type = {
+    reliableDirV = Some(dir); this
+  }
 
   def run(): DataFrame = {
     val iv = g.indexedVertices.select(col(LONG_ID).as("vid"), col(ID))
@@ -39,7 +44,7 @@ class RandomizedContraction(g: GraphFrame) {
       .select(least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst"))
       .distinct()
 
-    val mgr = new IterationManager()
+    val mgr = IterationManager.withReliableDir(g.spark, reliableDirV)
     ee = mgr.cycle(ee, 0)
     val repTables = ArrayBuffer.empty[DataFrame]
     val rnd = new scala.util.Random(seedV)

@@ -24,8 +24,16 @@ class StronglyConnectedComponents(g: GraphFrame) {
   import GraphFrame.{ID, LONG_ID, LONG_SRC, LONG_DST}
 
   private var maxIterV: Int = 100
+  private var reliableDirV: Option[String] = None
 
   def maxIter(n: Int): this.type = { maxIterV = n; this }
+  /** Reliable checkpointing under `dir` (see ConnectedComponents). */
+  def setUseReliableCheckpoint(dir: String): this.type = {
+    reliableDirV = Some(dir); this
+  }
+
+  private def newMgr(): IterationManager =
+    IterationManager.withReliableDir(g.spark, reliableDirV)
 
   def run(): DataFrame = {
     val iv = g.indexedVertices.select(col(LONG_ID).as("vid"), col(ID))
@@ -34,8 +42,8 @@ class StronglyConnectedComponents(g: GraphFrame) {
       .filter(col("src") =!= col("dst"))
       .distinct()
 
-    val remMgr = new IterationManager()
-    val reMgr = new IterationManager()
+    val remMgr = newMgr()
+    val reMgr = newMgr()
     var rem = remMgr.persistOnly(iv.select(col("vid")))
     var re = reMgr.persistOnly(e0)
     val assignedParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -49,7 +57,7 @@ class StronglyConnectedComponents(g: GraphFrame) {
       // Empty frontier == fixpoint, so the loop needs ONE frontier-sized
       // probe per round instead of a full-table checksum, and each round
       // joins only frontier-adjacent edges rather than the whole edge set.
-      val cmgr = new IterationManager()
+      val cmgr = newMgr()
       var colors = cmgr.cycle(
         rem.select(col("vid"), col("vid").as("color"), lit(true).as("_chg")), 0)
       var it = 1
@@ -73,7 +81,7 @@ class StronglyConnectedComponents(g: GraphFrame) {
         .join(colorsP.select(col("vid").as("dst"), col("color").as("_c2")), Seq("dst"))
         .filter(col("_c1") === col("_c2"))
         .select(col("dst").as("from"), col("src").as("to"))
-      val bmgr = new IterationManager()
+      val bmgr = newMgr()
       val sameColorRevP = bmgr.persistOnly(sameColorRev)
       var reached = bmgr.persistOnly(
         colorsP.filter(col("vid") === col("color")).select(col("vid"), col("color")))

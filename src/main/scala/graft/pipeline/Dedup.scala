@@ -125,13 +125,20 @@ object Dedup {
    * Returns (a, b, shared, jaccard). The shingle inverted index bounds the
    * join fan-out to co-occurring shingles only. */
   def ngramJaccard(df0: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, minShared: Int = 3): DataFrame = {
+      n: Int = 3, minShared: Int = 3, maxDocFreq: Int = 1000): DataFrame = {
     val df = ensureParallelism(df0)
     val sh = df.select(col(idCol).as("_d_id"),
         explode(Text.wordShingles(col(textCol), n)).as("s"))
       .distinct()
     val sizes = sh.groupBy("_d_id").agg(count(lit(1)).as("n_sh"))
-    val shared = sh.as("x").join(sh.as("y"),
+    // stop-shingle guard: a shingle shared by d documents fans the
+    // self-join out d² — cap document frequency so one boilerplate phrase
+    // can't go quadratic (its pairs carry ~no Jaccard signal anyway).
+    // NOTE: exact Jaccard denominators still use the uncapped sizes.
+    val rare = sh.groupBy("s").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDocFreq).select("s")
+    val shJ = sh.join(rare, Seq("s"), "left_semi")
+    val shared = shJ.as("x").join(shJ.as("y"),
         col("x.s") === col("y.s") && col("x._d_id") < col("y._d_id"))
       .groupBy(col("x._d_id").as("a"), col("y._d_id").as("b"))
       .agg(count(lit(1)).as("shared"))

@@ -99,6 +99,23 @@ class AlgorithmsSpec extends TestBase {
     assert(m(0L) != m(3L))
   }
 
+  test("reliable checkpointing: CC and Pregel write cuts to the checkpoint dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    // force the distributed loop so IterationManager cycles actually run
+    val cc = twoBlobs(3).connectedComponents
+      .setSmallGraphThreshold(0).setUseReliableCheckpoint(dir).run()
+      .select("id", "component").as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet.size == 1)
+    val pr = chain(4).pageRank.maxIter(3).setUseReliableCheckpoint(dir).run()
+      .vertices.select("id", "pagerank").as[(Long, Double)].collect()
+    assert(pr.length == 4 && pr.forall(_._2 > 0))
+    // reliable cuts leave rdd checkpoint files behind (local ones don't)
+    def countFiles(p: java.io.File): Int =
+      if (p.isDirectory) p.listFiles.map(countFiles).sum else 1
+    assert(countFiles(new java.io.File(dir)) > 0,
+      "no checkpoint files written under the reliable dir")
+  }
+
   test("connectedComponents: distributed supersteps and union-find fast path agree") {
     for (g <- Seq(twoBlobs(3), chain(9), star(5), friends)) {
       val fast = g.connectedComponents.run()

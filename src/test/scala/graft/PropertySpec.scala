@@ -78,6 +78,26 @@ class PropertySpec extends TestBase {
     assert(!pairs.contains((3L, 4L)))
   }
 
+  test("ngramJaccard stop-shingle cap bounds fan-out without touching rare pairs") {
+    import org.apache.spark.sql.functions._
+    // every doc shares the boilerplate header; only 1/2 truly overlap
+    val docs = (1 to 20).map { i =>
+      val tail = if (i <= 2) "alpha beta gamma delta epsilon zeta"
+        else s"unique$i word$i token$i item$i thing$i stuff$i"
+      (i.toLong, s"common header line four $tail")
+    }.toDF("doc_id", "text")
+    // uncapped: the shared header makes every doc pair a candidate
+    val all = pipeline.Dedup.ngramJaccard(docs, "doc_id", "text", minShared = 2)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(all.size >= 190, s"expected all-pairs from the stop shingle, got ${all.size}")
+    // capped: boilerplate shingles (df=20 > 5) drop; only the real overlap
+    // (docs 1,2 share 4 tail shingles) survives minShared
+    val capped = pipeline.Dedup.ngramJaccard(docs, "doc_id", "text",
+      minShared = 2, maxDocFreq = 5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L)), s"got $capped")
+  }
+
   test("simhash of identical docs is identical; hamming grows with edits") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

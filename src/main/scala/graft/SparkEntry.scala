@@ -312,6 +312,12 @@ object SparkEntry {
       pipeline.Text.quality(load(s, dir, "documents"), "doc_id", "text")),
     "p_fingerprint" -> ((s, dir) =>
       pipeline.Text.fingerprint(load(s, dir, "documents"), "doc_id", "text")),
+    "p_repetition" -> ((s, dir) =>
+      pipeline.Text.repetitionRatio(load(s, dir, "documents"), "doc_id", "text", n = 2)),
+    "p_sample_stratified" -> ((s, dir) =>
+      pipeline.Sampling.stratifiedHashSample(load(s, dir, "documents"), "doc_id", "lang",
+        fraction = 0.5)
+        .select(col("doc_id"), col("lang"))),
 
     // --- pipeline: events ---
     "e_window_agg" -> ((s, dir) =>
@@ -877,6 +883,16 @@ object SparkEntry {
          |SELECT doc_id, md5(COALESCE(array_to_string(
          |  list_sort(list_filter(hs, h -> substr(h, 32, 1) IN ('0', '1'))), ''), '')) AS fingerprint
          |FROM s""".stripMargin,
+    "p_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+         |s AS (SELECT doc_id, [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))] AS sh FROM t)
+         |SELECT doc_id, ROUND(CASE WHEN len(sh) > 0
+         |  THEN 1.0 - len(list_distinct(sh)) / CAST(len(sh) AS DOUBLE)
+         |  ELSE 0.0 END, 4) AS rep_ratio
+         |FROM s""".stripMargin,
+    "p_sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${duckHex4("md5('42|' || lang || '|' || CAST(doc_id AS VARCHAR))")} < 32768""".stripMargin,
     "e_window_agg" ->
       """SELECT event_type,
         |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS window_start,

@@ -95,7 +95,54 @@ private[graft] object MotifCompiler {
 
   private case class State(df: Option[DataFrame], seenV: Set[String])
 
-  private def compileOriented(g: GraphFrame, patternsSeq: Seq[Pattern]): DataFrame = {
+  private def vertsOf(p: Pattern): Set[String] = p match {
+    case VertexPattern(NamedVertex(n)) => Set(n)
+    case EdgePattern(a, _, b) => Set(a, b).collect { case NamedVertex(n) => n }.toSet
+    case UndirectedEdgePattern(a, _, b) =>
+      Set(a, b).collect { case NamedVertex(n) => n }.toSet
+    case Negation(e) => vertsOf(e)
+    case _ => Set.empty
+  }
+
+  /** Connectivity-aware join ordering (the reference leaves this as a
+   * TODO and joins in user order): a positive term sharing no vertex with
+   * the bound set is deferred while any later term connects, so
+   * `(a)-[]->(b); (c)-[]->(d); (b)-[]->(c)` plans as three equi-joins
+   * instead of manifesting an (edges × edges) cartesian at term two.
+   * Safe because positive inner equi-joins commute under bag semantics;
+   * negations are barriers (pending terms flush before them, preserving
+   * the user-ordered `except` scope), and genuinely disconnected patterns
+   * still cross-join exactly as written. */
+  private def reorderForConnectivity(ps: Seq[Pattern]): Seq[Pattern] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Pattern]
+    val pending = scala.collection.mutable.ArrayBuffer.empty[Pattern]
+    var bound = Set.empty[String]
+    def applyP(p: Pattern): Unit = { out += p; bound ++= vertsOf(p) }
+    def flushConnected(): Unit = {
+      var progress = true
+      while (progress) {
+        val i = pending.indexWhere(p => vertsOf(p).exists(bound.contains))
+        progress = i >= 0
+        if (progress) applyP(pending.remove(i))
+      }
+    }
+    ps.foreach {
+      case n @ Negation(_) =>
+        pending.foreach(applyP); pending.clear()
+        applyP(n)
+        flushConnected()
+      case p =>
+        val vs = vertsOf(p)
+        if (out.isEmpty || vs.isEmpty || vs.exists(bound.contains)) {
+          applyP(p); flushConnected()
+        } else pending += p
+    }
+    pending.foreach(applyP)
+    out.toSeq
+  }
+
+  private def compileOriented(g: GraphFrame, patternsSeq0: Seq[Pattern]): DataFrame = {
+    val patternsSeq = reorderForConnectivity(patternsSeq0)
     var tmpCounter = 0
     def freshName(): String = { tmpCounter += 1; s"__tmp$tmpCounter" }
 

@@ -82,6 +82,19 @@ object Text {
       round(nStop / greatest(nTok, lit(1)).cast("double"), 4).as("stop_ratio"))
   }
 
+  /** Within-document repetition: the fraction of duplicate `n`-word
+   * shingles (the Gopher-style repetition quality rule — high values mean
+   * boilerplate or degenerate generation loops). (id, rep_ratio 4dp);
+   * 0.0 for documents too short to shingle. Pure narrow projection. */
+  def repetitionRatio(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame = {
+    val sh = wordShingles(col(textCol), n)
+    df.select(col(idCol),
+      round(when(size(sh) > 0,
+          lit(1.0) - size(array_distinct(sh)) / size(sh).cast("double"))
+        .otherwise(lit(0.0)), 4).as("rep_ratio"))
+  }
+
   /** Winnowing-style document fingerprint: hash all `n`-word shingles,
    * keep the deterministic 1/8 sample (hash suffix in {0,1}), and hash the
    * sorted selection. Near-identical documents collide with high

@@ -5,6 +5,26 @@ import org.apache.spark.sql.functions._
 class MotifSpec extends TestBase {
   import spark.implicits._
 
+  test("join reorder: disconnected-in-user-order motif avoids the cartesian") {
+    // user order puts (c)-[]->(d) before anything binds c — naive
+    // left-to-right folding manifests an edges×edges cross join there
+    val df = friends.find("(a)-[]->(b); (c)-[]->(d); (b)-[]->(c)")
+    val ordered = friends.find("(a)-[]->(b); (b)-[]->(c); (c)-[]->(d)")
+    assert(rows(df.select($"a.id", $"b.id", $"c.id", $"d.id")) ==
+      rows(ordered.select($"a.id", $"b.id", $"c.id", $"d.id")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "reorder failed to remove the cross join")
+    // genuinely disconnected patterns still cross-join exactly as written
+    val cross = friends.find("(a)-[e1]->(b); (c)-[e2]->(d)")
+    assert(cross.count() == 64) // 8 edges squared
+    // negation barrier: reorder must not move terms across the except
+    val neg = friends.find("(a)-[]->(b); (c)-[]->(d); (b)-[]->(c); !(a)-[]->(d)")
+    val negOrdered = friends.find("(a)-[]->(b); (b)-[]->(c); (c)-[]->(d); !(a)-[]->(d)")
+    assert(rows(neg.select($"a.id", $"b.id", $"c.id", $"d.id")) ==
+      rows(negOrdered.select($"a.id", $"b.id", $"c.id", $"d.id")))
+  }
+
   test("single edge (a)-[e]->(b)") {
     val df = friends.find("(a)-[e]->(b)")
     assert(df.columns.toSeq == Seq("a", "e", "b"))

@@ -98,6 +98,44 @@ class PropertySpec extends TestBase {
     assert(capped == Set((1L, 2L)), s"got $capped")
   }
 
+  test("hash sampling: deterministic, ~fraction kept, strata independent") {
+    import org.apache.spark.sql.functions._
+    val rowsIn = (1 to 2000).map(i => (i.toLong, if (i % 4 == 0) "de" else "en"))
+      .toDF("id", "lang")
+    val s1 = pipeline.Sampling.hashSample(rowsIn, "id", 0.5).select("id").as[Long].collect().toSet
+    val s2 = pipeline.Sampling.hashSample(rowsIn, "id", 0.5).select("id").as[Long].collect().toSet
+    assert(s1 == s2, "hash sample must be deterministic")
+    assert(math.abs(s1.size - 1000) < 100, s"~50% expected, got ${s1.size}")
+    // nested property: raising the fraction only adds rows
+    val s25 = pipeline.Sampling.hashSample(rowsIn, "id", 0.25).select("id").as[Long].collect().toSet
+    assert(s25.subsetOf(s1))
+    // stratified: per-stratum rate holds for the minority stratum too
+    val st = pipeline.Sampling.stratifiedHashSample(rowsIn, "id", "lang", 0.5)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(math.abs(st("de") - 250) < 60, s"de stratum off: ${st("de")}")
+    assert(math.abs(st("en") - 750) < 90, s"en stratum off: ${st("en")}")
+    // a stratum's sample doesn't change when another stratum's rows do
+    val deOnly = pipeline.Sampling.stratifiedHashSample(
+      rowsIn.filter($"lang" === "de"), "id", "lang", 0.5)
+      .select("id").as[Long].collect().toSet
+    val deFromFull = pipeline.Sampling.stratifiedHashSample(rowsIn, "id", "lang", 0.5)
+      .filter($"lang" === "de").select("id").as[Long].collect().toSet
+    assert(deOnly == deFromFull)
+  }
+
+  test("repetition ratio: 0 for distinct text, high for loops, 0 for short docs") {
+    val docs = Seq(
+      (1L, "one two three four five"),          // all bigrams distinct
+      (2L, "spam spam spam spam spam spam"),    // one distinct bigram of 5
+      (3L, "word")                              // too short to shingle
+    ).toDF("doc_id", "text")
+    val m = pipeline.Text.repetitionRatio(docs, "doc_id", "text", n = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(m(1L) == 0.0)
+    assert(m(2L) == 0.8) // 5 bigrams, 1 distinct => 1 - 1/5
+    assert(m(3L) == 0.0)
+  }
+
   test("simhash of identical docs is identical; hamming grows with edits") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -41,6 +41,16 @@ object EventStreams {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: keep the first arrival per key, with state
+   * bounded by the watermark horizon (late duplicates beyond it are
+   * dropped by the watermark, so state never grows with stream length) —
+   * the incremental form of [[graft.pipeline.Dedup.exact]] for event or
+   * document streams. `keyCols` should include the content hash. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "2 hours", tsCol: String = "ts_utc"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   case class SessionEvent(user_id: Long, ts_ms: Long)
   case class SessionState(start: Long, last: Long, n: Long)
   case class SessionOut(user_id: Long, session_start_ms: Long, n_events: Long, duration_ms: Long)
@@ -52,10 +62,12 @@ object EventStreams {
    * empty batches otherwise keep `processAllAvailable` spinning). */
   def sessionizeStream(events: DataFrame, gapMinutes: Int = 30,
       timeout: org.apache.spark.sql.streaming.GroupStateTimeout =
-        GroupStateTimeout.ProcessingTimeTimeout): Dataset[SessionOut] = {
+        GroupStateTimeout.ProcessingTimeTimeout,
+      timeoutDurationMs: Option[Long] = None): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val useTimeout = timeout == GroupStateTimeout.ProcessingTimeTimeout
     val gapMs = gapMinutes * 60L * 1000L
+    val idleFlushMs = timeoutDurationMs.getOrElse(gapMs)
     events
       .select(col("user_id"), unix_millis(col("ts_utc")).as("ts_ms"))
       .as[SessionEvent]
@@ -82,7 +94,7 @@ object EventStreams {
           } else {
             cur.foreach { s =>
               state.update(s)
-              if (useTimeout) state.setTimeoutDuration(gapMs)
+              if (useTimeout) state.setTimeoutDuration(idleFlushMs)
             }
           }
           out.iterator

@@ -248,6 +248,56 @@ class ExtendedSpec extends TestBase {
     assert(got.subsetOf(all))
   }
 
+  test("streaming sessionization: processing-time timeout flushes idle users") {
+    import graft.streaming.EventStreams
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long)] // (user_id, ts_ms)
+    val events = in.toDF().toDF("user_id", "ms")
+      .withColumn("ts_utc", timestamp_millis($"ms"))
+    val q = EventStreams.sessionizeStream(events, gapMinutes = 30,
+        timeoutDurationMs = Some(1L)) // fire the idle flush on the next trigger
+      .writeStream.format("memory").queryName("sess_timeout")
+      .outputMode("append").start()
+    // user 1: two events in one session, then goes idle forever. NOTE:
+    // processAllAvailable is unusable with processing-time timeouts (the
+    // timeout sweep schedules follow-up batches, so "available" never
+    // drains) — poll the sink, nudging batches along with another user's
+    // events so the engine keeps sweeping timed-out state.
+    in.addData((1L, 1000L), (1L, 61000L))
+    val deadline = System.currentTimeMillis() + 60000
+    var nudge = 0L
+    def user1Rows() = spark.table("sess_timeout")
+      .filter($"user_id" === 1L)
+      .select("user_id", "n_events", "duration_ms").as[(Long, Long, Long)].collect()
+    while (user1Rows().isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(300)
+      nudge += 1
+      in.addData((2L, 1000L + nudge)) // keeps micro-batches (and sweeps) coming
+    }
+    q.stop()
+    assert(user1Rows().toSet == Set((1L, 2L, 60000L)),
+      s"timeout flush expected user 1's open session, got ${user1Rows().toSeq}")
+  }
+
+  test("streaming dedup keeps first arrival per key within the watermark") {
+    import graft.streaming.EventStreams
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, Long)] // (content_hash, ts_ms)
+    val docs = in.toDF().toDF("fp", "ms")
+      .withColumn("ts_utc", timestamp_millis($"ms"))
+    val q = EventStreams.dedupStream(docs, Seq("fp"), watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    in.addData(("a", 1000L), ("b", 2000L), ("a", 3000L))
+    q.processAllAvailable()
+    in.addData(("a", 4000L), ("c", 5000L)) // later dup of a + new key
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("dedup_out").select("fp").as[String].collect().sorted
+    assert(kept.toSeq == Seq("a", "b", "c"), s"got ${kept.toSeq}")
+  }
+
   test("grid Ising belief updates: bounded, deterministic, isolated = tanh(a)") {
     import graft.examples.GridIsing
     val g = GridIsing.gridIsingModel(spark, 4)

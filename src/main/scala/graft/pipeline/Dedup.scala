@@ -78,24 +78,78 @@ object Dedup {
     df.select(col(idCol), fp.as("simhash"))
   }
 
+  /** Cluster similarity pairs into components and map every row of `df`
+   * to its component's minimum id (`keep_id`, itself for singletons).
+   * Small pair sets (the overwhelmingly common case after LSH banding —
+   * dozens to thousands of edges out of millions of documents) are
+   * union-found on the driver in one job; anything bigger runs the
+   * distributed GraphFrame CC, which is the 100 TB path. Both label with
+   * the natural-ordering minimum id, so results are identical. */
+  private[graft] def clusterReps(df: DataFrame, idCol: String, pairs0: DataFrame,
+      smallThreshold: Long = 100000L): DataFrame = {
+    // the pair frame is the output of the whole LSH chain — persist it so
+    // the size probe and the consumer (collect or CC) share one computation
+    val pairs = pairs0.persist()
+    val nPairs = pairs.count()
+    val reps =
+      if (nPairs <= smallThreshold) {
+        val rows = pairs.collect()
+        pairs.unpersist(false)
+        val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+        val ord: Ordering[Any] = df.schema(idCol).dataType match {
+          case org.apache.spark.sql.types.StringType =>
+            Ordering.String.on[Any](_.asInstanceOf[String])
+          case org.apache.spark.sql.types.LongType =>
+            Ordering.Long.on[Any](_.asInstanceOf[Long])
+          case org.apache.spark.sql.types.IntegerType =>
+            Ordering.Int.on[Any](_.asInstanceOf[Int])
+          case t => throw new IllegalArgumentException(s"unsupported id type $t")
+        }
+        def find(x: Any): Any = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        rows.foreach { row =>
+          val ra = find(row.get(0)); val rb = find(row.get(1))
+          if (ra != rb) {
+            if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        val seen = rows.iterator.flatMap(r => Iterator(r.get(0), r.get(1))).toSet
+        val session = df.sparkSession
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol, df.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("_rep", df.schema(idCol).dataType)))
+        val repRows = seen.iterator
+          .map(v => org.apache.spark.sql.Row(v, find(v))).toSeq
+        broadcast(session.createDataFrame(
+          session.sparkContext.parallelize(repRows, 1), schema))
+      } else {
+        val g = graft.GraphFrame.fromEdges(
+          pairs.select(col("a").as(graft.GraphFrame.SRC), col("b").as(graft.GraphFrame.DST)))
+        val cc = g.connectedComponents.run() // materializes (and persists) labels
+        pairs.unpersist(false)
+        cc.select(col(graft.GraphFrame.ID).as(idCol),
+          min(graft.GraphFrame.ID).over(Window.partitionBy("component")).as("_rep"))
+      }
+    df.select(col(idCol))
+      .join(reps, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("_rep"), col(idCol)).as("keep_id"))
+  }
+
   /** End-to-end near-duplicate clustering: LSH candidate pairs become an
    * undirected similarity graph whose connected components are the dup
    * clusters; every document maps to its cluster's minimum id
    * (`keep_id` — itself for singletons). This is the full
    * dedup-at-100TB shape: shingle → minhash → band-bucket join →
-   * distributed CC → canonical representative. */
+   * CC (driver union-find when the pair graph is tiny) → canonical
+   * representative. */
   def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val pairs = minhashLsh(df, idCol, textCol, n, bands, rowsPerBand)
-    val g = graft.GraphFrame.fromEdges(
-      pairs.select(col("a").as(graft.GraphFrame.SRC), col("b").as(graft.GraphFrame.DST)))
-    val cc = g.connectedComponents.run()
-    val reps = cc.select(col(graft.GraphFrame.ID).as(idCol),
-      min(graft.GraphFrame.ID).over(Window.partitionBy("component")).as("_rep"))
-    df.select(col(idCol))
-      .join(reps, Seq(idCol), "left_outer")
-      .select(col(idCol), coalesce(col("_rep"), col(idCol)).as("keep_id"))
-  }
+      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    clusterReps(df, idCol, minhashLsh(df, idCol, textCol, n, bands, rowsPerBand))
 
   /** Embedding-space near-duplicate clustering: cosine-similar pairs above
    * `threshold` form the similarity graph; connected components give the
@@ -107,18 +161,10 @@ object Dedup {
    * use [[Similarity.bruteForcePairs]] and cluster those. */
   def embeddingDupClusters(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int = 8, planesPerBand: Int = 4,
-      dim: Int = 64): DataFrame = {
-    val pairs = Similarity.lshSimilarPairs(df, idCol, vecCol, threshold,
-      bands, planesPerBand, dim)
-    val g = graft.GraphFrame.fromEdges(
-      pairs.select(col("a").as(graft.GraphFrame.SRC), col("b").as(graft.GraphFrame.DST)))
-    val cc = g.connectedComponents.run()
-    val reps = cc.select(col(graft.GraphFrame.ID).as(idCol),
-      min(graft.GraphFrame.ID).over(Window.partitionBy("component")).as("_rep"))
-    df.select(col(idCol))
-      .join(reps, Seq(idCol), "left_outer")
-      .select(col(idCol), coalesce(col("_rep"), col(idCol)).as("keep_id"))
-  }
+      dim: Int = 64): DataFrame =
+    clusterReps(df, idCol,
+      Similarity.lshSimilarPairs(df, idCol, vecCol, threshold,
+        bands, planesPerBand, dim).select("a", "b"))
 
   /** n-gram Jaccard near-dup pairs: docs sharing >= `minShared` distinct
    * `n`-word shingles, with exact Jaccard over distinct shingle sets.

@@ -98,6 +98,19 @@ class PropertySpec extends TestBase {
     assert(capped == Set((1L, 2L)), s"got $capped")
   }
 
+  test("dedup clusterReps: driver union-find equals distributed CC labels") {
+    import org.apache.spark.sql.functions._
+    val docs = (1 to 30).map(i => Tuple1(s"d$i")).toDF("doc_id")
+    // components: {d1,d2,d3}, {d10,d11}, rest singletons
+    val pairs = Seq(("d1", "d2"), ("d2", "d3"), ("d10", "d11")).toDF("a", "b")
+    val fast = pipeline.Dedup.clusterReps(docs, "doc_id", pairs)
+      .as[(String, String)].collect().toMap
+    val dist = pipeline.Dedup.clusterReps(docs, "doc_id", pairs, smallThreshold = 0)
+      .as[(String, String)].collect().toMap
+    assert(fast == dist)
+    assert(fast("d3") == "d1" && fast("d11") == "d10" && fast("d5") == "d5")
+  }
+
   test("hash sampling: deterministic, ~fraction kept, strata independent") {
     import org.apache.spark.sql.functions._
     val rowsIn = (1 to 2000).map(i => (i.toLong, if (i % 4 == 0) "de" else "en"))

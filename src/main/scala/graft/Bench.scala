@@ -54,6 +54,7 @@ object Bench {
     // Recipe + raw numbers: tools/baseline_sidebyside.md.
     val baseline =
       """{"protocol":"LDBC-JMH 1 warmup + 3 avg, noop sink, local[16], sf0.1 trade graph (1190908 edges)",""" +
+      """"measured_at":"2026-08-12","note":"static recorded measurement, not re-run per bench; refresh with graft.BaselineBench + tools/baseline_sidebyside.md",""" +
       """"reference_sec":{"connected_components":14.73,"shortest_paths":2.22,"label_propagation":15.91},""" +
       """"graft_sec":{"connected_components":15.77,"shortest_paths":2.06,"label_propagation":15.47},""" +
       """"ratio_graft_over_reference_geomean":0.99}"""

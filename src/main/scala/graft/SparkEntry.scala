@@ -814,12 +814,16 @@ object SparkEntry {
          |JOIN q ON q.doc_id = d.doc_id JOIN kept k ON k.doc_id = d.doc_id""".stripMargin,
     "p_simhash" -> simhashSql(16),
     "p_ngram_jaccard" ->
+      // mirrors the stop-shingle document-frequency cap (maxDocFreq=1000):
+      // shared counts use only cap-surviving shingles; sizes stay uncapped
       s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
          |s AS (SELECT doc_id, unnest($SH3) AS sh FROM t WHERE len(w) >= 3),
          |d AS (SELECT DISTINCT doc_id, sh FROM s),
          |sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
+         |rare AS (SELECT sh FROM d GROUP BY sh HAVING count(*) <= 1000),
+         |dc AS (SELECT d.doc_id, d.sh FROM d JOIN rare USING (sh)),
          |pr AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
-         |       FROM d x JOIN d y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |       FROM dc x JOIN dc y ON x.sh = y.sh AND x.doc_id < y.doc_id
          |       GROUP BY 1, 2 HAVING count(*) >= 3)
          |SELECT a, b, shared,
          |  ROUND(shared / CAST(sa.n + sb.n - shared AS DOUBLE), 4) AS jaccard

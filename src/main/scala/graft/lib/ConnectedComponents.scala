@@ -92,9 +92,10 @@ class ConnectedComponents(g: GraphFrame) {
     ee = mgr.cycle(ee, 0)
 
     // one job finishes any graph already under the union-find threshold
-    // (e.g. LSH dedup pair graphs: dozens of edges, full label fidelity)
-    val nEdges0 = ee.count()
-    if (smallGraphThresholdV > 0 && nEdges0 <= smallGraphThresholdV)
+    // (e.g. LSH dedup pair graphs: dozens of edges, full label fidelity);
+    // the count only runs when the fast path is enabled (ee is already
+    // materialized by the checkpoint cut, so it reads the cache)
+    if (smallGraphThresholdV > 0 && ee.count() <= smallGraphThresholdV)
       return finishWithUnionFind(ee, iv, mgr)
 
     var prevChecksum: Option[Row] = None
@@ -152,25 +153,15 @@ class ConnectedComponents(g: GraphFrame) {
    * the labels back. One job instead of one per superstep. */
   private def finishWithUnionFind(ee: DataFrame, iv: DataFrame,
       mgr: IterationManager): DataFrame = {
-    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent(r)
-      var c = x
-      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-      r
-    }
     val edges = ee.select(col("src").cast("long"), col("dst").cast("long"))
       .collect()
-    edges.foreach { row =>
-      val ra = find(row.getLong(0)); val rb = find(row.getLong(1))
-      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-    }
-    val seen = edges.iterator.flatMap(r => Iterator(r.getLong(0), r.getLong(1)))
-      .toSet[Long]
+    val labels = UnionFind.minLabels(
+      edges.iterator.map(r => (r.getLong(0), r.getLong(1))),
+      Ordering.Long.on[Any](_.asInstanceOf[Long]))
     val session = ee.sparkSession
     import session.implicits._
-    val compDF = seen.iterator.map(v => (v, find(v))).toSeq.toDF("vid", "comp")
+    val compDF = labels.map { case (v, c) => (v.asInstanceOf[Long], c.asInstanceOf[Long]) }
+      .toSeq.toDF("vid", "comp")
     val labeled = iv.join(broadcast(compDF), Seq("vid"), "left_outer")
       .select(col(ID), coalesce(col("comp"), col("vid")).as("component"))
     mgr.close()

@@ -28,13 +28,17 @@ private[graft] object IterationManager {
    * filesystem (surviving executor loss — a 100-round iteration resumes
    * from the last cut instead of restarting), at the cost of FS writes;
    * when unset, the default `localCheckpoint` keeps blocks in executor
-   * storage (fastest, but executor loss restarts the iteration). */
+   * storage (fastest, but executor loss restarts the iteration).
+   * NOTE: Spark's checkpoint directory is session-global — the last
+   * algorithm to set one wins for concurrent runs (set only when it
+   * actually differs to avoid churn). */
   def withReliableDir(spark: org.apache.spark.sql.SparkSession,
       dir: Option[String], checkpointInterval: Int = 2,
       storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): IterationManager =
     dir match {
       case Some(d) =>
-        spark.sparkContext.setCheckpointDir(d)
+        if (!spark.sparkContext.getCheckpointDir.exists(_.startsWith(d)))
+          spark.sparkContext.setCheckpointDir(d)
         new IterationManager(checkpointInterval, storageLevel, useLocalCheckpoint = false)
       case None => new IterationManager(checkpointInterval, storageLevel)
     }
@@ -58,9 +62,17 @@ private[graft] class IterationManager(
     if (doCheckpoint) {
       // localCheckpoint(eager=true) truncates lineage into executor block
       // storage; `reliable` checkpoint needs a checkpoint dir and spills
-      // to the cluster FS — slower but survives executor loss.
+      // to the cluster FS — slower but survives executor loss. The
+      // pre-checkpoint cache only exists so the checkpoint job computes
+      // the frame once; drop it as soon as the files are written or every
+      // cut leaks one cached copy of the full iteration state.
       val c = if (useLocalCheckpoint) df.localCheckpoint(true)
-      else { val x = df.persist(storageLevel).checkpoint(true); x }
+      else {
+        val p = df.persist(storageLevel)
+        val x = p.checkpoint(true)
+        p.unpersist(false)
+        x
+      }
       persisted.enqueue(c)
       // everything older than this materialized frame is now safe to drop
       while (persisted.size > 1) persisted.dequeue().unpersist(false)

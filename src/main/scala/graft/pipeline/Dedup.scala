@@ -91,40 +91,20 @@ object Dedup {
     // the size probe and the consumer (collect or CC) share one computation
     val pairs = pairs0.persist()
     val nPairs = pairs.count()
+    // id types without a Spark-faithful driver ordering route to the
+    // distributed path (same labels, just without the one-job shortcut)
+    val ordOpt = graft.lib.UnionFind.sparkOrdering(df.schema(idCol).dataType)
     val reps =
-      if (nPairs <= smallThreshold) {
+      if (nPairs <= smallThreshold && ordOpt.isDefined) {
         val rows = pairs.collect()
         pairs.unpersist(false)
-        val parent = scala.collection.mutable.HashMap.empty[Any, Any]
-        val ord: Ordering[Any] = df.schema(idCol).dataType match {
-          case org.apache.spark.sql.types.StringType =>
-            Ordering.String.on[Any](_.asInstanceOf[String])
-          case org.apache.spark.sql.types.LongType =>
-            Ordering.Long.on[Any](_.asInstanceOf[Long])
-          case org.apache.spark.sql.types.IntegerType =>
-            Ordering.Int.on[Any](_.asInstanceOf[Int])
-          case t => throw new IllegalArgumentException(s"unsupported id type $t")
-        }
-        def find(x: Any): Any = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent(r)
-          var c = x
-          while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
-          r
-        }
-        rows.foreach { row =>
-          val ra = find(row.get(0)); val rb = find(row.get(1))
-          if (ra != rb) {
-            if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
-          }
-        }
-        val seen = rows.iterator.flatMap(r => Iterator(r.get(0), r.get(1))).toSet
+        val labels = graft.lib.UnionFind.minLabels(
+          rows.iterator.map(r => (r.get(0), r.get(1))), ordOpt.get)
         val session = df.sparkSession
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField(idCol, df.schema(idCol).dataType),
           org.apache.spark.sql.types.StructField("_rep", df.schema(idCol).dataType)))
-        val repRows = seen.iterator
-          .map(v => org.apache.spark.sql.Row(v, find(v))).toSeq
+        val repRows = labels.map { case (v, r) => org.apache.spark.sql.Row(v, r) }.toSeq
         broadcast(session.createDataFrame(
           session.sparkContext.parallelize(repRows, 1), schema))
       } else {
@@ -158,7 +138,9 @@ object Dedup {
    * buckets ([[Similarity.lshSimilarPairs]]) — the 100 TB shape: an
    * equi-join on (band, bucket), never an O(n²) cross join. Recall is
    * governed by (bands, planesPerBand); for exact (small-data) semantics
-   * use [[Similarity.bruteForcePairs]] and cluster those. */
+   * use [[Similarity.bruteForcePairs]] and cluster those. `dim` must
+   * equal the embedding width — mismatches throw (strict dot product)
+   * rather than silently truncating. */
   def embeddingDupClusters(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int = 8, planesPerBand: Int = 4,
       dim: Int = 64): DataFrame =
@@ -167,9 +149,11 @@ object Dedup {
         bands, planesPerBand, dim).select("a", "b"))
 
   /** n-gram Jaccard near-dup pairs: docs sharing >= `minShared` distinct
-   * `n`-word shingles, with exact Jaccard over distinct shingle sets.
-   * Returns (a, b, shared, jaccard). The shingle inverted index bounds the
-   * join fan-out to co-occurring shingles only. */
+   * `n`-word shingles. Returns (a, b, shared, jaccard). The shingle
+   * inverted index bounds the join fan-out to co-occurring shingles, and
+   * shingles above `maxDocFreq` documents are excluded from the numerator
+   * (`shared`) — so `jaccard` is exact only while no shingle exceeds the
+   * cap, and a lower bound otherwise (denominators stay uncapped). */
   def ngramJaccard(df0: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minShared: Int = 3, maxDocFreq: Int = 1000): DataFrame = {
     val df = ensureParallelism(df0)

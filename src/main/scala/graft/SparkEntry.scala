@@ -257,6 +257,14 @@ object SparkEntry {
         .select(col("doc_id"), col("media_meta.format").as("format"),
           col("media_meta.n_bytes").as("n_bytes"))
     }),
+    "m_frame_sample" -> ((s, dir) => {
+      // every 4th 64-byte frame of the payload; frames shipped as md5 so
+      // the driver canonicalizer handles them
+      import graft.multimodal.Multimodal
+      val docs = load(s, dir, "documents").withColumn("payload", col("text").cast("binary"))
+      Multimodal.sampleFrames(docs, "doc_id", "payload", frameSize = 64, everyK = 4)
+        .select(col("doc_id"), col("frame_idx"), md5(col("frame")).as("frame_md5"))
+    }),
 
     // --- pipeline: dedup ---
     "p_dedup_exact" -> ((s, dir) =>
@@ -653,6 +661,14 @@ object SparkEntry {
     "m_media_meta" ->
       """SELECT doc_id, 'unknown' AS format,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents""".stripMargin,
+    "m_frame_sample" ->
+      """WITH f AS (SELECT doc_id,
+        |  [{'idx': i, 'h': md5(substr(text, CAST(i * 64 + 1 AS INT), 64))}
+        |   for i in range(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT))
+        |   if i % 4 = 0] AS frames
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(frames) AS fr FROM f)
+        |SELECT doc_id, CAST(fr.idx AS INT) AS frame_idx, fr.h AS frame_md5 FROM u""".stripMargin,
     "g_motif_open_triangle" ->
       s"""WITH e AS ($NE)
          |SELECT e1.src AS a_id, e1.dst AS b_id, e2.dst AS c_id

@@ -37,6 +37,46 @@ object Multimodal {
         fakeW.as("width"), fakeH.as("height")).as("media_meta"))
   }
 
+  /** Sample every `everyK`-th fixed-size frame from a binary payload:
+   * one output row per kept frame, (id, frame_idx, frame: binary). The
+   * fixed-size split is the STUB standing in for real container
+   * demuxing (a codec reads frame boundaries from the container); the
+   * Spark side — per-row bounded explode, byte slicing, column pruning —
+   * is real and fully codegen'd (no UDF). */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String,
+      frameSize: Int, everyK: Int): DataFrame = {
+    require(frameSize > 0 && everyK > 0, "frameSize and everyK must be positive")
+    val nFrames = ceil(length(col(binCol)) / lit(frameSize.toDouble)).cast("long")
+    val idxs = when(length(col(binCol)) > 0,
+        filter(sequence(lit(0L), nFrames - 1), i => i % everyK === 0))
+      .otherwise(array().cast("array<bigint>"))
+    df.select(col(idCol), col(binCol), explode(idxs).as("frame_idx"))
+      .select(col(idCol), col("frame_idx").cast("int").as("frame_idx"),
+        col(binCol).substr((col("frame_idx") * frameSize + 1).cast("int"),
+          lit(frameSize)).as("frame"))
+  }
+
+  /** Batched resize: (id, resized: binary) at `targetBytes` per payload.
+   * The kernel is a STUB (truncate/cycle-pad — a real implementation
+   * decodes, scales, re-encodes); the iterator-batched per-partition
+   * shape mirrors how a real image library would be driven. */
+  def resize(df: DataFrame, idCol: String, binCol: String,
+      targetBytes: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        // real pipeline: initialize the codec once per partition here
+        batch.map { case (id, bytes) =>
+          val out = new Array[Byte](targetBytes)
+          if (bytes.nonEmpty) {
+            var i = 0
+            while (i < targetBytes) { out(i) = bytes(i % bytes.length); i += 1 }
+          }
+          (id, out)
+        }
+      }.toDF(idCol, "resized")
+  }
+
   /** Per-partition batched feature extraction over binary payloads:
    * iterator-in/iterator-out so a real model could be loaded once per
    * partition and fed batches. The featurizer itself is a STUB

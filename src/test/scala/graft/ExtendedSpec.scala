@@ -331,6 +331,23 @@ class ExtendedSpec extends TestBase {
     assert(feats.map(_.feature.toSeq).toSeq == feats2.map(_.feature.toSeq).toSeq)
   }
 
+  test("multimodal: frame sampling and batched resize stubs") {
+    import graft.multimodal.Multimodal
+    // 10-byte payload, frameSize 4 -> frames at 0,1,2; everyK=2 keeps 0,2
+    val df = Seq((1L, "0123456789".getBytes("UTF-8")),
+      (2L, Array.empty[Byte])).toDF("id", "payload")
+    val frames = Multimodal.sampleFrames(df, "id", "payload", frameSize = 4, everyK = 2)
+      .select($"id", $"frame_idx", $"frame".cast("string"))
+      .as[(Long, Int, String)].collect().toSet
+    assert(frames == Set((1L, 0, "0123"), (1L, 2, "89")),
+      s"got $frames") // empty payload yields no frames; tail frame truncated
+    val resized = Multimodal.resize(df, "id", "payload", targetBytes = 6)
+      .select($"id", $"resized".cast("string")).as[(Long, String)].collect().toMap
+    assert(resized(1L) == "012345")
+    assert(resized(2L).getBytes("UTF-8").forall(_ == 0) || resized(2L).isEmpty ||
+      resized(2L) == " " * 6) // empty input: zero padding
+  }
+
   implicit class TupleMapOps[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }

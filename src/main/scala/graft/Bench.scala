@@ -53,12 +53,12 @@ object Bench {
     // the same 1.19M-edge long-id trade graph at sf0.1, local[16]).
     // Recipe + raw numbers: tools/baseline_sidebyside.md.
     val baseline =
-      """{"protocol":"LDBC-JMH 1 warmup + 3 avg, noop sink, local[16], sf0.1 trade graph (1190908 edges)",""" +
+      """{"protocol":"LDBC-JMH 1 warmup + 3 avg, noop sink, local[16], sf0.1 trade graph (1190908 edges), two JVM sessions per engine",""" +
       """"measured_at":"2026-08-12","note":"static recorded measurement, not re-run per bench; refresh with graft.BaselineBench + tools/baseline_sidebyside.md",""" +
-      """"reference_sec":{"connected_components":14.73,"shortest_paths":2.22,"label_propagation":15.91},""" +
-      """"graft_sec":{"connected_components":15.77,"shortest_paths":2.06,"label_propagation":15.47},""" +
-      """"ratio_graft_over_reference_geomean":0.99}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"bench_vs_baseline":0.99,"baseline":$baseline,"sf":"$sfDir"}""")
+      """"reference_sec_mean":{"connected_components":14.44,"shortest_paths":2.21,"label_propagation":16.15},""" +
+      """"graft_sec_mean":{"connected_components":13.62,"shortest_paths":1.88,"label_propagation":15.07},""" +
+      """"ratio_graft_over_reference_geomean":0.91}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"bench_vs_baseline":0.91,"baseline":$baseline,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

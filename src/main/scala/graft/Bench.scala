@@ -58,7 +58,10 @@ object Bench {
       """"reference_sec_mean":{"connected_components":14.44,"shortest_paths":2.21,"label_propagation":16.15},""" +
       """"graft_sec_mean":{"connected_components":13.62,"shortest_paths":1.88,"label_propagation":15.07},""" +
       """"ratio_graft_over_reference_geomean":0.91}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"bench_vs_baseline":0.91,"baseline":$baseline,"sf":"$sfDir"}""")
+    // `recorded_baseline_ratio` is the static measurement documented in the
+    // baseline object above — NOT recomputed per run (run graft.BaselineBench
+    // to refresh); named so no consumer mistakes it for a live gate.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"recorded_baseline_ratio":0.91,"baseline":$baseline,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

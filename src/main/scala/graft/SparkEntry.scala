@@ -258,12 +258,13 @@ object SparkEntry {
           col("media_meta.n_bytes").as("n_bytes"))
     }),
     "m_frame_sample" -> ((s, dir) => {
-      // every 4th 64-byte frame of the payload; frames shipped as md5 so
-      // the driver canonicalizer handles them
+      // every 4th 64-byte frame of the payload; frames shipped as hex so the
+      // oracle can slice the same BYTES (DuckDB hex(encode(text)) at 2-char
+      // offsets) — byte-exact parity even for multi-byte UTF-8 text
       import graft.multimodal.Multimodal
       val docs = load(s, dir, "documents").withColumn("payload", col("text").cast("binary"))
       Multimodal.sampleFrames(docs, "doc_id", "payload", frameSize = 64, everyK = 4)
-        .select(col("doc_id"), col("frame_idx"), md5(col("frame")).as("frame_md5"))
+        .select(col("doc_id"), col("frame_idx"), lower(hex(col("frame"))).as("frame_hex"))
     }),
 
     // --- pipeline: dedup ---
@@ -290,7 +291,7 @@ object SparkEntry {
       pipeline.Dedup.simhash(load(s, dir, "documents"), "doc_id", "text", bits = 16)),
     "p_ngram_jaccard" -> ((s, dir) =>
       pipeline.Dedup.ngramJaccard(load(s, dir, "documents"), "doc_id", "text",
-        n = 3, minShared = 3)),
+        n = 3, minShared = 3, maxDocFreq = 1000)),
 
     // --- pipeline: similarity ---
     "p_cosine_pairs" -> ((s, dir) =>
@@ -662,13 +663,16 @@ object SparkEntry {
       """SELECT doc_id, 'unknown' AS format,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents""".stripMargin,
     "m_frame_sample" ->
+      // byte-based framing: slice hex(utf8 bytes) at 2-hex-chars-per-byte
+      // offsets, so both sides frame the same octets regardless of
+      // multi-byte characters
       """WITH f AS (SELECT doc_id,
-        |  [{'idx': i, 'h': md5(substr(text, CAST(i * 64 + 1 AS INT), 64))}
+        |  [{'idx': i, 'h': lower(substr(lower(hex(encode(text))), CAST(i * 128 + 1 AS INT), 128))}
         |   for i in range(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT))
         |   if i % 4 = 0] AS frames
         |  FROM documents),
         |u AS (SELECT doc_id, unnest(frames) AS fr FROM f)
-        |SELECT doc_id, CAST(fr.idx AS INT) AS frame_idx, fr.h AS frame_md5 FROM u""".stripMargin,
+        |SELECT doc_id, CAST(fr.idx AS INT) AS frame_idx, fr.h AS frame_hex FROM u""".stripMargin,
     "g_motif_open_triangle" ->
       s"""WITH e AS ($NE)
          |SELECT e1.src AS a_id, e1.dst AS b_id, e2.dst AS c_id

@@ -23,6 +23,15 @@ import org.apache.spark.storage.StorageLevel
  * never cascades.
  */
 private[graft] object IterationManager {
+  /** (scheme, normalized path) of a dir given as a plain path or a URI;
+   * plain paths get scheme "file" so `/x` and `file:/x` compare equal. */
+  private def uriParts(s: String): (String, String) =
+    try {
+      val u = new java.net.URI(s)
+      val path = Option(u.getPath).filter(_.nonEmpty).getOrElse(s)
+      (Option(u.getScheme).getOrElse("file"), path.stripSuffix("/"))
+    } catch { case _: Exception => ("file", s.stripSuffix("/")) }
+
   /** Build a manager honoring an optional reliable-checkpoint directory:
    * when set, lineage cuts go through `df.checkpoint()` into the cluster
    * filesystem (surviving executor loss — a 100-round iteration resumes
@@ -31,14 +40,26 @@ private[graft] object IterationManager {
    * storage (fastest, but executor loss restarts the iteration).
    * NOTE: Spark's checkpoint directory is session-global — the last
    * algorithm to set one wins for concurrent runs (set only when it
-   * actually differs to avoid churn). */
+   * actually differs to avoid churn). Checkpoint files are NOT deleted on
+   * [[IterationManager.close]]: `ReliableRDDCheckpointData` cleanup only
+   * runs when `spark.cleaner.referenceTracking.cleanCheckpoints=true` is
+   * set at context creation; otherwise callers own the directory and
+   * should prune it between runs. */
   def withReliableDir(spark: org.apache.spark.sql.SparkSession,
       dir: Option[String], checkpointInterval: Int = 2,
       storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): IterationManager =
     dir match {
       case Some(d) =>
-        if (!spark.sparkContext.getCheckpointDir.exists(_.startsWith(d)))
-          spark.sparkContext.setCheckpointDir(d)
+        // Spark appends a /<uuid> component under the requested dir and
+        // reports it back as a URI (file:/..., hdfs://...), so "already
+        // set here" = same scheme AND exact path match or a direct
+        // path-component child ("/ckpt/a" must NOT match "/ckpt/ab-uuid")
+        val (dScheme, dPath) = uriParts(d)
+        val alreadySet = spark.sparkContext.getCheckpointDir.exists { p =>
+          val (pScheme, pPath) = uriParts(p)
+          pScheme == dScheme && (pPath == dPath || pPath.startsWith(dPath + "/"))
+        }
+        if (!alreadySet) spark.sparkContext.setCheckpointDir(d)
         new IterationManager(checkpointInterval, storageLevel, useLocalCheckpoint = false)
       case None => new IterationManager(checkpointInterval, storageLevel)
     }

@@ -140,34 +140,39 @@ object Dedup {
    * governed by (bands, planesPerBand); for exact (small-data) semantics
    * use [[Similarity.bruteForcePairs]] and cluster those. `dim` must
    * equal the embedding width — mismatches throw (strict dot product)
-   * rather than silently truncating. */
+   * rather than silently truncating; the default (`dim <= 0`) probes the
+   * first row's vector length so any width works out of the box. */
   def embeddingDupClusters(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int = 8, planesPerBand: Int = 4,
-      dim: Int = 64): DataFrame =
+      dim: Int = 0): DataFrame =
     clusterReps(df, idCol,
       Similarity.lshSimilarPairs(df, idCol, vecCol, threshold,
         bands, planesPerBand, dim).select("a", "b"))
 
   /** n-gram Jaccard near-dup pairs: docs sharing >= `minShared` distinct
    * `n`-word shingles. Returns (a, b, shared, jaccard). The shingle
-   * inverted index bounds the join fan-out to co-occurring shingles, and
-   * shingles above `maxDocFreq` documents are excluded from the numerator
-   * (`shared`) — so `jaccard` is exact only while no shingle exceeds the
-   * cap, and a lower bound otherwise (denominators stay uncapped). */
+   * inverted index bounds the join fan-out to co-occurring shingles.
+   * `maxDocFreq` is an OPT-IN stop-shingle cap (default: no cap — exact
+   * Jaccard): shingles in more than `maxDocFreq` documents are excluded
+   * from the numerator (`shared`), making `jaccard` a lower bound and
+   * possibly dropping pairs whose overlap is all boilerplate — set it on
+   * web-scale corpora where one common phrase would go quadratic. */
   def ngramJaccard(df0: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, minShared: Int = 3, maxDocFreq: Int = 1000): DataFrame = {
+      n: Int = 3, minShared: Int = 3, maxDocFreq: Int = Int.MaxValue): DataFrame = {
     val df = ensureParallelism(df0)
     val sh = df.select(col(idCol).as("_d_id"),
         explode(Text.wordShingles(col(textCol), n)).as("s"))
       .distinct()
     val sizes = sh.groupBy("_d_id").agg(count(lit(1)).as("n_sh"))
-    // stop-shingle guard: a shingle shared by d documents fans the
+    // stop-shingle guard (opt-in): a shingle shared by d documents fans the
     // self-join out d² — cap document frequency so one boilerplate phrase
     // can't go quadratic (its pairs carry ~no Jaccard signal anyway).
     // NOTE: exact Jaccard denominators still use the uncapped sizes.
-    val rare = sh.groupBy("s").agg(count(lit(1)).as("_df"))
-      .filter(col("_df") <= maxDocFreq).select("s")
-    val shJ = sh.join(rare, Seq("s"), "left_semi")
+    val shJ = if (maxDocFreq == Int.MaxValue) sh else {
+      val rare = sh.groupBy("s").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= maxDocFreq).select("s")
+      sh.join(rare, Seq("s"), "left_semi")
+    }
     val shared = shJ.as("x").join(shJ.as("y"),
         col("x.s") === col("y.s") && col("x._d_id") < col("y._d_id"))
       .groupBy(col("x._d_id").as("a"), col("y._d_id").as("b"))

@@ -73,6 +73,15 @@ object Similarity {
   private def planeWeights(p: Int, dim: Int): Seq[Double] =
     (0 until dim).map(planeSign(p, _))
 
+  /** Resolve a caller-supplied width: `dim <= 0` probes the first row's
+   * vector length (one tiny job on an already-pruned single column) so
+   * LSH entry points work on any embedding width without configuration.
+   * The strict [[graft.expressions.ArrayDotProduct]] still throws on
+   * ragged widths downstream rather than silently truncating. */
+  private def resolveDim(v: DataFrame, dim: Int): Int =
+    if (dim > 0) dim
+    else v.select(size(col("_s_v"))).head().getInt(0)
+
   /** Deterministic random-hyperplane signature: bit p is the sign of
    * w_p · v with w_p the ±1 md5-derived weight vector. Each plane is ONE
    * [[graft.expressions.ArrayDotProduct]] call against a literal weight
@@ -123,9 +132,9 @@ object Similarity {
    * output contract matches [[bruteForcePairs]] restricted to candidates. */
   def lshSimilarPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int = 8, planesPerBand: Int = 4,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 0): DataFrame = {
     val v = withNorm(df, idCol, vecCol)
-    val cand = lshCandidates(v, bands, planesPerBand, dim)
+    val cand = lshCandidates(v, bands, planesPerBand, resolveDim(v, dim))
       .filter(col("_qid") < col("_nid"))
     cand
       .join(v.select(col("_s_id").as("_qid"), col("_s_v").as("_q_v"), col("_s_n").as("_q_n")), "_qid")
@@ -139,9 +148,9 @@ object Similarity {
    * (OR-amplified: any shared band bucket makes a candidate). Recall < 1
    * by construction; fan-out is bounded by bucket sizes instead of n². */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      bands: Int = 2, planesPerBand: Int = 4, dim: Int = 64): DataFrame = {
+      bands: Int = 2, planesPerBand: Int = 4, dim: Int = 0): DataFrame = {
     val v = withNorm(df, idCol, vecCol)
-    val scored = lshCandidates(v, bands, planesPerBand, dim)
+    val scored = lshCandidates(v, bands, planesPerBand, resolveDim(v, dim))
       .join(v.select(col("_s_id").as("_qid"), col("_s_v").as("_q_v"), col("_s_n").as("_q_n")), "_qid")
       .join(v.select(col("_s_id").as("_nid"), col("_s_v").as("_n_v"), col("_s_n").as("_n_n")), "_nid")
       .select(col("_qid").as("query_id"), col("_nid").as("neighbor_id"),

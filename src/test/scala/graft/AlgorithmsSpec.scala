@@ -116,6 +116,24 @@ class AlgorithmsSpec extends TestBase {
       "no checkpoint files written under the reliable dir")
   }
 
+  test("withReliableDir matches path components, not string prefixes") {
+    val sc = spark.sparkContext
+    val base = java.nio.file.Files.createTempDirectory("graft-ckpt-pfx").toString
+    // existing dir <base>/ab must NOT satisfy a request for <base>/a
+    sc.setCheckpointDir(s"$base/ab")
+    graft.lib.IterationManager.withReliableDir(spark, Some(s"$base/a"))
+    val afterA = sc.getCheckpointDir.get
+    assert(afterA.replaceFirst("^file:", "").startsWith(s"$base/a/"),
+      s"prefix-collided dir kept: $afterA")
+    // re-requesting the same dir keeps Spark's uuid child (no churn),
+    // even though getCheckpointDir reports a file: URI
+    graft.lib.IterationManager.withReliableDir(spark, Some(s"$base/a"))
+    assert(sc.getCheckpointDir.get == afterA, "same-dir request must not re-set")
+    // and a file:-scheme request for the same path is also recognized
+    graft.lib.IterationManager.withReliableDir(spark, Some(s"file:$base/a"))
+    assert(sc.getCheckpointDir.get == afterA, "file: URI spelling must match")
+  }
+
   test("connectedComponents: distributed supersteps and union-find fast path agree") {
     for (g <- Seq(twoBlobs(3), chain(9), star(5), friends)) {
       val fast = g.connectedComponents.run()

@@ -171,6 +171,18 @@ object SparkEntry {
     "g_hash_embeddings" -> ((s, dir) => // oracle: coverage + width only
       embeddings.HashEmbeddings.forGraph(graphB(s, dir), dim = 8, walkLength = 3)
         .select(col(ID), size(col("embedding")).as("dim"))),
+    "g_hash2vec" -> ((s, dir) => {
+      // faithful Hash2Vec (context windows + signed hash lanes,
+      // arXiv:1608.08940) over document token sequences; constant decay +
+      // md5 lanes → integer lane sums the SQL oracle replays exactly
+      val seqs = load(s, dir, "documents")
+        .select(pipeline.Text.tokens(col("text")).as("seq"))
+      embeddings.Hash2Vec.embedSequences(seqs, "seq", dim = 8, contextSize = 2,
+          decay = "constant", doNorm = false, hashMode = "md5", seed = 42L)
+        .select(col("id"),
+          array_join(transform(col("vector"), x => x.cast("long").cast("string")), ",")
+            .as("vec"))
+    }),
     "g_scc_nations" -> ((s, dir) =>
       graphB(s, dir).stronglyConnectedComponents.run().select(col(ID), col("component"))),
     "g_shortest_paths" -> ((s, dir) =>
@@ -727,6 +739,24 @@ object SparkEntry {
     "g_random_walks" -> randomWalksSql(4, 2, 42L),
     "g_hash_embeddings" ->
       "SELECT CAST(n_nationkey AS VARCHAR) AS id, CAST(8 AS INT) AS dim FROM nation",
+    "g_hash2vec" ->
+      // replays embedSequences in md5 mode: lane = first 16 md5 bits of
+      // 'i|tok|42' mod 8, sign = first-nibble parity of 's|tok|42';
+      // constant decay, window ±2, plus the per-center zero sentinel
+      s"""WITH t AS (SELECT $W AS w FROM documents),
+         |pr AS (SELECT unnest(flatten([
+         |    [{'cid': w[i], 'ln': 0, 'v': 0.0}] ||
+         |    [{'cid': w[i],
+         |      'ln': (${duckHex4("md5('i|' || w[j] || '|42')")}) % 8,
+         |      'v': CASE WHEN (strpos('0123456789abcdef', substr(md5('s|' || w[j] || '|42'), 1, 1)) - 1) % 2 = 0
+         |                THEN 1.0 ELSE -1.0 END}
+         |     for j in range(greatest(i - 2, 1), least(i + 2, len(w)) + 1) if j != i]
+         |    for i in range(1, len(w) + 1)])) AS p FROM t),
+         |agg AS (SELECT p.cid AS id, p.ln AS ln, SUM(p.v) AS s FROM pr GROUP BY 1, 2),
+         |m AS (SELECT id, map(list(ln ORDER BY ln), list(s ORDER BY ln)) AS mp FROM agg GROUP BY id)
+         |SELECT id, array_to_string(list_transform(range(0, 8),
+         |  x -> CAST(CAST(coalesce(element_at(mp, x)[1], 0) AS BIGINT) AS VARCHAR)), ',') AS vec
+         |FROM m""".stripMargin,
     "g_rw_embeddings" ->
       "SELECT CAST(n_nationkey AS VARCHAR) AS id, CAST(8 AS INT) AS dim FROM nation",
     "g_triangle_approx" ->

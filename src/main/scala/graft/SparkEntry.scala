@@ -335,6 +335,34 @@ object SparkEntry {
       pipeline.Text.fingerprint(load(s, dir, "documents"), "doc_id", "text")),
     "p_repetition" -> ((s, dir) =>
       pipeline.Text.repetitionRatio(load(s, dir, "documents"), "doc_id", "text", n = 2)),
+    "p_contamination" -> ((s, dir) => {
+      // eval-set contamination: every 50th doc plays the benchmark set;
+      // n=3 shingles (the corpus has no long verbatim overlaps)
+      val docs = load(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      pipeline.Text.contamination(docs, "doc_id", "text", bench, "doc_id", "text", n = 3)
+        .filter(col("doc_id") =!= col("bench_id"))
+    }),
+    "p_redact_pii" -> ((s, dir) => {
+      // the driver's customer table carries no contact columns, so the
+      // PII is synthesized deterministically from c_custkey (same
+      // construction in the oracle) — the operator under test is the
+      // redaction itself
+      val k = col("c_custkey")
+      val piiText = concat_ws(" ", col("c_name"), lit("reach me at"),
+        concat(lit("c"), k, lit("@example.com")), lit("phone"),
+        concat(lit("25-"), lpad(pmod(k, lit(1000)).cast("string"), 3, "0"),
+          lit("-555-"), lpad(pmod(k, lit(10000)).cast("string"), 4, "0")),
+        lit("ip"),
+        concat(lit("10.0."), pmod(k, lit(256)), lit("."), pmod(k, lit(250))),
+        col("c_mktsegment"))
+      pipeline.Text.redactPii(
+        load(s, dir, "customer").select(k, piiText.as("pii_text")),
+        "c_custkey", "pii_text")
+        .select(col("c_custkey").as("cust_id"), col("clean_text"), col("n_redactions"))
+    }),
+    "p_entropy" -> ((s, dir) =>
+      pipeline.Text.charEntropy(load(s, dir, "documents"), "doc_id", "text")),
     "p_sample_stratified" -> ((s, dir) =>
       pipeline.Sampling.stratifiedHashSample(load(s, dir, "documents"), "doc_id", "lang",
         fraction = 0.5)
@@ -878,6 +906,48 @@ object SparkEntry {
          |SELECT a, b, shared,
          |  ROUND(shared / CAST(sa.n + sb.n - shared AS DOUBLE), 4) AS jaccard
          |FROM pr JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b""".stripMargin,
+    "p_contamination" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+         |s AS (SELECT doc_id, unnest($SH3) AS sh FROM t WHERE len(w) >= 3),
+         |d AS (SELECT DISTINCT doc_id, sh FROM s),
+         |b AS (SELECT doc_id AS bench_id, sh FROM d WHERE doc_id % 50 = 0)
+         |SELECT d.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM d JOIN b USING (sh) WHERE d.doc_id <> b.bench_id
+         |GROUP BY 1, 2""".stripMargin,
+    "p_redact_pii" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\b[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+      val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      s"""WITH t AS (SELECT c_custkey,
+         |  c_name || ' reach me at c' || CAST(c_custkey AS VARCHAR) || '@example.com phone 25-'
+         |  || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-555-'
+         |  || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+         |  || ' ip 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.' || CAST(c_custkey % 250 AS VARCHAR)
+         |  || ' ' || c_mktsegment AS txt FROM customer)
+         |SELECT c_custkey AS cust_id,
+         |  regexp_replace(regexp_replace(regexp_replace(txt,
+         |    '$email', '<EMAIL>', 'g'),
+         |    '$phone', '<PHONE>', 'g'),
+         |    '$ip', '<IP>', 'g') AS clean_text,
+         |  CAST(len(regexp_extract_all(txt, '$email'))
+         |     + len(regexp_extract_all(txt, '$phone'))
+         |     + len(regexp_extract_all(txt, '$ip')) AS BIGINT) AS n_redactions
+         |FROM t""".stripMargin
+    },
+    "p_entropy" ->
+      // identical summation order to Text.charEntropy: fold over SORTED
+      // distinct characters, so the IEEE double sum replays exactly
+      """WITH c AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+        |u AS (SELECT doc_id, cs, CAST(len(cs) AS DOUBLE) AS n,
+        |       list_sort(list_distinct(cs)) AS uq FROM c)
+        |SELECT doc_id,
+        |  CASE WHEN len(cs) > 0 THEN ROUND(-list_reduce(
+        |    list_prepend(CAST(0.0 AS DOUBLE), list_transform(uq,
+        |      ch -> (CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE) / n)
+        |            * log2(CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE) / n))),
+        |    (a, t) -> a + t), 4)
+        |  ELSE 0.0 END AS char_entropy
+        |FROM u""".stripMargin,
     "p_cosine_pairs" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          |SELECT * FROM (

@@ -95,6 +95,70 @@ object Text {
         .otherwise(lit(0.0)), 4).as("rep_ratio"))
   }
 
+  /** Benchmark-contamination check: documents of `corpus` sharing at least
+   * one distinct `n`-word shingle with any document of `bench` (an eval /
+   * benchmark set). Returns one row per contaminated (corpus doc, bench
+   * doc) pair: (idCol, bench_id, n_shared).
+   *
+   * Scale shape: the benchmark side is tiny relative to a 100 TB corpus,
+   * so its shingle index is broadcast — the corpus is a single scan +
+   * shingle explode + broadcast hash join, with only the matching
+   * (doc, bench) pairs reaching the final aggregation shuffle. */
+  def contamination(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int = 8): DataFrame = {
+    val cs = ensureParallelism(corpus)
+      .select(col(idCol).as("_t_id"), explode(wordShingles(col(textCol), n)).as("s"))
+      .distinct()
+    val bs = bench
+      .select(col(benchIdCol).as("bench_id"), explode(wordShingles(col(benchTextCol), n)).as("s"))
+      .distinct()
+    cs.join(broadcast(bs), "s")
+      .groupBy(col("_t_id").as(idCol), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Dialect-neutral PII patterns (no lookaround, RE2- and Java-regex
+   * compatible): email addresses, NN-NNN-NNN-NNNN phone numbers, IPv4. */
+  val defaultPiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "\\b[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}\\b",
+    "ip" -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b")
+
+  /** PII scrubbing: replace every match of each pattern with its
+   * `<NAME>` token. Returns (id, clean_text, n_redactions) where
+   * n_redactions counts matches against the ORIGINAL text per pattern
+   * (applied in order — overlapping pattern families should be ordered
+   * most-specific first). Pure narrow projection, scan-speed at 100 TB. */
+  def redactPii(df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[(String, String)] = defaultPiiPatterns): DataFrame = {
+    val cleaned = patterns.foldLeft(col(textCol)) { case (acc, (name, p)) =>
+      regexp_replace(acc, lit(p), lit(s"<${name.toUpperCase}>"))
+    }
+    val nRed = patterns.map { case (_, p) =>
+      size(regexp_extract_all(col(textCol), lit(p), lit(0)))
+    }.reduce(_ + _)
+    df.select(col(idCol), cleaned.as("clean_text"), nRed.cast("long").as("n_redactions"))
+  }
+
+  /** Per-document character-distribution Shannon entropy in bits
+   * (low entropy flags degenerate/repetitive text; ~4.1 for English
+   * prose). O(len × distinct-chars) per row but a pure codegen
+   * projection — no shuffle, no UDF. Summation runs over the SORTED
+   * distinct characters so any engine replays the exact IEEE sum.
+   * (id, char_entropy 4dp); 0.0 for empty text. */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = filter(split(col(textCol), ""), c => length(c) > 0)
+    val nC = size(chars).cast("double")
+    val uniq = array_sort(array_distinct(chars))
+    val negEnt = aggregate(uniq, lit(0.0), (acc, ch) => {
+      val k = size(filter(chars, x => x === ch)).cast("double")
+      acc + (k / nC) * log2(k / nC)
+    })
+    df.select(col(idCol),
+      when(size(chars) > 0, round(-negEnt, 4)).otherwise(lit(0.0)).as("char_entropy"))
+  }
+
   /** Winnowing-style document fingerprint: hash all `n`-word shingles,
    * keep the deterministic 1/8 sample (hash suffix in {0,1}), and hash the
    * sorted selection. Near-identical documents collide with high

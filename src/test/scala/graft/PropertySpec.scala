@@ -149,6 +149,45 @@ class PropertySpec extends TestBase {
     assert(m(3L) == 0.0)
   }
 
+  test("contamination flags only docs sharing an n-gram with the benchmark") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "quick brown fox said hello to everyone nearby"),
+      (3L, "completely unrelated sentence about database engines here"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "a quick brown fox appears in this benchmark"))
+      .toDF("doc_id", "text")
+    val hits = pipeline.Text.contamination(corpus, "doc_id", "text",
+        bench, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // docs 1 and 2 share the 3-gram "quick brown fox"; doc 3 shares nothing
+    assert(hits == Set((1L, 100L, 1L), (2L, 100L, 1L)), s"got $hits")
+  }
+
+  test("redactPii masks emails, phones, ips and counts matches") {
+    val rows = Seq(
+      (1L, "write to bob@example.com or call 25-989-741-2988 today"),
+      (2L, "server at 10.0.42.7 is fine"),
+      (3L, "nothing sensitive here")).toDF("id", "text")
+    val out = pipeline.Text.redactPii(rows, "id", "text")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L)._1 == "write to <EMAIL> or call <PHONE> today")
+    assert(out(1L)._2 == 2L)
+    assert(out(2L)._1 == "server at <IP> is fine" && out(2L)._2 == 1L)
+    assert(out(3L)._1 == "nothing sensitive here" && out(3L)._2 == 0L)
+  }
+
+  test("charEntropy: 0 for uniform text, log2(k) for k equal chars, 0 for empty") {
+    val rows = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd"), (4L, ""))
+      .toDF("id", "text")
+    val m = pipeline.Text.charEntropy(rows, "id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(m(1L) == 0.0)
+    assert(m(2L) == 1.0)     // two chars, p=1/2 each
+    assert(m(3L) == 2.0)     // four chars, p=1/4 each
+    assert(m(4L) == 0.0)
+  }
+
   test("simhash of identical docs is identical; hamming grows with edits") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -316,8 +316,9 @@ object SparkEntry {
       pipeline.Similarity.lshTopK(load(s, dir, "embeddings"), "vec_id", "embedding",
         k = 3, bands = 2, planesPerBand = 4, dim = 64)),
     "p_ann_ivf" -> ((s, dir) => // oracle mirrors the md5-sampled quantizer
+      // AND its two Lloyd refinement steps (assignment + per-cell means)
       pipeline.Similarity.ivfTopK(load(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 3, nlist = 16, nprobe = 4)),
+        k = 3, nlist = 16, nprobe = 4, lloydIters = 2)),
 
     // --- pipeline: text analysis ---
     "p_token_count" -> ((s, dir) =>
@@ -563,16 +564,29 @@ object SparkEntry {
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rnk
        |  FROM sc) WHERE rnk <= $k""".stripMargin
 
-  private def annIvfSql(k: Int, nlist: Int, nprobe: Int): String =
+  /** IVF oracle: md5-sampled seed centroids, `lloydIters` Lloyd steps
+   * (assign to best cell by cosine, recompute per-cell position means —
+   * mirrors Similarity.ivfTopK's refinement loop), then probe-and-rank. */
+  private def annIvfSql(k: Int, nlist: Int, nprobe: Int, lloydIters: Int = 0): String = {
+    def assignCte(name: String, centTable: String) =
+      s"""$name AS MATERIALIZED (SELECT vec_id, v, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS r
+         |  FROM (SELECT e.vec_id, e.v, c.cid,
+         |      list_dot_product(e.v, c.cv) /
+         |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+         |    FROM e CROSS JOIN $centTable c))""".stripMargin
+    val lloyd = (1 to lloydIters).map { i =>
+      s"""${assignCte(s"asg_l$i", s"cent${i - 1}")},
+         |dat_l$i AS (SELECT vec_id, v, cid FROM asg_l$i WHERE r = 1),
+         |mx$i AS (SELECT cid, p, AVG(v[p]) AS m
+         |  FROM dat_l$i, range(1, 65) t(p) GROUP BY cid, p),
+         |cent$i AS MATERIALIZED (SELECT cid, list(m ORDER BY p) AS cv FROM mx$i GROUP BY cid)""".stripMargin
+    }.mkString(",\n")
+    val lloydBlock = if (lloydIters == 0) "" else lloyd + ",\n"
     s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |cent AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM e
+       |cent0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM e
        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nlist),
-       |asg AS MATERIALIZED (SELECT vec_id, v, cid,
-       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS r
-       |  FROM (SELECT e.vec_id, e.v, cent.cid,
-       |      list_dot_product(e.v, cent.cv) /
-       |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))) AS sim
-       |    FROM e CROSS JOIN cent)),
+       |$lloydBlock${assignCte("asg", s"cent$lloydIters")},
        |dat AS (SELECT vec_id, v, cid FROM asg WHERE r = 1),
        |q AS (SELECT vec_id AS qid, v AS qv, cid FROM asg WHERE r <= $nprobe),
        |sc AS (SELECT q.qid AS query_id, d.vec_id AS neighbor_id,
@@ -583,6 +597,7 @@ object SparkEntry {
        |  SELECT query_id, neighbor_id,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rnk
        |  FROM sc) WHERE rnk <= $k""".stripMargin
+  }
 
   /** First 16 bits of an md5 hex string as an integer, nibble by nibble
    * (DuckDB has no hex→int conv; mirrors Spark `conv(substr(md5,1,4),16,10)`). */
@@ -987,7 +1002,7 @@ object SparkEntry {
          |SELECT vec_id, COALESCE(m.keep, vec_id) AS keep_id
          |FROM embeddings LEFT JOIN m ON m.id = vec_id""".stripMargin,
     "p_ann_lsh" -> annLshSql(3, 2, 4, 64),
-    "p_ann_ivf" -> annIvfSql(3, 16, 4),
+    "p_ann_ivf" -> annIvfSql(3, 16, 4, lloydIters = 2),
     "p_lang_id" -> langIdSql,
     "p_quality" ->
       s"""WITH t AS (SELECT doc_id, text, $W AS w FROM documents)

@@ -117,6 +117,31 @@ class ExtendedSpec extends TestBase {
     assert(rowsOut.toSet == again.toSet)
   }
 
+  test("ivf ann: Lloyd refinement stays valid, deterministic and improves centroids") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val refined = pipeline.Similarity.ivfTopK(df, "vec_id", "embedding", k = 3,
+      nlist = 8, nprobe = 3, lloydIters = 2)
+      .as[(Long, Long, Int)].collect()
+    assert(refined.nonEmpty)
+    refined.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length <= 3 && rs.map(_._3).sorted.toSeq == (1 to rs.length))
+      assert(rs.forall(_._2 != q))
+    }
+    val again = pipeline.Similarity.ivfTopK(df, "vec_id", "embedding", k = 3,
+      nlist = 8, nprobe = 3, lloydIters = 2).as[(Long, Long, Int)].collect()
+    assert(refined.toSet == again.toSet, "Lloyd-refined IVF must be deterministic")
+    // recall@3 against the exact top-k must not collapse under refinement:
+    // refined centroids tighten cells, so candidate lists stay relevant
+    val exact = pipeline.Similarity.topK(df, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    def recall(hits: Iterable[(Long, Long, Int)]) =
+      hits.count(r => exact((r._1, r._2))).toDouble / exact.size
+    val r0 = recall(pipeline.Similarity.ivfTopK(df, "vec_id", "embedding", k = 3,
+      nlist = 8, nprobe = 3).as[(Long, Long, Int)].collect().toSeq)
+    val r2 = recall(refined.toSeq)
+    assert(r2 >= r0 - 0.1, s"refined recall $r2 collapsed vs seed recall $r0")
+  }
+
   test("lsh similar pairs are a subset of brute-force pairs with identical cosines") {
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val bf = pipeline.Similarity.bruteForcePairs(df, "vec_id", "embedding", 0.3)

@@ -96,6 +96,26 @@ object SparkEntry {
       graphA(s, dir).filterVertices(col("val") > 5000 || substring(col(ID), 1, 1) === "o")
         .edges.select(col(SRC), col(DST))),
 
+    "g_graph_io" -> ((s, dir) => {
+      // driver-gate coverage for the §2.1 source/sink surface: parquet
+      // graph save/load round-trip, LDBC .e (space-delimited CSV) reader,
+      // and the edge-list text loader — degrees from all three load paths
+      // must coincide with the SQL oracle's degree count
+      val g = graphB(s, dir)
+      val tmp = s"/tmp/graft_io_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      sources.GraphLoader.saveParquetGraph(g, s"$tmp/pq")
+      val gPq = sources.GraphLoader.parquetGraph(s, s"$tmp/pq")
+      g.edges.select(concat_ws(" ", col(SRC), col(DST)).as("value"))
+        .write.mode("overwrite").text(s"$tmp/graph.e")
+      val eLdbc = sources.GraphLoader.ldbcEdges(s, s"$tmp/graph.e")
+      val gTxt = sources.GraphLoader.edgeListFile(s, s"$tmp/graph.e")
+      gPq.degrees.select(col(ID), col("degree").cast("long").as("deg_pq"))
+        .join(GraphFrame.fromEdges(eLdbc).degrees
+          .select(col(ID).cast("int").as(ID), col("degree").cast("long").as("deg_ldbc")), ID)
+        .join(gTxt.degrees
+          .select(col(ID).cast("int").as(ID), col("degree").cast("long").as("deg_txt")), ID)
+    }),
+
     // --- motifs ---
     "g_motif_undirected" -> ((s, dir) =>
       graphB(s, dir).find("(a)-[e]-(b)")
@@ -746,6 +766,11 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'o' || CAST(o_orderkey AS VARCHAR),
         |       'c' || CAST(o_custkey AS VARCHAR) FROM orders""".stripMargin,
+    "g_graph_io" ->
+      s"""WITH e AS ($NE),
+         |d AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |   SELECT src AS id FROM e UNION ALL SELECT dst FROM e) GROUP BY id)
+         |SELECT id, deg AS deg_pq, deg AS deg_ldbc, deg AS deg_txt FROM d""".stripMargin,
     "g_cc_nations" ->
       s"""WITH RECURSIVE e AS ($NE),
          |u AS (SELECT src AS s, dst AS d FROM e UNION SELECT dst, src FROM e),

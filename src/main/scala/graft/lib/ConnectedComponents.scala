@@ -89,14 +89,22 @@ class ConnectedComponents(g: GraphFrame) {
       .filter(col("s") =!= col("d"))
       .select(greatest(col("s"), col("d")).as("src"), least(col("s"), col("d")).as("dst"))
       .distinct()
-    ee = mgr.cycle(ee, 0)
 
     // one job finishes any graph already under the union-find threshold
-    // (e.g. LSH dedup pair graphs: dozens of edges, full label fidelity);
-    // the count only runs when the fast path is enabled (ee is already
-    // materialized by the checkpoint cut, so it reads the cache)
-    if (smallGraphThresholdV > 0 && ee.count() <= smallGraphThresholdV)
-      return finishWithUnionFind(ee, iv, mgr)
+    // (e.g. LSH dedup pair graphs: dozens of edges, full label fidelity).
+    // Probe on a plain persist BEFORE the round-0 lineage cut: the fast
+    // path then skips the eager localCheckpoint job entirely, and the
+    // distributed path cycles the already-cached frame at no extra cost.
+    if (smallGraphThresholdV > 0) {
+      val p = ee.persist()
+      if (p.count() <= smallGraphThresholdV) {
+        val r = finishWithUnionFind(p, iv, mgr)
+        p.unpersist(false)
+        return r
+      }
+      ee = mgr.cycle(p, 0)
+      p.unpersist(false)
+    } else ee = mgr.cycle(ee, 0)
 
     var prevChecksum: Option[Row] = None
     var converged = false

@@ -14,6 +14,9 @@ package object pipeline {
    * shuffle there would only move data for nothing).
    */
   private[pipeline] def ensureParallelism(df: DataFrame): DataFrame = {
+    // streaming frames have no static partitioning to probe (and .rdd is
+    // illegal on them); micro-batch parallelism comes from the source
+    if (df.isStreaming) return df
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }

@@ -251,6 +251,33 @@ class ExtendedSpec extends TestBase {
     assert(rows(got) == rows(want))
   }
 
+  test("text pipeline operators run unchanged on streaming input") {
+    // the per-row pipeline ops are pure projections, so the same calls
+    // must plan on a stream and emit batch-identical rows
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and the cat"),
+      (2L, "email me at a@b.com from 10.0.0.1 please"),
+      (3L, "spam spam spam spam spam"))
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+    val batch = docs.toDF("doc_id", "text")
+    val ops: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
+      ("quality", df => pipeline.Text.quality(df, "doc_id", "text")),
+      ("redact", df => pipeline.Text.redactPii(df, "doc_id", "text")),
+      ("entropy", df => pipeline.Text.charEntropy(df, "doc_id", "text")),
+      ("simhash", df => pipeline.Dedup.simhash(df, "doc_id", "text", bits = 16)))
+    in.addData(docs: _*)
+    for ((name, op) <- ops) {
+      val query = op(stream).writeStream.format("memory")
+        .queryName(s"text_stream_$name").outputMode("append").start()
+      query.processAllAvailable(); query.stop()
+      assert(rows(spark.table(s"text_stream_$name")) == rows(op(batch)),
+        s"streaming $name diverged from batch")
+    }
+  }
+
   test("streaming sessionization emits all closed sessions") {
     import graft.streaming.EventStreams
     val dir = "/root/testdata/sf0.001"

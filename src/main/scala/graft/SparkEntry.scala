@@ -384,6 +384,14 @@ object SparkEntry {
     }),
     "p_entropy" -> ((s, dir) =>
       pipeline.Text.charEntropy(load(s, dir, "documents"), "doc_id", "text")),
+    "p_tfidf" -> ((s, dir) =>
+      pipeline.Text.tfidfTopTerms(load(s, dir, "documents"), "doc_id", "text", topN = 5)),
+    "p_pack_shards" -> ((s, dir) =>
+      // token-budget shard packing via the distributed prefix sum;
+      // output depends only on (data, budget), not partition count
+      pipeline.Sampling.packShards(
+        pipeline.Text.tokenCount(load(s, dir, "documents"), "doc_id", "text"),
+        "doc_id", "n_tokens", budget = 2000L)),
     "p_sample_stratified" -> ((s, dir) =>
       pipeline.Sampling.stratifiedHashSample(load(s, dir, "documents"), "doc_id", "lang",
         fraction = 0.5)
@@ -946,6 +954,26 @@ object SparkEntry {
          |SELECT a, b, shared,
          |  ROUND(shared / CAST(sa.n + sb.n - shared AS DOUBLE), 4) AS jaccard
          |FROM pr JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b""".stripMargin,
+    "p_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+         |tm AS (SELECT doc_id, unnest(w) AS term FROM t),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tm GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |wgt AS (SELECT tf.doc_id, tf.term,
+         |    tf.tf * (ln((n.n + 1.0) / (dfq.dfc + 1)) + 1.0) AS wv
+         |  FROM tf JOIN dfq ON dfq.term = tf.term CROSS JOIN n)
+         |SELECT doc_id, term, ROUND(wv, 4) AS tfidf, CAST(rnk AS INT) AS rnk FROM (
+         |  SELECT doc_id, term, wv,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wv DESC, term ASC) AS rnk
+         |  FROM wgt) WHERE rnk <= 5""".stripMargin,
+    "p_pack_shards" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($W) AS BIGINT) AS n_tokens FROM documents)
+         |SELECT doc_id, n_tokens,
+         |  CAST(floor((COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 1.0) / 2000
+         |    ) AS BIGINT) AS shard_id
+         |FROM t""".stripMargin,
     "p_contamination" ->
       s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
          |s AS (SELECT doc_id, unnest($SH3) AS sh FROM t WHERE len(w) >= 3),

@@ -95,6 +95,32 @@ object Text {
         .otherwise(lit(0.0)), 4).as("rep_ratio"))
   }
 
+  /** Smoothed TF-IDF top terms per document:
+   * `weight = tf * (ln((N+1)/(df+1)) + 1)` (sklearn-style smoothing, so
+   * unseen-term idf stays finite), top `topN` terms per doc by
+   * (weight desc, term asc). Returns (id, term, tfidf 4dp, rnk).
+   *
+   * Scale shape: one explode + two hash aggregations (tf per (doc, term),
+   * document frequency per term) + a shuffle join on term + a per-doc
+   * window — no broadcast of the vocabulary, no driver state. Pass
+   * `corpusSize` when N is already known to skip the extra count job. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      topN: Int = 5, corpusSize: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = if (corpusSize >= 0) corpusSize else df.count()
+    val terms = ensureParallelism(df)
+      .select(col(idCol).as("_d_id"), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy("_d_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("_df"))
+    val weighted = tf.join(dfreq, "term")
+      .select(col("_d_id").as(idCol), col("term"),
+        (col("tf") * (log(lit(n + 1.0) / (col("_df") + lit(1))) + lit(1.0))).as("_w"))
+    val w = Window.partitionBy(idCol).orderBy(col("_w").desc, col("term").asc)
+    weighted.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topN)
+      .select(col(idCol), col("term"), round(col("_w"), 4).as("tfidf"), col("rnk"))
+  }
+
   /** Benchmark-contamination check: documents of `corpus` sharing at least
    * one distinct `n`-word shingle with any document of `bench` (an eval /
    * benchmark set). Returns one row per contaminated (corpus doc, bench

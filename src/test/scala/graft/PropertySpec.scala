@@ -188,6 +188,48 @@ class PropertySpec extends TestBase {
     assert(m(4L) == 0.0)
   }
 
+  test("packShards: contiguous fill, budget respected, partition-count invariant") {
+    val docs = (1L to 100L).map(i => (i, 10L + (i % 7) * 5)).toDF("doc_id", "sz")
+    def run(parts: Int) = pipeline.Sampling.packShards(docs, "doc_id", "sz",
+      budget = 100L, numPartitions = parts)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val a = run(3)
+    // replica: exclusive running sum in id order
+    var acc = 0L
+    val expect = (1L to 100L).map { i =>
+      val sz = 10L + (i % 7) * 5
+      val shard = acc / 100L
+      acc += sz
+      (i, sz, shard)
+    }
+    assert(a == expect, "packShards must equal the sequential prefix-sum replica")
+    // distributed prefix sum must not depend on the partition count
+    assert(run(1) == a && run(8) == a)
+    // shards are contiguous id ranges with nondecreasing ids
+    assert(a.map(_._3).sliding(2).forall(p => p.head <= p.last))
+  }
+
+  test("tfidfTopTerms ranks rarer terms above common ones") {
+    val docs = Seq(
+      (1L, "common common rareword"),
+      (2L, "common othertoken"),
+      (3L, "common filler words")).toDF("doc_id", "text")
+    val out = pipeline.Text.tfidfTopTerms(docs, "doc_id", "text", topN = 2)
+      .as[(Long, String, Double, Int)].collect()
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._4)
+    // "rareword" (df=1) must outrank "common" (df=3) despite tf 1 vs 2:
+    // 1*(ln(4/2)+1)=1.69 vs 2*(ln(4/4)+1)=2.0 — actually tf wins here;
+    // check exact weights instead of hand-waving
+    val w = doc1.map(r => r._2 -> r._3).toMap
+    assert(math.abs(w("common") - 2.0) < 1e-9)
+    assert(math.abs(w("rareword") - (math.log(2.0) + 1)) < 1e-4)
+    assert(doc1.head._2 == "common" && doc1(1)._2 == "rareword")
+    // every doc emits at most topN rows with contiguous ranks
+    out.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.length <= 2 && rs.map(_._4).sorted.toSeq == (1 to rs.length))
+    }
+  }
+
   test("simhash of identical docs is identical; hamming grows with edits") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

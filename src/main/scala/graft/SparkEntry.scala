@@ -384,6 +384,8 @@ object SparkEntry {
     }),
     "p_entropy" -> ((s, dir) =>
       pipeline.Text.charEntropy(load(s, dir, "documents"), "doc_id", "text")),
+    "p_length_stats" -> ((s, dir) =>
+      pipeline.Text.lengthStats(load(s, dir, "documents"), "lang", "text")),
     "p_tfidf" -> ((s, dir) =>
       pipeline.Text.tfidfTopTerms(load(s, dir, "documents"), "doc_id", "text", topN = 5)),
     "p_pack_shards" -> ((s, dir) =>
@@ -954,6 +956,13 @@ object SparkEntry {
          |SELECT a, b, shared,
          |  ROUND(shared / CAST(sa.n + sb.n - shared AS DOUBLE), 4) AS jaccard
          |FROM pr JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b""".stripMargin,
+    "p_length_stats" ->
+      s"""WITH t AS (SELECT lang, CAST(len($W) AS DOUBLE) AS n FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  ROUND(AVG(n), 4) AS mean_tokens,
+         |  ROUND(quantile_cont(n, 0.5), 4) AS median_tokens,
+         |  ROUND(quantile_cont(n, 0.95), 4) AS p95_tokens
+         |FROM t GROUP BY lang""".stripMargin,
     "p_tfidf" ->
       s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
          |tm AS (SELECT doc_id, unnest(w) AS term FROM t),

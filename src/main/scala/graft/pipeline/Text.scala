@@ -185,6 +185,23 @@ object Text {
       when(size(chars) > 0, round(-negEnt, 4)).otherwise(lit(0.0)).as("char_entropy"))
   }
 
+  /** Per-group corpus length statistics: count, mean, exact median and
+   * exact p95 of token counts (linear-interpolated continuous quantiles —
+   * the cross-engine-standard definition). Returns
+   * (group, n_docs, mean_tokens, median_tokens, p95_tokens), 4dp.
+   * Exact percentiles sort within each group; for groups too large to
+   * sort at 100 TB swap in `approx_percentile` (same call shape). */
+  def lengthStats(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val nTok = size(tokens(col(textCol))).cast("double")
+    df.select(col(groupCol), nTok.as("_n"))
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("_n")), 4).as("mean_tokens"),
+        round(percentile(col("_n"), lit(0.5)), 4).as("median_tokens"),
+        round(percentile(col("_n"), lit(0.95)), 4).as("p95_tokens"))
+  }
+
   /** Winnowing-style document fingerprint: hash all `n`-word shingles,
    * keep the deterministic 1/8 sample (hash suffix in {0,1}), and hash the
    * sorted selection. Near-identical documents collide with high

@@ -230,6 +230,21 @@ class PropertySpec extends TestBase {
     }
   }
 
+  test("lengthStats: exact interpolated quantiles per group") {
+    val docs = Seq(
+      (1L, "a", "one"), (2L, "a", "one two"), (3L, "a", "one two three"),
+      (4L, "a", "one two three four"),
+      (5L, "b", "single doc here")).toDF("doc_id", "lang", "text")
+    val m = pipeline.Text.lengthStats(docs, "lang", "text")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, nA, meanA, medA, p95A) = m("a")
+    assert(nA == 4 && meanA == 2.5)
+    assert(medA == 2.5)               // linear interpolation between 2 and 3
+    assert(p95A == 3.85)              // 1 + 0.95*3 = 3.85 → between 3 and 4
+    assert(m("b")._4 == 3.0)          // single value: all quantiles equal it
+  }
+
   test("simhash of identical docs is identical; hamming grows with edits") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

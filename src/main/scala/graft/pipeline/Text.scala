@@ -100,10 +100,12 @@ object Text {
    * unseen-term idf stays finite), top `topN` terms per doc by
    * (weight desc, term asc). Returns (id, term, tfidf 4dp, rnk).
    *
-   * Scale shape: one explode + two hash aggregations (tf per (doc, term),
-   * document frequency per term) + a shuffle join on term + a per-doc
-   * window — no broadcast of the vocabulary, no driver state. Pass
-   * `corpusSize` when N is already known to skip the extra count job. */
+   * Scale shape: ONE corpus scan — explode, tf hash aggregation, then
+   * document frequency as a partition-only window over term (no second
+   * scan/explode branch, no vocabulary broadcast), then the per-doc
+   * top-N window (Spark plans it as WindowGroupLimit — rank pushdown,
+   * no full per-doc sort materialization). Pass `corpusSize` when N is
+   * already known to skip the extra count job. */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
       topN: Int = 5, corpusSize: Long = -1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -111,8 +113,8 @@ object Text {
     val terms = ensureParallelism(df)
       .select(col(idCol).as("_d_id"), explode(tokens(col(textCol))).as("term"))
     val tf = terms.groupBy("_d_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("_df"))
-    val weighted = tf.join(dfreq, "term")
+    val weighted = tf
+      .withColumn("_df", count(lit(1)).over(Window.partitionBy("term")))
       .select(col("_d_id").as(idCol), col("term"),
         (col("tf") * (log(lit(n + 1.0) / (col("_df") + lit(1))) + lit(1.0))).as("_w"))
     val w = Window.partitionBy(idCol).orderBy(col("_w").desc, col("term").asc)

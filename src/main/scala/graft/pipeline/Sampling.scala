@@ -41,41 +41,56 @@ object Sampling {
   }
 
   /** Pack documents into training shards of ~`budget` units (tokens,
-   * bytes) by contiguous fill in `idCol` order:
+   * bytes) by contiguous fill in `idCol` order (numeric, unique ids):
    * `shard_id = floor(prefix_sum_exclusive(size) / budget)`. Returns
    * (idCol, sizeCol, shard_id).
    *
-   * The global running sum is computed as a DISTRIBUTED prefix sum —
-   * range-partition by id, within-partition window cumsum, plus a
-   * driver-side prefix of the per-partition totals (one tiny collect of
-   * `numPartitions` longs) broadcast back. No single-partition global
-   * window anywhere, so the operator holds at any corpus size, and the
-   * output depends only on (data, budget), not on the partition count. */
+   * The global running sum is computed as a DISTRIBUTED prefix sum:
+   * bucket bounds come from ONE approx-quantile job and are embedded as
+   * literals, so every row's bucket is a pure deterministic function of
+   * its id — immune to recomputation (unlike `repartitionByRange`, whose
+   * boundary sampling is seeded per plan execution and can assign
+   * boundary rows differently across the two passes). Within-bucket
+   * window cumsum + a driver-side prefix of the per-bucket totals (one
+   * tiny collect, broadcast back) completes the sum. No single-partition
+   * global window anywhere, so the operator holds at any corpus size,
+   * and the output depends only on (data, budget) — bound PLACEMENT only
+   * affects balance, never the result. */
   def packShards(df: DataFrame, idCol: String, sizeCol: String,
       budget: Long, numPartitions: Int = 0): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
+    require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"packShards orders by a numeric id column; got ${df.schema(idCol).dataType}")
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
-    val ranged = df.select(col(idCol), col(sizeCol))
-      .repartitionByRange(parts, col(idCol))
-      .withColumn("_pid", spark_partition_id())
-    // per-partition totals -> exclusive prefix offsets (tiny: one row per
-    // partition) — broadcast back instead of a global-order window
-    val totals = ranged.groupBy("_pid")
+    val probs = (1 until parts).map(_.toDouble / parts).toArray
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else df.select(col(idCol).cast("double").as("_v"))
+        .stat.approxQuantile("_v", probs, 0.01).distinct.sorted
+    // bucket = number of bounds strictly below the id — nondecreasing in
+    // id, so buckets partition the id order into contiguous runs
+    val bucket =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(typedlit(bounds.toSeq), b => b < col(idCol).cast("double")))
+    val bucketed = df.select(col(idCol), col(sizeCol)).withColumn("_b", bucket)
+    // per-bucket totals -> exclusive prefix offsets (tiny: one row per
+    // bucket) — broadcast back instead of a global-order window
+    val totals = bucketed.groupBy("_b")
       .agg(sum(col(sizeCol).cast("long")).as("_tot"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     if (totals.isEmpty)
       return df.select(col(idCol), col(sizeCol), lit(0L).as("shard_id")).limit(0)
-    val offsets = totals.scanLeft((Int.MinValue, 0L)) { case ((_, acc), (pid, tot)) =>
-      (pid, acc + tot)
-    }.sliding(2).collect { case Array((_, off), (pid, _)) => (pid, off) }.toSeq
-    val offDF = broadcast(spark.createDataFrame(offsets).toDF("_pid", "_off"))
+    val offsets = totals.scanLeft((Int.MinValue, 0L)) { case ((_, acc), (b, tot)) =>
+      (b, acc + tot)
+    }.sliding(2).collect { case Array((_, off), (b, _)) => (b, off) }.toSeq
+    val offDF = broadcast(spark.createDataFrame(offsets).toDF("_b", "_off"))
     val within = sum(col(sizeCol).cast("long"))
-      .over(Window.partitionBy("_pid").orderBy(idCol))
-    ranged.withColumn("_cum", within)
-      .join(offDF, "_pid")
+      .over(Window.partitionBy("_b").orderBy(idCol))
+    bucketed.withColumn("_cum", within)
+      .join(offDF, "_b")
       .select(col(idCol), col(sizeCol),
         floor((col("_off") + col("_cum") - col(sizeCol)) / budget).as("shard_id"))
   }

@@ -166,7 +166,9 @@ object Text {
     val nRed = patterns.map { case (_, p) =>
       size(regexp_extract_all(col(textCol), lit(p), lit(0)))
     }.reduce(_ + _)
-    df.select(col(idCol), cleaned.as("clean_text"), nRed.cast("long").as("n_redactions"))
+    // null text stays null, but counts as zero redactions
+    df.select(col(idCol), cleaned.as("clean_text"),
+      coalesce(nRed.cast("long"), lit(0L)).as("n_redactions"))
   }
 
   /** Per-document character-distribution Shannon entropy in bits
@@ -183,6 +185,7 @@ object Text {
       val k = size(filter(chars, x => x === ch)).cast("double")
       acc + (k / nC) * log2(k / nC)
     })
+    // when() on a null size falls through to otherwise → null/empty text = 0.0
     df.select(col(idCol),
       when(size(chars) > 0, round(-negEnt, 4)).otherwise(lit(0.0)).as("char_entropy"))
   }

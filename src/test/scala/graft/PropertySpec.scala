@@ -245,6 +245,23 @@ class PropertySpec extends TestBase {
     assert(m("b")._4 == 3.0)          // single value: all quantiles equal it
   }
 
+  test("new text ops tolerate null and empty text") {
+    val rows = Seq((1L, null: String), (2L, ""), (3L, "a@b.com ok"))
+      .toDF("id", "text")
+    val red = pipeline.Text.redactPii(rows, "id", "text")
+      .as[(Long, Option[String], Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(red(1L) == (None, 0L))
+    assert(red(2L) == (Some(""), 0L))
+    assert(red(3L) == (Some("<EMAIL> ok"), 1L))
+    val ent = pipeline.Text.charEntropy(rows, "id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(ent(1L) == 0.0 && ent(2L) == 0.0)
+    // contamination: null/empty corpus docs simply produce no shingles
+    val bench = Seq((9L, "a b c d")).toDF("id", "text")
+    val cont = pipeline.Text.contamination(rows, "id", "text", bench, "id", "text", n = 2)
+    assert(cont.count() == 0)
+  }
+
   test("simhash of identical docs is identical; hamming grows with edits") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

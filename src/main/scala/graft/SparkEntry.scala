@@ -339,6 +339,14 @@ object SparkEntry {
       // AND its two Lloyd refinement steps (assignment + per-cell means)
       pipeline.Similarity.ivfTopK(load(s, dir, "embeddings"), "vec_id", "embedding",
         k = 3, nlist = 16, nprobe = 4, lloydIters = 2)),
+    "p_ann_recall" -> ((s, dir) => { // measured recall@k of the LSH path
+      // against the exact top-k — the number the bands knob controls
+      val e = load(s, dir, "embeddings")
+      pipeline.Similarity.recallAtK(
+        pipeline.Similarity.lshTopK(e, "vec_id", "embedding",
+          k = 3, bands = 2, planesPerBand = 4, dim = 64),
+        pipeline.Similarity.topK(e, "vec_id", "embedding", k = 3))
+    }),
 
     // --- pipeline: text analysis ---
     "p_token_count" -> ((s, dir) =>
@@ -1065,6 +1073,36 @@ object SparkEntry {
          |FROM embeddings LEFT JOIN m ON m.id = vec_id""".stripMargin,
     "p_ann_lsh" -> annLshSql(3, 2, 4, 64),
     "p_ann_ivf" -> annIvfSql(3, 16, 4, lloydIters = 2),
+    "p_ann_recall" ->
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |bk AS MATERIALIZED (${duckBandRows(2, 4, 64)}),
+         |cand AS MATERIALIZED (SELECT DISTINCT x.vec_id AS qid, y.vec_id AS nid
+         |  FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
+         |  AND x.vec_id <> y.vec_id),
+         |asc_ AS (SELECT cand.qid AS query_id, cand.nid AS neighbor_id,
+         |    list_dot_product(q.v, n.v) /
+         |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))) AS c
+         |  FROM cand JOIN e q ON q.vec_id = cand.qid JOIN e n ON n.vec_id = cand.nid),
+         |approx AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rnk
+         |  FROM asc_) WHERE rnk <= 3),
+         |esc AS (SELECT q.vec_id AS query_id, y.vec_id AS neighbor_id,
+         |    list_dot_product(q.v, y.v) /
+         |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(y.v, y.v))) AS c
+         |  FROM e q JOIN e y ON y.vec_id <> q.vec_id),
+         |exact AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rnk
+         |  FROM esc) WHERE rnk <= 3),
+         |j AS (SELECT exact.query_id,
+         |    CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM exact LEFT JOIN approx a
+         |    ON a.query_id = exact.query_id AND a.neighbor_id = exact.neighbor_id)
+         |SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  CAST(SUM(hit) AS BIGINT) AS n_hit,
+         |  ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 4) AS recall
+         |FROM j GROUP BY query_id""".stripMargin,
     "p_lang_id" -> langIdSql,
     "p_quality" ->
       s"""WITH t AS (SELECT doc_id, text, $W AS w FROM documents)

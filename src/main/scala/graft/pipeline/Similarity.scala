@@ -161,6 +161,55 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 
+  /** Per-query recall of an approximate ANN result against the exact one:
+   * (query_id, n_exact, n_hit, recall 4dp). Both inputs follow the top-k
+   * contract (query_id, neighbor_id, ...). Queries present in `exact` but
+   * absent from `approx` score 0 — silent misses count. The join is equi
+   * on (query_id, neighbor_id) over two n·k-row frames, so the evaluation
+   * itself stays cheap even when the exact side was expensive to build. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val hit = approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("_hit"))
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(hit, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall", round(col("n_hit") / col("n_exact"), 4))
+  }
+
+  /** P[one band collides] for two vectors at cosine `cos`: each hyperplane
+   * separates them with probability acos(cos)/π (Goemans–Williamson), and
+   * a band collides only if all `planesPerBand` planes agree. */
+  def bandCollisionProb(cos: Double, planesPerBand: Int): Double = {
+    val theta = math.acos(math.max(-1.0, math.min(1.0, cos)))
+    math.pow(1.0 - theta / math.Pi, planesPerBand)
+  }
+
+  /** Smallest band count whose OR-amplified collision probability
+   * `1-(1-p)^L` reaches `targetRecall` for neighbors at cosine >= `atCos`
+   * — the knob that turns "recall is a side effect of (bands, planes)"
+   * into "recall is a declared input". */
+  def bandsForRecall(targetRecall: Double, atCos: Double, planesPerBand: Int): Int = {
+    require(targetRecall > 0 && targetRecall < 1,
+      s"targetRecall must be in (0,1): $targetRecall")
+    val p = bandCollisionProb(atCos, planesPerBand)
+    if (p >= 1.0) 1
+    else {
+      require(p > 0, s"collision probability is 0 at cos=$atCos — no band count reaches recall $targetRecall")
+      math.max(1, math.ceil(math.log1p(-targetRecall) / math.log1p(-p)).toInt)
+    }
+  }
+
+  /** [[lshTopK]] with the band count derived from a recall target: recall
+   * >= `targetRecall` (in expectation) for any true neighbor at cosine >=
+   * `atCos`. More bands = more candidate fan-out — the cost of the
+   * guarantee is explicit and linear. */
+  def lshTopKForRecall(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      targetRecall: Double, atCos: Double, planesPerBand: Int = 4,
+      dim: Int = 0): DataFrame =
+    lshTopK(df, idCol, vecCol, k,
+      bandsForRecall(targetRecall, atCos, planesPerBand), planesPerBand, dim)
+
   /** IVF (inverted-file) ANN. The coarse quantizer seeds cells with a
    * deterministic uniform random sample of `nlist` vectors (md5 order over
    * ids — equivalent to sampling without an RNG), optionally refined with

@@ -159,6 +159,52 @@ class ExtendedSpec extends TestBase {
       .subsetOf(lsh.map(p => (p._1, p._2)).toSet))
   }
 
+  test("recallAtK: exact-vs-exact is 1.0; silent misses count as 0") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = pipeline.Similarity.topK(df, "vec_id", "embedding", k = 3)
+    val self = pipeline.Similarity.recallAtK(exact, exact)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(self.nonEmpty && self.forall { case (_, ne, nh, r) => ne == nh && r == 1.0 })
+    // a query entirely missing from approx must appear with recall 0
+    val someQ = self.head._1
+    val holey = pipeline.Similarity.recallAtK(
+      exact.filter(col("query_id") =!= someQ), exact)
+      .as[(Long, Long, Long, Double)].collect().map(t => t._1 -> t._4).toMap
+    assert(holey(someQ) == 0.0)
+    assert(holey.count(_._2 == 1.0) == self.length - 1)
+  }
+
+  test("bandsForRecall: closed form matches the OR-amplification bound") {
+    import pipeline.Similarity.{bandCollisionProb, bandsForRecall}
+    // identical vectors collide in every band -> one band suffices
+    assert(bandCollisionProb(1.0, 4) == 1.0 && bandsForRecall(0.99, 1.0, 4) == 1)
+    // the chosen L reaches the target and L-1 does not
+    for (target <- Seq(0.5, 0.9, 0.99); cos <- Seq(0.4, 0.6, 0.8)) {
+      val p = bandCollisionProb(cos, 4)
+      val l = bandsForRecall(target, cos, 4)
+      assert(1.0 - math.pow(1.0 - p, l) >= target - 1e-12)
+      assert(l == 1 || 1.0 - math.pow(1.0 - p, l - 1) < target)
+    }
+    // monotone: stricter target or lower cosine never needs fewer bands
+    assert(bandsForRecall(0.99, 0.6, 4) >= bandsForRecall(0.9, 0.6, 4))
+    assert(bandsForRecall(0.9, 0.4, 4) >= bandsForRecall(0.9, 0.7, 4))
+  }
+
+  test("lshTopKForRecall: measured recall improves with the target") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = pipeline.Similarity.topK(df, "vec_id", "embedding", k = 3)
+    def measured(target: Double): Double = {
+      val approx = pipeline.Similarity.lshTopKForRecall(
+        df, "vec_id", "embedding", k = 3, targetRecall = target, atCos = 0.35)
+      pipeline.Similarity.recallAtK(approx, exact)
+        .agg(avg("recall")).as[Double].head()
+    }
+    val lo = measured(0.5)
+    val hi = measured(0.95)
+    assert(hi >= lo, s"recall at target 0.95 ($hi) below target 0.5 ($lo)")
+    assert(hi > 0.5, s"high-target LSH recall unexpectedly low: $hi")
+  }
+
   test("hyperplane signature: wide config matches per-row recomputation") {
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val sig = df.select($"vec_id",

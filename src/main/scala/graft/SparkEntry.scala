@@ -302,6 +302,14 @@ object SparkEntry {
     // --- pipeline: dedup ---
     "p_dedup_exact" -> ((s, dir) =>
       pipeline.Dedup.exact(load(s, dir, "documents"), "doc_id", Seq("text"))),
+    "p_incremental_dedup" -> ((s, dir) => { // steady-state dedup: new batch
+      // (doc_id >= 400) vs the corpus index (doc_id < 400) + within-batch
+      val docs = load(s, dir, "documents")
+      val index = pipeline.Dedup.minhashIndex(
+        docs.filter(col("doc_id") < 400), "doc_id", "text")
+      pipeline.Dedup.incrementalNearDups(
+        docs.filter(col("doc_id") >= 400), "doc_id", "text", index)
+    }),
     "p_minhash_lsh" -> ((s, dir) =>
       pipeline.Dedup.minhashLsh(load(s, dir, "documents"), "doc_id", "text",
         n = 3, bands = 8, rowsPerBand = 2)),
@@ -895,6 +903,27 @@ object SparkEntry {
     "p_dedup_exact" ->
       """SELECT doc_id, md5(text) AS fp,
         |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM documents""".stripMargin,
+    "p_incremental_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+         |s AS (SELECT doc_id, $SH3 AS sh FROM t WHERE len(w) >= 3),
+         |sig AS MATERIALIZED (SELECT doc_id, list_transform(range(0, 16), h ->
+         |   list_min(list_transform(sh, x -> md5(CAST(h AS VARCHAR) || '|' || x)))) AS mh
+         |   FROM s),
+         |bands AS MATERIALIZED (SELECT doc_id, r.b AS band,
+         |   md5(array_to_string(mh[2 * r.b + 1:2 * r.b + 2], '|')) AS bh
+         |   FROM sig, range(0, 8) r(b)),
+         |nb AS (SELECT * FROM bands WHERE doc_id >= 400),
+         |cb AS (SELECT * FROM bands WHERE doc_id < 400),
+         |p AS (SELECT DISTINCT nb.doc_id AS id, cb.doc_id AS mid
+         |   FROM nb JOIN cb ON nb.band = cb.band AND nb.bh = cb.bh
+         |  UNION
+         |  SELECT DISTINCT x.doc_id, y.doc_id
+         |   FROM nb x JOIN nb y ON x.band = y.band AND x.bh = y.bh
+         |   AND x.doc_id > y.doc_id)
+         |SELECT p.id AS doc_id, p.mid AS match_id,
+         |  ROUND(CAST(len(list_filter(range(1, 17), i -> a.mh[i] = b.mh[i])) AS DOUBLE) / 16,
+         |    4) AS est_jaccard
+         |FROM p JOIN sig a ON a.doc_id = p.id JOIN sig b ON b.doc_id = p.mid""".stripMargin,
     "p_minhash_lsh" ->
       s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
          |s AS (SELECT doc_id, $SH3 AS sh FROM t WHERE len(w) >= 3),

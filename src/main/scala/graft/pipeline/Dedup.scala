@@ -35,28 +35,100 @@ object Dedup {
       array_min(transform(shingles, s => md5(concat(lit(s"$h|"), s))))
     }: _*)
 
+  /** Persistable MinHash index: ONE compact row per document —
+   * (idCol, sig: array<string>, buckets: array<struct<band:int,bh:string>>).
+   * Save it as parquet next to the deduplicated corpus and every future
+   * batch joins against `buckets` without ever re-reading corpus text —
+   * the index is ~(numHashes·32 + bands·36) bytes/doc regardless of
+   * document size. Documents with no shingles are excluded. */
+  def minhashIndex(df0: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val df = ensureParallelism(df0)
+    val numHashes = bands * rowsPerBand
+    val withSig = df
+      .select(col(idCol), Text.wordShingles(col(textCol), n).as("_d_sh"))
+      .filter(size(col("_d_sh")) > 0)
+      .select(col(idCol), minhashSignature(col("_d_sh"), numHashes).as("sig"))
+    val bandStructs = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).as("bh"))
+    }: _*)
+    withSig.withColumn("buckets", bandStructs)
+  }
+
+  /** (id, band, bh) rows of an index — only ids and small band keys, so
+   * this is the frame that shuffles in every bucket join. */
+  private def indexBuckets(index: DataFrame, idCol: String, idAs: String): DataFrame =
+    index.select(col(idCol).as(idAs), explode(col("buckets")).as("_bb"))
+      .select(col(idAs), col("_bb.band").as("_band"), col("_bb.bh").as("_bh"))
+
   /** MinHash+LSH candidate pairs: signatures banded into `bands` groups of
    * `rowsPerBand`; docs sharing any band bucket become a pair (a < b).
    * Returns (a, b) distinct. Documents with no shingles are excluded. */
   def minhashLsh(df0: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val df = ensureParallelism(df0)
-    val numHashes = bands * rowsPerBand
-    val withSig = df
-      .select(col(idCol).as("_d_id"), Text.wordShingles(col(textCol), n).as("_d_sh"))
-      .filter(size(col("_d_sh")) > 0)
-      .select(col("_d_id"), minhashSignature(col("_d_sh"), numHashes).as("_d_sig"))
-    val bandStructs = array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws("|", slice(col("_d_sig"), b * rowsPerBand + 1, rowsPerBand))).as("bh"))
-    }: _*)
-    val buckets = withSig.select(col("_d_id"), explode(bandStructs).as("bb"))
-      .select(col("_d_id"), col("bb.band"), col("bb.bh"))
+    val idx = minhashIndex(df0, idCol, textCol, n, bands, rowsPerBand)
+    val buckets = indexBuckets(idx, idCol, "_d_id")
     buckets.as("x").join(buckets.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x._band") === col("y._band") && col("x._bh") === col("y._bh") &&
         col("x._d_id") < col("y._d_id"))
       .select(col("x._d_id").as("a"), col("y._d_id").as("b"))
       .distinct()
+  }
+
+  /** Incremental near-dup detection: match a NEW batch against an indexed
+   * corpus ([[minhashIndex]] output, typically loaded from parquet) and —
+   * when `matchNewPairs` — against itself, WITHOUT re-reading any corpus
+   * text. Returns one row per candidate pair: (idCol = the new doc,
+   * match_id = the matched corpus doc, or an earlier new doc,
+   * est_jaccard = fraction of agreeing minhash lanes, the standard
+   * unbiased Jaccard estimate, 4dp), filtered to >= `minEstJaccard`.
+   *
+   * This is the steady-state 100 TB dedup shape: the per-batch cost is
+   * O(batch) signature computation plus bucket equi-joins against an
+   * index whose rows are a few hundred bytes — the corpus participates
+   * only through its index. Requires corpus and batch id spaces to be
+   * disjoint, and `n`/`bands`/`rowsPerBand` equal to the index's build
+   * parameters — a narrower/wider index would silently under-count
+   * agreeing lanes, so sig widths are validated against `bands *
+   * rowsPerBand` before any join runs. */
+  def incrementalNearDups(newDf: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, matchNewPairs: Boolean = true,
+      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
+      minEstJaccard: Double = 0.0): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    index.select(size(col("sig"))).limit(1).collect().foreach { r =>
+      require(r.getInt(0) == numHashes,
+        s"index signature width ${r.getInt(0)} != bands*rowsPerBand = $numHashes")
+    }
+    val newIdx = minhashIndex(newDf, idCol, textCol, n, bands, rowsPerBand)
+    val nb = indexBuckets(newIdx, idCol, "_n_id")
+    val cb = indexBuckets(index, idCol, "_c_id")
+    val corpusPairs = nb.join(cb,
+        nb("_band") === cb("_band") && nb("_bh") === cb("_bh") &&
+        col("_n_id") =!= col("_c_id"))
+      .select(col("_n_id"), col("_c_id").as("_m_id"))
+    // within-batch pairs point the LATER doc at the earlier one — the
+    // "arrived first" doc plays the corpus role
+    val pairs0 =
+      if (matchNewPairs)
+        corpusPairs.unionByName(nb.as("x").join(nb.as("y"),
+            col("x._band") === col("y._band") && col("x._bh") === col("y._bh") &&
+            col("x._n_id") > col("y._n_id"))
+          .select(col("x._n_id").as("_n_id"), col("y._n_id").as("_m_id")))
+      else corpusPairs
+    val pairs = pairs0.distinct()
+    val newSigs = newIdx.select(col(idCol).as("_n_id"), col("sig").as("_n_sig"))
+    val matchSigs = index.select(col(idCol).as("_m_id"), col("sig").as("_m_sig"))
+      .unionByName(newIdx.select(col(idCol).as("_m_id"), col("sig").as("_m_sig")))
+    val agreeing = aggregate(
+      zip_with(col("_n_sig"), col("_m_sig"),
+        (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
+      lit(0), (acc, v) => acc + v)
+    pairs.join(newSigs, "_n_id").join(matchSigs, "_m_id")
+      .select(col("_n_id").as(idCol), col("_m_id").as("match_id"),
+        round(agreeing.cast("double") / numHashes, 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
   }
 
   /** Per-document SimHash over word tokens, `bits` wide (max 32; nibbles of

@@ -262,6 +262,31 @@ class PropertySpec extends TestBase {
     assert(cont.count() == 0)
   }
 
+  test("incrementalNearDups equals the batch-involving subset of full-corpus LSH") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val index = pipeline.Dedup.minhashIndex(docs.filter(col("doc_id") < 400), "doc_id", "text")
+    val inc = pipeline.Dedup.incrementalNearDups(
+        docs.filter(col("doc_id") >= 400), "doc_id", "text", index)
+      .as[(Long, Long, Double)].collect()
+    assert(inc.nonEmpty)
+    // batch ids all exceed corpus ids, so every incremental pair is
+    // oriented (larger, smaller) — exactly the full-LSH pairs (a < b)
+    // flipped, restricted to those involving a batch doc
+    val full = pipeline.Dedup.minhashLsh(docs, "doc_id", "text")
+      .as[(Long, Long)].collect()
+      .collect { case (a, b) if b >= 400 => (b, a) }.toSet
+    assert(inc.map(r => (r._1, r._2)).toSet == full)
+    assert(inc.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+    // bucket collision implies at least one agreeing lane pair per band row
+    assert(inc.forall(r => r._3 > 0.0))
+    // parameter drift against the persisted index is an error, not silence
+    intercept[IllegalArgumentException] {
+      pipeline.Dedup.incrementalNearDups(
+        docs.filter(col("doc_id") >= 400), "doc_id", "text", index,
+        bands = 4, rowsPerBand = 2).collect()
+    }
+  }
+
   test("simhash of identical docs is identical; hamming grows with edits") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -414,6 +414,15 @@ object SparkEntry {
       pipeline.Sampling.stratifiedHashSample(load(s, dir, "documents"), "doc_id", "lang",
         fraction = 0.5)
         .select(col("doc_id"), col("lang"))),
+    "p_semantic_dedup" -> ((s, dir) => // SemDeDup: IVF cells + within-cell cosine
+      pipeline.Dedup.semanticDedup(load(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.4, nlist = 8, lloydIters = 1)),
+    "p_dup_spans" -> ((s, dir) => // cross-doc duplicated 3-token spans
+      pipeline.Text.dupSpans(load(s, dir, "documents"), "doc_id", "text",
+        n = 3, minDocs = 2)),
+    "p_top_ngrams" -> ((s, dir) => // corpus boilerplate mining: top bigrams
+      pipeline.Text.topNgrams(load(s, dir, "documents"), "doc_id", "text",
+        n = 2, k = 50)),
 
     // --- pipeline: events ---
     "e_window_agg" -> ((s, dir) =>
@@ -610,10 +619,11 @@ object SparkEntry {
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rnk
        |  FROM sc) WHERE rnk <= $k""".stripMargin
 
-  /** IVF oracle: md5-sampled seed centroids, `lloydIters` Lloyd steps
-   * (assign to best cell by cosine, recompute per-cell position means —
-   * mirrors Similarity.ivfTopK's refinement loop), then probe-and-rank. */
-  private def annIvfSql(k: Int, nlist: Int, nprobe: Int, lloydIters: Int = 0): String = {
+  /** Shared IVF cell CTEs, ending in `asg` (every vector × centroid,
+   * ranked) and `dat` (each vector's winning cell): md5-sampled seed
+   * centroids, `lloydIters` Lloyd steps (assign to best cell by cosine,
+   * recompute per-cell position means — mirrors Similarity.ivfRanked). */
+  private def ivfCellCtes(nlist: Int, lloydIters: Int): String = {
     def assignCte(name: String, centTable: String) =
       s"""$name AS MATERIALIZED (SELECT vec_id, v, cid,
          |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS r
@@ -629,11 +639,16 @@ object SparkEntry {
          |cent$i AS MATERIALIZED (SELECT cid, list(m ORDER BY p) AS cv FROM mx$i GROUP BY cid)""".stripMargin
     }.mkString(",\n")
     val lloydBlock = if (lloydIters == 0) "" else lloyd + ",\n"
-    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |cent0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM e
        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nlist),
        |$lloydBlock${assignCte("asg", s"cent$lloydIters")},
-       |dat AS (SELECT vec_id, v, cid FROM asg WHERE r = 1),
+       |dat AS (SELECT vec_id, v, cid FROM asg WHERE r = 1)""".stripMargin
+  }
+
+  /** IVF oracle: cells via [[ivfCellCtes]], then probe-and-rank. */
+  private def annIvfSql(k: Int, nlist: Int, nprobe: Int, lloydIters: Int = 0): String = {
+    s"""WITH ${ivfCellCtes(nlist, lloydIters)},
        |q AS (SELECT vec_id AS qid, v AS qv, cid FROM asg WHERE r <= $nprobe),
        |sc AS (SELECT q.qid AS query_id, d.vec_id AS neighbor_id,
        |    list_dot_product(q.qv, d.v) /
@@ -644,6 +659,24 @@ object SparkEntry {
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rnk
        |  FROM sc) WHERE rnk <= $k""".stripMargin
   }
+
+  /** SemDeDup oracle: IVF cells via [[ivfCellCtes]], within-cell cosine
+   * pairs (4dp) above `threshold`, connected components by recursive
+   * min-label, keep_id = component minimum (itself for singletons). */
+  private def semanticDedupSql(threshold: Double, nlist: Int, lloydIters: Int): String =
+    s"""WITH RECURSIVE ${ivfCellCtes(nlist, lloydIters)},
+       |pairs AS MATERIALIZED (SELECT a, b FROM (
+       |  SELECT x.vec_id AS a, y.vec_id AS b,
+       |    ROUND(list_dot_product(x.v, y.v) /
+       |      (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) AS cos
+       |  FROM dat x JOIN dat y ON x.cid = y.cid AND x.vec_id < y.vec_id)
+       |  WHERE cos >= $threshold),
+       |u AS (SELECT a AS s1, b AS d1 FROM pairs UNION SELECT b, a FROM pairs),
+       |r AS (SELECT DISTINCT s1 AS id, s1 AS comp FROM u
+       |      UNION SELECT u.d1, r.comp FROM r JOIN u ON u.s1 = r.id),
+       |m AS (SELECT id, MIN(comp) AS keep FROM r GROUP BY id)
+       |SELECT vec_id, COALESCE(m.keep, vec_id) AS keep_id
+       |FROM embeddings LEFT JOIN m ON m.id = vec_id""".stripMargin
 
   /** First 16 bits of an md5 hex string as an integer, nibble by nibble
    * (DuckDB has no hex→int conv; mirrors Spark `conv(substr(md5,1,4),16,10)`). */
@@ -1020,6 +1053,27 @@ object SparkEntry {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 1.0) / 2000
          |    ) AS BIGINT) AS shard_id
          |FROM t""".stripMargin,
+    "p_semantic_dedup" -> semanticDedupSql(0.4, 8, 1),
+    "p_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+         |s AS (SELECT doc_id, unnest($SH3) AS sh FROM t WHERE len(w) >= 3)
+         |SELECT md5(sh) AS span_h,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_occ,
+         |  MIN(doc_id) AS first_doc
+         |FROM s GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+    "p_top_ngrams" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+         |s AS (SELECT doc_id,
+         |    unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS ngram
+         |  FROM t),
+         |c AS (SELECT ngram, CAST(count(*) AS BIGINT) AS n_occ,
+         |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |  FROM s GROUP BY 1),
+         |top AS (SELECT * FROM c ORDER BY n_occ DESC, ngram ASC LIMIT 50)
+         |SELECT ngram, n_occ, n_docs,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, ngram ASC) AS INT) AS "rank"
+         |FROM top""".stripMargin,
     "p_contamination" ->
       s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
          |s AS (SELECT doc_id, unnest($SH3) AS sh FROM t WHERE len(w) >= 3),

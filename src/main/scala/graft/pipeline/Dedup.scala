@@ -27,9 +27,21 @@ object Dedup {
       .withColumn("keep_id", min(col(idCol)).over(Window.partitionBy("fp")))
   }
 
+  /** Let-binding for Column expressions: evaluates `value` exactly once
+   * per row and hands it to `body` as a higher-order-function lambda
+   * variable. An aliased intermediate column is NOT a safe way to share an
+   * expensive expression — project collapsing can inline the alias into
+   * every consumer, and the minhash/shingle kernels are higher-order
+   * functions that run interpreted (outside codegen subexpression
+   * elimination), so the duplication is real per-row work. A lambda
+   * variable is bound once by construction and no rewrite duplicates it. */
+  private[pipeline] def bindOnce(value: Column, body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
   /** Minhash signature (array<string> of `numHashes` md5-minima) over an
-   * already-materialized shingle-array column — materialize first, or the
-   * shingling expression tree is re-evaluated once per hash lane. */
+   * already-materialized shingle-array column — pass a [[bindOnce]] lambda
+   * or a post-Generate attribute, or the shingling expression tree is
+   * re-evaluated once per hash lane. */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     array((0 until numHashes).map { h =>
       array_min(transform(shingles, s => md5(concat(lit(s"$h|"), s))))
@@ -40,20 +52,28 @@ object Dedup {
    * Save it as parquet next to the deduplicated corpus and every future
    * batch joins against `buckets` without ever re-reading corpus text —
    * the index is ~(numHashes·32 + bands·36) bytes/doc regardless of
-   * document size. Documents with no shingles are excluded. */
+   * document size. Documents with no shingles are excluded.
+   *
+   * The whole row is computed by ONE expression: the shingle array and the
+   * 16-lane signature are lambda-bound ([[bindOnce]]) so each evaluates
+   * once, and the result passes through an `explode` Generate barrier so
+   * downstream project collapsing cannot re-inline the signature into the
+   * 8 band hashes (measured 18× per-row re-evaluation without it). */
   def minhashIndex(df0: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val df = ensureParallelism(df0)
     val numHashes = bands * rowsPerBand
-    val withSig = df
-      .select(col(idCol), Text.wordShingles(col(textCol), n).as("_d_sh"))
-      .filter(size(col("_d_sh")) > 0)
-      .select(col(idCol), minhashSignature(col("_d_sh"), numHashes).as("sig"))
-    val bandStructs = array((0 until bands).map { b =>
+    def bandStructs(sig: Column) = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
-        md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).as("bh"))
+        md5(concat_ws("|", slice(sig, b * rowsPerBand + 1, rowsPerBand))).as("bh"))
     }: _*)
-    withSig.withColumn("buckets", bandStructs)
+    val packed = bindOnce(Text.wordShingles(col(textCol), n), sh =>
+      when(size(sh) > 0,
+        bindOnce(minhashSignature(sh, numHashes), sig =>
+          struct(sig.as("sig"), bandStructs(sig).as("buckets")))))
+    df.select(col(idCol), explode(array(packed)).as("_p"))
+      .filter(col("_p").isNotNull)
+      .select(col(idCol), col("_p.sig").as("sig"), col("_p.buckets").as("buckets"))
   }
 
   /** (id, band, bh) rows of an index — only ids and small band keys, so
@@ -221,6 +241,23 @@ object Dedup {
       Similarity.lshSimilarPairs(df, idCol, vecCol, threshold,
         bands, planesPerBand, dim).select("a", "b"))
 
+  /** SemDeDup-style semantic dedup (cluster-then-compare, after Abbas et
+   * al. 2023): embeddings are assigned to `nlist` deterministic IVF cells
+   * (md5-sampled seeds, optionally `lloydIters` k-means steps), cosine
+   * pairs above `threshold` are computed ONLY within a cell, and each
+   * connected duplicate group keeps its minimum id (`keep_id`, itself for
+   * singletons — same contract as [[embeddingDupClusters]]). Cross-cell
+   * duplicates are missed by construction — the published recipe's recall
+   * trade for dropping the pair cost from n² to ~n²/nlist. Prefer this
+   * over the LSH variant when a clustering of the corpus is wanted as a
+   * side product, or when cell-local comparison matches how shards are
+   * laid out. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16, lloydIters: Int = 0): DataFrame =
+    clusterReps(df, idCol,
+      Similarity.ivfCellPairs(df, idCol, vecCol, threshold, nlist, lloydIters)
+        .select("a", "b"))
+
   /** n-gram Jaccard near-dup pairs: docs sharing >= `minShared` distinct
    * `n`-word shingles. Returns (a, b, shared, jaccard). The shingle
    * inverted index bounds the join fan-out to co-occurring shingles.
@@ -240,10 +277,14 @@ object Dedup {
     // self-join out d² — cap document frequency so one boilerplate phrase
     // can't go quadratic (its pairs carry ~no Jaccard signal anyway).
     // NOTE: exact Jaccard denominators still use the uncapped sizes.
+    // Document frequency rides a window partitioned by the shingle instead
+    // of a groupBy + semi-join: one shuffle of the index, and the self-join
+    // on `s` reuses that hash partitioning for both legs.
     val shJ = if (maxDocFreq == Int.MaxValue) sh else {
-      val rare = sh.groupBy("s").agg(count(lit(1)).as("_df"))
-        .filter(col("_df") <= maxDocFreq).select("s")
-      sh.join(rare, Seq("s"), "left_semi")
+      import org.apache.spark.sql.expressions.Window
+      sh.withColumn("_df", count(lit(1)).over(Window.partitionBy("s")))
+        .filter(col("_df") <= maxDocFreq)
+        .select("_d_id", "s")
     }
     val shared = shJ.as("x").join(shJ.as("y"),
         col("x.s") === col("y.s") && col("x._d_id") < col("y._d_id"))

@@ -221,6 +221,32 @@ object Similarity {
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 0): DataFrame = {
     val v = withNorm(df, idCol, vecCol)
+    val ranked = ivfRanked(v, nlist, lloydIters)
+    val data = ranked.filter(col("_r") === 1)
+      .select(col("_s_id"), col("_s_v"), col("_s_n"), col("_c_id").as("_cell"))
+    val queries = ranked.filter(col("_r") <= nprobe)
+      .select(col("_s_id").as("_q_id"), col("_s_v").as("_q_v"),
+        col("_s_n").as("_q_n"), col("_c_id").as("_cell"))
+    val scored = queries.join(data, "_cell")
+      .filter(col("_q_id") =!= col("_s_id"))
+      .select(col("_q_id").as("query_id"), col("_s_id").as("neighbor_id"),
+        (dotProduct(col("_q_v"), col("_s_v")) / (col("_q_n") * col("_s_n"))).as("_cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("_cos").desc, col("neighbor_id").asc)
+    val out = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    out
+  }
+
+  /** Every vector scored against every IVF centroid, ranked per vector by
+   * (cosine desc, cell id asc): (_s_id, _s_v, _s_n, _c_id, _sim, _r).
+   * Cells seed from a deterministic md5-ordered sample of `nlist` vectors
+   * and optionally take `lloydIters` k-means steps (cell ids stay the seed
+   * ids, so the loop is stable). Centroids are broadcast — assignment is a
+   * narrow map stage, no shuffle of the vector table. Shared by
+   * [[ivfTopK]] and [[ivfCellPairs]]. */
+  private[pipeline] def ivfRanked(v: DataFrame, nlist: Int,
+      lloydIters: Int): DataFrame = {
     var cents = v
       .orderBy(md5(col("_s_id").cast("string")), col("_s_id"))
       .limit(nlist)
@@ -244,22 +270,27 @@ object Similarity {
       cents = means.select(col("_cell").as("_c_id"), col("_c_v"),
         sqrt(dotProduct(col("_c_v"), col("_c_v"))).as("_c_n"))
     }
+    v.crossJoin(broadcast(cents)).withColumn("_sim", sim)
+      .withColumn("_r", row_number().over(byVec))
+  }
 
-    val assign = v.crossJoin(broadcast(cents)).withColumn("_sim", sim)
-    val ranked = assign.withColumn("_r", row_number().over(byVec))
-    val data = ranked.filter(col("_r") === 1)
+  /** Within-cell similar pairs (a < b, cosine >= `threshold`, 4dp): each
+   * vector is compared ONLY against vectors in its own IVF cell — the
+   * SemDeDup cluster-then-compare shape. The pair join is an equi-join on
+   * the cell id, so fan-out is bounded by cell sizes (~(n/nlist)² per
+   * cell instead of n² — pick nlist so cells fit the executor); pairs
+   * split across cells are missed by construction, the published recipe's
+   * recall trade. */
+  def ivfCellPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16, lloydIters: Int = 0): DataFrame = {
+    val v = withNorm(df, idCol, vecCol)
+    val data = ivfRanked(v, nlist, lloydIters).filter(col("_r") === 1)
       .select(col("_s_id"), col("_s_v"), col("_s_n"), col("_c_id").as("_cell"))
-    val queries = ranked.filter(col("_r") <= nprobe)
-      .select(col("_s_id").as("_q_id"), col("_s_v").as("_q_v"),
-        col("_s_n").as("_q_n"), col("_c_id").as("_cell"))
-    val scored = queries.join(data, "_cell")
-      .filter(col("_q_id") =!= col("_s_id"))
-      .select(col("_q_id").as("query_id"), col("_s_id").as("neighbor_id"),
-        (dotProduct(col("_q_v"), col("_s_v")) / (col("_q_n") * col("_s_n"))).as("_cos"))
-    val w = Window.partitionBy("query_id").orderBy(col("_cos").desc, col("neighbor_id").asc)
-    val out = scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"))
-    out
+    data.as("x").join(data.as("y"),
+        col("x._cell") === col("y._cell") && col("x._s_id") < col("y._s_id"))
+      .select(col("x._s_id").as("a"), col("y._s_id").as("b"),
+        round(dotProduct(col("x._s_v"), col("y._s_v")) / (col("x._s_n") * col("y._s_n")),
+          4).as("cos"))
+      .filter(col("cos") >= threshold)
   }
 }

@@ -207,6 +207,52 @@ object Text {
         round(percentile(col("_n"), lit(0.95)), 4).as("p95_tokens"))
   }
 
+  /** Cross-document duplicated `n`-token spans — the reporting half of
+   * exact substring dedup ("Deduplicating Training Data Makes Language
+   * Models Better", Lee et al. 2022, scaled down from suffix arrays to
+   * rolling shingle hashes): every n-word shingle appearing in at least
+   * `minDocs` distinct documents, as (span_h, n_docs, n_occ, first_doc).
+   * Only (id, 32-char hash) pairs shuffle — never the text — and the
+   * group-by runs with map-side partial aggregation, so at 100 TB this is
+   * one scan plus one hash agg over ~tokens-per-doc rows. Feed the
+   * surviving hashes to a semi-join against the same shingling to locate
+   * (or cut) the spans per document. */
+  def dupSpans(df0: DataFrame, idCol: String, textCol: String, n: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    val df = ensureParallelism(df0)
+    df.select(col(idCol).as("_d_id"),
+        explode(wordShingles(col(textCol), n)).as("_s"))
+      .select(col("_d_id"), md5(col("_s")).as("span_h"))
+      .groupBy("span_h")
+      .agg(countDistinct(col("_d_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("_d_id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /** Corpus-wide top-`k` `n`-grams by occurrence (boilerplate mining):
+   * (ngram, n_occ, n_docs, rank), rank 1 = most frequent, ties broken by
+   * ngram ascending so the cut is deterministic. The heavy stage is one
+   * hash aggregation with map-side partials keyed by n-gram; the top-k is
+   * a TakeOrdered (per-partition heaps + driver merge of k rows), never a
+   * global sort — at 100 TB nothing but the k winners leaves the
+   * aggregation. Mined phrases feed stop-shingle caps ([[Dedup.ngramJaccard]]
+   * `maxDocFreq`) or boilerplate strip lists. */
+  def topNgrams(df0: DataFrame, idCol: String, textCol: String, n: Int = 2,
+      k: Int = 20): DataFrame = {
+    val df = ensureParallelism(df0)
+    import org.apache.spark.sql.expressions.Window
+    val counted = df.select(col(idCol).as("_d_id"),
+        explode(wordShingles(col(textCol), n)).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("_d_id")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("ngram").asc)
+      .limit(k)
+    // the window ranks only the k surviving rows — single tiny partition
+    counted.withColumn("rank",
+      row_number().over(Window.orderBy(col("n_occ").desc, col("ngram").asc)))
+  }
+
   /** Winnowing-style document fingerprint: hash all `n`-word shingles,
    * keep the deterministic 1/8 sample (hash suffix in {0,1}), and hash the
    * sorted selection. Near-identical documents collide with high

@@ -287,6 +287,57 @@ class PropertySpec extends TestBase {
     }
   }
 
+  test("minhashIndex plan computes the 16-lane signature exactly once per row") {
+    // Regression: an aliased signature column was inlined by project
+    // collapsing into each of the 8 band hashes (18x per-row re-eval,
+    // 288 array_min in the LSH plan). bindOnce + the Generate barrier
+    // pin it to one evaluation; this counts the kernel in the optimized
+    // plan so the duplication cannot silently return.
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    def lanes(df: org.apache.spark.sql.DataFrame): Int =
+      "array_min".r.findAllIn(df.queryExecution.optimizedPlan.toString).length
+    assert(lanes(pipeline.Dedup.minhashIndex(docs, "doc_id", "text")) == 16)
+    // self-join: one signature per join leg
+    assert(lanes(pipeline.Dedup.minhashLsh(docs, "doc_id", "text")) <= 32)
+  }
+
+  test("semanticDedup keeps min-id per within-cell duplicate group") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.001f, 0.0f, 0.0f)), // ~ v1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    // nlist=1: single cell, so dedup is exact at threshold 0.99
+    val m = pipeline.Dedup.semanticDedup(vecs, "vec_id", "embedding",
+      threshold = 0.99, nlist = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("dupSpans finds exactly the cross-doc shared trigrams") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "a lazy dog saw the quick brown fox"),
+      (3L, "nothing in common here at all")).toDF("doc_id", "text")
+    val rows = pipeline.Text.dupSpans(docs, "doc_id", "text", n = 3, minDocs = 2)
+      .as[(String, Long, Long, Long)].collect()
+    // docs 1 and 2 share "the quick brown" and "quick brown fox"
+    assert(rows.length == 2)
+    assert(rows.forall { case (_, nDocs, nOcc, firstDoc) =>
+      nDocs == 2 && nOcc == 2 && firstDoc == 1L })
+  }
+
+  test("topNgrams ranks by occurrence with deterministic tie-break") {
+    val docs = Seq(
+      (1L, "a b a b a b"), // "a b" x3, "b a" x2
+      (2L, "a b c d")).toDF("doc_id", "text")
+    val rows = pipeline.Text.topNgrams(docs, "doc_id", "text", n = 2, k = 3)
+      .select("ngram", "n_occ", "n_docs", "rank")
+      .as[(String, Long, Long, Int)].collect().sortBy(_._4)
+    assert(rows.map(_._1).toSeq == Seq("a b", "b a", "b c"))
+    assert(rows.head == ("a b", 4L, 2L, 1))
+  }
+
   test("simhash of identical docs is identical; hamming grows with edits") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

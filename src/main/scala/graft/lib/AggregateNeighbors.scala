@@ -54,7 +54,7 @@ class AggregateNeighbors(g: GraphFrame) {
       .repartition(col("_an_src"))
       .persist()
 
-    val mgr = new IterationManager()
+    val mgr = IterationManager.withReliableDir(g.spark, None)
     // frontier: (origin, current)
     var frontier = g.vertices.select(col(ID).as("_an_origin"), col(ID).as("_an_cur"))
     val results = ArrayBuffer.empty[DataFrame]

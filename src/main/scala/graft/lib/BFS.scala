@@ -50,7 +50,7 @@ class BFS(g: GraphFrame) {
         col(s"_bfs_e.$DST") === col(s"_bfs_b.$ID"))
     val toIds = g.vertices.filter(to).select(col(ID))
 
-    val mgr = new IterationManager()
+    val mgr = IterationManager.withReliableDir(g.spark, None)
     var paths = g.vertices.filter(from).select(vStruct.as("from"))
     if (paths.isEmpty) return zero // empty frame with (from,to) schema
     paths = mgr.persistOnly(paths)

@@ -23,21 +23,32 @@ import graft.GraphFrame
  */
 class ConnectedComponents(g: GraphFrame) {
   import GraphFrame.{ID, LONG_ID, LONG_SRC, LONG_DST}
+  import graft.GraftConf
 
+  // defaults come from the session conf (spark.graft.connectedComponents.*,
+  // parity with reference GraphFramesConf.scala:31-83); builder setters win
   private var maxIterV: Int = 100
-  private var checkpointIntervalV: Int = 2
-  private var algorithmV: String = "two_phase"
+  private var checkpointIntervalV: Int = GraftConf.ccCheckpointInterval.getOrElse(2)
+  private var algorithmV: String =
+    GraftConf.ccAlgorithm.map(ConnectedComponents.resolveAlgorithm).getOrElse("two_phase")
+  private var storageLevelV: org.apache.spark.storage.StorageLevel =
+    GraftConf.ccStorageLevel.getOrElse(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private var reliableDirV: Option[String] = None
 
   def maxIter(n: Int): this.type = { maxIterV = n; this }
   def setCheckpointInterval(n: Int): this.type = { checkpointIntervalV = n; this }
-  /** "two_phase" (default) or "randomized_contraction"
-   * (reference lib/ConnectedComponents.scala:43-56 dispatch). */
+  /** "two_phase" (default) or "randomized_contraction"; "graphframes" is
+   * accepted as the reference's deprecated alias for two_phase, "graphx"
+   * is rejected — no RDD path in this engine (reference
+   * lib/ConnectedComponents.scala:43-56 dispatch). */
   def setAlgorithm(a: String): this.type = {
-    require(Set("two_phase", "randomized_contraction").contains(a),
-      s"unknown connected-components algorithm '$a'")
-    algorithmV = a; this
+    algorithmV = ConnectedComponents.resolveAlgorithm(a); this
+  }
+  /** Storage level for per-round intermediate state (conf:
+   * `spark.graft.connectedComponents.intermediatestoragelevel`). */
+  def setIntermediateStorageLevel(l: org.apache.spark.storage.StorageLevel): this.type = {
+    storageLevelV = l; this
   }
   /** Reliable checkpointing under `dir`: per-round state survives executor
    * loss (local checkpoints — the default — do not; on a real cluster a
@@ -46,13 +57,15 @@ class ConnectedComponents(g: GraphFrame) {
     reliableDirV = Some(dir); this
   }
 
-  private var labelsAsComponents: Boolean = false
+  private var labelsAsComponents: Boolean =
+    GraftConf.useLabelsAsComponents.getOrElse(false)
   /** Label each component with its minimum ORIGINAL vertex id (in the id's
    * own type) instead of a surrogate Long (reference
    * lib/ConnectedComponents.scala:40-42 `useLabelsAsComponents`). */
   def setUseLabelsAsComponents(b: Boolean): this.type = { labelsAsComponents = b; this }
 
-  private var smallGraphThresholdV: Long = 100000L
+  private var smallGraphThresholdV: Long =
+    GraftConf.ccSmallGraphThreshold.getOrElse(100000L)
   /** Edge-count threshold below which components are finished with a
    * single driver-side union-find instead of distributed supersteps
    * (0 disables). Bounds driver memory at ~16 bytes/edge; the common
@@ -76,7 +89,8 @@ class ConnectedComponents(g: GraphFrame) {
   }
 
   private def runTwoPhase(): DataFrame = {
-    val mgr = IterationManager.withReliableDir(g.spark, reliableDirV, checkpointIntervalV)
+    val mgr = IterationManager.withReliableDir(g.spark, reliableDirV,
+      checkpointIntervalV, storageLevelV)
     // surrogate-id table feeds both the edge translation and the final
     // label join — for non-integral ids it costs a shuffle+sort, so cache
     // it instead of recomputing per consumer
@@ -174,5 +188,19 @@ class ConnectedComponents(g: GraphFrame) {
       .select(col(ID), coalesce(col("comp"), col("vid")).as("component"))
     mgr.close()
     g.vertices.join(labeled, Seq(ID), "left_outer")
+  }
+}
+
+object ConnectedComponents {
+  /** Canonical algorithm name: "graphframes" is the reference's deprecated
+   * alias for two_phase; "graphx" names its RDD backend, which this engine
+   * deliberately lacks (SURVEY §7) — rejected with the supported set. */
+  private[lib] def resolveAlgorithm(a: String): String = a.toLowerCase match {
+    case "two_phase" | "graphframes" => "two_phase"
+    case "randomized_contraction" => "randomized_contraction"
+    case other => throw new IllegalArgumentException(
+      s"unknown connected-components algorithm '$other'; supported: " +
+        "two_phase (alias graphframes), randomized_contraction " +
+        "(no graphx backend in this engine)")
   }
 }

@@ -47,8 +47,18 @@ private[graft] object IterationManager {
    * should prune it between runs. */
   def withReliableDir(spark: org.apache.spark.sql.SparkSession,
       dir: Option[String], checkpointInterval: Int = 2,
-      storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): IterationManager =
-    dir match {
+      storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): IterationManager = {
+    // session-wide opt-in to reliable cuts (spark.graft.useLocalCheckpoints
+    // = false, parity with reference GraphFramesConf.scala:9-19): algorithms
+    // without an explicit dir checkpoint into the context's checkpoint dir
+    val effective = dir.orElse {
+      if (graft.GraftConf.useLocalCheckpoints.contains(false))
+        Some(spark.sparkContext.getCheckpointDir.getOrElse(throw new java.io.IOException(
+          s"${graft.GraftConf.UseLocalCheckpointsKey}=false requires " +
+            "SparkContext.setCheckpointDir (reliable checkpoints need a cluster-visible dir)")))
+      else None
+    }
+    effective match {
       case Some(d) =>
         // Spark appends a /<uuid> component under the requested dir and
         // reports it back as a URI (file:/..., hdfs://...), so "already
@@ -63,6 +73,7 @@ private[graft] object IterationManager {
         new IterationManager(checkpointInterval, storageLevel, useLocalCheckpoint = false)
       case None => new IterationManager(checkpointInterval, storageLevel)
     }
+  }
 }
 
 private[graft] class IterationManager(

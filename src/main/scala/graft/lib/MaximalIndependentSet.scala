@@ -42,7 +42,7 @@ class MaximalIndependentSet(g: GraphFrame) {
       .select(least(col(SRC), col(DST)).as(SRC), greatest(col(SRC), col(DST)).as(DST))
       .distinct()
 
-    val mgr = new IterationManager()
+    val mgr = IterationManager.withReliableDir(g.spark, None)
     var remaining = mgr.persistOnly(g.vertices.select(ID))
     val undP = mgr.persistOnly(und)
     var mis: Option[DataFrame] = None

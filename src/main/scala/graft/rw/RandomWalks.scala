@@ -69,7 +69,7 @@ class RandomWalks(g: GraphFrame) {
       .repartition(col("_rw_v"))
       .persist()
 
-    val mgr = new IterationManager()
+    val mgr = IterationManager.withReliableDir(g.spark, None)
     // state: (walk_id, origin, cur, path)
     var state = g.vertices.select(col(ID)).crossJoin(
         spark.range(walksPerVertex).select(col("id").as("_rw_k")))

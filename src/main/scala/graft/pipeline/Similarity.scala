@@ -221,7 +221,7 @@ object Similarity {
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 0): DataFrame = {
     val v = withNorm(df, idCol, vecCol)
-    val ranked = ivfRanked(v, nlist, lloydIters)
+    val ranked = ivfRanked(v, nlist, lloydIters, math.max(nprobe, 1))
     val data = ranked.filter(col("_r") === 1)
       .select(col("_s_id"), col("_s_v"), col("_s_n"), col("_c_id").as("_cell"))
     val queries = ranked.filter(col("_r") <= nprobe)
@@ -238,29 +238,50 @@ object Similarity {
     out
   }
 
-  /** Every vector scored against every IVF centroid, ranked per vector by
-   * (cosine desc, cell id asc): (_s_id, _s_v, _s_n, _c_id, _sim, _r).
-   * Cells seed from a deterministic md5-ordered sample of `nlist` vectors
-   * and optionally take `lloydIters` k-means steps (cell ids stay the seed
-   * ids, so the loop is stable). Centroids are broadcast — assignment is a
-   * narrow map stage, no shuffle of the vector table. Shared by
-   * [[ivfTopK]] and [[ivfCellPairs]]. */
+  /** Per-vector top-`topR` IVF cells by (cosine desc, cell id asc):
+   * (_s_id, _s_v, _s_n, _c_id, _sim, _r). Cells seed from a deterministic
+   * md5-ordered sample of `nlist` vectors and optionally take `lloydIters`
+   * k-means steps (cell ids stay the seed ids, so the loop is stable).
+   *
+   * The ranking happens entirely inside one per-row expression: the
+   * `nlist` centroids are packed into a single broadcast array row, each
+   * vector scores them with a `transform`, orders them with an
+   * `array_sort` comparator, and keeps the first `topR` — no shuffle of
+   * the vector table at all (the previous shape ran `row_number` over a
+   * window, a sort-shuffle of n×nlist scored rows). Shared by [[ivfTopK]]
+   * and [[ivfCellPairs]]. */
   private[pipeline] def ivfRanked(v: DataFrame, nlist: Int,
-      lloydIters: Int): DataFrame = {
+      lloydIters: Int, topR: Int): DataFrame = {
     var cents = v
       .orderBy(md5(col("_s_id").cast("string")), col("_s_id"))
       .limit(nlist)
       .select(col("_s_id").as("_c_id"), col("_s_v").as("_c_v"), col("_s_n").as("_c_n"))
-    val sim = dotProduct(col("_s_v"), col("_c_v")) / (col("_s_n") * col("_c_n"))
-    val byVec = Window.partitionBy("_s_id").orderBy(col("_sim").desc, col("_c_id").asc)
 
-    // Lloyd refinement: reassign, recompute per-cell mean vectors (cell ids
-    // stay the seed ids so the loop is stable and deterministic)
+    // all centroids as ONE array-of-structs row (still a broadcast of
+    // nlist·dim doubles, never a driver collect)
+    def packed(c: DataFrame): DataFrame =
+      c.agg(collect_list(struct(col("_c_id"), col("_c_v"), col("_c_n"))).as("_carr"))
+
+    // (sim, cell id) per centroid, best-first; ties broken by cell id asc —
+    // the exact order row_number produced, so oracles are unchanged
+    def rankedArr(take: Int): Column = {
+      val scored = transform(col("_carr"), c => struct(
+        (dotProduct(col("_s_v"), c.getField("_c_v")) /
+          (col("_s_n") * c.getField("_c_n"))).as("_sim"),
+        c.getField("_c_id").as("_c_id")))
+      val sorted = array_sort(scored, (a, b) =>
+        when(a.getField("_sim") > b.getField("_sim"), lit(-1))
+          .when(a.getField("_sim") < b.getField("_sim"), lit(1))
+          .when(a.getField("_c_id") < b.getField("_c_id"), lit(-1))
+          .when(a.getField("_c_id") > b.getField("_c_id"), lit(1))
+          .otherwise(lit(0)))
+      slice(sorted, 1, take)
+    }
+
+    // Lloyd refinement: reassign, recompute per-cell mean vectors
     for (_ <- 0 until lloydIters) {
-      val assigned = v.crossJoin(broadcast(cents)).withColumn("_sim", sim)
-        .withColumn("_r", row_number().over(byVec))
-        .filter(col("_r") === 1)
-        .select(col("_c_id").as("_cell"), col("_s_v"))
+      val assigned = v.crossJoin(broadcast(packed(cents)))
+        .select(element_at(rankedArr(1), 1).getField("_c_id").as("_cell"), col("_s_v"))
       val means = assigned
         .select(col("_cell"), posexplode(col("_s_v")).as(Seq("_pos", "_x")))
         .groupBy("_cell", "_pos").agg(avg(col("_x")).as("_m"))
@@ -270,8 +291,12 @@ object Similarity {
       cents = means.select(col("_cell").as("_c_id"), col("_c_v"),
         sqrt(dotProduct(col("_c_v"), col("_c_v"))).as("_c_n"))
     }
-    v.crossJoin(broadcast(cents)).withColumn("_sim", sim)
-      .withColumn("_r", row_number().over(byVec))
+    v.crossJoin(broadcast(packed(cents)))
+      .select(col("_s_id"), col("_s_v"), col("_s_n"),
+        posexplode(rankedArr(topR)).as(Seq("_p", "_sc")))
+      .select(col("_s_id"), col("_s_v"), col("_s_n"),
+        col("_sc._c_id").as("_c_id"), col("_sc._sim").as("_sim"),
+        (col("_p") + 1).cast("int").as("_r"))
   }
 
   /** Within-cell similar pairs (a < b, cosine >= `threshold`, 4dp): each
@@ -284,7 +309,7 @@ object Similarity {
   def ivfCellPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int = 16, lloydIters: Int = 0): DataFrame = {
     val v = withNorm(df, idCol, vecCol)
-    val data = ivfRanked(v, nlist, lloydIters).filter(col("_r") === 1)
+    val data = ivfRanked(v, nlist, lloydIters, topR = 1)
       .select(col("_s_id"), col("_s_v"), col("_s_n"), col("_c_id").as("_cell"))
     data.as("x").join(data.as("y"),
         col("x._cell") === col("y._cell") && col("x._s_id") < col("y._s_id"))

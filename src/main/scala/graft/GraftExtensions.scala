@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions.{ArrayDotProduct, FiniteAXPlusB, KCoreMerge}
+
+/**
+ * Spark SQL extension that registers graft's native Catalyst expressions as
+ * SQL functions, so `spark.sql("SELECT graft_kcore_merge(...)")` works in any
+ * session started with
+ *
+ * {{{
+ *   spark.sql.extensions=graft.GraftExtensions
+ * }}}
+ *
+ * The algorithm internals register narrower session-temp functions on their
+ * own (`_kcoreMerge`, `_axpb` — see lib/KCore.scala, lib/RandomizedContraction
+ * .scala); this class is the public, catalog-visible surface for SQL users and
+ * for pure-SQL clients (JDBC/Thrift, spark-sql shell) that never touch the
+ * Scala API. Functions are injected into the FunctionRegistry at session build
+ * time — before any query — which is the supported way to add expressions that
+ * participate in whole-stage codegen (unlike UDFs). The reference's equivalent
+ * surface is Scala-only; exposing the kernels to SQL is a Spark-first bonus.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functionDescriptions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** (identifier, doc, builder) for every public native expression. */
+  val functionDescriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    desc(
+      "graft_kcore_merge",
+      usage = "graft_kcore_merge(nbr_cores: array<int>, core: int) - h-index-style k-core update: " +
+        "largest k <= core with at least k neighbors reporting core >= k.",
+      arity = 2) { args => KCoreMerge(args(0), args(1)) },
+    desc(
+      "graft_axpb",
+      usage = "graft_axpb(a: bigint, x: bigint, b: bigint) - invertible affine map a*x + b over " +
+        "GF(2^64) (carry-less multiply, XOR add); a pairwise-independent hash family.",
+      arity = 3) { args => FiniteAXPlusB(args(0), args(1), args(2)) },
+    desc(
+      "graft_array_dot",
+      usage = "graft_array_dot(a: array<double>, b: array<double>) - dot product as a primitive " +
+        "loop over unsafe arrays (no intermediate allocation, stays in whole-stage codegen).",
+      arity = 2) { args => ArrayDotProduct(args(0), args(1)) }
+  )
+
+  private def desc(name: String, usage: String, arity: Int)(
+      build: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = {
+    val builder: Seq[Expression] => Expression = { args =>
+      if (args.length != arity) {
+        throw new IllegalArgumentException(
+          s"$name expects $arity arguments, got ${args.length}")
+      }
+      build(args)
+    }
+    (FunctionIdentifier(name), new ExpressionInfo("graft.GraftExtensions", name, usage), builder)
+  }
+
+  /**
+   * Imperative fallback for sessions that were not started with the
+   * extension: registers the same functions as session-temp functions.
+   * Useful in notebooks where the session already exists.
+   */
+  def register(spark: SparkSession): Unit =
+    functionDescriptions.foreach { case (ident, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(ident.funcName, builder, "scala_udf")
+    }
+}

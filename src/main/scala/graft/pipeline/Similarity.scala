@@ -299,6 +299,120 @@ object Similarity {
         (col("_p") + 1).cast("int").as("_r"))
   }
 
+  /** Product-quantization codebook packed as ONE broadcastable row
+   * (`_cb: array<array<array<double>>>`, indexed `[subspace][code][dim]`,
+   * m × ksub × dim/m). Codebook entry `c` of subspace `j` is the `j`-th
+   * subvector of the `c`-th seed, where seeds are a deterministic uniform
+   * sample of `ksub` vectors (md5 order over ids — sampling without RNG
+   * state, and replayable by any SQL engine). Training on a sample is the
+   * standard PQ recipe; k-means refinement of the codebooks trades oracle
+   * replayability for quantization error and is deliberately left out of
+   * the deterministic path. */
+  private[pipeline] def pqCodebookPacked(v: DataFrame, m: Int, ksub: Int,
+      dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m subspaces")
+    val dsub = dim / m
+    val seeds = v
+      .orderBy(md5(col("_s_id").cast("string")), col("_s_id"))
+      .limit(ksub)
+      .select(md5(col("_s_id").cast("string")).as("_h"), col("_s_id"), col("_s_v"))
+    // array_sort on the struct orders by (_h, _s_id) — the same sample
+    // order — so code c refers to the same seed on every engine
+    seeds
+      .agg(array_sort(collect_list(struct(col("_h"), col("_s_id"), col("_s_v")))).as("_sv"))
+      .select(transform(sequence(lit(0), lit(m - 1)), j =>
+        transform(col("_sv"), s =>
+          slice(s.getField("_s_v"), j * lit(dsub) + 1, lit(dsub)))).as("_cb"))
+  }
+
+  /** Squared-L2 distances from subvector `j` of `vec` to every codebook
+   * entry of subspace `j`, in code order. */
+  private def pqSubDists(vec: Column, cb: Column, j: Column, dsub: Int): Column = {
+    val sub = slice(vec, j * lit(dsub) + 1, lit(dsub))
+    transform(element_at(cb, j + lit(1)), cent =>
+      aggregate(zip_with(sub, cent, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+  }
+
+  /** PQ code of a vector: per subspace, the index (0-based) of the nearest
+   * codebook entry, ties to the lowest code. `array<int>` of length m —
+   * the m-byte compressed representation that replaces the dim×8-byte
+   * vector in every candidate scan. */
+  private[pipeline] def pqCode(vec: Column, cb: Column, m: Int, dsub: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)), j => {
+      val dists = pqSubDists(vec, cb, j, dsub)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    })
+
+  /** Asymmetric-distance table of a query: `_qtab[j][c]` = squared L2 from
+   * the query's subvector j to codebook entry c. m × ksub doubles per
+   * query — the only full-precision work a query does; every candidate
+   * after that costs m array lookups. */
+  private def pqAdcTable(vec: Column, cb: Column, m: Int, dsub: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)), j => pqSubDists(vec, cb, j, dsub))
+
+  /** ADC distance: sum over subspaces of the query's table entry at the
+   * candidate's code. Summation runs j = 0..m-1 in order (replayable). */
+  private def pqAdcDistance(codes: Column, qtab: Column): Column =
+    aggregate(zip_with(codes, qtab, (c, t) => element_at(t, c + lit(1))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Persistable PQ index: (idCol, codes array<int>) — m small ints per
+   * vector regardless of dimension (64-dim float → 8 codes is 32× smaller,
+   * and at ksub <= 256 each code fits a byte on disk). Save next to the
+   * corpus; [[ivfPqTopK]] recomputes codes inline, but a stored index
+   * serves any engine that can sum m table lookups. */
+  def pqCodes(df: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 16, dim: Int = 0): DataFrame = {
+    val v = withNorm(df, idCol, vecCol)
+    val d = resolveDim(v, dim)
+    val cb = pqCodebookPacked(v, m, ksub, d)
+    v.crossJoin(broadcast(cb))
+      .select(col("_s_id").as(idCol), pqCode(col("_s_v"), col("_cb"), m, d / m).as("codes"))
+  }
+
+  /** IVF-PQ ANN top-k (the FAISS-style 100 TB architecture): vectors live
+   * in IVF cells and are represented by m-byte PQ codes; a query probes
+   * its `nprobe` nearest cells and scores candidates by asymmetric
+   * distance (one m×ksub lookup table per query, m array reads per
+   * candidate) — the candidate scan never touches a full vector, so the
+   * shuffled candidate payload is (id, cell, m ints) regardless of
+   * embedding width. Ranking is squared-L2 ascending (equivalent to
+   * cosine descending on normalized embeddings), ties to the lower id.
+   * Both quantizers are deterministic (md5-sampled seeds; `lloydIters`
+   * k-means steps on the coarse one), so results are exactly replayable.
+   * Recall < 1 by construction: cell misses (nprobe) and quantization
+   * error (m, ksub) — measure with [[recallAtK]]. `queryFilter` restricts
+   * the query side (every vector still indexes as a candidate). */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      dim: Int = 0, lloydIters: Int = 0,
+      queryFilter: Column = lit(true)): DataFrame = {
+    val v = withNorm(df, idCol, vecCol)
+    val d = resolveDim(v, dim)
+    val dsub = d / m
+    val cb = pqCodebookPacked(v, m, ksub, d)
+    val ranked = ivfRanked(v, nlist, lloydIters, math.max(nprobe, 1))
+    val data = ranked.filter(col("_r") === 1)
+      .crossJoin(broadcast(cb))
+      .select(col("_s_id"), col("_c_id").as("_cell"),
+        pqCode(col("_s_v"), col("_cb"), m, dsub).as("_codes"))
+    val qIds = df.filter(queryFilter).select(col(idCol).as("_s_id"))
+    val queries = ranked.filter(col("_r") <= nprobe)
+      .join(qIds, Seq("_s_id"), "left_semi")
+      .crossJoin(broadcast(cb))
+      .select(col("_s_id").as("_q_id"), col("_c_id").as("_cell"),
+        pqAdcTable(col("_s_v"), col("_cb"), m, dsub).as("_qtab"))
+    val scored = queries.join(data, "_cell")
+      .filter(col("_q_id") =!= col("_s_id"))
+      .select(col("_q_id").as("query_id"), col("_s_id").as("neighbor_id"),
+        pqAdcDistance(col("_codes"), col("_qtab")).as("_adc"))
+    val w = Window.partitionBy("query_id").orderBy(col("_adc").asc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+
   /** Within-cell similar pairs (a < b, cosine >= `threshold`, 4dp): each
    * vector is compared ONLY against vectors in its own IVF cell — the
    * SemDeDup cluster-then-compare shape. The pair join is an equi-join on

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Product-quantization ANN ([[pipeline.Similarity.pqCodes]] /
+ * [[pipeline.Similarity.ivfPqTopK]]). */
+class PQSpec extends TestBase {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("pqCodes: m codes per vector, each within [0, ksub), deterministic") {
+    val codes = pipeline.Similarity.pqCodes(emb, "vec_id", "embedding", m = 8, ksub = 16)
+      .as[(Long, Seq[Int])].collect()
+    assert(codes.length == emb.count())
+    codes.foreach { case (_, c) =>
+      assert(c.length == 8)
+      assert(c.forall(x => x >= 0 && x < 16))
+    }
+    val again = pipeline.Similarity.pqCodes(emb, "vec_id", "embedding", m = 8, ksub = 16)
+      .as[(Long, Seq[Int])].collect()
+    assert(codes.toMap == again.toMap)
+  }
+
+  test("pqCodes: identical vectors get identical codes") {
+    val v = emb.limit(4).select(col("vec_id"), col("embedding"))
+    val dup = v.select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val all = v.unionByName(dup)
+    val m = pipeline.Similarity.pqCodes(all, "vec_id", "embedding", m = 4, ksub = 8)
+      .as[(Long, Seq[Int])].collect().toMap
+    (0 until 4).foreach { i =>
+      assert(m(i.toLong) == m(i.toLong + 1000), s"dup of vec $i coded differently")
+    }
+  }
+
+  test("ivfPqTopK: valid ranked output, deterministic") {
+    val out = pipeline.Similarity.ivfPqTopK(emb, "vec_id", "embedding", k = 3,
+      nlist = 8, nprobe = 3, m = 8, ksub = 16)
+      .as[(Long, Long, Int)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length))
+      assert(rs.forall(_._2 != q))
+    }
+    val again = pipeline.Similarity.ivfPqTopK(emb, "vec_id", "embedding", k = 3,
+      nlist = 8, nprobe = 3, m = 8, ksub = 16).as[(Long, Long, Int)].collect()
+    assert(out.toSet == again.toSet)
+  }
+
+  test("ivfPqTopK: an exact duplicate is the rank-1 neighbor (ADC distance 0)") {
+    val base = emb.limit(40)
+    val dup = emb.filter(col("vec_id") === 7).select(
+      lit(9999L).as("vec_id"), col("embedding"), col("label"))
+    val all = base.unionByName(dup)
+    val out = pipeline.Similarity.ivfPqTopK(all, "vec_id", "embedding", k = 1,
+      nlist = 4, nprobe = 2, m = 8, ksub = 8,
+      queryFilter = col("vec_id") === 9999L)
+      .as[(Long, Long, Int)].collect()
+    // identical vector -> same cell, all subspace codes equal, ADC = 0 -> rank 1
+    assert(out.toSeq == Seq((9999L, 7L, 1)))
+  }
+
+  test("ivfPqTopK: nonzero recall against the exact top-k") {
+    val exact = pipeline.Similarity.topK(emb, "vec_id", "embedding", k = 3)
+    val approx = pipeline.Similarity.ivfPqTopK(emb, "vec_id", "embedding", k = 3,
+      nlist = 4, nprobe = 2, m = 8, ksub = 32)
+    val rec = pipeline.Similarity.recallAtK(approx, exact)
+      .agg(avg("recall")).head().getDouble(0)
+    assert(rec > 0.3, s"IVF-PQ mean recall@3 unexpectedly low: $rec")
+  }
+
+  test("queryFilter restricts the query side but not the index") {
+    val out = pipeline.Similarity.ivfPqTopK(emb, "vec_id", "embedding", k = 2,
+      nlist = 4, nprobe = 2, m = 8, ksub = 16, queryFilter = col("vec_id") < 5)
+      .as[(Long, Long, Int)].collect()
+    assert(out.map(_._1).distinct.forall(_ < 5))
+    // neighbors may come from the full corpus
+    assert(out.map(_._2).exists(_ >= 5))
+  }
+
+  test("dim not divisible by m throws") {
+    val err = intercept[IllegalArgumentException] {
+      pipeline.Similarity.pqCodes(emb, "vec_id", "embedding", m = 7, ksub = 8).collect()
+    }
+    assert(err.getMessage.contains("divisible"))
+  }
+}

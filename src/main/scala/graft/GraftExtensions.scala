@@ -60,7 +60,11 @@ object GraftExtensions {
       }
       build(args)
     }
-    (FunctionIdentifier(name), new ExpressionInfo("graft.GraftExtensions", name, usage), builder)
+    // 5-arg constructor: (className, db, name, usage, examples). The 3-arg
+    // form is (className, db, name) and would garble DESCRIBE FUNCTION output.
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft.GraftExtensions", null, name, usage, ""),
+      builder)
   }
 
   /**

@@ -325,6 +325,18 @@ object Similarity {
           slice(s.getField("_s_v"), j * lit(dsub) + 1, lit(dsub)))).as("_cb"))
   }
 
+  /** Unit-normalize `_s_v` (zero-norm vectors pass through unchanged, their
+   * norm stays 0 so downstream cosines are null rather than wrong). PQ
+   * coding and ADC tables run on normalized vectors so squared-L2 ADC
+   * (= 2 - 2·cos on unit vectors) ranks identically to the cosine used by
+   * [[topK]]/[[lshTopK]]/[[ivfTopK]] — without it the two metrics diverge
+   * on unnormalized corpora and recall comparisons are meaningless. */
+  private def normalized(v: DataFrame): DataFrame =
+    v.withColumn("_s_v",
+        when(col("_s_n") > 0, transform(col("_s_v"), x => x / col("_s_n")))
+          .otherwise(col("_s_v")))
+      .withColumn("_s_n", when(col("_s_n") > 0, lit(1.0)).otherwise(col("_s_n")))
+
   /** Squared-L2 distances from subvector `j` of `vec` to every codebook
    * entry of subspace `j`, in code order. */
   private def pqSubDists(vec: Column, cb: Column, j: Column, dsub: Int): Column = {
@@ -340,8 +352,13 @@ object Similarity {
    * vector in every candidate scan. */
   private[pipeline] def pqCode(vec: Column, cb: Column, m: Int, dsub: Int): Column =
     transform(sequence(lit(0), lit(m - 1)), j => {
-      val dists = pqSubDists(vec, cb, j, dsub)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
+      // single-pass argmin: tag each distance with its code index and take
+      // the struct-lexicographic minimum — the pqSubDists subtree appears
+      // once (array_position(dists, array_min(dists)) embedded it twice,
+      // and HOF subtrees are not reliably CSE'd)
+      val tagged = transform(pqSubDists(vec, cb, j, dsub),
+        (d, i) => struct(d.as("_d"), i.as("_i")))
+      element_at(array_sort(tagged), 1).getField("_i").cast("int")
     })
 
   /** Asymmetric-distance table of a query: `_qtab[j][c]` = squared L2 from
@@ -364,7 +381,7 @@ object Similarity {
    * serves any engine that can sum m table lookups. */
   def pqCodes(df: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, ksub: Int = 16, dim: Int = 0): DataFrame = {
-    val v = withNorm(df, idCol, vecCol)
+    val v = normalized(withNorm(df, idCol, vecCol))
     val d = resolveDim(v, dim)
     val cb = pqCodebookPacked(v, m, ksub, d)
     v.crossJoin(broadcast(cb))
@@ -377,18 +394,26 @@ object Similarity {
    * distance (one m×ksub lookup table per query, m array reads per
    * candidate) — the candidate scan never touches a full vector, so the
    * shuffled candidate payload is (id, cell, m ints) regardless of
-   * embedding width. Ranking is squared-L2 ascending (equivalent to
-   * cosine descending on normalized embeddings), ties to the lower id.
+   * embedding width. Vectors are unit-normalized before coding, so the
+   * squared-L2 ADC ranking (= 2 - 2·cos on unit vectors) is cosine
+   * descending like every other ANN entry point here; ties to the lower id.
    * Both quantizers are deterministic (md5-sampled seeds; `lloydIters`
    * k-means steps on the coarse one), so results are exactly replayable.
    * Recall < 1 by construction: cell misses (nprobe) and quantization
    * error (m, ksub) — measure with [[recallAtK]]. `queryFilter` restricts
-   * the query side (every vector still indexes as a candidate). */
+   * the query side (every vector still indexes as a candidate).
+   *
+   * `refine > 0` adds the FAISS IndexRefine step: the ADC scan keeps a
+   * per-query shortlist of `refine` candidates, which is re-ranked by
+   * exact cosine before taking the top k. The shortlist equi-joins the
+   * vector table by id — `refine` full vectors per query instead of a
+   * whole probed cell — so it buys back the PQ quantization error at a
+   * bounded, explicit cost (cell misses remain). */
   def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
-      dim: Int = 0, lloydIters: Int = 0,
+      dim: Int = 0, lloydIters: Int = 0, refine: Int = 0,
       queryFilter: Column = lit(true)): DataFrame = {
-    val v = withNorm(df, idCol, vecCol)
+    val v = normalized(withNorm(df, idCol, vecCol))
     val d = resolveDim(v, dim)
     val dsub = d / m
     val cb = pqCodebookPacked(v, m, ksub, d)
@@ -408,9 +433,26 @@ object Similarity {
       .select(col("_q_id").as("query_id"), col("_s_id").as("neighbor_id"),
         pqAdcDistance(col("_codes"), col("_qtab")).as("_adc"))
     val w = Window.partitionBy("query_id").orderBy(col("_adc").asc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    if (refine <= 0) {
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    } else {
+      val short = scored.withColumn("_arnk", row_number().over(w))
+        .filter(col("_arnk") <= math.max(refine, k))
+        .select(col("query_id"), col("neighbor_id"))
+      val qv = v.select(col("_s_id").as("query_id"), col("_s_v").as("_q_v"),
+        col("_s_n").as("_q_n"))
+      val nv = v.select(col("_s_id").as("neighbor_id"), col("_s_v").as("_n_v"),
+        col("_s_n").as("_n_n"))
+      val rescored = short.join(qv, "query_id").join(nv, "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
+          (dotProduct(col("_q_v"), col("_n_v")) / (col("_q_n") * col("_n_n"))).as("_cos"))
+      val w2 = Window.partitionBy("query_id").orderBy(col("_cos").desc, col("neighbor_id").asc)
+      rescored.withColumn("rnk", row_number().over(w2))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    }
   }
 
   /** Within-cell similar pairs (a < b, cosine >= `threshold`, 4dp): each

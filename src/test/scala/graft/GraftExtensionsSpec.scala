@@ -17,6 +17,15 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var spark: SparkSession = _
 
   override def beforeAll(): Unit = {
+    // `spark.sql.extensions` only applies at session construction. If another
+    // suite already built the shared JVM-wide session, getOrCreate() would
+    // return it and silently ignore the config — so stop and clear any
+    // pre-existing session first. Later suites rebuild via TestBase.session,
+    // which detects the stopped context.
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     spark = SparkSession.builder()
       .master("local[2]")
       .appName("graft-extensions-spec")

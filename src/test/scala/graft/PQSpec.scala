@@ -61,13 +61,30 @@ class PQSpec extends TestBase {
     assert(out.toSeq == Seq((9999L, 7L, 1)))
   }
 
-  test("ivfPqTopK: nonzero recall against the exact top-k") {
+  test("ivfPqTopK: refine shortlist re-rank lifts recall against the exact top-k") {
     val exact = pipeline.Similarity.topK(emb, "vec_id", "embedding", k = 3)
+    // ADC-only ranking can't resolve within-cluster fine ordering at these
+    // codebook sizes (measured ~0.15 here); the FAISS-style refine step
+    // re-ranks the 20-candidate ADC shortlist by exact cosine (measured 0.40,
+    // capped at ~0.65 by nlist=4/nprobe=2 cell misses).
     val approx = pipeline.Similarity.ivfPqTopK(emb, "vec_id", "embedding", k = 3,
-      nlist = 4, nprobe = 2, m = 8, ksub = 32)
+      nlist = 4, nprobe = 2, m = 8, ksub = 32, refine = 20)
     val rec = pipeline.Similarity.recallAtK(approx, exact)
       .agg(avg("recall")).head().getDouble(0)
-    assert(rec > 0.3, s"IVF-PQ mean recall@3 unexpectedly low: $rec")
+    assert(rec > 0.3, s"IVF-PQ(refine=20) mean recall@3 unexpectedly low: $rec")
+  }
+
+  test("ivfPqTopK: refine covering the whole candidate set equals exact IVF") {
+    // with the shortlist as large as the corpus, the exact-cosine re-rank
+    // sees every probed-cell candidate -> identical to ivfTopK on the same
+    // (nlist, nprobe): PQ only orders the shortlist it hands to refine
+    val viaPq = pipeline.Similarity.ivfPqTopK(emb, "vec_id", "embedding", k = 3,
+      nlist = 4, nprobe = 2, m = 8, ksub = 16, refine = 100000)
+      .as[(Long, Long, Int)].collect().toSet
+    val viaIvf = pipeline.Similarity.ivfTopK(emb, "vec_id", "embedding", k = 3,
+      nlist = 4, nprobe = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(viaPq == viaIvf)
   }
 
   test("queryFilter restricts the query side but not the index") {

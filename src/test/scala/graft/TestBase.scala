@@ -52,17 +52,25 @@ trait TestBase extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object TestBase {
-  lazy val session: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("ERROR")
-    s
+  @volatile private var current: SparkSession = _
+
+  /** Shared suite session. Rebuilds if a suite with its own dedicated session
+   * (e.g. GraftExtensionsSpec) stopped the underlying SparkContext. */
+  def session: SparkSession = synchronized {
+    if (current == null || current.sparkContext.isStopped) {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      current = SparkSession.builder()
+        .master("local[4]")
+        .appName("graft-test")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+      current.sparkContext.setLogLevel("ERROR")
+    }
+    current
   }
 }

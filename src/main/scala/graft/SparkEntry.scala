@@ -347,6 +347,11 @@ object SparkEntry {
       // AND its two Lloyd refinement steps (assignment + per-cell means)
       pipeline.Similarity.ivfTopK(load(s, dir, "embeddings"), "vec_id", "embedding",
         k = 3, nlist = 16, nprobe = 4, lloydIters = 2)),
+    "p_ann_ivfpq" -> ((s, dir) => // IVF-PQ with exact re-rank of the ADC
+      // shortlist (FAISS IndexRefine shape); oracle replays the md5-seeded
+      // codebooks, the per-subspace code argmin, the ADC sum and the refine
+      pipeline.Similarity.ivfPqTopK(load(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, nlist = 16, nprobe = 4, m = 8, ksub = 16, refine = 10)),
     "p_ann_recall" -> ((s, dir) => { // measured recall@k of the LSH path
       // against the exact top-k — the number the bands knob controls
       val e = load(s, dir, "embeddings")
@@ -658,6 +663,65 @@ object SparkEntry {
        |  SELECT query_id, neighbor_id,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rnk
        |  FROM sc) WHERE rnk <= $k""".stripMargin
+  }
+
+  /** IVF-PQ oracle: IVF cells via [[ivfCellCtes]], then an exact replay of
+   * Similarity.ivfPqTopK — unit-normalized vectors, md5-ordered codebook
+   * seeds (code c = seed c's subvector, in (md5, id) order), per-subspace
+   * argmin codes (ties to the lowest code), ADC = sum over subspaces of
+   * the query's distance to the candidate's codebook entry, and the
+   * `refine`-deep exact-cosine re-rank of the ADC shortlist. */
+  private def annIvfPqSql(k: Int, nlist: Int, nprobe: Int, m: Int, ksub: Int,
+      refine: Int, dim: Int = 64): String = {
+    val dsub = dim / m
+    s"""WITH ${ivfCellCtes(nlist, 0)},
+       |en AS MATERIALIZED (SELECT vec_id,
+       |    CASE WHEN sqrt(list_dot_product(v, v)) > 0
+       |         THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+       |         ELSE v END AS nv
+       |  FROM e),
+       |sd AS MATERIALIZED (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS c, nv
+       |  FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, en.vec_id, en.nv FROM en
+       |        ORDER BY 1, 2 LIMIT $ksub)),
+       |cb AS MATERIALIZED (
+       |  SELECT j.j, sd.c, sd.nv[j.j*$dsub+1 : j.j*$dsub+$dsub] AS cv
+       |  FROM sd, range(0, $m) j(j)),
+       |vs AS MATERIALIZED (
+       |  SELECT en.vec_id, j.j, en.nv[j.j*$dsub+1 : j.j*$dsub+$dsub] AS sv
+       |  FROM en, range(0, $m) j(j)),
+       |sdist AS MATERIALIZED (
+       |  SELECT vs.vec_id, vs.j, cb.c,
+       |    list_sum(list_transform(list_zip(vs.sv, cb.cv),
+       |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+       |  FROM vs JOIN cb ON cb.j = vs.j),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, j, c FROM (
+       |    SELECT vec_id, j, c,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+       |    FROM sdist) WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, cid FROM asg WHERE r <= $nprobe),
+       |cand AS MATERIALIZED (
+       |  SELECT q.qid, d.vec_id AS nid
+       |  FROM q JOIN dat d ON d.cid = q.cid AND d.vec_id <> q.qid),
+       |adc AS MATERIALIZED (
+       |  SELECT c.qid, c.nid, SUM(sq.d) AS adc
+       |  FROM cand c JOIN codes k2 ON k2.vec_id = c.nid
+       |    JOIN sdist sq ON sq.vec_id = c.qid AND sq.j = k2.j AND sq.c = k2.c
+       |  GROUP BY 1, 2),
+       |short AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc ASC, nid ASC) AS rn
+       |    FROM adc) WHERE rn <= ${math.max(refine, k)}),
+       |resc AS (
+       |  SELECT s.qid AS query_id, s.nid AS neighbor_id,
+       |    list_dot_product(qe.nv, ne.nv) AS c
+       |  FROM short s JOIN en qe ON qe.vec_id = s.qid JOIN en ne ON ne.vec_id = s.nid)
+       |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rnk
+       |  FROM resc) WHERE rnk <= $k""".stripMargin
   }
 
   /** SemDeDup oracle: IVF cells via [[ivfCellCtes]], within-cell cosine
@@ -1156,6 +1220,7 @@ object SparkEntry {
          |FROM embeddings LEFT JOIN m ON m.id = vec_id""".stripMargin,
     "p_ann_lsh" -> annLshSql(3, 2, 4, 64),
     "p_ann_ivf" -> annIvfSql(3, 16, 4, lloydIters = 2),
+    "p_ann_ivfpq" -> annIvfPqSql(3, 16, 4, m = 8, ksub = 16, refine = 10),
     "p_ann_recall" ->
       s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |bk AS MATERIALIZED (${duckBandRows(2, 4, 64)}),

@@ -211,6 +211,21 @@ object SparkEntry {
     "g_pagerank" -> ((s, dir) =>
       graphB(s, dir).pageRank.resetProbability(0.15).maxIter(10).run()
         .vertices.select(col(ID), round(col("pagerank"), 5).as("pagerank"))),
+    "g_pagerank_tol" -> ((s, dir) => {
+      // tolerance mode: vertices vote to halt when their rank moves < tol;
+      // the trade graph is near-regular (converges in 1 round), so the
+      // harness builds an irregular cycle+chords graph over the 25 nations
+      // (out-degrees 1-2, converges at round 25 for tol=1e-3). The oracle
+      // unrolls the rounds AND replays the stop rule itself.
+      val v = load(s, dir, "nation").select(col("n_nationkey").as(ID))
+      val e = v.select(col(ID).as(SRC), pmod(col(ID) + 7, lit(25)).as(DST))
+        .unionByName(v.filter(col(ID) % 3 === 0)
+          .select(col(ID).as(SRC), pmod(col(ID) * 3 + 1, lit(25)).as(DST)))
+        .filter(col(SRC) =!= col(DST))
+        .distinct()
+      GraphFrame(v, e).pageRank.resetProbability(0.15).tol(0.001).run()
+        .vertices.select(col(ID), round(col("pagerank"), 5).as("pagerank"))
+    }),
     "g_triangle_count" -> ((s, dir) =>
       graphB(s, dir).triangleCount.run()
         .select(col(ID), col("count").as("tri_count"))),
@@ -234,6 +249,35 @@ object SparkEntry {
         .select(array_join(col("found_cycles").cast("array<string>"), ",")
           .as("found_cycles"))),
 
+    "g_graph_ops" -> ((s, dir) => {
+      // §2.2 composition through the driver gate: filterEdges keeps only
+      // high-value order edges, dropIsolatedVertices sheds customers left
+      // with no qualifying orders, and the surviving edges reach their
+      // nation through the manual skewedJoin escape hatch (customers with
+      // > 8 qualifying orders ride the broadcast leg, the tail shuffles —
+      // both legs union to exactly the plain-join result the oracle states).
+      val cust = load(s, dir, "customer")
+      val ord = load(s, dir, "orders")
+      val v = cust.select(concat(lit("c"), col("c_custkey")).as(ID))
+        .unionByName(ord.select(concat(lit("o"), col("o_orderkey")).as(ID)))
+      val e = ord.select(concat(lit("c"), col("o_custkey")).as(SRC),
+        concat(lit("o"), col("o_orderkey")).as(DST), col("o_totalprice"))
+      val g2 = GraphFrame(v, e)
+        .filterEdges(col("o_totalprice") > 150000.0)
+        .dropIsolatedVertices()
+      val custDim = cust.select(concat(lit("c"), col("c_custkey")).as(SRC),
+        col("c_nationkey"))
+      val perNation = g2.skewedJoin(g2.edges, custDim, SRC, threshold = 8L)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total_val"))
+      val survivors = g2.vertices.filter(col(ID).startsWith("c"))
+        .join(custDim.withColumnRenamed(SRC, ID), Seq(ID))
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_cust"))
+      perNation.join(survivors, Seq("c_nationkey"))
+        .select(col("c_nationkey").as("nation_key"), col("n_cust"),
+          col("n_orders"), col("total_val"))
+    }),
     "g_agg_neighbors" -> ((s, dir) => {
       import graft.lib.AggregateNeighbors
       graphB(s, dir).aggregateNeighbors
@@ -471,6 +515,44 @@ object SparkEntry {
        |pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS r FROM v),
        |$steps
        |SELECT id, ROUND(r, 5) AS pagerank FROM pr$iters""".stripMargin
+  }
+
+  /** Tolerance-mode PageRank oracle over the cycle+chords nation graph:
+   * unrolls `maxRounds` power-iteration rounds, then REPLAYS the voting
+   * stop rule — the reported ranks are those of the first round whose
+   * max |Δrank| over all vertices drops below `tol`, exactly when the
+   * Pregel active-vertex loop stops. */
+  private def pagerankTolSql(tol: Double, maxRounds: Int): String = {
+    // every pr$k is referenced three times (next round, delta check, final
+    // select) — MATERIALIZED stops DuckDB's CTE inlining from expanding the
+    // chain into a 3^maxRounds expression tree
+    val steps = (1 to maxRounds).map { k =>
+      s"""pr$k AS MATERIALIZED (
+         |  SELECT v.id, 0.15 + 0.85 * COALESCE(SUM(p.r / o.od), 0) AS r
+         |  FROM v LEFT JOIN e ON e.dst = v.id
+         |  LEFT JOIN pr${k - 1} p ON p.id = e.src
+         |  LEFT JOIN od o ON o.src = e.src
+         |  GROUP BY v.id)""".stripMargin
+    }.mkString(",\n")
+    val deltas = (1 to maxRounds).map { k =>
+      s"SELECT $k AS k, MAX(ABS(a.r - b.r)) AS md FROM pr$k a JOIN pr${k - 1} b USING (id)"
+    }.mkString("\nUNION ALL\n")
+    val rounds = (1 to maxRounds).map { k =>
+      s"SELECT $k AS k, id, r FROM pr$k"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT n_nationkey AS id FROM nation),
+       |e AS (SELECT DISTINCT src, dst FROM (
+       |    SELECT id AS src, (id + 7) % 25 AS dst FROM v
+       |    UNION ALL
+       |    SELECT id, (3 * id + 1) % 25 FROM v WHERE id % 3 = 0)
+       |  WHERE src <> dst),
+       |od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+       |pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS r FROM v),
+       |$steps,
+       |d AS ($deltas),
+       |ks AS (SELECT MIN(k) AS k FROM d WHERE md < $tol),
+       |allr AS ($rounds)
+       |SELECT id, ROUND(r, 5) AS pagerank FROM allr JOIN ks USING (k)""".stripMargin
   }
 
   private def simhashSql(bits: Int): String = {
@@ -923,6 +1005,18 @@ object SparkEntry {
          |SELECT n_nationkey AS id, CAST(MIN(b.d) AS INT) AS dist
          |FROM nation LEFT JOIN b ON b.id = n_nationkey GROUP BY 1""".stripMargin,
     "g_pagerank" -> pagerankSql(10),
+    "g_pagerank_tol" -> pagerankTolSql(0.001, 40),
+    "g_graph_ops" ->
+      """WITH he AS (SELECT o_custkey, o_totalprice FROM orders
+        |            WHERE o_totalprice > 150000.0),
+        |a AS (SELECT c_nationkey, COUNT(*) AS n_orders,
+        |        ROUND(SUM(o_totalprice), 2) AS total_val
+        |      FROM he JOIN customer ON c_custkey = o_custkey GROUP BY 1),
+        |b AS (SELECT c_nationkey, COUNT(*) AS n_cust
+        |      FROM (SELECT DISTINCT o_custkey FROM he) h
+        |      JOIN customer ON c_custkey = h.o_custkey GROUP BY 1)
+        |SELECT a.c_nationkey AS nation_key, b.n_cust, a.n_orders, a.total_val
+        |FROM a JOIN b ON a.c_nationkey = b.c_nationkey""".stripMargin,
     "g_pppr" -> ppprSql(10, 0, 5),
     "g_label_propagation" -> lpaSql(5),
     "g_kcore" -> kcoreSql(12),

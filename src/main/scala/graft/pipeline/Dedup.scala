@@ -117,10 +117,17 @@ object Dedup {
       n: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
       minEstJaccard: Double = 0.0): DataFrame = {
     val numHashes = bands * rowsPerBand
-    index.select(size(col("sig"))).limit(1).collect().foreach { r =>
-      require(r.getInt(0) == numHashes,
-        s"index signature width ${r.getInt(0)} != bands*rowsPerBand = $numHashes")
-    }
+    // validate EVERY row's width in one probe job: a single-row check would
+    // pass an index accidentally built with mixed parameters, and mixed
+    // widths make the zip_with lane count silently wrong downstream
+    index.agg(min(size(col("sig"))).as("_lo"), max(size(col("sig"))).as("_hi"))
+      .collect().foreach { r =>
+        if (!r.isNullAt(0)) {
+          require(r.getInt(0) == numHashes && r.getInt(1) == numHashes,
+            s"index signature widths [${r.getInt(0)}, ${r.getInt(1)}] != " +
+              s"bands*rowsPerBand = $numHashes — index built with different parameters?")
+        }
+      }
     val newIdx = minhashIndex(newDf, idCol, textCol, n, bands, rowsPerBand)
     val nb = indexBuckets(newIdx, idCol, "_n_id")
     val cb = indexBuckets(index, idCol, "_c_id")

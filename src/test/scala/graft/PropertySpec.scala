@@ -285,6 +285,17 @@ class PropertySpec extends TestBase {
         docs.filter(col("doc_id") >= 400), "doc_id", "text", index,
         bands = 4, rowsPerBand = 2).collect()
     }
+    // a MIXED-width index (e.g. two builds with different parameters
+    // union'd) must also fail fast, even when some rows have the right
+    // width — a single-row probe would let it through
+    val narrow = pipeline.Dedup.minhashIndex(
+      docs.filter(col("doc_id") < 50), "doc_id", "text", bands = 4, rowsPerBand = 2)
+    val mixed = index.filter(col("doc_id") >= 50).unionByName(narrow)
+    val err = intercept[IllegalArgumentException] {
+      pipeline.Dedup.incrementalNearDups(
+        docs.filter(col("doc_id") >= 400), "doc_id", "text", mixed).collect()
+    }
+    assert(err.getMessage.contains("different parameters"))
   }
 
   test("minhashIndex plan computes the 16-lane signature exactly once per row") {

@@ -148,14 +148,17 @@ object SparkEntry {
     "g_sampling_convolution" -> ((s, dir) => {
       // 1-hop mean-aggregation GNN layer over a deterministic 2-out-regular
       // chain graph on the embeddings table; sampleSize exceeds the fan-out
-      // so the k-min sample keeps every neighbor and values are exact
+      // so the k-min sample keeps every neighbor and values are exact.
+      // Edges come from id arithmetic (vec_ids are contiguous) semi-joined
+      // back to existing ids — a narrow equi-join, not the single-partition
+      // global-sort window an unpartitioned lead() would need at scale.
       import graft.expressions.ArrayDotProduct.dotProduct
       val emb = load(s, dir, "embeddings")
         .select(col("vec_id").as(ID), col("embedding").cast("array<double>").as("embedding"))
-      val w = Window.orderBy(ID)
-      val e = emb.select(col(ID).as(SRC), lead(ID, 1).over(w).as(DST))
-        .unionAll(emb.select(col(ID).as(SRC), lead(ID, 2).over(w).as(DST)))
-        .filter(col(DST).isNotNull)
+      val ids = emb.select(col(ID).as(DST))
+      def shifted(k: Int) = emb.select(col(ID).as(SRC), (col(ID) + k).as(DST))
+        .join(ids, Seq(DST), "left_semi")
+      val e = shifted(1).unionAll(shifted(2)).select(col(SRC), col(DST))
       val g = GraphFrame(emb.select(ID), e)
       embeddings.Embeddings.samplingConvolution(g, emb, sampleSize = 16)
         .select(col(ID).as("vec_id"),
@@ -909,10 +912,11 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS INT) AS deg_p
         |FROM orders GROUP BY 1""".stripMargin,
     "g_sampling_convolution" ->
-      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-        |    LEAD(vec_id, 1) OVER (ORDER BY vec_id) AS n1,
-        |    LEAD(vec_id, 2) OVER (ORDER BY vec_id) AS n2
-        |  FROM embeddings),
+      """WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |e0 AS (SELECT ev.vec_id, ev.v,
+        |    (SELECT x.vec_id FROM ev x WHERE x.vec_id = ev.vec_id + 1) AS n1,
+        |    (SELECT x.vec_id FROM ev x WHERE x.vec_id = ev.vec_id + 2) AS n2
+        |  FROM ev),
         |nb AS (SELECT e0.vec_id, e0.v, a.v AS v1, b.v AS v2
         |  FROM e0 LEFT JOIN e0 a ON a.vec_id = e0.n1
         |  LEFT JOIN e0 b ON b.vec_id = e0.n2),

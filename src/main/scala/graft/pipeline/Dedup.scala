@@ -284,13 +284,15 @@ object Dedup {
     // self-join out d² — cap document frequency so one boilerplate phrase
     // can't go quadratic (its pairs carry ~no Jaccard signal anyway).
     // NOTE: exact Jaccard denominators still use the uncapped sizes.
-    // Document frequency rides a window partitioned by the shingle instead
-    // of a groupBy + semi-join: one shuffle of the index, and the self-join
-    // on `s` reuses that hash partitioning for both legs.
+    // The doc-freq count is a hash aggregate (map-side partials — the hot
+    // shingle never materializes in one task, unlike a window partitioned
+    // by the shingle), and the handful of over-cap stop shingles come back
+    // as a broadcast anti-join against the index.
     val shJ = if (maxDocFreq == Int.MaxValue) sh else {
-      import org.apache.spark.sql.expressions.Window
-      sh.withColumn("_df", count(lit(1)).over(Window.partitionBy("s")))
-        .filter(col("_df") <= maxDocFreq)
+      val stop = sh.groupBy("s").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") > maxDocFreq)
+        .select("s")
+      sh.join(broadcast(stop), Seq("s"), "left_anti")
         .select("_d_id", "s")
     }
     val shared = shJ.as("x").join(shJ.as("y"),

@@ -1,0 +1,146 @@
+package graft.connect
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.expr
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.GraphFrame
+
+/**
+ * Maps a (vertices, edges, algorithm, params) quadruple from a decoded
+ * [[GraftRelation]] onto the Scala API — the Connect server's method
+ * table, equivalent in role to the reference's per-message dispatch
+ * (reference connect/.../GraphFramesConnect.scala maps each proto oneof
+ * arm to a GraphFrame call). Pure DataFrame-in/DataFrame-out, so it is
+ * unit-testable without a Connect server.
+ *
+ * Parameters arrive as one JSON object (the proto carries it as
+ * `params_json`); column-valued parameters are SQL expression strings
+ * parsed with `expr()` — the same contract the reference's
+ * ColumnOrExpression `expr` arm uses.
+ */
+object GraftConnectDispatch {
+
+  /** Algorithm names accepted by [[run]], for error messages and clients. */
+  val algorithms: Seq[String] = Seq(
+    "triplets", "degrees", "in_degrees", "out_degrees",
+    "filter_vertices", "filter_edges", "drop_isolated_vertices",
+    "find", "bfs", "pregel", "aggregate_messages",
+    "connected_components", "strongly_connected_components",
+    "page_rank", "shortest_paths", "label_propagation",
+    "triangle_count", "kcore", "maximal_independent_set",
+    "detecting_cycles")
+
+  def run(vertices: Option[DataFrame], edges: DataFrame,
+      algorithm: String, paramsJson: String): DataFrame = {
+    val params: Map[String, JValue] = paramsJson.trim match {
+      case "" => Map.empty
+      case s => JsonMethods.parse(s) match {
+        case JObject(fields) => fields.toMap
+        case other => throw new IllegalArgumentException(
+          s"params_json must be a JSON object, got: $other")
+      }
+    }
+    def str(k: String): Option[String] = params.get(k).collect { case JString(s) => s }
+    def int(k: String): Option[Int] = params.get(k).collect {
+      case JInt(i) => i.toInt
+      case JLong(l) => l.toInt
+      case JDouble(d) if d.isWhole => d.toInt
+    }
+    def dbl(k: String): Option[Double] = params.get(k).collect {
+      case JDouble(d) => d
+      case JInt(i) => i.toDouble
+      case JLong(l) => l.toDouble
+    }
+    def idValue(v: JValue): Any = v match {
+      case JString(s) => s
+      case JInt(i) => i.toLong
+      case JLong(l) => l
+      case other => throw new IllegalArgumentException(s"unsupported id value: $other")
+    }
+    def required(k: String): String = str(k).getOrElse(
+      throw new IllegalArgumentException(s"$algorithm requires params_json key '$k'"))
+
+    val g = vertices match {
+      case Some(v) => GraphFrame(v, edges)
+      case None => GraphFrame.fromEdges(edges)
+    }
+
+    algorithm match {
+      case "triplets" => g.triplets
+      case "degrees" => g.degrees
+      case "in_degrees" => g.inDegrees
+      case "out_degrees" => g.outDegrees
+      case "filter_vertices" => g.filterVertices(required("condition")).vertices
+      case "filter_edges" => g.filterEdges(required("condition")).edges
+      case "drop_isolated_vertices" => g.dropIsolatedVertices().vertices
+      case "find" => g.find(required("pattern"))
+      case "bfs" =>
+        val b = g.bfs.fromExpr(required("fromExpr")).toExpr(required("toExpr"))
+        int("maxPathLength").foreach(b.maxPathLength)
+        b.run()
+      case "pregel" =>
+        // expression strings see the same frame the Scala API does:
+        // previous state columns plus the aggregated message _pregel_msg_
+        val p = g.pregel.withVertexColumn(required("vertexColName"),
+          expr(required("initExpr")), expr(required("updateExpr")))
+        str("sendToDst").foreach(s => p.sendMsgToDst(expr(s)))
+        str("sendToSrc").foreach(s => p.sendMsgToSrc(expr(s)))
+        p.aggMsgs(expr(required("aggMsgs")))
+        int("maxIter").foreach(p.setMaxIter)
+        int("checkpointInterval").foreach(p.setCheckpointInterval)
+        p.run()
+      case "aggregate_messages" =>
+        val a = g.aggregateMessages
+        str("sendToDst").foreach(s => a.sendToDst(expr(s)))
+        str("sendToSrc").foreach(s => a.sendToSrc(expr(s)))
+        a.agg(expr(required("aggCol")))
+      case "connected_components" =>
+        val cc = g.connectedComponents
+        str("algorithm").foreach(cc.setAlgorithm)
+        cc.run()
+      case "strongly_connected_components" =>
+        val scc = g.stronglyConnectedComponents
+        int("maxIter").foreach(scc.maxIter)
+        scc.run()
+      case "page_rank" =>
+        val pr = g.pageRank
+        dbl("resetProb").foreach(pr.resetProbability)
+        int("maxIter").foreach(pr.maxIter)
+        dbl("tol").foreach(pr.tol)
+        params.get("sourceId").foreach(v => pr.sourceId(idValue(v)))
+        pr.run().vertices
+      case "shortest_paths" =>
+        val ls = params.get("landmarks") match {
+          case Some(JArray(vs)) => vs.map(idValue)
+          case _ => throw new IllegalArgumentException(
+            "shortest_paths requires params_json key 'landmarks' (array of ids)")
+        }
+        val sp = g.shortestPaths.landmarks(ls)
+        int("maxIter").foreach(sp.maxIter)
+        sp.run()
+      case "label_propagation" =>
+        val lp = g.labelPropagation
+        int("maxIter").foreach(lp.maxIter)
+        lp.run()
+      case "triangle_count" => g.triangleCount.run()
+      case "kcore" =>
+        val kc = g.kCore
+        int("maxIter").foreach(kc.maxIter)
+        kc.run()
+      case "maximal_independent_set" =>
+        val mis = g.maximalIndependentSet
+        int("maxIter").foreach(mis.maxIter)
+        str("hashMode").foreach(mis.setHashMode)
+        mis.run()
+      case "detecting_cycles" =>
+        val dc = g.detectingCycles
+        int("maxIter").foreach(dc.maxIter)
+        dc.run()
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown graft algorithm '$other'; supported: ${algorithms.mkString(", ")}")
+    }
+  }
+}

@@ -1,8 +1,9 @@
 package org.apache.spark.sql.graftshim
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /**
@@ -34,4 +35,15 @@ object GraftShims {
 
   def dropFunction(spark: SparkSession, name: String): Unit =
     spark.sessionState.functionRegistry.dropFunction(FunctionIdentifier(name))
+
+  /** DataFrame over a logical plan (`Dataset.ofRows` is `private[sql]`);
+   * used by the Connect plugin to rehydrate client-shipped relations. */
+  def ofRows(spark: org.apache.spark.sql.classic.SparkSession,
+      plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(spark, plan)
+
+  /** The analyzed-side logical plan of a DataFrame (classic backend). */
+  def logicalPlan(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.logical
 }

@@ -1,0 +1,109 @@
+package graft
+
+import java.util.Optional
+
+import org.apache.spark.connect.proto
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
+import org.apache.spark.sql.connect.planner.SparkConnectPlanner
+import org.apache.spark.sql.connect.service.SessionHolder
+import org.apache.spark.sql.graftshim.GraftShims
+import org.sparkproject.connect.protobuf.{Any => ProtoAny, ByteString}
+
+import graft.connect.{GraftConnectDispatch, GraftRelation, GraftRelationPlugin, WireFormat}
+
+/**
+ * End-to-end Spark Connect plugin tests WITHOUT a gRPC server: a real
+ * SparkConnectPlanner (over the shared session) transforms real
+ * `spark.connect.Relation` payloads built with the bundled proto
+ * builders, exactly as the Connect service would, and the plugin's raw
+ * `Any` bytes come from our own wire encoder — the same bytes a remote
+ * client produces.
+ */
+class ConnectPluginSpec extends TestBase {
+
+  private lazy val planner =
+    new SparkConnectPlanner(
+      SessionHolder("test-user", "test-session", spark.asInstanceOf[ClassicSession]),
+      scala.None)
+
+  private def sqlRelation(query: String): Array[Byte] =
+    proto.Relation.newBuilder()
+      .setSql(proto.SQL.newBuilder().setQuery(query))
+      .build().toByteArray
+
+  private def callPlugin(msg: GraftRelation): DataFrame = {
+    val anyBytes = ProtoAny.newBuilder()
+      .setTypeUrl("type.googleapis.com/" + GraftRelationPlugin.TypeName)
+      .setValue(ByteString.copyFrom(WireFormat.encode(msg)))
+      .build().toByteArray
+    val plan = new GraftRelationPlugin().transform(anyBytes, planner)
+    assert(plan.isPresent, "plugin returned empty for its own type_url")
+    GraftShims.ofRows(spark.asInstanceOf[ClassicSession], plan.get())
+  }
+
+  private val vSql =
+    "SELECT * FROM VALUES ('a'),('b'),('c'),('d'),('g') AS t(id)"
+  private val eSql =
+    "SELECT * FROM VALUES ('a','b'),('b','c'),('c','b'),('c','d') AS t(src, dst)"
+
+  test("degrees through the full plugin path equals the Scala API") {
+    val out = callPlugin(GraftRelation("degrees",
+      Some(sqlRelation(vSql)), Some(sqlRelation(eSql)), ""))
+    val direct = GraphFrame(spark.sql(vSql), spark.sql(eSql)).degrees
+    assert(rows(out) == rows(direct))
+  }
+
+  test("connected_components through the plugin: 2 components (g isolated)") {
+    val out = callPlugin(GraftRelation("connected_components",
+      Some(sqlRelation(vSql)), Some(sqlRelation(eSql)), ""))
+    val comps = out.select("component").distinct().count()
+    assert(comps == 2)
+    assert(out.count() == 5)
+  }
+
+  test("page_rank with JSON params through the plugin equals the Scala API") {
+    val out = callPlugin(GraftRelation("page_rank",
+      Some(sqlRelation(vSql)), Some(sqlRelation(eSql)),
+      """{"resetProb": 0.15, "maxIter": 5}"""))
+    val direct = GraphFrame(spark.sql(vSql), spark.sql(eSql))
+      .pageRank.resetProbability(0.15).maxIter(5).run().vertices
+    assert(rows(out.select("id", "pagerank")) == rows(direct.select("id", "pagerank")))
+  }
+
+  test("find (motif) through the plugin") {
+    val out = callPlugin(GraftRelation("find",
+      Some(sqlRelation(vSql)), Some(sqlRelation(eSql)),
+      """{"pattern": "(x)-[]->(y); (y)-[]->(x)"}"""))
+    // mutual pair: b <-> c, both orientations
+    assert(out.count() == 2)
+  }
+
+  test("foreign type_url yields empty so other plugins get a turn") {
+    val anyBytes = ProtoAny.newBuilder()
+      .setTypeUrl("type.googleapis.com/someone.Else")
+      .setValue(ByteString.copyFrom(Array[Byte](1, 2, 3)))
+      .build().toByteArray
+    assert(new GraftRelationPlugin().transform(anyBytes, planner) == Optional.empty())
+  }
+
+  test("unknown algorithm fails with the supported list") {
+    val err = intercept[IllegalArgumentException] {
+      callPlugin(GraftRelation("frobnicate",
+        Some(sqlRelation(vSql)), Some(sqlRelation(eSql)), ""))
+    }
+    assert(err.getMessage.contains("page_rank"))
+  }
+
+  test("dispatch covers shortest_paths landmarks and filter_edges") {
+    val v = spark.sql("SELECT * FROM VALUES (0L),(1L),(2L),(3L) AS t(id)")
+    val e = spark.sql(
+      "SELECT * FROM VALUES (0L,1L,1.0),(1L,2L,5.0),(2L,3L,1.0) AS t(src, dst, w)")
+    val sp = GraftConnectDispatch.run(Some(v), e, "shortest_paths",
+      """{"landmarks": [0]}""")
+    assert(sp.columns.contains("distances") && sp.count() == 4)
+    val fe = GraftConnectDispatch.run(Some(v), e, "filter_edges",
+      """{"condition": "w < 2.0"}""")
+    assert(fe.count() == 2)
+  }
+}

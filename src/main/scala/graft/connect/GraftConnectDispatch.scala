@@ -26,11 +26,13 @@ object GraftConnectDispatch {
   val algorithms: Seq[String] = Seq(
     "triplets", "degrees", "in_degrees", "out_degrees",
     "filter_vertices", "filter_edges", "drop_isolated_vertices",
-    "find", "bfs", "pregel", "aggregate_messages",
+    "find", "bfs", "pregel", "aggregate_messages", "aggregate_neighbors",
     "connected_components", "strongly_connected_components",
-    "page_rank", "shortest_paths", "label_propagation",
+    "page_rank", "parallel_personalized_page_rank",
+    "shortest_paths", "label_propagation",
     "triangle_count", "kcore", "maximal_independent_set",
-    "detecting_cycles")
+    "detecting_cycles", "random_walks", "power_iteration_clustering",
+    "svd_plus_plus", "rw_embeddings")
 
   def run(vertices: Option[DataFrame], edges: DataFrame,
       algorithm: String, paramsJson: String): DataFrame = {
@@ -96,6 +98,10 @@ object GraftConnectDispatch {
         str("sendToDst").foreach(s => a.sendToDst(expr(s)))
         str("sendToSrc").foreach(s => a.sendToSrc(expr(s)))
         a.agg(expr(required("aggCol")))
+      case "aggregate_neighbors" =>
+        val an = g.aggregateNeighbors.agg(expr(required("aggCol")))
+        int("maxHops").foreach(an.setMaxHops)
+        an.run()
       case "connected_components" =>
         val cc = g.connectedComponents
         str("algorithm").foreach(cc.setAlgorithm)
@@ -111,6 +117,16 @@ object GraftConnectDispatch {
         dbl("tol").foreach(pr.tol)
         params.get("sourceId").foreach(v => pr.sourceId(idValue(v)))
         pr.run().vertices
+      case "parallel_personalized_page_rank" =>
+        val srcs = params.get("sourceIds") match {
+          case Some(JArray(vs)) => vs.map(idValue)
+          case _ => throw new IllegalArgumentException(
+            "parallel_personalized_page_rank requires params_json key 'sourceIds' (array of ids)")
+        }
+        val pp = g.parallelPersonalizedPageRank.sourceIds(srcs)
+        dbl("resetProb").foreach(pp.resetProbability)
+        int("maxIter").foreach(pp.maxIter)
+        pp.run()
       case "shortest_paths" =>
         val ls = params.get("landmarks") match {
           case Some(JArray(vs)) => vs.map(idValue)
@@ -138,6 +154,42 @@ object GraftConnectDispatch {
         val dc = g.detectingCycles
         int("maxIter").foreach(dc.maxIter)
         dc.run()
+      case "random_walks" =>
+        val rw = g.randomWalks
+        int("walkLength").foreach(rw.setWalkLength)
+        int("walksPerVertex").foreach(rw.setWalksPerVertex)
+        dbl("restartProb").foreach(rw.setRestartProbability)
+        params.get("seed").foreach { v =>
+          rw.setSeed(v match {
+            case JInt(i) => i.toLong
+            case JLong(l) => l
+            case other => throw new IllegalArgumentException(s"seed must be integral: $other")
+          })
+        }
+        str("hashMode").foreach(rw.setHashMode)
+        rw.run()
+      case "power_iteration_clustering" =>
+        g.powerIterationClustering(
+          k = int("k").getOrElse(throw new IllegalArgumentException(
+            "power_iteration_clustering requires params_json key 'k'")),
+          maxIter = int("maxIter").getOrElse(20),
+          weightCol = str("weightCol"))
+      case "svd_plus_plus" =>
+        val svd = g.svdPlusPlus
+        int("rank").foreach(svd.setRank)
+        int("maxIter").foreach(svd.maxIter)
+        dbl("minValue").foreach(svd.setMinValue)
+        dbl("maxValue").foreach(svd.setMaxValue)
+        svd.run()
+      case "rw_embeddings" =>
+        graft.embeddings.Embeddings.randomWalkEmbeddings(g,
+          dim = int("dim").getOrElse(32),
+          walkLength = int("walkLength").getOrElse(5),
+          walksPerVertex = int("walksPerVertex").getOrElse(4),
+          seed = params.get("seed").collect {
+            case JInt(i) => i.toLong
+            case JLong(l) => l
+          }.getOrElse(42L))
       case other =>
         throw new IllegalArgumentException(
           s"unknown graft algorithm '$other'; supported: ${algorithms.mkString(", ")}")

@@ -252,6 +252,14 @@ object Similarity {
    * and [[ivfCellPairs]]. */
   private[pipeline] def ivfRanked(v: DataFrame, nlist: Int,
       lloydIters: Int, topR: Int): DataFrame = {
+    // the packed-row broadcast carries nlist×dim doubles to every task:
+    // ~2 GB at nlist=4096×dim=64k or nlist=65536×dim=4096. Beyond that a
+    // FAISS-style deployment uses a hierarchical coarse quantizer (rank
+    // against sqrt(nlist) super-cells first), which this engine does not
+    // implement — fail loudly instead of OOMing the executors.
+    require(nlist <= 65536,
+      s"nlist=$nlist: the packed centroid broadcast is sized for nlist <= 65536; " +
+        "use a hierarchical coarse quantizer for larger inverted files")
     var cents = v
       .orderBy(md5(col("_s_id").cast("string")), col("_s_id"))
       .limit(nlist)

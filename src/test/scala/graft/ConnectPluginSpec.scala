@@ -106,4 +106,45 @@ class ConnectPluginSpec extends TestBase {
       """{"condition": "w < 2.0"}""")
     assert(fe.count() == 2)
   }
+
+  test("dispatch covers every method of the reference proto surface") {
+    // graphframes.proto:19-42 oneof arms, minus the two exercised above
+    // and the heavier ones covered by their own tests
+    val v = spark.sql("SELECT * FROM VALUES (0L),(1L),(2L),(3L) AS t(id)")
+    val e = spark.sql(
+      "SELECT * FROM VALUES (0L,1L,2.0),(1L,2L,3.0),(2L,0L,4.0),(2L,3L,1.0) AS t(src, dst, weight)")
+    def run(alg: String, params: String = "") =
+      GraftConnectDispatch.run(Some(v), e, alg, params)
+    assert(run("triplets").count() == 4)
+    assert(run("in_degrees").count() == 4)
+    assert(run("out_degrees").count() == 3)
+    assert(run("drop_isolated_vertices").count() == 4)
+    assert(run("filter_vertices", """{"condition": "id < 2"}""").count() == 2)
+    assert(run("bfs", """{"fromExpr": "id = 0", "toExpr": "id = 3"}""").count() >= 1)
+    assert(run("aggregate_messages",
+      """{"sendToDst": "src.id", "aggCol": "count(MSG) AS n"}""").count() == 4)
+    // only vertices with out-neighbors get a row: 0, 1, 2 (3 is a sink)
+    assert(run("aggregate_neighbors",
+      """{"aggCol": "count(1) AS n", "maxHops": 1}""").count() == 3)
+    assert(run("strongly_connected_components").count() == 4)
+    assert(run("parallel_personalized_page_rank",
+      """{"sourceIds": [0, 1], "maxIter": 3}""").count() == 4)
+    assert(run("label_propagation", """{"maxIter": 2}""").count() == 4)
+    assert(run("triangle_count").count() == 4)
+    assert(run("kcore").count() == 4)
+    assert(run("maximal_independent_set").count() >= 1)
+    assert(run("detecting_cycles").count() >= 1) // the 0->1->2->0 cycle
+    assert(run("random_walks",
+      """{"walkLength": 2, "walksPerVertex": 1, "hashMode": "md5"}""").count() == 4)
+    assert(run("pregel",
+      """{"vertexColName": "x", "initExpr": "CAST(1 AS BIGINT)",
+         |"updateExpr": "coalesce(_pregel_msg_, CAST(0 AS BIGINT))",
+         |"sendToDst": "src.x", "aggMsgs": "sum(_pregel_msg_)",
+         |"maxIter": 2}""".stripMargin).count() == 4)
+    assert(run("power_iteration_clustering",
+      """{"k": 2, "maxIter": 5, "weightCol": "weight"}""").count() == 4)
+    assert(run("svd_plus_plus", """{"rank": 2, "maxIter": 2}""").count() >= 1)
+    assert(run("rw_embeddings",
+      """{"dim": 4, "walkLength": 2, "walksPerVertex": 1}""").count() >= 1)
+  }
 }

@@ -482,7 +482,34 @@ object SparkEntry {
     "e_sessionize" -> ((s, dir) =>
       pipeline.Events.sessionize(load(s, dir, "events"), gapMinutes = 30)
         .select(col("user_id"), col("session_idx").cast("long").as("session_idx"),
-          col("n_events"), col("duration_ms")))
+          col("n_events"), col("duration_ms"))),
+
+    // --- streaming (run to completion through a memory sink: the driver
+    // gate then hash-checks streaming output against the BATCH oracle,
+    // turning the unit-level batch-parity claim into an oracled row) ---
+    "e_stream_window" -> ((s, dir) => {
+      val stream = streaming.EventStreams.hourlyAggStream(
+        streaming.EventStreams.readEvents(s, dir),
+        watermark = "0 seconds", complete = true)
+      val q = stream.writeStream.format("memory").queryName("graft_stream_window")
+        .outputMode("complete").start()
+      q.processAllAvailable(); q.stop()
+      s.table("graft_stream_window")
+        .select(col("event_type"), col("window_start"), col("n_events"), col("sum_value"))
+    }),
+    "e_stream_dedup" -> ((s, dir) => {
+      // dropDuplicatesWithinWatermark keeps an arbitrary first arrival, so
+      // the oracle-safe output is the key columns themselves — the stream
+      // must emit exactly the DISTINCT (user_id, event_type) pairs
+      val ev = streaming.EventStreams.readEvents(s, dir)
+      val dd = streaming.EventStreams.dedupStream(ev,
+        Seq("user_id", "event_type"), watermark = "0 seconds")
+        .select(col("user_id"), col("event_type"))
+      val q = dd.writeStream.format("memory").queryName("graft_stream_dedup")
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      s.table("graft_stream_dedup")
+    })
   )
 
   // -------------------------------------------------------------------
@@ -1383,6 +1410,15 @@ object SparkEntry {
         |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS window_start,
         |  count(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // the streaming forms are checked against the BATCH oracles — that IS
+    // the parity claim (same results, incremental execution)
+    "e_stream_window" ->
+      """SELECT event_type,
+        |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS window_start,
+        |  count(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "e_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
     "e_sessionize" ->
       """WITH x AS (SELECT user_id, event_id, ts, epoch_ms(ts) AS ms,
         |  CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER

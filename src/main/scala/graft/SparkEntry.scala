@@ -399,6 +399,18 @@ object SparkEntry {
       // codebooks, the per-subspace code argmin, the ADC sum and the refine
       pipeline.Similarity.ivfPqTopK(load(s, dir, "embeddings"), "vec_id", "embedding",
         k = 3, nlist = 16, nprobe = 4, m = 8, ksub = 16, refine = 10)),
+    "p_ann_pq_index" -> ((s, dir) => { // steady-state ANN: a query batch
+      // scored against the PERSISTED model+index — corpus vectors touched
+      // only by the refine shortlist join; same oracle replay as ivfpq
+      // restricted to the query batch
+      val emb = load(s, dir, "embeddings")
+      val model = pipeline.Similarity.ivfPqModel(emb, "vec_id", "embedding",
+        nlist = 16, m = 8, ksub = 16)
+      val index = pipeline.Similarity.ivfPqIndex(emb, "vec_id", "embedding", model)
+      pipeline.Similarity.ivfPqSearchIndexed(
+        emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+        model, index, k = 3, nprobe = 4, refineWith = Some(emb), refine = 10)
+    }),
     "p_ann_recall" -> ((s, dir) => { // measured recall@k of the LSH path
       // against the exact top-k — the number the bands knob controls
       val e = load(s, dir, "embeddings")
@@ -784,7 +796,7 @@ object SparkEntry {
    * the query's distance to the candidate's codebook entry, and the
    * `refine`-deep exact-cosine re-rank of the ADC shortlist. */
   private def annIvfPqSql(k: Int, nlist: Int, nprobe: Int, m: Int, ksub: Int,
-      refine: Int, dim: Int = 64): String = {
+      refine: Int, dim: Int = 64, queryWhere: String = ""): String = {
     val dsub = dim / m
     s"""WITH ${ivfCellCtes(nlist, 0)},
        |en AS MATERIALIZED (SELECT vec_id,
@@ -812,7 +824,7 @@ object SparkEntry {
        |    SELECT vec_id, j, c,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
        |    FROM sdist) WHERE rn = 1),
-       |q AS (SELECT vec_id AS qid, cid FROM asg WHERE r <= $nprobe),
+       |q AS (SELECT vec_id AS qid, cid FROM asg WHERE r <= $nprobe$queryWhere),
        |cand AS MATERIALIZED (
        |  SELECT q.qid, d.vec_id AS nid
        |  FROM q JOIN dat d ON d.cid = q.cid AND d.vec_id <> q.qid),
@@ -1346,6 +1358,8 @@ object SparkEntry {
     "p_ann_lsh" -> annLshSql(3, 2, 4, 64),
     "p_ann_ivf" -> annIvfSql(3, 16, 4, lloydIters = 2),
     "p_ann_ivfpq" -> annIvfPqSql(3, 16, 4, m = 8, ksub = 16, refine = 10),
+    "p_ann_pq_index" -> annIvfPqSql(3, 16, 4, m = 8, ksub = 16, refine = 10,
+      queryWhere = " AND vec_id % 25 = 0"),
     "p_ann_recall" ->
       s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |bk AS MATERIALIZED (${duckBandRows(2, 4, 64)}),

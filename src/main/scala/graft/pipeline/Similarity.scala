@@ -250,8 +250,30 @@ object Similarity {
    * the vector table at all (the previous shape ran `row_number` over a
    * window, a sort-shuffle of n×nlist scored rows). Shared by [[ivfTopK]]
    * and [[ivfCellPairs]]. */
-  private[pipeline] def ivfRanked(v: DataFrame, nlist: Int,
-      lloydIters: Int, topR: Int): DataFrame = {
+  /** (sim, cell id) per centroid of the packed `_carr` column, best-first;
+   * ties broken by cell id asc — the exact order row_number produced, so
+   * oracles are unchanged. Evaluated per row against `_s_v`/`_s_n`. */
+  private def rankedCells(take: Int): Column = {
+    val scored = transform(col("_carr"), c => struct(
+      (dotProduct(col("_s_v"), c.getField("_c_v")) /
+        (col("_s_n") * c.getField("_c_n"))).as("_sim"),
+      c.getField("_c_id").as("_c_id")))
+    val sorted = array_sort(scored, (a, b) =>
+      when(a.getField("_sim") > b.getField("_sim"), lit(-1))
+        .when(a.getField("_sim") < b.getField("_sim"), lit(1))
+        .when(a.getField("_c_id") < b.getField("_c_id"), lit(-1))
+        .when(a.getField("_c_id") > b.getField("_c_id"), lit(1))
+        .otherwise(lit(0)))
+    slice(sorted, 1, take)
+  }
+
+  /** IVF coarse quantizer as ONE packed row (`_carr`: array of
+   * (_c_id, _c_v, _c_n) structs) — broadcastable, persistable, never a
+   * driver collect. Cells seed from a deterministic md5-ordered sample of
+   * `nlist` vectors, optionally refined with `lloydIters` k-means steps
+   * (cell ids stay the seed ids, so the loop is stable). */
+  private[pipeline] def ivfCentroidsPacked(v: DataFrame, nlist: Int,
+      lloydIters: Int): DataFrame = {
     // the packed-row broadcast carries nlist×dim doubles to every task:
     // ~2 GB at nlist=4096×dim=64k or nlist=65536×dim=4096. Beyond that a
     // FAISS-style deployment uses a hierarchical coarse quantizer (rank
@@ -265,31 +287,13 @@ object Similarity {
       .limit(nlist)
       .select(col("_s_id").as("_c_id"), col("_s_v").as("_c_v"), col("_s_n").as("_c_n"))
 
-    // all centroids as ONE array-of-structs row (still a broadcast of
-    // nlist·dim doubles, never a driver collect)
     def packed(c: DataFrame): DataFrame =
       c.agg(collect_list(struct(col("_c_id"), col("_c_v"), col("_c_n"))).as("_carr"))
-
-    // (sim, cell id) per centroid, best-first; ties broken by cell id asc —
-    // the exact order row_number produced, so oracles are unchanged
-    def rankedArr(take: Int): Column = {
-      val scored = transform(col("_carr"), c => struct(
-        (dotProduct(col("_s_v"), c.getField("_c_v")) /
-          (col("_s_n") * c.getField("_c_n"))).as("_sim"),
-        c.getField("_c_id").as("_c_id")))
-      val sorted = array_sort(scored, (a, b) =>
-        when(a.getField("_sim") > b.getField("_sim"), lit(-1))
-          .when(a.getField("_sim") < b.getField("_sim"), lit(1))
-          .when(a.getField("_c_id") < b.getField("_c_id"), lit(-1))
-          .when(a.getField("_c_id") > b.getField("_c_id"), lit(1))
-          .otherwise(lit(0)))
-      slice(sorted, 1, take)
-    }
 
     // Lloyd refinement: reassign, recompute per-cell mean vectors
     for (_ <- 0 until lloydIters) {
       val assigned = v.crossJoin(broadcast(packed(cents)))
-        .select(element_at(rankedArr(1), 1).getField("_c_id").as("_cell"), col("_s_v"))
+        .select(element_at(rankedCells(1), 1).getField("_c_id").as("_cell"), col("_s_v"))
       val means = assigned
         .select(col("_cell"), posexplode(col("_s_v")).as(Seq("_pos", "_x")))
         .groupBy("_cell", "_pos").agg(avg(col("_x")).as("_m"))
@@ -299,13 +303,17 @@ object Similarity {
       cents = means.select(col("_cell").as("_c_id"), col("_c_v"),
         sqrt(dotProduct(col("_c_v"), col("_c_v"))).as("_c_n"))
     }
-    v.crossJoin(broadcast(packed(cents)))
+    packed(cents)
+  }
+
+  private[pipeline] def ivfRanked(v: DataFrame, nlist: Int,
+      lloydIters: Int, topR: Int): DataFrame =
+    v.crossJoin(broadcast(ivfCentroidsPacked(v, nlist, lloydIters)))
       .select(col("_s_id"), col("_s_v"), col("_s_n"),
-        posexplode(rankedArr(topR)).as(Seq("_p", "_sc")))
+        posexplode(rankedCells(topR)).as(Seq("_p", "_sc")))
       .select(col("_s_id"), col("_s_v"), col("_s_n"),
         col("_sc._c_id").as("_c_id"), col("_sc._sim").as("_sim"),
         (col("_p") + 1).cast("int").as("_r"))
-  }
 
   /** Product-quantization codebook packed as ONE broadcastable row
    * (`_cb: array<array<array<double>>>`, indexed `[subspace][code][dim]`,
@@ -460,6 +468,93 @@ object Similarity {
       rescored.withColumn("rnk", row_number().over(w2))
         .filter(col("rnk") <= k)
         .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    }
+  }
+
+  /** Persistable IVF-PQ MODEL: ONE row carrying the coarse quantizer
+   * (`_carr`: nlist packed centroids), the PQ codebook (`_cb`:
+   * m × ksub × dim/m), and the build parameters for validation
+   * (nlist, m, ksub, dim). Save as parquet next to the [[ivfPqIndex]];
+   * together they serve queries forever without touching corpus text —
+   * the ANN analog of the persisted MinHash index
+   * ([[Dedup.incrementalNearDups]]'s steady-state contract). */
+  def ivfPqModel(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, m: Int = 8, ksub: Int = 16, dim: Int = 0,
+      lloydIters: Int = 0): DataFrame = {
+    val v = normalized(withNorm(df, idCol, vecCol))
+    val d = resolveDim(v, dim)
+    ivfCentroidsPacked(v, nlist, lloydIters)
+      .crossJoin(pqCodebookPacked(v, m, ksub, d))
+      .select(col("_carr"), col("_cb"), lit(nlist).as("nlist"),
+        lit(m).as("m"), lit(ksub).as("ksub"), lit(d).as("dim"))
+  }
+
+  /** Persistable IVF-PQ INDEX against a [[ivfPqModel]]: one compact row
+   * per corpus vector — (idCol, cell, codes array<int> of length m). The
+   * full-precision vector never needs to be read again for candidate
+   * scans; at ksub <= 256 each code fits a byte on disk. */
+  def ivfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+      model: DataFrame): DataFrame = {
+    val v = normalized(withNorm(df, idCol, vecCol))
+    val (m, _, d) = modelParams(model)
+    v.crossJoin(broadcast(model))
+      .select(col("_s_id").as(idCol),
+        element_at(rankedCells(1), 1).getField("_c_id").as("cell"),
+        pqCode(col("_s_v"), col("_cb"), m, d / m).as("codes"))
+  }
+
+  private def modelParams(model: DataFrame): (Int, Int, Int) = {
+    val r = model.select(col("m"), col("ksub"), col("dim")).head()
+    (r.getInt(0), r.getInt(1), r.getInt(2))
+  }
+
+  /** Steady-state ANN: score a NEW query batch against a persisted
+   * [[ivfPqModel]] + [[ivfPqIndex]] — the corpus vector table is never
+   * scanned (unless `refineWith` asks for the exact re-rank, which joins
+   * only the shortlist ids against it). Per query: one broadcast-model
+   * ADC table, `nprobe` probed cells, candidates = (id, cell, m ints)
+   * rows from the index. Ranking and tie-breaks are identical to
+   * [[ivfPqTopK]], which is this operator applied to (corpus = queries,
+   * inline index). */
+  def ivfPqSearchIndexed(queries: DataFrame, idCol: String, vecCol: String,
+      model: DataFrame, index: DataFrame, k: Int, nprobe: Int = 4,
+      refineWith: Option[DataFrame] = None, refine: Int = 0): DataFrame = {
+    val q = normalized(withNorm(queries, idCol, vecCol))
+    val (m, _, d) = modelParams(model)
+    val dsub = d / m
+    val probed = q.crossJoin(broadcast(model))
+      .select(col("_s_id").as("_q_id"),
+        pqAdcTable(col("_s_v"), col("_cb"), m, dsub).as("_qtab"),
+        posexplode(rankedCells(math.max(nprobe, 1))).as(Seq("_p", "_sc")))
+      .select(col("_q_id"), col("_qtab"), col("_sc._c_id").as("cell"))
+    val data = index.select(col(idCol).as("_n_id"), col("cell"), col("codes"))
+    val scored = probed.join(data, "cell")
+      .filter(col("_q_id") =!= col("_n_id"))
+      .select(col("_q_id").as("query_id"), col("_n_id").as("neighbor_id"),
+        pqAdcDistance(col("codes"), col("_qtab")).as("_adc"))
+    val w = Window.partitionBy("query_id").orderBy(col("_adc").asc, col("neighbor_id").asc)
+    (refineWith, refine) match {
+      case (Some(corpus), r) if r > 0 =>
+        val short = scored.withColumn("_arnk", row_number().over(w))
+          .filter(col("_arnk") <= math.max(r, k))
+          .select(col("query_id"), col("neighbor_id"))
+        val cv = normalized(withNorm(corpus, idCol, vecCol))
+          .select(col("_s_id").as("neighbor_id"), col("_s_v").as("_n_v"),
+            col("_s_n").as("_n_n"))
+        val qv = q.select(col("_s_id").as("query_id"), col("_s_v").as("_q_v"),
+          col("_s_n").as("_q_n"))
+        val rescored = short.join(qv, "query_id").join(cv, "neighbor_id")
+          .select(col("query_id"), col("neighbor_id"),
+            (dotProduct(col("_q_v"), col("_n_v")) / (col("_q_n") * col("_n_n"))).as("_cos"))
+        val w2 = Window.partitionBy("query_id")
+          .orderBy(col("_cos").desc, col("neighbor_id").asc)
+        rescored.withColumn("rnk", row_number().over(w2))
+          .filter(col("rnk") <= k)
+          .select(col("query_id"), col("neighbor_id"), col("rnk"))
+      case _ =>
+        scored.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= k)
+          .select(col("query_id"), col("neighbor_id"), col("rnk"))
     }
   }
 

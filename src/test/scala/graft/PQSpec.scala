@@ -96,6 +96,25 @@ class PQSpec extends TestBase {
     assert(out.map(_._2).exists(_ >= 5))
   }
 
+  test("indexed search over a persisted model+index equals inline ivfPqTopK") {
+    val model = pipeline.Similarity.ivfPqModel(emb, "vec_id", "embedding",
+      nlist = 8, m = 8, ksub = 16)
+    val index = pipeline.Similarity.ivfPqIndex(emb, "vec_id", "embedding", model)
+    // persistence roundtrip: the steady-state contract is parquet in/out
+    val tmp = java.nio.file.Files.createTempDirectory("pqidx").toString
+    model.write.mode("overwrite").parquet(s"$tmp/model")
+    index.write.mode("overwrite").parquet(s"$tmp/index")
+    val m2 = spark.read.parquet(s"$tmp/model")
+    val i2 = spark.read.parquet(s"$tmp/index")
+    val indexed = pipeline.Similarity.ivfPqSearchIndexed(emb, "vec_id", "embedding",
+      m2, i2, k = 3, nprobe = 3, refineWith = Some(emb), refine = 10)
+      .as[(Long, Long, Int)].collect().toSet
+    val inline = pipeline.Similarity.ivfPqTopK(emb, "vec_id", "embedding", k = 3,
+      nlist = 8, nprobe = 3, m = 8, ksub = 16, refine = 10)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(indexed == inline)
+  }
+
   test("dim not divisible by m throws") {
     val err = intercept[IllegalArgumentException] {
       pipeline.Similarity.pqCodes(emb, "vec_id", "embedding", m = 7, ksub = 8).collect()

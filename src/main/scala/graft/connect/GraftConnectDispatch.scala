@@ -44,13 +44,21 @@ object GraftConnectDispatch {
           s"params_json must be a JSON object, got: $other")
       }
     }
-    def str(k: String): Option[String] = params.get(k).collect { case JString(s) => s }
-    def int(k: String): Option[Int] = params.get(k).collect {
+    // a present-but-mistyped parameter is an ERROR, not a silent fallback
+    // to the default — remote clients get no other signal
+    def typed[T](k: String, what: String)(pf: PartialFunction[JValue, T]): Option[T] =
+      params.get(k).map { v =>
+        pf.applyOrElse(v, (bad: JValue) => throw new IllegalArgumentException(
+          s"params_json key '$k' must be $what, got: $bad"))
+      }
+    def str(k: String): Option[String] =
+      typed(k, "a string") { case JString(s) => s }
+    def int(k: String): Option[Int] = typed(k, "an integer") {
       case JInt(i) => i.toInt
       case JLong(l) => l.toInt
       case JDouble(d) if d.isWhole => d.toInt
     }
-    def dbl(k: String): Option[Double] = params.get(k).collect {
+    def dbl(k: String): Option[Double] = typed(k, "a number") {
       case JDouble(d) => d
       case JInt(i) => i.toDouble
       case JLong(l) => l.toDouble

@@ -19,11 +19,23 @@ import org.apache.spark.sql.functions._
 object Similarity {
   import graft.expressions.ArrayDotProduct.dotProduct
 
+  /** dot / (n1·n2), NULL when either norm is zero. Every cosine in this
+   * file routes through here: under Spark 4's default ANSI mode a literal
+   * division throws DIVIDE_BY_ZERO the first time a zero-norm vector
+   * appears in the corpus — at 100 TB that is one bad embedding killing
+   * the whole job. NULL cosines then drop out of threshold filters and
+   * sort below real scores. */
+  private def cosineOf(dot: Column, n1: Column, n2: Column): Column = {
+    val d = n1 * n2
+    when(d > 0, dot / d)
+  }
+
   /** Cosine similarity of two array<double> columns via the native
    * [[graft.expressions.ArrayDotProduct]] kernel — no UDF, no
-   * intermediate arrays, codegen'd primitive loops. */
+   * intermediate arrays, codegen'd primitive loops. NULL if either
+   * vector has zero norm. */
   def cosine(a: Column, b: Column): Column =
-    dotProduct(a, b) / (sqrt(dotProduct(a, a)) * sqrt(dotProduct(b, b)))
+    cosineOf(dotProduct(a, b), sqrt(dotProduct(a, a)), sqrt(dotProduct(b, b)))
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -40,8 +52,8 @@ object Similarity {
     val v = withNorm(df, idCol, vecCol)
     v.as("x").join(v.as("y"), col("x._s_id") < col("y._s_id"))
       .select(col("x._s_id").as("a"), col("y._s_id").as("b"),
-        round(dotProduct(col("x._s_v"), col("y._s_v")) / (col("x._s_n") * col("y._s_n")),
-          4).as("cos"))
+        round(cosineOf(dotProduct(col("x._s_v"), col("y._s_v")),
+          col("x._s_n"), col("y._s_n")), 4).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -55,7 +67,7 @@ object Similarity {
       .select(col("_s_id").as("_q_id"), col("_s_v").as("_q_v"), col("_s_n").as("_q_n"))
     val scored = q.join(v, col("_q_id") =!= col("_s_id"))
       .select(col("_q_id").as("query_id"), col("_s_id").as("neighbor_id"),
-        (dotProduct(col("_q_v"), col("_s_v")) / (col("_q_n") * col("_s_n"))).as("_cos"))
+        cosineOf(dotProduct(col("_q_v"), col("_s_v")), col("_q_n"), col("_s_n")).as("_cos"))
     val w = Window.partitionBy("query_id").orderBy(col("_cos").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -140,7 +152,7 @@ object Similarity {
       .join(v.select(col("_s_id").as("_qid"), col("_s_v").as("_q_v"), col("_s_n").as("_q_n")), "_qid")
       .join(v.select(col("_s_id").as("_nid"), col("_s_v").as("_n_v"), col("_s_n").as("_n_n")), "_nid")
       .select(col("_qid").as("a"), col("_nid").as("b"),
-        round(dotProduct(col("_q_v"), col("_n_v")) / (col("_q_n") * col("_n_n")), 4).as("cos"))
+        round(cosineOf(dotProduct(col("_q_v"), col("_n_v")), col("_q_n"), col("_n_n")), 4).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -154,7 +166,7 @@ object Similarity {
       .join(v.select(col("_s_id").as("_qid"), col("_s_v").as("_q_v"), col("_s_n").as("_q_n")), "_qid")
       .join(v.select(col("_s_id").as("_nid"), col("_s_v").as("_n_v"), col("_s_n").as("_n_n")), "_nid")
       .select(col("_qid").as("query_id"), col("_nid").as("neighbor_id"),
-        (dotProduct(col("_q_v"), col("_n_v")) / (col("_q_n") * col("_n_n"))).as("_cos"))
+        cosineOf(dotProduct(col("_q_v"), col("_n_v")), col("_q_n"), col("_n_n")).as("_cos"))
     val w = Window.partitionBy("query_id").orderBy(col("_cos").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -230,7 +242,7 @@ object Similarity {
     val scored = queries.join(data, "_cell")
       .filter(col("_q_id") =!= col("_s_id"))
       .select(col("_q_id").as("query_id"), col("_s_id").as("neighbor_id"),
-        (dotProduct(col("_q_v"), col("_s_v")) / (col("_q_n") * col("_s_n"))).as("_cos"))
+        cosineOf(dotProduct(col("_q_v"), col("_s_v")), col("_q_n"), col("_s_n")).as("_cos"))
     val w = Window.partitionBy("query_id").orderBy(col("_cos").desc, col("neighbor_id").asc)
     val out = scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -255,8 +267,8 @@ object Similarity {
    * oracles are unchanged. Evaluated per row against `_s_v`/`_s_n`. */
   private def rankedCells(take: Int): Column = {
     val scored = transform(col("_carr"), c => struct(
-      (dotProduct(col("_s_v"), c.getField("_c_v")) /
-        (col("_s_n") * c.getField("_c_n"))).as("_sim"),
+      cosineOf(dotProduct(col("_s_v"), c.getField("_c_v")),
+        col("_s_n"), c.getField("_c_n")).as("_sim"),
       c.getField("_c_id").as("_c_id")))
     val sorted = array_sort(scored, (a, b) =>
       when(a.getField("_sim") > b.getField("_sim"), lit(-1))
@@ -463,7 +475,7 @@ object Similarity {
         col("_s_n").as("_n_n"))
       val rescored = short.join(qv, "query_id").join(nv, "neighbor_id")
         .select(col("query_id"), col("neighbor_id"),
-          (dotProduct(col("_q_v"), col("_n_v")) / (col("_q_n") * col("_n_n"))).as("_cos"))
+          cosineOf(dotProduct(col("_q_v"), col("_n_v")), col("_q_n"), col("_n_n")).as("_cos"))
       val w2 = Window.partitionBy("query_id").orderBy(col("_cos").desc, col("neighbor_id").asc)
       rescored.withColumn("rnk", row_number().over(w2))
         .filter(col("rnk") <= k)
@@ -545,7 +557,7 @@ object Similarity {
           col("_s_n").as("_q_n"))
         val rescored = short.join(qv, "query_id").join(cv, "neighbor_id")
           .select(col("query_id"), col("neighbor_id"),
-            (dotProduct(col("_q_v"), col("_n_v")) / (col("_q_n") * col("_n_n"))).as("_cos"))
+            cosineOf(dotProduct(col("_q_v"), col("_n_v")), col("_q_n"), col("_n_n")).as("_cos"))
         val w2 = Window.partitionBy("query_id")
           .orderBy(col("_cos").desc, col("neighbor_id").asc)
         rescored.withColumn("rnk", row_number().over(w2))
@@ -573,8 +585,8 @@ object Similarity {
     data.as("x").join(data.as("y"),
         col("x._cell") === col("y._cell") && col("x._s_id") < col("y._s_id"))
       .select(col("x._s_id").as("a"), col("y._s_id").as("b"),
-        round(dotProduct(col("x._s_v"), col("y._s_v")) / (col("x._s_n") * col("y._s_n")),
-          4).as("cos"))
+        round(cosineOf(dotProduct(col("x._s_v"), col("y._s_v")),
+          col("x._s_n"), col("y._s_n")), 4).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -87,6 +87,15 @@ class ConnectPluginSpec extends TestBase {
     assert(new GraftRelationPlugin().transform(anyBytes, planner) == Optional.empty())
   }
 
+  test("mistyped parameters fail loudly instead of silently using defaults") {
+    val v = spark.sql("SELECT * FROM VALUES (0L),(1L) AS t(id)")
+    val e = spark.sql("SELECT * FROM VALUES (0L,1L) AS t(src, dst)")
+    val err = intercept[IllegalArgumentException] {
+      GraftConnectDispatch.run(Some(v), e, "page_rank", """{"maxIter": "five"}""")
+    }
+    assert(err.getMessage.contains("maxIter") && err.getMessage.contains("integer"))
+  }
+
   test("unknown algorithm fails with the supported list") {
     val err = intercept[IllegalArgumentException] {
       callPlugin(GraftRelation("frobnicate",

@@ -115,6 +115,24 @@ class PQSpec extends TestBase {
     assert(indexed == inline)
   }
 
+  test("zero-norm vectors pass through normalization without crashing") {
+    import org.apache.spark.sql.functions.typedlit
+    val base = emb.limit(20)
+    val zero = base.limit(1).select(lit(8888L).as("vec_id"),
+      typedlit(Array.fill(64)(0.0f)).as("embedding"), col("label"))
+    val all = base.unionByName(zero)
+    val codes = pipeline.Similarity.pqCodes(all, "vec_id", "embedding", m = 4, ksub = 8)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes.contains(8888L) && codes(8888L).length == 4)
+    // the zero vector indexes as a candidate; its own query row produces
+    // null cosines against centroids and is dropped by the cell ranking
+    val out = pipeline.Similarity.ivfPqTopK(all, "vec_id", "embedding", k = 2,
+      nlist = 4, nprobe = 2, m = 4, ksub = 8,
+      queryFilter = col("vec_id") < 8888L)
+      .as[(Long, Long, Int)].collect()
+    assert(out.nonEmpty)
+  }
+
   test("dim not divisible by m throws") {
     val err = intercept[IllegalArgumentException] {
       pipeline.Similarity.pqCodes(emb, "vec_id", "embedding", m = 7, ksub = 8).collect()

@@ -281,6 +281,18 @@ object SparkEntry {
         .select(col("c_nationkey").as("nation_key"), col("n_cust"),
           col("n_orders"), col("total_val"))
     }),
+    "g_reversed_undirected" -> ((s, dir) => {
+      // the last unit-only §2.2 rows through the gate, pinned by degree
+      // identities: in-degrees of the REVERSED graph equal original
+      // out-degrees, and out-degrees of the UNDIRECTED graph equal total
+      // degrees — both checkable by the oracle from the edge list alone
+      val g = graphB(s, dir)
+      val rev = g.asReversed().inDegrees
+        .withColumnRenamed("inDegree", "rev_in")
+      val und = g.asUndirected().outDegrees
+        .withColumnRenamed("outDegree", "und_out")
+      rev.join(und, Seq(ID))
+    }),
     "g_agg_neighbors" -> ((s, dir) => {
       import graft.lib.AggregateNeighbors
       graphB(s, dir).aggregateNeighbors
@@ -1049,6 +1061,15 @@ object SparkEntry {
          |FROM nation LEFT JOIN b ON b.id = n_nationkey GROUP BY 1""".stripMargin,
     "g_pagerank" -> pagerankSql(10),
     "g_pagerank_tol" -> pagerankTolSql(0.001, 40),
+    "g_reversed_undirected" ->
+      s"""WITH e AS ($NE),
+         |a AS (SELECT src AS id, count(*) AS c FROM e GROUP BY 1),
+         |b AS (SELECT dst AS id, count(*) AS c FROM e GROUP BY 1),
+         |j AS (SELECT COALESCE(a.id, b.id) AS id, COALESCE(a.c, 0) AS o,
+         |        COALESCE(b.c, 0) AS i
+         |      FROM a FULL OUTER JOIN b ON a.id = b.id)
+         |SELECT id, CAST(o AS INT) AS rev_in, CAST(o + i AS INT) AS und_out
+         |FROM j WHERE o > 0""".stripMargin,
     "g_graph_ops" ->
       """WITH he AS (SELECT o_custkey, o_totalprice FROM orders
         |            WHERE o_totalprice > 150000.0),

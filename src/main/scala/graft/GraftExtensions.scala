@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{ArrayDotProduct, FiniteAXPlusB, KCoreMerge}
+import graft.expressions.{AdcDistance, ArrayDotProduct, FiniteAXPlusB, KCoreMerge}
 
 /**
  * Spark SQL extension that registers graft's native Catalyst expressions as
@@ -47,7 +47,13 @@ object GraftExtensions {
       "graft_array_dot",
       usage = "graft_array_dot(a: array<double>, b: array<double>) - dot product as a primitive " +
         "loop over unsafe arrays (no intermediate allocation, stays in whole-stage codegen).",
-      arity = 2) { args => ArrayDotProduct(args(0), args(1)) }
+      arity = 2) { args => ArrayDotProduct(args(0), args(1)) },
+    desc(
+      "graft_adc_distance",
+      usage = "graft_adc_distance(codes: array<int>, qtab: array<array<double>>) - IVF-PQ " +
+        "asymmetric distance: sum over subspaces j of qtab[j][codes[j]] (0-based codes); " +
+        "the per-candidate kernel of a product-quantized scan.",
+      arity = 2) { args => AdcDistance(args(0), args(1)) }
   )
 
   private def desc(name: String, usage: String, arity: Int)(

@@ -397,10 +397,12 @@ object Similarity {
     transform(sequence(lit(0), lit(m - 1)), j => pqSubDists(vec, cb, j, dsub))
 
   /** ADC distance: sum over subspaces of the query's table entry at the
-   * candidate's code. Summation runs j = 0..m-1 in order (replayable). */
+   * candidate's code. Summation runs j = 0..m-1 in order (replayable).
+   * Runs through the native [[graft.expressions.AdcDistance]] kernel —
+   * this is the per-candidate cost of the whole PQ scan, and the HOF form
+   * allocated a zipped array per (query, candidate) pair. */
   private def pqAdcDistance(codes: Column, qtab: Column): Column =
-    aggregate(zip_with(codes, qtab, (c, t) => element_at(t, c + lit(1))),
-      lit(0.0), (acc, x) => acc + x)
+    graft.expressions.AdcDistance.adcDistance(codes, qtab)
 
   /** Persistable PQ index: (idCol, codes array<int>) — m small ints per
    * vector regardless of dimension (64-dim float → 8 codes is 32× smaller,

@@ -67,6 +67,13 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r - 32.0) < 1e-12)
   }
 
+  test("graft_adc_distance sums table entries at the candidate's codes") {
+    val r = spark.sql(
+      "SELECT graft_adc_distance(array(0, 2), array(array(1.0D, 9.0D, 9.0D), array(9.0D, 9.0D, 2.0D))) AS d")
+      .head().getDouble(0)
+    assert(r == 3.0)
+  }
+
   test("arity errors are surfaced at analysis time") {
     val err = intercept[Exception] {
       spark.sql("SELECT graft_array_dot(array(1.0D))").collect()

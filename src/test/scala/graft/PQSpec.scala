@@ -115,6 +115,33 @@ class PQSpec extends TestBase {
     assert(indexed == inline)
   }
 
+  test("AdcDistance kernel: matches the HOF formulation, interp == codegen") {
+    import graft.expressions.AdcDistance.adcDistance
+    val df = Seq(
+      (Seq(0, 2, 1), Seq(Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0), Seq(7.0, 8.0, 9.0))),
+      (Seq(2, 0, 0), Seq(Seq(0.5, 0.0, 1.5), Seq(2.5, 9.0, 9.0), Seq(3.5, 9.0, 9.0))))
+      .toDF("codes", "qtab")
+    val hof = aggregate(zip_with(col("codes"), col("qtab"),
+      (c, t) => element_at(t, c + lit(1))), lit(0.0), (acc, x) => acc + x)
+    val rows = df.select(adcDistance(col("codes"), col("qtab")).as("native"),
+      hof.as("hof")).as[(Double, Double)].collect()
+    rows.foreach { case (n, h) => assert(n == h) }
+    assert(rows.map(_._1).toSeq == Seq(1.0 + 6.0 + 8.0, 1.5 + 2.5 + 3.5))
+    // interpreted kernel agrees with the executed (codegen) path
+    val a = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(0, 2, 1))
+    val t = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array(org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1.0, 2.0, 3.0)),
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(4.0, 5.0, 6.0)),
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(7.0, 8.0, 9.0))))
+    assert(graft.expressions.AdcDistance.adc(a, t) == 15.0)
+    // width drift between a persisted index and model fails loudly
+    val bad = Seq((Seq(0, 1), Seq(Seq(1.0)))).toDF("codes", "qtab")
+    val err = intercept[Exception] {
+      bad.select(adcDistance(col("codes"), col("qtab"))).collect()
+    }
+    assert(err.getMessage.contains("different m"))
+  }
+
   test("zero-norm vectors pass through normalization without crashing") {
     import org.apache.spark.sql.functions.typedlit
     val base = emb.limit(20)

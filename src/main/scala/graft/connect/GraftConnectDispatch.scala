@@ -22,17 +22,42 @@ import graft.GraphFrame
  */
 object GraftConnectDispatch {
 
+  /** Accepted params_json keys per algorithm — doubles as the algorithm
+   * list. An UNKNOWN key is an error, not a silent no-op: a remote client
+   * that typos "maxIters" gets told, instead of running 10 iterations and
+   * wondering why its parameter changed nothing. */
+  val acceptedParams: Map[String, Set[String]] = Map(
+    "triplets" -> Set.empty,
+    "degrees" -> Set.empty,
+    "in_degrees" -> Set.empty,
+    "out_degrees" -> Set.empty,
+    "filter_vertices" -> Set("condition"),
+    "filter_edges" -> Set("condition"),
+    "drop_isolated_vertices" -> Set.empty,
+    "find" -> Set("pattern"),
+    "bfs" -> Set("fromExpr", "toExpr", "maxPathLength"),
+    "pregel" -> Set("vertexColName", "initExpr", "updateExpr", "sendToDst",
+      "sendToSrc", "aggMsgs", "maxIter", "checkpointInterval"),
+    "aggregate_messages" -> Set("sendToDst", "sendToSrc", "aggCol"),
+    "aggregate_neighbors" -> Set("aggCol", "maxHops"),
+    "connected_components" -> Set("algorithm"),
+    "strongly_connected_components" -> Set("maxIter"),
+    "page_rank" -> Set("resetProb", "maxIter", "tol", "sourceId"),
+    "parallel_personalized_page_rank" -> Set("sourceIds", "resetProb", "maxIter"),
+    "shortest_paths" -> Set("landmarks", "maxIter"),
+    "label_propagation" -> Set("maxIter"),
+    "triangle_count" -> Set.empty,
+    "kcore" -> Set("maxIter"),
+    "maximal_independent_set" -> Set("maxIter", "hashMode"),
+    "detecting_cycles" -> Set("maxIter"),
+    "random_walks" -> Set("walkLength", "walksPerVertex", "restartProb",
+      "seed", "hashMode"),
+    "power_iteration_clustering" -> Set("k", "maxIter", "weightCol"),
+    "svd_plus_plus" -> Set("rank", "maxIter", "minValue", "maxValue"),
+    "rw_embeddings" -> Set("dim", "walkLength", "walksPerVertex", "seed"))
+
   /** Algorithm names accepted by [[run]], for error messages and clients. */
-  val algorithms: Seq[String] = Seq(
-    "triplets", "degrees", "in_degrees", "out_degrees",
-    "filter_vertices", "filter_edges", "drop_isolated_vertices",
-    "find", "bfs", "pregel", "aggregate_messages", "aggregate_neighbors",
-    "connected_components", "strongly_connected_components",
-    "page_rank", "parallel_personalized_page_rank",
-    "shortest_paths", "label_propagation",
-    "triangle_count", "kcore", "maximal_independent_set",
-    "detecting_cycles", "random_walks", "power_iteration_clustering",
-    "svd_plus_plus", "rw_embeddings")
+  val algorithms: Seq[String] = acceptedParams.keys.toSeq.sorted
 
   def run(vertices: Option[DataFrame], edges: DataFrame,
       algorithm: String, paramsJson: String): DataFrame = {
@@ -71,6 +96,16 @@ object GraftConnectDispatch {
     }
     def required(k: String): String = str(k).getOrElse(
       throw new IllegalArgumentException(s"$algorithm requires params_json key '$k'"))
+
+    acceptedParams.get(algorithm).foreach { accepted =>
+      val unknown = params.keySet -- accepted
+      if (unknown.nonEmpty) {
+        throw new IllegalArgumentException(
+          s"unknown params_json key(s) ${unknown.mkString("'", "', '", "'")} for " +
+            s"$algorithm; accepted: ${
+              if (accepted.isEmpty) "(none)" else accepted.toSeq.sorted.mkString(", ")}")
+      }
+    }
 
     val g = vertices match {
       case Some(v) => GraphFrame(v, edges)

@@ -96,6 +96,15 @@ class ConnectPluginSpec extends TestBase {
     assert(err.getMessage.contains("maxIter") && err.getMessage.contains("integer"))
   }
 
+  test("unknown parameter keys fail loudly instead of being silently ignored") {
+    val v = spark.sql("SELECT * FROM VALUES (0L),(1L) AS t(id)")
+    val e = spark.sql("SELECT * FROM VALUES (0L,1L) AS t(src, dst)")
+    val err = intercept[IllegalArgumentException] {
+      GraftConnectDispatch.run(Some(v), e, "page_rank", """{"maxIters": 5}""")
+    }
+    assert(err.getMessage.contains("maxIters") && err.getMessage.contains("accepted"))
+  }
+
   test("unknown algorithm fails with the supported list") {
     val err = intercept[IllegalArgumentException] {
       callPlugin(GraftRelation("frobnicate",

@@ -423,6 +423,15 @@ object SparkEntry {
         emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
         model, index, k = 3, nprobe = 4, refineWith = Some(emb), refine = 10)
     }),
+    "p_ann_recall_pq" -> ((s, dir) => { // measured recall@k of the IVF-PQ
+      // path with the refine re-rank — the number (nprobe, m, ksub,
+      // refine) control, against the exact top-k
+      val e = load(s, dir, "embeddings")
+      pipeline.Similarity.recallAtK(
+        pipeline.Similarity.ivfPqTopK(e, "vec_id", "embedding", k = 3,
+          nlist = 16, nprobe = 4, m = 8, ksub = 16, refine = 10),
+        pipeline.Similarity.topK(e, "vec_id", "embedding", k = 3))
+    }),
     "p_ann_recall" -> ((s, dir) => { // measured recall@k of the LSH path
       // against the exact top-k — the number the bands knob controls
       val e = load(s, dir, "embeddings")
@@ -808,9 +817,17 @@ object SparkEntry {
    * the query's distance to the candidate's codebook entry, and the
    * `refine`-deep exact-cosine re-rank of the ADC shortlist. */
   private def annIvfPqSql(k: Int, nlist: Int, nprobe: Int, m: Int, ksub: Int,
+      refine: Int, dim: Int = 64, queryWhere: String = ""): String =
+    s"""WITH ${annIvfPqCtes(k, nlist, nprobe, m, ksub, refine, dim, queryWhere)}
+       |SELECT query_id, neighbor_id, rnk FROM pq_out""".stripMargin
+
+  /** The IVF-PQ replay as a reusable CTE block ending in `pq_out`
+   * (query_id, neighbor_id, rnk) — shared by the result oracle and the
+   * measured-recall oracle. */
+  private def annIvfPqCtes(k: Int, nlist: Int, nprobe: Int, m: Int, ksub: Int,
       refine: Int, dim: Int = 64, queryWhere: String = ""): String = {
     val dsub = dim / m
-    s"""WITH ${ivfCellCtes(nlist, 0)},
+    s"""${ivfCellCtes(nlist, 0)},
        |en AS MATERIALIZED (SELECT vec_id,
        |    CASE WHEN sqrt(list_dot_product(v, v)) > 0
        |         THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
@@ -853,12 +870,36 @@ object SparkEntry {
        |resc AS (
        |  SELECT s.qid AS query_id, s.nid AS neighbor_id,
        |    list_dot_product(qe.nv, ne.nv) AS c
-       |  FROM short s JOIN en qe ON qe.vec_id = s.qid JOIN en ne ON ne.vec_id = s.nid)
-       |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
+       |  FROM short s JOIN en qe ON qe.vec_id = s.qid JOIN en ne ON ne.vec_id = s.nid),
+       |pq_out AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rnk
+       |    FROM resc) WHERE rnk <= $k)""".stripMargin
+  }
+
+  /** Measured recall@k of the IVF-PQ path vs the exact top-k — the same
+   * contract as the LSH `p_ann_recall` row, composed from the shared
+   * [[annIvfPqCtes]] block. */
+  private def annRecallPqSql(k: Int, nlist: Int, nprobe: Int, m: Int,
+      ksub: Int, refine: Int): String =
+    s"""WITH ${annIvfPqCtes(k, nlist, nprobe, m, ksub, refine)},
+       |esc AS (SELECT q.vec_id AS query_id, y.vec_id AS neighbor_id,
+       |    list_dot_product(q.v, y.v) /
+       |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(y.v, y.v))) AS c
+       |  FROM e q JOIN e y ON y.vec_id <> q.vec_id),
+       |exact AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
        |  SELECT query_id, neighbor_id,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rnk
-       |  FROM resc) WHERE rnk <= $k""".stripMargin
-  }
+       |  FROM esc) WHERE rnk <= $k),
+       |j AS (SELECT exact.query_id,
+       |    CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM exact LEFT JOIN pq_out a
+       |    ON a.query_id = exact.query_id AND a.neighbor_id = exact.neighbor_id)
+       |SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |  CAST(SUM(hit) AS BIGINT) AS n_hit,
+       |  ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 4) AS recall
+       |FROM j GROUP BY query_id""".stripMargin
 
   /** SemDeDup oracle: IVF cells via [[ivfCellCtes]], within-cell cosine
    * pairs (4dp) above `threshold`, connected components by recursive
@@ -1381,6 +1422,7 @@ object SparkEntry {
     "p_ann_ivfpq" -> annIvfPqSql(3, 16, 4, m = 8, ksub = 16, refine = 10),
     "p_ann_pq_index" -> annIvfPqSql(3, 16, 4, m = 8, ksub = 16, refine = 10,
       queryWhere = " AND vec_id % 25 = 0"),
+    "p_ann_recall_pq" -> annRecallPqSql(3, 16, 4, m = 8, ksub = 16, refine = 10),
     "p_ann_recall" ->
       s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |bk AS MATERIALIZED (${duckBandRows(2, 4, 64)}),

@@ -533,10 +533,14 @@ object SparkEntry {
     "e_stream_dedup" -> ((s, dir) => {
       // dropDuplicatesWithinWatermark keeps an arbitrary first arrival, so
       // the oracle-safe output is the key columns themselves — the stream
-      // must emit exactly the DISTINCT (user_id, event_type) pairs
+      // must emit exactly the DISTINCT (user_id, event_type) pairs. The
+      // watermark horizon must COVER the table's event-time span: a
+      // 0-second watermark would match DISTINCT only while the file source
+      // happens to deliver everything in one micro-batch — any future
+      // multi-file/multi-batch read would re-emit batch-1 keys in batch 2
       val ev = streaming.EventStreams.readEvents(s, dir)
       val dd = streaming.EventStreams.dedupStream(ev,
-        Seq("user_id", "event_type"), watermark = "0 seconds")
+        Seq("user_id", "event_type"), watermark = "365 days")
         .select(col("user_id"), col("event_type"))
       val q = dd.writeStream.format("memory").queryName("graft_stream_dedup")
         .outputMode("append").start()
@@ -869,12 +873,15 @@ object SparkEntry {
        |    FROM adc) WHERE rn <= ${math.max(refine, k)}),
        |resc AS (
        |  SELECT s.qid AS query_id, s.nid AS neighbor_id,
-       |    list_dot_product(qe.nv, ne.nv) AS c
+       |    CASE WHEN list_dot_product(qe.nv, qe.nv) > 0
+       |          AND list_dot_product(ne.nv, ne.nv) > 0
+       |         THEN list_dot_product(qe.nv, ne.nv) END AS c
        |  FROM short s JOIN en qe ON qe.vec_id = s.qid JOIN en ne ON ne.vec_id = s.nid),
        |pq_out AS MATERIALIZED (
        |  SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
        |    SELECT query_id, neighbor_id,
-       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rnk
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY c DESC NULLS LAST, neighbor_id ASC) AS rnk
        |    FROM resc) WHERE rnk <= $k)""".stripMargin
   }
 

@@ -78,10 +78,13 @@ object GraftConnectDispatch {
       }
     def str(k: String): Option[String] =
       typed(k, "a string") { case JString(s) => s }
-    def int(k: String): Option[Int] = typed(k, "an integer") {
-      case JInt(i) => i.toInt
-      case JLong(l) => l.toInt
-      case JDouble(d) if d.isWhole => d.toInt
+    def int(k: String): Option[Int] = typed(k, "a 32-bit integer") {
+      // range-check before narrowing: BigInt.toInt/Long.toInt silently
+      // wrap, and maxIter=2^32 running as maxIter=0 is the silent-wrong-
+      // parameter failure the typed() guard exists to prevent
+      case JInt(i) if i.isValidInt => i.toInt
+      case JLong(l) if l.isValidInt => l.toInt
+      case JDouble(d) if d.isWhole && d >= Int.MinValue && d <= Int.MaxValue => d.toInt
     }
     def dbl(k: String): Option[Double] = typed(k, "a number") {
       case JDouble(d) => d

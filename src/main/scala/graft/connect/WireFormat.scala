@@ -51,6 +51,7 @@ object WireFormat {
       var b = 0
       do {
         require(pos < bytes.length, "truncated varint")
+        require(shift < 64, "malformed varint: more than 10 bytes")
         b = bytes(pos) & 0xff
         pos += 1
         out |= (b & 0x7fL) << shift
@@ -59,10 +60,13 @@ object WireFormat {
       out
     }
     def readBytes(): Array[Byte] = {
-      val len = readVarint().toInt
-      require(len >= 0 && pos + len <= bytes.length, "truncated length-delimited field")
-      val out = java.util.Arrays.copyOfRange(bytes, pos, pos + len)
-      pos += len
+      val len = readVarint()
+      // compare as longs: a near-Int.MaxValue length would wrap `pos + len`
+      // negative and sneak past an Int comparison into copyOfRange
+      require(len >= 0 && pos.toLong + len <= bytes.length,
+        "truncated length-delimited field")
+      val out = java.util.Arrays.copyOfRange(bytes, pos, pos + len.toInt)
+      pos += len.toInt
       out
     }
     var algorithm = ""

@@ -110,24 +110,30 @@ object Dedup {
    * only through its index. Requires corpus and batch id spaces to be
    * disjoint, and `n`/`bands`/`rowsPerBand` equal to the index's build
    * parameters — a narrower/wider index would silently under-count
-   * agreeing lanes, so sig widths are validated against `bands *
-   * rowsPerBand` before any join runs. */
+   * agreeing lanes. Two guards enforce that: `validateIndexWidth` scans
+   * min/max(size(sig)) over the whole index before any join (fail-fast,
+   * but a full index-column scan — at steady state validate once and pass
+   * `false` on subsequent batches), and an always-on per-row check inside
+   * the estimate raises on any participating row whose width drifted, so
+   * even with the eager scan off a mixed index can never silently
+   * mis-count. */
   def incrementalNearDups(newDf: DataFrame, idCol: String, textCol: String,
       index: DataFrame, matchNewPairs: Boolean = true,
       n: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
-      minEstJaccard: Double = 0.0): DataFrame = {
+      minEstJaccard: Double = 0.0, validateIndexWidth: Boolean = true): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // validate EVERY row's width in one probe job: a single-row check would
-    // pass an index accidentally built with mixed parameters, and mixed
-    // widths make the zip_with lane count silently wrong downstream
-    index.agg(min(size(col("sig"))).as("_lo"), max(size(col("sig"))).as("_hi"))
-      .collect().foreach { r =>
-        if (!r.isNullAt(0)) {
-          require(r.getInt(0) == numHashes && r.getInt(1) == numHashes,
-            s"index signature widths [${r.getInt(0)}, ${r.getInt(1)}] != " +
-              s"bands*rowsPerBand = $numHashes — index built with different parameters?")
+    // eager: validate EVERY row's width in one probe job (a single-row
+    // check would pass an index accidentally built with mixed parameters)
+    if (validateIndexWidth) {
+      index.agg(min(size(col("sig"))).as("_lo"), max(size(col("sig"))).as("_hi"))
+        .collect().foreach { r =>
+          if (!r.isNullAt(0)) {
+            require(r.getInt(0) == numHashes && r.getInt(1) == numHashes,
+              s"index signature widths [${r.getInt(0)}, ${r.getInt(1)}] != " +
+                s"bands*rowsPerBand = $numHashes — index built with different parameters?")
+          }
         }
-      }
+    }
     val newIdx = minhashIndex(newDf, idCol, textCol, n, bands, rowsPerBand)
     val nb = indexBuckets(newIdx, idCol, "_n_id")
     val cb = indexBuckets(index, idCol, "_c_id")
@@ -152,9 +158,19 @@ object Dedup {
       zip_with(col("_n_sig"), col("_m_sig"),
         (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
       lit(0), (acc, v) => acc + v)
+    // lazy: any PARTICIPATING row with a drifted width raises instead of
+    // letting zip_with pad with nulls and silently under-count — costs one
+    // size() comparison per pair, no extra scan
+    val guarded = when(
+      size(col("_n_sig")) === numHashes && size(col("_m_sig")) === numHashes,
+      agreeing.cast("double") / numHashes)
+      .otherwise(raise_error(concat(
+        lit(s"incrementalNearDups: signature width drift (expected $numHashes, got "),
+        size(col("_m_sig")).cast("string"),
+        lit(") — index built with different parameters?"))))
     pairs.join(newSigs, "_n_id").join(matchSigs, "_m_id")
       .select(col("_n_id").as(idCol), col("_m_id").as("match_id"),
-        round(agreeing.cast("double") / numHashes, 4).as("est_jaccard"))
+        round(guarded, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
@@ -286,13 +302,16 @@ object Dedup {
     // NOTE: exact Jaccard denominators still use the uncapped sizes.
     // The doc-freq count is a hash aggregate (map-side partials — the hot
     // shingle never materializes in one task, unlike a window partitioned
-    // by the shingle), and the handful of over-cap stop shingles come back
-    // as a broadcast anti-join against the index.
+    // by the shingle), and over-cap stop shingles come back as an
+    // anti-join. No broadcast hint: the stop set is usually small (AQE
+    // then picks a broadcast anti-join on its own), but a low cap over a
+    // boilerplate-heavy corpus can make it arbitrarily large, and a forced
+    // broadcast would collect all of it to the driver.
     val shJ = if (maxDocFreq == Int.MaxValue) sh else {
       val stop = sh.groupBy("s").agg(count(lit(1)).as("_df"))
         .filter(col("_df") > maxDocFreq)
         .select("s")
-      sh.join(broadcast(stop), Seq("s"), "left_anti")
+      sh.join(stop, Seq("s"), "left_anti")
         .select("_d_id", "s")
     }
     val shared = shJ.as("x").join(shJ.as("y"),

@@ -296,6 +296,16 @@ class PropertySpec extends TestBase {
         docs.filter(col("doc_id") >= 400), "doc_id", "text", mixed).collect()
     }
     assert(err.getMessage.contains("different parameters"))
+    // with the eager scan off (the steady-state fast path), the per-row
+    // guard still raises on any participating drifted row instead of
+    // silently under-counting lanes
+    val lazyErr = intercept[Exception] {
+      pipeline.Dedup.incrementalNearDups(
+        docs.filter(col("doc_id") >= 400), "doc_id", "text", mixed,
+        validateIndexWidth = false).collect()
+    }
+    assert(lazyErr.getMessage.contains("width drift") ||
+      Option(lazyErr.getCause).exists(_.getMessage.contains("width drift")))
   }
 
   test("minhashIndex plan computes the 16-lane signature exactly once per row") {

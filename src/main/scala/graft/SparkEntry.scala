@@ -530,6 +530,21 @@ object SparkEntry {
       s.table("graft_stream_window")
         .select(col("event_type"), col("window_start"), col("n_events"), col("sum_value"))
     }),
+    "e_stream_sessionize" -> ((s, dir) => {
+      // stateful gap sessionization with NoTimeout: every session CLOSED
+      // by a later event emits; each user's final session stays open in
+      // state forever — so the deterministic output is the batch result
+      // minus each user's last session, which the oracle states directly
+      val q = streaming.EventStreams.sessionizeStream(
+          streaming.EventStreams.readEvents(s, dir), gapMinutes = 30,
+          timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+        .writeStream.format("memory").queryName("graft_stream_sessionize")
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      s.table("graft_stream_sessionize")
+        .select(col("user_id"), col("session_start_ms"),
+          col("n_events"), col("duration_ms"))
+    }),
     "e_stream_dedup" -> ((s, dir) => {
       // dropDuplicatesWithinWatermark keeps an arbitrary first arrival, so
       // the oracle-safe output is the key columns themselves — the stream
@@ -1503,6 +1518,20 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "e_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "e_stream_sessionize" ->
+      """WITH x AS (SELECT user_id, event_id, ts, epoch_ms(ts) AS ms,
+        |  CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) > 1800000 THEN 1 ELSE 0 END AS nsess
+        |  FROM events),
+        |y AS (SELECT user_id, ms, SUM(nsess) OVER
+        |  (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM x),
+        |s AS (SELECT user_id, sess, CAST(MIN(ms) AS BIGINT) AS session_start_ms,
+        |    count(*) AS n_events, CAST(MAX(ms) - MIN(ms) AS BIGINT) AS duration_ms
+        |  FROM y GROUP BY 1, 2),
+        |m AS (SELECT user_id, MAX(sess) AS last_sess FROM s GROUP BY 1)
+        |SELECT s.user_id, s.session_start_ms, s.n_events, s.duration_ms
+        |FROM s JOIN m ON m.user_id = s.user_id AND s.sess < m.last_sess""".stripMargin,
     "e_sessionize" ->
       """WITH x AS (SELECT user_id, event_id, ts, epoch_ms(ts) AS ms,
         |  CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER

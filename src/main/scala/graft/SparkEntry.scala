@@ -62,6 +62,35 @@ object SparkEntry {
     GraphFrame.fromEdges(e)
   }
 
+  /** Skew-stress composite (CC component stats + exact triangle total) on
+   * a synthetic supplier graph from lineitem. With `hub = true` every 7th
+   * edge row is redirected to vertex 0 — one vertex receives ~14% of all
+   * edge rows, so the first shuffle (distinct), the CC message exchange
+   * and the neighbor-set aggregation all see a hot key. The de-skewed
+   * twin (`hub = false`) differs only in that redirect; comparing their
+   * bench rows measures what the AQE-first skew stance actually costs. */
+  private def skewStats(s: SparkSession, dir: String, hub: Boolean): DataFrame = {
+    val li = load(s, dir, "lineitem")
+    val base = pmod(col("l_suppkey") * 7 + col("l_partkey"), lit(997))
+    val dstCol = if (hub) when(col("l_orderkey") % 7 === 0, lit(0)).otherwise(base)
+      else base
+    val e0 = li.select(col("l_suppkey").cast("long").as(SRC),
+      dstCol.cast("long").as(DST))
+    // vertices from ALL endpoints (pre-self-loop-filter) so a vertex seen
+    // only in self-loops still counts as a singleton component
+    val v = e0.select(explode(array(col(SRC), col(DST))).as(ID)).distinct()
+    val g = GraphFrame(v, e0.filter(col(SRC) =!= col(DST)))
+    val cc = g.connectedComponents.run()
+    val cs = cc.groupBy("component").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).cast("long").as("_nc"), max("sz").cast("long").as("_mx"))
+    val tri = g.triangleCount.run().agg((sum("count") / 3).cast("long").as("_t"))
+    // stack() emits the three metric rows from ONE evaluation — a union of
+    // three selects would recompute CC + triangles per branch
+    cs.crossJoin(tri).selectExpr(
+      "stack(3, 'n_components', _nc, 'max_component', _mx, 'triangles', _t) " +
+        "as (metric, value)")
+  }
+
   /** Flagship query (driver smoke-checks rows > 0 on sf0.001). */
   def entry(spark: SparkSession): DataFrame =
     queries("g_out_degrees")(spark, "/root/testdata/sf0.001")
@@ -307,6 +336,27 @@ object SparkEntry {
         .select(col(ID), col("count").as("tri_count"))),
     "g_pic" -> ((s, dir) => // rows-only check (cluster labels arbitrary)
       graphB(s, dir).powerIterationClustering(k = 2, maxIter = 20)),
+    "g_skew_hub" -> ((s, dir) => skewStats(s, dir, hub = true)),
+    "g_skew_flat" -> ((s, dir) => skewStats(s, dir, hub = false)),
+    "g_belief_prop" -> ((s, dir) => { // sum-product BP (log-odds messages,
+      // checkerboard schedule) on a 5x5 Ising grid keyed by nation, with
+      // deterministic a/b fields; the oracle unrolls the same 2 sweeps ×
+      // 2 colors of message updates as chained CTEs
+      import graft.examples.BeliefPropagation
+      val n = load(s, dir, "nation")
+      val key = col("n_nationkey").cast("int")
+      val v = n.select(key.as("id"),
+        ((key * 37 % 21 - 10) / lit(10.0)).as("a"),
+        pmod((key / lit(5)).cast("int") + pmod(key, lit(5)), lit(2)).as("color"))
+      val right = n.filter(pmod(key, lit(5)) < 4)
+        .select(key.as("src"), (key + 1).as("dst"))
+      val down = n.filter((key / lit(5)).cast("int") < 4)
+        .select(key.as("src"), (key + 5).as("dst"))
+      val e = right.unionByName(down)
+        .withColumn("b", ((col("src") * 31 + col("dst") * 17) % 19 - 9) / lit(10.0))
+      BeliefPropagation.sumProduct(GraphFrame(v, e), sweeps = 2)
+        .select(col("id"), round(col("belief"), 6).as("belief"))
+    }),
     "g_pppr" -> ((s, dir) =>
       graphB(s, dir).parallelPersonalizedPageRank
         .sourceIds(Seq(0, 5)).maxIter(10).run()
@@ -342,11 +392,34 @@ object SparkEntry {
       pg.bipartiteProjection("supplies")
     }),
     "m_media_meta" -> ((s, dir) => {
+      // fixture: frame each doc's text as a REAL media payload — doc_id%3
+      // picks PNG (full signature + IHDR), JPEG (SOI + APP0 + COM + SOF0,
+      // so the marker walk must skip two segments), or raw text — with
+      // dimensions derived from doc_id. attachMeta must parse the actual
+      // header bytes to recover them; the oracle recomputes them
+      // analytically, so a wrong parse (endianness, offset, walk) fails
+      // the hash.
       import graft.multimodal.Multimodal
-      val docs = load(s, dir, "documents").withColumn("payload", col("text").cast("binary"))
-      Multimodal.attachMeta(docs, "doc_id", "payload")
+      val docs = load(s, dir, "documents")
+      val wd = (pmod(col("doc_id"), lit(800)) + 16).cast("int")
+      val ht = (pmod(col("doc_id") * 7, lit(600)) + 16).cast("int")
+      val body = hex(encode(col("text"), "UTF-8"))
+      val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"),
+        lpad(hex(wd), 8, "0"), lpad(hex(ht), 8, "0"),
+        lit("080600000000000000"), body)
+      val jpgHex = concat(
+        lit("FFD8" + "FFE00010" + "4A46494600010100000100010000" +
+          "FFFE0008" + "677261667421" + "FFC00011" + "08"),
+        lpad(hex(ht), 4, "0"), lpad(hex(wd), 4, "0"),
+        lit("03011100021101031101"), body)
+      val payload = when(pmod(col("doc_id"), lit(3)) === 0, unhex(pngHex))
+        .when(pmod(col("doc_id"), lit(3)) === 1, unhex(jpgHex))
+        .otherwise(col("text").cast("binary"))
+      Multimodal.attachMeta(docs.withColumn("payload", payload), "doc_id", "payload")
         .select(col("doc_id"), col("media_meta.format").as("format"),
-          col("media_meta.n_bytes").as("n_bytes"))
+          col("media_meta.n_bytes").as("n_bytes"),
+          col("media_meta.width").as("width"),
+          col("media_meta.height").as("height"))
     }),
     "m_frame_sample" -> ((s, dir) => {
       // every 4th 64-byte frame of the payload; frames shipped as hex so the
@@ -422,6 +495,23 @@ object SparkEntry {
       pipeline.Similarity.ivfPqSearchIndexed(
         emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
         model, index, k = 3, nprobe = 4, refineWith = Some(emb), refine = 10)
+    }),
+    "p_ann_incremental" -> ((s, dir) => { // incremental indexing: index a
+      // corpus slice, APPEND the rest as a new batch (overlapping ids
+      // exercise the re-ingestion dedupe), search the appended index.
+      // Append ≡ from-scratch against the same frozen model, so the
+      // oracle is the full-index replay with this query filter — any
+      // duplicate or dropped index row breaks the hash
+      val emb = load(s, dir, "embeddings")
+      val model = pipeline.Similarity.ivfPqModel(emb, "vec_id", "embedding",
+        nlist = 16, m = 8, ksub = 16)
+      val corpusIdx = pipeline.Similarity.ivfPqIndex(
+        emb.filter(col("vec_id") < 420), "vec_id", "embedding", model)
+      val appended = pipeline.Similarity.ivfPqIndexAppend(
+        emb.filter(col("vec_id") >= 400), "vec_id", "embedding", model, corpusIdx)
+      pipeline.Similarity.ivfPqSearchIndexed(
+        emb.filter(col("vec_id") % 25 === 5), "vec_id", "embedding",
+        model, appended, k = 3, nprobe = 4, refineWith = Some(emb), refine = 10)
     }),
     "p_ann_recall_pq" -> ((s, dir) => { // measured recall@k of the IVF-PQ
       // path with the refine re-rank — the number (nprobe, m, ksub,
@@ -903,6 +993,69 @@ object SparkEntry {
   /** Measured recall@k of the IVF-PQ path vs the exact top-k — the same
    * contract as the LSH `p_ann_recall` row, composed from the shared
    * [[annIvfPqCtes]] block. */
+  /** Replay of [[skewStats]]: distinct-edge recursive-CTE CC + ordered
+   * triangle join over the same synthetic supplier graph. */
+  private def skewStatsSql(hub: Boolean): String = {
+    val dst = if (hub)
+      "CASE WHEN l_orderkey % 7 = 0 THEN 0 ELSE (l_suppkey * 7 + l_partkey) % 997 END"
+    else "(l_suppkey * 7 + l_partkey) % 997"
+    s"""WITH RECURSIVE e0 AS (
+       |  SELECT CAST(l_suppkey AS BIGINT) AS src, CAST($dst AS BIGINT) AS dst FROM lineitem),
+       |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+       |ue AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+       |u AS (SELECT a AS s, b AS d FROM ue UNION SELECT b, a FROM ue),
+       |verts AS (SELECT DISTINCT s AS id FROM u
+       |          UNION SELECT DISTINCT src FROM e0 UNION SELECT DISTINCT dst FROM e0),
+       |r AS (SELECT id, id AS comp FROM verts
+       |      UNION SELECT u.d, r.comp FROM r JOIN u ON u.s = r.id),
+       |lab AS (SELECT id, MIN(comp) AS comp FROM r GROUP BY id),
+       |cs AS (SELECT comp, count(*) AS sz FROM lab GROUP BY comp),
+       |cstat AS (SELECT CAST(count(*) AS BIGINT) AS n_components, CAST(max(sz) AS BIGINT) AS mx FROM cs),
+       |tri AS (SELECT CAST(count(*) AS BIGINT) AS t FROM ue e1
+       |        JOIN ue e2 ON e2.a = e1.b JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b)
+       |SELECT 'n_components' AS metric, n_components AS value FROM cstat
+       |UNION ALL SELECT 'max_component', mx FROM cstat
+       |UNION ALL SELECT 'triangles', t FROM tri""".stripMargin
+  }
+
+  /** Unrolled sum-product BP replay for [[graft.examples.BeliefPropagation]]
+   * on the nation-keyed 5x5 Ising grid: one chained CTE per (sweep, color)
+   * message update — λ' = atanh(tanh(b)·tanh(a_i + Σλ_in - λ_rev)) written
+   * with the exp identity (this DuckDB lacks tanh/atanh) — then the belief
+   * read-out σ(2·(a + Σλ)). 6-dp rounding on both sides absorbs the
+   * last-ulp tanh-vs-exp difference. */
+  private def beliefPropSql(sweeps: Int): String = {
+    def upd(prev: String, nxt: String, c: Int): String =
+      s"""$nxt AS (SELECT i, j, b,
+         |  CASE WHEN colorj = $c
+         |    THEN 0.5 * ln((1 + tb * tx) / (1 - tb * tx)) ELSE lam END AS lam
+         |  FROM (SELECT m.i, m.j, m.b, m.lam, vj.color AS colorj,
+         |      (exp(2 * m.b) - 1) / (exp(2 * m.b) + 1) AS tb,
+         |      (exp(2 * (vi.a + coalesce(s.si, 0) - r.lam)) - 1) /
+         |      (exp(2 * (vi.a + coalesce(s.si, 0) - r.lam)) + 1) AS tx
+         |    FROM $prev m
+         |    JOIN $prev r ON r.i = m.j AND r.j = m.i
+         |    LEFT JOIN (SELECT j AS i, sum(lam) AS si FROM $prev GROUP BY 1) s ON s.i = m.i
+         |    JOIN v vi ON vi.id = m.i
+         |    JOIN v vj ON vj.id = m.j))""".stripMargin
+    val steps = (0 until sweeps).flatMap(sw => Seq(0, 1).map(c =>
+      (sw * 2 + c, c))).map { case (t, c) => upd(s"m$t", s"m${t + 1}", c) }
+    val tFinal = sweeps * 2
+    s"""WITH v AS (SELECT CAST(n_nationkey AS INT) AS id,
+       |    ((n_nationkey * 37) % 21 - 10) / 10.0 AS a,
+       |    CAST((n_nationkey // 5 + n_nationkey % 5) % 2 AS INT) AS color FROM nation),
+       |e AS (SELECT src, dst, ((src * 31 + dst * 17) % 19 - 9) / 10.0 AS b FROM (
+       |  SELECT CAST(n_nationkey AS INT) AS src, CAST(n_nationkey + 1 AS INT) AS dst
+       |    FROM nation WHERE n_nationkey % 5 < 4
+       |  UNION ALL SELECT CAST(n_nationkey AS INT), CAST(n_nationkey + 5 AS INT)
+       |    FROM nation WHERE n_nationkey // 5 < 4)),
+       |m0 AS (SELECT i, j, b, 0.0 AS lam FROM
+       |  (SELECT src AS i, dst AS j, b FROM e UNION ALL SELECT dst, src, b FROM e)),
+       |${steps.mkString(",\n")}
+       |SELECT v.id, ROUND(1.0 / (1.0 + exp(-2 * (v.a + coalesce(sf.s, 0)))), 6) AS belief
+       |FROM v LEFT JOIN (SELECT j, sum(lam) AS s FROM m$tFinal GROUP BY 1) sf ON sf.j = v.id""".stripMargin
+  }
+
   private def annRecallPqSql(k: Int, nlist: Int, nprobe: Int, m: Int,
       ksub: Int, refine: Int): String =
     s"""WITH ${annIvfPqCtes(k, nlist, nprobe, m, ksub, refine)},
@@ -1058,8 +1211,18 @@ object SparkEntry {
         |FROM d x JOIN d y ON x.b = y.b AND x.a < y.a
         |GROUP BY 1, 2""".stripMargin,
     "m_media_meta" ->
-      """SELECT doc_id, 'unknown' AS format,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents""".stripMargin,
+      // recompute the fixture's embedded header fields analytically — the
+      // Spark side must PARSE them back out of the payload bytes
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |    ELSE 'unknown' END AS format,
+        |  CAST(octet_length(encode(text)) + CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN 33 WHEN 1 THEN 49 ELSE 0 END AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN NULL
+        |    ELSE doc_id % 800 + 16 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN NULL
+        |    ELSE (doc_id * 7) % 600 + 16 END AS INT) AS height
+        |FROM documents""".stripMargin,
     "m_frame_sample" ->
       // byte-based framing: slice hex(utf8 bytes) at 2-hex-chars-per-byte
       // offsets, so both sides frame the same octets regardless of
@@ -1145,6 +1308,9 @@ object SparkEntry {
         |SELECT a.c_nationkey AS nation_key, b.n_cust, a.n_orders, a.total_val
         |FROM a JOIN b ON a.c_nationkey = b.c_nationkey""".stripMargin,
     "g_pppr" -> ppprSql(10, 0, 5),
+    "g_belief_prop" -> beliefPropSql(2),
+    "g_skew_hub" -> skewStatsSql(hub = true),
+    "g_skew_flat" -> skewStatsSql(hub = false),
     "g_label_propagation" -> lpaSql(5),
     "g_kcore" -> kcoreSql(12),
     "g_mis" -> misSql(8, 42L),
@@ -1444,6 +1610,9 @@ object SparkEntry {
     "p_ann_ivfpq" -> annIvfPqSql(3, 16, 4, m = 8, ksub = 16, refine = 10),
     "p_ann_pq_index" -> annIvfPqSql(3, 16, 4, m = 8, ksub = 16, refine = 10,
       queryWhere = " AND vec_id % 25 = 0"),
+    // append ≡ from-scratch (same frozen model): replay the full index
+    "p_ann_incremental" -> annIvfPqSql(3, 16, 4, m = 8, ksub = 16, refine = 10,
+      queryWhere = " AND vec_id % 25 = 5"),
     "p_ann_recall_pq" -> annRecallPqSql(3, 16, 4, m = 8, ksub = 16, refine = 10),
     "p_ann_recall" ->
       s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -57,12 +57,23 @@ object AdcDistance {
     var s = 0.0
     var j = 0
     while (j < m) {
+      // null entries (a dim-drifted build let zip_with pad with nulls)
+      // would read as 0.0 garbage on UnsafeArrayData — raise instead,
+      // keeping the kernel's fail-loudly contract for drifted indexes
+      if (codes.isNullAt(j) || qtab.isNullAt(j))
+        throw new IllegalArgumentException(
+          s"AdcDistance: null code or table row at subspace $j — " +
+            "codes index and model built with different parameters?")
       val row = qtab.getArray(j)
       val c = codes.getInt(j)
       if (c < 0 || c >= row.numElements())
         throw new IllegalArgumentException(
           s"AdcDistance: code $c out of range for ksub=${row.numElements()} at subspace $j — " +
             "codes index and model built with different ksub?")
+      if (row.isNullAt(c))
+        throw new IllegalArgumentException(
+          s"AdcDistance: null table entry at subspace $j code $c — " +
+            "codes index and model built with different parameters?")
       s += row.getDouble(c)
       j += 1
     }

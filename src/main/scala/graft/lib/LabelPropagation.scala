@@ -10,8 +10,14 @@ import graft.GraphFrame
  *
  * Each round every vertex adopts the most frequent label among its
  * incoming neighbors, ties broken toward the smallest label (the LDBC
- * rule). The frequency histogram is a map built with a higher-order
- * `aggregate` over collected messages — no UDFs, fully codegen-able.
+ * rule). Aggregation is `mode(msg, deterministic = true)` — a
+ * `TypedImperativeAggregate` whose buffer is a (label → count) hash map
+ * merged map-side, so a 10⁷-degree hub holds one entry per DISTINCT
+ * incoming label instead of materializing every message in a
+ * `collect_list` buffer (the reference's histogram shape,
+ * reference lib/LabelPropagation.scala:132-140, does the latter).
+ * Deterministic mode returns the smallest among equally-frequent values —
+ * exactly the LDBC tie-break.
  */
 class LabelPropagation(g: GraphFrame) {
   import GraphFrame.ID
@@ -24,27 +30,14 @@ class LabelPropagation(g: GraphFrame) {
   def setDirected(d: Boolean): this.type = { directed = d; this }
 
   def run(): DataFrame = {
-    val idType = g.vertices.schema(ID).dataType
-    val emptyHist = map().cast(org.apache.spark.sql.types.MapType(
-      idType, org.apache.spark.sql.types.IntegerType, valueContainsNull = false))
-
-    // histogram of incoming labels
-    val hist = aggregate(collect_list(Pregel.msg), emptyHist,
-      (acc, l) => map_zip_with(acc, map(l, lit(1)),
-        (_, a, b) => coalesce(a, lit(0)) + coalesce(b, lit(0))))
-
-    // most frequent label, smallest label wins ties:
-    // min over (-count, label) — works for any orderable label type
-    val best = array_min(transform(map_entries(Pregel.msg),
-      e => struct((-e.getField("value")).as("negCount"), e.getField("key").as("label"))))
-      .getField("label")
-    val newLabel = when(Pregel.msg.isNull || size(Pregel.msg) === 0, col("label"))
-      .otherwise(best)
+    // mode() ignores nulls and returns null on an empty group; a vertex
+    // with no mail sees a null msg and keeps its label
+    val newLabel = when(Pregel.msg.isNull, col("label")).otherwise(Pregel.msg)
 
     val pregel = g.pregel
       .withVertexColumn("label", col(ID), newLabel)
       .sendMsgToDst(Pregel.src("label"))
-      .aggMsgs(hist)
+      .aggMsgs(mode(Pregel.msg, deterministic = true))
       .setMaxIter(maxIterV)
     if (!directed) pregel.sendMsgToSrc(Pregel.dst("label"))
     pregel.run()

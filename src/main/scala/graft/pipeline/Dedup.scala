@@ -19,6 +19,24 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Doc-frequency above which an uncapped [[ngramJaccard]] warns: a
+   * shingle in 10⁴ docs already fans the pair join out 10⁸. */
+  private[graft] val hotShingleThreshold = 10000L
+
+  /** The warning an uncapped [[ngramJaccard]] emits when the probe finds a
+   * shingle hotter than `threshold`; None below it. Pure — unit-testable
+   * without capturing log output. */
+  private[graft] def hotShingleWarning(maxDf: Long, threshold: Long): Option[String] =
+    if (maxDf > threshold)
+      Some(s"ngramJaccard: hottest shingle appears in $maxDf documents " +
+        s"(> $threshold) and maxDocFreq is unset — the pair join fans out " +
+        s"~${maxDf}² on it. Set maxDocFreq to cap stop-shingles (exact " +
+        "Jaccard denominators are preserved) or probeHotShingles=false to " +
+        "silence this probe.")
+    else None
+
   /** Exact dedup by content hash: (id, fp, keep_id) where keep_id is the
    * minimum id sharing the same fingerprint. */
   def exact(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame = {
@@ -166,7 +184,8 @@ object Dedup {
       agreeing.cast("double") / numHashes)
       .otherwise(raise_error(concat(
         lit(s"incrementalNearDups: signature width drift (expected $numHashes, got "),
-        size(col("_m_sig")).cast("string"),
+        lit("new="), size(col("_n_sig")).cast("string"),
+        lit(", index="), size(col("_m_sig")).cast("string"),
         lit(") — index built with different parameters?"))))
     pairs.join(newSigs, "_n_id").join(matchSigs, "_m_id")
       .select(col("_n_id").as(idCol), col("_m_id").as("match_id"),
@@ -290,11 +309,26 @@ object Dedup {
    * possibly dropping pairs whose overlap is all boilerplate — set it on
    * web-scale corpora where one common phrase would go quadratic. */
   def ngramJaccard(df0: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, minShared: Int = 3, maxDocFreq: Int = Int.MaxValue): DataFrame = {
+      n: Int = 3, minShared: Int = 3, maxDocFreq: Int = Int.MaxValue,
+      probeHotShingles: Boolean = true): DataFrame = {
     val df = ensureParallelism(df0)
     val sh = df.select(col(idCol).as("_d_id"),
         explode(Text.wordShingles(col(textCol), n)).as("s"))
       .distinct()
+    // guardrail: with maxDocFreq unset, one boilerplate shingle shared by d
+    // documents fans the self-join out d² with ~no Jaccard signal — the
+    // likeliest operator error at 100 TB. Probe the hottest shingle (one
+    // map-side-partial hash agg, trivially cheaper than the d² join it
+    // guards) and warn loudly before running anyway; `probeHotShingles =
+    // false` opts out for pre-validated corpora.
+    if (maxDocFreq == Int.MaxValue && probeHotShingles) {
+      val maxDf = sh.groupBy("s").agg(count(lit(1)).as("_df"))
+        .agg(max(col("_df"))).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+      hotShingleWarning(maxDf, hotShingleThreshold).foreach(log.warn)
+    }
     val sizes = sh.groupBy("_d_id").agg(count(lit(1)).as("n_sh"))
     // stop-shingle guard (opt-in): a shingle shared by d documents fans the
     // self-join out d² — cap document frequency so one boilerplate phrase

@@ -266,9 +266,15 @@ object Similarity {
    * ties broken by cell id asc — the exact order row_number produced, so
    * oracles are unchanged. Evaluated per row against `_s_v`/`_s_n`. */
   private def rankedCells(take: Int): Column = {
+    // coalesce to a sentinel below any cosine: a null sim (zero-norm vector
+    // or centroid) would make the comparator intransitive — null-vs-real
+    // falls through to the id tiebreak while real-vs-real compares by sim —
+    // so cell order could depend on collect_list order and TimSort may
+    // throw. With the sentinel the comparator is total and zero-norm
+    // entries deterministically rank last.
     val scored = transform(col("_carr"), c => struct(
-      cosineOf(dotProduct(col("_s_v"), c.getField("_c_v")),
-        col("_s_n"), c.getField("_c_n")).as("_sim"),
+      coalesce(cosineOf(dotProduct(col("_s_v"), c.getField("_c_v")),
+        col("_s_n"), c.getField("_c_n")), lit(-2.0)).as("_sim"),
       c.getField("_c_id").as("_c_id")))
     val sorted = array_sort(scored, (a, b) =>
       when(a.getField("_sim") > b.getField("_sim"), lit(-1))
@@ -377,17 +383,12 @@ object Similarity {
   /** PQ code of a vector: per subspace, the index (0-based) of the nearest
    * codebook entry, ties to the lowest code. `array<int>` of length m —
    * the m-byte compressed representation that replaces the dim×8-byte
-   * vector in every candidate scan. */
+   * vector in every candidate scan. Runs through the native
+   * [[graft.expressions.PqNearestCode]] codegen kernel (the per-row cost
+   * of every index build); summation order matches the previous HOF
+   * argmin bit-for-bit, so codes — and oracle hashes — are unchanged. */
   private[pipeline] def pqCode(vec: Column, cb: Column, m: Int, dsub: Int): Column =
-    transform(sequence(lit(0), lit(m - 1)), j => {
-      // single-pass argmin: tag each distance with its code index and take
-      // the struct-lexicographic minimum — the pqSubDists subtree appears
-      // once (array_position(dists, array_min(dists)) embedded it twice,
-      // and HOF subtrees are not reliably CSE'd)
-      val tagged = transform(pqSubDists(vec, cb, j, dsub),
-        (d, i) => struct(d.as("_d"), i.as("_i")))
-      element_at(array_sort(tagged), 1).getField("_i").cast("int")
-    })
+    graft.expressions.PqNearestCode.pqNearestCode(vec, cb)
 
   /** Asymmetric-distance table of a query: `_qtab[j][c]` = squared L2 from
    * the query's subvector j to codebook entry c. m × ksub doubles per
@@ -509,18 +510,48 @@ object Similarity {
    * scans; at ksub <= 256 each code fits a byte on disk. */
   def ivfPqIndex(df: DataFrame, idCol: String, vecCol: String,
       model: DataFrame): DataFrame = {
-    val v = normalized(withNorm(df, idCol, vecCol))
     val (m, _, d) = modelParams(model)
+    val v = requireDim(normalized(withNorm(df, idCol, vecCol)), d, "ivfPqIndex")
     v.crossJoin(broadcast(model))
       .select(col("_s_id").as(idCol),
         element_at(rankedCells(1), 1).getField("_c_id").as("cell"),
         pqCode(col("_s_v"), col("_cb"), m, d / m).as("codes"))
   }
 
+  /** Append a NEW batch to a persisted [[ivfPqIndex]] — the incremental
+   * path of steady-state ANN and the analog of
+   * [[Dedup.incrementalNearDups]]: the batch alone is width-validated and
+   * coded against the persisted model (cell assignment + PQ codes, one
+   * broadcast-model map stage), then unioned in; already-indexed corpus
+   * vectors are never re-read or re-coded. Re-ingested ids (present in
+   * both) keep the NEW batch's row, so replaying a batch is idempotent.
+   * Because coding is per-row against the same frozen model,
+   * `ivfPqIndexAppend(batch, model, ivfPqIndex(corpus, model))` equals
+   * `ivfPqIndex(corpus ∪ batch, model)` exactly — append never degrades
+   * search results vs a from-scratch rebuild. */
+  def ivfPqIndexAppend(newBatch: DataFrame, idCol: String, vecCol: String,
+      model: DataFrame, index: DataFrame): DataFrame = {
+    val newIdx = ivfPqIndex(newBatch, idCol, vecCol, model)
+    index.join(newIdx.select(col(idCol)), Seq(idCol), "left_anti")
+      .unionByName(newIdx)
+  }
+
   private def modelParams(model: DataFrame): (Int, Int, Int) = {
     val r = model.select(col("m"), col("ksub"), col("dim")).head()
     (r.getInt(0), r.getInt(1), r.getInt(2))
   }
+
+  /** Fail-loudly per-row width guard: a vector whose width drifted from the
+   * model's persisted `dim` would make `slice`+`zip_with` pad with nulls
+   * and flow NULL sub-distances into codes/tables silently — raise instead,
+   * mirroring [[Dedup.incrementalNearDups]]'s signature-width validation.
+   * Costs one `size` comparison per row, no extra scan. */
+  private def requireDim(v: DataFrame, d: Int, context: String): DataFrame =
+    v.withColumn("_s_v",
+      when(size(col("_s_v")) === d, col("_s_v"))
+        .otherwise(raise_error(concat(
+          lit(s"$context: vector width "), size(col("_s_v")).cast("string"),
+          lit(s" != model dim $d — model built with different parameters?")))))
 
   /** Steady-state ANN: score a NEW query batch against a persisted
    * [[ivfPqModel]] + [[ivfPqIndex]] — the corpus vector table is never
@@ -533,8 +564,9 @@ object Similarity {
   def ivfPqSearchIndexed(queries: DataFrame, idCol: String, vecCol: String,
       model: DataFrame, index: DataFrame, k: Int, nprobe: Int = 4,
       refineWith: Option[DataFrame] = None, refine: Int = 0): DataFrame = {
-    val q = normalized(withNorm(queries, idCol, vecCol))
     val (m, _, d) = modelParams(model)
+    val q = requireDim(normalized(withNorm(queries, idCol, vecCol)), d,
+      "ivfPqSearchIndexed")
     val dsub = d / m
     val probed = q.crossJoin(broadcast(model))
       .select(col("_s_id").as("_q_id"),

@@ -125,6 +125,49 @@ class ConnectPluginSpec extends TestBase {
     assert(fe.count() == 2)
   }
 
+  test("python client encoding drives the plugin end to end (hash-matched)") {
+    // The full client path minus the gRPC socket (no grpcio in this
+    // environment): REAL spark.connect.Relation payloads are handed to
+    // the Python package's encoder (python/graft/wire.py — the exact
+    // code client.py ships on the wire), whose Any bytes then drive the
+    // plugin through a real SparkConnectPlanner; results must equal the
+    // Scala API row-for-row.
+    def pythonWrap(algorithm: String, params: String,
+        v: Array[Byte], e: Array[Byte]): Option[Array[Byte]] =
+      try {
+        val p = new ProcessBuilder("python3", "python/graft/wire.py", "--wrap",
+          algorithm, if (params.isEmpty) "-" else params,
+          v.map("%02x".format(_)).mkString, e.map("%02x".format(_)).mkString)
+          .redirectErrorStream(true).start()
+        val out = scala.io.Source.fromInputStream(p.getInputStream).getLines().toSeq
+        if (p.waitFor() == 0) Some(out.last.trim.grouped(2)
+          .map(Integer.parseInt(_, 16).toByte).toArray)
+        else None
+      } catch { case _: java.io.IOException => None }
+
+    val cases = Seq(
+      ("page_rank", """{"resetProb": 0.15, "maxIter": 5}""",
+        (g: GraphFrame) => g.pageRank.resetProbability(0.15).maxIter(5)
+          .run().vertices.select("id", "pagerank")),
+      ("connected_components", "",
+        (g: GraphFrame) => g.connectedComponents.run()),
+      ("find", """{"pattern": "(x)-[]->(y); (y)-[]->(x)"}""",
+        (g: GraphFrame) => g.find("(x)-[]->(y); (y)-[]->(x)")))
+    cases.foreach { case (alg, params, direct) =>
+      pythonWrap(alg, params, sqlRelation(vSql), sqlRelation(eSql)) match {
+        case None => cancel("python3 not available")
+        case Some(anyBytes) =>
+          val plan = new GraftRelationPlugin().transform(anyBytes, planner)
+          assert(plan.isPresent, s"plugin returned empty for $alg")
+          val out = GraftShims.ofRows(spark.asInstanceOf[ClassicSession], plan.get())
+          val expect = direct(GraphFrame(spark.sql(vSql), spark.sql(eSql)))
+          val cols = expect.columns.toSeq
+          assert(rows(out.select(cols.map(out(_)): _*)) == rows(expect),
+            s"python-encoded $alg result diverged from the Scala API")
+      }
+    }
+  }
+
   test("dispatch covers every method of the reference proto surface") {
     // graphframes.proto:19-42 oneof arms, minus the two exercised above
     // and the heavier ones covered by their own tests

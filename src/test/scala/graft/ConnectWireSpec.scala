@@ -58,4 +58,75 @@ class ConnectWireSpec extends AnyFunSuite {
       WireFormat.decode(bytes.dropRight(1))
     }
   }
+
+  // ------------------------------------------------------------------
+  // Cross-language conformance vs the dependency-free Python codec
+  // (python/graft/wire.py) shipped with the Connect client. Skipped (not
+  // failed) when no python3 is on PATH.
+  // ------------------------------------------------------------------
+
+  private def python(args: String*): Option[Seq[String]] =
+    try {
+      val p = new ProcessBuilder(
+        (Seq("python3", "python/graft/wire.py") ++ args): _*)
+        .redirectErrorStream(true).start()
+      val out = scala.io.Source.fromInputStream(p.getInputStream).getLines().toSeq
+      if (p.waitFor() == 0) Some(out) else None
+    } catch { case _: java.io.IOException => None }
+
+  private def hexToBytes(h: String): Array[Byte] =
+    h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  private def jsonStr(line: String, key: String): Option[String] = {
+    // fixture lines are flat JSON objects of strings/nulls — json4s parse
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(line) \ key match {
+      case JString(s) => Some(s)
+      case _ => None
+    }
+  }
+
+  test("python wire codec: python-encoded fixtures decode identically here") {
+    python("--emit") match {
+      case None => cancel("python3 not available")
+      case Some(lines) =>
+        assert(lines.nonEmpty)
+        lines.foreach { line =>
+          val anyBytes = hexToBytes(jsonStr(line, "any_hex").get)
+          // the Any envelope: type_url field 1, value field 2 — decode by
+          // the same skip-tolerant field walk the plugin uses
+          val any = org.sparkproject.connect.protobuf.Any.parseFrom(anyBytes)
+          assert(any.getTypeUrl == "type.googleapis.com/graft.GraftRelation")
+          val m = WireFormat.decode(any.getValue.toByteArray)
+          assert(m.algorithm == jsonStr(line, "algorithm").get)
+          assert(m.paramsJson == jsonStr(line, "params_json").getOrElse(""))
+          assert(m.vertices.map(_.map("%02x".format(_)).mkString) ==
+            jsonStr(line, "vertices_hex"))
+          assert(m.edges.map(_.map("%02x".format(_)).mkString) ==
+            jsonStr(line, "edges_hex"))
+        }
+    }
+  }
+
+  test("python wire codec: scala-encoded message decodes identically there") {
+    val msg = GraftRelation("shortest_paths", Some(Array[Byte](0, 1, -1)),
+      Some(Array.fill[Byte](300)(61)), """{"landmarks":[0,5]}""")
+    val any = org.sparkproject.connect.protobuf.Any.newBuilder()
+      .setTypeUrl("type.googleapis.com/graft.GraftRelation")
+      .setValue(org.sparkproject.connect.protobuf.ByteString.copyFrom(
+        WireFormat.encode(msg)))
+      .build()
+    val hex = any.toByteArray.map("%02x".format(_)).mkString
+    python("--decode", hex) match {
+      case None => cancel("python3 not available")
+      case Some(lines) =>
+        val line = lines.last
+        assert(jsonStr(line, "type_url").contains("type.googleapis.com/graft.GraftRelation"))
+        assert(jsonStr(line, "algorithm").contains("shortest_paths"))
+        assert(jsonStr(line, "params_json").contains("""{"landmarks":[0,5]}"""))
+        assert(jsonStr(line, "vertices_hex").contains("0001ff"))
+        assert(jsonStr(line, "edges_hex").contains("3d" * 300))
+    }
+  }
 }

@@ -412,6 +412,50 @@ class ExtendedSpec extends TestBase {
     assert(math.abs(math.tanh(single._1) - single._2) < 1e-12)
   }
 
+  test("sum-product BP: exact marginals on a tree, sane on a loopy grid") {
+    import graft.examples.BeliefPropagation
+    // tree: 1-2, 1-3, 3-4, 3-5 (bipartite colors by depth)
+    val ids = Seq(1, 2, 3, 4, 5)
+    val as = Map(1 -> 0.3, 2 -> -0.5, 3 -> 0.2, 4 -> 0.7, 5 -> -0.1)
+    val colors = Map(1 -> 0, 2 -> 1, 3 -> 1, 4 -> 0, 5 -> 0)
+    val bs = Seq((1, 2, 0.4), (1, 3, -0.6), (3, 4, 0.25), (3, 5, 0.5))
+    val v = ids.map(i => (i, as(i), colors(i))).toDF("id", "a", "color")
+    val e = bs.toDF("src", "dst", "b")
+    val out = BeliefPropagation.sumProduct(GraphFrame(v, e), sweeps = 8)
+      .select($"id", $"belief").as[(Int, Double)].collect().toMap
+    // exact marginals by enumeration over all 2^5 assignments
+    val exact = {
+      val states = Seq(-1, 1)
+      val all = for {
+        x1 <- states; x2 <- states; x3 <- states; x4 <- states; x5 <- states
+      } yield Map(1 -> x1, 2 -> x2, 3 -> x3, 4 -> x4, 5 -> x5)
+      val weights = all.map { x =>
+        val vterm = ids.map(i => as(i) * x(i)).sum
+        val eterm = bs.map { case (i, j, b) => b * x(i) * x(j) }.sum
+        (x, math.exp(vterm + eterm))
+      }
+      val z = weights.map(_._2).sum
+      ids.map(i => i ->
+        weights.filter(_._1(i) == 1).map(_._2).sum / z).toMap
+    }
+    ids.foreach { i =>
+      assert(math.abs(out(i) - exact(i)) < 1e-9,
+        s"vertex $i: bp=${out(i)} exact=${exact(i)}")
+    }
+    // loopy grid: beliefs are proper probabilities and deterministic
+    val grid = graft.examples.GridIsing.gridIsingModel(spark, 3)
+    val gv = grid.vertices.withColumn("color", pmod($"i" + $"j", lit(2)))
+    val g2 = GraphFrame(gv, grid.edges)
+    val b1 = BeliefPropagation.sumProduct(g2, sweeps = 4)
+      .select($"id", $"belief").as[(String, Double)].collect().toMap
+    assert(b1.values.forall(p => p > 0.0 && p < 1.0))
+    // repeatable up to float-sum reassociation (aggregation order varies
+    // between runs; the driver query rounds to 6 dp for exactly this)
+    val b2 = BeliefPropagation.sumProduct(g2, sweeps = 4)
+      .select($"id", $"belief").as[(String, Double)].collect().toMap
+    b1.foreach { case (k, p) => assert(math.abs(p - b2(k)) < 1e-12) }
+  }
+
   test("multimodal: metadata sniffing + batched feature extraction") {
     import graft.multimodal.Multimodal
     val png = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 1, 2, 3)
@@ -422,11 +466,48 @@ class ExtendedSpec extends TestBase {
       .as[(Long, String, Long)].collect().toMap2
     assert(m(1L) == (("png", 7L)))
     assert(m(2L) == (("jpeg", 4L)))
+    // truncated headers parse no dimensions
+    val truncDims = meta.select($"media_meta.width", $"media_meta.height")
+      .collect()
+    assert(truncDims.forall(r => r.isNullAt(0) && r.isNullAt(1)))
     val feats = Multimodal.extractFeatures(df, "id", "payload", dim = 4).collect()
     assert(feats.length == 2 && feats.forall(_.feature.length == 4))
     // deterministic stub
     val feats2 = Multimodal.extractFeatures(df, "id", "payload", dim = 4).collect()
     assert(feats.map(_.feature.toSeq).toSeq == feats2.map(_.feature.toSeq).toSeq)
+  }
+
+  test("multimodal: real header dimension parses (PNG IHDR, JPEG SOF walk, GIF)") {
+    import graft.multimodal.Multimodal
+    def unhex(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // PNG: signature + IHDR with w=0x0203=515, h=0x0105=261
+    val png = unhex("89504E470D0A1A0A" + "0000000D" + "49484452" +
+      "00000203" + "00000105" + "0802000000" + "DEADBEEF" + "0011223344")
+    // JPEG: SOI, APP1 (22 bytes — walk must skip it), progressive SOF2
+    // with h=0x0140=320, w=0x00F0=240
+    val jpg = unhex("FFD8" + "FFE1" + "0016" + ("00" * 20) +
+      "FFC2" + "0011" + "08" + "0140" + "00F0" + "03" +
+      "011100021101031101" + "ABCD")
+    // JPEG that hits SOS before any SOF: dims stay null
+    val jpgNoSof = unhex("FFD8" + "FFE0" + "0004" + "0000" + "FFDA" + "0002" + "99")
+    // GIF89a: little-endian w=300 (2C01), h=200 (C800)
+    val gif = unhex("474946383961" + "2C01" + "C800" + "F70000")
+    // RIFF (e.g. WAV): recognized, no dimensions
+    val wav = unhex("52494646" + "24000000" + "57415645")
+    val df = Seq((1L, png), (2L, jpg), (3L, jpgNoSof), (4L, gif), (5L, wav))
+      .toDF("id", "payload")
+    val m = Multimodal.attachMeta(df, "id", "payload")
+      .select($"id", $"media_meta.format",
+        $"media_meta.width", $"media_meta.height")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3)))).toMap
+    assert(m(1L) == (("png", 515, 261)), s"png: ${m(1L)}")
+    assert(m(2L) == (("jpeg", 240, 320)), s"jpeg: ${m(2L)}")
+    assert(m(3L) == (("jpeg", -1, -1)), s"jpegNoSof: ${m(3L)}")
+    assert(m(4L) == (("gif", 300, 200)), s"gif: ${m(4L)}")
+    assert(m(5L) == (("riff", -1, -1)), s"riff: ${m(5L)}")
   }
 
   test("multimodal: frame sampling and batched resize stubs") {

@@ -115,6 +115,35 @@ class PQSpec extends TestBase {
     assert(indexed == inline)
   }
 
+  test("ivfPqIndexAppend: append equals from-scratch; re-ingestion is idempotent") {
+    val model = pipeline.Similarity.ivfPqModel(emb, "vec_id", "embedding",
+      nlist = 8, m = 8, ksub = 16)
+    val corpus = emb.filter(col("vec_id") < 420)
+    val batch = emb.filter(col("vec_id") >= 400) // 400..419 re-ingested
+    val appended = pipeline.Similarity.ivfPqIndexAppend(batch, "vec_id",
+      "embedding", model, pipeline.Similarity.ivfPqIndex(corpus, "vec_id", "embedding", model))
+      .as[(Long, Long, Seq[Int])].collect()
+    val scratch = pipeline.Similarity.ivfPqIndex(emb, "vec_id", "embedding", model)
+      .as[(Long, Long, Seq[Int])].collect()
+    // exactly one row per id (the overlap deduped), identical to a rebuild
+    assert(appended.map(_._1).distinct.length == appended.length)
+    assert(appended.toSet == scratch.toSet)
+    // appending the same batch again changes nothing
+    val again = pipeline.Similarity.ivfPqIndexAppend(batch, "vec_id", "embedding",
+      model, spark.createDataFrame(spark.sparkContext.parallelize(
+        appended.toSeq.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3))),
+        pipeline.Similarity.ivfPqIndex(emb, "vec_id", "embedding", model).schema))
+      .as[(Long, Long, Seq[Int])].collect()
+    assert(again.toSet == scratch.toSet)
+    // a dim-drifted batch fails loudly instead of coding nulls
+    val drifted = batch.select(col("vec_id"), slice(col("embedding"), 1, 32).as("embedding"))
+    val err = intercept[Exception] {
+      pipeline.Similarity.ivfPqIndexAppend(drifted, "vec_id", "embedding",
+        model, pipeline.Similarity.ivfPqIndex(corpus, "vec_id", "embedding", model)).collect()
+    }
+    assert(err.getMessage.contains("model dim"))
+  }
+
   test("AdcDistance kernel: matches the HOF formulation, interp == codegen") {
     import graft.expressions.AdcDistance.adcDistance
     val df = Seq(
@@ -140,6 +169,51 @@ class PQSpec extends TestBase {
       bad.select(adcDistance(col("codes"), col("qtab"))).collect()
     }
     assert(err.getMessage.contains("different m"))
+  }
+
+  test("PqNearestCode kernel: matches the HOF argmin, interp == codegen, fails loudly") {
+    import graft.expressions.PqNearestCode.pqNearestCode
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    // 4-dim vectors, m=2 subspaces, ksub=3 codes of dsub=2
+    val df = Seq(
+      (Seq(0.0, 0.0, 5.0, 5.0),
+        Seq(Seq(Seq(0.0, 0.1), Seq(3.0, 3.0), Seq(0.0, 0.0)),
+          Seq(Seq(5.0, 5.0), Seq(4.9, 5.0), Seq(9.0, 9.0)))),
+      // exact tie between codes 0 and 1 in both subspaces -> lowest wins
+      (Seq(1.0, 1.0, 2.0, 2.0),
+        Seq(Seq(Seq(1.0, 1.0), Seq(1.0, 1.0), Seq(8.0, 8.0)),
+          Seq(Seq(2.0, 2.0), Seq(2.0, 2.0), Seq(0.0, 0.0)))))
+      .toDF("v", "cb")
+    // the HOF formulation pqCode used before the native kernel
+    val dsub = 2
+    val hof = transform(sequence(lit(0), lit(1)), j => {
+      val sub = slice(col("v"), j * lit(dsub) + 1, lit(dsub))
+      val dists = transform(element_at(col("cb"), j + lit(1)), cent =>
+        aggregate(zip_with(sub, cent, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+      val tagged = transform(dists, (d, i) => struct(d.as("_d"), i.as("_i")))
+      element_at(array_sort(tagged), 1).getField("_i").cast("int")
+    })
+    val rows = df.select(pqNearestCode(col("v"), col("cb")).as("native"), hof.as("hof"))
+      .as[(Seq[Int], Seq[Int])].collect()
+    rows.foreach { case (n, h) => assert(n == h, s"native $n != hof $h") }
+    assert(rows.map(_._1).toSeq == Seq(Seq(2, 0), Seq(0, 0)))
+    // interpreted kernel agrees with the executed (codegen) path
+    val v = ArrayData.toArrayData(Array(0.0, 0.0, 5.0, 5.0))
+    val cb = ArrayData.toArrayData(Array(
+      ArrayData.toArrayData(Array(ArrayData.toArrayData(Array(0.0, 0.1)),
+        ArrayData.toArrayData(Array(3.0, 3.0)), ArrayData.toArrayData(Array(0.0, 0.0)))),
+      ArrayData.toArrayData(Array(ArrayData.toArrayData(Array(5.0, 5.0)),
+        ArrayData.toArrayData(Array(4.9, 5.0)), ArrayData.toArrayData(Array(9.0, 9.0))))))
+    assert(graft.expressions.PqNearestCode.code(v, cb)
+      .toIntArray().toSeq == Seq(2, 0))
+    // dim not divisible into subspaces fails loudly
+    val bad = Seq((Seq(1.0, 2.0, 3.0),
+      Seq(Seq(Seq(1.0)), Seq(Seq(1.0))))).toDF("v", "cb")
+    val err = intercept[Exception] {
+      bad.select(pqNearestCode(col("v"), col("cb"))).collect()
+    }
+    assert(err.getMessage.contains("divisible"))
   }
 
   test("zero-norm vectors pass through normalization without crashing") {

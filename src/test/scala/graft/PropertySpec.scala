@@ -98,6 +98,24 @@ class PropertySpec extends TestBase {
     assert(capped == Set((1L, 2L)), s"got $capped")
   }
 
+  test("ngramJaccard hot-shingle guardrail warns only above threshold") {
+    import org.apache.spark.sql.functions._
+    // pure message path: the probe warns above the threshold, not at it
+    assert(pipeline.Dedup.hotShingleWarning(10001L, 10000L).exists(
+      m => m.contains("10001") && m.contains("maxDocFreq")))
+    assert(pipeline.Dedup.hotShingleWarning(10000L, 10000L).isEmpty)
+    assert(pipeline.Dedup.hotShingleWarning(0L, 10000L).isEmpty)
+    // probe path: uncapped default runs the probe and leaves rows unchanged
+    val docs = (1 to 6).map(i => (i.toLong, s"shared header line $i two three"))
+      .toDF("doc_id", "text")
+    val probed = pipeline.Dedup.ngramJaccard(docs, "doc_id", "text", minShared = 1)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val unprobed = pipeline.Dedup.ngramJaccard(docs, "doc_id", "text",
+      minShared = 1, probeHotShingles = false)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(probed == unprobed && probed.nonEmpty)
+  }
+
   test("dedup clusterReps: driver union-find equals distributed CC labels") {
     import org.apache.spark.sql.functions._
     val docs = (1 to 30).map(i => Tuple1(s"d$i")).toDF("doc_id")

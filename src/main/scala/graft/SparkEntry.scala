@@ -513,6 +513,13 @@ object SparkEntry {
         emb.filter(col("vec_id") % 25 === 5), "vec_id", "embedding",
         model, appended, k = 3, nprobe = 4, refineWith = Some(emb), refine = 10)
     }),
+    "p_ann_ivf_hier" -> ((s, dir) => // two-level coarse quantizer (the
+      // scale path past the flat nlist<=65536 broadcast bound): 4 md5-
+      // seeded super-cells x 4 sub-cells, probe 2 branches / 4 cells;
+      // oracle replays the seed routing (super seeds anchor their own
+      // branch), data top-1 assignment and the global probe ranking
+      pipeline.Similarity.ivfTopKHier(load(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 3, nsuper = 4, nlistPer = 4, wprobe = 2, nprobe = 4)),
     "p_ann_recall_pq" -> ((s, dir) => { // measured recall@k of the IVF-PQ
       // path with the refine re-rank — the number (nprobe, m, ksub,
       // refine) control, against the exact top-k
@@ -913,6 +920,54 @@ object SparkEntry {
        |    list_dot_product(q.qv, d.v) /
        |      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(d.v, d.v))) AS c
        |  FROM q JOIN dat d ON d.cid = q.cid AND d.vec_id <> q.qid)
+       |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rnk
+       |  FROM sc) WHERE rnk <= $k""".stripMargin
+  }
+
+  /** Hierarchical-IVF oracle: exact replay of Similarity.ivfTopKHier —
+   * md5-prefix super seeds and sub-seeds, sub-seed routing to the top-1
+   * super branch (super seeds anchor their own branch), data top-1
+   * super→sub assignment, and the global top-`nprobe` probe across
+   * `wprobe` branches. */
+  private def annIvfHierSql(k: Int, nsuper: Int, nlistPer: Int,
+      wprobe: Int, nprobe: Int): String = {
+    val cos = (a: String, b: String) =>
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sup AS MATERIALIZED (SELECT vec_id AS sid, v AS sv FROM e
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nsuper),
+       |seeds AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM e
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${nsuper * nlistPer}),
+       |seedrank AS MATERIALIZED (SELECT cid, cv, sid,
+       |    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY sim DESC, sid ASC) AS r
+       |  FROM (SELECT s.cid, s.cv, p.sid, ${cos("s.cv", "p.sv")} AS sim
+       |    FROM seeds s CROSS JOIN sup p)),
+       |seedasg AS MATERIALIZED (
+       |  SELECT sr.cid, sr.cv, COALESCE(self.sid, sr.sid) AS bid
+       |  FROM seedrank sr LEFT JOIN sup self ON self.sid = sr.cid
+       |  WHERE sr.r = 1),
+       |vsup AS MATERIALIZED (SELECT vec_id, v, sid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, sid ASC) AS r
+       |  FROM (SELECT e.vec_id, e.v, p.sid, ${cos("e.v", "p.sv")} AS sim
+       |    FROM e CROSS JOIN sup p)),
+       |dat AS MATERIALIZED (SELECT vec_id, v, cid FROM (
+       |  SELECT w.vec_id, w.v, sa.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY w.vec_id
+       |      ORDER BY ${cos("w.v", "sa.cv")} DESC, sa.cid ASC) AS r
+       |  FROM (SELECT vec_id, v, sid FROM vsup WHERE r = 1) w
+       |  JOIN seedasg sa ON sa.bid = w.sid) WHERE r = 1),
+       |qcell AS MATERIALIZED (SELECT vec_id AS qid, cid FROM (
+       |  SELECT w.vec_id, sa.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY w.vec_id
+       |      ORDER BY ${cos("w.v", "sa.cv")} DESC, sa.cid ASC) AS r
+       |  FROM (SELECT vec_id, v, sid FROM vsup WHERE r <= $wprobe) w
+       |  JOIN seedasg sa ON sa.bid = w.sid) WHERE r <= $nprobe),
+       |sc AS (SELECT q.qid AS query_id, d.vec_id AS neighbor_id,
+       |    ${cos("qv.v", "d.v")} AS c
+       |  FROM qcell q JOIN e qv ON qv.vec_id = q.qid
+       |  JOIN dat d ON d.cid = q.cid AND d.vec_id <> q.qid)
        |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
        |  SELECT query_id, neighbor_id,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rnk
@@ -1607,6 +1662,7 @@ object SparkEntry {
          |FROM embeddings LEFT JOIN m ON m.id = vec_id""".stripMargin,
     "p_ann_lsh" -> annLshSql(3, 2, 4, 64),
     "p_ann_ivf" -> annIvfSql(3, 16, 4, lloydIters = 2),
+    "p_ann_ivf_hier" -> annIvfHierSql(3, 4, 4, 2, 4),
     "p_ann_ivfpq" -> annIvfPqSql(3, 16, 4, m = 8, ksub = 16, refine = 10),
     "p_ann_pq_index" -> annIvfPqSql(3, 16, 4, m = 8, ksub = 16, refine = 10,
       queryWhere = " AND vec_id % 25 = 0"),

@@ -265,14 +265,20 @@ object Similarity {
   /** (sim, cell id) per centroid of the packed `_carr` column, best-first;
    * ties broken by cell id asc — the exact order row_number produced, so
    * oracles are unchanged. Evaluated per row against `_s_v`/`_s_n`. */
-  private def rankedCells(take: Int): Column = {
+  private def rankedCells(take: Int): Column = rankedCellsIn(col("_carr"), take)
+
+  /** [[rankedCells]] against an arbitrary packed centroid-array column
+   * (same (_c_id, _c_v, _c_n) struct elements) — the hierarchical path
+   * ranks per-branch sub-codebooks that arrive via a join instead of the
+   * single broadcast `_carr` row. */
+  private def rankedCellsIn(arr: Column, take: Int): Column = {
     // coalesce to a sentinel below any cosine: a null sim (zero-norm vector
     // or centroid) would make the comparator intransitive — null-vs-real
     // falls through to the id tiebreak while real-vs-real compares by sim —
     // so cell order could depend on collect_list order and TimSort may
     // throw. With the sentinel the comparator is total and zero-norm
     // entries deterministically rank last.
-    val scored = transform(col("_carr"), c => struct(
+    val scored = transform(arr, c => struct(
       coalesce(cosineOf(dotProduct(col("_s_v"), c.getField("_c_v")),
         col("_s_n"), c.getField("_c_n")), lit(-2.0)).as("_sim"),
       c.getField("_c_id").as("_c_id")))
@@ -294,12 +300,12 @@ object Similarity {
       lloydIters: Int): DataFrame = {
     // the packed-row broadcast carries nlist×dim doubles to every task:
     // ~2 GB at nlist=4096×dim=64k or nlist=65536×dim=4096. Beyond that a
-    // FAISS-style deployment uses a hierarchical coarse quantizer (rank
-    // against sqrt(nlist) super-cells first), which this engine does not
-    // implement — fail loudly instead of OOMing the executors.
+    // FAISS-style deployment ranks against a small super-cell codebook
+    // first — that is [[ivfTopKHier]]; here, fail loudly instead of
+    // OOMing the executors.
     require(nlist <= 65536,
       s"nlist=$nlist: the packed centroid broadcast is sized for nlist <= 65536; " +
-        "use a hierarchical coarse quantizer for larger inverted files")
+        "use the hierarchical coarse quantizer (ivfTopKHier) for larger inverted files")
     var cents = v
       .orderBy(md5(col("_s_id").cast("string")), col("_s_id"))
       .limit(nlist)
@@ -332,6 +338,95 @@ object Similarity {
       .select(col("_s_id"), col("_s_v"), col("_s_n"),
         col("_sc._c_id").as("_c_id"), col("_sc._sim").as("_sim"),
         (col("_p") + 1).cast("int").as("_r"))
+
+  /** Hierarchical (two-level) IVF ANN — the scale path past the flat
+   * quantizer's `nlist <= 65536` packed-broadcast bound
+   * ([[ivfCentroidsPacked]]): `nsuper` md5-seeded super-cells route to
+   * per-branch sub-codebooks of ~`nlistPer` cells each, so the total cell
+   * count scales to nsuper × nlistPer (up to 65536² ≈ 4.3B cells) while
+   * no single broadcast row ever holds more than `nsuper` centroids.
+   *
+   * Construction (deterministic, RNG-free, SQL-replayable):
+   *  - super-centroids = first `nsuper` vectors in md5(id) order (the
+   *    same sampling as the flat path);
+   *  - sub-centroids = first `nsuper*nlistPer` vectors in the same md5
+   *    order, each assigned to its top-1 super-branch — except the super
+   *    seeds themselves, which anchor their own branch, so every branch
+   *    is non-empty and the data-side join below never drops a vector;
+   *  - data vectors route top-1 super then top-1 sub-cell (the classic
+   *    hierarchical-quantizer approximation: a vector near a branch
+   *    boundary may land in a different cell than flat IVF would pick —
+   *    queries probe `wprobe` branches to compensate);
+   *  - queries take the globally best `nprobe` cells across their
+   *    `wprobe` branches by (cosine desc, cell id asc).
+   *
+   * Scale shape: the level-1 ranking is a narrow map stage against one
+   * `nsuper`-centroid broadcast row; the level-2 sub-codebook arrives by
+   * a join on the branch id — broadcast while the full codebook fits
+   * (same envelope as flat IVF), a plain shuffle join beyond it, which is
+   * the honest trade once the inverted file outgrows executor memory:
+   * the vector table shuffles ONCE by branch id instead of OOMing. The
+   * per-query probe shuffle carries only (id, cell, sim) rows — vectors
+   * re-join by id after the window so no vector payload rides through
+   * the rank shuffles. */
+  def ivfTopKHier(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      nsuper: Int = 16, nlistPer: Int = 16, wprobe: Int = 2,
+      nprobe: Int = 4): DataFrame = {
+    require(nsuper >= 1 && nlistPer >= 1 && wprobe >= 1 && nprobe >= 1 && k >= 1,
+      s"ivfTopKHier: nsuper=$nsuper nlistPer=$nlistPer wprobe=$wprobe nprobe=$nprobe k=$k must all be >= 1")
+    val v = withNorm(df, idCol, vecCol)
+    val superPacked = ivfCentroidsPacked(v, nsuper, 0)
+    val mdOrder = Seq(md5(col("_s_id").cast("string")), col("_s_id"))
+
+    // sub-seeds: the md5-order prefix of size nsuper*nlistPer (a superset
+    // of the super seeds — the first nsuper of the same ordering)
+    val seeds = v.orderBy(mdOrder: _*).limit(nsuper * nlistPer)
+    val supIds = v.orderBy(mdOrder: _*).limit(nsuper)
+      .select(col("_s_id").as("_sup_id"))
+    val seedAsg = seeds.crossJoin(broadcast(superPacked))
+      .select(col("_s_id"), col("_s_v"), col("_s_n"),
+        element_at(rankedCells(1), 1).getField("_c_id").as("_top1"))
+      .join(broadcast(supIds), col("_s_id") === col("_sup_id"), "left")
+      .select(col("_s_id").as("_c_id"), col("_s_v").as("_c_v"),
+        col("_s_n").as("_c_n"), coalesce(col("_sup_id"), col("_top1")).as("_bid"))
+    // one packed sub-codebook row per branch; broadcast only while the
+    // whole codebook fits the flat envelope, else let it shuffle-join
+    val subcb0 = seedAsg.groupBy("_bid")
+      .agg(collect_list(struct(col("_c_id"), col("_c_v"), col("_c_n"))).as("_subarr"))
+    val subcb = if (nsuper.toLong * nlistPer <= 65536L) broadcast(subcb0) else subcb0
+
+    // every vector's super ranking (shared by data assignment and probing)
+    val vSuper = v.crossJoin(broadcast(superPacked))
+      .select(col("_s_id"), col("_s_v"), col("_s_n"),
+        posexplode(rankedCells(wprobe)).as(Seq("_p", "_sc")))
+      .select(col("_s_id"), col("_s_v"), col("_s_n"),
+        col("_sc._c_id").as("_bid"), (col("_p") + 1).cast("int").as("_r"))
+
+    val data = vSuper.filter(col("_r") === 1).join(subcb, "_bid")
+      .select(col("_s_id"), col("_s_v"), col("_s_n"),
+        element_at(rankedCellsIn(col("_subarr"), 1), 1).getField("_c_id").as("_cell"))
+
+    // probe: per-branch top-nprobe (a superset of the global answer),
+    // then the global top-nprobe across wprobe branches — narrow rows
+    val qScored = vSuper.join(subcb, "_bid")
+      .select(col("_s_id").as("_q_id"),
+        explode(rankedCellsIn(col("_subarr"), nprobe)).as("_sc"))
+      .select(col("_q_id"), col("_sc._c_id").as("_cell"), col("_sc._sim").as("_sim"))
+    val wq = Window.partitionBy("_q_id").orderBy(col("_sim").desc, col("_cell").asc)
+    val qCells = qScored.withColumn("_qr", row_number().over(wq))
+      .filter(col("_qr") <= nprobe).select("_q_id", "_cell")
+      .join(v.select(col("_s_id").as("_q_id"), col("_s_v").as("_q_v"),
+        col("_s_n").as("_q_n")), "_q_id")
+
+    val scored = qCells.join(data, "_cell")
+      .filter(col("_q_id") =!= col("_s_id"))
+      .select(col("_q_id").as("query_id"), col("_s_id").as("neighbor_id"),
+        cosineOf(dotProduct(col("_q_v"), col("_s_v")), col("_q_n"), col("_s_n")).as("_cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("_cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
 
   /** Product-quantization codebook packed as ONE broadcastable row
    * (`_cb: array<array<array<double>>>`, indexed `[subspace][code][dim]`,

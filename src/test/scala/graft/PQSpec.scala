@@ -240,4 +240,52 @@ class PQSpec extends TestBase {
     }
     assert(err.getMessage.contains("divisible"))
   }
+
+  test("ivfTopKHier probing every branch and cell equals exact topK") {
+    // wprobe = all branches, nprobe = all cells -> every query sees the
+    // whole corpus (each data vector lives in exactly one cell), so the
+    // hierarchical routing must reproduce the exact ranking bit-for-bit
+    val viaHier = pipeline.Similarity.ivfTopKHier(emb, "vec_id", "embedding",
+      k = 3, nsuper = 3, nlistPer = 4, wprobe = 3, nprobe = 12)
+      .as[(Long, Long, Int)].collect().toSet
+    val exact = pipeline.Similarity.topK(emb, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(viaHier == exact)
+  }
+
+  test("ivfTopKHier: bounded probes keep useful recall and are deterministic") {
+    val hier = pipeline.Similarity.ivfTopKHier(emb, "vec_id", "embedding",
+      k = 3, nsuper = 4, nlistPer = 4, wprobe = 2, nprobe = 4)
+    val rows = hier.as[(Long, Long, Int)].collect()
+    assert(rows.map(_._1).distinct.length == emb.count(),
+      "every vector must get at least one neighbor at these probe widths")
+    assert(rows.groupBy(_._1).values.forall(_.length <= 3))
+    val again = pipeline.Similarity.ivfTopKHier(emb, "vec_id", "embedding",
+      k = 3, nsuper = 4, nlistPer = 4, wprobe = 2, nprobe = 4)
+      .as[(Long, Long, Int)].collect()
+    assert(rows.sorted.toSeq == again.sorted.toSeq)
+    val exact = pipeline.Similarity.topK(emb, "vec_id", "embedding", k = 3)
+    val rec = pipeline.Similarity.recallAtK(hier, exact)
+      .agg(avg("recall")).head().getDouble(0)
+    // two-level routing approximates flat IVF; at 16 cells / probe 8 the
+    // branch-boundary misses still leave most of the true top-3 reachable
+    assert(rec > 0.3, s"hier IVF mean recall@3 unexpectedly low: $rec")
+  }
+
+  test("ivfTopKHier: no vector is dropped when a branch attracts no extra seeds") {
+    // 5 identical vectors + 3 distinct ones with nsuper=4: several super
+    // seeds tie at cosine 1.0, so without the anchor-own-branch rule some
+    // branches would end up empty and their vectors would vanish from the
+    // index join
+    val base = emb.limit(3).select(col("vec_id"), col("embedding"))
+    val first = emb.orderBy("vec_id").limit(1)
+    val dups = (1 to 5).map(i => first.select((col("vec_id") + 9000 + i).as("vec_id"),
+      col("embedding"))).reduce(_ unionByName _)
+    val all = base.unionByName(dups)
+    val out = pipeline.Similarity.ivfTopKHier(all, "vec_id", "embedding",
+      k = 2, nsuper = 4, nlistPer = 2, wprobe = 4, nprobe = 8)
+      .as[(Long, Long, Int)].collect()
+    assert(out.map(_._1).distinct.length == all.count(),
+      "anchored branches must keep every vector reachable")
+  }
 }

@@ -7,7 +7,7 @@ codec stays usable without it.
 
 __version__ = "0.5.0"
 
-__all__ = ["GraphFrame", "wire"]
+__all__ = ["GraphFrame", "Pipeline", "wire"]
 
 from . import wire  # noqa: F401  (dependency-free)
 
@@ -16,4 +16,7 @@ def __getattr__(name):
     if name == "GraphFrame":
         from .client import GraphFrame
         return GraphFrame
+    if name == "Pipeline":
+        from .client import Pipeline
+        return Pipeline
     raise AttributeError(f"module 'graft' has no attribute {name!r}")

@@ -223,3 +223,87 @@ class GraphFrame:
                      seed: Optional[int] = None) -> DataFrame:
         return self._call("rw_embeddings", dim=dim, walkLength=walkLength,
                           walksPerVertex=walksPerVertex, seed=seed)
+
+
+class Pipeline:
+    """Client-side handle for the single-table LLM-pipeline operators
+    (dedup, text quality, ANN) served by the same plugin. The input
+    table rides in the wire message's edges slot; no graph is built.
+
+    ::
+
+        from graft import Pipeline
+        p = Pipeline(documents_df)
+        p.nearDupClusters(idCol="doc_id", textCol="text").show()
+        Pipeline(embeddings_df).annTopK(idCol="vec_id", vecCol="embedding", k=5).show()
+    """
+
+    def __init__(self, table: DataFrame) -> None:
+        if table is None:
+            raise ValueError("input table DataFrame is required")
+        self._table = table
+
+    def _call(self, algorithm: str, **params: Any) -> DataFrame:
+        session = self._table._session
+        plan = _GraftRelationPlan(algorithm, None, self._table, params)
+        return DataFrame(plan, session)
+
+    # --- dedup ---------------------------------------------------------
+    def exactDedup(self, idCol: str, contentCols: list) -> DataFrame:
+        return self._call("pipe_exact_dedup", idCol=idCol, contentCols=contentCols)
+
+    def minhashLsh(self, idCol: str, textCol: str,
+                   shingle: Optional[int] = None, bands: Optional[int] = None,
+                   rowsPerBand: Optional[int] = None) -> DataFrame:
+        return self._call("pipe_minhash_lsh", idCol=idCol, textCol=textCol,
+                          shingle=shingle, bands=bands, rowsPerBand=rowsPerBand)
+
+    def nearDupClusters(self, idCol: str, textCol: str,
+                        shingle: Optional[int] = None,
+                        bands: Optional[int] = None,
+                        rowsPerBand: Optional[int] = None) -> DataFrame:
+        return self._call("pipe_near_dup_clusters", idCol=idCol, textCol=textCol,
+                          shingle=shingle, bands=bands, rowsPerBand=rowsPerBand)
+
+    def simhash(self, idCol: str, textCol: str,
+                bits: Optional[int] = None) -> DataFrame:
+        return self._call("pipe_simhash", idCol=idCol, textCol=textCol, bits=bits)
+
+    def semanticDedup(self, idCol: str, vecCol: str, threshold: float,
+                      nlist: Optional[int] = None,
+                      lloydIters: Optional[int] = None) -> DataFrame:
+        return self._call("pipe_semantic_dedup", idCol=idCol, vecCol=vecCol,
+                          threshold=threshold, nlist=nlist, lloydIters=lloydIters)
+
+    # --- text ----------------------------------------------------------
+    def tokenCount(self, idCol: str, textCol: str) -> DataFrame:
+        return self._call("pipe_token_count", idCol=idCol, textCol=textCol)
+
+    def languageId(self, idCol: str, textCol: str) -> DataFrame:
+        return self._call("pipe_language_id", idCol=idCol, textCol=textCol)
+
+    def quality(self, idCol: str, textCol: str) -> DataFrame:
+        return self._call("pipe_quality", idCol=idCol, textCol=textCol)
+
+    def charEntropy(self, idCol: str, textCol: str) -> DataFrame:
+        return self._call("pipe_char_entropy", idCol=idCol, textCol=textCol)
+
+    def redactPii(self, idCol: str, textCol: str) -> DataFrame:
+        return self._call("pipe_redact_pii", idCol=idCol, textCol=textCol)
+
+    def hashSample(self, idCol: str, fraction: float,
+                   seed: Optional[int] = None) -> DataFrame:
+        return self._call("pipe_hash_sample", idCol=idCol, fraction=fraction,
+                          seed=seed)
+
+    # --- ANN -----------------------------------------------------------
+    def annTopK(self, idCol: str, vecCol: str, k: int) -> DataFrame:
+        return self._call("pipe_ann_topk", idCol=idCol, vecCol=vecCol, k=k)
+
+    def annIvfHier(self, idCol: str, vecCol: str, k: int,
+                   nsuper: Optional[int] = None, nlistPer: Optional[int] = None,
+                   wprobe: Optional[int] = None,
+                   nprobe: Optional[int] = None) -> DataFrame:
+        return self._call("pipe_ann_ivf_hier", idCol=idCol, vecCol=vecCol, k=k,
+                          nsuper=nsuper, nlistPer=nlistPer, wprobe=wprobe,
+                          nprobe=nprobe)

@@ -60,24 +60,26 @@ object Bench {
     val total = results.filter(_._3).map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flakyJson = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // Side-by-side vs the reference engine, graft half re-measured in
-    // round 4 (2026-08-12, idle machine, two JVM sessions) with the
-    // committed harness (graft.BaselineBench vs the reference core compiled
-    // from /root/reference run under the identical JMH-style protocol —
-    // 1 warmup + 3 avg, noop sink, Kryo, MEMORY_AND_DISK_SER inputs — on
-    // the same 1.19M-edge long-id trade graph at sf0.1, local[16]). The
-    // reference session means carry over from round 3: no CC/SP/LPA engine
-    // code changed. Recipe + raw numbers: tools/baseline_sidebyside.md.
+    // Side-by-side vs the reference engine, BOTH halves re-measured in
+    // round 5 (2026-08-13, six interleaved same-day JVM session pairs,
+    // idle machine) with the committed harness (graft.BaselineBench vs
+    // the reference core compiled from /root/reference, identical
+    // JMH-style protocol — 1 warmup + 3 avg, noop sink, Kryo,
+    // MEMORY_AND_DISK_SER inputs — on the same 1.19M-edge long-id trade
+    // graph at sf0.1, local[16]). The round-3/4 reference legs were
+    // inflated by machine contention; the earlier 0.85 geomean is
+    // withdrawn. Recipe + per-pair raw numbers + variance discussion:
+    // tools/baseline_sidebyside.md.
     val baseline =
-      """{"protocol":"LDBC-JMH 1 warmup + 3 avg, noop sink, local[16], sf0.1 trade graph (1190908 edges), independent JVM sessions per engine",""" +
-      """"measured_at":"2026-08-12 (round 4 graft re-measure)","note":"static recorded measurement, not re-run per bench; refresh with graft.BaselineBench + tools/baseline_sidebyside.md",""" +
-      """"reference_sec_mean":{"connected_components":14.46,"shortest_paths":2.19,"label_propagation":15.78},""" +
-      """"graft_sec_mean":{"connected_components":11.55,"shortest_paths":1.95,"label_propagation":13.40},""" +
-      """"ratio_graft_over_reference_geomean":0.85}"""
+      """{"protocol":"LDBC-JMH 1 warmup + 3 avg, noop sink, local[16], sf0.1 trade graph (1190908 edges), interleaved same-day JVM session pairs",""" +
+      """"measured_at":"2026-08-13 (round 5, both engines re-measured)","note":"static recorded measurement, not re-run per bench; refresh with graft.BaselineBench + tools/baseline_sidebyside.md",""" +
+      """"reference_sec_mean":{"connected_components":8.23,"shortest_paths":1.64,"label_propagation":10.72},""" +
+      """"graft_sec_mean":{"connected_components":4.63,"shortest_paths":1.58,"label_propagation":9.40},""" +
+      """"ratio_graft_over_reference_geomean":0.78}"""
     // `recorded_baseline_ratio` is the static measurement documented in the
     // baseline object above — NOT recomputed per run (run graft.BaselineBench
     // to refresh); named so no consumer mistakes it for a live gate.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flakyJson,"recorded_baseline_ratio":0.85,"baseline":$baseline,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flakyJson,"recorded_baseline_ratio":0.78,"baseline":$baseline,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -56,8 +56,30 @@ object GraftConnectDispatch {
     "svd_plus_plus" -> Set("rank", "maxIter", "minValue", "maxValue"),
     "rw_embeddings" -> Set("dim", "walkLength", "walksPerVertex", "seed"))
 
+  /** Single-table LLM-pipeline operators (beyond the reference's proto
+   * surface): the wire `edges` slot carries the ONE input table — a
+   * documents or embeddings DataFrame — and no GraphFrame is built.
+   * Sending `vertices` alongside a pipeline op is an error: the second
+   * relation would be silently ignored, and a remote client that packed
+   * its corpus into the wrong slot should hear about it. */
+  val pipelineParams: Map[String, Set[String]] = Map(
+    "pipe_exact_dedup" -> Set("idCol", "contentCols"),
+    "pipe_minhash_lsh" -> Set("idCol", "textCol", "shingle", "bands", "rowsPerBand"),
+    "pipe_near_dup_clusters" -> Set("idCol", "textCol", "shingle", "bands", "rowsPerBand"),
+    "pipe_simhash" -> Set("idCol", "textCol", "bits"),
+    "pipe_semantic_dedup" -> Set("idCol", "vecCol", "threshold", "nlist", "lloydIters"),
+    "pipe_token_count" -> Set("idCol", "textCol"),
+    "pipe_language_id" -> Set("idCol", "textCol"),
+    "pipe_quality" -> Set("idCol", "textCol"),
+    "pipe_char_entropy" -> Set("idCol", "textCol"),
+    "pipe_redact_pii" -> Set("idCol", "textCol"),
+    "pipe_hash_sample" -> Set("idCol", "fraction", "seed"),
+    "pipe_ann_topk" -> Set("idCol", "vecCol", "k"),
+    "pipe_ann_ivf_hier" -> Set("idCol", "vecCol", "k", "nsuper", "nlistPer",
+      "wprobe", "nprobe"))
+
   /** Algorithm names accepted by [[run]], for error messages and clients. */
-  val algorithms: Seq[String] = acceptedParams.keys.toSeq.sorted
+  val algorithms: Seq[String] = (acceptedParams.keys ++ pipelineParams.keys).toSeq.sorted
 
   def run(vertices: Option[DataFrame], edges: DataFrame,
       algorithm: String, paramsJson: String): DataFrame = {
@@ -100,13 +122,75 @@ object GraftConnectDispatch {
     def required(k: String): String = str(k).getOrElse(
       throw new IllegalArgumentException(s"$algorithm requires params_json key '$k'"))
 
-    acceptedParams.get(algorithm).foreach { accepted =>
+    (acceptedParams.get(algorithm) orElse pipelineParams.get(algorithm)).foreach { accepted =>
       val unknown = params.keySet -- accepted
       if (unknown.nonEmpty) {
         throw new IllegalArgumentException(
           s"unknown params_json key(s) ${unknown.mkString("'", "', '", "'")} for " +
             s"$algorithm; accepted: ${
               if (accepted.isEmpty) "(none)" else accepted.toSeq.sorted.mkString(", ")}")
+      }
+    }
+
+    if (pipelineParams.contains(algorithm)) {
+      if (vertices.nonEmpty) throw new IllegalArgumentException(
+        s"$algorithm is a single-table pipeline operator: send the input " +
+          "table in the edges slot and omit vertices")
+      val t = edges
+      def id = required("idCol")
+      def text = required("textCol")
+      def vec = required("vecCol")
+      import graft.pipeline.{Dedup, Sampling, Similarity, Text}
+      return algorithm match {
+        case "pipe_exact_dedup" =>
+          val cols = params.get("contentCols") match {
+            case Some(JArray(vs)) => vs.map {
+              case JString(s) => s
+              case other => throw new IllegalArgumentException(
+                s"contentCols entries must be strings, got: $other")
+            }
+            case _ => throw new IllegalArgumentException(
+              "pipe_exact_dedup requires params_json key 'contentCols' (array of column names)")
+          }
+          Dedup.exact(t, id, cols)
+        case "pipe_minhash_lsh" =>
+          Dedup.minhashLsh(t, id, text, n = int("shingle").getOrElse(3),
+            bands = int("bands").getOrElse(8),
+            rowsPerBand = int("rowsPerBand").getOrElse(2))
+        case "pipe_near_dup_clusters" =>
+          Dedup.nearDupClusters(t, id, text, n = int("shingle").getOrElse(3),
+            bands = int("bands").getOrElse(8),
+            rowsPerBand = int("rowsPerBand").getOrElse(2))
+        case "pipe_simhash" =>
+          Dedup.simhash(t, id, text, bits = int("bits").getOrElse(16))
+        case "pipe_semantic_dedup" =>
+          Dedup.semanticDedup(t, id, vec,
+            threshold = dbl("threshold").getOrElse(throw new IllegalArgumentException(
+              "pipe_semantic_dedup requires params_json key 'threshold'")),
+            nlist = int("nlist").getOrElse(16),
+            lloydIters = int("lloydIters").getOrElse(0))
+        case "pipe_token_count" => Text.tokenCount(t, id, text)
+        case "pipe_language_id" => Text.languageId(t, id, text)
+        case "pipe_quality" => Text.quality(t, id, text)
+        case "pipe_char_entropy" => Text.charEntropy(t, id, text)
+        case "pipe_redact_pii" => Text.redactPii(t, id, text)
+        case "pipe_hash_sample" =>
+          Sampling.hashSample(t, id,
+            fraction = dbl("fraction").getOrElse(throw new IllegalArgumentException(
+              "pipe_hash_sample requires params_json key 'fraction'")),
+            seed = params.get("seed").collect {
+              case JInt(i) => i.toLong
+              case JLong(l) => l
+            }.getOrElse(42L))
+        case "pipe_ann_topk" =>
+          Similarity.topK(t, id, vec, k = int("k").getOrElse(10))
+        case "pipe_ann_ivf_hier" =>
+          Similarity.ivfTopKHier(t, id, vec, k = int("k").getOrElse(10),
+            nsuper = int("nsuper").getOrElse(16),
+            nlistPer = int("nlistPer").getOrElse(16),
+            wprobe = int("wprobe").getOrElse(2),
+            nprobe = int("nprobe").getOrElse(4))
+        case other => throw new IllegalStateException(s"unhandled pipeline op $other")
       }
     }
 

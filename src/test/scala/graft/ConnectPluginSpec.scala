@@ -125,26 +125,29 @@ class ConnectPluginSpec extends TestBase {
     assert(fe.count() == 2)
   }
 
+  /** Runs the Python package's encoder (python/graft/wire.py — the exact
+   * code client.py ships on the wire) over real relation payloads and
+   * returns the Any bytes a remote client would send; None if python3 is
+   * unavailable. */
+  private def pythonWrap(algorithm: String, params: String,
+      v: Option[Array[Byte]], e: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val p = new ProcessBuilder("python3", "python/graft/wire.py", "--wrap",
+        algorithm, if (params.isEmpty) "-" else params,
+        v.map(_.map("%02x".format(_)).mkString).getOrElse("-"),
+        e.map("%02x".format(_)).mkString)
+        .redirectErrorStream(true).start()
+      val out = scala.io.Source.fromInputStream(p.getInputStream).getLines().toSeq
+      if (p.waitFor() == 0) Some(out.last.trim.grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray)
+      else None
+    } catch { case _: java.io.IOException => None }
+
   test("python client encoding drives the plugin end to end (hash-matched)") {
     // The full client path minus the gRPC socket (no grpcio in this
-    // environment): REAL spark.connect.Relation payloads are handed to
-    // the Python package's encoder (python/graft/wire.py — the exact
-    // code client.py ships on the wire), whose Any bytes then drive the
+    // environment): REAL spark.connect.Relation payloads drive the
     // plugin through a real SparkConnectPlanner; results must equal the
     // Scala API row-for-row.
-    def pythonWrap(algorithm: String, params: String,
-        v: Array[Byte], e: Array[Byte]): Option[Array[Byte]] =
-      try {
-        val p = new ProcessBuilder("python3", "python/graft/wire.py", "--wrap",
-          algorithm, if (params.isEmpty) "-" else params,
-          v.map("%02x".format(_)).mkString, e.map("%02x".format(_)).mkString)
-          .redirectErrorStream(true).start()
-        val out = scala.io.Source.fromInputStream(p.getInputStream).getLines().toSeq
-        if (p.waitFor() == 0) Some(out.last.trim.grouped(2)
-          .map(Integer.parseInt(_, 16).toByte).toArray)
-        else None
-      } catch { case _: java.io.IOException => None }
-
     val cases = Seq(
       ("page_rank", """{"resetProb": 0.15, "maxIter": 5}""",
         (g: GraphFrame) => g.pageRank.resetProbability(0.15).maxIter(5)
@@ -154,7 +157,7 @@ class ConnectPluginSpec extends TestBase {
       ("find", """{"pattern": "(x)-[]->(y); (y)-[]->(x)"}""",
         (g: GraphFrame) => g.find("(x)-[]->(y); (y)-[]->(x)")))
     cases.foreach { case (alg, params, direct) =>
-      pythonWrap(alg, params, sqlRelation(vSql), sqlRelation(eSql)) match {
+      pythonWrap(alg, params, Some(sqlRelation(vSql)), sqlRelation(eSql)) match {
         case None => cancel("python3 not available")
         case Some(anyBytes) =>
           val plan = new GraftRelationPlugin().transform(anyBytes, planner)
@@ -166,6 +169,90 @@ class ConnectPluginSpec extends TestBase {
             s"python-encoded $alg result diverged from the Scala API")
       }
     }
+  }
+
+  private val docSql =
+    """SELECT * FROM VALUES
+      |  (0, 'the quick brown fox jumps over the lazy dog'),
+      |  (1, 'the quick brown fox jumps over the lazy dog'),
+      |  (2, 'pack my box with five dozen liquor jugs'),
+      |  (3, 'sphinx of black quartz judge my vow')
+      |AS t(doc_id, text)""".stripMargin
+
+  test("pipeline op through the full plugin path equals the Scala API") {
+    // single-table contract: input rides in the edges slot, no vertices
+    val out = callPlugin(GraftRelation("pipe_token_count",
+      None, Some(sqlRelation(docSql)),
+      """{"idCol": "doc_id", "textCol": "text"}"""))
+    val direct = pipeline.Text.tokenCount(spark.sql(docSql), "doc_id", "text")
+    assert(rows(out) == rows(direct))
+  }
+
+  test("python client encoding drives a pipeline op end to end") {
+    pythonWrap("pipe_near_dup_clusters",
+      """{"idCol": "doc_id", "textCol": "text"}""",
+      None, sqlRelation(docSql)) match {
+      case None => cancel("python3 not available")
+      case Some(anyBytes) =>
+        val plan = new GraftRelationPlugin().transform(anyBytes, planner)
+        assert(plan.isPresent)
+        val out = GraftShims.ofRows(spark.asInstanceOf[ClassicSession], plan.get())
+        val direct = pipeline.Dedup.nearDupClusters(spark.sql(docSql), "doc_id", "text")
+        assert(rows(out) == rows(direct))
+        // the exact-duplicate pair 0/1 must share keep_id 0
+        assert(out.filter("doc_id = 1 AND keep_id = 0").count() == 1)
+    }
+  }
+
+  test("dispatch covers every pipeline operator") {
+    val docs = spark.sql(docSql)
+    def run(alg: String, params: String) =
+      GraftConnectDispatch.run(scala.None, docs, alg, params)
+    assert(run("pipe_exact_dedup",
+      """{"idCol": "doc_id", "contentCols": ["text"]}""").count() == 4)
+    assert(run("pipe_minhash_lsh",
+      """{"idCol": "doc_id", "textCol": "text"}""").count() >= 1) // the 0/1 dup pair
+    assert(run("pipe_simhash",
+      """{"idCol": "doc_id", "textCol": "text", "bits": 16}""").count() == 4)
+    assert(run("pipe_language_id",
+      """{"idCol": "doc_id", "textCol": "text"}""").count() == 4)
+    assert(run("pipe_quality",
+      """{"idCol": "doc_id", "textCol": "text"}""").count() == 4)
+    assert(run("pipe_char_entropy",
+      """{"idCol": "doc_id", "textCol": "text"}""").count() == 4)
+    assert(run("pipe_redact_pii",
+      """{"idCol": "doc_id", "textCol": "text"}""").count() == 4)
+    assert(run("pipe_hash_sample",
+      """{"idCol": "doc_id", "fraction": 1.0}""").count() == 4)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    def runEmb(alg: String, params: String) =
+      GraftConnectDispatch.run(scala.None, emb, alg, params)
+    assert(runEmb("pipe_ann_topk",
+      """{"idCol": "vec_id", "vecCol": "embedding", "k": 2}""").count() > 0)
+    assert(runEmb("pipe_ann_ivf_hier",
+      """{"idCol": "vec_id", "vecCol": "embedding", "k": 2,
+         |"nsuper": 2, "nlistPer": 2, "wprobe": 2, "nprobe": 4}""".stripMargin).count() > 0)
+    assert(runEmb("pipe_semantic_dedup",
+      """{"idCol": "vec_id", "vecCol": "embedding", "threshold": 0.95,
+         |"nlist": 4}""".stripMargin).count() == 50)
+  }
+
+  test("pipeline op with a vertices relation fails loudly") {
+    val docs = spark.sql(docSql)
+    val err = intercept[IllegalArgumentException] {
+      GraftConnectDispatch.run(Some(docs), docs, "pipe_token_count",
+        """{"idCol": "doc_id", "textCol": "text"}""")
+    }
+    assert(err.getMessage.contains("single-table"))
+  }
+
+  test("pipeline op with unknown parameter keys fails loudly") {
+    val docs = spark.sql(docSql)
+    val err = intercept[IllegalArgumentException] {
+      GraftConnectDispatch.run(scala.None, docs, "pipe_simhash",
+        """{"idCol": "doc_id", "textCol": "text", "bitz": 8}""")
+    }
+    assert(err.getMessage.contains("bitz") && err.getMessage.contains("accepted"))
   }
 
   test("dispatch covers every method of the reference proto surface") {

@@ -272,6 +272,19 @@ class PQSpec extends TestBase {
     assert(rec > 0.3, s"hier IVF mean recall@3 unexpectedly low: $rec")
   }
 
+  test("ivfTopKHier with nsuper=1 degenerates to flat ivfTopK exactly") {
+    // one branch holds every sub-seed, and the sub-seeds are the same
+    // md5-order prefix the flat quantizer samples, so the routings must
+    // coincide cell-for-cell (lloydIters=0 on the flat side)
+    val hier = pipeline.Similarity.ivfTopKHier(emb, "vec_id", "embedding",
+      k = 3, nsuper = 1, nlistPer = 8, wprobe = 1, nprobe = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val flat = pipeline.Similarity.ivfTopK(emb, "vec_id", "embedding",
+      k = 3, nlist = 8, nprobe = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(hier == flat)
+  }
+
   test("ivfTopKHier: no vector is dropped when a branch attracts no extra seeds") {
     // 5 identical vectors + 3 distinct ones with nsuper=4: several super
     // seeds tie at cosine 1.0, so without the anchor-own-branch rule some

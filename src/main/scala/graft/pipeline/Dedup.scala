@@ -25,12 +25,22 @@ object Dedup {
    * shingle in 10⁴ docs already fans the pair join out 10⁸. */
   private[graft] val hotShingleThreshold = 10000L
 
+  /** Fraction of documents the hot-shingle probe samples. A shingle over
+   * [[hotShingleThreshold]] appears ≥ 50 expected times in a 0.5% sample
+   * (Poisson-concentrated — detection is statistically certain), while
+   * the probe scan shrinks 200×; corpora too small for the sample to be
+   * meaningful are also too small to cross the 10⁴-doc threshold. */
+  private[graft] val hotShingleProbeFraction = 0.005
+
   /** The warning an uncapped [[ngramJaccard]] emits when the probe finds a
-   * shingle hotter than `threshold`; None below it. Pure — unit-testable
-   * without capturing log output. */
-  private[graft] def hotShingleWarning(maxDf: Long, threshold: Long): Option[String] =
+   * shingle hotter than `threshold`; None below it. `estimated` marks a
+   * sampled probe (doc frequency scaled up from the sample). Pure —
+   * unit-testable without capturing log output. */
+  private[graft] def hotShingleWarning(maxDf: Long, threshold: Long,
+      estimated: Boolean = false): Option[String] =
     if (maxDf > threshold)
-      Some(s"ngramJaccard: hottest shingle appears in $maxDf documents " +
+      Some(s"ngramJaccard: hottest shingle appears in ${
+        if (estimated) "an estimated " else ""}$maxDf documents " +
         s"(> $threshold) and maxDocFreq is unset — the pair join fans out " +
         s"~${maxDf}² on it. Set maxDocFreq to cap stop-shingles (exact " +
         "Jaccard denominators are preserved) or probeHotShingles=false to " +
@@ -317,17 +327,28 @@ object Dedup {
       .distinct()
     // guardrail: with maxDocFreq unset, one boilerplate shingle shared by d
     // documents fans the self-join out d² with ~no Jaccard signal — the
-    // likeliest operator error at 100 TB. Probe the hottest shingle (one
-    // map-side-partial hash agg, trivially cheaper than the d² join it
-    // guards) and warn loudly before running anyway; `probeHotShingles =
-    // false` opts out for pre-validated corpora.
+    // likeliest operator error at 100 TB. Probe a deterministic 0.5%
+    // hash-sample of the DOCUMENTS for their hottest shingle and warn
+    // loudly before running anyway: a threshold-crossing shingle is
+    // statistically certain to surface in the sample, and the probe costs
+    // a 200×-smaller scan instead of re-shingling the full corpus (the
+    // round-4 shape recomputed the whole explode+distinct for the probe —
+    // at 100 TB that is a full extra pass to maybe print a warning).
+    // `probeHotShingles = false` opts out for pre-validated corpora.
     if (maxDocFreq == Int.MaxValue && probeHotShingles) {
-      val maxDf = sh.groupBy("s").agg(count(lit(1)).as("_df"))
+      val probeDocs = Sampling.hashSample(df, idCol, hotShingleProbeFraction)
+      val maxDfSampled = probeDocs
+        .select(col(idCol).as("_d_id"),
+          explode(Text.wordShingles(col(textCol), n)).as("s"))
+        .distinct()
+        .groupBy("s").agg(count(lit(1)).as("_df"))
         .agg(max(col("_df"))).head() match {
           case r if r.isNullAt(0) => 0L
           case r => r.getLong(0)
         }
-      hotShingleWarning(maxDf, hotShingleThreshold).foreach(log.warn)
+      val estimate = math.round(maxDfSampled / hotShingleProbeFraction)
+      hotShingleWarning(estimate, hotShingleThreshold, estimated = true)
+        .foreach(log.warn)
     }
     val sizes = sh.groupBy("_d_id").agg(count(lit(1)).as("n_sh"))
     // stop-shingle guard (opt-in): a shingle shared by d documents fans the

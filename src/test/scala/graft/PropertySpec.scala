@@ -105,6 +105,9 @@ class PropertySpec extends TestBase {
       m => m.contains("10001") && m.contains("maxDocFreq")))
     assert(pipeline.Dedup.hotShingleWarning(10000L, 10000L).isEmpty)
     assert(pipeline.Dedup.hotShingleWarning(0L, 10000L).isEmpty)
+    // sampled probes report the scaled-up estimate as an estimate
+    assert(pipeline.Dedup.hotShingleWarning(20000L, 10000L, estimated = true)
+      .exists(_.contains("an estimated 20000")))
     // probe path: uncapped default runs the probe and leaves rows unchanged
     val docs = (1 to 6).map(i => (i.toLong, s"shared header line $i two three"))
       .toDF("doc_id", "text")

@@ -421,6 +421,45 @@ object SparkEntry {
           col("media_meta.width").as("width"),
           col("media_meta.height").as("height"))
     }),
+    "m_image_decode" -> ((s, dir) => {
+      // REAL codec round-trip: the fixture ENCODES a valid two-tone
+      // vertical-split PNG per doc (left ceil(w/2) columns tone A, rest
+      // tone B; dims and tones derived from doc_id) with the JDK's
+      // ImageIO, and decodeImageStats DECODES it back with the same real
+      // codec. PNG is lossless, so the oracle predicts the exact integer
+      // channel sums analytically without ever touching bytes — a fake
+      // decode (or any pixel-addressing bug in encode or decode) breaks
+      // the hash.
+      import s.implicits._
+      val ids = load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      val payloads = ids.mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 24 + 8).toInt
+          val h = (id * 7 % 24 + 8).toInt
+          val wl = (w + 1) / 2
+          val (ra, ga, ba) = ((id % 256).toInt, (id * 3 % 256).toInt, (id * 7 % 256).toInt)
+          val (rb, gb, bb) = (255 - ra, 255 - ga, 255 - ba)
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val (r, g, b) = if (x < wl) (ra, ga, ba) else (rb, gb, bb)
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+      multimodal.Multimodal.decodeImageStats(payloads, "doc_id", "payload")
+        .toDF().select(col("id").as("doc_id"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+    }),
     "m_frame_sample" -> ((s, dir) => {
       // every 4th 64-byte frame of the payload; frames shipped as hex so the
       // oracle can slice the same BYTES (DuckDB hex(encode(text)) at 2-char
@@ -1278,6 +1317,20 @@ object SparkEntry {
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN NULL
         |    ELSE (doc_id * 7) % 600 + 16 END AS INT) AS height
         |FROM documents""".stripMargin,
+    "m_image_decode" ->
+      // predict the decoded stats of the two-tone split PNG analytically:
+      // the Spark side must run a REAL encode+decode round trip (JDK
+      // ImageIO) to reproduce these exact integer channel sums
+      """WITH p AS (SELECT doc_id,
+        |    doc_id % 24 + 8 AS w, (doc_id * 7) % 24 + 8 AS h,
+        |    (doc_id % 24 + 9) // 2 AS wl,
+        |    doc_id % 256 AS ra, (doc_id * 3) % 256 AS ga, (doc_id * 7) % 256 AS ba
+        |  FROM documents)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(h * (wl * ra + (w - wl) * (255 - ra)) AS BIGINT) AS sum_r,
+        |  CAST(h * (wl * ga + (w - wl) * (255 - ga)) AS BIGINT) AS sum_g,
+        |  CAST(h * (wl * ba + (w - wl) * (255 - ba)) AS BIGINT) AS sum_b
+        |FROM p""".stripMargin,
     "m_frame_sample" ->
       // byte-based framing: slice hex(utf8 bytes) at 2-hex-chars-per-byte
       // offsets, so both sides frame the same octets regardless of

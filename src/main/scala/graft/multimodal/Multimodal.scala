@@ -10,18 +10,32 @@ import org.apache.spark.sql.functions._
  * Python UDFs).
  *
  * Header parsing (format sniff, PNG/JPEG/GIF dimensions) is REAL — plain
- * byte arithmetic over the binary column, no codec library. Only the
- * decode kernels (resize, frame demux, featurize) are STUBs —
- * deterministic fakes clearly marked below — because no media codec
- * exists in this environment; the Spark-side shape around them (schema,
- * partitioning, batch iteration, column pruning) is real and tested, so
- * swapping in a real decoder is a one-function change.
+ * byte arithmetic over the binary column, no codec library. IMAGE decode,
+ * resize and featurize are also REAL — the JDK's own `javax.imageio`
+ * (PNG/JPEG/GIF/BMP readers, part of `java.desktop`, zero external
+ * dependencies) behind the per-partition batch seam: [[decodeImageStats]]
+ * (dimensions + exact per-channel pixel sums), [[resizeImage]]
+ * (deterministic nearest-neighbor resample, PNG re-encode),
+ * [[imageHistogram]] (integer-luma histogram feature). Only the VIDEO
+ * kernels (container frame demux in [[sampleFrames]], the byte-level
+ * [[resize]]/[[extractFeatures]] fallbacks for non-image payloads) remain
+ * deterministic STUBs — no container demuxer or av codec exists in this
+ * environment; the Spark-side shape around them is real and tested.
  */
 object Multimodal {
 
   case class MediaMeta(format: String, n_bytes: Long,
       width: Option[Int], height: Option[Int])
   case class MediaFeature(id: Long, feature: Array[Float])
+  /** Decoded-image statistics: exact integer channel sums make lossless
+   * formats (PNG/BMP/GIF) hash-oracleable with no rounding hazard;
+   * `decoded=false` rows carry nulls (undecodable/corrupt payloads must
+   * not kill a 100 TB job — they surface as a filterable flag). */
+  case class ImageStats(id: Long, width: Option[Int], height: Option[Int],
+      n_pixels: Option[Long], sum_r: Option[Long], sum_g: Option[Long],
+      sum_b: Option[Long], decoded: Boolean)
+  case class ImageHistogram(id: Long, histogram: Option[Array[Long]],
+      decoded: Boolean)
 
   /** Bytes of header hex-decoded per row for dimension parsing. JPEG APPn
    * segments (EXIF etc.) max out at 64 KiB each; 256 KiB of prefix covers
@@ -124,10 +138,132 @@ object Multimodal {
           lit(frameSize)).as("frame"))
   }
 
-  /** Batched resize: (id, resized: binary) at `targetBytes` per payload.
-   * The kernel is a STUB (truncate/cycle-pad — a real implementation
-   * decodes, scales, re-encodes); the iterator-batched per-partition
-   * shape mirrors how a real image library would be driven. */
+  /** Decodes `bytes` with the JDK's ImageIO, None when the payload is not
+   * a decodable image (wrong format, truncated, or empty) — per-row
+   * failures are data, not exceptions, at 100 TB. */
+  private def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (bytes == null || bytes.length == 0) None
+    else try {
+      // ImageIO.read returns null (not an exception) for unknown formats
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP —
+   * no external codec library): (id, width, height, n_pixels, sum_r,
+   * sum_g, sum_b, decoded). Channel sums are exact integers, so a
+   * losslessly-encoded fixture is hash-oracleable by computing the sums
+   * analytically — no rounding, no tolerance. Undecodable payloads get
+   * `decoded=false` with null stats instead of failing the job. Runs
+   * per-partition over iterator batches; per-row cost is O(pixels). */
+  def decodeImageStats(df: DataFrame, idCol: String,
+      binCol: String): Dataset[ImageStats] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          readImage(bytes) match {
+            case None => ImageStats(id, None, None, None, None, None, None, decoded = false)
+            case Some(img) =>
+              val w = img.getWidth
+              val h = img.getHeight
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sr += (rgb >> 16) & 0xff
+                  sg += (rgb >> 8) & 0xff
+                  sb += rgb & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              ImageStats(id, Some(w), Some(h), Some(w.toLong * h),
+                Some(sr), Some(sg), Some(sb), decoded = true)
+          }
+        }
+      }
+  }
+
+  /** REAL image resize: decode (ImageIO), deterministic nearest-neighbor
+   * resample (`srcX = x*w/targetW` in integer arithmetic — identical on
+   * every platform, unlike Graphics2D interpolation), re-encode as PNG
+   * (lossless, so the output round-trips through [[decodeImageStats]]
+   * exactly). Undecodable payloads yield a null `resized` column. */
+  def resizeImage(df: DataFrame, idCol: String, binCol: String,
+      targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0, "target dimensions must be positive")
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val out = readImage(bytes).map { img =>
+            val w = img.getWidth
+            val h = img.getHeight
+            val dst = new java.awt.image.BufferedImage(targetW, targetH,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < targetH) {
+              val sy = (y.toLong * h / targetH).toInt
+              var x = 0
+              while (x < targetW) {
+                val sx = (x.toLong * w / targetW).toInt
+                dst.setRGB(x, y, img.getRGB(sx, sy) & 0xffffff)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", bos)
+            bos.toByteArray
+          }.orNull
+          (id, out)
+        }
+      }.toDF(idCol, "resized")
+  }
+
+  /** REAL image featurizer: `bins`-bucket histogram of integer luma
+   * (`(299r + 587g + 114b) / 1000` — BT.601 weights in exact integer
+   * arithmetic, so the feature replays bit-for-bit anywhere). The
+   * histogram is the classic cheap image descriptor for dedup/similarity
+   * blocking; undecodable payloads get `decoded=false`. */
+  def imageHistogram(df: DataFrame, idCol: String, binCol: String,
+      bins: Int = 16): Dataset[ImageHistogram] = {
+    require(bins > 0 && bins <= 256, s"bins must be in [1,256]: $bins")
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          readImage(bytes) match {
+            case None => ImageHistogram(id, None, decoded = false)
+            case Some(img) =>
+              val hist = new Array[Long](bins)
+              val w = img.getWidth
+              val h = img.getHeight
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                    114 * (rgb & 0xff)) / 1000
+                  hist(luma * bins / 256) += 1
+                  x += 1
+                }
+                y += 1
+              }
+              ImageHistogram(id, Some(hist), decoded = true)
+          }
+        }
+      }
+  }
+
+  /** Batched BYTE-level resize: (id, resized: binary) at `targetBytes` per
+   * payload. The kernel is a STUB (truncate/cycle-pad) standing in for
+   * media types with no JDK codec (video/audio) — for images use the real
+   * [[resizeImage]]; the iterator-batched per-partition shape mirrors how
+   * a real library would be driven. */
   def resize(df: DataFrame, idCol: String, binCol: String,
       targetBytes: Int): DataFrame = {
     import df.sparkSession.implicits._
@@ -145,11 +281,11 @@ object Multimodal {
       }.toDF(idCol, "resized")
   }
 
-  /** Per-partition batched feature extraction over binary payloads:
-   * iterator-in/iterator-out so a real model could be loaded once per
-   * partition and fed batches. The featurizer itself is a STUB
-   * (deterministic bytes→float projection standing in for a decoder +
-   * encoder). */
+  /** Per-partition batched feature extraction over arbitrary binary
+   * payloads: iterator-in/iterator-out so a real model could be loaded
+   * once per partition and fed batches. The featurizer itself is a STUB
+   * (deterministic bytes→float projection) for payloads with no JDK
+   * codec (video/audio); for images use the real [[imageHistogram]]. */
   def extractFeatures(df: DataFrame, idCol: String, binCol: String,
       dim: Int = 16): Dataset[MediaFeature] = {
     import df.sparkSession.implicits._

@@ -527,6 +527,90 @@ class ExtendedSpec extends TestBase {
       resized(2L) == " " * 6) // empty input: zero padding
   }
 
+  test("multimodal: REAL image decode via JDK ImageIO — exact stats on PNG") {
+    import graft.multimodal.Multimodal
+    // 4x2 PNG: left 2 columns (10,20,30), right 2 columns (200,100,50)
+    def png(w: Int, h: Int, left: Int, right: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if (x < w / 2) left else right)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val left = (10 << 16) | (20 << 8) | 30
+    val right = (200 << 16) | (100 << 8) | 50
+    val df = Seq((1L, png(4, 2, left, right)),
+      (2L, "not an image".getBytes("UTF-8")),
+      (3L, Array.empty[Byte])).toDF("id", "payload")
+    val st = Multimodal.decodeImageStats(df, "id", "payload").collect()
+      .map(s => s.id -> s).toMap
+    assert(st(1L).decoded && st(1L).width.contains(4) && st(1L).height.contains(2))
+    // 4 left pixels + 4 right pixels, exact integer sums
+    assert(st(1L).sum_r.contains(4L * 10 + 4L * 200))
+    assert(st(1L).sum_g.contains(4L * 20 + 4L * 100))
+    assert(st(1L).sum_b.contains(4L * 30 + 4L * 50))
+    assert(!st(2L).decoded && st(2L).width.isEmpty)
+    assert(!st(3L).decoded)
+  }
+
+  test("multimodal: JPEG decodes for real (lossy, so dims exact + means close)") {
+    import graft.multimodal.Multimodal
+    val img = new java.awt.image.BufferedImage(16, 12,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 12; x <- 0 until 16) img.setRGB(x, y, 0x808080)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val df = Seq((1L, bos.toByteArray)).toDF("id", "payload")
+    val s = Multimodal.decodeImageStats(df, "id", "payload").collect().head
+    assert(s.decoded && s.width.contains(16) && s.height.contains(12))
+    val meanR = s.sum_r.get.toDouble / s.n_pixels.get
+    assert(math.abs(meanR - 128.0) < 4.0, s"jpeg mean drifted: $meanR")
+  }
+
+  test("multimodal: real nearest-neighbor resize round-trips through decode") {
+    import graft.multimodal.Multimodal
+    // 4x4 checkerboard of 2x2 blocks -> resized 2x2 must pick the block
+    // corners deterministically (srcX = x*4/2 = 0,2)
+    val a = 0x112233; val b = 0xCCBBAA
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img.setRGB(x, y, if ((x / 2 + y / 2) % 2 == 0) a else b)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq((1L, bos.toByteArray),
+      (2L, "junk".getBytes("UTF-8"))).toDF("id", "payload")
+    val rs = Multimodal.resizeImage(df, "id", "payload", 2, 2)
+    val out = rs.collect().map(r => r.getLong(0) ->
+      Option(r.get(1)).map(_.asInstanceOf[Array[Byte]])).toMap
+    assert(out(2L).isEmpty, "undecodable payload must resize to null")
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).get))
+    assert(back.getWidth == 2 && back.getHeight == 2)
+    assert((back.getRGB(0, 0) & 0xffffff) == a)
+    assert((back.getRGB(1, 0) & 0xffffff) == b)
+    assert((back.getRGB(0, 1) & 0xffffff) == b)
+    assert((back.getRGB(1, 1) & 0xffffff) == a)
+  }
+
+  test("multimodal: luma histogram feature is exact and deterministic") {
+    import graft.multimodal.Multimodal
+    // half black (luma 0 -> bin 0), half white (luma 255 -> last bin)
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0x000000 else 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq((1L, bos.toByteArray)).toDF("id", "payload")
+    val h = Multimodal.imageHistogram(df, "id", "payload", bins = 4)
+      .collect().head
+    assert(h.decoded)
+    assert(h.histogram.get.toSeq == Seq(4L, 0L, 0L, 4L))
+  }
+
   implicit class TupleMapOps[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }

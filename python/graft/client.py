@@ -296,6 +296,23 @@ class Pipeline:
         return self._call("pipe_hash_sample", idCol=idCol, fraction=fraction,
                           seed=seed)
 
+    # --- multimodal (JDK-codec image/audio kernels) --------------------
+    def imageDecode(self, idCol: str, binCol: str) -> DataFrame:
+        return self._call("pipe_image_decode", idCol=idCol, binCol=binCol)
+
+    def imageResize(self, idCol: str, binCol: str, width: int,
+                    height: int) -> DataFrame:
+        return self._call("pipe_image_resize", idCol=idCol, binCol=binCol,
+                          width=width, height=height)
+
+    def imageHistogram(self, idCol: str, binCol: str,
+                       bins: Optional[int] = None) -> DataFrame:
+        return self._call("pipe_image_histogram", idCol=idCol, binCol=binCol,
+                          bins=bins)
+
+    def audioDecode(self, idCol: str, binCol: str) -> DataFrame:
+        return self._call("pipe_audio_decode", idCol=idCol, binCol=binCol)
+
     # --- ANN -----------------------------------------------------------
     def annTopK(self, idCol: str, vecCol: str, k: int) -> DataFrame:
         return self._call("pipe_ann_topk", idCol=idCol, vecCol=vecCol, k=k)

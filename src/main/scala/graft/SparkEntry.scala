@@ -460,6 +460,39 @@ object SparkEntry {
         .toDF().select(col("id").as("doc_id"), col("width"), col("height"),
           col("sum_r"), col("sum_g"), col("sum_b"))
     }),
+    "m_audio_decode" -> ((s, dir) => {
+      // REAL audio round trip: the fixture writes a valid 16-bit mono PCM
+      // WAV per doc (sample i = ((doc_id*31 + i*7919) mod 65536) - 32768,
+      // n = doc_id%100+50 frames) via the JDK's javax.sound.sampled, and
+      // decodeAudioStats parses it back with the same real reader. PCM is
+      // lossless, so the oracle predicts the exact integer |sample| sum
+      // and peak analytically.
+      import s.implicits._
+      val ids = load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      val payloads = ids.mapPartitions { it =>
+        it.map { id =>
+          val n = (id % 100 + 50).toInt
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = (((id * 31 + i.toLong * 7919) % 65536) - 32768).toInt
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+      multimodal.Multimodal.decodeAudioStats(payloads, "doc_id", "payload")
+        .toDF().select(col("id").as("doc_id"), col("sample_rate"),
+          col("channels"), col("bits"), col("n_frames"), col("sum_abs"), col("peak"))
+    }),
     "m_frame_sample" -> ((s, dir) => {
       // every 4th 64-byte frame of the payload; frames shipped as hex so the
       // oracle can slice the same BYTES (DuckDB hex(encode(text)) at 2-char
@@ -1331,6 +1364,16 @@ object SparkEntry {
         |  CAST(h * (wl * ga + (w - wl) * (255 - ga)) AS BIGINT) AS sum_g,
         |  CAST(h * (wl * ba + (w - wl) * (255 - ba)) AS BIGINT) AS sum_b
         |FROM p""".stripMargin,
+    "m_audio_decode" ->
+      // predict the decoded PCM aggregates analytically: the Spark side
+      // must run a REAL WAV write+parse round trip to reproduce them
+      """WITH p AS (SELECT doc_id, doc_id % 100 + 50 AS n FROM documents),
+        |s AS (SELECT p.doc_id, abs(((p.doc_id*31 + t.i*7919) % 65536) - 32768) AS a
+        |      FROM p JOIN range(0, 150) t(i) ON t.i < p.n)
+        |SELECT doc_id, CAST(16000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  CAST(16 AS INT) AS bits, CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(a) AS BIGINT) AS sum_abs, CAST(max(a) AS INT) AS peak
+        |FROM s GROUP BY doc_id""".stripMargin,
     "m_frame_sample" ->
       // byte-based framing: slice hex(utf8 bytes) at 2-hex-chars-per-byte
       // offsets, so both sides frame the same octets regardless of

@@ -76,7 +76,11 @@ object GraftConnectDispatch {
     "pipe_hash_sample" -> Set("idCol", "fraction", "seed"),
     "pipe_ann_topk" -> Set("idCol", "vecCol", "k"),
     "pipe_ann_ivf_hier" -> Set("idCol", "vecCol", "k", "nsuper", "nlistPer",
-      "wprobe", "nprobe"))
+      "wprobe", "nprobe"),
+    "pipe_image_decode" -> Set("idCol", "binCol"),
+    "pipe_image_resize" -> Set("idCol", "binCol", "width", "height"),
+    "pipe_image_histogram" -> Set("idCol", "binCol", "bins"),
+    "pipe_audio_decode" -> Set("idCol", "binCol"))
 
   /** Algorithm names accepted by [[run]], for error messages and clients. */
   val algorithms: Seq[String] = (acceptedParams.keys ++ pipelineParams.keys).toSeq.sorted
@@ -190,6 +194,19 @@ object GraftConnectDispatch {
             nlistPer = int("nlistPer").getOrElse(16),
             wprobe = int("wprobe").getOrElse(2),
             nprobe = int("nprobe").getOrElse(4))
+        case "pipe_image_decode" =>
+          graft.multimodal.Multimodal.decodeImageStats(t, id, required("binCol")).toDF()
+        case "pipe_image_resize" =>
+          graft.multimodal.Multimodal.resizeImage(t, id, required("binCol"),
+            targetW = int("width").getOrElse(throw new IllegalArgumentException(
+              "pipe_image_resize requires params_json key 'width'")),
+            targetH = int("height").getOrElse(throw new IllegalArgumentException(
+              "pipe_image_resize requires params_json key 'height'")))
+        case "pipe_image_histogram" =>
+          graft.multimodal.Multimodal.imageHistogram(t, id, required("binCol"),
+            bins = int("bins").getOrElse(16)).toDF()
+        case "pipe_audio_decode" =>
+          graft.multimodal.Multimodal.decodeAudioStats(t, id, required("binCol")).toDF()
         case other => throw new IllegalStateException(s"unhandled pipeline op $other")
       }
     }

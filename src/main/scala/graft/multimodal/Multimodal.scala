@@ -36,6 +36,13 @@ object Multimodal {
       sum_b: Option[Long], decoded: Boolean)
   case class ImageHistogram(id: Long, histogram: Option[Array[Long]],
       decoded: Boolean)
+  /** Decoded-audio statistics: format fields are real parses; the sample
+   * aggregates (exact integer sum of |sample| and peak) are computed only
+   * for 16-bit PCM — the overwhelmingly common WAV layout — and are null
+   * for other encodings (meta stays real). */
+  case class AudioStats(id: Long, sample_rate: Option[Int],
+      channels: Option[Int], bits: Option[Int], n_frames: Option[Long],
+      sum_abs: Option[Long], peak: Option[Int], decoded: Boolean)
 
   /** Bytes of header hex-decoded per row for dimension parsing. JPEG APPn
    * segments (EXIF etc.) max out at 64 KiB each; 256 KiB of prefix covers
@@ -279,6 +286,54 @@ object Multimodal {
           (id, out)
         }
       }.toDF(idCol, "resized")
+  }
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU —
+   * no external codec library): (id, sample_rate, channels, bits,
+   * n_frames, sum_abs, peak, decoded). For 16-bit PCM the amplitude
+   * aggregates are exact integer sums, so a PCM fixture is
+   * hash-oracleable by computing them analytically; other encodings keep
+   * the real format fields with null aggregates. Undecodable payloads get
+   * `decoded=false` instead of failing the job. */
+  def decodeAudioStats(df: DataFrame, idCol: String,
+      binCol: String): Dataset[AudioStats] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val none = AudioStats(id, None, None, None, None, None, None, decoded = false)
+          if (bytes == null || bytes.length == 0) none
+          else try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val f = ais.getFormat
+              val frames = ais.getFrameLength
+              val is16 = f.getSampleSizeInBits == 16 &&
+                (f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+              val (sumAbs, peak) = if (!is16) (None, None) else {
+                val data = ais.readAllBytes()
+                val be = f.isBigEndian
+                var s = 0L; var p = 0
+                var i = 0
+                while (i + 1 < data.length) {
+                  val v = if (be) (data(i) << 8) | (data(i + 1) & 0xff)
+                    else (data(i + 1) << 8) | (data(i) & 0xff)
+                  val a = math.abs(v)
+                  s += a
+                  if (a > p) p = a
+                  i += 2
+                }
+                (Some(s), Some(p))
+              }
+              AudioStats(id, Some(f.getSampleRate.toInt), Some(f.getChannels),
+                Some(f.getSampleSizeInBits),
+                if (frames >= 0) Some(frames) else None, sumAbs, peak,
+                decoded = true)
+            } finally ais.close()
+          } catch { case scala.util.control.NonFatal(_) => none }
+        }
+      }
   }
 
   /** Per-partition batched feature extraction over arbitrary binary

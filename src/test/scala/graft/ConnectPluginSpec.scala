@@ -235,6 +235,36 @@ class ConnectPluginSpec extends TestBase {
     assert(runEmb("pipe_semantic_dedup",
       """{"idCol": "vec_id", "vecCol": "embedding", "threshold": 0.95,
          |"nlist": 4}""".stripMargin).count() == 50)
+    // multimodal ops: one real PNG through decode/resize/histogram, and
+    // WAV audio through decode — all via the dispatch surface
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, 0x336699)
+    val ibos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", ibos)
+    import spark.implicits._
+    val media = Seq((1L, ibos.toByteArray)).toDF("id", "payload")
+    def runMedia(alg: String, params: String) =
+      GraftConnectDispatch.run(scala.None, media, alg, params)
+    val dec = runMedia("pipe_image_decode",
+      """{"idCol": "id", "binCol": "payload"}""").collect().head
+    assert(dec.getAs[Int]("width") == 4 && dec.getAs[Long]("sum_b") == 16L * 0x99)
+    assert(runMedia("pipe_image_resize",
+      """{"idCol": "id", "binCol": "payload", "width": 2, "height": 2}""").count() == 1)
+    assert(runMedia("pipe_image_histogram",
+      """{"idCol": "id", "binCol": "payload", "bins": 4}""").count() == 1)
+    val pcm = Array[Byte](0x10, 0x00, 0x20, 0x00)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val abos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 2L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, abos)
+    val audio = Seq((1L, abos.toByteArray)).toDF("id", "payload")
+    val adec = GraftConnectDispatch.run(scala.None, audio, "pipe_audio_decode",
+      """{"idCol": "id", "binCol": "payload"}""").collect().head
+    assert(adec.getAs[Int]("sample_rate") == 8000 &&
+      adec.getAs[Long]("sum_abs") == 0x10L + 0x20L)
   }
 
   test("pipeline op with a vertices relation fails loudly") {

@@ -611,6 +611,30 @@ class ExtendedSpec extends TestBase {
     assert(h.histogram.get.toSeq == Seq(4L, 0L, 0L, 4L))
   }
 
+  test("multimodal: REAL WAV decode via javax.sound.sampled — exact PCM stats") {
+    import graft.multimodal.Multimodal
+    // 4 samples of known 16-bit PCM: 100, -200, 32767, -32768
+    val samples = Seq(100, -200, 32767, -32768)
+    val pcm = samples.flatMap(v =>
+      Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)).toArray
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val df = Seq((1L, bos.toByteArray),
+      (2L, "not audio".getBytes("UTF-8"))).toDF("id", "payload")
+    val st = Multimodal.decodeAudioStats(df, "id", "payload").collect()
+      .map(s => s.id -> s).toMap
+    assert(st(1L).decoded && st(1L).sample_rate.contains(8000) &&
+      st(1L).channels.contains(1) && st(1L).bits.contains(16))
+    assert(st(1L).n_frames.contains(4L))
+    assert(st(1L).sum_abs.contains(samples.map(v => math.abs(v).toLong).sum))
+    assert(st(1L).peak.contains(32768))
+    assert(!st(2L).decoded)
+  }
+
   implicit class TupleMapOps[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }

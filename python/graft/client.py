@@ -313,6 +313,9 @@ class Pipeline:
     def audioDecode(self, idCol: str, binCol: str) -> DataFrame:
         return self._call("pipe_audio_decode", idCol=idCol, binCol=binCol)
 
+    def videoDemux(self, idCol: str, binCol: str) -> DataFrame:
+        return self._call("pipe_video_demux", idCol=idCol, binCol=binCol)
+
     # --- ANN -----------------------------------------------------------
     def annTopK(self, idCol: str, vecCol: str, k: int) -> DataFrame:
         return self._call("pipe_ann_topk", idCol=idCol, vecCol=vecCol, k=k)

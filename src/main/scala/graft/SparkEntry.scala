@@ -493,6 +493,49 @@ object SparkEntry {
         .toDF().select(col("id").as("doc_id"), col("sample_rate"),
           col("channels"), col("bits"), col("n_frames"), col("sum_abs"), col("peak"))
     }),
+    "m_video_demux" -> ((s, dir) => {
+      // REAL container demux: the fixture assembles a minimal valid
+      // RIFF/AVI per doc (LIST movi with n = doc_id%5+2 '00dc' frame
+      // chunks; frame i is doc_id%20+4+i bytes of id-derived data, odd
+      // sizes exercising the even-padding rule), demuxRiffFrames walks
+      // the actual chunk structure back out, and the oracle predicts
+      // each frame's length and exact byte sum analytically.
+      import s.implicits._
+      val ids = load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      val payloads = ids.mapPartitions { it =>
+        it.map { id =>
+          val nf = (id % 5 + 2).toInt
+          val frames = (0 until nf).map { i =>
+            val len = (id % 20 + 4 + i).toInt
+            Array.tabulate[Byte](len)(j => ((id * 7 + i * 13 + j) % 256).toByte)
+          }
+          def le32(v: Int): Array[Byte] =
+            Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+              ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+          val bos = new java.io.ByteArrayOutputStream()
+          val movi = new java.io.ByteArrayOutputStream()
+          movi.write("movi".getBytes("US-ASCII"))
+          frames.foreach { f =>
+            movi.write("00dc".getBytes("US-ASCII"))
+            movi.write(le32(f.length))
+            movi.write(f)
+            if (f.length % 2 == 1) movi.write(0) // RIFF even padding
+          }
+          val moviBytes = movi.toByteArray
+          bos.write("RIFF".getBytes("US-ASCII"))
+          bos.write(le32(4 + 8 + moviBytes.length)) // "AVI " + LIST hdr + body
+          bos.write("AVI ".getBytes("US-ASCII"))
+          bos.write("LIST".getBytes("US-ASCII"))
+          bos.write(le32(moviBytes.length))
+          bos.write(moviBytes)
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+      multimodal.Multimodal.demuxRiffFrames(payloads, "doc_id", "payload")
+        .map(f => (f.id, f.frame_idx, f.frame.length,
+          f.frame.map(b => (b & 0xff).toLong).sum))
+        .toDF("doc_id", "frame_idx", "frame_len", "byte_sum")
+    }),
     "m_frame_sample" -> ((s, dir) => {
       // every 4th 64-byte frame of the payload; frames shipped as hex so the
       // oracle can slice the same BYTES (DuckDB hex(encode(text)) at 2-char
@@ -1374,6 +1417,19 @@ object SparkEntry {
         |  CAST(16 AS INT) AS bits, CAST(count(*) AS BIGINT) AS n_frames,
         |  CAST(sum(a) AS BIGINT) AS sum_abs, CAST(max(a) AS INT) AS peak
         |FROM s GROUP BY doc_id""".stripMargin,
+    "m_video_demux" ->
+      // predict each demuxed frame's length and byte sum analytically:
+      // the Spark side must walk the actual RIFF chunk structure
+      """WITH p AS (SELECT doc_id, doc_id % 5 + 2 AS nf, doc_id % 20 + 4 AS base
+        |  FROM documents),
+        |fr AS (SELECT p.doc_id, t.i AS frame_idx, p.base + t.i AS len
+        |       FROM p JOIN range(0, 7) t(i) ON t.i < p.nf),
+        |b AS (SELECT fr.doc_id, fr.frame_idx, fr.len,
+        |        (fr.doc_id*7 + fr.frame_idx*13 + u.j) % 256 AS v
+        |      FROM fr JOIN range(0, 31) u(j) ON u.j < fr.len)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(len AS INT) AS frame_len, CAST(sum(v) AS BIGINT) AS byte_sum
+        |FROM b GROUP BY doc_id, frame_idx, len""".stripMargin,
     "m_frame_sample" ->
       // byte-based framing: slice hex(utf8 bytes) at 2-hex-chars-per-byte
       // offsets, so both sides frame the same octets regardless of

@@ -80,7 +80,8 @@ object GraftConnectDispatch {
     "pipe_image_decode" -> Set("idCol", "binCol"),
     "pipe_image_resize" -> Set("idCol", "binCol", "width", "height"),
     "pipe_image_histogram" -> Set("idCol", "binCol", "bins"),
-    "pipe_audio_decode" -> Set("idCol", "binCol"))
+    "pipe_audio_decode" -> Set("idCol", "binCol"),
+    "pipe_video_demux" -> Set("idCol", "binCol"))
 
   /** Algorithm names accepted by [[run]], for error messages and clients. */
   val algorithms: Seq[String] = (acceptedParams.keys ++ pipelineParams.keys).toSeq.sorted
@@ -207,6 +208,8 @@ object GraftConnectDispatch {
             bins = int("bins").getOrElse(16)).toDF()
         case "pipe_audio_decode" =>
           graft.multimodal.Multimodal.decodeAudioStats(t, id, required("binCol")).toDF()
+        case "pipe_video_demux" =>
+          graft.multimodal.Multimodal.demuxRiffFrames(t, id, required("binCol")).toDF()
         case other => throw new IllegalStateException(s"unhandled pipeline op $other")
       }
     }

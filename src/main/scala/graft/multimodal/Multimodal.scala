@@ -16,11 +16,14 @@ import org.apache.spark.sql.functions._
  * dependencies) behind the per-partition batch seam: [[decodeImageStats]]
  * (dimensions + exact per-channel pixel sums), [[resizeImage]]
  * (deterministic nearest-neighbor resample, PNG re-encode),
- * [[imageHistogram]] (integer-luma histogram feature). Only the VIDEO
- * kernels (container frame demux in [[sampleFrames]], the byte-level
- * [[resize]]/[[extractFeatures]] fallbacks for non-image payloads) remain
- * deterministic STUBs — no container demuxer or av codec exists in this
- * environment; the Spark-side shape around them is real and tested.
+ * [[imageHistogram]] (integer-luma histogram feature). AUDIO decode is
+ * REAL via `javax.sound.sampled` ([[decodeAudioStats]] — WAV/AIFF/AU,
+ * exact 16-bit-PCM aggregates), and VIDEO container demux is REAL for
+ * RIFF/AVI ([[demuxRiffFrames]] — plain chunk walking; MJPEG frame
+ * payloads then decode for real through [[decodeImageStats]]). Only the
+ * byte-level [[sampleFrames]]/[[resize]]/[[extractFeatures]] fallbacks
+ * for formats with no JDK parser remain deterministic STUBs; the
+ * Spark-side shape around them is real and tested.
  */
 object Multimodal {
 
@@ -126,10 +129,77 @@ object Multimodal {
         width.as("width"), height.as("height")).as("media_meta"))
   }
 
+  /** One demuxed media frame: `stream` is the two-char AVI stream id
+   * ("00", "01", ...), `kind` the chunk-type suffix ("dc" compressed
+   * video, "db" uncompressed video, "wb" audio). */
+  case class RiffFrame(id: Long, stream: String, kind: String,
+      frame_idx: Int, frame: Array[Byte])
+
+  /** REAL video-container demux for RIFF/AVI payloads — plain chunk
+   * walking, no codec: frames live in the `movi` LIST as `##dc`/`##db`/
+   * `##wb` chunks ([fourcc][le-u32 size][payload][pad to even]), so
+   * SPLITTING a video into per-frame rows needs only byte arithmetic.
+   * Returns one row per frame chunk in container order (frame_idx
+   * numbered per stream); non-RIFF/non-AVI or truncated payloads yield
+   * zero rows rather than failing — at 100 TB a corrupt container is
+   * data, not an exception. Decoding the frame PAYLOADS is then real for
+   * MJPEG (each `##dc` chunk is a JPEG — feed to [[decodeImageStats]]);
+   * other codecs have no JDK decoder. */
+  def demuxRiffFrames(df: DataFrame, idCol: String,
+      binCol: String): Dataset[RiffFrame] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        def le32(p: Int): Long =
+          (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+            ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+        def fourcc(p: Int): String =
+          new String(bytes, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val out = scala.collection.mutable.ArrayBuffer.empty[RiffFrame]
+        if (bytes != null && bytes.length >= 12 &&
+            fourcc(0) == "RIFF" && fourcc(8) == "AVI ") {
+          val riffEnd = math.min(bytes.length.toLong, 8L + le32(4)).toInt
+          val perStream = scala.collection.mutable.Map.empty[String, Int]
+          // walk top-level chunks; recurse one level into LIST 'movi'
+          var p = 12
+          while (p + 8 <= riffEnd) {
+            val cc = fourcc(p)
+            val sz = le32(p + 4)
+            val body = p + 8
+            val end = math.min(riffEnd.toLong, body + sz).toInt
+            if (cc == "LIST" && sz >= 4 && body + 4 <= riffEnd &&
+                fourcc(body) == "movi") {
+              var q = body + 4
+              while (q + 8 <= end) {
+                val fcc = fourcc(q)
+                val fsz = le32(q + 4)
+                val fbody = q + 8
+                val fend = fbody + fsz // Long: an absurd size must not wrap
+                val kind = fcc.substring(2)
+                if (fend <= end &&
+                    (kind == "dc" || kind == "db" || kind == "wb") &&
+                    fcc.take(2).forall(_.isDigit)) {
+                  val stream = fcc.take(2)
+                  val idx = perStream.getOrElse(stream, 0)
+                  perStream(stream) = idx + 1
+                  out += RiffFrame(id, stream, kind, idx,
+                    java.util.Arrays.copyOfRange(bytes, fbody, fend.toInt))
+                }
+                // chunks pad to even sizes
+                q = fbody + (fsz + (fsz & 1L)).toInt
+              }
+            }
+            p = body + (sz + (sz & 1L)).toInt
+          }
+        }
+        out
+      }
+  }
+
   /** Sample every `everyK`-th fixed-size frame from a binary payload:
    * one output row per kept frame, (id, frame_idx, frame: binary). The
-   * fixed-size split is the STUB standing in for real container
-   * demuxing (a codec reads frame boundaries from the container); the
+   * fixed-size split is the STUB fallback for containers this engine
+   * cannot parse — for RIFF/AVI use the real [[demuxRiffFrames]]; the
    * Spark side — per-row bounded explode, byte slicing, column pruning —
    * is real and fully codegen'd (no UDF). */
   def sampleFrames(df: DataFrame, idCol: String, binCol: String,

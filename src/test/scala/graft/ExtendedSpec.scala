@@ -635,6 +635,74 @@ class ExtendedSpec extends TestBase {
     assert(!st(2L).decoded)
   }
 
+  private def buildAvi(frames: Seq[(String, Array[Byte])]): Array[Byte] = {
+    def le32(v: Int): Array[Byte] =
+      Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val movi = new java.io.ByteArrayOutputStream()
+    movi.write("movi".getBytes("US-ASCII"))
+    frames.foreach { case (fcc, body) =>
+      movi.write(fcc.getBytes("US-ASCII"))
+      movi.write(le32(body.length))
+      movi.write(body)
+      if (body.length % 2 == 1) movi.write(0)
+    }
+    val m = movi.toByteArray
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("RIFF".getBytes("US-ASCII"))
+    bos.write(le32(4 + 8 + m.length))
+    bos.write("AVI ".getBytes("US-ASCII"))
+    bos.write("LIST".getBytes("US-ASCII"))
+    bos.write(le32(m.length))
+    bos.write(m)
+    bos.toByteArray
+  }
+
+  test("multimodal: REAL RIFF/AVI demux — streams, odd-size padding, junk") {
+    import graft.multimodal.Multimodal
+    val avi = buildAvi(Seq(
+      ("00dc", Array[Byte](1, 2, 3)),       // odd size -> padded
+      ("01wb", Array[Byte](9, 8, 7, 6)),    // audio stream
+      ("00dc", Array[Byte](4, 5)),          // second video frame
+      ("ix00", Array[Byte](0, 0))))         // index chunk: not a frame
+    val df = Seq((1L, avi), (2L, "not a container".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val out = Multimodal.demuxRiffFrames(df, "id", "payload").collect()
+    assert(out.forall(_.id == 1L), "junk payload must demux to zero rows")
+    val video = out.filter(f => f.stream == "00" && f.kind == "dc")
+      .sortBy(_.frame_idx)
+    assert(video.length == 2)
+    assert(video(0).frame.toSeq == Seq[Byte](1, 2, 3),
+      "odd-size frame must exclude the pad byte")
+    assert(video(1).frame.toSeq == Seq[Byte](4, 5) && video(1).frame_idx == 1)
+    val audio = out.filter(_.kind == "wb")
+    assert(audio.length == 1 && audio.head.stream == "01" &&
+      audio.head.frame_idx == 0)
+  }
+
+  test("multimodal: MJPEG AVI — demuxed frames decode as real JPEGs") {
+    import graft.multimodal.Multimodal
+    def jpeg(shade: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 6,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 6; x <- 0 until 8)
+        img.setRGB(x, y, (shade << 16) | (shade << 8) | shade)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val avi = buildAvi(Seq(("00dc", jpeg(40)), ("00dc", jpeg(200))))
+    val df = Seq((1L, avi)).toDF("id", "payload")
+    val frames = Multimodal.demuxRiffFrames(df, "id", "payload")
+      .map(f => (f.frame_idx.toLong, f.frame)).toDF("id", "frame")
+    val stats = Multimodal.decodeImageStats(frames, "id", "frame").collect()
+      .map(s => s.id -> s).toMap
+    assert(stats.size == 2 && stats.values.forall(_.decoded))
+    assert(stats.values.forall(s => s.width.contains(8) && s.height.contains(6)))
+    // lossy but monotone: the dark frame must stay darker than the bright one
+    assert(stats(0L).sum_r.get < stats(1L).sum_r.get)
+  }
+
   implicit class TupleMapOps[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }

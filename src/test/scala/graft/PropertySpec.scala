@@ -380,6 +380,39 @@ class PropertySpec extends TestBase {
     assert(rows.head == ("a b", 4L, 2L, 1))
   }
 
+  test("RIFF demux round-trips arbitrary frame lists (property)") {
+    import graft.multimodal.Multimodal
+    def le32(v: Int): Array[Byte] =
+      Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def buildAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val movi = new java.io.ByteArrayOutputStream()
+      movi.write("movi".getBytes("US-ASCII"))
+      frames.foreach { f =>
+        movi.write("00dc".getBytes("US-ASCII")); movi.write(le32(f.length))
+        movi.write(f); if (f.length % 2 == 1) movi.write(0)
+      }
+      val m = movi.toByteArray
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("RIFF".getBytes("US-ASCII")); bos.write(le32(4 + 8 + m.length))
+      bos.write("AVI ".getBytes("US-ASCII")); bos.write("LIST".getBytes("US-ASCII"))
+      bos.write(le32(m.length)); bos.write(m)
+      bos.toByteArray
+    }
+    val genFrames = Gen.choose(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 40).flatMap(len =>
+        Gen.listOfN(len, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))))
+    check(Prop.forAll(genFrames) { frames =>
+      val df = Seq((1L, buildAvi(frames))).toDF("id", "payload")
+      val out = Multimodal.demuxRiffFrames(df, "id", "payload")
+        .collect().sortBy(_.frame_idx)
+      out.length == frames.length &&
+        out.zip(frames).forall { case (got, want) =>
+          got.frame.toSeq == want.toSeq && got.stream == "00" && got.kind == "dc"
+        }
+    }, minSuccessful = 15)
+  }
+
   test("simhash of identical docs is identical; hamming grows with edits") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -635,6 +635,15 @@ object SparkEntry {
       // branch), data top-1 assignment and the global probe ranking
       pipeline.Similarity.ivfTopKHier(load(s, dir, "embeddings"), "vec_id",
         "embedding", k = 3, nsuper = 4, nlistPer = 4, wprobe = 2, nprobe = 4)),
+    "p_ann_recall_hier" -> ((s, dir) => { // measured recall@k of the
+      // hierarchical two-level path — the number the (wprobe, nprobe)
+      // knobs control, against the exact top-k
+      val e = load(s, dir, "embeddings")
+      pipeline.Similarity.recallAtK(
+        pipeline.Similarity.ivfTopKHier(e, "vec_id", "embedding", k = 3,
+          nsuper = 4, nlistPer = 4, wprobe = 2, nprobe = 4),
+        pipeline.Similarity.topK(e, "vec_id", "embedding", k = 3))
+    }),
     "p_ann_recall_pq" -> ((s, dir) => { // measured recall@k of the IVF-PQ
       // path with the refine re-rank — the number (nprobe, m, ksub,
       // refine) control, against the exact top-k
@@ -1047,10 +1056,41 @@ object SparkEntry {
    * super→sub assignment, and the global top-`nprobe` probe across
    * `wprobe` branches. */
   private def annIvfHierSql(k: Int, nsuper: Int, nlistPer: Int,
+      wprobe: Int, nprobe: Int): String =
+    s"""WITH ${annIvfHierCtes(k, nsuper, nlistPer, wprobe, nprobe)}
+       |SELECT query_id, neighbor_id, rnk FROM hier_out""".stripMargin
+
+  /** Measured recall@k of the hierarchical path vs the exact top-k — the
+   * same contract as `p_ann_recall` / `p_ann_recall_pq`, composed from
+   * the shared [[annIvfHierCtes]] block. */
+  private def annRecallHierSql(k: Int, nsuper: Int, nlistPer: Int,
+      wprobe: Int, nprobe: Int): String =
+    s"""WITH ${annIvfHierCtes(k, nsuper, nlistPer, wprobe, nprobe)},
+       |esc AS (SELECT q.vec_id AS query_id, y.vec_id AS neighbor_id,
+       |    list_dot_product(q.v, y.v) /
+       |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(y.v, y.v))) AS c
+       |  FROM e q JOIN e y ON y.vec_id <> q.vec_id),
+       |exact AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rnk
+       |  FROM esc) WHERE rnk <= $k),
+       |j AS (SELECT exact.query_id,
+       |    CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM exact LEFT JOIN hier_out a
+       |    ON a.query_id = exact.query_id AND a.neighbor_id = exact.neighbor_id)
+       |SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |  CAST(SUM(hit) AS BIGINT) AS n_hit,
+       |  ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 4) AS recall
+       |FROM j GROUP BY query_id""".stripMargin
+
+  /** The hierarchical-IVF replay as a reusable CTE block ending in
+   * `hier_out` (query_id, neighbor_id, rnk) — shared by the result
+   * oracle and the measured-recall oracle. */
+  private def annIvfHierCtes(k: Int, nsuper: Int, nlistPer: Int,
       wprobe: Int, nprobe: Int): String = {
     val cos = (a: String, b: String) =>
       s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
-    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |sup AS MATERIALIZED (SELECT vec_id AS sid, v AS sv FROM e
        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nsuper),
        |seeds AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM e
@@ -1082,11 +1122,12 @@ object SparkEntry {
        |sc AS (SELECT q.qid AS query_id, d.vec_id AS neighbor_id,
        |    ${cos("qv.v", "d.v")} AS c
        |  FROM qcell q JOIN e qv ON qv.vec_id = q.qid
-       |  JOIN dat d ON d.cid = q.cid AND d.vec_id <> q.qid)
-       |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
-       |  SELECT query_id, neighbor_id,
-       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rnk
-       |  FROM sc) WHERE rnk <= $k""".stripMargin
+       |  JOIN dat d ON d.cid = q.cid AND d.vec_id <> q.qid),
+       |hier_out AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rnk
+       |    FROM sc) WHERE rnk <= $k)""".stripMargin
   }
 
   /** IVF-PQ oracle: IVF cells via [[ivfCellCtes]], then an exact replay of
@@ -1815,6 +1856,7 @@ object SparkEntry {
     "p_ann_lsh" -> annLshSql(3, 2, 4, 64),
     "p_ann_ivf" -> annIvfSql(3, 16, 4, lloydIters = 2),
     "p_ann_ivf_hier" -> annIvfHierSql(3, 4, 4, 2, 4),
+    "p_ann_recall_hier" -> annRecallHierSql(3, 4, 4, 2, 4),
     "p_ann_ivfpq" -> annIvfPqSql(3, 16, 4, m = 8, ksub = 16, refine = 10),
     "p_ann_pq_index" -> annIvfPqSql(3, 16, 4, m = 8, ksub = 16, refine = 10,
       queryWhere = " AND vec_id % 25 = 0"),

@@ -381,7 +381,9 @@ object Similarity {
     // sub-seeds: the md5-order prefix of size nsuper*nlistPer (a superset
     // of the super seeds — the first nsuper of the same ordering)
     val seeds = v.orderBy(mdOrder: _*).limit(nsuper * nlistPer)
-    val supIds = v.orderBy(mdOrder: _*).limit(nsuper)
+    // the super seeds are the first nsuper of the SAME md5 prefix — sort
+    // the (tiny) seed frame again rather than the whole vector table
+    val supIds = seeds.orderBy(mdOrder: _*).limit(nsuper)
       .select(col("_s_id").as("_sup_id"))
     val seedAsg = seeds.crossJoin(broadcast(superPacked))
       .select(col("_s_id"), col("_s_v"), col("_s_n"),

@@ -117,9 +117,13 @@ def _read_fields(data: bytes):
             v, pos = _read_varint(data, pos)
             yield field, wt, v
         elif wt == 1:
+            if pos + 8 > len(data):
+                raise ValueError("truncated fixed64 field")
             yield field, wt, data[pos : pos + 8]
             pos += 8
         elif wt == 5:
+            if pos + 4 > len(data):
+                raise ValueError("truncated fixed32 field")
             yield field, wt, data[pos : pos + 4]
             pos += 4
         else:

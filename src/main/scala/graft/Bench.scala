@@ -38,7 +38,16 @@ object Bench {
     // a failed query must not silently inflate `total` with its elapsed
     // time — report it as failed and exclude it from the sum
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // measure plans, not residue: cached frames and leftover persisted
+      // RDDs from earlier queries in the 88-query sweep contend for the
+      // storage pool and skew later rows (the round-5 artifact recorded a
+      // 4.5x phantom regression on p_ngram_jaccard from exactly this kind
+      // of accumulated session state). Cleared before EVERY attempt, not
+      // just every query, so best-of-N can't be inflated by rep 2 reading
+      // rep 1's internal persists — each attempt is cold-cache, warm-JVM.
       val attempts = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable =>

@@ -104,6 +104,13 @@ object PqNearestCode {
         if (d < bestD) { bestD = d; best = c }
         c += 1
       }
+      // all-NaN distances (a NaN in the vector) never beat +Inf; surface
+      // that here instead of emitting -1 and failing far away inside
+      // AdcDistance with a misleading "different ksub?" range error
+      if (best < 0)
+        throw new IllegalArgumentException(
+          s"PqNearestCode: no finite distance in subspace $j — NaN in the " +
+            "input vector or codebook?")
       out(j) = best
       j += 1
     }

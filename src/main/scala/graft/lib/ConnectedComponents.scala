@@ -66,17 +66,20 @@ class ConnectedComponents(g: GraphFrame) {
 
   private var smallGraphThresholdV: Long =
     GraftConf.ccSmallGraphThreshold.getOrElse(1000000L)
-  /** Edge-count threshold below which components are finished with a
+  /** EDGE-count threshold below which components are finished with a
    * single driver-side union-find instead of distributed supersteps
-   * (0 disables). The typed collect costs ~32 bytes/edge transient on
-   * the driver (~32 MB at the 1M default — far under any realistic
-   * driver heap). The winners are tiny LSH pair graphs and, above all,
-   * the TAIL of star contraction: after one round the remainder is at
-   * most one parent pointer per non-root vertex, so any graph with
-   * < 1M vertices finishes in one driver job instead of ~5-8 more
-   * supersteps of fixed scheduling overhead (measured 2.1x on the
-   * 1.19M-edge baseline trade graph). At 100 TB the distributed rounds
-   * still do all contraction work until the remainder fits the bound. */
+   * (0 disables; compared against the remaining parent-pointer edge
+   * frame's count). Driver cost at the 1M default: ~32 bytes/edge for
+   * the typed collect (~32 MB) plus the per-vertex label hash map and
+   * the toSeq.toDF local relation shipped back — bounded by #distinct
+   * endpoints ≤ 2×edges, so order ~100 MB transient worst case, far
+   * under the driver heap. The winners are tiny LSH pair graphs and,
+   * above all, the TAIL of star contraction: after one round the
+   * remainder is at most one parent pointer per non-root vertex, so a
+   * remainder under 1M EDGES finishes in one driver job instead of
+   * ~5-8 more supersteps of fixed scheduling overhead (measured 2.1x
+   * on the 1.19M-edge baseline trade graph). At 100 TB the distributed
+   * rounds still do all contraction work until the remainder fits. */
   def setSmallGraphThreshold(n: Long): this.type = { smallGraphThresholdV = n; this }
 
   def run(): DataFrame = {

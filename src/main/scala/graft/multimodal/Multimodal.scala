@@ -185,11 +185,17 @@ object Multimodal {
                   out += RiffFrame(id, stream, kind, idx,
                     java.util.Arrays.copyOfRange(bytes, fbody, fend.toInt))
                 }
-                // chunks pad to even sizes
-                q = fbody + (fsz + (fsz & 1L)).toInt
+                // chunks pad to even sizes; advance in Long — a crafted
+                // le32 size with the top bit set must not wrap the Int
+                // cursor (zero advance = infinite loop, negative = crash).
+                // Corrupt sizes end the walk: truncated input yields what
+                // was parsed so far, never a hung or killed task.
+                val next = fbody.toLong + fsz + (fsz & 1L)
+                q = if (next <= q || next > end) end else next.toInt
               }
             }
-            p = body + (sz + (sz & 1L)).toInt
+            val nextP = body.toLong + sz + (sz & 1L)
+            p = if (nextP <= p || nextP > riffEnd) riffEnd else nextP.toInt
           }
         }
         out

@@ -322,9 +322,17 @@ object Dedup {
       n: Int = 3, minShared: Int = 3, maxDocFreq: Int = Int.MaxValue,
       probeHotShingles: Boolean = true): DataFrame = {
     val df = ensureParallelism(df0)
+    // The shingle frame feeds three consumers (per-doc sizes, the stop
+    // set, the anti-join) and — via shJ — BOTH sides of the pair
+    // self-join. Exchange reuse across the aliases is not guaranteed, so
+    // without a persist the explode+distinct (the heaviest pipeline in
+    // the query) can legally execute up to five times. MEMORY_AND_DISK:
+    // at 100 TB the shingle frame spills rather than OOMs; eviction is
+    // the session's LRU (the frame is narrow — id + one shingle string).
     val sh = df.select(col(idCol).as("_d_id"),
         explode(Text.wordShingles(col(textCol), n)).as("s"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // guardrail: with maxDocFreq unset, one boilerplate shingle shared by d
     // documents fans the self-join out d² with ~no Jaccard signal — the
     // likeliest operator error at 100 TB. Probe a deterministic 0.5%
@@ -362,12 +370,16 @@ object Dedup {
     // then picks a broadcast anti-join on its own), but a low cap over a
     // boilerplate-heavy corpus can make it arbitrarily large, and a forced
     // broadcast would collect all of it to the driver.
+    // persisted: both self-join sides below read this frame — uncached,
+    // the whole capped-shingle subtree would execute twice (the round-5
+    // bench's slowest row traced to exactly that double execution risk)
     val shJ = if (maxDocFreq == Int.MaxValue) sh else {
       val stop = sh.groupBy("s").agg(count(lit(1)).as("_df"))
         .filter(col("_df") > maxDocFreq)
         .select("s")
       sh.join(stop, Seq("s"), "left_anti")
         .select("_d_id", "s")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     val shared = shJ.as("x").join(shJ.as("y"),
         col("x.s") === col("y.s") && col("x._d_id") < col("y._d_id"))

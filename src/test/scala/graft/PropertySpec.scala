@@ -413,6 +413,35 @@ class PropertySpec extends TestBase {
     }, minSuccessful = 15)
   }
 
+  test("RIFF demux survives corrupt top-bit chunk sizes without hanging") {
+    import graft.multimodal.Multimodal
+    def le32(v: Long): Array[Byte] =
+      Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // a valid frame followed by a chunk whose le32 size is 0xFFFFFFF8 —
+    // with Int cursor math the advance is exactly 0 (infinite loop); the
+    // fixed Long walk must bail and keep the frames parsed before it
+    def corruptAvi(evilSize: Long): Array[Byte] = {
+      val movi = new java.io.ByteArrayOutputStream()
+      movi.write("movi".getBytes("US-ASCII"))
+      movi.write("00dc".getBytes("US-ASCII")); movi.write(le32(3)); movi.write(Array[Byte](1, 2, 3, 0))
+      movi.write("00dc".getBytes("US-ASCII")); movi.write(le32(evilSize))
+      movi.write(Array[Byte](9, 9, 9, 9)) // garbage body
+      val m = movi.toByteArray
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("RIFF".getBytes("US-ASCII")); bos.write(le32(4L + 8 + m.length))
+      bos.write("AVI ".getBytes("US-ASCII")); bos.write("LIST".getBytes("US-ASCII"))
+      bos.write(le32(m.length.toLong)); bos.write(m)
+      bos.toByteArray
+    }
+    for (evil <- Seq(0xFFFFFFF8L, 0xFFFFFFFFL, 0x7FFFFFFFL)) {
+      val df = Seq((1L, corruptAvi(evil))).toDF("id", "payload")
+      val out = Multimodal.demuxRiffFrames(df, "id", "payload").collect()
+      assert(out.length == 1 && out.head.frame.toSeq == Seq[Byte](1, 2, 3),
+        s"evil size 0x${evil.toHexString}")
+    }
+  }
+
   test("simhash of identical docs is identical; hamming grows with edits") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -230,13 +230,17 @@ class GraphFrame private (
   /** Power iteration clustering, delegated to Spark ML (role of reference
    * GraphFrame.scala:894-930): returns (id, cluster) for every vertex that
    * appears in an edge. Weights default to 1.0 unless `weightCol` names an
-   * edge column. */
+   * edge column. `initMode` is Spark ML's: "random" (default, matches the
+   * reference) or "degree" — degree init makes the whole run deterministic
+   * (Spark ML's internal k-means seed is a class-name constant), which is
+   * what makes a replayable oracle possible on separable fixtures. */
   def powerIterationClustering(k: Int, maxIter: Int = 20,
-      weightCol: Option[String] = None): DataFrame = {
+      weightCol: Option[String] = None,
+      initMode: String = "random"): DataFrame = {
     val e = indexedEdges.select(col(LONG_SRC).as("src"), col(LONG_DST).as("dst"),
       weightCol.map(w => col(s"$ATTR.$w").cast("double")).getOrElse(lit(1.0)).as("weight"))
     val pic = new org.apache.spark.ml.clustering.PowerIterationClustering()
-      .setK(k).setMaxIter(maxIter).setWeightCol("weight")
+      .setK(k).setMaxIter(maxIter).setWeightCol("weight").setInitMode(initMode)
     val assignments = pic.assignClusters(e)
     indexedVertices
       .join(assignments, indexedVertices(LONG_ID) === assignments("id"))

@@ -334,8 +334,29 @@ object SparkEntry {
       // oracle applies at this scale
       graphB(s, dir).triangleCount.runApprox(lgNomEntries = 12)
         .select(col(ID), col("count").as("tri_count"))),
-    "g_pic" -> ((s, dir) => // rows-only check (cluster labels arbitrary)
-      graphB(s, dir).powerIterationClustering(k = 2, maxIter = 20)),
+    "g_pic" -> ((s, dir) => {
+      // label values are arbitrary, so the ORACLED output is the label-
+      // invariant CO-MEMBERSHIP relation on a separable fixture: two
+      // nation cliques (0..11 | 12..24) with no cross edges. Degree init
+      // makes Spark ML's PIC fully deterministic (its internal k-means
+      // seed is a class-name constant), and any correct 2-clustering of
+      // two disconnected cliques is the block partition — so all 300
+      // ordered pairs, positive AND negative co-membership, are exact.
+      val n = load(s, dir, "nation")
+      val key = col("n_nationkey").cast("int")
+      val v = n.select(key.as(ID), col("n_name"))
+      val e = n.select(key.as("a")).join(n.select(key.as("b")), col("a") < col("b"))
+        .filter((col("a") < 12 && col("b") < 12) ||
+          (col("a") >= 12 && col("b") >= 12))
+        .select(col("a").as(SRC), col("b").as(DST))
+      val labels = GraphFrame(v, e)
+        .powerIterationClustering(k = 2, maxIter = 20, initMode = "degree")
+      labels.select(col(ID).as("a"), col("cluster").as("ca"))
+        .join(labels.select(col(ID).as("b"), col("cluster").as("cb")),
+          col("a") < col("b"))
+        .select(col("a"), col("b"),
+          (col("ca") === col("cb")).cast("int").as("same_cluster"))
+    }),
     "g_skew_hub" -> ((s, dir) => skewStats(s, dir, hub = true)),
     "g_skew_flat" -> ((s, dir) => skewStats(s, dir, hub = false)),
     "g_belief_prop" -> ((s, dir) => { // sum-product BP (log-odds messages,
@@ -362,13 +383,15 @@ object SparkEntry {
         .sourceIds(Seq(0, 5)).maxIter(10).run()
         .select(col(ID), round(element_at(col("pageranks"), 1), 5).as("r0"),
           round(element_at(col("pageranks"), 2), 5).as("r1"))),
-    "g_svdpp" -> ((s, dir) => { // rows-only check (GraphX factor init is random)
+    "g_svdpp" -> ((s, dir) => { // deterministic variant: md5 factor init +
+      // synchronous epochs — the DuckDB oracle replays both epochs exactly
       val li = load(s, dir, "lineitem")
       val e = li.select(concat(lit("s"), col("l_suppkey")).as(SRC),
         concat(lit("p"), col("l_partkey")).as(DST),
         col("l_quantity").as(GraphFrame.WEIGHT))
-      GraphFrame.fromEdges(e).svdPlusPlus.setRank(4).maxIter(2).run()
-        .select(col(ID), col("bias"))
+      GraphFrame.fromEdges(e).svdPlusPlus.setRank(2).maxIter(2)
+        .setMinValue(1.0).setMaxValue(50.0).runDeterministic()
+        .select(col(ID), round(col("bias"), 5).as("bias"))
     }),
     "g_rw_embeddings" -> ((s, dir) => // oracle: coverage + width only
       // (Word2Vec factor values are randomly initialized — unoracleable)
@@ -1229,6 +1252,63 @@ object SparkEntry {
        |UNION ALL SELECT 'triangles', t FROM tri""".stripMargin
   }
 
+  /** Unrolled replay of [[graft.lib.SVDPlusPlus.runDeterministic]] on the
+   * supplier→part quantity graph: rank 2 as scalar columns (p1/p2, q1/q2,
+   * y1/y2), one CTE block per synchronous epoch (s = Σy over rated items,
+   * per-edge clamped prediction error, per-vertex gradient sums), md5
+   * factor init identical to Spark's `conv(substr(md5,1,4),16,10)`.
+   * Prototyped against a numpy replica that matched Spark bit-for-bit
+   * (round-6, /tmp pattern per the oracle workflow). */
+  private def svdppSql(epochs: Int): String = {
+    def hcol(tag: String, idc: String, k: Int): String =
+      s"(${duckHex4(s"md5('$tag|' || $idc || '|$k')")}) / 65536.0 * 0.1"
+    def epoch(n: Int): String = {
+      val p = n - 1
+      s"""s$n AS MATERIALIZED (SELECT e.u, sum(t.y1) AS s1, sum(t.y2) AS s2
+         |  FROM e JOIN it$p t USING (i) GROUP BY e.u),
+         |t$n AS MATERIALIZED (
+         |  SELECT e.u, e.i, us.nu, it.q1, it.q2,
+         |    us.p1 + us.nu*s.s1 AS z1, us.p2 + us.nu*s.s2 AS z2,
+         |    e.r - least(greatest((SELECT m FROM mu) + us.bu + it.bi
+         |      + it.q1*(us.p1+us.nu*s.s1) + it.q2*(us.p2+us.nu*s.s2), 1.0), 50.0) AS err
+         |  FROM e JOIN us$p us USING (u) JOIN it$p it USING (i) JOIN s$n s USING (u)),
+         |us$n AS MATERIALIZED (
+         |  SELECT us.u, us.du, us.nu,
+         |    us.bu + 0.007*(a.se - us.du*0.005*us.bu) AS bu,
+         |    us.p1 + 0.007*(a.eq1 - us.du*0.015*us.p1) AS p1,
+         |    us.p2 + 0.007*(a.eq2 - us.du*0.015*us.p2) AS p2
+         |  FROM us$p us JOIN (SELECT u, sum(err) AS se, sum(err*q1) AS eq1,
+         |    sum(err*q2) AS eq2 FROM t$n GROUP BY u) a USING (u)),
+         |it$n AS MATERIALIZED (
+         |  SELECT it.i, it.di,
+         |    it.bi + 0.007*(a.se - it.di*0.005*it.bi) AS bi,
+         |    it.q1 + 0.007*(a.ez1 - it.di*0.015*it.q1) AS q1,
+         |    it.q2 + 0.007*(a.ez2 - it.di*0.015*it.q2) AS q2,
+         |    it.y1 + 0.007*(a.ey1 - it.di*0.015*it.y1) AS y1,
+         |    it.y2 + 0.007*(a.ey2 - it.di*0.015*it.y2) AS y2
+         |  FROM it$p it JOIN (SELECT i, sum(err) AS se, sum(err*z1) AS ez1,
+         |    sum(err*z2) AS ez2, sum(err*nu*q1) AS ey1, sum(err*nu*q2) AS ey2
+         |    FROM t$n GROUP BY i) a USING (i))""".stripMargin
+    }
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT 's' || l_suppkey AS u, 'p' || l_partkey AS i,
+       |    CAST(l_quantity AS DOUBLE) AS r FROM lineitem),
+       |mu AS MATERIALIZED (SELECT avg(r) AS m FROM e),
+       |us0 AS MATERIALIZED (
+       |  SELECT u, count(*) AS du, avg(r) - (SELECT m FROM mu) AS bu,
+       |    1.0/sqrt(count(*)) AS nu,
+       |    ${hcol("p", "u", 0)} AS p1, ${hcol("p", "u", 1)} AS p2
+       |  FROM e GROUP BY u),
+       |it0 AS MATERIALIZED (
+       |  SELECT i, count(*) AS di, avg(r) - (SELECT m FROM mu) AS bi,
+       |    ${hcol("q", "i", 0)} AS q1, ${hcol("q", "i", 1)} AS q2,
+       |    ${hcol("y", "i", 0)} AS y1, ${hcol("y", "i", 1)} AS y2
+       |  FROM e GROUP BY i),
+       |${(1 to epochs).map(epoch).mkString(",\n")}
+       |SELECT u AS id, round(bu, 5) AS bias FROM us$epochs
+       |UNION ALL SELECT i AS id, round(bi, 5) AS bias FROM it$epochs""".stripMargin
+  }
+
   /** Unrolled sum-product BP replay for [[graft.examples.BeliefPropagation]]
    * on the nation-keyed 5x5 Ising grid: one chained CTE per (sweep, color)
    * message update — λ' = atanh(tanh(b)·tanh(a_i + Σλ_in - λ_rev)) written
@@ -1556,7 +1636,14 @@ object SparkEntry {
         |SELECT a.c_nationkey AS nation_key, b.n_cust, a.n_orders, a.total_val
         |FROM a JOIN b ON a.c_nationkey = b.c_nationkey""".stripMargin,
     "g_pppr" -> ppprSql(10, 0, 5),
+    "g_pic" ->
+      // co-membership on the two-clique fixture: any correct 2-clustering
+      // of two disconnected cliques is the block partition (0..11 | 12..24)
+      """SELECT x.n_nationkey AS a, y.n_nationkey AS b,
+        |  CAST((x.n_nationkey < 12) = (y.n_nationkey < 12) AS INT) AS same_cluster
+        |FROM nation x JOIN nation y ON x.n_nationkey < y.n_nationkey""".stripMargin,
     "g_belief_prop" -> beliefPropSql(2),
+    "g_svdpp" -> svdppSql(2),
     "g_skew_hub" -> skewStatsSql(hub = true),
     "g_skew_flat" -> skewStatsSql(hub = false),
     "g_label_propagation" -> lpaSql(5),

@@ -323,7 +323,8 @@ object GraftConnectDispatch {
           k = int("k").getOrElse(throw new IllegalArgumentException(
             "power_iteration_clustering requires params_json key 'k'")),
           maxIter = int("maxIter").getOrElse(20),
-          weightCol = str("weightCol"))
+          weightCol = str("weightCol"),
+          initMode = str("initMode").getOrElse("random"))
       case "svd_plus_plus" =>
         val svd = g.svdPlusPlus
         int("rank").foreach(svd.setRank)

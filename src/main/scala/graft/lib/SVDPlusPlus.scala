@@ -1,6 +1,6 @@
 package graft.lib
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.GraphFrame
 
@@ -31,6 +31,114 @@ class SVDPlusPlus(g: GraphFrame) {
   def setMaxValue(v: Double): this.type = { maxValue = v; this }
 
   @volatile var lastLoss: Double = Double.NaN
+
+  /** Deterministic DataFrame SVD++ on a BIPARTITE user→item rating graph —
+   * same model as [[run]] (Koren's SVD++: `pred = μ + b_u + b_i +
+   * q_i · (p_u + |N(u)|^-½ Σ_{j∈N(u)} y_j)`, clamped to [min,max]) with
+   * two deliberate differences that make it oracle-replayable where the
+   * stock-GraphX delegate is not (reference lib/SVDPlusPlus.scala:95-257
+   * inherits GraphX's unseeded `Random.nextDouble` factor init):
+   *
+   *  - factor init is an md5 hash of (tag, original id, k) — deterministic
+   *    under retries, AQE, and re-runs, and replayable in ANSI SQL;
+   *    biases start at (vertex mean rating − μ), norms at deg^-½;
+   *  - updates are synchronous whole-epoch gradient steps (per-vertex sums
+   *    of per-edge gradients, regularization applied once per incident
+   *    edge): b += γ1(Σerr − deg·γ6·b); p_u += γ2(Σ err·q_i − deg·γ7·p_u);
+   *    q_i += γ2(Σ err·z_u − deg·γ7·q_i); y_i += γ2(Σ err·norm_u·q_i −
+   *    deg·γ7·y_i), where z_u = p_u + norm_u·s_u.
+   *
+   * Scale: per epoch, one fixed-width (id, k, v) shuffle per aggregated
+   * vector — edges carry rank doubles, never text; vertex state frames are
+   * one row per vertex and persist across epochs. Returns one row per
+   * vertex: (id, q, p, y, bias, norm_deviation) — q/y null for users,
+   * p/norm null for items. Training loss (final-state Σerr²) in [[lastLoss]].
+   */
+  def runDeterministic(): DataFrame = {
+    import GraphFrame.{SRC, DST}
+    require(g.edges.columns.contains(WEIGHT), "svdPlusPlus: edges need a 'weight' column")
+    // ids keep their original type end-to-end; only the md5 init hashes
+    // their string form (concat_ws casts)
+    val e = g.edges.select(col(SRC).as("u"), col(DST).as("i"),
+        col(WEIGHT).cast("double").as("r"))
+      .persist()
+    val mu = e.agg(avg("r")).head().getDouble(0)
+    val g1 = gamma1; val g2 = gamma2; val g6 = gamma6; val g7 = gamma7
+    // hash init in [0, 0.1): first 16 md5 bits of "tag|id|k" / 65536 * 0.1
+    def hinit(tag: String, id: Column, k: Column): Column =
+      conv(substring(md5(concat_ws("|", lit(tag), id, k.cast("string"))), 1, 4), 16, 10)
+        .cast("double") / 65536.0 * 0.1
+    def hvec(tag: String, id: Column): Column =
+      transform(sequence(lit(0), lit(rank - 1)), k => hinit(tag, id, k))
+    // elementwise array-sum aggregation via fixed-width (key, k, v) rows —
+    // no per-key array materialization in a single task
+    def vecSum(df: DataFrame, key: String, arr: String): DataFrame =
+      df.select(col(key), posexplode(col(arr)).as(Seq("k", "v")))
+        .groupBy(key, "k").agg(sum("v").as("v"))
+        .groupBy(key).agg(transform(
+          array_sort(collect_list(struct(col("k"), col("v")))), s => s("v")).as(arr))
+    var users = e.groupBy("u").agg(count(lit(1)).as("du"), avg("r").as("ar"))
+      .select(col("u"), col("du"), (col("ar") - mu).as("bu"),
+        (lit(1.0) / sqrt(col("du"))).as("nu"), hvec("p", col("u")).as("p"))
+      .persist()
+    var items = e.groupBy("i").agg(count(lit(1)).as("di"), avg("r").as("ar"))
+      .select(col("i"), col("di"), (col("ar") - mu).as("bi"),
+        hvec("q", col("i")).as("q"), hvec("y", col("i")).as("y"))
+      .persist()
+    def edgeErr(us: DataFrame, it: DataFrame): DataFrame = {
+      val su = vecSum(e.join(it.select(col("i"), col("y")), "i"), "u", "y")
+        .withColumnRenamed("y", "su")
+      e.join(us, "u").join(it, "i").join(su, "u")
+        .withColumn("z", zip_with(col("p"), col("su"), (p, s) => p + col("nu") * s))
+        .withColumn("pred", least(greatest(
+          lit(mu) + col("bu") + col("bi") +
+            aggregate(zip_with(col("q"), col("z"), (a, b) => a * b),
+              lit(0.0), (acc, x) => acc + x),
+          lit(minValue)), lit(maxValue)))
+        .withColumn("err", col("r") - col("pred"))
+    }
+    for (_ <- 1 to maxIterV) {
+      val t = edgeErr(users, items).persist()
+      val uScal = t.groupBy("u").agg(sum("err").as("se"))
+      val uVec = vecSum(t.select(col("u"),
+        transform(col("q"), q => q * col("err")).as("eq")), "u", "eq")
+      val newUsers = users.join(uScal, "u").join(uVec, "u")
+        .select(col("u"), col("du"),
+          (col("bu") + (col("se") - col("du") * g6 * col("bu")) * g1).as("bu"),
+          col("nu"),
+          zip_with(col("p"), col("eq"),
+            (p, s) => p + (s - col("du") * g7 * p) * g2).as("p"))
+      val iScal = t.groupBy("i").agg(sum("err").as("se"))
+      val iVecQ = vecSum(t.select(col("i"),
+        transform(col("z"), z => z * col("err")).as("ez")), "i", "ez")
+      val iVecY = vecSum(t.select(col("i"),
+        transform(col("q"), q => q * col("err") * col("nu")).as("ey")), "i", "ey")
+      val newItems = items.join(iScal, "i").join(iVecQ, "i").join(iVecY, "i")
+        .select(col("i"), col("di"),
+          (col("bi") + (col("se") - col("di") * g6 * col("bi")) * g1).as("bi"),
+          zip_with(col("q"), col("ez"),
+            (q, s) => q + (s - col("di") * g7 * q) * g2).as("q"),
+          zip_with(col("y"), col("ey"),
+            (y, s) => y + (s - col("di") * g7 * y) * g2).as("y"))
+      // eager localCheckpoint BOTH truncates the lineage (the epoch plan
+      // tree otherwise compounds ~10x per epoch — a 5-epoch run OOMs the
+      // driver on plan nodes alone) and materializes, so the epoch inputs
+      // can be dropped immediately
+      val cu = newUsers.localCheckpoint(true)
+      val ci = newItems.localCheckpoint(true)
+      users.unpersist(false); items.unpersist(false); t.unpersist(false)
+      users = cu; items = ci
+    }
+    lastLoss = edgeErr(users, items)
+      .agg(sum(col("err") * col("err"))).head().getDouble(0)
+    e.unpersist(false)
+    users.select(col("u").as(ID), lit(null).cast("array<double>").as("q"),
+        col("p"), lit(null).cast("array<double>").as("y"),
+        col("bu").as("bias"), col("nu").as("norm_deviation"))
+      .unionByName(items.select(col("i").as(ID), col("q"),
+        lit(null).cast("array<double>").as("p"), col("y"),
+        col("bi").as("bias"), lit(null).cast("double").as("norm_deviation")))
+  }
 
   def run(): DataFrame = {
     require(g.edges.columns.contains(WEIGHT), "svdPlusPlus: edges need a 'weight' column")

@@ -32,6 +32,49 @@ class MLSpec extends TestBase {
     assert(!svd.lastLoss.isNaN && svd.lastLoss >= 0)
   }
 
+  test("svdPlusPlus.runDeterministic is replayable and loss decreases") {
+    val v = (0L to 5L).toDF("id")
+    val e = Seq((0L, 3L, 5.0), (0L, 4L, 1.0), (1L, 3L, 4.0), (1L, 5L, 2.0),
+      (2L, 4L, 3.0), (2L, 5L, 5.0)).toDF("src", "dst", "weight")
+    def mk() = GraphFrame(v, e).svdPlusPlus.setRank(2).maxIter(2)
+      .setMinValue(1.0).setMaxValue(5.0)
+    val a = mk(); val outA = a.run(); val lossA = a.lastLoss
+    // two fresh builds agree exactly — no RNG anywhere
+    def dump(svd: lib.SVDPlusPlus) = svd.runDeterministic()
+      .select($"id", round($"bias", 9)).as[(Long, Double)].collect().toMap
+    val s1 = mk(); val m1 = dump(s1); val l1 = s1.lastLoss
+    val s2 = mk(); val m2 = dump(s2); val l2 = s2.lastLoss
+    assert(m1 == m2 && l1 == l2)
+    assert(m1.size == 6)
+    // more epochs must not increase the training loss on this tiny fixture
+    val s5 = mk().maxIter(5); s5.runDeterministic().count()
+    assert(s5.lastLoss <= l1 + 1e-9, s"loss ${s5.lastLoss} vs $l1")
+    // role-dependent nulls: users carry p/norm, items carry q/y
+    val out = mk().runDeterministic()
+    assert(out.filter($"id" <= 2 && $"p".isNotNull && $"q".isNull).count() == 3)
+    assert(out.filter($"id" >= 3 && $"q".isNotNull && $"p".isNull).count() == 3)
+    assert(lossA >= 0) // delegate path still runs alongside
+    assert(outA.count() == 6)
+  }
+
+  test("powerIterationClustering with degree init separates two cliques deterministically") {
+    // UNEQUAL blocks (4 | 6): with equal cliques every degree matches, the
+    // degree init is the uniform vector — a power-iteration fixed point —
+    // and k-means sees one point; the driver fixture splits 12 | 13 for
+    // the same reason
+    val ids = (0L to 9L)
+    val edges = for (a <- ids; b <- ids if a < b;
+        if (a < 4) == (b < 4)) yield (a, b)
+    val g = GraphFrame(ids.toDF("id"), edges.toDF("src", "dst"))
+    def labels() = g.powerIterationClustering(k = 2, maxIter = 15, initMode = "degree")
+      .as[(Long, Int)].collect().toMap
+    val l1 = labels(); val l2 = labels()
+    assert(l1 == l2, "degree-init PIC must be deterministic")
+    val block0 = ids.filter(_ < 4).map(l1).toSet
+    val block1 = ids.filter(_ >= 4).map(l1).toSet
+    assert(block0.size == 1 && block1.size == 1 && block0 != block1)
+  }
+
   test("randomWalkEmbeddings produces one vector per reachable vertex") {
     val g = twoBlobs(3)
     val emb = embeddings.Embeddings.randomWalkEmbeddings(g, dim = 8, walkLength = 3,

@@ -414,6 +414,18 @@ object SparkEntry {
           "l_suppkey", "supplier", "l_partkey", "part")))
       pg.bipartiteProjection("supplies")
     }),
+    "p_bipartite_capped" -> ((s, dir) => {
+      // hub-capped projection: parts supplied by > 20 suppliers are
+      // excluded before the self-join (the 100-TB-scale guard; weight
+      // becomes a lower bound that ignores hub-mediated co-occurrence)
+      import graft.propertygraph._
+      val pg = new PropertyGraphFrame(
+        Seq(VertexPropertyGroup("supplier", load(s, dir, "supplier"), "s_suppkey"),
+          VertexPropertyGroup("part", load(s, dir, "part"), "p_partkey")),
+        Seq(EdgePropertyGroup("supplies", load(s, dir, "lineitem"),
+          "l_suppkey", "supplier", "l_partkey", "part")))
+      pg.bipartiteProjection("supplies", maxDegree = 20)
+    }),
     "m_media_meta" -> ((s, dir) => {
       // fixture: frame each doc's text as a REAL media payload — doc_id%3
       // picks PNG (full signature + IHDR), JPEG (SOI + APP0 + COM + SOF0,
@@ -1500,6 +1512,15 @@ object SparkEntry {
       """WITH d AS (SELECT DISTINCT l_suppkey AS a, l_partkey AS b FROM lineitem)
         |SELECT x.a AS src, y.a AS dst, count(*) AS weight
         |FROM d x JOIN d y ON x.b = y.b AND x.a < y.a
+        |GROUP BY 1, 2""".stripMargin,
+    "p_bipartite_capped" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT DISTINCT l_suppkey AS a, l_partkey AS b FROM lineitem),
+        |f AS MATERIALIZED (
+        |  SELECT a, b FROM d
+        |  WHERE b IN (SELECT b FROM d GROUP BY b HAVING count(*) <= 20))
+        |SELECT x.a AS src, y.a AS dst, count(*) AS weight
+        |FROM f x JOIN f y ON x.b = y.b AND x.a < y.a
         |GROUP BY 1, 2""".stripMargin,
     "m_media_meta" ->
       // recompute the fixture's embedded header fields analytically — the

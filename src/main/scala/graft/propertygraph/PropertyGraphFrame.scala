@@ -57,11 +57,29 @@ class PropertyGraphFrame(
 
   /** Bipartite projection of an A→B edge group onto A: connect two A-side
    * vertices whenever they share a B-side neighbor; weight = number of
-   * shared neighbors (reference PropertyGraphFrame.scala:109-152). */
-  def bipartiteProjection(edgeGroup: String): DataFrame = {
+   * shared neighbors (reference PropertyGraphFrame.scala:109-152).
+   *
+   * `maxDegree` is an OPT-IN hub cap (default: none — exact parity with
+   * the reference): a B-side vertex shared by d A-vertices fans the
+   * self-join out d²/2 pairs, so one hub key can dominate the whole job
+   * at scale. Capped, B-vertices with degree > maxDegree are dropped
+   * before the join (hash-agg degree count + anti-join — the hub's edges
+   * never meet the join), making `weight` a lower bound that ignores
+   * hub-mediated co-occurrence — the same trade, and the same mechanism,
+   * as `Dedup.ngramJaccard.maxDocFreq`. */
+  def bipartiteProjection(edgeGroup: String,
+      maxDegree: Int = Int.MaxValue): DataFrame = {
     val g = edgeGroups.find(_.name == edgeGroup).getOrElse(
       throw new IllegalArgumentException(s"no edge group named '$edgeGroup'"))
-    val e = g.df.select(col(g.srcCol).as("a"), col(g.dstCol).as("b")).distinct()
+    val e0 = g.df.select(col(g.srcCol).as("a"), col(g.dstCol).as("b")).distinct()
+    val e = if (maxDegree == Int.MaxValue) e0 else {
+      val hubs = e0.groupBy("b").agg(count(lit(1)).as("_deg"))
+        .filter(col("_deg") > maxDegree)
+        .select("b")
+      // persisted: both self-join sides read the capped frame
+      e0.join(hubs, Seq("b"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     e.as("x").join(e.as("y"),
         col("x.b") === col("y.b") && col("x.a") < col("y.a"))
       .groupBy(col("x.a").as(SRC), col("y.a").as(DST))

@@ -51,6 +51,12 @@ class ExtendedSpec extends TestBase {
     // users 1 and 2 share item 1
     assert(proj.select("src", "dst", "weight").as[(Long, Long, Long)].collect().toSet ==
       Set((1L, 2L, 1L)))
+    // hub cap: item 1 (degree 2) dropped at maxDegree=1 → no pairs remain
+    val capped = pg.bipartiteProjection("rated", maxDegree = 1)
+    assert(capped.count() == 0)
+    // cap above every degree = unchanged
+    assert(pg.bipartiteProjection("rated", maxDegree = 2)
+      .as[(Long, Long, Long)].collect().toSet == Set((1L, 2L, 1L)))
   }
 
   test("KMinSampling keeps k smallest-weight values with bounded buffer") {

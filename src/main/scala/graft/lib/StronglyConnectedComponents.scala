@@ -47,9 +47,48 @@ class StronglyConnectedComponents(g: GraphFrame) {
     var rem = remMgr.persistOnly(iv.select(col("vid")))
     var re = reMgr.persistOnly(e0)
     val assignedParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var remRound = 0; var reRound = 0
 
     var outer = 0
     while (outer < maxIterV && rem.take(1).nonEmpty) {
+      // -- trim pre-pass: a vertex with no incoming or no outgoing edge in
+      // the remaining graph is its own (singleton) SCC — drop it before
+      // coloring. Iterated to fixpoint, because each peel can expose the
+      // next layer (a chain of singleton SCCs peels one layer per step,
+      // each a cheap distinct+semi-join round instead of a full color
+      // fixpoint + backward sweep outer round — the coloring algorithm's
+      // chain-degeneracy). Trimmed vertices simply leave `rem`; the final
+      // left-outer coalesce labels them with their own id, which IS their
+      // SCC label.
+      // One probe job decides whether the round trims at all: a vertex on
+      // only ONE side of the remaining edge set (source-only or sink-only)
+      // appears once in the union of the two distinct endpoint sets. On
+      // graphs with nothing to peel (e.g. one dense SCC) the pre-pass
+      // costs exactly this probe — no edge-frame rebuild.
+      def trimmable(): Boolean = re.select(col("src").as("vid")).distinct()
+        .unionAll(re.select(col("dst").as("vid")).distinct())
+        .groupBy("vid").agg(count(lit(1)).as("n")).filter(col("n") === 1)
+        .take(1).nonEmpty
+      val didTrim = trimmable()
+      if (didTrim) {
+        var trimming = true
+        while (trimming) {
+          reRound += 1
+          val keepV = re.select(col("src").as("vid")).distinct()
+            .join(re.select(col("dst").as("vid")).distinct(), Seq("vid"))
+          re = reMgr.cycle(
+            re.join(keepV.select(col("vid").as("src")), Seq("src"), "left_semi")
+              .join(keepV.select(col("vid").as("dst")), Seq("dst"), "left_semi")
+              .select("src", "dst"), reRound)
+          trimming = trimmable()
+        }
+        remRound += 1
+        rem = remMgr.cycle(rem.join(
+          re.select(col("src").as("vid")).unionAll(re.select(col("dst").as("vid")))
+            .distinct(), Seq("vid"), "left_semi"), remRound)
+      }
+      if (didTrim && rem.take(1).isEmpty) { outer = maxIterV } // all singletons
+      else {
       // -- forward max-color fixpoint, frontier-gated: only vertices whose
       // color changed last round send (every vertex sends once in round 1,
       // so each edge's initial color propagates; thereafter any increase
@@ -81,12 +120,25 @@ class StronglyConnectedComponents(g: GraphFrame) {
         .join(colorsP.select(col("vid").as("dst"), col("color").as("_c2")), Seq("dst"))
         .filter(col("_c1") === col("_c2"))
         .select(col("dst").as("from"), col("src").as("to"))
+      // Both sweep frames go through lineage-cutting managers: `nxt`
+      // references BOTH the previous frontier and the whole reached set
+      // (anti-join), so plain persist-without-truncation doubles the
+      // analyzed plan per hop — exponential analysis time/heap on any
+      // SCC with diameter over ~10 (a 12-cycle OOM'd an 8g driver on
+      // plan strings before this; dense test graphs never hit it).
       val bmgr = newMgr()
       val sameColorRevP = bmgr.persistOnly(sameColorRev)
-      var reached = bmgr.persistOnly(
-        colorsP.filter(col("vid") === col("color")).select(col("vid"), col("color")))
+      // interval 6: sweep plans only double per hop, so 2^6 plan nodes
+      // between cuts stays trivial while short sweeps (dense graphs
+      // converge in 2-3 hops) pay zero mid-loop checkpoint jobs
+      val fmgr = IterationManager.withReliableDir(g.spark, reliableDirV,
+        checkpointInterval = 6)
+      val rmgr = IterationManager.withReliableDir(g.spark, reliableDirV,
+        checkpointInterval = 6)
+      var reached = rmgr.cycle(
+        colorsP.filter(col("vid") === col("color")).select(col("vid"), col("color")), 0)
       var frontier = reached
-      var bIt = 0
+      var bIt = 1
       var growing = true
       while (growing) {
         val nxt = sameColorRevP.join(
@@ -94,10 +146,10 @@ class StronglyConnectedComponents(g: GraphFrame) {
           .select(col("to").as("vid"), col("color"))
           .distinct()
           .join(reached.select("vid"), Seq("vid"), "left_anti")
-        val nxtP = bmgr.persistOnly(nxt)
+        val nxtP = fmgr.cycle(nxt, bIt)
         growing = nxtP.take(1).nonEmpty
         if (growing) {
-          reached = bmgr.persistOnly(reached.unionAll(nxtP))
+          reached = rmgr.cycle(reached.unionAll(nxtP), bIt)
           frontier = nxtP
         }
         bIt += 1
@@ -106,14 +158,16 @@ class StronglyConnectedComponents(g: GraphFrame) {
         .persist()
       part.count()
       assignedParts += part
-      rem = remMgr.cycle(rem.join(part.select("vid"), Seq("vid"), "left_anti"), outer)
+      remRound += 1; reRound += 1
+      rem = remMgr.cycle(rem.join(part.select("vid"), Seq("vid"), "left_anti"), remRound)
       re = reMgr.cycle(
         re.join(part.select(col("vid").as("src")), Seq("src"), "left_anti")
           .join(part.select(col("vid").as("dst")), Seq("dst"), "left_anti")
           .select("src", "dst"),
-        outer)
-      cmgr.close(); bmgr.close()
+        reRound)
+      cmgr.close(); bmgr.close(); fmgr.close(); rmgr.close()
       outer += 1
+      }
     }
 
     val assigned = assignedParts.reduceOption(_ unionAll _)

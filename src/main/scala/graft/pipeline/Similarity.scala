@@ -267,6 +267,17 @@ object Similarity {
    * oracles are unchanged. Evaluated per row against `_s_v`/`_s_n`. */
   private def rankedCells(take: Int): Column = rankedCellsIn(col("_carr"), take)
 
+  /** Top-1 cell id by (cosine desc, id asc) via the native
+   * [[graft.expressions.BestCell]] argmax kernel — replaces the
+   * score-all + interpreted-TimSort + slice(1) pipeline on every cell
+   * ASSIGNMENT path (Lloyd reassignment, hierarchical routing, PQ index
+   * cell selection). Bit-identical similarities and tie order, so oracle
+   * hashes are unchanged; top-R probing (R > 1) keeps the sort. */
+  private def bestCellOf(arr: Column): Column =
+    element_at(arr,
+      graft.expressions.BestCell.bestCellIndex(col("_s_v"), col("_s_n"), arr) + 1)
+      .getField("_c_id")
+
   /** [[rankedCells]] against an arbitrary packed centroid-array column
    * (same (_c_id, _c_v, _c_n) struct elements) — the hierarchical path
    * ranks per-branch sub-codebooks that arrive via a join instead of the
@@ -317,7 +328,7 @@ object Similarity {
     // Lloyd refinement: reassign, recompute per-cell mean vectors
     for (_ <- 0 until lloydIters) {
       val assigned = v.crossJoin(broadcast(packed(cents)))
-        .select(element_at(rankedCells(1), 1).getField("_c_id").as("_cell"), col("_s_v"))
+        .select(bestCellOf(col("_carr")).as("_cell"), col("_s_v"))
       val means = assigned
         .select(col("_cell"), posexplode(col("_s_v")).as(Seq("_pos", "_x")))
         .groupBy("_cell", "_pos").agg(avg(col("_x")).as("_m"))
@@ -387,7 +398,7 @@ object Similarity {
       .select(col("_s_id").as("_sup_id"))
     val seedAsg = seeds.crossJoin(broadcast(superPacked))
       .select(col("_s_id"), col("_s_v"), col("_s_n"),
-        element_at(rankedCells(1), 1).getField("_c_id").as("_top1"))
+        bestCellOf(col("_carr")).as("_top1"))
       .join(broadcast(supIds), col("_s_id") === col("_sup_id"), "left")
       .select(col("_s_id").as("_c_id"), col("_s_v").as("_c_v"),
         col("_s_n").as("_c_n"), coalesce(col("_sup_id"), col("_top1")).as("_bid"))
@@ -406,7 +417,7 @@ object Similarity {
 
     val data = vSuper.filter(col("_r") === 1).join(subcb, "_bid")
       .select(col("_s_id"), col("_s_v"), col("_s_n"),
-        element_at(rankedCellsIn(col("_subarr"), 1), 1).getField("_c_id").as("_cell"))
+        bestCellOf(col("_subarr")).as("_cell"))
 
     // probe: per-branch top-nprobe (a superset of the global answer),
     // then the global top-nprobe across wprobe branches — narrow rows
@@ -611,7 +622,7 @@ object Similarity {
     val v = requireDim(normalized(withNorm(df, idCol, vecCol)), d, "ivfPqIndex")
     v.crossJoin(broadcast(model))
       .select(col("_s_id").as(idCol),
-        element_at(rankedCells(1), 1).getField("_c_id").as("cell"),
+        bestCellOf(col("_carr")).as("cell"),
         pqCode(col("_s_v"), col("_cb"), m, d / m).as("codes"))
   }
 

@@ -301,4 +301,68 @@ class PQSpec extends TestBase {
     assert(out.map(_._1).distinct.length == all.count(),
       "anchored branches must keep every vector reachable")
   }
+
+  test("BestCell kernel: matches the sort pipeline, interp == codegen, ties by id") {
+    import graft.expressions.BestCell.bestCellIndex
+    import graft.expressions.ArrayDotProduct.dotProduct
+    // cells as (id, vector, norm) structs; includes an exact tie (cells
+    // 10 and 7 identical) that must go to the LOWER id, and a zero-norm
+    // cell that must rank last via the -2.0 sentinel
+    val df = Seq(
+      (Seq(1.0, 0.0), 1.0, Seq(
+        (10L, Seq(3.0, 0.0), 3.0), (7L, Seq(3.0, 0.0), 3.0),
+        (1L, Seq(0.0, 5.0), 5.0), (2L, Seq(0.0, 0.0), 0.0))),
+      (Seq(0.0, 2.0), 2.0, Seq(
+        (10L, Seq(3.0, 0.0), 3.0), (7L, Seq(3.0, 0.0), 3.0),
+        (1L, Seq(0.0, 5.0), 5.0), (2L, Seq(0.0, 0.0), 0.0))))
+      .toDF("v", "n", "cells0")
+      .select(col("v"), col("n"), transform(col("cells0"), c => struct(
+        c.getField("_1").as("_c_id"), c.getField("_2").as("_c_v"),
+        c.getField("_3").as("_c_n"))).as("cells"))
+    // the sort pipeline the kernel replaces
+    val scored = transform(col("cells"), c => struct(
+      coalesce(when(col("n") * c.getField("_c_n") > 0,
+        dotProduct(col("v"), c.getField("_c_v")) / (col("n") * c.getField("_c_n"))),
+        lit(-2.0)).as("_sim"),
+      c.getField("_c_id").as("_c_id")))
+    val sorted = array_sort(scored, (a, b) =>
+      when(a.getField("_sim") > b.getField("_sim"), lit(-1))
+        .when(a.getField("_sim") < b.getField("_sim"), lit(1))
+        .when(a.getField("_c_id") < b.getField("_c_id"), lit(-1))
+        .when(a.getField("_c_id") > b.getField("_c_id"), lit(1))
+        .otherwise(lit(0)))
+    val rows = df.select(
+      element_at(col("cells"),
+        bestCellIndex(col("v"), col("n"), col("cells")) + 1)
+        .getField("_c_id").as("native"),
+      element_at(sorted, 1).getField("_c_id").as("hof"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (n, h) => assert(n == h, s"native $n != sort $h") }
+    assert(rows.map(_._1).toSeq == Seq(7L, 1L)) // tie -> lower id; then the y-axis cell
+    // string cell ids exercise the generic-ordering compare in codegen
+    val sdf = Seq((Seq(1.0), 1.0, Seq(("b", Seq(2.0), 2.0), ("a", Seq(2.0), 2.0))))
+      .toDF("v", "n", "cells0")
+      .select(col("v"), col("n"), transform(col("cells0"), c => struct(
+        c.getField("_1").as("_c_id"), c.getField("_2").as("_c_v"),
+        c.getField("_3").as("_c_n"))).as("cells"))
+    assert(sdf.select(element_at(col("cells"),
+        bestCellIndex(col("v"), col("n"), col("cells")) + 1).getField("_c_id"))
+      .as[String].head() == "a")
+    // interpreted kernel agrees with the executed (codegen) path
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val vec = ArrayData.toArrayData(Array(1.0, 0.0))
+    val cv = ArrayData.toArrayData(Array(3.0, 0.0))
+    assert(graft.expressions.BestCell.sim(vec, 1.0, cv, 3.0, 0) == 1.0)
+    assert(graft.expressions.BestCell.sim(vec, 1.0, cv, 0.0, 0) == -2.0)
+    // NaN fails loudly
+    val nan = Seq((Seq(Double.NaN), 1.0, Seq((1L, Seq(1.0), 1.0))))
+      .toDF("v", "n", "cells0")
+      .select(col("v"), col("n"), transform(col("cells0"), c => struct(
+        c.getField("_1").as("_c_id"), c.getField("_2").as("_c_v"),
+        c.getField("_3").as("_c_n"))).as("cells"))
+    val err = intercept[Exception] {
+      nan.select(bestCellIndex(col("v"), col("n"), col("cells"))).collect()
+    }
+    assert(err.getMessage != null)
+  }
 }

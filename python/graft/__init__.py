@@ -1,13 +1,19 @@
-"""graft — Spark Connect Python client for the graft graph engine.
+"""graft — Python clients for the graft graph engine.
 
-``graft.wire`` (the proto3 codec) is dependency-free; ``GraphFrame``
-needs pyspark >= 4 with Connect extras and is imported lazily so the
-codec stays usable without it.
+Two transports over one server-side method table:
+
+- ``graft.GraphFrame`` / ``graft.Pipeline`` — Spark CONNECT client
+  (needs pyspark >= 4 with Connect extras; imported lazily);
+- ``graft.classic.GraphFrame`` / ``graft.classic.Pipeline`` — CLASSIC
+  py4j client for a plain pyspark session with the graft classes on the
+  driver classpath.
+
+``graft.wire`` (the proto3 codec) is dependency-free.
 """
 
-__version__ = "0.5.0"
+__version__ = "0.6.0"
 
-__all__ = ["GraphFrame", "Pipeline", "wire"]
+__all__ = ["GraphFrame", "Pipeline", "classic", "wire"]
 
 from . import wire  # noqa: F401  (dependency-free)
 

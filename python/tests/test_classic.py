@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""End-to-end test of the CLASSIC (py4j) graft client against a real
+local pyspark session with the compiled graft classes on the driver
+classpath. Run from the repo root after `sbt compile`:
+
+    python3 python/tests/test_classic.py
+
+Prints one `CLASSIC OK <check>` line per passing check and exits 0;
+any failure raises. Driven by scalatest's ClassicPythonSpec.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+# the packaged jar, not the classes dir: spark.jars is the path that
+# resolves through py4j in every launch mode (build with `sbt package`)
+JAR = os.environ.get(
+    "GRAFT_JAR",
+    os.path.join(os.path.dirname(__file__), "..", "..", "target",
+                 "scala-2.13", "graphframesspark_2.13-0.1.0.jar"))
+if not os.path.exists(JAR):
+    raise SystemExit(f"graft jar not found at {JAR} — run `sbt package` first")
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("graft-classic-e2e")
+    .config("spark.jars", os.path.abspath(JAR))
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from graft.classic import GraphFrame, Pipeline  # noqa: E402
+
+# two triangles bridged by one edge — known structure for every check
+edges = spark.createDataFrame(
+    [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)],
+    ["src", "dst"])
+vertices = spark.createDataFrame([(i,) for i in range(6)], ["id"])
+g = GraphFrame(vertices, edges)
+
+deg = {r["id"]: r["degree"] for r in g.degrees().collect()}
+assert deg[2] == 3 and deg[3] == 3 and deg[0] == 2, deg
+print("CLASSIC OK degrees")
+
+pr = g.pageRank(maxIter=10).collect()
+assert len(pr) == 6 and abs(sum(r["pagerank"] for r in pr) - 6.0) < 1e-6
+print("CLASSIC OK page_rank")
+
+tri = g.find("(a)-[e]->(b); (b)-[e2]->(c); (c)-[e3]->(a)").collect()
+assert len(tri) == 6, len(tri)  # each triangle under 3 rotations
+print("CLASSIC OK find")
+
+cc = g.connectedComponents().collect()
+assert len({r["component"] for r in cc}) == 1
+print("CLASSIC OK connected_components")
+
+ge = GraphFrame.fromEdges(edges)
+assert ge.triangleCount().count() == 6
+print("CLASSIC OK fromEdges/triangle_count")
+
+# unknown parameter must raise loudly (server-side typed guard)
+try:
+    g.pageRank(maxIter=10**10)
+    raise AssertionError("expected out-of-range maxIter to raise")
+except Exception as e:  # noqa: BLE001
+    assert "maxIter" in str(e)
+print("CLASSIC OK typed_param_error")
+
+docs = spark.createDataFrame(
+    [(0, "the quick brown fox jumps over the lazy dog"),
+     (1, "the quick brown fox jumps over the lazy dog"),
+     (2, "a completely different document about spark pipelines")],
+    ["doc_id", "text"])
+dup = Pipeline(docs).nearDupClusters(idCol="doc_id", textCol="text").collect()
+keep = {r["doc_id"]: r["keep_id"] for r in dup}
+assert keep[0] == 0 and keep[1] == 0 and keep[2] == 2, keep
+print("CLASSIC OK pipe_near_dup_clusters")
+
+emb = spark.createDataFrame(
+    [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)])
+     for i in range(9)],
+    ["vec_id", "embedding"])
+ann = Pipeline(emb).annTopK(idCol="vec_id", vecCol="embedding", k=2).collect()
+assert len(ann) == 18  # 9 queries x k=2
+print("CLASSIC OK pipe_ann_topk")
+
+spark.stop()
+print("CLASSIC ALL OK")

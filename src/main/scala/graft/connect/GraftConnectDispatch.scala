@@ -52,7 +52,7 @@ object GraftConnectDispatch {
     "detecting_cycles" -> Set("maxIter"),
     "random_walks" -> Set("walkLength", "walksPerVertex", "restartProb",
       "seed", "hashMode"),
-    "power_iteration_clustering" -> Set("k", "maxIter", "weightCol"),
+    "power_iteration_clustering" -> Set("k", "maxIter", "weightCol", "initMode"),
     "svd_plus_plus" -> Set("rank", "maxIter", "minValue", "maxValue"),
     "rw_embeddings" -> Set("dim", "walkLength", "walksPerVertex", "seed"))
 

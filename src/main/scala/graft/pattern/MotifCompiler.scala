@@ -29,6 +29,15 @@ private[graft] object MotifCompiler {
   private val VarLength = """\*(\d+)\.\.(\d+)""".r
 
   def find(g: GraphFrame, motif: String): DataFrame = {
+    // the __tmp prefix is this compiler's internal namespace (anonymous
+    // edges, fixed-length expansion intermediates) and such columns are
+    // dropped from the output — a user-chosen __tmp* name would silently
+    // vanish, so reject it loudly instead. (Deliberate divergence from the
+    // reference, which exposes its expansion intermediates as _uvN /
+    // accepts user __tmp — reference PatternMatchSuite.scala:484-488; our
+    // DSL hides intermediates by design, see the class doc.)
+    require(!motif.contains("__tmp"),
+      "Motif: names starting with __tmp are reserved for the compiler")
     VarLength.findFirstMatchIn(motif) match {
       case Some(m) =>
         val (lo, hi) = (m.group(1).toInt, m.group(2).toInt)

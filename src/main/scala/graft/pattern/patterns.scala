@@ -62,6 +62,13 @@ object PatternParser extends RegexParsers {
         backward = false, undirected = true)
     }
 
+  // distinguishes the generated chains of MULTIPLE anonymous fixed-length
+  // terms in one pattern ("(u)-[*2]->(v); (v)-[*3]->(w)") — a shared
+  // "__tmpe" base made their generated edge names collide and fail the
+  // uniqueness validation (found porting the reference's fixed-length-5
+  // chain-decomposition case). Reset per parse; parse() is synchronized.
+  private var anonChainCounter = 0
+
   private def expandEdge(a: VertexTerm, arrow: Arrow, b: VertexTerm): List[Pattern] = {
     val (s, d) = if (arrow.backward) (b, a) else (a, b)
     if (arrow.undirected) List(UndirectedEdgePattern(s, arrow.edge, d))
@@ -70,7 +77,7 @@ object PatternParser extends RegexParsers {
       require(arrow.repeat >= 1, s"edge repetition must be >= 1, got ${arrow.repeat}")
       val base = arrow.edge match {
         case NamedEdge(n) => n
-        case AnonymousEdge => "__tmpe"
+        case AnonymousEdge => anonChainCounter += 1; s"__tmpe${anonChainCounter}x"
       }
       val mids = (1 until arrow.repeat).map(i => NamedVertex(s"__tmp_${base}_$i"))
       val chain = (s +: mids) :+ d
@@ -113,7 +120,8 @@ object PatternParser extends RegexParsers {
     }.mkString(";")
   }
 
-  def parse(s0: String): Seq[Pattern] = {
+  def parse(s0: String): Seq[Pattern] = synchronized {
+    anonChainCounter = 0
     val s = rewriteBidirectional(s0)
     parseAll(patterns, s) match {
       case Success(result, _) => validate(result); result

@@ -45,4 +45,78 @@ class PregelPruningSpec extends TestBase {
       .collect().toMap
     assert(d == Map(0L -> Some(3), 1L -> Some(2), 2L -> Some(1), 3L -> Some(0)))
   }
+
+  // --- ported (behaviorally) from reference lib/PregelSuite.scala:28-172 ---
+
+  test("page rank on raw pregel matches the reference's expected ranks") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 4L), (2L, 0L), (3L, 4L),
+      (4L, 0L), (4L, 2L)).toDF("src", "dst")
+    val vertices = GraphFrame.fromEdges(edges).outDegrees
+    val n = vertices.count()
+    val alpha = 0.15
+    val ranks = GraphFrame(vertices, edges).pregel
+      .setMaxIter(5)
+      .withVertexColumn("rank", lit(1.0 / n),
+        coalesce(Pregel.msg, lit(0.0)) * (1.0 - alpha) + alpha / n)
+      .sendMsgToDst(Pregel.src("rank") / Pregel.src("outDegree"))
+      .aggMsgs(sum(Pregel.msg))
+      .run()
+    val result = ranks.sort("id").select("rank").as[Double].collect()
+    assert(math.abs(result.sum - 1.0) < 1e-6)
+    val expected = Seq(0.245, 0.224, 0.303, 0.03, 0.197)
+    result.zip(expected).foreach { case (r, e) =>
+      assert(math.abs(r - e) < 1e-3, s"rank $r != $e")
+    }
+  }
+
+  test("chain propagation via sendMsgToSrc (reversed edges)") {
+    val n = 5
+    val verDF = (1 to n).toDF("id").repartition(3)
+    val edgeDF = (1 until n).map(x => (x + 1, x)).toDF("src", "dst").repartition(3)
+    val resultDF = GraphFrame(verDF, edgeDF).pregel
+      .setMaxIter(n - 1)
+      .withVertexColumn("value",
+        when($"id" === 1, lit(1)).otherwise(lit(0)),
+        when(Pregel.msg > $"value", Pregel.msg).otherwise($"value"))
+      .sendMsgToSrc(when(Pregel.dst("value") =!= Pregel.src("value"), Pregel.dst("value")))
+      .aggMsgs(max(Pregel.msg))
+      .run()
+    assert(resultDF.sort("id").select("value").as[Int].collect().toSeq ==
+      Seq.fill(n)(1))
+  }
+
+  test("chain propagation with early stopping terminates before maxIter") {
+    val n = 5
+    val verDF = (1 to n).toDF("id").repartition(3)
+    val edgeDF = (1 until n).map(x => (x, x + 1)).toDF("src", "dst").repartition(3)
+    val resultDF = GraphFrame(verDF, edgeDF).pregel
+      .setMaxIter(1000)
+      .setEarlyStopping(true)
+      .withVertexColumn("value",
+        when($"id" === 1, lit(1)).otherwise(lit(0)),
+        when(Pregel.msg > $"value", Pregel.msg).otherwise($"value"))
+      .sendMsgToDst(when(Pregel.dst("value") =!= Pregel.src("value"), Pregel.src("value")))
+      .aggMsgs(max(Pregel.msg))
+      .run()
+    assert(resultDF.sort("id").select("value").as[Int].collect().toSeq ==
+      Seq.fill(n)(1))
+  }
+
+  test("new vertex column init may read a nullable column") {
+    val verDF = Seq(1L, 2L, 3L, 4L).toDF("id")
+      .withColumn("nullableColumn",
+        when($"id" % 2 === 0, lit(null)).otherwise(lit(1)))
+    val edgeDF = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val resultDF = GraphFrame(verDF, edgeDF).pregel
+      .withVertexColumn("newColumn",
+        when($"nullableColumn".isNull, lit(0)).otherwise(lit(1)),
+        $"newColumn" + Pregel.msg)
+      .sendMsgToDst(lit(1))
+      .aggMsgs(last(Pregel.msg))
+      .setCheckpointInterval(0)
+      .setMaxIter(1)
+      .run()
+    val m = resultDF.select("id", "newColumn").as[(Long, Int)].collect().toMap
+    assert(m == Map(1L -> 2, 2L -> 1, 3L -> 2, 4L -> 1))
+  }
 }

@@ -98,7 +98,7 @@ class GraphFrame private (
     val e2 = edges
       .join(vIds.withColumnRenamed(ID, SRC), Seq(SRC), "left_semi")
       .join(vIds.withColumnRenamed(ID, DST), Seq(DST), "left_semi")
-      .select(edges.columns.map(col).toIndexedSeq: _*)
+      .select(edges.columns.map(c => col(GraphFrame.quoteName(c))).toIndexedSeq: _*)
     new GraphFrame(v2, e2)
   }
   def filterVertices(cond: String): GraphFrame = filterVertices(expr(cond))
@@ -116,17 +116,19 @@ class GraphFrame private (
   /** Add the reversed copy of every edge (emulates an undirected graph). */
   def asUndirected(): GraphFrame = {
     val attrs = edges.columns.filter(c => c != SRC && c != DST)
-    val fwd = edges.select((Seq(SRC, DST) ++ attrs).map(col).toIndexedSeq: _*)
+      .map(c => col(GraphFrame.quoteName(c)))
+    val fwd = edges.select((Seq(col(SRC), col(DST)) ++ attrs).toIndexedSeq: _*)
     val rev = edges.select(
-      (Seq(col(DST).as(SRC), col(SRC).as(DST)) ++ attrs.map(col).toIndexedSeq): _*)
+      (Seq(col(DST).as(SRC), col(SRC).as(DST)) ++ attrs).toIndexedSeq: _*)
     new GraphFrame(vertices, fwd.unionAll(rev))
   }
 
   /** Flip the direction of every edge. */
   def asReversed(): GraphFrame = {
     val attrs = edges.columns.filter(c => c != SRC && c != DST)
+      .map(c => col(GraphFrame.quoteName(c)))
     new GraphFrame(vertices, edges.select(
-      (Seq(col(DST).as(SRC), col(SRC).as(DST)) ++ attrs.map(col).toIndexedSeq): _*))
+      (Seq(col(DST).as(SRC), col(SRC).as(DST)) ++ attrs).toIndexedSeq: _*))
   }
 
   // ---------------------------------------------------------------------
@@ -153,9 +155,13 @@ class GraphFrame private (
     val pivoted =
       (if (values.nonEmpty) piv.pivot(typeCol, values) else piv.pivot(typeCol))
         .agg(count(lit(1)).cast("int"))
+    // pivot column names come from DATA values — quote them literally, or
+    // an edge-type value containing a dot breaks the struct packing
     val typeCols = pivoted.columns.filter(_ != ID)
-    pivoted.na.fill(0, typeCols.toIndexedSeq)
-      .select(col(ID), struct(typeCols.map(col).toIndexedSeq: _*).as(outName))
+    // na.fill resolves the names it is given with the parser too
+    pivoted.na.fill(0, typeCols.map(GraphFrame.quoteName).toIndexedSeq)
+      .select(col(ID), struct(
+        typeCols.map(c => col(GraphFrame.quoteName(c))).toIndexedSeq: _*).as(outName))
   }
 
   /** Per-edge-type out-degree as one struct column `outDegrees`. Pass
@@ -306,8 +312,17 @@ object GraphFrame {
   }
 
   /** Pack all columns of `df` into a single struct column named `name`. */
+  /** Backtick-quote a column name so `col()` resolves it LITERALLY —
+   * unquoted, a vertex attribute named "a.b" parses as struct-field
+   * access and either breaks analysis or grabs the wrong column
+   * (reference guards the same via quoting, GraphFrame.scala:1363-1365 /
+   * its dots-in-column-names suite rows). Embedded backticks escape by
+   * doubling, per Spark's identifier rules. */
+  private[graft] def quoteName(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
   private[graft] def nestAsCol(df: DataFrame, name: String): Column =
-    struct(df.columns.map(col).toIndexedSeq: _*).as(name)
+    struct(df.columns.map(c => col(quoteName(c))).toIndexedSeq: _*).as(name)
 
   /** Build a GraphFrame from a stock GraphX graph with Long vertex ids
    * (inverse of [[GraphFrame.toGraphX]] for primitive-attribute graphs). */

@@ -80,6 +80,10 @@ object SparkEntry {
     // only in self-loops still counts as a singleton component
     val v = e0.select(explode(array(col(SRC), col(DST))).as(ID)).distinct()
     val g = GraphFrame(v, e0.filter(col(SRC) =!= col(DST)))
+    // CC and triangle count both consume the same derived graph — persist
+    // it once so the lineitem scan + hash projection + distinct don't run
+    // twice (the r6 cold-cache bench protocol stopped hiding that)
+    g.persist()
     val cc = g.connectedComponents.run()
     val cs = cc.groupBy("component").agg(count(lit(1)).as("sz"))
       .agg(count(lit(1)).cast("long").as("_nc"), max("sz").cast("long").as("_mx"))

@@ -65,7 +65,7 @@ class BFS(g: GraphFrame) {
       val noBacktrack = priorVs.map(v => col(s"_bfs_b.$ID") =!= col(s"$v.$ID"))
         .reduce(_ && _)
       grown = grown.filter(noBacktrack)
-        .select((paths.columns.map(col) ++
+        .select((paths.columns.map(c => col(GraphFrame.quoteName(c))) ++
           Seq(col("_bfs_e").as(s"e${hop - 1}"), col("_bfs_b").as(s"v$hop"))).toIndexedSeq: _*)
 
       val hits = grown.join(toIds, col(s"v$hop.$ID") === toIds(ID), "left_semi")

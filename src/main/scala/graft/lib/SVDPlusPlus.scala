@@ -70,13 +70,15 @@ class SVDPlusPlus(g: GraphFrame) {
         .cast("double") / 65536.0 * 0.1
     def hvec(tag: String, id: Column): Column =
       transform(sequence(lit(0), lit(rank - 1)), k => hinit(tag, id, k))
-    // elementwise array-sum aggregation via fixed-width (key, k, v) rows —
-    // no per-key array materialization in a single task
-    def vecSum(df: DataFrame, key: String, arr: String): DataFrame =
-      df.select(col(key), posexplode(col(arr)).as(Seq("k", "v")))
-        .groupBy(key, "k").agg(sum("v").as("v"))
-        .groupBy(key).agg(transform(
-          array_sort(collect_list(struct(col("k"), col("v")))), s => s("v")).as(arr))
+    // elementwise array-sum aggregation: rank is statically known, so one
+    // hash aggregate with `rank` sum columns (map-side partials, a single
+    // shuffle) replaces the posexplode → (key,k) agg → re-pack double
+    // shuffle; rows stay fixed-width (rank doubles per key)
+    def vecSum(df: DataFrame, key: String, arr: String): DataFrame = {
+      val sums = (0 until rank).map(k => sum(col(arr).getItem(k)).as(s"_s$k"))
+      df.groupBy(key).agg(sums.head, sums.tail: _*)
+        .select(col(key), array((0 until rank).map(k => col(s"_s$k")): _*).as(arr))
+    }
     var users = e.groupBy("u").agg(count(lit(1)).as("du"), avg("r").as("ar"))
       .select(col("u"), col("du"), (col("ar") - mu).as("bu"),
         (lit(1.0) / sqrt(col("du"))).as("nu"), hvec("p", col("u")).as("p"))

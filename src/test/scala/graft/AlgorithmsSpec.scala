@@ -216,6 +216,33 @@ class AlgorithmsSpec extends TestBase {
     assert(filtered.select($"to.id").as[String].collect().toSet == Set("c"))
   }
 
+  test("bfs corner cases ported from reference BFSSuite") {
+    // unmatched from/to expressions return nothing (reference :83-88)
+    assert(friends.bfs.fromExpr($"id" === "howdy").toExpr($"id" === "a").run().count() == 0)
+    assert(friends.bfs.fromExpr($"id" === "a").toExpr($"id" === "howdy").run().count() == 0)
+    // 0 hops when from == to: (from, to) only (reference :90-96)
+    val zero = friends.bfs.fromExpr($"id" === "a").toExpr($"id" === "a").run()
+    assert(zero.count() == 1 && zero.columns.toSeq == Seq("from", "to"))
+    // ties: e -> b has exactly two 3-hop paths, both returned, full
+    // column contract (reference :105-114)
+    val ties = friends.bfs.fromExpr($"id" === "e").toExpr($"id" === "b").run()
+    assert(ties.count() == 2)
+    assert(ties.columns.toSeq == Seq("from", "e0", "v1", "e1", "v2", "e2", "to"))
+    assert(ties.select($"to.id").as[String].collect().toSeq == Seq("b", "b"))
+    // maxPathLength boundaries (reference :116-130)
+    assert(friends.bfs.fromExpr($"id" === "e").toExpr($"id" === "f")
+      .maxPathLength(1).run().count() == 1)
+    assert(friends.bfs.fromExpr($"id" === "e").toExpr($"id" === "f")
+      .maxPathLength(0).run().count() == 0)
+    assert(friends.bfs.fromExpr($"id" === "e").toExpr($"id" === "b")
+      .maxPathLength(3).run().count() == 2)
+    assert(friends.bfs.fromExpr($"id" === "e").toExpr($"id" === "b")
+      .maxPathLength(2).run().count() == 0)
+    // string expression overloads (reference :157-169)
+    val s = friends.bfs.fromExpr("id = 'e'").toExpr("age < 32").run()
+    assert(s.select($"to.id").as[String].collect().toSet == Set("d"))
+  }
+
   test("kCore: clique has core n-1, chain has core 1") {
     val g = twoBlobs(4) // two 4-cliques → core 3
     val kc = g.kCore.run()

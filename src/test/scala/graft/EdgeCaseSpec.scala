@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Degenerate inputs: empty graphs, isolated vertices, self-loops,
+ * special characters in column names (reference GraphFrameSuite
+ * dots/backquote cases),
  * unreachable landmarks — where iterative operators typically break. */
 class EdgeCaseSpec extends TestBase {
   import spark.implicits._
@@ -63,5 +65,44 @@ class EdgeCaseSpec extends TestBase {
   test("mis of edgeless graph is all vertices") {
     val mis = emptyGraph.maximalIndependentSet.run()
     assert(mis.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
+  test("dots in attribute column names survive triplets, find, and filters") {
+    // reference GraphFrameSuite.scala:109-142,569-596: a column literally
+    // named "a.b" must not be parsed as struct-field access
+    val v = Seq((0L, "x"), (1L, "y")).toDF("id", "a.column")
+    val e = Seq((0L, 1L, 7.0)).toDF("src", "dst", "a.b")
+    val g = GraphFrame(v, e)
+    val t = g.triplets.collect()
+    assert(t.length == 1)
+    assert(t.head.getStruct(1).getAs[Double]("a.b") == 7.0)
+    assert(t.head.getStruct(0).getAs[String]("a.column") == "x")
+    val m = g.find("(a)-[e]->(b)")
+      .select(col("e.`a.b`"), col("a.`a.column`")).collect()
+    assert(m.head.getDouble(0) == 7.0 && m.head.getString(1) == "x")
+    // filterVertices re-selects edge columns — must keep the dotted name
+    val f = g.filterVertices(col("id") >= 0L)
+    assert(f.edges.columns.toSeq == Seq("src", "dst", "a.b"))
+    assert(f.edges.count() == 1)
+    // reversed/undirected re-select attrs by name too
+    assert(g.asReversed().edges.columns.toSeq == Seq("src", "dst", "a.b"))
+    assert(g.asUndirected().edges.count() == 2)
+  }
+
+  test("backquotes in attribute column names survive triplets") {
+    val v = Seq((0L, 1), (1L, 2)).toDF("id", "a `col`")
+    val e = Seq((0L, 1L)).toDF("src", "dst")
+    val g = GraphFrame(v, e)
+    val t = g.triplets.collect()
+    assert(t.head.getStruct(0).getAs[Int]("a `col`") == 1)
+  }
+
+  test("type degrees with dotted edge-type VALUES (pivot column names)") {
+    val v = Seq(0L, 1L, 2L).toDF("id")
+    val e = Seq((0L, 1L, "a.b"), (1L, 2L, "plain")).toDF("src", "dst", "rel")
+    val out = GraphFrame(v, e).typeOutDegree("rel")
+    val m = out.select(col("id"), col("outDegrees.`a.b`")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(m == Map(0L -> 1, 1L -> 0))
   }
 }

@@ -161,7 +161,7 @@ class Pregel(g: GraphFrame) {
     val edgeStruct = g.edges.select(
       (Seq(col(SRC).as("_p_esrc"), col(DST).as("_p_edst")) ++
         (if (edgeFields.nonEmpty)
-          Seq(struct(edgeFields.map(col).toIndexedSeq: _*).as(EDGE)) else Nil)
+          Seq(struct(edgeFields.map(c => col(graft.GraphFrame.quoteName(c))).toIndexedSeq: _*).as(EDGE)) else Nil)
       ).toIndexedSeq: _*)
       .repartition(col("_p_esrc"))
       .persist(storageLevel)
@@ -169,7 +169,7 @@ class Pregel(g: GraphFrame) {
     val useDstJoin = needsDstJoin
 
     var state = g.vertices.select(
-      (origCols.map(col) ++
+      (origCols.map(c => col(graft.GraphFrame.quoteName(c))) ++
         vertexCols.map(vc => vc.init.as(vc.name)) ++
         (if (updateActiveExpr.isDefined) Seq(initialActiveExpr.as(ACTIVE_COL)) else Nil)
       ).toIndexedSeq: _*)
@@ -182,12 +182,12 @@ class Pregel(g: GraphFrame) {
     var done = false
     while (iter <= maxIter && !done) {
       val srcSide = state.select(col(ID).as("_p_vsid"),
-        struct(srcStructCols.map(col).toIndexedSeq: _*).as(SRC))
+        struct(srcStructCols.map(c => col(graft.GraphFrame.quoteName(c))).toIndexedSeq: _*).as(SRC))
       var triplets = edgeStruct.join(srcSide, col("_p_esrc") === col("_p_vsid"))
       triplets =
         if (useDstJoin) {
           val dstSide = state.select(col(ID).as("_p_vdid"),
-            struct(dstStructCols.map(col).toIndexedSeq: _*).as(DST))
+            struct(dstStructCols.map(c => col(graft.GraphFrame.quoteName(c))).toIndexedSeq: _*).as(DST))
           triplets.join(dstSide, col("_p_edst") === col("_p_vdid"))
         } else {
           // Cheap dst stub: only `dst.id` is referenced, so materialize just
@@ -218,7 +218,7 @@ class Pregel(g: GraphFrame) {
       } else {
         val joined = state.join(agged, Seq(ID), "left_outer")
         val newState = joined.select(
-          (origCols.map(col) ++
+          (origCols.map(c => col(graft.GraphFrame.quoteName(c))) ++
             vertexCols.map(vc => vc.update.as(vc.name)) ++
             updateActiveExpr.map(_.as(ACTIVE_COL)).toSeq
           ).toIndexedSeq: _*)
@@ -232,7 +232,7 @@ class Pregel(g: GraphFrame) {
     }
 
     val result = state.select(
-      (origCols.map(col) ++ vertexCols.map(vc => col(vc.name))).toIndexedSeq: _*)
+      (origCols.map(c => col(graft.GraphFrame.quoteName(c))) ++ vertexCols.map(vc => col(vc.name))).toIndexedSeq: _*)
       .persist(storageLevel)
     result.count()
     mgr.close()

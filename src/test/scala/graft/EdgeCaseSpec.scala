@@ -89,6 +89,19 @@ class EdgeCaseSpec extends TestBase {
     assert(g.asUndirected().edges.count() == 2)
   }
 
+  test("pregel-backed algorithms pass dotted vertex attribute columns through") {
+    // reference ShortestPathsSuite.scala:166-179: Pregel's per-round state
+    // re-selects vertex columns by name — a dotted attr must survive
+    val v = Seq((0L, "x"), (1L, "y"), (2L, "z")).toDF("id", "attr.dot")
+    val e = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val sp = GraphFrame(v, e).shortestPaths.landmarks(Seq(2L)).run()
+    assert(sp.columns.contains("attr.dot"))
+    val d = sp.select(col("id"), element_at(col("distances"), 2L))
+      .as[(Long, Option[Int])].collect().toMap
+    assert(d == Map(0L -> Some(2), 1L -> Some(1), 2L -> Some(0)))
+    assert(sp.select(col("`attr.dot`")).as[String].collect().toSet == Set("x", "y", "z"))
+  }
+
   test("backquotes in attribute column names survive triplets") {
     val v = Seq((0L, 1), (1L, 2)).toDF("id", "a `col`")
     val e = Seq((0L, 1L)).toDF("src", "dst")

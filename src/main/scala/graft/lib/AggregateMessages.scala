@@ -59,4 +59,10 @@ object AggregateMessages {
   def edge: Column = col(GraphFrame.EDGE)
   /** The message column inside `agg` expressions. */
   def msg: Column = col(MSG)
+  // field accessors (reference AggregateMessages object's string arms):
+  // multi-column sends pack a struct message, read fields with msg("f")
+  def src(field: String): Column = col(GraphFrame.SRC).getField(field)
+  def dst(field: String): Column = col(GraphFrame.DST).getField(field)
+  def edge(field: String): Column = col(GraphFrame.EDGE).getField(field)
+  def msg(field: String): Column = col(MSG).getField(field)
 }

@@ -216,6 +216,49 @@ class AlgorithmsSpec extends TestBase {
     assert(filtered.select($"to.id").as[String].collect().toSet == Set("c"))
   }
 
+  test("aggregateMessages: multiple message and aggregation columns") {
+    // reference AggregateMessagesSuite.scala:108-160
+    import graft.lib.{AggregateMessages => AM}
+    val v = Seq((1, 30), (2, 40), (3, 50), (4, 60)).toDF("id", "att1")
+    val e = Seq((1, 2, 4), (2, 3, 5), (1, 4, 6)).toDF("src", "dst", "att2")
+    val g = GraphFrame(v, e)
+    val agg = g.aggregateMessages
+      .sendToDst(AM.src("att1").as("att1"), AM.edge("att2").as("att2"))
+      .sendToSrc(AM.dst("att1").as("att1"), AM.edge("att2").as("att2"))
+      .agg(sum(AM.msg("att1")).as("sum_att1"), avg(AM.msg("att2")).as("avg_att2"))
+    assert(agg.columns.toSeq == Seq("id", "sum_att1", "avg_att2"))
+    val m = agg.as[(Int, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m == Map(1 -> ((100L, 5.0)), 2 -> ((80L, 4.5)),
+      3 -> ((40L, 5.0)), 4 -> ((30L, 6.0))))
+  }
+
+  test("kCore: triangle with tail — degree != kcore (early-convergence trap)") {
+    // reference KCoreSuite.scala:294-324: vertices 1 and 4 have degree >
+    // kcore, so an implementation converging after one superstep (kcore =
+    // degree) fails here while passing clique/chain tests
+    val v = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")).toDF("id", "name")
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (4L, 5L)).toDF("src", "dst")
+    val m = GraphFrame(v, e).kCore.run()
+      .select("id", "kcore").as[(Long, Int)].collect().toMap
+    assert(m == Map(1L -> 2, 2L -> 2, 3L -> 2, 4L -> 1, 5L -> 1))
+  }
+
+  test("triangleCount: bi-directed and duplicate edges count each triangle once") {
+    // reference TriangleCountSuite.scala:69-103 (notes GraphX double-counts
+    // bi-directed triangles; the DataFrame semantics must not)
+    val tris = Seq(0L -> 1L, 1L -> 2L, 2L -> 0L) ++ Seq(0L -> -1L, -1L -> -2L, -2L -> 0L)
+    val bidi = tris ++ tris.map { case (a, b) => (b, a) }
+    val g1 = GraphFrame.fromEdges(bidi.toDF("src", "dst"))
+    val m1 = g1.triangleCount.run().select("id", "count")
+      .as[(Long, Long)].collect().toMap
+    assert(m1(0L) == 2 && m1.filter(_._1 != 0L).values.toSet == Set(1L))
+    val dup = Seq(0L -> 1L, 1L -> 2L, 2L -> 0L) ++ Seq(0L -> 1L, 1L -> 2L, 2L -> 0L)
+    val m2 = GraphFrame.fromEdges(dup.toDF("src", "dst")).triangleCount.run()
+      .select("count").as[Long].collect().toSet
+    assert(m2 == Set(1L))
+  }
+
   test("bfs corner cases ported from reference BFSSuite") {
     // unmatched from/to expressions return nothing (reference :83-88)
     assert(friends.bfs.fromExpr($"id" === "howdy").toExpr($"id" === "a").run().count() == 0)

@@ -77,7 +77,10 @@ class BFS(g: GraphFrame) {
       }
       hop += 1
     }
-    val out = result.getOrElse(zero)
+    // materialize before close: the winning hop's frame reads the cycled
+    // frontier, whose lineage-cut blocks close() frees
+    val out = result.getOrElse(zero).persist()
+    out.count()
     mgr.close()
     out
   }

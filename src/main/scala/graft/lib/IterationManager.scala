@@ -81,8 +81,25 @@ private[graft] class IterationManager(
     storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
     useLocalCheckpoint: Boolean = true) {
 
-  private val persisted = mutable.Queue.empty[DataFrame]
+  /** A tracked round frame plus the ids of any RDDs its lineage cut
+   * persisted at the RDD level. `Dataset.unpersist` only talks to the
+   * CacheManager, and a localCheckpoint'ed frame is persisted by the
+   * block manager directly (never registered there) — so without the id
+   * list every cut would leak one RDD of full iteration state until the
+   * ContextCleaner's GC-driven sweep got around to it (the reference
+   * guards this with ConnectedComponentsSuite.scala:311 "not leaking
+   * cached data"). */
+  private case class Entry(df: DataFrame, rddIds: Seq[Int])
+  private val persisted = mutable.Queue.empty[Entry]
   private val sideFrames = mutable.ArrayBuffer.empty[DataFrame]
+
+  private def free(e: Entry): Unit = {
+    e.df.unpersist(false)
+    if (e.rddIds.nonEmpty) {
+      val live = e.df.sparkSession.sparkContext.getPersistentRDDs
+      e.rddIds.foreach(id => live.get(id).foreach(_.unpersist(false)))
+    }
+  }
 
   /** Persist + (on checkpoint rounds) truncate lineage and materialize.
    * Non-checkpoint rounds persist lazily — the next materializing action
@@ -98,6 +115,8 @@ private[graft] class IterationManager(
       // pre-checkpoint cache only exists so the checkpoint job computes
       // the frame once; drop it as soon as the files are written or every
       // cut leaks one cached copy of the full iteration state.
+      val sc = df.sparkSession.sparkContext
+      val before = sc.getPersistentRDDs.keySet
       val c = if (useLocalCheckpoint) df.localCheckpoint(true)
       else {
         val p = df.persist(storageLevel)
@@ -105,21 +124,26 @@ private[graft] class IterationManager(
         p.unpersist(false)
         x
       }
-      persisted.enqueue(c)
+      // RDDs persisted by this cut (and any lazy prior-round caches the
+      // cut's job happened to materialize — double-freeing those later is
+      // a no-op); ids, not references, so dropped entries don't pin
+      // lineage objects
+      val added = (sc.getPersistentRDDs.keySet -- before).toSeq
+      persisted.enqueue(Entry(c, added))
       // everything older than this materialized frame is now safe to drop
-      while (persisted.size > 1) persisted.dequeue().unpersist(false)
+      while (persisted.size > 1) free(persisted.dequeue())
       c
     } else if (checkpointInterval <= 0) {
       // checkpointing disabled: materialize every round (plan keeps
       // growing — caller opted out of lineage cuts)
       val p = df.persist(storageLevel)
       p.count()
-      persisted.enqueue(p)
-      while (persisted.size > 1) persisted.dequeue().unpersist(false)
+      persisted.enqueue(Entry(p, Nil))
+      while (persisted.size > 1) free(persisted.dequeue())
       p
     } else {
       val p = df.persist(storageLevel)
-      persisted.enqueue(p)
+      persisted.enqueue(Entry(p, Nil))
       p
     }
   }
@@ -127,9 +151,9 @@ private[graft] class IterationManager(
   /** Force materialization of the latest frame (call before driver-side
    * probes when the current round didn't checkpoint). */
   def materializeLatest(): Unit =
-    persisted.lastOption.foreach { df =>
-      df.count()
-      while (persisted.size > 1) persisted.dequeue().unpersist(false)
+    persisted.lastOption.foreach { e =>
+      e.df.count()
+      while (persisted.size > 1) free(persisted.dequeue())
     }
 
   /** Materialize + persist without lineage truncation (for side frames);
@@ -141,13 +165,16 @@ private[graft] class IterationManager(
     p
   }
 
-  /** Drop every cache still held (call after the final result is persisted
-   * by the caller). */
+  /** Drop every cache still held, including the RDD blocks behind lineage
+   * cuts. Callers MUST materialize (persist + count) their final result
+   * BEFORE closing: the last cut's blocks are freed here, and a frame
+   * whose lineage was truncated into them cannot be recomputed after. */
   def close(keep: DataFrame*): Unit = {
     val keepSet = keep.toSet
-    (persisted.dequeueAll(_ => true) ++ sideFrames).foreach { df =>
-      if (!keepSet.contains(df)) df.unpersist(false)
+    persisted.dequeueAll(_ => true).foreach { e =>
+      if (!keepSet.contains(e.df)) free(e)
     }
+    sideFrames.foreach { df => if (!keepSet.contains(df)) df.unpersist(false) }
     sideFrames.clear()
   }
 }

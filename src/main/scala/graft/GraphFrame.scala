@@ -178,17 +178,28 @@ class GraphFrame private (
   // ---------------------------------------------------------------------
 
   /** Vertices with a surrogate Long id column [[GraphFrame.LONG_ID]].
-   * Integral ids pass through (cast to Long); otherwise a stable surrogate
-   * is minted per partition after a hash repartition + in-partition sort so
-   * the assignment is deterministic for a fixed partition count.
-   */
+   * Integral ids pass through (cast to Long); otherwise the surrogate is a
+   * pure function of the id VALUE: `row_number` over a FIXED number of
+   * hash buckets, interleaved as `rank * B + bucket`. Purity matters —
+   * `monotonically_increasing_id` after a hash repartition (the previous
+   * shape) depends on the runtime partition count, which AQE varies
+   * across evaluations; `indexedEdges` re-evaluates this plan, and a
+   * drifted second evaluation silently mismatched every surrogate,
+   * splitting all components into singletons (the round-6
+   * g_connected_components hash mismatch). The window shuffles by bucket
+   * and sorts by id within each — the same cost class as the old
+   * repartition+sort, with no global-sort bottleneck. Overflows only
+   * past 2^47 vertices per bucket set (≈1.4e14 ids). */
   lazy val indexedVertices: DataFrame = {
     if (hasIntegralIdType) {
       vertices.select(col(ID).cast("long").as(LONG_ID), col(ID),
         nestAsCol(vertices, ATTR))
     } else {
-      val sorted = vertices.repartition(col(ID)).sortWithinPartitions(ID)
-      sorted.select(monotonically_increasing_id().as(LONG_ID), col(ID),
+      import org.apache.spark.sql.expressions.Window
+      val buckets = 65536L
+      val b = pmod(xxhash64(col(ID)), lit(buckets))
+      val rn = row_number().over(Window.partitionBy(b).orderBy(ID))
+      vertices.select((rn.cast("long") * buckets + b).as(LONG_ID), col(ID),
         nestAsCol(vertices, ATTR))
     }
   }
@@ -301,6 +312,17 @@ object GraphFrame {
 
   def apply(vertices: DataFrame, edges: DataFrame): GraphFrame =
     new GraphFrame(vertices, edges)
+
+  /** Eagerly free the executor storage behind an algorithm result (or any
+   * frame derived from one). Results of the iterative algorithms are
+   * lineage-cut into block-manager storage — self-contained, so no
+   * CacheManager bookkeeping can invalidate them mid-query — which also
+   * means `Dataset.unpersist` cannot free them. Left alone, the blocks
+   * are reclaimed when the frame is garbage-collected (ContextCleaner);
+   * long-lived drivers that loop over many algorithm calls can release
+   * each result deterministically with this. The frame cannot be
+   * recomputed afterwards. */
+  def release(result: DataFrame): Unit = lib.IterationManager.release(result)
 
   /** Build a graph from edges only: the vertex set is derived as the
    * distinct union of endpoints. */

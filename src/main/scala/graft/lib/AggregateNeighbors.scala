@@ -77,9 +77,7 @@ class AggregateNeighbors(g: GraphFrame) {
       exhausted = frontier.isEmpty
       hop += 1
     }
-    val out = results.reduce(_ unionByName _).persist()
-    out.count()
-    mgr.close()
+    val out = mgr.finish(results.reduce(_ unionByName _))
     nbrTable.unpersist(false)
     out
   }

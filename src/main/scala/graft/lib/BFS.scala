@@ -77,11 +77,8 @@ class BFS(g: GraphFrame) {
       }
       hop += 1
     }
-    // materialize before close: the winning hop's frame reads the cycled
-    // frontier, whose lineage-cut blocks close() frees
-    val out = result.getOrElse(zero).persist()
-    out.count()
-    mgr.close()
-    out
+    // finish(): the winning hop's frame reads the cycled frontier, whose
+    // lineage-cut blocks close() frees — make it self-contained first
+    mgr.finish(result.getOrElse(zero))
   }
 }

@@ -175,12 +175,9 @@ class ConnectedComponents(g: GraphFrame) {
     val comp = ee.select(col("src").as("vid"), col("dst").as("comp"))
     val labeled = iv.join(comp, Seq("vid"), "left_outer")
       .select(col(ID), coalesce(col("comp"), col("vid")).as("component"))
-    // materialize the result BEFORE close frees the lineage-cut blocks it
-    // was computed from (caller owns out.unpersist — reference contract)
-    val out = g.vertices.join(labeled, Seq(ID), "left_outer").persist()
-    out.count()
-    mgr.close()
-    out
+    // finish(): self-contained result before close frees the lineage-cut
+    // blocks it was computed from (see IterationManager.finish)
+    mgr.finish(g.vertices.join(labeled, Seq(ID), "left_outer"))
   }
 
   /** Collect the (bounded) edge list, union-find with min-id roots — the
@@ -201,10 +198,7 @@ class ConnectedComponents(g: GraphFrame) {
       .toSeq.toDF("vid", "comp")
     val labeled = iv.join(broadcast(compDF), Seq("vid"), "left_outer")
       .select(col(ID), coalesce(col("comp"), col("vid")).as("component"))
-    val out = g.vertices.join(labeled, Seq(ID), "left_outer").persist()
-    out.count()
-    mgr.close()
-    out
+    mgr.finish(g.vertices.join(labeled, Seq(ID), "left_outer"))
   }
 }
 

@@ -74,6 +74,15 @@ private[graft] object IterationManager {
       case None => new IterationManager(checkpointInterval, storageLevel)
     }
   }
+
+  /** Eagerly free the block-manager storage behind a frame returned from
+   * [[IterationManager.finish]] (its `LogicalRDD` blocks). Call only when
+   * the frame's data is no longer needed — it cannot be recomputed. */
+  def release(df: DataFrame): Unit = {
+    val live = df.sparkSession.sparkContext.getPersistentRDDs
+    org.apache.spark.sql.graftshim.GraftShims.logicalRddIds(df)
+      .foreach(id => live.get(id).foreach(_.unpersist(false)))
+  }
 }
 
 private[graft] class IterationManager(
@@ -88,13 +97,24 @@ private[graft] class IterationManager(
    * list every cut would leak one RDD of full iteration state until the
    * ContextCleaner's GC-driven sweep got around to it (the reference
    * guards this with ConnectedComponentsSuite.scala:311 "not leaking
-   * cached data"). */
-  private case class Entry(df: DataFrame, rddIds: Seq[Int])
+   * cached data").
+   *
+   * `viaDatasetPersist` records HOW the frame was pinned. A cut frame was
+   * never `Dataset.persist`ed — calling `df.unpersist` on it anyway is not
+   * a harmless no-op: `uncacheQuery` drops every cache entry whose plan is
+   * `sameResult` with the cut's `LogicalRDD`, and a caller's final result
+   * that happens to be a no-op projection of the last round's state (e.g.
+   * fixed-iteration PageRank, where no voting column is dropped)
+   * canonicalizes to exactly that plan. Freeing the cut then silently
+   * uncached the caller's materialized result AND deleted the checkpoint
+   * blocks it would recompute from — CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on
+   * the next action (the round-6 g_pagerank/g_cycles/g_lpa/g_scc outage). */
+  private case class Entry(df: DataFrame, rddIds: Seq[Int], viaDatasetPersist: Boolean)
   private val persisted = mutable.Queue.empty[Entry]
   private val sideFrames = mutable.ArrayBuffer.empty[DataFrame]
 
   private def free(e: Entry): Unit = {
-    e.df.unpersist(false)
+    if (e.viaDatasetPersist) e.df.unpersist(false)
     if (e.rddIds.nonEmpty) {
       val live = e.df.sparkSession.sparkContext.getPersistentRDDs
       e.rddIds.foreach(id => live.get(id).foreach(_.unpersist(false)))
@@ -129,7 +149,7 @@ private[graft] class IterationManager(
       // a no-op); ids, not references, so dropped entries don't pin
       // lineage objects
       val added = (sc.getPersistentRDDs.keySet -- before).toSeq
-      persisted.enqueue(Entry(c, added))
+      persisted.enqueue(Entry(c, added, viaDatasetPersist = false))
       // everything older than this materialized frame is now safe to drop
       while (persisted.size > 1) free(persisted.dequeue())
       c
@@ -138,12 +158,12 @@ private[graft] class IterationManager(
       // growing — caller opted out of lineage cuts)
       val p = df.persist(storageLevel)
       p.count()
-      persisted.enqueue(Entry(p, Nil))
+      persisted.enqueue(Entry(p, Nil, viaDatasetPersist = true))
       while (persisted.size > 1) free(persisted.dequeue())
       p
     } else {
       val p = df.persist(storageLevel)
-      persisted.enqueue(Entry(p, Nil))
+      persisted.enqueue(Entry(p, Nil, viaDatasetPersist = true))
       p
     }
   }
@@ -163,6 +183,36 @@ private[graft] class IterationManager(
     p.count()
     sideFrames += p
     p
+  }
+
+  /** Materialize a final result SELF-CONTAINED, then drop every tracked
+   * cache — the only safe way to hand a frame out of an iteration.
+   *
+   * Why `persist + count + close` is NOT safe: the result is usually a
+   * projection (often a no-op or rename-only one) of the last round's
+   * state, and such plans canonicalize `sameResult` with the state frame
+   * itself — so [[close]]'s `Dataset.unpersist` on the state entry
+   * silently removes the RESULT's cache entry too, and the later
+   * recompute dies on the checkpoint blocks [[close]] freed
+   * (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND; the round-6 outage across every
+   * fixed-iteration algorithm). A lineage cut has no such alias: the
+   * returned frame reads only its own blocks, immune to any CacheManager
+   * bookkeeping, and [[close]] can then free the whole queue.
+   *
+   * The result's blocks live outside the CacheManager; `Dataset.unpersist`
+   * on it is a no-op. They are reclaimed when the frame is GC'd
+   * (ContextCleaner), or eagerly via [[IterationManager.release]]. */
+  def finish(df: DataFrame): DataFrame = {
+    val r =
+      if (useLocalCheckpoint) df.localCheckpoint(true)
+      else {
+        val p = df.persist(storageLevel)
+        val x = p.checkpoint(true)
+        p.unpersist(false)
+        x
+      }
+    close()
+    r
   }
 
   /** Drop every cache still held, including the RDD blocks behind lineage

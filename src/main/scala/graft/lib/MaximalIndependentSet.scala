@@ -77,11 +77,8 @@ class MaximalIndependentSet(g: GraphFrame) {
         round)
       round += 1
     }
-    val out = mis.map(m => g.vertices.join(m, Seq(ID), "left_semi"))
-      .getOrElse(g.vertices.limit(0))
-      .persist()
-    out.count()
-    mgr.close()
+    val out = mgr.finish(mis.map(m => g.vertices.join(m, Seq(ID), "left_semi"))
+      .getOrElse(g.vertices.limit(0)))
     undP.unpersist(false)
     roundWinners.foreach(_.unpersist(false))
     out

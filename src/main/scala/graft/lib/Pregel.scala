@@ -231,11 +231,11 @@ class Pregel(g: GraphFrame) {
       iter += 1
     }
 
-    val result = state.select(
-      (origCols.map(c => col(graft.GraphFrame.quoteName(c))) ++ vertexCols.map(vc => col(vc.name))).toIndexedSeq: _*)
-      .persist(storageLevel)
-    result.count()
-    mgr.close()
+    // finish(): the result is often a no-op projection of the final state
+    // (fixed-iteration algorithms drop no voting column) — persist+close
+    // would let close() uncache it via sameResult; see IterationManager
+    val result = mgr.finish(state.select(
+      (origCols.map(c => col(graft.GraphFrame.quoteName(c))) ++ vertexCols.map(vc => col(vc.name))).toIndexedSeq: _*))
     edgeStruct.unpersist(false)
     result
   }

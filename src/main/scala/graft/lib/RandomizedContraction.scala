@@ -91,9 +91,7 @@ class RandomizedContraction(g: GraphFrame) {
 
     val labeled = iv.join(comp.select(col("v").as("vid"), col("comp")), Seq("vid"), "left_outer")
       .select(col(ID), coalesce(col("comp"), col("vid")).as("component"))
-    val out = g.vertices.join(labeled, Seq(ID), "left_outer").persist()
-    out.count()
-    mgr.close()
+    val out = mgr.finish(g.vertices.join(labeled, Seq(ID), "left_outer"))
     repTables.foreach(_.unpersist(false))
     out
   }

@@ -154,9 +154,12 @@ class StronglyConnectedComponents(g: GraphFrame) {
         }
         bIt += 1
       }
-      val part = reached.select(col("vid"), col("color").as("component"))
-        .persist()
-      part.count()
+      // rmgr.finish: `part` is a rename-only projection of `reached` —
+      // persist+close would let rmgr's close uncache it via sameResult
+      // (see IterationManager.finish); the cut also detaches it from the
+      // fmgr/bmgr frames closed below. Released eagerly at the end.
+      val part = rmgr.finish(
+        reached.select(col("vid"), col("color").as("component")))
       assignedParts += part
       remRound += 1; reRound += 1
       rem = remMgr.cycle(rem.join(part.select("vid"), Seq("vid"), "left_anti"), remRound)
@@ -165,21 +168,19 @@ class StronglyConnectedComponents(g: GraphFrame) {
           .join(part.select(col("vid").as("dst")), Seq("dst"), "left_anti")
           .select("src", "dst"),
         reRound)
-      cmgr.close(); bmgr.close(); fmgr.close(); rmgr.close()
+      cmgr.close(); bmgr.close(); fmgr.close()
       outer += 1
       }
     }
 
     val assigned = assignedParts.reduceOption(_ unionAll _)
       .getOrElse(iv.limit(0).select(col("vid"), col("vid").as("component")))
-    val out = g.vertices.join(
+    val out = remMgr.finish(g.vertices.join(
       iv.join(assigned, Seq("vid"), "left_outer")
         .select(col(ID), coalesce(col("component"), col("vid")).as("component")),
-      Seq(ID), "left_outer")
-      .persist()
-    out.count()
-    remMgr.close(); reMgr.close()
-    assignedParts.foreach(_.unpersist(false))
+      Seq(ID), "left_outer"))
+    reMgr.close()
+    assignedParts.foreach(IterationManager.release)
     out
   }
 }

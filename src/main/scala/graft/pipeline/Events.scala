@@ -14,10 +14,14 @@ object Events {
   /** Epoch milliseconds of the `ts` column. Parquet TIMESTAMP(NANOS) is
    * read as a Long (nanos) under `spark.sql.legacy.parquet.nanosAsLong`;
    * integer `div` avoids the double-precision loss a plain `/` would hit
-   * on ~1e18 nano values. */
+   * on ~1e18 nano values. Micros without `isAdjustedToUTC` surface as
+   * TIMESTAMP_NTZ, which `unix_millis` rejects — cast through TIMESTAMP
+   * (sessions here run UTC, so the reinterpretation is identity). */
   private def tsMillis(events: DataFrame): org.apache.spark.sql.Column =
     events.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_millis(col("ts").cast("timestamp"))
       case _ => unix_millis(col("ts"))
     }
 

@@ -106,9 +106,7 @@ class RandomWalks(g: GraphFrame) {
           .otherwise(array_append(col("random_walk"), next)).as("random_walk"))
       state = mgr.cycle(stepped, step)
     }
-    val out = state.select(col("walk_id"), col("random_walk")).persist()
-    out.count()
-    mgr.close()
+    val out = mgr.finish(state.select(col("walk_id"), col("random_walk")))
     nbrs.unpersist(false)
     out
   }

@@ -25,6 +25,10 @@ object EventStreams {
       .option("pathGlobFilter", "events.parquet").parquet(dir)
     val ms = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // micros without isAdjustedToUTC; sessions run UTC so the
+        // NTZ→TIMESTAMP reinterpretation is identity
+        unix_millis(col("ts").cast("timestamp"))
       case _ => unix_millis(col("ts"))
     }
     raw.withColumn("ts_utc", timestamp_millis(ms))

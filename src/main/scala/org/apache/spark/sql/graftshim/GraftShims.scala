@@ -46,4 +46,15 @@ object GraftShims {
   def logicalPlan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution.logical
+
+  /** RDD ids a (local)checkpointed frame pins in the block manager: the
+   * ids behind its `LogicalRDD` leaves. `Dataset.unpersist` cannot free
+   * these (they were persisted at the RDD level, not via the
+   * CacheManager); callers that want to release a finished iteration
+   * result early pass them to `SparkContext.getPersistentRDDs`. */
+  def logicalRddIds(df: DataFrame): Seq[Int] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+      }
 }

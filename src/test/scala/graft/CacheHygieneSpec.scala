@@ -4,10 +4,13 @@ import org.apache.spark.sql.functions._
 
 /** Port of the reference's cache-hygiene checks
  * (ConnectedComponentsSuite.scala:311-321 "not leaking cached data"):
- * after an algorithm's result is materialized and unpersisted, the
+ * after an algorithm's result is materialized and released, the
  * session must hold no leftover persisted RDDs — localCheckpoint cuts
  * are persisted at the RDD level, where `Dataset.unpersist` is a
- * CacheManager no-op, so the IterationManager must free them itself. */
+ * CacheManager no-op, so the IterationManager must free them itself.
+ * Results themselves are lineage-cut (IterationManager.finish), so the
+ * caller-side cleanup is `GraphFrame.release` (Dataset.unpersist kept
+ * for any CacheManager-backed frames a result may still carry). */
 class CacheHygieneSpec extends TestBase {
   import spark.implicits._
 
@@ -20,9 +23,10 @@ class CacheHygieneSpec extends TestBase {
     val result = run
     result.count()
     result.unpersist(true)
+    GraphFrame.release(result)
     val after = leftoverIds() -- before
     assert(after.isEmpty,
-      s"leaked persistent RDDs after unpersist: ${after.toSeq.sorted}")
+      s"leaked persistent RDDs after unpersist+release: ${after.toSeq.sorted}")
   }
 
   test("connectedComponents does not leak cached data") {
@@ -45,5 +49,33 @@ class CacheHygieneSpec extends TestBase {
 
   test("kCore does not leak cached data") {
     assertNoLeak(friends.kCore.run())
+  }
+
+  // Round-6 regression: a result that is a no-op (or rename-only)
+  // projection of the final round's state canonicalizes `sameResult` with
+  // it, so the old persist+count+close pattern let close() uncache the
+  // result and free the checkpoint blocks its recompute needed
+  // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND across every fixed-iteration
+  // algorithm). finish() must survive both tail shapes: last round a
+  // lineage cut (even) and last round a lazy persist (odd).
+  private def finishSurvives(rounds: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val mgr = new lib.IterationManager(2)
+    var state = (0L until 20L).toDF("id").withColumn("x", lit(0.0))
+    state = mgr.cycle(state, 0)
+    for (i <- 1 to rounds)
+      state = mgr.cycle(state.withColumn("x", col("x") + 1.0), i)
+    val result = mgr.finish(state.select(col("id"), col("x")))
+    val total = result.select(sum("x")).as[Double].head()
+    assert(total == 20.0 * rounds, s"rounds=$rounds: got $total")
+    GraphFrame.release(result)
+  }
+
+  test("finish: no-op-projection result survives close (last round = cut)") {
+    finishSurvives(4)
+  }
+
+  test("finish: no-op-projection result survives close (last round = lazy persist)") {
+    finishSurvives(5)
   }
 }

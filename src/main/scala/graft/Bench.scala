@@ -62,8 +62,12 @@ object Bench {
       val flaky = okTimes.nonEmpty && okTimes.size < attempts.size
       (name, if (okTimes.nonEmpty) okTimes.min else -1.0, okTimes.nonEmpty, flaky)
     }
-    val qs = results.map { case (k, v, ok, _) => "\"" + k + "\":" + (if (ok) v else -1.0) }
-      .mkString("{", ",", "}")
+    def round(v: Double, dp: Int): String = {
+      val b = BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.stripTrailingZeros
+      // stripTrailingZeros can flip to scientific notation (10.000 → 1E+1)
+      b.toPlainString
+    }
     val failed = results.filterNot(_._3).map(_._1)
     val flaky = results.filter(_._4).map(_._1)
     val total = results.filter(_._3).map(_._2).sum
@@ -79,16 +83,30 @@ object Bench {
     // inflated by machine contention; the earlier 0.85 geomean is
     // withdrawn. Recipe + per-pair raw numbers + variance discussion:
     // tools/baseline_sidebyside.md.
-    val baseline =
-      """{"protocol":"LDBC-JMH 1 warmup + 3 avg, noop sink, local[16], sf0.1 trade graph (1190908 edges), interleaved same-day JVM session pairs",""" +
-      """"measured_at":"2026-08-13 (round 5, both engines re-measured)","note":"static recorded measurement, not re-run per bench; refresh with graft.BaselineBench + tools/baseline_sidebyside.md",""" +
-      """"reference_sec_mean":{"connected_components":8.23,"shortest_paths":1.64,"label_propagation":10.72},""" +
-      """"graft_sec_mean":{"connected_components":4.63,"shortest_paths":1.58,"label_propagation":9.40},""" +
-      """"ratio_graft_over_reference_geomean":0.78}"""
-    // `recorded_baseline_ratio` is the static measurement documented in the
-    // baseline object above — NOT recomputed per run (run graft.BaselineBench
-    // to refresh); named so no consumer mistakes it for a live gate.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flakyJson,"recorded_baseline_ratio":0.78,"baseline":$baseline,"sf":"$sfDir"}""")
+    // `recorded_baseline_ratio` is that static 0.78 geomean — NOT
+    // recomputed per run (refresh with graft.BaselineBench).
+    //
+    // subDp/supDp = decimals below/above 1 s. The driver keeps only a
+    // 2000-char TAIL of stdout (plus sbt's trailing success line), and
+    // the 9-digit BENCH_r05/r06 lines lost their head to it — so the
+    // stdout line degrades precision until it fits the tail window,
+    // while the file artifact below always carries full milliseconds.
+    def line(subDp: Int, supDp: Int, withRatio: Boolean): String = {
+      val qs = results.map { case (k, v, ok, _) =>
+        "\"" + k + "\":" + (if (!ok) "-1" else round(v, if (v < 1) subDp else supDp))
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${round(total, 1)},"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flakyJson""" +
+        (if (withRatio) ""","recorded_baseline_ratio":0.78""" else "") +
+        s""","sf":"$sfDir"}"""
+    }
+    val budget = 1900 // tail capture 2000 minus sbt's trailing success line
+    val stdoutLine = Seq(line(3, 3, true), line(2, 2, true), line(2, 1, true),
+      line(2, 1, false)).find(_.length <= budget).getOrElse(line(2, 1, false))
+    println(stdoutLine)
+    // full-precision artifact, immune to the stdout tail bound
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("tools/bench_last_run.json"), line(3, 3, true) + "\n")
+    catch { case _: Exception => () }
     spark.stop()
   }
 }

@@ -55,6 +55,21 @@ class AlgorithmsSpec extends TestBase {
     assert(math.abs(s - 4.0) < 1e-6)
   }
 
+  test("personalized pageRank: unreachable vertex has rank 0 (reference PageRankSuite)") {
+    val r = friends.pageRank.resetProbability(0.15).maxIter(10).sourceId("a").run()
+    val gRank = r.vertices.filter(col("id") === "g")
+      .select("pagerank").as[Double].head()
+    assert(gRank == 0.0, s"g is unreachable from a; got $gRank")
+  }
+
+  test("pageRank keeps every vertex on disconnected components (reference PageRankSuite)") {
+    val v = (0L until 7L).toDF("id")
+    val e = Seq((0L, 1L), (1L, 2L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val r = GraphFrame(v, e).pageRank.resetProbability(0.15).maxIter(10).run()
+    assert(r.vertices.count() == 7)
+    assert(r.vertices.filter(col("pagerank") <= 0).count() == 0)
+  }
+
   test("pageRank tolerance mode converges to the fixed-iteration answer") {
     val v = (0L until 4L).toDF("id")
     val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L)).toDF("src", "dst")

@@ -74,16 +74,15 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flakyJson = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Side-by-side vs the reference engine, BOTH halves re-measured in
-    // round 5 (2026-08-13, six interleaved same-day JVM session pairs,
-    // idle machine) with the committed harness (graft.BaselineBench vs
-    // the reference core compiled from /root/reference, identical
-    // JMH-style protocol — 1 warmup + 3 avg, noop sink, Kryo,
-    // MEMORY_AND_DISK_SER inputs — on the same 1.19M-edge long-id trade
-    // graph at sf0.1, local[16]). The round-3/4 reference legs were
-    // inflated by machine contention; the earlier 0.85 geomean is
-    // withdrawn. Recipe + per-pair raw numbers + variance discussion:
-    // tools/baseline_sidebyside.md.
-    // `recorded_baseline_ratio` is that static 0.78 geomean — NOT
+    // round 7 (2026-08-13, three interleaved fresh-JVM session pairs,
+    // after the finish()/surrogate fixes) with the committed harness
+    // (graft.BaselineBench vs the reference core compiled from
+    // /root/reference, identical JMH-style protocol — 1 warmup + 3 avg,
+    // noop sink, Kryo, MEMORY_AND_DISK_SER inputs — on the same
+    // 1.19M-edge long-id trade graph at sf0.1, local[16]):
+    // CC 0.45, SP 0.74, LPA 0.86. Recipe + per-pair raw numbers +
+    // variance discussion: tools/baseline_sidebyside.md.
+    // `recorded_baseline_ratio` is that static 0.66 geomean — NOT
     // recomputed per run (refresh with graft.BaselineBench).
     //
     // subDp/supDp = decimals below/above 1 s. The driver keeps only a
@@ -96,7 +95,7 @@ object Bench {
         "\"" + k + "\":" + (if (!ok) "-1" else round(v, if (v < 1) subDp else supDp))
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${round(total, 1)},"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flakyJson""" +
-        (if (withRatio) ""","recorded_baseline_ratio":0.78""" else "") +
+        (if (withRatio) ""","recorded_baseline_ratio":0.66""" else "") +
         s""","sf":"$sfDir"}"""
     }
     val budget = 1900 // tail capture 2000 minus sbt's trailing success line

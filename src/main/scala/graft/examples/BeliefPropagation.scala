@@ -45,10 +45,16 @@ object BeliefPropagation {
     val colors = v.select("color").distinct().orderBy("color")
       .collect().map(_.get(0)).toSeq
     val e = g.edges.select(col(SRC).as("i"), col(DST).as("j"), col("b"))
-    var msgs = e.unionByName(
+    // per-round state goes through the IterationManager: lineage cut every
+    // 2 color-rounds, superseded rounds freed once a newer one is
+    // materialized (a bare per-round localCheckpoint leaked sweeps×colors
+    // edge-sized frames until session GC), result handed out
+    // self-contained via finish()
+    val mgr = new graft.lib.IterationManager(2)
+    var msgs = mgr.cycle(e.unionByName(
         e.select(col("j").as("i"), col("i").as("j"), col("b")))
-      .withColumn("lam", lit(0.0))
-      .localCheckpoint(true)
+      .withColumn("lam", lit(0.0)), 0)
+    var round = 1
 
     val vi = v.select(col(ID).as("i"), col("a"))
     val vj = v.select(col(ID).as("j"), col("color").as("_colorJ"))
@@ -68,12 +74,13 @@ object BeliefPropagation {
               tanh(col("a") + coalesce(col("_si"), lit(0.0)) - col("_lamRev"))))
           .otherwise(col("lam")))
         .select(col("i"), col("j"), col("b"), col("lam"))
-        .localCheckpoint(true)
+      msgs = mgr.cycle(msgs, round)
+      round += 1
     }
     val sFinal = msgs.groupBy(col("j").as(ID)).agg(sum("lam").as("_s"))
-    v.join(sFinal, Seq(ID), "left_outer")
+    mgr.finish(v.join(sFinal, Seq(ID), "left_outer")
       .withColumn("belief", lit(1.0) /
         (lit(1.0) + exp(lit(-2.0) * (col("a") + coalesce(col("_s"), lit(0.0))))))
-      .drop("_s")
+      .drop("_s"))
   }
 }

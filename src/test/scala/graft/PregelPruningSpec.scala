@@ -102,6 +102,81 @@ class PregelPruningSpec extends TestBase {
       Seq.fill(n)(1))
   }
 
+  // dst-join-elision adversarial cases from the reference PregelSuite
+  // (PregelSuite.scala:497-562): dst references hidden inside a
+  // conditional, a map lookup, an array index, and nested struct access
+  // must all force the dst-side join — and plain dst.id must not.
+
+  test("dst join required when dst column used in conditional") {
+    val v = Seq((0L, true, 10L), (1L, false, 20L), (2L, true, 30L))
+      .toDF("id", "flag", "value")
+    val e = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val result = GraphFrame(v, e).pregel
+      .setMaxIter(1)
+      .withVertexColumn("received", lit(0L), coalesce(Pregel.msg, col("received")))
+      .sendMsgToDst(when(Pregel.dst("flag"), Pregel.src("value")).otherwise(lit(null)))
+      .aggMsgs(sum(Pregel.msg))
+      .run()
+    val received = result.sort("id").select("received").as[Long].collect()
+    assert(received.toSeq == Seq(0L, 0L, 20L))
+  }
+
+  test("dst join required when dst column used as map key") {
+    val v = Seq((0L, "a"), (1L, "b"), (2L, "a")).toDF("id", "key")
+    val e = Seq((0L, 1L, Map("a" -> 10L, "b" -> 20L)),
+      (1L, 2L, Map("a" -> 30L, "b" -> 40L))).toDF("src", "dst", "weights")
+    val result = GraphFrame(v, e).pregel
+      .setMaxIter(1)
+      .withVertexColumn("received", lit(0L), coalesce(Pregel.msg, col("received")))
+      .sendMsgToDst(element_at(Pregel.edge("weights"), Pregel.dst("key")))
+      .aggMsgs(sum(Pregel.msg))
+      .run()
+    val received = result.sort("id").select("received").as[Long].collect()
+    assert(received.toSeq == Seq(0L, 20L, 30L))
+  }
+
+  test("dst join required when dst column used as array index") {
+    val v = Seq((0L, 1), (1L, 2), (2L, 1)).toDF("id", "idx")
+    val e = Seq((0L, 1L, Array(100L, 200L)), (1L, 2L, Array(300L, 400L)))
+      .toDF("src", "dst", "values")
+    val result = GraphFrame(v, e).pregel
+      .setMaxIter(1)
+      .withVertexColumn("received", lit(0L), coalesce(Pregel.msg, col("received")))
+      .sendMsgToDst(element_at(Pregel.edge("values"), Pregel.dst("idx")))
+      .aggMsgs(sum(Pregel.msg))
+      .run()
+    val received = result.sort("id").select("received").as[Long].collect()
+    assert(received.toSeq == Seq(0L, 200L, 300L))
+  }
+
+  test("dst join required for nested struct field access") {
+    val v = Seq((0L, 1.0, 2.0), (1L, 3.0, 4.0), (2L, 5.0, 6.0))
+      .toDF("id", "x", "y")
+      .selectExpr("id", "named_struct('x', x, 'y', y) as location")
+    val e = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val result = GraphFrame(v, e).pregel
+      .setMaxIter(1)
+      .withVertexColumn("received", lit(0.0), coalesce(Pregel.msg, col("received")))
+      .sendMsgToDst(col("dst.location.x") + col("src.location.y"))
+      .aggMsgs(sum(Pregel.msg))
+      .run()
+    val received = result.sort("id").select("received").as[Double].collect()
+    assert(received.toSeq == Seq(0.0, 3.0 + 2.0, 5.0 + 4.0))
+  }
+
+  test("message referencing only dst.id still computes correctly (join elided)") {
+    val v = (0L until 3L).toDF("id")
+    val e = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val result = GraphFrame(v, e).pregel
+      .setMaxIter(1)
+      .withVertexColumn("received", lit(0L), coalesce(Pregel.msg, col("received")))
+      .sendMsgToDst(Pregel.dst("id") * 10L)
+      .aggMsgs(sum(Pregel.msg))
+      .run()
+    val received = result.sort("id").select("received").as[Long].collect()
+    assert(received.toSeq == Seq(0L, 10L, 20L))
+  }
+
   test("new vertex column init may read a nullable column") {
     val verDF = Seq(1L, 2L, 3L, 4L).toDF("id")
       .withColumn("nullableColumn",

@@ -168,14 +168,6 @@ private[graft] class IterationManager(
     }
   }
 
-  /** Force materialization of the latest frame (call before driver-side
-   * probes when the current round didn't checkpoint). */
-  def materializeLatest(): Unit =
-    persisted.lastOption.foreach { e =>
-      e.df.count()
-      while (persisted.size > 1) free(persisted.dequeue())
-    }
-
   /** Materialize + persist without lineage truncation (for side frames);
    * tracked and released by [[close]]. */
   def persistOnly(df: DataFrame): DataFrame = {

@@ -129,6 +129,10 @@ class SVDPlusPlus(g: GraphFrame) {
       val cu = newUsers.localCheckpoint(true)
       val ci = newItems.localCheckpoint(true)
       users.unpersist(false); items.unpersist(false); t.unpersist(false)
+      // superseded epochs' checkpoint BLOCKS live outside the CacheManager
+      // (Dataset.unpersist can't free them) — release them eagerly or the
+      // loop leaks two vertex-sized frames per epoch until session GC
+      IterationManager.release(users); IterationManager.release(items)
       users = cu; items = ci
     }
     lastLoss = edgeErr(users, items)

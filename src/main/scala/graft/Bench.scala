@@ -90,21 +90,29 @@ object Bench {
     // the 9-digit BENCH_r05/r06 lines lost their head to it — so the
     // stdout line degrades precision until it fits the tail window,
     // while the file artifact below always carries full milliseconds.
-    def line(subDp: Int, supDp: Int, withRatio: Boolean): String = {
+    def line(subDp: Int, supDp: Int, withRatio: Boolean, compact: Boolean): String = {
       val qs = results.map { case (k, v, ok, _) =>
         "\"" + k + "\":" + (if (!ok) "-1" else round(v, if (v < 1) subDp else supDp))
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${round(total, 1)},"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flakyJson""" +
+      // compact variants omit an empty flaky list (absence = none) and
+      // shorten sf to its basename — the driver records sf itself anyway
+      val flakyPart = if (flaky.nonEmpty || !compact) s""","flaky":$flakyJson""" else ""
+      val sf = if (compact) sfDir.split('/').last else sfDir
+      s"""{"metric":"total","value":${round(total, 1)},"unit":"sec","queries":$qs,"failed":$failedJson$flakyPart""" +
         (if (withRatio) ""","recorded_baseline_ratio":0.66""" else "") +
-        s""","sf":"$sfDir"}"""
+        s""","sf":"$sf"}"""
     }
     val budget = 1900 // tail capture 2000 minus sbt's trailing success line
-    val stdoutLine = Seq(line(3, 3, true), line(2, 2, true), line(2, 1, true),
-      line(2, 1, false)).find(_.length <= budget).getOrElse(line(2, 1, false))
+    val stdoutLine = Seq(
+      line(3, 3, true, compact = false), line(2, 2, true, compact = false),
+      line(2, 1, true, compact = true), line(2, 1, false, compact = true),
+      line(1, 1, false, compact = true))
+      .find(_.length <= budget).getOrElse(line(1, 1, false, compact = true))
     println(stdoutLine)
     // full-precision artifact, immune to the stdout tail bound
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("tools/bench_last_run.json"), line(3, 3, true) + "\n")
+      java.nio.file.Paths.get("tools/bench_last_run.json"),
+      line(3, 3, true, compact = false) + "\n")
     catch { case _: Exception => () }
     spark.stop()
   }

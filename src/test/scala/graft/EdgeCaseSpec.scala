@@ -102,6 +102,19 @@ class EdgeCaseSpec extends TestBase {
     assert(sp.select(col("`attr.dot`")).as[String].collect().toSet == Set("x", "y", "z"))
   }
 
+  test("triangleCount keeps dotted and backquoted vertex attribute columns") {
+    // reference TriangleCountSuite.scala:104-139
+    for (attr <- Seq("a.column", "a`column")) {
+      val v = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("id", attr)
+      val e = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+      val tc = GraphFrame(v, e).triangleCount.run()
+      assert(tc.columns.contains(attr))
+      val q = "`" + attr.replace("`", "``") + "`"
+      val rows = tc.select(col("id"), col("count"), col(q)).collect()
+      assert(rows.length == 3 && rows.forall(_.getLong(1) == 1L))
+    }
+  }
+
   test("backquotes in attribute column names survive triplets") {
     val v = Seq((0L, 1), (1L, 2)).toDF("id", "a `col`")
     val e = Seq((0L, 1L)).toDF("src", "dst")

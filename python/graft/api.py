@@ -70,9 +70,31 @@ class GraphFrameMethods:
         return self._call("aggregate_messages", aggCol=aggCol,
                           sendToDst=sendToDst, sendToSrc=sendToSrc)
 
-    def aggregateNeighbors(self, aggCol: str,
-                           maxHops: Optional[int] = None):
-        return self._call("aggregate_neighbors", aggCol=aggCol, maxHops=maxHops)
+    def aggregateNeighbors(self, aggCol: Optional[str] = None,
+                           maxHops: Optional[int] = None,
+                           startingVertices: Optional[str] = None,
+                           stoppingCondition: Optional[str] = None,
+                           targetCondition: Optional[str] = None,
+                           edgeFilter: Optional[str] = None,
+                           removeLoops: Optional[bool] = None,
+                           accNames: Optional[list] = None,
+                           accInits: Optional[list] = None,
+                           accUpdates: Optional[list] = None,
+                           requiredVertexAttributes: Optional[list] = None,
+                           requiredEdgeAttributes: Optional[list] = None):
+        """Two modes: ``aggCol`` runs per-hop neighbor aggregation;
+        ``accNames``/``accInits``/``accUpdates`` (parallel lists of SQL
+        expression strings) run the reference's path-accumulator traversal
+        with optional starting/stopping/target conditions."""
+        return self._call(
+            "aggregate_neighbors", aggCol=aggCol, maxHops=maxHops,
+            startingVertices=startingVertices,
+            stoppingCondition=stoppingCondition,
+            targetCondition=targetCondition, edgeFilter=edgeFilter,
+            removeLoops=removeLoops, accNames=accNames, accInits=accInits,
+            accUpdates=accUpdates,
+            requiredVertexAttributes=requiredVertexAttributes,
+            requiredEdgeAttributes=requiredEdgeAttributes)
 
     # --- algorithms ----------------------------------------------------
     def connectedComponents(self, algorithm: Optional[str] = None):

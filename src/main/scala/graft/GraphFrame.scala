@@ -17,7 +17,17 @@ import org.apache.spark.storage.StorageLevel
  */
 class GraphFrame private (
     @transient val vertices: DataFrame,
-    @transient val edges: DataFrame) extends Serializable {
+    @transient val edges: DataFrame,
+    /** Referential-integrity contract: every edge endpoint is known to
+     * exist in `vertices`. True by construction for [[GraphFrame.fromEdges]]
+     * graphs, after a successful [[validated]], or asserted via
+     * [[assumeEdgesReferenceVertices]]. When set, vertex-binding joins
+     * whose only contribution is the `id` field (motif endpoint binding,
+     * `triplets` on attribute-less vertices) are elided — the reference
+     * left this optimization commented out as blocked on engine-side
+     * indexing (reference PatternMatchSuite.scala:851-874); on Spark a
+     * compile-time contract is all that's needed. */
+    private[graft] val edgeEndpointsComplete: Boolean = false) extends Serializable {
   import GraphFrame._
 
   require(vertices.columns.contains(ID),
@@ -75,6 +85,28 @@ class GraphFrame private (
     require(bad.isEmpty, s"Edges reference missing vertex id: ${bad.mkString(",")}")
   }
 
+  /** [[validate]], then return a graph carrying the verified
+   * referential-integrity contract — motif endpoint binding on it can
+   * elide vertex joins (see [[assumeEdgesReferenceVertices]]). */
+  def validated(): GraphFrame = { validate(); assumeEdgesReferenceVertices }
+
+  /** Assert (without checking) that every edge endpoint exists in
+   * `vertices`. Operators may then skip inner joins against the vertex
+   * table whose only semantic effect would be filtering dangling edges:
+   * motif vertex binding and `triplets` synthesize `id`-only vertex
+   * structs straight from the edge columns. If the assertion is false,
+   * motifs can return rows whose endpoint vertices do not exist — use
+   * [[validated]] to check first, or rely on `fromEdges` graphs where the
+   * contract holds by construction. */
+  def assumeEdgesReferenceVertices: GraphFrame =
+    if (edgeEndpointsComplete) this else new GraphFrame(vertices, edges, true)
+
+  /** True when the vertex table carries no attributes beyond `id` — a
+   * vertex join then contributes nothing a bound endpoint column doesn't
+   * already hold. */
+  private[graft] lazy val idOnlyVertices: Boolean =
+    vertices.columns.sameElements(Array(ID))
+
   // ---------------------------------------------------------------------
   // Structure operators
   // ---------------------------------------------------------------------
@@ -82,12 +114,22 @@ class GraphFrame private (
   /** One row per edge with struct columns (src, edge, dst) holding the full
    * source-vertex row, edge row, and destination-vertex row. */
   lazy val triplets: DataFrame = {
-    val e = edges.select(nestAsCol(edges, EDGE))
-    val s = vertices.select(nestAsCol(vertices, SRC))
-    val d = vertices.select(nestAsCol(vertices, DST))
-    e.join(s, col(s"$EDGE.$SRC") === col(s"$SRC.$ID"))
-      .join(d, col(s"$EDGE.$DST") === col(s"$DST.$ID"))
-      .select(SRC, EDGE, DST)
+    if (edgeEndpointsComplete && idOnlyVertices) {
+      // the endpoint structs hold only `id`, which the edge row already
+      // carries — synthesize them instead of two joins (zero-join triplets)
+      val t = vertices.schema(ID).dataType
+      edges.select(
+        struct(col(SRC).cast(t).as(ID)).as(SRC),
+        nestAsCol(edges, EDGE),
+        struct(col(DST).cast(t).as(ID)).as(DST))
+    } else {
+      val e = edges.select(nestAsCol(edges, EDGE))
+      val s = vertices.select(nestAsCol(vertices, SRC))
+      val d = vertices.select(nestAsCol(vertices, DST))
+      e.join(s, col(s"$EDGE.$SRC") === col(s"$SRC.$ID"))
+        .join(d, col(s"$EDGE.$DST") === col(s"$DST.$ID"))
+        .select(SRC, EDGE, DST)
+    }
   }
 
   /** Filter vertices by `cond`; edges incident to removed vertices are
@@ -99,18 +141,22 @@ class GraphFrame private (
       .join(vIds.withColumnRenamed(ID, SRC), Seq(SRC), "left_semi")
       .join(vIds.withColumnRenamed(ID, DST), Seq(DST), "left_semi")
       .select(edges.columns.map(c => col(GraphFrame.quoteName(c))).toIndexedSeq: _*)
-    new GraphFrame(v2, e2)
+    // both endpoints semi-joined against the surviving vertices, so the
+    // referential-integrity contract is preserved (re-established, even)
+    new GraphFrame(v2, e2, edgeEndpointsComplete)
   }
   def filterVertices(cond: String): GraphFrame = filterVertices(expr(cond))
 
   /** Filter edges by `cond`; all vertices kept. */
-  def filterEdges(cond: Column): GraphFrame = new GraphFrame(vertices, edges.filter(cond))
+  def filterEdges(cond: Column): GraphFrame =
+    new GraphFrame(vertices, edges.filter(cond), edgeEndpointsComplete)
   def filterEdges(cond: String): GraphFrame = filterEdges(expr(cond))
 
   /** Drop vertices that appear in no edge. */
   def dropIsolatedVertices(): GraphFrame = {
     val used = edges.select(explode(array(col(SRC), col(DST))).as(ID))
-    new GraphFrame(vertices.join(used, Seq(ID), "left_semi"), edges)
+    new GraphFrame(vertices.join(used, Seq(ID), "left_semi"), edges,
+      edgeEndpointsComplete)
   }
 
   /** Add the reversed copy of every edge (emulates an undirected graph). */
@@ -120,7 +166,7 @@ class GraphFrame private (
     val fwd = edges.select((Seq(col(SRC), col(DST)) ++ attrs).toIndexedSeq: _*)
     val rev = edges.select(
       (Seq(col(DST).as(SRC), col(SRC).as(DST)) ++ attrs).toIndexedSeq: _*)
-    new GraphFrame(vertices, fwd.unionAll(rev))
+    new GraphFrame(vertices, fwd.unionAll(rev), edgeEndpointsComplete)
   }
 
   /** Flip the direction of every edge. */
@@ -128,7 +174,8 @@ class GraphFrame private (
     val attrs = edges.columns.filter(c => c != SRC && c != DST)
       .map(c => col(GraphFrame.quoteName(c)))
     new GraphFrame(vertices, edges.select(
-      (Seq(col(DST).as(SRC), col(SRC).as(DST)) ++ attrs).toIndexedSeq: _*))
+      (Seq(col(DST).as(SRC), col(SRC).as(DST)) ++ attrs).toIndexedSeq: _*),
+      edgeEndpointsComplete)
   }
 
   // ---------------------------------------------------------------------
@@ -227,6 +274,19 @@ class GraphFrame private (
   def pregel: lib.Pregel = new lib.Pregel(this)
 
   def find(motif: String): DataFrame = pattern.MotifCompiler.find(this, motif)
+
+  /** Motif search keeping only the named elements in `keep` (a subset of
+   * the pattern's vertex/edge names; `_hop`/`_direction` are always
+   * retained when the pattern produces them). Beyond a post-hoc
+   * `.select`, the compiler uses `keep` for join elimination: on a graph
+   * with the referential-integrity contract
+   * ([[assumeEdgesReferenceVertices]], [[validated]], or any `fromEdges`
+   * graph) a vertex name absent from `keep` never joins the vertex table
+   * at all — `find("(u)-[e]->(v)", Seq("e"))` compiles to a bare edge
+   * scan. The reference left exactly this commented out as future work
+   * (reference PatternMatchSuite.scala:851-874). */
+  def find(motif: String, keep: Seq[String]): DataFrame =
+    pattern.MotifCompiler.find(this, motif, Some(keep))
 
   def bfs: lib.BFS = new lib.BFS(this)
   def connectedComponents: lib.ConnectedComponents = new lib.ConnectedComponents(this)
@@ -330,7 +390,9 @@ object GraphFrame {
     val v = edges.select(col(SRC).as(ID))
       .unionAll(edges.select(col(DST).as(ID)))
       .distinct()
-    new GraphFrame(v, edges)
+    // the vertex set IS the endpoint set — referential integrity holds by
+    // construction, so motifs/triplets on this graph need no vertex joins
+    new GraphFrame(v, edges, true)
   }
 
   /** Pack all columns of `df` into a single struct column named `name`. */

@@ -333,6 +333,27 @@ object SparkEntry {
         .setMaxHops(2)
         .run()
     }),
+    "g_agg_paths" -> ((s, dir) => {
+      // path-accumulator mode (reference AggregateNeighbors' primary
+      // surface): every trade path nation 0 → … → nation 3 within 2 hops,
+      // carrying the id path and the nation-name path. Target semantics:
+      // a path reaching 3 is saved AND stops — so no 2-hop path may pass
+      // THROUGH 3 (the oracle encodes the same exclusion). Arrays ship as
+      // joined strings (driver canonicalizer contract, cf. g_cycles).
+      import graft.lib.AggregateNeighbors
+      graphB(s, dir).aggregateNeighbors
+        .setStartingVertices(col(ID) === 0)
+        .setMaxHops(2)
+        .setTargetCondition(AggregateNeighbors.dstAttr(ID) === 3)
+        .addAccumulator("path", array(col(ID)),
+          array_append(col("path"), AggregateNeighbors.dstAttr(ID)))
+        .addAccumulator("names", array(col("n_name")),
+          array_append(col("names"), AggregateNeighbors.dstAttr("n_name")))
+        .run()
+        .select(array_join(col("path").cast("array<string>"), ",").as("path"),
+          array_join(col("names"), ",").as("names"),
+          col(ID).cast("int").as(ID), col("hop"))
+    }),
     "g_triangle_approx" -> ((s, dir) =>
       // theta sketches are exact below nominal entries, so the exact-count
       // oracle applies at this scale
@@ -1512,6 +1533,21 @@ object SparkEntry {
          |FROM e e1 JOIN e e2 ON e2.src = e1.dst
          |WHERE e2.dst <> e1.src
          |GROUP BY e1.src""".stripMargin,
+    "g_agg_paths" ->
+      s"""WITH e AS ($NE),
+         |n AS (SELECT n_nationkey AS k, n_name AS nm FROM nation)
+         |SELECT CAST(e.src AS VARCHAR) || ',' || CAST(e.dst AS VARCHAR) AS path,
+         |       n0.nm || ',' || n1.nm AS names, CAST(e.dst AS INT) AS id, 1 AS hop
+         |FROM e JOIN n n0 ON n0.k = e.src JOIN n n1 ON n1.k = e.dst
+         |WHERE e.src = 0 AND e.dst = 3
+         |UNION ALL
+         |SELECT CAST(e1.src AS VARCHAR) || ',' || CAST(e1.dst AS VARCHAR)
+         |         || ',' || CAST(e2.dst AS VARCHAR),
+         |       n0.nm || ',' || n1.nm || ',' || n2.nm, CAST(e2.dst AS INT), 2
+         |FROM e e1 JOIN e e2 ON e2.src = e1.dst
+         |JOIN n n0 ON n0.k = e1.src JOIN n n1 ON n1.k = e1.dst
+         |JOIN n n2 ON n2.k = e2.dst
+         |WHERE e1.src = 0 AND e1.dst <> 3 AND e2.dst = 3""".stripMargin,
     "p_bipartite_projection" ->
       """WITH d AS (SELECT DISTINCT l_suppkey AS a, l_partkey AS b FROM lineitem)
         |SELECT x.a AS src, y.a AS dst, count(*) AS weight

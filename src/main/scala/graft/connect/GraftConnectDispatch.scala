@@ -39,7 +39,10 @@ object GraftConnectDispatch {
     "pregel" -> Set("vertexColName", "initExpr", "updateExpr", "sendToDst",
       "sendToSrc", "aggMsgs", "maxIter", "checkpointInterval"),
     "aggregate_messages" -> Set("sendToDst", "sendToSrc", "aggCol"),
-    "aggregate_neighbors" -> Set("aggCol", "maxHops"),
+    "aggregate_neighbors" -> Set("aggCol", "maxHops", "startingVertices",
+      "stoppingCondition", "targetCondition", "edgeFilter", "removeLoops",
+      "accNames", "accInits", "accUpdates", "requiredVertexAttributes",
+      "requiredEdgeAttributes"),
     "connected_components" -> Set("algorithm"),
     "strongly_connected_components" -> Set("maxIter"),
     "page_rank" -> Set("resetProb", "maxIter", "tol", "sourceId"),
@@ -249,8 +252,35 @@ object GraftConnectDispatch {
         str("sendToSrc").foreach(s => a.sendToSrc(expr(s)))
         a.agg(expr(required("aggCol")))
       case "aggregate_neighbors" =>
-        val an = g.aggregateNeighbors.agg(expr(required("aggCol")))
+        // two modes, mirroring the Scala builder: aggCol → per-hop
+        // aggregation; accNames/accInits/accUpdates → the reference's
+        // path-accumulator surface (proto message AggregateNeighbors,
+        // reference graphframes.proto:214-244)
+        def strList(k: String): Option[Seq[String]] = typed(k, "an array of strings") {
+          case JArray(vs) => vs.map {
+            case JString(s) => s
+            case other => throw new IllegalArgumentException(
+              s"params_json key '$k' entries must be strings, got: $other")
+          }
+        }
+        val an = g.aggregateNeighbors
+        strList("accNames").foreach { names =>
+          val inits = strList("accInits").getOrElse(throw new IllegalArgumentException(
+            "aggregate_neighbors with accNames requires accInits"))
+          val updates = strList("accUpdates").getOrElse(throw new IllegalArgumentException(
+            "aggregate_neighbors with accNames requires accUpdates"))
+          an.setAccumulators(names, inits.map(expr), updates.map(expr))
+        }
+        str("aggCol").foreach(a => an.agg(expr(a)))
         int("maxHops").foreach(an.setMaxHops)
+        str("startingVertices").map(expr).foreach(an.setStartingVertices)
+        str("stoppingCondition").map(expr).foreach(an.setStoppingCondition)
+        str("targetCondition").map(expr).foreach(an.setTargetCondition)
+        str("edgeFilter").map(expr).foreach(an.setEdgeFilter)
+        typed("removeLoops", "a boolean") { case JBool(b) => b }
+          .foreach(an.setRemoveLoops)
+        strList("requiredVertexAttributes").foreach(an.setRequiredVertexAttributes)
+        strList("requiredEdgeAttributes").foreach(an.setRequiredEdgeAttributes)
         an.run()
       case "connected_components" =>
         val cc = g.connectedComponents

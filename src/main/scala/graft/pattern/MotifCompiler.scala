@@ -17,7 +17,16 @@ import graft.GraphFrame
  *    orientations, tagged by a `_direction` column ("fwd"/"rev" per
  *    undirected term, `;`-joined);
  *  - variable-length `(a)-[e*1..3]->(b)` unions the per-hop expansions
- *    with a `_hop` column (reference GraphFrame.scala:625-657).
+ *    with a `_hop` column (reference GraphFrame.scala:625-657);
+ *  - vertex-join ELIMINATION (the reference left this commented out as
+ *    blocked on engine-side indexing, PatternMatchSuite.scala:851-874):
+ *    when the graph carries the referential-integrity contract
+ *    ([[GraphFrame.edgeEndpointsComplete]]) an endpoint vertex whose
+ *    attributes are not needed — the vertex table is `id`-only, or the
+ *    caller's `keep` projection drops the name — is bound straight to the
+ *    edge's src/dst column instead of joining the vertex table. A
+ *    triangle on a `fromEdges` graph then compiles to two edge-edge
+ *    joins and zero vertex joins.
  *
  * Scale: each term is an inner equi-join that Catalyst plans (broadcast vs
  * shuffled-hash vs sort-merge chosen by AQE at runtime); no driver-side
@@ -28,7 +37,7 @@ private[graft] object MotifCompiler {
 
   private val VarLength = """\*(\d+)\.\.(\d+)""".r
 
-  def find(g: GraphFrame, motif: String): DataFrame = {
+  def find(g: GraphFrame, motif: String, keep: Option[Seq[String]] = None): DataFrame = {
     // the __tmp prefix is this compiler's internal namespace (anonymous
     // edges, fixed-length expansion intermediates) and such columns are
     // dropped from the output — a user-chosen __tmp* name would silently
@@ -46,35 +55,49 @@ private[graft] object MotifCompiler {
         require(VarLength.findAllIn(motif).size == 1,
           "Motif: at most one variable-length edge is supported")
         val perHop = (lo to hi).map { h =>
-          findFixed(g, motif.replaceFirst(VarLength.regex, s"*$h"))
+          findFixed(g, motif.replaceFirst(VarLength.regex, s"*$h"), keep)
             .withColumn("_hop", lit(h))
         }
         perHop.reduce(_ unionByName (_, allowMissingColumns = true))
           .orderBy("_hop")
-      case None => findFixed(g, motif)
+      case None => findFixed(g, motif, keep)
     }
   }
 
-  private def findFixed(g: GraphFrame, motif: String): DataFrame = {
+  private def findFixed(g: GraphFrame, motif: String,
+      keep: Option[Seq[String]]): DataFrame = {
     val parsed = PatternParser.parse(motif)
     val augmented = augmentNegationOnlyVertices(parsed)
 
     // output order: first appearance of user-visible names
     val outOrder = scala.collection.mutable.LinkedHashSet.empty[String]
+    val vertexNames = scala.collection.mutable.Set.empty[String]
     def collectNames(p: Pattern): Unit = p match {
-      case VertexPattern(NamedVertex(n)) => outOrder += n
+      case VertexPattern(NamedVertex(n)) => outOrder += n; vertexNames += n
       case EdgePattern(a, e, b) =>
-        a match { case NamedVertex(n) => outOrder += n; case _ => }
+        a match { case NamedVertex(n) => outOrder += n; vertexNames += n; case _ => }
         e match { case NamedEdge(n) => outOrder += n; case _ => }
-        b match { case NamedVertex(n) => outOrder += n; case _ => }
+        b match { case NamedVertex(n) => outOrder += n; vertexNames += n; case _ => }
       case UndirectedEdgePattern(a, e, b) =>
-        a match { case NamedVertex(n) => outOrder += n; case _ => }
+        a match { case NamedVertex(n) => outOrder += n; vertexNames += n; case _ => }
         e match { case NamedEdge(n) => outOrder += n; case _ => }
-        b match { case NamedVertex(n) => outOrder += n; case _ => }
+        b match { case NamedVertex(n) => outOrder += n; vertexNames += n; case _ => }
       case Negation(e) => collectNames(e) // edge names are forbidden inside
       case _ =>
     }
     parsed.foreach(collectNames)
+
+    keep.foreach { ks =>
+      val unknown = ks.toSet -- outOrder
+      require(unknown.isEmpty,
+        s"Motif: keep names not in the pattern: ${unknown.mkString(", ")} " +
+          s"(pattern binds: ${outOrder.mkString(", ")})")
+    }
+    // vertex names whose struct column need not be materialized at all;
+    // join elimination for them additionally requires the graph's
+    // referential-integrity contract (checked at the join site)
+    val dropV: Set[String] =
+      keep.map(ks => vertexNames.toSet -- ks).getOrElse(Set.empty)
 
     // expand undirected terms into every orientation combination
     val undirectedCount = augmented.count(_.isInstanceOf[UndirectedEdgePattern])
@@ -91,18 +114,22 @@ private[graft] object MotifCompiler {
       }
 
     val frames = variants.map { case (ps, dirs) =>
-      val df = compileOriented(g, ps)
+      val df = compileOriented(g, ps, dropV)
       if (undirectedCount > 0) df.withColumn("_direction", lit(dirs.mkString(";")))
       else df
     }
     val out = frames.reduce(_ unionByName _)
-    val visible = outOrder.toSeq.filterNot(_.startsWith("__tmp")) ++
+    val visible = outOrder.toSeq.filterNot(_.startsWith("__tmp"))
+      .filter(n => keep.forall(_.contains(n))) ++
       (if (undirectedCount > 0) Seq("_direction") else Nil)
     if (visible.isEmpty) out
     else out.select(visible.map(col).toIndexedSeq: _*)
   }
 
-  private case class State(df: Option[DataFrame], seenV: Set[String])
+  /** `bound` maps each bound vertex name to the column holding its id:
+   * `col("name.id")` for materialized vertices, the binding edge's
+   * endpoint column for elided ones. */
+  private case class State(df: Option[DataFrame], bound: Map[String, Column])
 
   private def vertsOf(p: Pattern): Set[String] = p match {
     case VertexPattern(NamedVertex(n)) => Set(n)
@@ -150,10 +177,15 @@ private[graft] object MotifCompiler {
     out.toSeq
   }
 
-  private def compileOriented(g: GraphFrame, patternsSeq0: Seq[Pattern]): DataFrame = {
+  private def compileOriented(g: GraphFrame, patternsSeq0: Seq[Pattern],
+      dropV: Set[String]): DataFrame = {
     val patternsSeq = reorderForConnectivity(patternsSeq0)
     var tmpCounter = 0
     def freshName(): String = { tmpCounter += 1; s"__tmp$tmpCounter" }
+
+    val idType = g.vertices.schema(ID).dataType
+    val srcNullable = g.edges.schema(SRC).nullable
+    val dstNullable = g.edges.schema(DST).nullable
 
     def nestV(name: String): DataFrame =
       g.vertices.select(GraphFrame.nestAsCol(g.vertices, name))
@@ -167,8 +199,8 @@ private[graft] object MotifCompiler {
       val eSrc = col(s"$eName.$SRC")
       val eDst = col(s"$eName.$DST")
 
-      val aSeen = aName.exists(st.seenV.contains)
-      val bSeen = bName.exists(st.seenV.contains)
+      val aSeen = aName.exists(st.bound.contains)
+      val bSeen = bName.exists(st.bound.contains)
 
       val withEdge: DataFrame = st.df match {
         case None =>
@@ -176,42 +208,68 @@ private[graft] object MotifCompiler {
         case Some(prev) =>
           if (aSeen && bSeen)
             prev.join(nestE(eName),
-              eSrc === col(s"${aName.get}.$ID") && eDst === col(s"${bName.get}.$ID"))
+              eSrc === st.bound(aName.get) && eDst === st.bound(bName.get))
           else if (aSeen)
-            prev.join(nestE(eName), eSrc === col(s"${aName.get}.$ID"))
+            prev.join(nestE(eName), eSrc === st.bound(aName.get))
           else if (bSeen)
-            prev.join(nestE(eName), eDst === col(s"${bName.get}.$ID"))
+            prev.join(nestE(eName), eDst === st.bound(bName.get))
           else
             prev.crossJoin(nestE(eName))
       }
 
-      // attach unseen named endpoint vertices
+      // Bind an unseen named endpoint. With the graph's referential-
+      // integrity contract, a vertex whose attributes are not needed
+      // (id-only vertex table, or name dropped by the caller's keep
+      // projection) binds to the edge endpoint column directly — no
+      // vertex join. The old join also silently dropped null-endpoint
+      // edges (null never equi-matches), so elision adds an explicit
+      // not-null filter when the edge schema admits nulls.
+      def bind(df0: DataFrame, n: String, endpoint: Column,
+          endpointNullable: Boolean): (DataFrame, Column) = {
+        if (g.edgeEndpointsComplete && (dropV.contains(n) || g.idOnlyVertices)) {
+          val df1 = if (endpointNullable) df0.filter(endpoint.isNotNull) else df0
+          if (dropV.contains(n)) (df1, endpoint)
+          else (df1.withColumn(n, struct(endpoint.cast(idType).as(ID))),
+            col(s"$n.$ID"))
+        } else {
+          (df0.join(nestV(n), endpoint === col(s"$n.$ID")), col(s"$n.$ID"))
+        }
+      }
+
       var df = withEdge
-      var seen = st.seenV
+      var bound = st.bound
       (aName, bName) match {
         case (Some(a), Some(b)) if a == b && !aSeen =>
-          // self-loop on a new name: one vertex join constrained both ways
-          df = df.join(nestV(a), eSrc === col(s"$a.$ID") && eDst === col(s"$a.$ID"))
-          seen += a
-        case _ =>
-          aName.filterNot(seen.contains).foreach { a =>
-            df = df.join(nestV(a), eSrc === col(s"$a.$ID"))
-            seen += a
+          // self-loop on a new name: one binding constrained both ways
+          if (g.edgeEndpointsComplete && (dropV.contains(a) || g.idOnlyVertices)) {
+            val (df1, c) = bind(df.filter(eSrc === eDst), a, eSrc, srcNullable)
+            df = df1; bound += a -> c
+          } else {
+            df = df.join(nestV(a), eSrc === col(s"$a.$ID") && eDst === col(s"$a.$ID"))
+            bound += a -> col(s"$a.$ID")
           }
-          bName.filterNot(seen.contains).foreach { b =>
-            df = df.join(nestV(b), eDst === col(s"$b.$ID"))
-            seen += b
+        case _ =>
+          aName.filterNot(bound.contains).foreach { a =>
+            val (df1, c) = bind(df, a, eSrc, srcNullable)
+            df = df1; bound += a -> c
+          }
+          bName.filterNot(bound.contains).foreach { b =>
+            val (df1, c) = bind(df, b, eDst, dstNullable)
+            df = df1; bound += b -> c
           }
       }
-      State(Some(df), seen)
+      State(Some(df), bound)
     }
 
     def applyTerm(st: State, p: Pattern): State = p match {
       case VertexPattern(NamedVertex(n)) =>
-        if (st.seenV.contains(n)) st
+        // a standalone vertex term ENUMERATES the vertex table (one result
+        // row per vertex) — the join is the semantics, never elided
+        if (st.bound.contains(n)) st
         else st.df match {
-          case None => State(Some(nestV(n)), st.seenV + n)
-          case Some(prev) => State(Some(prev.crossJoin(nestV(n))), st.seenV + n)
+          case None => State(Some(nestV(n)), st.bound + (n -> col(s"$n.$ID")))
+          case Some(prev) =>
+            State(Some(prev.crossJoin(nestV(n))), st.bound + (n -> col(s"$n.$ID")))
         }
       case VertexPattern(AnonymousVertex) => st
       case EdgePattern(a, e, b) => applyEdge(st, a, e, b)
@@ -223,10 +281,10 @@ private[graft] object MotifCompiler {
         val prevCols = prev.columns.toIndexedSeq
         val positive = applyEdge(st, a, AnonymousEdge, b).df.get
           .select(prevCols.map(col): _*)
-        State(Some(prev.except(positive)), st.seenV)
+        State(Some(prev.except(positive)), st.bound)
     }
 
-    patternsSeq.foldLeft(State(None, Set.empty))(applyTerm).df
+    patternsSeq.foldLeft(State(None, Map.empty[String, Column]))(applyTerm).df
       .getOrElse(throw new IllegalArgumentException("Motif: empty pattern"))
   }
 

@@ -125,6 +125,29 @@ class ConnectPluginSpec extends TestBase {
     assert(fe.count() == 2)
   }
 
+  test("dispatch covers aggregate_neighbors path mode (accumulators over the wire)") {
+    // diamond 0 -> {1,2} -> 3: two paths, costs 2.0 and 6.0
+    val v = spark.sql("SELECT * FROM VALUES (0L),(1L),(2L),(3L) AS t(id)")
+    val e = spark.sql(
+      "SELECT * FROM VALUES (0L,1L,1.0),(0L,2L,5.0),(1L,3L,1.0),(2L,3L,1.0) AS t(src, dst, w)")
+    val res = GraftConnectDispatch.run(Some(v), e, "aggregate_neighbors",
+      """{"startingVertices": "id = 0", "maxHops": 3,
+        |"targetCondition": "dst_attributes.id = 3",
+        |"accNames": ["cost"], "accInits": ["CAST(0.0 AS DOUBLE)"],
+        |"accUpdates": ["cost + edge_attributes.w"]}""".stripMargin)
+    assert(res.columns.toSeq == Seq("cost", "id", "hop"))
+    val got = res.collect().map(r => (r.getDouble(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((2.0, 3L, 2), (6.0, 3L, 2)))
+    // aggCol and accumulators are exclusive modes — mixing fails loudly
+    val err = intercept[IllegalArgumentException] {
+      GraftConnectDispatch.run(Some(v), e, "aggregate_neighbors",
+        """{"aggCol": "count(1) AS n", "accNames": ["x"],
+          |"accInits": ["0"], "accUpdates": ["x"],
+          |"stoppingCondition": "true"}""".stripMargin)
+    }
+    assert(err.getMessage.contains("mutually exclusive"))
+  }
+
   /** Runs the Python package's encoder (python/graft/wire.py — the exact
    * code client.py ships on the wire) over real relation payloads and
    * returns the Any bytes a remote client would send; None if python3 is

@@ -27,6 +27,7 @@ object GraftConf {
   val CcCheckpointIntervalKey = "spark.graft.connectedComponents.checkpointinterval"
   val CcStorageLevelKey = "spark.graft.connectedComponents.intermediatestoragelevel"
   val CcSmallGraphThresholdKey = "spark.graft.connectedComponents.smallgraphthreshold"
+  val TriangleHubThresholdKey = "spark.graft.triangleCount.hubthreshold"
 
   private def get(key: String): Option[String] =
     SparkSession.getActiveSession.flatMap(s => Option(s.conf.get(key, null)))
@@ -55,4 +56,9 @@ object GraftConf {
     get(CcStorageLevelKey).map(s => StorageLevel.fromString(s.toUpperCase))
 
   def ccSmallGraphThreshold: Option[Long] = get(CcSmallGraphThresholdKey).map(_.toLong)
+
+  /** Max degree of the canonical (undirected, simple) graph above which
+   * triangleCount switches from full-neighbor-set intersection to the
+   * degree-oriented skew-safe path (see lib/TriangleCount.scala). */
+  def triangleHubThreshold: Option[Long] = get(TriangleHubThresholdKey).map(_.toLong)
 }

@@ -88,9 +88,15 @@ object SparkEntry {
     val cs = cc.groupBy("component").agg(count(lit(1)).as("sz"))
       .agg(count(lit(1)).cast("long").as("_nc"), max("sz").cast("long").as("_mx"))
     val tri = g.triangleCount.run().agg((sum("count") / 3).cast("long").as("_t"))
-    // stack() emits the three metric rows from ONE evaluation — a union of
-    // three selects would recompute CC + triangles per branch
-    cs.crossJoin(tri).selectExpr(
+    // materialize each single-row aggregate under its OWN adaptive plan
+    // before combining: inside a crossJoin the non-probe side compiles as a
+    // broadcast subtree where AQE cannot re-plan, and static size estimates
+    // picked an array-shuffling SortMergeJoin for the triangle pipeline
+    // (measured 20s vs 0.3s for the identical subtree planned adaptively)
+    val csm = cs.localCheckpoint()
+    val trim = tri.localCheckpoint()
+    // stack() emits the three metric rows from the two 1-row checkpoints
+    csm.crossJoin(trim).selectExpr(
       "stack(3, 'n_components', _nc, 'max_component', _mx, 'triangles', _t) " +
         "as (metric, value)")
   }

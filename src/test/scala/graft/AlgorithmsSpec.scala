@@ -259,6 +259,63 @@ class AlgorithmsSpec extends TestBase {
     assert(m == Map(1L -> 2, 2L -> 2, 3L -> 2, 4L -> 1, 5L -> 1))
   }
 
+  test("SortedArrayIntersect kernels: match array_intersect, interp == codegen") {
+    import graft.expressions.SortedArrayIntersect.{sortedIntersect, sortedIntersectSize}
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { _ =>
+      def arr = rnd.shuffle((0L until 60L).toList).take(rnd.nextInt(20)).distinct.sorted
+      (arr, arr)
+    } :+ ((Nil: List[Long], List(1L, 2L))) :+ ((List(5L), Nil: List[Long]))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      sortedIntersect($"a", $"b").as("m"),
+      sortedIntersectSize($"a", $"b").as("n"),
+      array_intersect($"a", $"b").as("ref")).collect()
+    got.foreach { r =>
+      val ref = r.getSeq[Long](2).sorted
+      assert(r.getSeq[Long](0) == ref)
+      assert(r.getInt(1) == ref.size)
+    }
+    // string element type routes through the ordering path — same contract
+    val sdf = Seq((Seq("a", "c", "x"), Seq("b", "c", "x", "z"))).toDF("a", "b")
+    val srow = sdf.select(sortedIntersect($"a", $"b"), sortedIntersectSize($"a", $"b")).head
+    assert(srow.getSeq[String](0) == Seq("c", "x") && srow.getInt(1) == 2)
+    // interpreted kernel agrees with the executed (codegen) path
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val ia = ArrayData.toArrayData(Array(1L, 3L, 5L, 9L))
+    val ib = ArrayData.toArrayData(Array(3L, 4L, 9L))
+    assert(graft.expressions.SortedArrayIntersect.sizeLong(ia, ib) == 2)
+    assert(graft.expressions.SortedArrayIntersect.intersectLong(ia, ib)
+      .toLongArray().toSeq == Seq(3L, 9L))
+  }
+
+  test("triangleCount: oriented hub path agrees with the intersect path") {
+    // random graphs, both paths forced via the hub-threshold conf
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 3) {
+      val n = 40
+      val edges = (0 until 300).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val g = GraphFrame.fromEdges(edges.toDF("src", "dst"))
+      val base = g.triangleCount.run().select("id", "count")
+        .as[(Long, Long)].collect().toMap
+      spark.conf.set(GraftConf.TriangleHubThresholdKey, "0")
+      try {
+        val oriented = g.triangleCount.run().select("id", "count")
+          .as[(Long, Long)].collect().toMap
+        assert(oriented == base, s"trial $trial")
+      } finally spark.conf.unset(GraftConf.TriangleHubThresholdKey)
+    }
+    // hub star + one rim edge: exactly one triangle, found on the skew path
+    val star = (1L to 20L).map(h => (0L, h)) :+ (1L, 2L)
+    spark.conf.set(GraftConf.TriangleHubThresholdKey, "4")
+    try {
+      val m = GraphFrame.fromEdges(star.toDF("src", "dst")).triangleCount.run()
+        .select("id", "count").as[(Long, Long)].collect().toMap
+      assert(m(0L) == 1 && m(1L) == 1 && m(2L) == 1 && m(3L) == 0)
+    } finally spark.conf.unset(GraftConf.TriangleHubThresholdKey)
+  }
+
   test("triangleCount: bi-directed and duplicate edges count each triangle once") {
     // reference TriangleCountSuite.scala:69-103 (notes GraphX double-counts
     // bi-directed triangles; the DataFrame semantics must not)

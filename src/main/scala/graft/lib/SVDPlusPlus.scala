@@ -30,7 +30,16 @@ class SVDPlusPlus(g: GraphFrame) {
   def setMinValue(v: Double): this.type = { minValue = v; this }
   def setMaxValue(v: Double): this.type = { maxValue = v; this }
 
-  @volatile var lastLoss: Double = Double.NaN
+  /** Training loss (final-state Σ err²). After [[runDeterministic]] the
+   * value is computed LAZILY on first access — the extra full edge pass is
+   * ~1/(maxIter+1) of total runtime and most callers never read it. Access
+   * it before releasing the result frame. */
+  def lastLoss: Double = {
+    if (lossCache.isEmpty) lossCache = Some(lossEval())
+    lossCache.get
+  }
+  @volatile private var lossCache: Option[Double] = Some(Double.NaN)
+  @volatile private var lossEval: () => Double = () => Double.NaN
 
   /** Deterministic DataFrame SVD++ on a BIPARTITE user→item rating graph —
    * same model as [[run]] (Koren's SVD++: `pred = μ + b_u + b_i +
@@ -101,21 +110,29 @@ class SVDPlusPlus(g: GraphFrame) {
     }
     for (_ <- 1 to maxIterV) {
       val t = edgeErr(users, items).persist()
-      val uScal = t.groupBy("u").agg(sum("err").as("se"))
-      val uVec = vecSum(t.select(col("u"),
-        transform(col("q"), q => q * col("err")).as("eq")), "u", "eq")
-      val newUsers = users.join(uScal, "u").join(uVec, "u")
+      // ONE hash aggregation per vertex side: the scalar Σerr and every
+      // per-lane vector sum ride the same shuffle as sibling sum columns
+      // (this replaces one scalar agg + one/two vecSum aggs per side — five
+      // shuffles and five scans of t down to two)
+      val uSums = sum(col("err")).as("se") +:
+        (0 until rank).map(k => sum(col("q").getItem(k) * col("err")).as(s"_eq$k"))
+      val uAgg = t.groupBy("u").agg(uSums.head, uSums.tail: _*)
+        .select(col("u"), col("se"),
+          array((0 until rank).map(k => col(s"_eq$k")): _*).as("eq"))
+      val newUsers = users.join(uAgg, "u")
         .select(col("u"), col("du"),
           (col("bu") + (col("se") - col("du") * g6 * col("bu")) * g1).as("bu"),
           col("nu"),
           zip_with(col("p"), col("eq"),
             (p, s) => p + (s - col("du") * g7 * p) * g2).as("p"))
-      val iScal = t.groupBy("i").agg(sum("err").as("se"))
-      val iVecQ = vecSum(t.select(col("i"),
-        transform(col("z"), z => z * col("err")).as("ez")), "i", "ez")
-      val iVecY = vecSum(t.select(col("i"),
-        transform(col("q"), q => q * col("err") * col("nu")).as("ey")), "i", "ey")
-      val newItems = items.join(iScal, "i").join(iVecQ, "i").join(iVecY, "i")
+      val iSums = sum(col("err")).as("se") +:
+        ((0 until rank).map(k => sum(col("z").getItem(k) * col("err")).as(s"_ez$k")) ++
+          (0 until rank).map(k => sum(col("q").getItem(k) * col("err") * col("nu")).as(s"_ey$k")))
+      val iAgg = t.groupBy("i").agg(iSums.head, iSums.tail: _*)
+        .select(col("i"), col("se"),
+          array((0 until rank).map(k => col(s"_ez$k")): _*).as("ez"),
+          array((0 until rank).map(k => col(s"_ey$k")): _*).as("ey"))
+      val newItems = items.join(iAgg, "i")
         .select(col("i"), col("di"),
           (col("bi") + (col("se") - col("di") * g6 * col("bi")) * g1).as("bi"),
           zip_with(col("q"), col("ez"),
@@ -135,7 +152,12 @@ class SVDPlusPlus(g: GraphFrame) {
       IterationManager.release(users); IterationManager.release(items)
       users = cu; items = ci
     }
-    lastLoss = edgeErr(users, items)
+    // loss = one more full edge pass over the FINAL state — deferred to
+    // first lastLoss access (the final users/items are lineage-cut and
+    // self-contained; e recomputes from the source edges if evicted)
+    val fu = users; val fi = items
+    lossCache = None
+    lossEval = () => edgeErr(fu, fi)
       .agg(sum(col("err") * col("err"))).head().getDouble(0)
     e.unpersist(false)
     users.select(col("u").as(ID), lit(null).cast("array<double>").as("q"),
@@ -154,7 +176,7 @@ class SVDPlusPlus(g: GraphFrame) {
       .select(col(LONG_SRC), col(LONG_DST), col(s"$ATTR.$WEIGHT").cast("double"))
       .rdd.map(r => org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
     val (model, loss) = org.apache.spark.graphx.lib.SVDPlusPlus.run(edgeRdd, conf)
-    lastLoss = loss
+    lossCache = Some(loss)
     val spark = g.spark
     import spark.implicits._
     val factors = model.vertices

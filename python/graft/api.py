@@ -14,7 +14,7 @@ intentionally loose so it imports under either client's environment.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, Dict, Optional
 
 
 class GraphFrameMethods:
@@ -222,6 +222,25 @@ class PipelineMethods:
                    seed: Optional[int] = None):
         return self._call("pipe_hash_sample", idCol=idCol, fraction=fraction,
                           seed=seed)
+
+    def mixtureSample(self, idCol: str, strataCol: str,
+                      fractions: Dict[str, float],
+                      seed: Optional[int] = None):
+        """Per-stratum keep fractions (data mixing); unlisted strata are
+        dropped. Same deterministic draw as hashSample."""
+        return self._call("pipe_mixture_sample", idCol=idCol,
+                          strataCol=strataCol, fractions=fractions, seed=seed)
+
+    def bigramLm(self, idCol: str, textCol: str, alpha: Optional[float] = None):
+        """Corpus-trained bigram LM quality score per document."""
+        return self._call("pipe_bigram_lm", idCol=idCol, textCol=textCol,
+                          alpha=alpha)
+
+    def vocabOov(self, idCol: str, textCol: str,
+                 vocabSize: Optional[int] = None):
+        """Top-K corpus vocabulary + per-document OOV rate."""
+        return self._call("pipe_vocab_oov", idCol=idCol, textCol=textCol,
+                          vocabSize=vocabSize)
 
     # --- multimodal (JDK-codec image/audio kernels) --------------------
     def imageDecode(self, idCol: str, binCol: str):

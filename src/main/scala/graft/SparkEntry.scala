@@ -786,6 +786,17 @@ object SparkEntry {
       pipeline.Sampling.stratifiedHashSample(load(s, dir, "documents"), "doc_id", "lang",
         fraction = 0.5)
         .select(col("doc_id"), col("lang"))),
+    "p_mixture_sample" -> ((s, dir) => // data-mixing: per-source fractions;
+      // src2 unlisted -> excluded by contract
+      pipeline.Sampling.mixtureSample(load(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 0.75, "src1" -> 0.25))
+        .select(col("doc_id"), col("source"))),
+    "p_bigram_lm" -> ((s, dir) => // corpus-trained bigram LM quality score
+      pipeline.Text.bigramLmScore(load(s, dir, "documents"), "doc_id", "text",
+        alpha = 0.5)),
+    "p_vocab_oov" -> ((s, dir) => // top-100 vocabulary, per-doc OOV rate
+      pipeline.Text.vocabOovRate(load(s, dir, "documents"), "doc_id", "text",
+        vocabSize = 100)),
     "p_semantic_dedup" -> ((s, dir) => // SemDeDup: IVF cells + within-cell cosine
       pipeline.Dedup.semanticDedup(load(s, dir, "embeddings"), "vec_id",
         "embedding", threshold = 0.4, nlist = 8, lloydIters = 1)),
@@ -2077,6 +2088,34 @@ object SparkEntry {
     "p_sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${duckHex4("md5('42|' || lang || '|' || CAST(doc_id AS VARCHAR))")} < 32768""".stripMargin,
+    "p_mixture_sample" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE ${duckHex4("md5('42|' || source || '|' || CAST(doc_id AS VARCHAR))")}
+         |  < CASE source WHEN 'src0' THEN 49152 WHEN 'src1' THEN 16384 END""".stripMargin,
+    "p_bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+         |b AS (SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS bg FROM t),
+         |c2 AS (SELECT bg, count(*) AS c2 FROM b GROUP BY 1),
+         |c1 AS (SELECT string_split(bg, ' ')[1] AS w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+         |vv AS (SELECT count(*) AS v FROM c1),
+         |s AS (SELECT b.doc_id, ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * vv.v)) AS lp
+         |      FROM b JOIN c2 USING (bg)
+         |      JOIN c1 ON string_split(b.bg, ' ')[1] = c1.w1 CROSS JOIN vv),
+         |a AS (SELECT doc_id, count(*) AS n_bigrams, avg(lp) AS sc FROM s GROUP BY 1)
+         |SELECT d.doc_id, CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  ROUND(COALESCE(a.sc, 0.0), 4) AS lm_score
+         |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
+    "p_vocab_oov" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+         |tk AS (SELECT doc_id, unnest(w) AS tok FROM t),
+         |cnt AS (SELECT tok, count(*) AS tc FROM tk GROUP BY 1),
+         |voc AS (SELECT tok FROM cnt ORDER BY tc DESC, tok ASC LIMIT 100),
+         |r AS (SELECT tk.doc_id, count(*) AS n_tokens,
+         |        avg(CASE WHEN voc.tok IS NULL THEN 1.0 ELSE 0.0 END) AS orate
+         |      FROM tk LEFT JOIN voc ON tk.tok = voc.tok GROUP BY 1)
+         |SELECT d.doc_id, CAST(COALESCE(r.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  ROUND(COALESCE(r.orate, 0.0), 4) AS oov_rate
+         |FROM documents d LEFT JOIN r USING (doc_id)""".stripMargin,
     "e_window_agg" ->
       """SELECT event_type,
         |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS window_start,

@@ -77,6 +77,9 @@ object GraftConnectDispatch {
     "pipe_char_entropy" -> Set("idCol", "textCol"),
     "pipe_redact_pii" -> Set("idCol", "textCol"),
     "pipe_hash_sample" -> Set("idCol", "fraction", "seed"),
+    "pipe_mixture_sample" -> Set("idCol", "strataCol", "fractions", "seed"),
+    "pipe_bigram_lm" -> Set("idCol", "textCol", "alpha"),
+    "pipe_vocab_oov" -> Set("idCol", "textCol", "vocabSize"),
     "pipe_ann_topk" -> Set("idCol", "vecCol", "k"),
     "pipe_ann_ivf_hier" -> Set("idCol", "vecCol", "k", "nsuper", "nlistPer",
       "wprobe", "nprobe"),
@@ -190,6 +193,27 @@ object GraftConnectDispatch {
               case JInt(i) => i.toLong
               case JLong(l) => l
             }.getOrElse(42L))
+        case "pipe_mixture_sample" =>
+          val fractions = params.get("fractions") match {
+            case Some(JObject(kvs)) => kvs.map {
+              case (k, JDouble(d)) => k -> d
+              case (k, JInt(i)) => k -> i.toDouble
+              case (k, other) => throw new IllegalArgumentException(
+                s"fractions['$k'] must be numeric, got: $other")
+            }.toMap
+            case _ => throw new IllegalArgumentException(
+              "pipe_mixture_sample requires params_json key 'fractions' " +
+                "(object of stratum -> fraction)")
+          }
+          Sampling.mixtureSample(t, id, required("strataCol"), fractions,
+            seed = params.get("seed").collect {
+              case JInt(i) => i.toLong
+              case JLong(l) => l
+            }.getOrElse(42L))
+        case "pipe_bigram_lm" =>
+          Text.bigramLmScore(t, id, text, alpha = dbl("alpha").getOrElse(0.5))
+        case "pipe_vocab_oov" =>
+          Text.vocabOovRate(t, id, text, vocabSize = int("vocabSize").getOrElse(1000))
         case "pipe_ann_topk" =>
           Similarity.topK(t, id, vec, k = int("k").getOrElse(10))
         case "pipe_ann_ivf_hier" =>

@@ -40,6 +40,32 @@ object Sampling {
         < lit(threshold))
   }
 
+  /** Mixture sampling — the data-mixing primitive: keep a DIFFERENT
+   * deterministic fraction per stratum (e.g. {web: 0.1, code: 0.8,
+   * books: 1.0}) to hit a target training mixture in one filter pass.
+   * Rows whose stratum has no entry in `fractions` are dropped (an
+   * unlisted source is an excluded source — silent 100% passthrough of a
+   * new source would skew the mixture unnoticed).
+   *
+   * The draw hashes (seed, stratum, id) exactly like
+   * [[stratifiedHashSample]], so a stratum's kept set is stable when its
+   * fraction grows: raising 0.1 → 0.2 only ADDS documents, which makes
+   * mixture re-weighting incremental rather than a full resample. Pure
+   * narrow filter — no shuffle, no broadcast, scan speed at any size. */
+  def mixtureSample(df: DataFrame, idCol: String, strataCol: String,
+      fractions: Map[String, Double], seed: Long = 42L): DataFrame = {
+    require(fractions.nonEmpty, "mixtureSample: empty fraction map")
+    fractions.foreach { case (k, f) =>
+      require(f >= 0 && f <= 1, s"fraction for '$k' must be in [0,1]: $f") }
+    val entries = fractions.toSeq.sortBy(_._1).flatMap { case (k, f) =>
+      Seq(lit(k), lit(math.round(f * 65536.0).toInt)) }
+    val thr = element_at(map(entries: _*), col(strataCol).cast("string"))
+    // null threshold (unlisted stratum) compares to null -> row dropped
+    df.filter(
+      draw16(lit(seed), col(strataCol).cast("string"), col(idCol).cast("string"))
+        < thr)
+  }
+
   /** Pack documents into training shards of ~`budget` units (tokens,
    * bytes) by contiguous fill in `idCol` order (numeric, unique ids):
    * `shard_id = floor(prefix_sum_exclusive(size) / budget)`. Returns

@@ -264,4 +264,77 @@ object Text {
     df.select(col(idCol),
       md5(concat_ws("", array_sort(selected))).as("fingerprint"))
   }
+
+  /** Corpus-trained bigram language-model score per document — the
+   * perplexity-style quality filter of CCNet/Wenzek et al. without an
+   * external model: documents whose word transitions are improbable under
+   * the corpus's own bigram statistics (gibberish, boilerplate soup,
+   * wrong-language fragments) score low and can be threshold-filtered.
+   *
+   * score(d) = mean over d's bigrams (w1,w2) of
+   *   ln (C(w1,w2) + α) / (C(w1·) + α·V)
+   * with add-α smoothing over the bigram CONTEXT vocabulary V (#distinct
+   * w1). Documents with fewer than 2 tokens score 0. Returns
+   * (idCol, n_bigrams, lm_score 4dp).
+   *
+   * Scale shape: ONE corpus scan explodes bigrams; C(w1,w2) is a hash
+   * aggregation keyed by the joined shingle string and C(w1·)/V derive
+   * from it by a second re-aggregation of the SAME counted frame (no
+   * second corpus scan). Per-doc scoring joins doc bigrams against the
+   * count tables on their natural keys — fixed-width rows, no vocabulary
+   * broadcast required, AQE splits hot-token partitions. */
+  def bigramLmScore(df0: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    val df = ensureParallelism(df0)
+    // (doc, "w1 w2") occurrences — every doc bigram, duplicates kept
+    val docBigrams = df.select(col(idCol).as("_d_id"),
+      explode(wordShingles(col(textCol), 2)).as("_bg"))
+    val bgCounts = docBigrams.groupBy("_bg").agg(count(lit(1)).as("_c2"))
+    // context counts and vocab from the COUNTED frame: Σ C(w1,w2) over w2
+    val w1Counts = bgCounts
+      .select(substring_index(col("_bg"), " ", 1).as("_w1"), col("_c2"))
+      .groupBy("_w1").agg(sum(col("_c2")).as("_c1"))
+    val v = w1Counts.count()
+    val scored = docBigrams
+      .join(bgCounts, Seq("_bg"))
+      .join(w1Counts.withColumnRenamed("_w1", "_bg_w1"),
+        substring_index(col("_bg"), " ", 1) === col("_bg_w1"))
+      .select(col("_d_id"),
+        log((col("_c2") + lit(alpha)) / (col("_c1") + lit(alpha * v))).as("_lp"))
+      .groupBy("_d_id")
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("_lp")).as("_s"))
+    // left join restores docs with < 2 tokens at score 0
+    df.select(col(idCol)).join(scored.withColumnRenamed("_d_id", idCol), Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(coalesce(col("_s"), lit(0.0)), 4).as("lm_score"))
+  }
+
+  /** Frequency vocabulary + out-of-vocabulary rate — the tokenizer-prep
+   * diagnostic: build the top-`vocabSize` corpus tokens (by occurrence
+   * count desc, token asc on ties) and report, per document, the fraction
+   * of token occurrences outside that vocabulary. Returns
+   * (idCol, n_tokens, oov_rate 4dp); empty documents rate 0.
+   *
+   * Scale shape: one corpus scan + token hash aggregation; the vocabulary
+   * itself is top-K of the aggregate (TakeOrdered — no global sort) and is
+   * small by construction, so the per-doc membership probe is a BROADCAST
+   * join of the exploded tokens — the corpus shuffles only its per-doc
+   * aggregation, never the token stream. */
+  def vocabOovRate(df0: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 1000): DataFrame = {
+    val df = ensureParallelism(df0)
+    val docTokens = df.select(col(idCol).as("_d_id"),
+      explode(tokens(col(textCol))).as("_tok"))
+    val vocab = docTokens.groupBy("_tok").agg(count(lit(1)).as("_tc"))
+      .orderBy(col("_tc").desc, col("_tok").asc).limit(vocabSize)
+      .select(col("_tok"), lit(1).as("_in_v"))
+    val rates = docTokens
+      .join(broadcast(vocab), Seq("_tok"), "left_outer")
+      .groupBy("_d_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(when(col("_in_v").isNull, 1.0).otherwise(0.0)).as("_r"))
+    df.select(col(idCol)).join(rates.withColumnRenamed("_d_id", idCol), Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("_r"), lit(0.0)), 4).as("oov_rate"))
+  }
 }

@@ -247,6 +247,18 @@ class ConnectPluginSpec extends TestBase {
       """{"idCol": "doc_id", "textCol": "text"}""").count() == 4)
     assert(run("pipe_hash_sample",
       """{"idCol": "doc_id", "fraction": 1.0}""").count() == 4)
+    assert(run("pipe_bigram_lm",
+      """{"idCol": "doc_id", "textCol": "text"}""").count() == 4)
+    assert(run("pipe_vocab_oov",
+      """{"idCol": "doc_id", "textCol": "text", "vocabSize": 5}""").count() == 4)
+    // mixture sampling through the JSON object parameter; an empty
+    // fraction map is a loud client error, not an empty result
+    assert(run("pipe_mixture_sample",
+      """{"idCol": "doc_id", "strataCol": "text",
+         |"fractions": {"the quick brown fox jumps over the lazy dog": 1.0}}"""
+        .stripMargin).count() >= 1)
+    intercept[IllegalArgumentException](run("pipe_mixture_sample",
+      """{"idCol": "doc_id", "strataCol": "text", "fractions": {}}"""))
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
     def runEmb(alg: String, params: String) =
       GraftConnectDispatch.run(scala.None, emb, alg, params)

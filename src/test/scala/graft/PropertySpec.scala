@@ -442,6 +442,64 @@ class PropertySpec extends TestBase {
     }
   }
 
+  test("bigramLmScore: repeated transitions score high, rare ones low, short docs 0") {
+    val docs = Seq(
+      (1L, "a b a b a b a b"),   // only high-count transitions
+      (2L, "a b"),               // one common bigram
+      (3L, "x q"),               // one singleton bigram
+      (4L, "a"),                 // too short -> 0
+      (5L, ""))                  // empty -> 0
+      .toDF("doc_id", "text")
+    val m = pipeline.Text.bigramLmScore(docs, "doc_id", "text", alpha = 0.5)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m(4L) == ((0L, 0.0)) && m(5L) == ((0L, 0.0)))
+    assert(m(1L)._1 == 7 && m(2L)._1 == 1 && m(3L)._1 == 1)
+    // "a b" appears 5x with context count 7 vs "x q" once of once — but
+    // smoothing over the context vocabulary makes the COMMON transition
+    // likelier: score(2) > score(3); doc 1 mixes in "b a" so sits between
+    assert(m(2L)._2 > m(3L)._2)
+    // exact value check: V = 3 contexts (a, b, x); C("a b") = 5 of
+    // C("a ·") = 5, so P(b|a) = (5 + .5) / (5 + .5 * 3)
+    val exp2 = math.log(5.5 / 6.5)
+    assert(math.abs(m(2L)._2 - math.rint(exp2 * 1e4) / 1e4) < 1e-9)
+  }
+
+  test("vocabOovRate: rate reflects tokens outside the top-K vocabulary") {
+    val docs = Seq(
+      (1L, "a a a a b b b c"),
+      (2L, "a b rare1 rare2"),
+      (3L, "rare3 rare3"),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    // vocabSize 3 -> vocab by count desc, token asc: a(6), b(5), rare3(2)
+    val m = pipeline.Text.vocabOovRate(docs, "doc_id", "text", vocabSize = 3)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m(1L) == ((8L, 0.125)))  // only c is OOV
+    assert(m(2L) == ((4L, 0.5)))    // rare1, rare2 OOV
+    assert(m(3L) == ((2L, 0.0)))    // rare3 made the vocab on the tie-break
+    assert(m(4L) == ((0L, 0.0)))
+  }
+
+  test("mixtureSample: per-stratum fractions, unlisted strata dropped, monotone growth") {
+    val df = (1L to 2000L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val kept = pipeline.Sampling.mixtureSample(df, "doc_id", "source",
+      Map("src0" -> 0.8, "src1" -> 0.2, "src2" -> 0.0))
+      .as[(Long, String)].collect()
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(!bySrc.contains("src2") && !bySrc.contains("src3")) // 0.0 and unlisted
+    assert(bySrc("src0") > 350 && bySrc("src0") < 450)  // ~0.8 * 500
+    assert(bySrc("src1") > 60 && bySrc("src1") < 140)   // ~0.2 * 500
+    // raising a fraction only ADDS rows (incremental re-weighting contract)
+    val grown = pipeline.Sampling.mixtureSample(df, "doc_id", "source",
+      Map("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.0))
+      .as[(Long, String)].collect()
+    assert(kept.toSet.subsetOf(grown.toSet))
+    // and matches stratifiedHashSample at the same fraction (same draw)
+    val strat = pipeline.Sampling.stratifiedHashSample(df, "doc_id", "source", 0.8)
+      .as[(Long, String)].collect().filter(_._2 == "src0").toSet
+    assert(kept.filter(_._2 == "src0").toSet == strat)
+  }
+
   test("simhash of identical docs is identical; hamming grows with edits") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

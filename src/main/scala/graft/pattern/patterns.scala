@@ -41,48 +41,60 @@ object PatternParser extends RegexParsers {
       case None => AnonymousVertex
     }
 
-  private case class Arrow(edge: EdgeTerm, repeat: Int, backward: Boolean,
+  /** `repeat = None` for a plain arrow, `Some(n)` for an explicit `*n` —
+   * the distinction matters because the reference renames even a `*1`
+   * chain's edge to `_<name>1` (reference PatternSuite.scala:33-35). */
+  private case class Arrow(edge: EdgeTerm, repeat: Option[Int], backward: Boolean,
       undirected: Boolean = false)
 
   private def fwdArrow: Parser[Arrow] =
     "-[" ~> opt(name) ~ opt("*" ~> "\\d+".r) <~ "]->" ^^ {
       case n ~ rep => Arrow(n.map(NamedEdge).getOrElse(AnonymousEdge),
-        rep.map(_.toInt).getOrElse(1), backward = false)
+        rep.map(_.toInt), backward = false)
     }
   private def bwdArrow: Parser[Arrow] =
     "<-[" ~> opt(name) ~ opt("*" ~> "\\d+".r) <~ "]-" ^^ {
       case n ~ rep => Arrow(n.map(NamedEdge).getOrElse(AnonymousEdge),
-        rep.map(_.toInt).getOrElse(1), backward = true)
+        rep.map(_.toInt), backward = true)
     }
   // undirected `-[e]-`: must not consume the `->` of a forward arrow, so it
   // is tried after fwd/bwd and requires the closing `-` not followed by `>`
   private def undArrow: Parser[Arrow] =
     "-[" ~> opt(name) <~ "]-" <~ not(">") ^^ {
-      case n => Arrow(n.map(NamedEdge).getOrElse(AnonymousEdge), 1,
+      case n => Arrow(n.map(NamedEdge).getOrElse(AnonymousEdge), None,
         backward = false, undirected = true)
     }
 
-  // distinguishes the generated chains of MULTIPLE anonymous fixed-length
-  // terms in one pattern ("(u)-[*2]->(v); (v)-[*3]->(w)") — a shared
-  // "__tmpe" base made their generated edge names collide and fail the
-  // uniqueness validation (found porting the reference's fixed-length-5
-  // chain-decomposition case). Reset per parse; parse() is synchronized.
-  private var anonChainCounter = 0
-
+  /** Fixed-length chain expansion with the REFERENCE's user-visible naming
+   * contract (reference pattern/patterns.scala:102-134, PatternSuite:25-100):
+   * `(u)-[e*3]->(v)` becomes edges `_e1 _e2 _e3` through mid vertices
+   * `_uv1 _uv2` — all of them ordinary named elements a user can select
+   * (`find(...).select("_uv1.id")` must work after switching engines).
+   * Only when BOTH endpoints are anonymous do the mids fall into the
+   * compiler-internal `__tmpv<i>` namespace (hidden from output here;
+   * divergence note: the reference exposes even those). Chain edges of an
+   * ANONYMOUS `[*n]` stay anonymous, exactly like the reference. */
   private def expandEdge(a: VertexTerm, arrow: Arrow, b: VertexTerm): List[Pattern] = {
     val (s, d) = if (arrow.backward) (b, a) else (a, b)
     if (arrow.undirected) List(UndirectedEdgePattern(s, arrow.edge, d))
-    else if (arrow.repeat == 1) List(EdgePattern(s, arrow.edge, d))
+    else if (arrow.repeat.isEmpty) List(EdgePattern(s, arrow.edge, d))
     else {
-      require(arrow.repeat >= 1, s"edge repetition must be >= 1, got ${arrow.repeat}")
-      val base = arrow.edge match {
-        case NamedEdge(n) => n
-        case AnonymousEdge => anonChainCounter += 1; s"__tmpe${anonChainCounter}x"
+      val hop = arrow.repeat.get
+      require(hop >= 1, s"Hop must be greater than 0, got *$hop")
+      val mids = (s, d) match {
+        case (AnonymousVertex, AnonymousVertex) =>
+          (1 until hop).map(i => NamedVertex(s"__tmpv$i"))
+        case _ =>
+          val sn = s match { case NamedVertex(n) => n; case _ => "" }
+          val dn = d match { case NamedVertex(n) => n; case _ => "" }
+          (1 until hop).map(i => NamedVertex(s"_$sn$dn$i"))
       }
-      val mids = (1 until arrow.repeat).map(i => NamedVertex(s"__tmp_${base}_$i"))
       val chain = (s +: mids) :+ d
       chain.sliding(2).zipWithIndex.map { case (Seq(x, y), i) =>
-        EdgePattern(x, NamedEdge(s"$base${i + 1}"), y)
+        arrow.edge match {
+          case NamedEdge(n) => EdgePattern(x, NamedEdge(s"_$n${i + 1}"), y)
+          case AnonymousEdge => EdgePattern(x, AnonymousEdge, y)
+        }
       }.toList
     }
   }
@@ -109,19 +121,23 @@ object PatternParser extends RegexParsers {
    * bidirectional terms are rejected (reference
    * pattern/patterns.scala:72-97). */
   private def rewriteBidirectional(s: String): String = {
-    val bidi = """(!?)\(([a-zA-Z0-9_]*)\)<-\[([a-zA-Z0-9_]*)\]->\(([a-zA-Z0-9_]*)\)""".r
+    val bidi = """(!?)\(([a-zA-Z0-9_]*)\)<-\[([a-zA-Z0-9_]*(?:\*[0-9.]+)?)\]->\(([a-zA-Z0-9_]*)\)""".r
     s.split(";").map(_.trim).map {
       case bidi(neg, a, e, b) =>
         if (neg.nonEmpty) throw new IllegalArgumentException(
           s"Motif: negated bidirectional edge is not supported: '$s'")
         if (e.isEmpty) s"($a)-[]->($b);($b)-[]->($a)"
+        // starred bidirectional keeps the bracket content verbatim on both
+        // directions (reference rewriteIncomingEdges: "(u)<-[*5]->(v)" ->
+        // "(u)-[*5]->(v);(v)-[*5]->(u)"); a NAME with a star duplicates the
+        // name and fails edge-uniqueness downstream, same as the reference
+        else if (e.contains('*')) s"($a)-[$e]->($b);($b)-[$e]->($a)"
         else s"($a)-[${e}1]->($b);($b)-[${e}2]->($a)"
       case other => other
     }.mkString(";")
   }
 
   def parse(s0: String): Seq[Pattern] = synchronized {
-    anonChainCounter = 0
     val s = rewriteBidirectional(s0)
     parseAll(patterns, s) match {
       case Success(result, _) => validate(result); result

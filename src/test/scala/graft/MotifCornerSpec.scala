@@ -6,10 +6,10 @@ import org.apache.spark.sql.functions._
  * Motif corner cases ported (behaviorally) from the reference's
  * PatternMatchSuite (reference core/src/test/.../PatternMatchSuite.scala:
  * 83-636): same fixture graph, same pattern strings, same expected row
- * sets — this is where silent semantic divergence would hide. Column
- * NAMES of expansion intermediates deliberately differ (our DSL hides
- * them; see MotifCompiler doc), so equivalence cases compare endpoint
- * projections instead of intermediate columns.
+ * sets — this is where silent semantic divergence would hide. Fixed-length
+ * expansion intermediates follow the reference's user-visible naming
+ * (`_e1`, `_uv1`, ...; ParserContractSpec covers the contract); only the
+ * both-endpoints-anonymous mids stay in the hidden `__tmpv` namespace.
  */
 class MotifCornerSpec extends TestBase {
   import spark.implicits._

@@ -78,7 +78,13 @@ class MotifSpec extends TestBase {
     val df = chain(4).find("(a)-[e*2]->(b)")
     val pairs = df.select($"a.id", $"b.id").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 2L), (1L, 3L)))
-    assert(df.columns.contains("e1") && df.columns.contains("e2"))
+    // the reference's user-visible naming contract: chain edges _e1.._en,
+    // mid vertices _<src><dst><i>, in first-appearance order
+    // (reference PatternMatchSuite.scala:586-595)
+    assert(df.columns.toSeq == Seq("a", "_e1", "_ab1", "_e2", "b"))
+    // the mid vertex is selectable, like any named vertex
+    val mids = df.select($"_ab1.id").as[Long].collect().toSet
+    assert(mids == Set(1L, 2L))
   }
 
   test("self-loop pattern (a)-[e]->(a)") {

@@ -69,6 +69,17 @@ object SparkEntry {
    * and the neighbor-set aggregation all see a hot key. The de-skewed
    * twin (`hub = false`) differs only in that redirect; comparing their
    * bench rows measures what the AQE-first skew stance actually costs. */
+  /** supplier—part property graph over lineitem for the bipartite
+   * projection queries. */
+  private def suppliesGraph(s: SparkSession, dir: String): propertygraph.PropertyGraphFrame = {
+    import graft.propertygraph._
+    val supplier = VertexPropertyGroup("supplier", load(s, dir, "supplier"), "s_suppkey")
+    val part = VertexPropertyGroup("part", load(s, dir, "part"), "p_partkey")
+    PropertyGraphFrame(Seq(supplier, part),
+      Seq(EdgePropertyGroup("supplies", load(s, dir, "lineitem"), supplier, part,
+        isDirected = true, "l_suppkey", "l_partkey", lit(1.0))))
+  }
+
   private def skewStats(s: SparkSession, dir: String, hub: Boolean): DataFrame = {
     val li = load(s, dir, "lineitem")
     val base = pmod(col("l_suppkey") * 7 + col("l_partkey"), lit(997))
@@ -436,27 +447,13 @@ object SparkEntry {
         .select(col("walk_id"),
           array_join(col("random_walk").cast("array<string>"), ",")
             .as("random_walk"))),
-    "p_bipartite_projection" -> ((s, dir) => {
-      import graft.propertygraph._
-      val pg = new PropertyGraphFrame(
-        Seq(VertexPropertyGroup("supplier", load(s, dir, "supplier"), "s_suppkey"),
-          VertexPropertyGroup("part", load(s, dir, "part"), "p_partkey")),
-        Seq(EdgePropertyGroup("supplies", load(s, dir, "lineitem"),
-          "l_suppkey", "supplier", "l_partkey", "part")))
-      pg.bipartiteProjection("supplies")
-    }),
-    "p_bipartite_capped" -> ((s, dir) => {
+    "p_bipartite_projection" -> ((s, dir) =>
+      suppliesGraph(s, dir).bipartiteProjection("supplies")),
+    "p_bipartite_capped" -> ((s, dir) =>
       // hub-capped projection: parts supplied by > 20 suppliers are
       // excluded before the self-join (the 100-TB-scale guard; weight
       // becomes a lower bound that ignores hub-mediated co-occurrence)
-      import graft.propertygraph._
-      val pg = new PropertyGraphFrame(
-        Seq(VertexPropertyGroup("supplier", load(s, dir, "supplier"), "s_suppkey"),
-          VertexPropertyGroup("part", load(s, dir, "part"), "p_partkey")),
-        Seq(EdgePropertyGroup("supplies", load(s, dir, "lineitem"),
-          "l_suppkey", "supplier", "l_partkey", "part")))
-      pg.bipartiteProjection("supplies", maxDegree = 20)
-    }),
+      suppliesGraph(s, dir).bipartiteProjection("supplies", maxDegree = 20)),
     "m_media_meta" -> ((s, dir) => {
       // fixture: frame each doc's text as a REAL media payload — doc_id%3
       // picks PNG (full signature + IHDR), JPEG (SOI + APP0 + COM + SOF0,

@@ -39,10 +39,11 @@ class ExtendedSpec extends TestBase {
     val users = Seq((1L, "u1"), (2L, "u2")).toDF("uid", "name")
     val items = Seq((1L, "i1"), (2L, "i2")).toDF("iid", "title")
     val rates = Seq((1L, 1L, 5.0), (2L, 1L, 3.0), (2L, 2L, 4.0)).toDF("u", "i", "r")
-    val pg = new PropertyGraphFrame(
-      Seq(VertexPropertyGroup("user", users, "uid"),
-        VertexPropertyGroup("item", items, "iid")),
-      Seq(EdgePropertyGroup("rated", rates, "u", "user", "i", "item", Some("r"))))
+    val userG = VertexPropertyGroup("user", users, "uid")
+    val itemG = VertexPropertyGroup("item", items, "iid")
+    val pg = PropertyGraphFrame(Seq(userG, itemG),
+      Seq(EdgePropertyGroup("rated", rates, userG, itemG, isDirected = true,
+        "u", "i", "r")))
     val g = pg.toGraphFrame
     assert(g.vertices.count() == 4) // user ids never collide with item ids
     assert(g.edges.count() == 3)

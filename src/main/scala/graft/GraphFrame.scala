@@ -328,11 +328,24 @@ class GraphFrame private (
    * Long ids (interop path; reference vendors its own GraphX fork —
    * GraphFrame.scala:338-370 — while ours bridges to the public one). */
   def toGraphX: org.apache.spark.graphx.Graph[Row, Row] = {
-    val vs = indexedVertices.select(col(LONG_ID), col(ATTR))
-      .rdd.map(r => (r.getLong(0), r.getStruct(1).asInstanceOf[Row]))
-    val es = indexedEdges.select(col(LONG_SRC), col(LONG_DST), col(ATTR))
-      .rdd.map(r => org.apache.spark.graphx.Edge(
-        r.getLong(0), r.getLong(1), r.getStruct(2).asInstanceOf[Row]))
+    // null endpoints would otherwise silently mint surrogate 0 / NPE deep
+    // inside GraphX — fail with the reference's exact contract instead
+    // (reference GraphFrame.scala:338-355: SparkException wrapping an
+    // IllegalArgumentException at materialization)
+    val vs = indexedVertices.select(col(LONG_ID), col(ATTR), col(ID))
+      .rdd.map { r =>
+        if (r.isNullAt(2)) throw new IllegalArgumentException(
+          s"Vertex ID cannot be null. Found null in column '$ID'.")
+        (r.getLong(0), r.getStruct(1).asInstanceOf[Row])
+      }
+    val es = indexedEdges.select(col(LONG_SRC), col(LONG_DST), col(ATTR),
+        col(s"$ATTR.$SRC"), col(s"$ATTR.$DST"))
+      .rdd.map { r =>
+        if (r.isNullAt(3) || r.isNullAt(4)) throw new IllegalArgumentException(
+          s"Edge '$SRC' and '$DST' cannot be null.")
+        org.apache.spark.graphx.Edge(
+          r.getLong(0), r.getLong(1), r.getStruct(2).asInstanceOf[Row])
+      }
     org.apache.spark.graphx.Graph(vs, es)
   }
 

@@ -30,12 +30,56 @@ class RandomWalks(g: GraphFrame) {
   private var maxNeighbors: Int = 64
   private var seedV: Long = 42L
   private var hashModeV: String = "xxhash64"
+  private var batchSizeV: Option[Int] = None
+  private var numBatchesV: Option[Int] = None
+  private var tmpPrefixV: Option[String] = None
+  private var runIdV: String = java.util.UUID.randomUUID().toString
+  private var startBatchV: Int = 1
 
   def setWalkLength(n: Int): this.type = { walkLength = n; this }
   def setWalksPerVertex(n: Int): this.type = { walksPerVertex = n; this }
   def setRestartProbability(p: Double): this.type = { restartProb = p; this }
   def setMaxNeighborsPerVertex(n: Int): this.type = { maxNeighbors = n; this }
   def setSeed(s: Long): this.type = { seedV = s; this }
+
+  // --- batched, resumable execution (reference RandomWalkBase.scala:28-417:
+  // per-batch state persisted as parquet under a run-scoped prefix, so a
+  // multi-day walk over a 100 TB graph survives driver loss and resumes
+  // from the last completed batch instead of restarting) ----------------
+  /** Steps advanced per persisted batch (with [[setNumBatches]]; total
+   * walk length becomes batchSize * numBatches). */
+  def setBatchSize(n: Int): this.type = {
+    require(n >= 1, s"batchSize must be >= 1: $n"); batchSizeV = Some(n); this
+  }
+  def setNumBatches(n: Int): this.type = {
+    require(n >= 1, s"numBatches must be >= 1: $n"); numBatchesV = Some(n); this
+  }
+  /** Directory (any Hadoop-visible FS) under which per-batch state is
+   * written as `<prefix>/<runId>_batch_<i>`; enables resume + cleanUp. */
+  def setTemporaryPrefix(p: String): this.type = { tmpPrefixV = Some(p); this }
+  /** This run's id — pass a previous run's id (with
+   * [[setStartingFromBatch]]) to resume its persisted batches. */
+  def getRunId: String = runIdV
+  def setRunId(id: String): this.type = { runIdV = id; this }
+  /** First batch to EXECUTE; batches before it are read back from the
+   * persisted state of `startingFromBatch - 1`. Because every draw is
+   * hash-derived from (walk, step, seed), a resumed run reproduces the
+   * uninterrupted run bit-for-bit — stronger than the reference's rand()
+   * batches, which only match in distribution. */
+  def setStartingFromBatch(b: Int): this.type = {
+    require(b >= 1, s"startingFromBatch must be >= 1: $b"); startBatchV = b; this
+  }
+
+  private def batchPath(b: Int): String = s"${tmpPrefixV.get}/${runIdV}_batch_$b"
+
+  /** Delete every persisted batch of this run. */
+  def cleanUp(): Unit = tmpPrefixV.foreach { _ =>
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    (1 to numBatchesV.getOrElse(1)).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(batchPath(b)), true)
+    }
+  }
   /** "xxhash64" (default, fastest) or "md5" — md5-derived draws reproduce
    * in engines without xxhash64 (e.g. DuckDB), enabling exact cross-engine
    * oracles; same determinism guarantees either way. */
@@ -69,17 +113,28 @@ class RandomWalks(g: GraphFrame) {
       .repartition(col("_rw_v"))
       .persist()
 
+    val (numBatches, batchSize) = (numBatchesV, batchSizeV) match {
+      case (Some(n), Some(b)) => (n, b)
+      case (None, None) => (1, walkLength)
+      case _ => throw new IllegalArgumentException(
+        "setBatchSize and setNumBatches must be set together")
+    }
+    require(startBatchV == 1 || tmpPrefixV.nonEmpty,
+      "setStartingFromBatch needs setTemporaryPrefix (state is read from its batches)")
+
     val mgr = IterationManager.withReliableDir(g.spark, None)
     // state: (walk_id, origin, cur, path)
-    var state = g.vertices.select(col(ID)).crossJoin(
-        spark.range(walksPerVertex).select(col("id").as("_rw_k")))
-      .select(
-        concat(col(ID).cast("string"), lit("#"), col("_rw_k")).as("walk_id"),
-        col(ID).as("_rw_origin"), col(ID).as("_rw_cur"),
-        array(col(ID)).as("random_walk"))
+    var state =
+      if (startBatchV > 1) spark.read.parquet(batchPath(startBatchV - 1))
+      else g.vertices.select(col(ID)).crossJoin(
+          spark.range(walksPerVertex).select(col("id").as("_rw_k")))
+        .select(
+          concat(col(ID).cast("string"), lit("#"), col("_rw_k")).as("walk_id"),
+          col(ID).as("_rw_origin"), col(ID).as("_rw_cur"),
+          array(col(ID)).as("random_walk"))
     state = mgr.cycle(state, 0)
 
-    for (step <- 1 to walkLength) {
+    def advanceStep(step: Int): Unit = {
       val joined = state.join(nbrs, col("_rw_cur") === col("_rw_v"), "left_outer")
       val h =
         if (hashModeV == "md5")
@@ -105,6 +160,17 @@ class RandomWalks(g: GraphFrame) {
         when(next.isNull, col("random_walk"))
           .otherwise(array_append(col("random_walk"), next)).as("random_walk"))
       state = mgr.cycle(stepped, step)
+    }
+
+    for (batch <- startBatchV to numBatches) {
+      for (stepInBatch <- 1 to batchSize)
+        advanceStep((batch - 1) * batchSize + stepInBatch)
+      // batch boundary: state goes to the FS and the plan restarts from the
+      // parquet — the durability cut that makes the run resumable
+      if (tmpPrefixV.nonEmpty) {
+        state.write.mode("overwrite").parquet(batchPath(batch))
+        state = spark.read.parquet(batchPath(batch))
+      }
     }
     val out = mgr.finish(state.select(col("walk_id"), col("random_walk")))
     nbrs.unpersist(false)

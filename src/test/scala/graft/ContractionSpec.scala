@@ -46,6 +46,70 @@ class ContractionSpec extends TestBase {
     }
   }
 
+  test("randomized contraction corner cases ported from RandomizedContractionSuite") {
+    // reference RandomizedContractionSuite.scala:15-255 — empty graph,
+    // isolated vertex, dangling/disconnected vertices, separate
+    // components, extreme ids, directed edges
+    def rc(g: GraphFrame) = g.connectedComponents
+      .setAlgorithm("randomized_contraction").run()
+    // empty graph (:15-26)
+    assert(rc(GraphFrame(spark.range(0).toDF("id"),
+      Seq.empty[(Long, Long)].toDF("src", "dst"))).count() == 0)
+    // single isolated vertex with attrs, empty (filtered) edges (:28-43)
+    val iso = rc(GraphFrame(Seq((0L, "a", "b")).toDF("id", "vattr", "gender"),
+      Seq((0L, 0L, 1L)).toDF("src", "dst", "test").filter("src > 10")))
+    assert(iso.select("id", "component").as[(Long, Long)].collect().toSeq == Seq((0L, 0L)))
+    // two connected vertices with edge attrs (:45-62)
+    val two = rc(GraphFrame(Seq((0L, "a0"), (1L, "a1")).toDF("id", "A"),
+      Seq((0L, 1L, "a01")).toDF("src", "dst", "A")))
+      .select("id", "component").as[(Long, Long)].collect()
+    assert(two.map(_._2).toSet.size == 1 && two.map(_._1).toSet == Set(0L, 1L))
+    // disconnected vertices: every vertex its own component (:79-95)
+    val disc = rc(GraphFrame(spark.range(5).toDF("id"),
+      Seq.empty[(Long, Long)].toDF("src", "dst")))
+    assert(disc.count() == 5 && disc.select("component").distinct().count() == 5)
+    // two separate triangles (:97-115)
+    val sep = rc(GraphFrame(spark.range(6).toDF("id"),
+      Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 5L), (5L, 3L)).toDF("src", "dst")))
+    assert(sep.groupBy("component").count().select("count").as[Long].collect().toSeq
+      == Seq(3L, 3L))
+    // ids near Long.MinValue survive the GF(2^64) hashing (:214-232)
+    val shifted = rc(GraphFrame(
+      (0L until 10L).map(_ - Long.MaxValue).toDF("id"),
+      (0L until 9L).map(i => (i - Long.MaxValue, i + 1 - Long.MaxValue)).toDF("src", "dst")))
+    assert(shifted.count() == 10 && shifted.select("component").distinct().count() == 1)
+    // direction is ignored (:234-255)
+    val directed = rc(GraphFrame(spark.range(5).toDF("id"),
+      Seq((0L, 4L), (4L, 3L), (2L, 3L), (2L, 1L)).toDF("src", "dst")))
+    assert(directed.select("component").distinct().count() == 1)
+  }
+
+  test("randomized contraction: useLabelsAsComponents relabels by min original id") {
+    // reference RandomizedContractionSuite.scala:137-175 — string and
+    // long ids; component label = minimum ORIGINAL id, in the id's type
+    val sg = GraphFrame(Seq("a", "b", "c", "d").toDF("id"),
+      Seq(("a", "b"), ("b", "c")).toDF("src", "dst"))
+    val sc = sg.connectedComponents.setAlgorithm("randomized_contraction")
+      .setUseLabelsAsComponents(true).run()
+    assert(sc.count() == 4)
+    assert(sc.select("component").as[String].collect().toSet == Set("a", "d"))
+    val lg = GraphFrame(Seq(1L, 2L, 3L, 4L).toDF("id"),
+      Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"))
+    val lc = lg.connectedComponents.setAlgorithm("randomized_contraction")
+      .setUseLabelsAsComponents(true).run()
+    assert(lc.select("component").as[Long].collect().toSet == Set(1L, 4L))
+  }
+
+  test("randomized contraction leaves no persisted state behind") {
+    // reference RandomizedContractionSuite.scala:195-212
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = chain(10).connectedComponents
+      .setAlgorithm("randomized_contraction").run()
+    assert(out.count() == 10)
+    GraphFrame.release(out)
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+  }
+
   test("hash embeddings: deterministic, normalized width") {
     val pairs = Seq(("a", "x"), ("a", "y"), ("b", "x")).toDF("item", "context")
     val e1 = embeddings.HashEmbeddings.fromPairs(pairs, "item", "context", dim = 8)

@@ -88,6 +88,33 @@ class ExtendedSpec extends TestBase {
     }
   }
 
+  test("randomWalks: batched persist + resume reproduces the uninterrupted run") {
+    // reference RandomWalkWithRestartSuite.scala:13-161 — batch-persisted
+    // state, resume via (runId, startingFromBatch), cleanUp removes all
+    // batch dirs. Hash-derived draws make the resumed run BIT-identical.
+    val g = friends
+    val tmp = java.nio.file.Files.createTempDirectory("rwbatch").toString
+    def runner() = g.randomWalks.setRestartProbability(0.2).setSeed(42L)
+      .setBatchSize(3).setNumBatches(2).setWalksPerVertex(2)
+      .setTemporaryPrefix(tmp)
+    val r1 = runner()
+    val w1 = r1.run().orderBy("walk_id").collect().toSeq
+    assert(w1.size == 14) // 7 vertices x 2 walks (g isolated: walk stops)
+    // resume from batch 2: reads batch-1 state from disk, replays batch 2
+    val r2 = runner().setRunId(r1.getRunId).setStartingFromBatch(2)
+    val w2 = r2.run().orderBy("walk_id").collect().toSeq
+    assert(w1 == w2)
+    // both batch dirs exist, then cleanUp removes them
+    def dirs() = (1 to 2).count(b =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/${r1.getRunId}_batch_$b")))
+    assert(dirs() == 2)
+    r1.cleanUp()
+    assert(dirs() == 0)
+    // walk length = batchSize * numBatches (+ start): non-isolated
+    // vertices' walks have 7 entries
+    assert(w1.map(_.getSeq[String](1).length).max == 7)
+  }
+
   test("approx triangle count matches exact on small graph") {
     val g = twoBlobs(4)
     val exact = g.triangleCount.run().select("id", "count").as[(Long, Long)].collect().toMap

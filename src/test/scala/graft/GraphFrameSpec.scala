@@ -97,4 +97,60 @@ class GraphFrameSpec extends TestBase {
     assert(rows(ch.indexedVertices.select("new_id", "id")) ==
       Set(Seq(0L, 0L), Seq(1L, 1L), Seq(2L, 2L)))
   }
+
+  test("toGraphX rejects null vertex ids and null edge endpoints (reference :716-761)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val vSchema = StructType(Seq(StructField("id", LongType, nullable = true),
+      StructField("attr", StringType, nullable = true)))
+    val vData = spark.sparkContext.parallelize(Seq(Row(1L, "a"), Row(null, "b")))
+    val g1 = GraphFrame(spark.createDataFrame(vData, vSchema),
+      Seq((1L, 1L, "friend")).toDF("src", "dst", "relationship"))
+    val e1 = intercept[org.apache.spark.SparkException](g1.toGraphX.vertices.collect())
+    assert(e1.getCause.isInstanceOf[IllegalArgumentException])
+    assert(e1.getMessage.contains("Vertex ID cannot be null"))
+
+    val eSchema = StructType(Seq(StructField("src", LongType, nullable = true),
+      StructField("dst", LongType, nullable = true),
+      StructField("relationship", StringType, nullable = true)))
+    val eData = spark.sparkContext.parallelize(Seq(Row(1L, null, "friend")))
+    val g2 = GraphFrame(Seq((1L, "a")).toDF("id", "attr"),
+      spark.createDataFrame(eData, eSchema))
+    val e2 = intercept[org.apache.spark.SparkException](g2.toGraphX.edges.collect())
+    assert(e2.getCause.isInstanceOf[IllegalArgumentException])
+    assert(e2.getMessage.contains("Edge") && e2.getMessage.contains("cannot be null"))
+  }
+
+  test("toGraphX round-trips Long, Int and String ids (reference :226-315)") {
+    // Long ids: surrogates equal the original values
+    val gx = friends.toGraphX
+    assert(gx.vertices.count() == 7 && gx.edges.count() == 8)
+    // Int ids pass through the integral fast path
+    val gi = GraphFrame(Seq((1, "x"), (2, "y")).toDF("id", "n"),
+      Seq((1, 2, 3.0)).toDF("src", "dst", "w"))
+    val xi = gi.toGraphX
+    assert(xi.vertices.collect().map(_._1).toSet == Set(1L, 2L))
+    assert(xi.edges.collect().head.attr.getAs[Double]("w") == 3.0)
+    // String ids go through value-pure surrogates; attr keeps the original id
+    val ids = friends.toGraphX.vertices.collect()
+      .map { case (_, attr) => attr.getAs[String]("id") }.toSet
+    assert(ids == Set("a", "b", "c", "d", "e", "f", "g"))
+    // and the edge attrs carry original endpoint ids for the reverse map
+    val backs = friends.toGraphX.edges.collect()
+      .map(e => (e.attr.getAs[String]("src"), e.attr.getAs[String]("dst"))).toSet
+    assert(backs.contains(("a", "b")))
+  }
+
+  test("asUndirected and asReversed preserve edge attributes (reference :663-714, 763-775)") {
+    val g = GraphFrame(Seq((1L, "a"), (2L, "b")).toDF("id", "name"),
+      Seq((1L, 2L, "edge1")).toDF("src", "dst", "attr"))
+    val und = g.asUndirected().edges.collect()
+    assert(und.length == 2)
+    assert(und.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getString(2) == "edge1"))
+    assert(und.exists(r => r.getLong(0) == 2L && r.getLong(1) == 1L && r.getString(2) == "edge1"))
+    val rev = g.asReversed().edges.collect()
+    assert(rev.length == 1 &&
+      rev.head.getLong(0) == 2L && rev.head.getLong(1) == 1L &&
+      rev.head.getString(2) == "edge1")
+  }
 }

@@ -88,6 +88,31 @@ class ExtendedSpec extends TestBase {
     }
   }
 
+  test("samplingConvolution corner cases ported from SamplingConvolutionSuite") {
+    // reference convolutions/SamplingConvolutionSuite.scala:20-117: exact
+    // neighbor mean at big sampleSize, reproducibility at small
+    // sampleSize, concatenated output width = 2x the input dim
+    val emb = (0L to 4L).map(i => (i, (0 until 10).map(d => (i + d).toDouble)))
+      .toDF("id", "embedding")
+    val g = GraphFrame(emb.select("id"),
+      Seq((0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+        .toDF("src", "dst"))
+    // big sampleSize: vertex 0's out-neighbors {1, 2} average exactly
+    val conv = embeddings.Embeddings.samplingConvolution(g, emb, sampleSize = 10, seed = 42L)
+    val v0 = conv.filter($"id" === 0L).select("conv_embedding").as[Seq[Double]].head()
+    assert(v0.size == 20)
+    assert(v0.take(10) == (0 until 10).map(_.toDouble))            // own embedding
+    assert(v0.drop(10) == (0 until 10).map(d => (1 + d + 2 + d) / 2.0)) // nbr mean
+    // small sampleSize: deterministic for a fixed seed
+    def small() = embeddings.Embeddings
+      .samplingConvolution(g, emb, sampleSize = 1, seed = 100L)
+      .orderBy("id").select("conv_embedding").as[Seq[Double]].collect().toSeq
+    assert(small() == small())
+    // sink vertex 4: no out-neighbors -> zero-padded second half
+    val v4 = conv.filter($"id" === 4L).select("conv_embedding").as[Seq[Double]].head()
+    assert(v4.drop(10).forall(_ == 0.0))
+  }
+
   test("randomWalks: batched persist + resume reproduces the uninterrupted run") {
     // reference RandomWalkWithRestartSuite.scala:13-161 — batch-persisted
     // state, resume via (runId, startingFromBatch), cleanUp removes all

@@ -211,9 +211,15 @@ class Pregel(g: GraphFrame) {
         .select(col(s"_p_pair.$ID").as(ID), col(s"_p_pair.$MSG_COL").as(MSG_COL))
         .filter(col(MSG_COL).isNotNull)
 
-      val agged = sent.groupBy(ID).agg(aggMsgsCol.get.as(MSG_COL))
+      val agged0 = sent.groupBy(ID).agg(aggMsgsCol.get.as(MSG_COL))
+      // early stopping needs an emptiness probe BEFORE the state update;
+      // persist the aggregated messages across the probe and the update
+      // join, or the whole triplet+aggregate pipeline executes twice per
+      // round (probe once, update once)
+      val agged = if (earlyStopping) agged0.persist() else agged0
 
       if (earlyStopping && agged.isEmpty) {
+        agged.unpersist(false)
         done = true
       } else {
         val joined = state.join(agged, Seq(ID), "left_outer")
@@ -223,6 +229,8 @@ class Pregel(g: GraphFrame) {
             updateActiveExpr.map(_.as(ACTIVE_COL)).toSeq
           ).toIndexedSeq: _*)
         state = mgr.cycle(newState, iter)
+        // cycle() materialized newState — the message cache is consumed
+        if (earlyStopping) agged.unpersist(false)
         if (stopIfAllNonActive && updateActiveExpr.isDefined &&
             state.filter(col(ACTIVE_COL)).isEmpty) {
           done = true

@@ -37,7 +37,8 @@ object GraftConnectDispatch {
     "find" -> Set("pattern"),
     "bfs" -> Set("fromExpr", "toExpr", "maxPathLength"),
     "pregel" -> Set("vertexColName", "initExpr", "updateExpr", "sendToDst",
-      "sendToSrc", "aggMsgs", "maxIter", "checkpointInterval"),
+      "sendToSrc", "aggMsgs", "maxIter", "checkpointInterval",
+      "requiredSrcColumns", "requiredDstColumns"),
     "aggregate_messages" -> Set("sendToDst", "sendToSrc", "aggCol"),
     "aggregate_neighbors" -> Set("aggCol", "maxHops", "startingVertices",
       "stoppingCondition", "targetCondition", "edgeFilter", "removeLoops",
@@ -269,6 +270,12 @@ object GraftConnectDispatch {
         p.aggMsgs(expr(required("aggMsgs")))
         int("maxIter").foreach(p.setMaxIter)
         int("checkpointInterval").foreach(p.setCheckpointInterval)
+        // comma-joined, matching the reference proto's string fields
+        // (graphframes.proto required_src_columns / required_dst_columns)
+        str("requiredSrcColumns").map(_.split(',').map(_.trim).toSeq)
+          .filter(_.nonEmpty).foreach(cs => p.requiredSrcColumns(cs.head, cs.tail: _*))
+        str("requiredDstColumns").map(_.split(',').map(_.trim).toSeq)
+          .filter(_.nonEmpty).foreach(cs => p.requiredDstColumns(cs.head, cs.tail: _*))
         p.run()
       case "aggregate_messages" =>
         val a = g.aggregateMessages

@@ -76,6 +76,27 @@ class Pregel(g: GraphFrame) {
   def setStopIfAllNonActiveVertices(b: Boolean): this.type = { stopIfAllNonActive = b; this }
   /** Drop messages whose *sending* endpoint is inactive. */
   def setSkipMessagesFromNonActiveVertices(b: Boolean): this.type = { skipMessagesFromNonActive = b; this }
+
+  /** MANUAL triplet-pruning hint (reference lib/Pregel.scala:317-352):
+   * restrict the src-side vertex fields shipped into each round's triplet
+   * structs to exactly these (plus `id` and any voting column). This
+   * engine already prunes automatically by analyzing the message
+   * expressions; an explicit list OVERRIDES that analysis — parity for
+   * callers porting reference code, and an escape hatch if an expression
+   * shape ever defeats the analyzer. Fields a message references but the
+   * list omits will fail resolution loudly, same as the reference. */
+  def requiredSrcColumns(colName: String, colNames: String*): this.type = {
+    requiredSrcList = Some(colName +: colNames); this
+  }
+  /** Dst-side counterpart of [[requiredSrcColumns]]. Setting it also
+   * forces the dst-side vertex join on (the reference ships dst state
+   * whenever a list is given; automatic dst-join elision resumes when no
+   * list is set). */
+  def requiredDstColumns(colName: String, colNames: String*): this.type = {
+    requiredDstList = Some(colName +: colNames); this
+  }
+  private var requiredSrcList: Option[Seq[String]] = None
+  private var requiredDstList: Option[Seq[String]] = None
   def setIntermediateStorageLevel(l: StorageLevel): this.type = { storageLevel = l; this }
   /** Cut lineage through reliable `checkpoint()` files under `dir` instead
    * of `localCheckpoint` — iteration state survives executor loss (resumes
@@ -148,10 +169,19 @@ class Pregel(g: GraphFrame) {
         case Some(fs) => all.filter(c => fs.contains(c) || mandatory.contains(c))
         case None => all
       }
-    val srcStructCols = pruned(SRC, stateCols,
-      Seq(ID) ++ (if (gate && msgsToDst.nonEmpty) Seq(ACTIVE_COL) else Nil))
-    val dstStructCols = pruned(DST, stateCols,
-      Seq(ID) ++ (if (gate && msgsToSrc.nonEmpty) Seq(ACTIVE_COL) else Nil))
+    def manual(list: Seq[String], mandatory: Seq[String]): Seq[String] = {
+      val keep = (list ++ mandatory).toSet
+      val unknown = keep -- stateCols
+      require(unknown.isEmpty,
+        s"pregel required columns not in vertex state: ${unknown.mkString(", ")}")
+      stateCols.filter(keep.contains)
+    }
+    val srcMandatory = Seq(ID) ++ (if (gate && msgsToDst.nonEmpty) Seq(ACTIVE_COL) else Nil)
+    val dstMandatory = Seq(ID) ++ (if (gate && msgsToSrc.nonEmpty) Seq(ACTIVE_COL) else Nil)
+    val srcStructCols = requiredSrcList
+      .map(manual(_, srcMandatory)).getOrElse(pruned(SRC, stateCols, srcMandatory))
+    val dstStructCols = requiredDstList
+      .map(manual(_, dstMandatory)).getOrElse(pruned(DST, stateCols, dstMandatory))
     val edgeFields = referencedFields(EDGE)
       .map(fs => g.edges.columns.filter(fs.contains).toSeq)
       .getOrElse(g.edges.columns.toSeq)
@@ -166,7 +196,7 @@ class Pregel(g: GraphFrame) {
       .repartition(col("_p_esrc"))
       .persist(storageLevel)
 
-    val useDstJoin = needsDstJoin
+    val useDstJoin = requiredDstList.isDefined || needsDstJoin
 
     var state = g.vertices.select(
       (origCols.map(c => col(graft.GraphFrame.quoteName(c))) ++

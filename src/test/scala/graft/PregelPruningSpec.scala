@@ -194,4 +194,72 @@ class PregelPruningSpec extends TestBase {
     val m = resultDF.select("id", "newColumn").as[(Long, Int)].collect().toMap
     assert(m == Map(1L -> 2, 2L -> 1, 3L -> 2, 4L -> 1))
   }
+
+  test("requiredSrcColumns: manual pruning hint gives the reference's ranks") {
+    // reference PregelSuite.scala:174-209
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 4L), (2L, 0L), (3L, 4L), (4L, 0L), (4L, 2L))
+      .toDF("src", "dst")
+    val vertices = GraphFrame.fromEdges(edges).outDegrees
+    val n = vertices.count()
+    val alpha = 0.15
+    val ranks = GraphFrame(vertices, edges).pregel
+      .setMaxIter(5)
+      .withVertexColumn("rank", lit(1.0 / n),
+        coalesce(Pregel.msg, lit(0.0)) * (1.0 - alpha) + alpha / n)
+      .sendMsgToDst(Pregel.src("rank") / Pregel.src("outDegree"))
+      .aggMsgs(sum(Pregel.msg))
+      .requiredSrcColumns("rank", "outDegree")
+      .run()
+    val result = ranks.sort("id").select("rank").as[Double].collect()
+    assert(math.abs(result.sum - 1.0) < 1e-6)
+    val expected = Seq(0.245, 0.224, 0.303, 0.03, 0.197)
+    result.zip(expected).foreach { case (r, e) => assert(math.abs(r - e) < 1e-3) }
+    // an omitted-but-referenced field fails loudly (not silently wrong)
+    intercept[Exception] {
+      GraphFrame(vertices, edges).pregel
+        .setMaxIter(1)
+        .withVertexColumn("rank", lit(1.0), coalesce(Pregel.msg, lit(0.0)))
+        .sendMsgToDst(Pregel.src("rank") / Pregel.src("outDegree"))
+        .aggMsgs(sum(Pregel.msg))
+        .requiredSrcColumns("rank") // outDegree referenced but omitted
+        .run().collect()
+    }
+  }
+
+  test("requiredDstColumns: reverse chain propagation, dst join forced on") {
+    // reference PregelSuite.scala:211-237
+    val n = 5
+    val verDF = (1 to n).toDF("id").repartition(3)
+    val edgeDF = (1 until n).map(x => (x + 1, x)).toDF("src", "dst").repartition(3)
+    val resultDF = GraphFrame(verDF, edgeDF).pregel
+      .setMaxIter(n - 1)
+      .withVertexColumn("value",
+        when($"id" === lit(1), lit(1)).otherwise(lit(0)),
+        when(Pregel.msg > $"value", Pregel.msg).otherwise($"value"))
+      .sendMsgToSrc(when(Pregel.dst("value") =!= Pregel.src("value"), Pregel.dst("value")))
+      .aggMsgs(max(Pregel.msg))
+      .requiredDstColumns("value")
+      .run()
+    assert(resultDF.sort("id").select("value").as[Int].collect().toSeq ==
+      Seq.fill(n)(1))
+  }
+
+  test("requiredSrcColumns and requiredDstColumns together") {
+    // reference PregelSuite.scala:238-265
+    val n = 5
+    val verDF = (1 to n).toDF("id").repartition(3)
+    val edgeDF = (1 until n).map(x => (x, x + 1)).toDF("src", "dst").repartition(3)
+    val resultDF = GraphFrame(verDF, edgeDF).pregel
+      .setMaxIter(n - 1)
+      .withVertexColumn("value",
+        when($"id" === lit(1), lit(1)).otherwise(lit(0)),
+        when(Pregel.msg > $"value", Pregel.msg).otherwise($"value"))
+      .sendMsgToDst(when(Pregel.dst("value") =!= Pregel.src("value"), Pregel.src("value")))
+      .aggMsgs(max(Pregel.msg))
+      .requiredSrcColumns("value")
+      .requiredDstColumns("value")
+      .run()
+    assert(resultDF.sort("id").select("value").as[Int].collect().toSeq ==
+      Seq.fill(n)(1))
+  }
 }

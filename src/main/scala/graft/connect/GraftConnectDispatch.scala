@@ -48,9 +48,9 @@ object GraftConnectDispatch {
     "strongly_connected_components" -> Set("maxIter"),
     "page_rank" -> Set("resetProb", "maxIter", "tol", "sourceId"),
     "parallel_personalized_page_rank" -> Set("sourceIds", "resetProb", "maxIter"),
-    "shortest_paths" -> Set("landmarks", "maxIter"),
-    "label_propagation" -> Set("maxIter"),
-    "triangle_count" -> Set.empty,
+    "shortest_paths" -> Set("landmarks", "maxIter", "isDirected"),
+    "label_propagation" -> Set("maxIter", "algorithm", "isDirected"),
+    "triangle_count" -> Set("algorithm", "lgNomEntries"),
     "kcore" -> Set("maxIter"),
     "maximal_independent_set" -> Set("maxIter", "hashMode"),
     "detecting_cycles" -> Set("maxIter"),
@@ -346,12 +346,21 @@ object GraftConnectDispatch {
         }
         val sp = g.shortestPaths.landmarks(ls)
         int("maxIter").foreach(sp.maxIter)
+        typed("isDirected", "a boolean") { case JBool(b) => b }
+          .foreach(sp.setDirected)
         sp.run()
       case "label_propagation" =>
         val lp = g.labelPropagation
         int("maxIter").foreach(lp.maxIter)
+        str("algorithm").foreach(lp.setAlgorithm)
+        typed("isDirected", "a boolean") { case JBool(b) => b }
+          .foreach(lp.setDirected)
         lp.run()
-      case "triangle_count" => g.triangleCount.run()
+      case "triangle_count" =>
+        val tc = g.triangleCount
+        str("algorithm").foreach(tc.setAlgorithm)
+        int("lgNomEntries").foreach(tc.setLgNomEntries)
+        tc.run()
       case "kcore" =>
         val kc = g.kCore
         int("maxIter").foreach(kc.maxIter)

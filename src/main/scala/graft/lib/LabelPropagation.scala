@@ -29,6 +29,20 @@ class LabelPropagation(g: GraphFrame) {
   /** Undirected mode sends labels across edges in both directions. */
   def setDirected(d: Boolean): this.type = { directed = d; this }
 
+  /** "graphframes" (the only backend) — reference
+   * lib/LabelPropagation.scala:58-70 parity; "graphx" is rejected like
+   * ConnectedComponents' (this engine has no RDD path, SURVEY §7). */
+  def setAlgorithm(a: String): this.type = {
+    a match {
+      case "graphframes" => this
+      case "graphx" => throw new IllegalArgumentException(
+        "labelPropagation algorithm 'graphx' is not available: this engine is " +
+          "DataFrame-only (no vendored GraphX backend); use 'graphframes'")
+      case other => throw new IllegalArgumentException(
+        s"unknown labelPropagation algorithm '$other' (supported: graphframes)")
+    }
+  }
+
   def run(): DataFrame = {
     // mode() ignores nulls and returns null on an empty group; a vertex
     // with no mail sees a null msg and keeps its label

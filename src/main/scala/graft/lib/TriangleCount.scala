@@ -41,6 +41,20 @@ import graft.expressions.SortedArrayIntersect
 class TriangleCount(g: GraphFrame) {
   import GraphFrame.{ID, SRC, DST}
 
+  private var algorithmV: String = "exact"
+  private var lgNomEntriesV: Int = 12
+
+  /** "exact" (default) or "approx" (theta sketches) — reference
+   * lib/TriangleCount.scala:63-72 builder parity; [[run]] routes. */
+  def setAlgorithm(a: String): this.type = {
+    require(a == "exact" || a == "approx",
+      s"unsupported algorithm '$a'; supported algorithms: exact, approx")
+    algorithmV = a; this
+  }
+
+  /** log2 nominal entries of the theta sketch (approx mode only). */
+  def setLgNomEntries(n: Int): this.type = { lgNomEntriesV = n; this }
+
   /** Approximate variant using Spark 4.1 theta sketches (reference
    * lib/TriangleCount.scala:99-156): neighbor sets become theta sketches,
    * per-edge common-neighbor counts become intersection estimates. Trades
@@ -135,6 +149,7 @@ class TriangleCount(g: GraphFrame) {
   }
 
   def run(): DataFrame = {
+    if (algorithmV == "approx") return runApprox(lgNomEntriesV)
     val spark = g.vertices.sparkSession
     val mgr = IterationManager.withReliableDir(spark, None)
     val canon = mgr.persistOnly(canonical)

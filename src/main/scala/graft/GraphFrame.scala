@@ -303,6 +303,8 @@ class GraphFrame private (
   def detectingCycles: lib.DetectingCycles = new lib.DetectingCycles(this)
   def maximalIndependentSet: lib.MaximalIndependentSet = new lib.MaximalIndependentSet(this)
   def randomWalks: rw.RandomWalks = new rw.RandomWalks(this)
+  def randomWalkEmbeddings: embeddings.RandomWalkEmbeddings =
+    new embeddings.RandomWalkEmbeddings(this)
 
   /** Power iteration clustering, delegated to Spark ML (role of reference
    * GraphFrame.scala:894-930): returns (id, cluster) for every vertex that

@@ -58,7 +58,12 @@ object GraftConnectDispatch {
       "seed", "hashMode"),
     "power_iteration_clustering" -> Set("k", "maxIter", "weightCol", "initMode"),
     "svd_plus_plus" -> Set("rank", "maxIter", "minValue", "maxValue"),
-    "rw_embeddings" -> Set("dim", "walkLength", "walksPerVertex", "seed"))
+    "rw_embeddings" -> Set("dim", "walkLength", "walksPerVertex", "seed",
+      "sequenceModel", "restartProbability", "rwMaxNbrs", "useEdgeDirection",
+      "aggregateNeighbors", "aggregateNeighborsMaxNbrs",
+      "word2vecMaxIter", "word2vecWindowSize", "word2vecMinCount",
+      "word2vecStepSize", "hash2vecContextSize", "hash2vecDecayFunction",
+      "hash2vecGaussianSigma", "hash2vecDoL2Norm", "hash2vecSafeL2"))
 
   /** Single-table LLM-pipeline operators (beyond the reference's proto
    * surface): the wire `edges` slot carries the ONE input table — a
@@ -403,14 +408,37 @@ object GraftConnectDispatch {
         dbl("maxValue").foreach(svd.setMaxValue)
         svd.run()
       case "rw_embeddings" =>
-        graft.embeddings.Embeddings.randomWalkEmbeddings(g,
-          dim = int("dim").getOrElse(32),
-          walkLength = int("walkLength").getOrElse(5),
-          walksPerVertex = int("walksPerVertex").getOrElse(4),
-          seed = params.get("seed").collect {
+        // composite builder surface mirroring the reference proto's
+        // RandomWalkEmbeddings message (sequence_model, word2vec_*/
+        // hash2vec_* knobs, use_edge_direction, aggregate_neighbors)
+        val rwe = g.randomWalkEmbeddings
+          .setDim(int("dim").getOrElse(32))
+          .setWalkLength(int("walkLength").getOrElse(5))
+          .setNumWalksPerNode(int("walksPerVertex").getOrElse(4))
+          .setSeed(params.get("seed").collect {
             case JInt(i) => i.toLong
             case JLong(l) => l
           }.getOrElse(42L))
+        str("sequenceModel").foreach(rwe.setSequenceModel)
+        dbl("restartProbability").foreach(rwe.setRestartProbability)
+        int("rwMaxNbrs").foreach(rwe.setRwMaxNbrs)
+        typed("useEdgeDirection", "a boolean") { case JBool(b) => b }
+          .foreach(rwe.setUseEdgeDirections)
+        typed("aggregateNeighbors", "a boolean") { case JBool(b) => b }
+          .foreach(rwe.setAggregateNeighbors)
+        int("aggregateNeighborsMaxNbrs").foreach(rwe.setMaxNbrs)
+        int("word2vecMaxIter").foreach(rwe.setWord2VecMaxIter)
+        int("word2vecWindowSize").foreach(rwe.setWord2VecWindowSize)
+        int("word2vecMinCount").foreach(rwe.setWord2VecMinCount)
+        dbl("word2vecStepSize").foreach(rwe.setWord2VecStepSize)
+        int("hash2vecContextSize").foreach(rwe.setHash2VecContextSize)
+        str("hash2vecDecayFunction").foreach(rwe.setHash2VecDecayFunction)
+        dbl("hash2vecGaussianSigma").foreach(rwe.setHash2VecGaussianSigma)
+        typed("hash2vecDoL2Norm", "a boolean") { case JBool(b) => b }
+          .foreach(rwe.setHash2VecDoL2Norm)
+        typed("hash2vecSafeL2", "a boolean") { case JBool(b) => b }
+          .foreach(rwe.setHash2VecSafeL2)
+        rwe.run()
       case other =>
         throw new IllegalArgumentException(
           s"unknown graft algorithm '$other'; supported: ${algorithms.mkString(", ")}")

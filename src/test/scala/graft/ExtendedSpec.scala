@@ -88,6 +88,35 @@ class ExtendedSpec extends TestBase {
     }
   }
 
+  test("RandomWalkEmbeddings builder: both sequence models, neighbor concat, cleanup") {
+    // composite builder parity (reference RandomWalkEmbeddings.scala:46-367)
+    val g = twoBlobs(3)
+    val w2v = g.randomWalkEmbeddings.setDim(8).setWalkLength(3)
+      .setNumWalksPerNode(2).setSeed(7L).run()
+    assert(w2v.count() == 6 &&
+      w2v.select(size($"embedding")).as[Int].head() == 8)
+    val h2v = g.randomWalkEmbeddings.setSequenceModel("hash2vec").setDim(8)
+      .setHash2VecSafeL2(false).setWalkLength(3).setSeed(7L).run()
+    assert(h2v.select(size($"embedding")).as[Int].head() == 8)
+    // neighbor aggregation doubles the width
+    val agg = g.randomWalkEmbeddings.setDim(4).setWalkLength(2).setSeed(7L)
+      .setAggregateNeighbors(true).setMaxNbrs(4).run()
+    assert(agg.select(size($"embedding")).as[Int].collect().forall(_ == 8))
+    // injected batched generator + cleanUpAfterRun: result survives, dirs go
+    val tmp = java.nio.file.Files.createTempDirectory("rwe").toString
+    val rw = g.randomWalks.setBatchSize(2).setNumBatches(2).setWalksPerVertex(1)
+      .setSeed(7L).setTemporaryPrefix(tmp)
+    val cleaned = g.randomWalkEmbeddings.setRandomWalks(rw).setDim(4)
+      .setCleanUpAfterRun(true).run()
+    assert(cleaned.count() == 6)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$tmp/${rw.getRunId}_batch_1")))
+    // undirected mode reaches blob members against edge direction
+    val und = g.randomWalkEmbeddings.setUseEdgeDirections(false)
+      .setDim(4).setWalkLength(2).setSeed(7L).run()
+    assert(und.count() == 6)
+  }
+
   test("samplingConvolution corner cases ported from SamplingConvolutionSuite") {
     // reference convolutions/SamplingConvolutionSuite.scala:20-117: exact
     // neighbor mean at big sampleSize, reproducibility at small

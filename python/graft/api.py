@@ -162,9 +162,42 @@ class GraphFrameMethods:
     def rwEmbeddings(self, dim: Optional[int] = None,
                      walkLength: Optional[int] = None,
                      walksPerVertex: Optional[int] = None,
-                     seed: Optional[int] = None):
+                     seed: Optional[int] = None,
+                     sequenceModel: Optional[str] = None,
+                     restartProbability: Optional[float] = None,
+                     rwMaxNbrs: Optional[int] = None,
+                     useEdgeDirection: Optional[bool] = None,
+                     aggregateNeighbors: Optional[bool] = None,
+                     aggregateNeighborsMaxNbrs: Optional[int] = None,
+                     word2vecMaxIter: Optional[int] = None,
+                     word2vecWindowSize: Optional[int] = None,
+                     word2vecMinCount: Optional[int] = None,
+                     word2vecStepSize: Optional[float] = None,
+                     hash2vecContextSize: Optional[int] = None,
+                     hash2vecDecayFunction: Optional[str] = None,
+                     hash2vecGaussianSigma: Optional[float] = None,
+                     hash2vecDoL2Norm: Optional[bool] = None,
+                     hash2vecSafeL2: Optional[bool] = None):
+        """Composite random-walk embeddings: sequenceModel is "word2vec"
+        (default) or "hash2vec"; aggregateNeighbors concatenates the
+        sampled 1-hop neighbor mean (width doubles)."""
         return self._call("rw_embeddings", dim=dim, walkLength=walkLength,
-                          walksPerVertex=walksPerVertex, seed=seed)
+                          walksPerVertex=walksPerVertex, seed=seed,
+                          sequenceModel=sequenceModel,
+                          restartProbability=restartProbability,
+                          rwMaxNbrs=rwMaxNbrs,
+                          useEdgeDirection=useEdgeDirection,
+                          aggregateNeighbors=aggregateNeighbors,
+                          aggregateNeighborsMaxNbrs=aggregateNeighborsMaxNbrs,
+                          word2vecMaxIter=word2vecMaxIter,
+                          word2vecWindowSize=word2vecWindowSize,
+                          word2vecMinCount=word2vecMinCount,
+                          word2vecStepSize=word2vecStepSize,
+                          hash2vecContextSize=hash2vecContextSize,
+                          hash2vecDecayFunction=hash2vecDecayFunction,
+                          hash2vecGaussianSigma=hash2vecGaussianSigma,
+                          hash2vecDoL2Norm=hash2vecDoL2Norm,
+                          hash2vecSafeL2=hash2vecSafeL2)
 
 
 class PipelineMethods:

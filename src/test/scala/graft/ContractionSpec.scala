@@ -101,13 +101,17 @@ class ContractionSpec extends TestBase {
   }
 
   test("randomized contraction leaves no persisted state behind") {
-    // reference RandomizedContractionSuite.scala:195-212
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // reference RandomizedContractionSuite.scala:195-212. Compare the SET
+    // of persisted RDD ids, not counts: other suites' finish()-cut results
+    // are reclaimed asynchronously by the ContextCleaner, so absolute
+    // counts race when the whole suite runs together.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val out = chain(10).connectedComponents
       .setAlgorithm("randomized_contraction").run()
     assert(out.count() == 10)
     GraphFrame.release(out)
-    assert(spark.sparkContext.getPersistentRDDs.size == before)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persisted RDDs: $leaked")
   }
 
   test("hash embeddings: deterministic, normalized width") {

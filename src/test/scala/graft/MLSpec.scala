@@ -57,6 +57,29 @@ class MLSpec extends TestBase {
     assert(outA.count() == 6)
   }
 
+  test("powerIterationClustering wrapper: weighted fixture, long and string ids") {
+    // reference GraphFrameSuite.scala:597-662 — the weighted 6-vertex
+    // fixture splits 5-vs-1. The reference's own expected labels DIFFER
+    // between its long-id and string-id runs (internal id mapping shifts
+    // PIC's k-means), so the portable contract is the partition shape,
+    // not the label values.
+    val w = Seq((1, 0, 0.5), (2, 0, 0.5), (2, 1, 0.7), (3, 0, 0.5), (3, 1, 0.7),
+      (3, 2, 0.9), (4, 0, 0.5), (4, 1, 0.7), (4, 2, 0.9), (4, 3, 1.1),
+      (5, 0, 0.5), (5, 1, 0.7), (5, 2, 0.9), (5, 3, 1.1), (5, 4, 1.3))
+    val gl = GraphFrame((0 to 5).toDF("id"),
+      w.toDF("src", "dst", "weight"))
+    val cl = gl.powerIterationClustering(k = 2, maxIter = 40, weightCol = Some("weight"))
+      .select("id", "cluster").as[(Int, Int)].collect().toMap
+    assert(cl.values.toSet.size == 2)
+    assert(cl.groupBy(_._2).values.map(_.size).toSet == Set(1, 5))
+    val gs = GraphFrame((0 to 5).map(_.toString).toDF("id"),
+      w.map { case (s, d, x) => (s.toString, d.toString, x) }.toDF("src", "dst", "weight"))
+    val cs = gs.powerIterationClustering(k = 2, maxIter = 40, weightCol = Some("weight"))
+      .select("id", "cluster").as[(String, Int)].collect().toMap
+    assert(cs.values.toSet.size == 2)
+    assert(cs.groupBy(_._2).values.map(_.size).toSet == Set(1, 5))
+  }
+
   test("powerIterationClustering with degree init separates two cliques deterministically") {
     // UNEQUAL blocks (4 | 6): with equal cliques every degree matches, the
     // degree init is the uniform vector — a power-iteration fixed point —

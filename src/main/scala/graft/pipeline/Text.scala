@@ -278,11 +278,14 @@ object Text {
    * (idCol, n_bigrams, lm_score 4dp).
    *
    * Scale shape: ONE corpus scan explodes bigrams; C(w1,w2) is a hash
-   * aggregation keyed by the joined shingle string and C(w1·)/V derive
-   * from it by a second re-aggregation of the SAME counted frame (no
-   * second corpus scan). Per-doc scoring joins doc bigrams against the
-   * count tables on their natural keys — fixed-width rows, no vocabulary
-   * broadcast required, AQE splits hot-token partitions. */
+   * aggregation keyed by the joined shingle string, C(w1·) derives from
+   * it by a second re-aggregation of the SAME counted frame, and the
+   * context-vocabulary size V rides as a broadcast single-row aggregate —
+   * fully lazy (no plan-build-time job) and the shared count subtree
+   * deduplicates via exchange reuse instead of re-scanning the corpus.
+   * Per-doc scoring joins doc bigrams against the count tables on their
+   * natural keys — fixed-width rows, no vocabulary broadcast required,
+   * AQE splits hot-token partitions. */
   def bigramLmScore(df0: DataFrame, idCol: String, textCol: String,
       alpha: Double = 0.5): DataFrame = {
     val df = ensureParallelism(df0)
@@ -294,13 +297,14 @@ object Text {
     val w1Counts = bgCounts
       .select(substring_index(col("_bg"), " ", 1).as("_w1"), col("_c2"))
       .groupBy("_w1").agg(sum(col("_c2")).as("_c1"))
-    val v = w1Counts.count()
+    val vRow = w1Counts.agg(count(lit(1)).cast("double").as("_v"))
     val scored = docBigrams
       .join(bgCounts, Seq("_bg"))
       .join(w1Counts.withColumnRenamed("_w1", "_bg_w1"),
         substring_index(col("_bg"), " ", 1) === col("_bg_w1"))
+      .crossJoin(broadcast(vRow))
       .select(col("_d_id"),
-        log((col("_c2") + lit(alpha)) / (col("_c1") + lit(alpha * v))).as("_lp"))
+        log((col("_c2") + lit(alpha)) / (col("_c1") + lit(alpha) * col("_v"))).as("_lp"))
       .groupBy("_d_id")
       .agg(count(lit(1)).as("n_bigrams"), avg(col("_lp")).as("_s"))
     // left join restores docs with < 2 tokens at score 0

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{AdcDistance, ArrayDotProduct, FiniteAXPlusB, KCoreMerge}
+import graft.expressions.{AdcDistance, ArraySumAgg, ArrayDotProduct, FiniteAXPlusB, HIndexAgg, KCoreMerge, MapMinAgg}
 
 /**
  * Spark SQL extension that registers graft's native Catalyst expressions as
@@ -53,7 +53,22 @@ object GraftExtensions {
       usage = "graft_adc_distance(codes: array<int>, qtab: array<array<double>>) - IVF-PQ " +
         "asymmetric distance: sum over subspaces j of qtab[j][codes[j]] (0-based codes); " +
         "the per-candidate kernel of a product-quantized scan.",
-      arity = 2) { args => AdcDistance(args(0), args(1)) }
+      arity = 2) { args => AdcDistance(args(0), args(1)) },
+    desc(
+      "graft_array_sum",
+      usage = "graft_array_sum(v: array<double>) - aggregate: elementwise sum of equal-length " +
+        "arrays with a constant-size combine buffer (one double per lane).",
+      arity = 1) { args => ArraySumAgg(args(0)) },
+    desc(
+      "graft_map_min",
+      usage = "graft_map_min(m: map<K,int>) - aggregate: key-union with the minimum value per " +
+        "key; buffer bounded by the distinct-key count, not the row count.",
+      arity = 1) { args => MapMinAgg(args(0)) },
+    desc(
+      "graft_hindex",
+      usage = "graft_hindex(v: int) - aggregate: h-index of the values (largest h with at least " +
+        "h values >= h), combined as a value->count histogram.",
+      arity = 1) { args => HIndexAgg(args(0)) }
   )
 
   private def desc(name: String, usage: String, arity: Int)(

@@ -3,7 +3,6 @@ package graft.lib
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.GraphFrame
-import graft.expressions.KCoreMerge
 
 /**
  * K-core decomposition (semantics: reference lib/KCore.scala:37-108):
@@ -11,8 +10,10 @@ import graft.expressions.KCoreMerge
  * a subgraph where all degrees are >= k.
  *
  * Pregel fixpoint: core starts at (undirected) degree; each round a vertex
- * recomputes core = KCoreMerge(neighbor cores, core) — a capped h-index,
- * evaluated by a native codegen'd Catalyst expression — and the loop halts
+ * recomputes core = capped h-index of its neighbors' cores — combined
+ * incrementally by [[graft.expressions.HIndexAgg]] over sender-clamped
+ * messages (equivalent to the [[graft.expressions.KCoreMerge]] list
+ * kernel, without materializing a hub's inbox) — and the loop halts
  * when no core changed (voting-to-halt). Isolated vertices get core 0.
  *
  * Output: `id, kcore: int` (+ original vertex attributes).
@@ -36,14 +37,21 @@ class KCore(g: GraphFrame) {
     val v = g.vertices.join(deg, Seq(ID), "left_outer").na.fill(0, Seq("degree"))
     val g2 = GraphFrame(v, canon)
 
+    // The sender clamps its core to the receiver's current core: the capped
+    // h-index only compares neighbor cores against ranks <= own core, so
+    // min(nbr, own) preserves the result exactly while letting the message
+    // combine run as a value->count histogram (<= core+1 entries) instead
+    // of a collect_list inbox that grows with a hub's degree. The
+    // [[KCoreMerge]] list kernel remains the user-facing/SQL form.
+    val clamped = least(Pregel.src("kcore"), Pregel.dst("kcore"))
     val newCore = when(Pregel.msg.isNull, col("kcore"))
-      .otherwise(KCoreMerge.kcoreMerge(Pregel.msg, col("kcore")))
+      .otherwise(least(Pregel.msg, col("kcore")))
 
     g2.pregel
       .withVertexColumn("kcore", col("degree"), newCore)
-      .sendMsgToSrc(Pregel.dst("kcore"))
-      .sendMsgToDst(Pregel.src("kcore"))
-      .aggMsgs(collect_list(Pregel.msg))
+      .sendMsgToSrc(clamped)
+      .sendMsgToDst(clamped)
+      .aggMsgs(graft.expressions.IterAggregates.hIndex(Pregel.msg))
       .setMaxIter(maxIterV)
       .setInitialActiveVertexExpression(lit(true))
       .setUpdateActiveVertexExpression(newCore =!= col("kcore"))

@@ -46,8 +46,9 @@ class ParallelPersonalizedPageRank(g: GraphFrame) {
       .withVertexColumn("pageranks", initRanks, newRanks)
       .sendMsgToDst(transform(Pregel.src("pageranks"),
         r => r / Pregel.src("_pr_outdeg")))
-      .aggMsgs(aggregate(collect_list(Pregel.msg), zeros,
-        (acc, m) => zip_with(acc, m, (a, b) => a + b)))
+      // constant-size combine buffer (one lane per source) — a hub's inbox
+      // never materializes, unlike aggregate(collect_list(...), zip_with)
+      .aggMsgs(graft.expressions.IterAggregates.arraySum(Pregel.msg))
       .setMaxIter(maxIterV)
       .run()
       .drop("_pr_outdeg")

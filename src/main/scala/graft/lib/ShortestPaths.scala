@@ -47,8 +47,8 @@ class ShortestPaths(g: GraphFrame) {
     val msgFromSrc = when(size(Pregel.src("distances")) > 0,
       bumped(Pregel.src("distances"))).otherwise(lit(null))
 
-    val aggExpr = aggregate(collect_list(Pregel.msg), emptyMap,
-      (acc, m) => mergeMaps(acc, m))
+    // buffer bounded by the landmark count, not the receiver's in-degree
+    val aggExpr = graft.expressions.IterAggregates.mapMin(Pregel.msg)
     val newDistances = mergeMaps(col("distances"), coalesce(Pregel.msg, emptyMap))
 
     val pregel = g.pregel

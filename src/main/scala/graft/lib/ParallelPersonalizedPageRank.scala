@@ -18,14 +18,18 @@ class ParallelPersonalizedPageRank(g: GraphFrame) {
   import GraphFrame.ID
 
   private var resetProb: Double = 0.15
-  private var maxIterV: Int = 10
+  private var maxIterV: Option[Int] = None
   private var sourcesV: Seq[Any] = Nil
 
   def resetProbability(p: Double): this.type = { resetProb = p; this }
-  def maxIter(n: Int): this.type = { maxIterV = n; this }
+  def maxIter(n: Int): this.type = { maxIterV = Some(n); this }
   def sourceIds(ids: Seq[Any]): this.type = { sourcesV = ids; this }
 
   def run(): DataFrame = {
+    // both knobs are mandatory, like the reference's builder
+    // (ParallelPersonalizedPageRank.scala:69-77 check() requires maxIter
+    // and a non-empty sourceIds before running)
+    require(maxIterV.nonEmpty, "parallelPersonalizedPageRank: maxIter required")
     require(sourcesV.nonEmpty, "parallelPersonalizedPageRank: sourceIds required")
     val outDeg = g.outDegrees
     val v = g.vertices.join(outDeg, Seq(ID), "left_outer")
@@ -49,7 +53,7 @@ class ParallelPersonalizedPageRank(g: GraphFrame) {
       // constant-size combine buffer (one lane per source) — a hub's inbox
       // never materializes, unlike aggregate(collect_list(...), zip_with)
       .aggMsgs(graft.expressions.IterAggregates.arraySum(Pregel.msg))
-      .setMaxIter(maxIterV)
+      .setMaxIter(maxIterV.get)
       .run()
       .drop("_pr_outdeg")
   }

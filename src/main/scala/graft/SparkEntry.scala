@@ -422,7 +422,7 @@ object SparkEntry {
     }),
     "g_pppr" -> ((s, dir) =>
       graphB(s, dir).parallelPersonalizedPageRank
-        .sourceIds(Seq(0, 5)).maxIter(10).run()
+        .sourceIds(Seq(0, 5)).maxIter(10).run().vertices
         .select(col(ID), round(element_at(col("pageranks"), 1), 5).as("r0"),
           round(element_at(col("pageranks"), 2), 5).as("r1"))),
     "g_svdpp" -> ((s, dir) => { // deterministic variant: md5 factor init +
@@ -612,6 +612,10 @@ object SparkEntry {
     // --- pipeline: dedup ---
     "p_dedup_exact" -> ((s, dir) =>
       pipeline.Dedup.exact(load(s, dir, "documents"), "doc_id", Seq("text"))),
+    "p_segment_dedup" -> ((s, dir) => // CCNet-style paragraph dedup; the
+      // word-soup fixture has no line structure, so segment = 4-word window
+      pipeline.Dedup.segmentDedup(load(s, dir, "documents"), "doc_id", "text",
+        windowWords = 4, maxDupCount = 2)),
     "p_incremental_dedup" -> ((s, dir) => { // steady-state dedup: new batch
       // (doc_id >= 400) vs the corpus index (doc_id < 400) + within-batch
       val docs = load(s, dir, "documents")
@@ -1797,6 +1801,17 @@ object SparkEntry {
     "p_dedup_exact" ->
       """SELECT doc_id, md5(text) AS fp,
         |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM documents""".stripMargin,
+    "p_segment_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |seg AS (SELECT doc_id, i, array_to_string(ws[(i-1)*4+1:i*4], ' ') AS s
+        |        FROM w, range(1, 100000) r(i) WHERE (i-1)*4 < len(ws)),
+        |f AS (SELECT s, count(*) AS n FROM seg GROUP BY 1),
+        |k AS (SELECT seg.doc_id, seg.i, seg.s, f.n <= 2 AS keep FROM seg JOIN f USING (s))
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN keep THEN s END, ' ' ORDER BY i), '') AS clean_text,
+        |  CAST(coalesce(sum(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS kept,
+        |  CAST(coalesce(sum(CASE WHEN keep THEN 0 ELSE 1 END), 0) AS BIGINT) AS dropped
+        |FROM k GROUP BY doc_id""".stripMargin,
     "p_incremental_dedup" ->
       s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
          |s AS (SELECT doc_id, $SH3 AS sh FROM t WHERE len(w) >= 3),

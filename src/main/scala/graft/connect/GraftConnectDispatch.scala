@@ -342,7 +342,7 @@ object GraftConnectDispatch {
         val pp = g.parallelPersonalizedPageRank.sourceIds(srcs)
         dbl("resetProb").foreach(pp.resetProbability)
         int("maxIter").foreach(pp.maxIter)
-        pp.run()
+        pp.run().vertices
       case "shortest_paths" =>
         val ls = params.get("landmarks") match {
           case Some(JArray(vs)) => vs.map(idValue)

@@ -22,14 +22,15 @@ import org.apache.spark.sql.functions._
  * Architecture divergence (deliberate, Spark-first): the reference runs
  * `rdd.mapPartitions` with hand-paged local float matrices so only one
  * pre-aggregated vector per (partition, element) reaches the shuffle
- * (Hash2Vec.scala:299-325). Here the same math is a generator + hash
- * aggregation: the per-(element, lane) partial sums are combined map-side
- * by Catalyst's partial HashAggregate, which bounds shuffle volume by
- * exactly the same quantity — min(occurrences·window, dim) rows per
- * element per input partition — while staying inside whole-stage codegen
- * and keeping the operator usable from SQL-planned pipelines. The paged
- * matrix is what a row-at-a-time engine needs; partial aggregation is how
- * the same dataflow is said natively in Spark.
+ * (Hash2Vec.scala:299-325). Here the same math is a generator + ONE
+ * aggregation: [[graft.expressions.LaneSumAgg]] scatter-adds each
+ * (element, lane, ±decay) contribution into a dense double[dim] combine
+ * buffer with map-side partials, so exactly one dim-wide vector per
+ * (partition, element) reaches the shuffle — the same bound the
+ * reference's paged matrices achieve — and the aggregate output IS the
+ * dense vector (no second shuffle, no map re-pack). The paged matrix is
+ * what a row-at-a-time engine needs; partial aggregation is how the same
+ * dataflow is said natively in Spark.
  *
  * Hashing is seeded and deterministic (no RNG state, task-retry-safe):
  * `xxhash64` by default, `md5` mode for bit-exact SQL-oracle replay (the
@@ -107,14 +108,18 @@ object Hash2Vec {
         transform(right, (w, j) => contrib(w, j + lit(1))))
     }))
 
+    // one aggregation: (element, lane, v) scatter-adds into a dense
+    // double[dim] buffer with map-side partials (LaneSumAgg), replacing
+    // the two-shuffle groupBy(id, lane) -> sum -> groupBy(id) -> re-pack
+    // pipeline; per (element, partition) the combine state is one dim-wide
+    // vector — the same bound the reference's paged matrices achieve
     val sums = df
       .select(explode(pairs).as("_p"))
       .select(col("_p.cid").as("_id"), col("_p.i").as("_i"), col("_p.v").as("_v"))
-      .groupBy("_id", "_i").agg(sum("_v").as("_s")) // partial agg combines map-side
       .groupBy("_id")
-      .agg(map_from_entries(collect_list(struct(col("_i"), col("_s")))).as("_m"))
-    val dense = transform(sequence(lit(0), lit(dim - 1)),
-      i => coalesce(element_at(col("_m"), i), lit(0.0)))
+      .agg(graft.expressions.IterAggregates
+        .laneSum(col("_i"), col("_v"), dim).as("_dense"))
+    val dense = col("_dense")
 
     val vec =
       if (!doNorm) dense

@@ -291,6 +291,82 @@ case class HIndexAgg(
   override def prettyName: String = "graft_hindex"
 }
 
+/**
+ * Scatter-add of (lane, value) pairs into a dense `double[dim]` buffer:
+ * `buffer[lane] += value`. One aggregation replaces the two-stage
+ * groupBy(id, lane) → sum → groupBy(id) → re-pack pipeline (one shuffle
+ * instead of two), and the result is already the dense vector. Lanes
+ * outside [0, dim) fail loudly.
+ */
+case class LaneSumAgg(
+    lane: Expression,
+    value: Expression,
+    dim: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Double]] {
+
+  override def children: Seq[Expression] = lane :: value :: Nil
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (lane.dataType, value.dataType) match {
+      case (IntegerType, DoubleType) if dim > 0 => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_lane_sum expects (int, double) with dim > 0, got $other (dim=$dim)")
+    }
+
+  override def createAggregationBuffer(): Array[Double] = null
+
+  override def update(buffer: Array[Double], input: InternalRow): Array[Double] = {
+    val l = lane.eval(input)
+    val v = value.eval(input)
+    if (l == null || v == null) return buffer
+    val b = if (buffer == null) new Array[Double](dim) else buffer
+    val i = l.asInstanceOf[Int]
+    require(i >= 0 && i < dim, s"graft_lane_sum: lane $i outside [0, $dim)")
+    b(i) += v.asInstanceOf[Double]
+    b
+  }
+
+  override def merge(buffer: Array[Double], other: Array[Double]): Array[Double] = {
+    if (other == null) buffer
+    else if (buffer == null) other
+    else {
+      var i = 0
+      while (i < dim) { buffer(i) += other(i); i += 1 }
+      buffer
+    }
+  }
+
+  override def eval(buffer: Array[Double]): Any =
+    if (buffer == null) null else new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Double]): Array[Byte] = {
+    if (buffer == null) return Array.emptyByteArray
+    val bb = ByteBuffer.allocate(8 * dim)
+    bb.asDoubleBuffer().put(buffer)
+    bb.array()
+  }
+
+  override def deserialize(storage: Array[Byte]): Array[Double] = {
+    if (storage.isEmpty) return null
+    val out = new Array[Double](dim)
+    ByteBuffer.wrap(storage).asDoubleBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): LaneSumAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): LaneSumAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(lane = newChildren(0), value = newChildren(1))
+  override def prettyName: String = "graft_lane_sum"
+}
+
 object IterAggregates {
   /** Elementwise sum of `array<double>` values (null when no input). */
   def arraySum(c: Column): Column =
@@ -301,4 +377,8 @@ object IterAggregates {
   /** H-index of `int` values (null when no input). */
   def hIndex(c: Column): Column =
     GraftShims.column(HIndexAgg(GraftShims.expression(c)).toAggregateExpression())
+  /** Scatter-add of (lane, value) into a dense double[dim]. */
+  def laneSum(lane: Column, value: Column, dim: Int): Column =
+    GraftShims.column(LaneSumAgg(GraftShims.expression(lane),
+      GraftShims.expression(value), dim).toAggregateExpression())
 }

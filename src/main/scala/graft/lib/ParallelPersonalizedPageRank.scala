@@ -13,6 +13,10 @@ import graft.GraphFrame
  * all personalizations share every join/shuffle of a superstep; the only
  * growth is the payload width. Teleport mass for lane i lands exclusively
  * on source i.
+ *
+ * Returns a GraphFrame like the reference (:76): vertices +
+ * `pageranks: array<double>` (the reference uses an ml SparseVector —
+ * documented divergence), edges + `weight: double` = 1/outDegree(src).
  */
 class ParallelPersonalizedPageRank(g: GraphFrame) {
   import GraphFrame.ID
@@ -25,7 +29,7 @@ class ParallelPersonalizedPageRank(g: GraphFrame) {
   def maxIter(n: Int): this.type = { maxIterV = Some(n); this }
   def sourceIds(ids: Seq[Any]): this.type = { sourcesV = ids; this }
 
-  def run(): DataFrame = {
+  def run(): GraphFrame = {
     // both knobs are mandatory, like the reference's builder
     // (ParallelPersonalizedPageRank.scala:69-77 check() requires maxIter
     // and a non-empty sourceIds before running)
@@ -46,7 +50,7 @@ class ParallelPersonalizedPageRank(g: GraphFrame) {
     val incoming = coalesce(Pregel.msg, zeros)
     val newRanks = zip_with(teleport, incoming, (t, m) => t + lit(1.0 - resetProb) * m)
 
-    g2.pregel
+    val ranks = g2.pregel
       .withVertexColumn("pageranks", initRanks, newRanks)
       .sendMsgToDst(transform(Pregel.src("pageranks"),
         r => r / Pregel.src("_pr_outdeg")))
@@ -56,5 +60,12 @@ class ParallelPersonalizedPageRank(g: GraphFrame) {
       .setMaxIter(maxIterV.get)
       .run()
       .drop("_pr_outdeg")
+
+    val weights = g.edges
+      .join(outDeg.select(col(ID).as(GraphFrame.SRC), col("outDegree").as("_pr_od")),
+        Seq(GraphFrame.SRC), "left_outer")
+      .withColumn(GraphFrame.WEIGHT, lit(1.0) / col("_pr_od"))
+      .drop("_pr_od")
+    GraphFrame(ranks, weights)
   }
 }

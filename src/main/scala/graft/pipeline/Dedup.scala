@@ -393,4 +393,66 @@ object Dedup {
         round(col("shared") / (col("na") + col("nb") - col("shared")).cast("double"), 4)
           .as("jaccard"))
   }
+
+  /**
+   * CCNet-style segment-level dedup (Wenzek et al., arXiv:1911.00359 §3.1
+   * deduplicates *paragraphs* across the corpus rather than whole
+   * documents — the dominant cleanup for boilerplate lines like cookie
+   * banners and navigation text). Documents are segmented, each segment's
+   * corpus-wide frequency is counted, segments appearing in more than
+   * `maxDupCount` places are dropped, and every document is reassembled
+   * from its surviving segments in original order.
+   *
+   * Segmentation: `windowWords > 0` chops on whitespace into consecutive
+   * `windowWords`-word windows (for corpora without line structure);
+   * otherwise the literal separator `sep` splits (newline by default, the
+   * CCNet behavior) and also re-joins.
+   *
+   * Scale: three shuffles, all on bounded rows — (1) segment frequency is
+   * one hash aggregation keyed by the segment text (map-side partials;
+   * the heaviest key is the hottest boilerplate line, and its combine
+   * state is ONE count, not a buffered inbox), (2) the segment→frequency
+   * equi-join (AQE splits skewed buckets), (3) regroup by document id to
+   * reassemble. No self-joins; memory per task is bounded by the longest
+   * single document, same as the scan itself.
+   *
+   * Returns (idCol, clean_text, kept, dropped).
+   */
+  def segmentDedup(df0: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", windowWords: Int = 0,
+      maxDupCount: Long = 1, lowercase: Boolean = false): DataFrame = {
+    require(maxDupCount >= 1, "segmentDedup: maxDupCount must be >= 1")
+    val df = df0.select(col(idCol), col(textCol))
+    val joiner = if (windowWords > 0) " " else sep
+    val segsExpr: Column =
+      if (windowWords > 0) {
+        val ws = split(col(textCol), " ")
+        Dedup.bindOnce(ws, w =>
+          transform(sequence(lit(0), floor((size(w) - 1) / windowWords).cast("int")),
+            i => array_join(slice(w, i * windowWords + 1, lit(windowWords)), " ")))
+      } else {
+        split(col(textCol), java.util.regex.Pattern.quote(sep))
+      }
+    val segs = df
+      .select(col(idCol), posexplode(segsExpr).as(Seq("_sd_pos", "_sd_seg")))
+    val key = if (lowercase) lower(col("_sd_seg")) else col("_sd_seg")
+    val keyed = segs.withColumn("_sd_key", key)
+    val freq = keyed.groupBy("_sd_key").agg(count(lit(1)).as("_sd_n"))
+    val kept = keyed.join(freq, "_sd_key")
+      .withColumn("_sd_keep", col("_sd_n") <= maxDupCount)
+    val rebuilt = kept.groupBy(idCol)
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("_sd_keep"),
+            struct(col("_sd_pos"), col("_sd_seg"))))),
+          s => s("_sd_seg")), joiner).as("clean_text"),
+        sum(when(col("_sd_keep"), 1L).otherwise(0L)).as("kept"),
+        sum(when(col("_sd_keep"), 0L).otherwise(1L)).as("dropped"))
+    // documents whose every segment was dropped must still surface
+    df.select(col(idCol)).distinct()
+      .join(rebuilt, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("kept"), lit(0L)).as("kept"),
+        coalesce(col("dropped"), lit(0L)).as("dropped"))
+  }
 }

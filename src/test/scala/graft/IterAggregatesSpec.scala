@@ -113,7 +113,7 @@ class IterAggregatesSpec extends TestBase {
     // the three consumers still produce reference-checked results
     val g = examples.Graphs.friends
     val pppr = g.parallelPersonalizedPageRank
-      .maxIter(10).sourceIds(Seq[Any]("a")).run()
+      .maxIter(10).sourceIds(Seq[Any]("a")).run().vertices
     val aRow = pppr.filter(col("id") === "a").head().getSeq[Double](
       pppr.columns.indexOf("pageranks"))
     assert(aRow.head > 0.15) // source keeps teleport mass

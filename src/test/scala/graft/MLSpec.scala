@@ -7,7 +7,7 @@ class MLSpec extends TestBase {
 
   test("parallelPersonalizedPageRank: lanes match single-source PPR") {
     val g = chain(4)
-    val pppr = g.parallelPersonalizedPageRank.sourceIds(Seq(0L, 2L)).maxIter(10).run()
+    val pppr = g.parallelPersonalizedPageRank.sourceIds(Seq(0L, 2L)).maxIter(10).run().vertices
     val lanes = pppr.select($"id", element_at($"pageranks", 1), element_at($"pageranks", 2))
       .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     val single0 = g.pageRank.sourceId(0L).maxIter(10).run()

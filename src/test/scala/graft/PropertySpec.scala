@@ -500,6 +500,68 @@ class PropertySpec extends TestBase {
     assert(kept.filter(_._2 == "src0").toSet == strat)
   }
 
+  test("segmentDedup: separator mode drops repeated lines, keeps order") {
+    val docs = Seq(
+      (1L, "accept cookies\nunique first line\nall rights reserved"),
+      (2L, "accept cookies\nanother unique line\nall rights reserved"),
+      (3L, "accept cookies\nthird body line"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = pipeline.Dedup.segmentDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // "accept cookies" appears 3x (> 1), "all rights reserved" 2x -> dropped
+    assert(out(1L) === (("unique first line", 1L, 2L)))
+    assert(out(2L) === (("another unique line", 1L, 2L)))
+    assert(out(3L) === (("third body line", 1L, 1L)))
+    // the empty doc's single empty segment: frequency 1, kept verbatim
+    assert(out(4L) === (("", 1L, 0L)))
+    assert(out.size === 4)
+  }
+
+  test("segmentDedup: maxDupCount keeps segments up to the threshold") {
+    val docs = Seq(
+      (1L, "a\nx"), (2L, "a\ny"), (3L, "a\nz")).toDF("doc_id", "text")
+    val strict = pipeline.Dedup.segmentDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(strict === Map(1L -> "x", 2L -> "y", 3L -> "z"))
+    val lax = pipeline.Dedup.segmentDedup(docs, "doc_id", "text", maxDupCount = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lax === Map(1L -> "a\nx", 2L -> "a\ny", 3L -> "a\nz"))
+  }
+
+  test("segmentDedup: word-window mode matches a naive local replica") {
+    val rng = new scala.util.Random(5)
+    val vocab = Array("the", "fast", "sort", "join", "scan", "batch")
+    val docs = (1L to 30L).map(i =>
+      (i, (0 until rng.nextInt(20) + 1).map(_ => vocab(rng.nextInt(vocab.length)))
+        .mkString(" ")))
+    val w = 3
+    def segsOf(t: String): Seq[String] =
+      t.split(" ").grouped(w).map(_.mkString(" ")).toSeq
+    val freq = docs.flatMap(d => segsOf(d._2))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val expected = docs.map { case (id, t) =>
+      val kept = segsOf(t).filter(freq(_) <= 2)
+      id -> ((kept.mkString(" "), kept.size.toLong,
+        (segsOf(t).size - kept.size).toLong))
+    }.toMap
+    val got = pipeline.Dedup.segmentDedup(docs.toDF("doc_id", "text"),
+        "doc_id", "text", windowWords = w, maxDupCount = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === expected)
+  }
+
+  test("segmentDedup: lowercase normalization merges case variants") {
+    val docs = Seq((1L, "Accept Cookies\nbody one"),
+      (2L, "accept cookies\nbody two")).toDF("doc_id", "text")
+    val cased = pipeline.Dedup.segmentDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cased(1L) === "Accept Cookies\nbody one") // distinct as written
+    val folded = pipeline.Dedup.segmentDedup(docs, "doc_id", "text", lowercase = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(folded === Map(1L -> "body one", 2L -> "body two"))
+  }
+
   test("simhash of identical docs is identical; hamming grows with edits") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

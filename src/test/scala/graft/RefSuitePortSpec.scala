@@ -70,19 +70,23 @@ class RefSuitePortSpec extends TestBase {
 
   test("pppr: star graph — lane per source, schema contract") {
     val g = Graphs.star(100)
-    val pr = g.parallelPersonalizedPageRank
+    val prg = g.parallelPersonalizedPageRank
       .maxIter(10).sourceIds(Seq[Any](1L, 2L, 3L)).resetProbability(0.15).run()
+    val pr = prg.vertices
     // engine contract: array<double> lanes (reference: ml SparseVector)
     assert(pr.schema("pageranks").dataType === ArrayType(DoubleType, containsNull = true)
       || pr.schema("pageranks").dataType === ArrayType(DoubleType, containsNull = false))
     assert(pr.select(size(col("pageranks"))).distinct().head().getInt(0) === 3)
     assert(pr.count() === 101)
+    // reference contract: edges gain weight = 1/outDegree(src)
+    assert(prg.edges.schema("weight").dataType === DoubleType)
+    assert(prg.edges.select("weight").distinct().head().getDouble(0) === 1.0 / 100)
   }
 
   test("pppr: friends graph — unreachable g gets an all-zero vector") {
     val g = Graphs.friends
     val pr = g.parallelPersonalizedPageRank
-      .maxIter(10).sourceIds(Seq[Any]("a")).resetProbability(0.15).run()
+      .maxIter(10).sourceIds(Seq[Any]("a")).resetProbability(0.15).run().vertices
     val badWidth = pr.select("pageranks").collect()
       .count(_.getSeq[Double](0).size != 1)
     assert(badWidth === 0, "every vertex carries one lane per source")

@@ -229,6 +229,17 @@ class PipelineMethods:
                 bits: Optional[int] = None):
         return self._call("pipe_simhash", idCol=idCol, textCol=textCol, bits=bits)
 
+    def segmentDedup(self, idCol: str, textCol: str,
+                     sep: Optional[str] = None,
+                     windowWords: Optional[int] = None,
+                     maxDupCount: Optional[int] = None,
+                     lowercase: Optional[bool] = None):
+        """CCNet-style segment-level dedup: drop segments whose corpus
+        frequency exceeds ``maxDupCount`` and reassemble each document."""
+        return self._call("pipe_segment_dedup", idCol=idCol, textCol=textCol,
+                          sep=sep, windowWords=windowWords,
+                          maxDupCount=maxDupCount, lowercase=lowercase)
+
     def semanticDedup(self, idCol: str, vecCol: str, threshold: float,
                       nlist: Optional[int] = None,
                       lloydIters: Optional[int] = None):

@@ -76,6 +76,8 @@ object GraftConnectDispatch {
     "pipe_minhash_lsh" -> Set("idCol", "textCol", "shingle", "bands", "rowsPerBand"),
     "pipe_near_dup_clusters" -> Set("idCol", "textCol", "shingle", "bands", "rowsPerBand"),
     "pipe_simhash" -> Set("idCol", "textCol", "bits"),
+    "pipe_segment_dedup" -> Set("idCol", "textCol", "sep", "windowWords",
+      "maxDupCount", "lowercase"),
     "pipe_semantic_dedup" -> Set("idCol", "vecCol", "threshold", "nlist", "lloydIters"),
     "pipe_token_count" -> Set("idCol", "textCol"),
     "pipe_language_id" -> Set("idCol", "textCol"),
@@ -180,6 +182,13 @@ object GraftConnectDispatch {
             rowsPerBand = int("rowsPerBand").getOrElse(2))
         case "pipe_simhash" =>
           Dedup.simhash(t, id, text, bits = int("bits").getOrElse(16))
+        case "pipe_segment_dedup" =>
+          Dedup.segmentDedup(t, id, text,
+            sep = params.get("sep").collect { case JString(s) => s }.getOrElse("\n"),
+            windowWords = int("windowWords").getOrElse(0),
+            maxDupCount = int("maxDupCount").getOrElse(1).toLong,
+            lowercase = params.get("lowercase")
+              .collect { case JBool(b) => b }.getOrElse(false))
         case "pipe_semantic_dedup" =>
           Dedup.semanticDedup(t, id, vec,
             threshold = dbl("threshold").getOrElse(throw new IllegalArgumentException(

@@ -237,6 +237,9 @@ class ConnectPluginSpec extends TestBase {
       """{"idCol": "doc_id", "textCol": "text"}""").count() >= 1) // the 0/1 dup pair
     assert(run("pipe_simhash",
       """{"idCol": "doc_id", "textCol": "text", "bits": 16}""").count() == 4)
+    assert(run("pipe_segment_dedup",
+      """{"idCol": "doc_id", "textCol": "text", "windowWords": 3,
+         |"maxDupCount": 1, "lowercase": true}""".stripMargin).count() == 4)
     assert(run("pipe_language_id",
       """{"idCol": "doc_id", "textCol": "text"}""").count() == 4)
     assert(run("pipe_quality",

@@ -39,8 +39,12 @@ class GraphFrame private (
 
   /** Column names of the vertex attribute table. */
   def vertexColumns: Array[String] = vertices.columns
+  /** Column name → position map (reference GraphFrame.scala:388). */
+  def vertexColumnMap: Map[String, Int] = vertexColumns.zipWithIndex.toMap
   /** Column names of the edge attribute table. */
   def edgeColumns: Array[String] = edges.columns
+  /** Column name → position map (reference GraphFrame.scala:406). */
+  def edgeColumnMap: Map[String, Int] = edgeColumns.zipWithIndex.toMap
 
   /** True when the id type is one of Byte/Short/Int/Long (fast path: no
    * surrogate ids needed for algorithms that emit Long components). */
@@ -288,6 +292,36 @@ class GraphFrame private (
   def find(motif: String, keep: Seq[String]): DataFrame =
     pattern.MotifCompiler.find(this, motif, Some(keep))
 
+  /** Reference-named entry point (reference GraphFrame.scala:659-674):
+   * motif search with vertices that appear only in negated terms
+   * augmented as positive standalone terms. This engine's [[find]] always
+   * performs that augmentation, so this is the same compiled path. */
+  def findAugmentedPatterns(motif: String): DataFrame = find(motif)
+
+  /** Reference-named var-length expansion (reference
+   * GraphFrame.scala:625-657): one motif per hop in [min, max], stacked
+   * with `_hop`/`_pattern`/`_direction` metadata columns and ordered by
+   * hop. An empty `direction` also stacks the reversed orientation
+   * (`_direction = "in"`), the reference's undirected var-length form. */
+  def findVarLengthPattern(src: String, name: String, min: Int, max: Int,
+      direction: String, dst: String): DataFrame = {
+    require(min >= 1 && max >= min,
+      s"findVarLengthPattern: need 1 <= min <= max, got $min..$max")
+    val out = (min to max).map { hop =>
+      val p = s"($src)-[$name*$hop]->($dst)"
+      find(p).withColumn("_hop", lit(hop))
+        .withColumn("_pattern", lit(p)).withColumn("_direction", lit("out"))
+    }
+    val in =
+      if (direction.isEmpty) (min to max).map { hop =>
+        val p = s"($src)<-[$name*$hop]-($dst)"
+        find(p).withColumn("_hop", lit(hop))
+          .withColumn("_pattern", lit(p)).withColumn("_direction", lit("in"))
+      } else Seq.empty
+    (out ++ in).reduce(_.unionByName(_, allowMissingColumns = true))
+      .orderBy("_hop", "_direction")
+  }
+
   def bfs: lib.BFS = new lib.BFS(this)
   def connectedComponents: lib.ConnectedComponents = new lib.ConnectedComponents(this)
   def stronglyConnectedComponents: lib.StronglyConnectedComponents =
@@ -305,6 +339,9 @@ class GraphFrame private (
   def randomWalks: rw.RandomWalks = new rw.RandomWalks(this)
   def randomWalkEmbeddings: embeddings.RandomWalkEmbeddings =
     new embeddings.RandomWalkEmbeddings(this)
+  /** Reference-named alias (reference GraphFrame.scala:976). */
+  def randomWalksBasedEmbedding: embeddings.RandomWalkEmbeddings =
+    randomWalkEmbeddings
 
   /** Power iteration clustering, delegated to Spark ML (role of reference
    * GraphFrame.scala:894-930): returns (id, cluster) for every vertex that

@@ -153,4 +153,39 @@ class GraphFrameSpec extends TestBase {
       rev.head.getLong(0) == 2L && rev.head.getLong(1) == 1L &&
       rev.head.getString(2) == "edge1")
   }
+
+  test("vertexColumnMap / edgeColumnMap (reference :388, :406)") {
+    assert(friends.vertexColumnMap === Map("id" -> 0, "name" -> 1, "age" -> 2))
+    assert(friends.edgeColumnMap === Map("src" -> 0, "dst" -> 1, "relationship" -> 2))
+  }
+
+  test("findAugmentedPatterns is the find path (reference :659-674)") {
+    val motif = "(a)-[e]->(b); !(c)-[]->(a)"
+    val viaAlias = friends.findAugmentedPatterns(motif)
+    val viaFind = friends.find(motif)
+    assert(viaAlias.columns.toSeq === viaFind.columns.toSeq)
+    assert(viaAlias.count() === viaFind.count())
+  }
+
+  test("findVarLengthPattern stacks hops with metadata (reference :625-657)") {
+    import org.apache.spark.sql.functions.col
+    val out = friends.findVarLengthPattern("a", "e", 1, 2, "out", "b")
+    assert(out.columns.contains("_hop") && out.columns.contains("_pattern")
+      && out.columns.contains("_direction"))
+    assert(out.select("_direction").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("out"))
+    val hop1 = friends.find("(a)-[e*1]->(b)").count()
+    val hop2 = friends.find("(a)-[e*2]->(b)").count()
+    assert(out.count() === hop1 + hop2)
+    // empty direction adds the reversed orientation, same cardinality
+    val both = friends.findVarLengthPattern("a", "e", 1, 2, "", "b")
+    assert(both.count() === 2 * (hop1 + hop2))
+    assert(both.select("_direction").distinct().count() === 2)
+    assert(both.filter(col("_direction") === "in").count() === hop1 + hop2)
+  }
+
+  test("randomWalksBasedEmbedding aliases randomWalkEmbeddings (reference :976)") {
+    val b = friends.randomWalksBasedEmbedding
+    assert(b.isInstanceOf[embeddings.RandomWalkEmbeddings])
+  }
 }

@@ -83,6 +83,14 @@ keep = {r["doc_id"]: r["keep_id"] for r in dup}
 assert keep[0] == 0 and keep[1] == 0 and keep[2] == 2, keep
 print("CLASSIC OK pipe_near_dup_clusters")
 
+seg = Pipeline(docs).segmentDedup(
+    idCol="doc_id", textCol="text", windowWords=3, maxDupCount=1).collect()
+segmap = {r["doc_id"]: (r["kept"], r["dropped"]) for r in seg}
+# docs 0 and 1 are identical -> all their 3-word windows are corpus dups
+assert segmap[0] == (0, 3) and segmap[1] == (0, 3), segmap
+assert segmap[2][1] == 0, segmap  # the unique doc keeps everything
+print("CLASSIC OK pipe_segment_dedup")
+
 emb = spark.createDataFrame(
     [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)])
      for i in range(9)],

@@ -860,6 +860,22 @@ object SparkEntry {
         .outputMode("append").start()
       q.processAllAvailable(); q.stop()
       s.table("graft_stream_dedup")
+    }),
+    "e_stream_segment_dedup" -> ((s, dir) => {
+      // single-replay determinism: one micro-batch, so arrivals are the
+      // (doc_id, pos)-sorted corpus and "first maxDupCount pass" is
+      // exactly a row_number() predicate the oracle replays
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val schema = docs.schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val out = streaming.EventStreams.segmentDedupStream(
+        stream, "doc_id", "text", windowWords = 4, maxDupCount = 2)
+      val q = out.writeStream.format("memory").queryName("graft_stream_segdedup")
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      s.table("graft_stream_segdedup")
+        .select(col("doc_id"), col("pos"), col("segment"), col("kept"))
     })
   )
 
@@ -2142,6 +2158,14 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "e_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "e_stream_segment_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |seg AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+        |          array_to_string(ws[(i-1)*4+1:i*4], ' ') AS segment
+        |        FROM w, range(1, 100000) r(i) WHERE (i-1)*4 < len(ws))
+        |SELECT doc_id, pos, segment,
+        |  row_number() OVER (PARTITION BY segment ORDER BY doc_id, pos) <= 2 AS kept
+        |FROM seg""".stripMargin,
     "e_stream_sessionize" ->
       """WITH x AS (SELECT user_id, event_id, ts, epoch_ms(ts) AS ms,
         |  CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER

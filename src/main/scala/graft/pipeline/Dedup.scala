@@ -418,21 +418,26 @@ object Dedup {
    *
    * Returns (idCol, clean_text, kept, dropped).
    */
+  /** Segment array of a text column: consecutive `windowWords`-word
+   * windows when `windowWords > 0`, else a literal split on `sep`.
+   * Shared by [[segmentDedup]] and the streaming form
+   * ([[graft.streaming.EventStreams.segmentDedupStream]]). */
+  private[graft] def segments(text: Column, sep: String, windowWords: Int): Column =
+    if (windowWords > 0) {
+      bindOnce(split(text, " "), w =>
+        transform(sequence(lit(0), floor((size(w) - 1) / windowWords).cast("int")),
+          i => array_join(slice(w, i * windowWords + 1, lit(windowWords)), " ")))
+    } else {
+      split(text, java.util.regex.Pattern.quote(sep))
+    }
+
   def segmentDedup(df0: DataFrame, idCol: String, textCol: String,
       sep: String = "\n", windowWords: Int = 0,
       maxDupCount: Long = 1, lowercase: Boolean = false): DataFrame = {
     require(maxDupCount >= 1, "segmentDedup: maxDupCount must be >= 1")
     val df = df0.select(col(idCol), col(textCol))
     val joiner = if (windowWords > 0) " " else sep
-    val segsExpr: Column =
-      if (windowWords > 0) {
-        val ws = split(col(textCol), " ")
-        Dedup.bindOnce(ws, w =>
-          transform(sequence(lit(0), floor((size(w) - 1) / windowWords).cast("int")),
-            i => array_join(slice(w, i * windowWords + 1, lit(windowWords)), " ")))
-      } else {
-        split(col(textCol), java.util.regex.Pattern.quote(sep))
-      }
+    val segsExpr = segments(col(textCol), sep, windowWords)
     val segs = df
       .select(col(idCol), posexplode(segsExpr).as(Seq("_sd_pos", "_sd_seg")))
     val key = if (lowercase) lower(col("_sd_seg")) else col("_sd_seg")

@@ -55,6 +55,54 @@ object EventStreams {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  case class SegOut(doc_id: Long, pos: Int, segment: String, kept: Boolean)
+
+  /**
+   * Streaming form of [[graft.pipeline.Dedup.segmentDedup]] (CCNet-style
+   * segment-level dedup) for an unbounded document stream: per-segment
+   * running counts live in keyed state, and each arriving occurrence is
+   * kept while the count so far is within `maxDupCount`.
+   *
+   * Inherent semantic difference from the batch operator, stated rather
+   * than hidden: batch sees the corpus-wide frequency and drops ALL
+   * occurrences of an over-frequent segment; a stream cannot retract
+   * already-emitted segments, so the FIRST `maxDupCount` occurrences pass
+   * and later ones drop (the standard first-arrival-wins streaming dedup
+   * contract, same as `dropDuplicatesWithinWatermark`). Within a
+   * micro-batch, occurrences are ordered by (doc_id, pos) so replays are
+   * deterministic.
+   *
+   * Scale: state is one Long per distinct segment — the same key space
+   * the batch frequency aggregation shuffles — sharded by the segment
+   * key across executors. Emits per-segment keep decisions; reassembly
+   * (groupBy doc_id, sort by pos) composes downstream or per sink batch.
+   */
+  def segmentDedupStream(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", windowWords: Int = 0,
+      maxDupCount: Long = 1, lowercase: Boolean = false): Dataset[SegOut] = {
+    import docs.sparkSession.implicits._
+    val segsExpr = graft.pipeline.Dedup.segments(col(textCol), sep, windowWords)
+    val seg0 = docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(segsExpr).as(Seq("pos", "segment")))
+    val keyed = seg0.withColumn("key",
+      if (lowercase) lower(col("segment")) else col("segment"))
+      .select(col("doc_id"), col("pos"), col("segment"), col("key"))
+      .as[(Long, Int, String, String)]
+    keyed
+      .groupByKey(_._4)
+      .flatMapGroupsWithState[Long, SegOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(Long, Int, String, String)], state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(r => (r._1, r._2)).map { r =>
+            n += 1
+            SegOut(r._1, r._2, r._3, kept = n <= maxDupCount)
+          }
+          state.update(n)
+          out.iterator
+      }
+  }
+
   case class SessionEvent(user_id: Long, ts_ms: Long)
   case class SessionState(start: Long, last: Long, n: Long)
   case class SessionOut(user_id: Long, session_start_ms: Long, n_events: Long, duration_ms: Long)

@@ -262,6 +262,18 @@ class PipelineMethods:
     def redactPii(self, idCol: str, textCol: str):
         return self._call("pipe_redact_pii", idCol=idCol, textCol=textCol)
 
+    def bpeTrain(self, textCol: str, numMerges: Optional[int] = None):
+        """Word-level BPE training: the numMerges most frequent adjacent
+        word-pair merges, (rank, left, right, pair_count)."""
+        return self._call("pipe_bpe_train", textCol=textCol, numMerges=numMerges)
+
+    def bpeEncode(self, idCol: str, textCol: str,
+                  numMerges: Optional[int] = None):
+        """Train numMerges merges, then report per-document token counts
+        before/after applying them."""
+        return self._call("pipe_bpe_encode", idCol=idCol, textCol=textCol,
+                          numMerges=numMerges)
+
     def hashSample(self, idCol: str, fraction: float,
                    seed: Optional[int] = None):
         return self._call("pipe_hash_sample", idCol=idCol, fraction=fraction,

@@ -734,6 +734,12 @@ object SparkEntry {
       pipeline.Text.tokenCount(load(s, dir, "documents"), "doc_id", "text")),
     "p_bpe_tokens" -> ((s, dir) =>
       pipeline.Text.regexTokenCount(load(s, dir, "documents"), "doc_id", "text")),
+    "p_bpe_train" -> ((s, dir) => // word-level BPE: 3 most-frequent-adjacent-
+      // pair merges, deterministic (count desc, pair asc) tie-break
+      pipeline.Tokenizer.bpeTrain(load(s, dir, "documents"), "text", 3)),
+    "p_bpe_encode" -> ((s, dir) => // re-tokenize with the learned merges
+      pipeline.Tokenizer.bpeTrainEncode(
+        load(s, dir, "documents"), "doc_id", "text", 3)._2),
     "p_embedding_dedup" -> ((s, dir) =>
       pipeline.Dedup.embeddingDupClusters(load(s, dir, "embeddings"), "vec_id",
         "embedding", threshold = 0.4)),
@@ -896,6 +902,31 @@ object SparkEntry {
   private val W = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
   /** 3-word shingles over w (mirrors Text.wordShingles(n=3)). */
   private val SH3 = "[array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]"
+
+  /** Unrolled 3-merge word-level BPE replay (mirrors
+   * graft.pipeline.Tokenizer: `⟨sym⟩` boundary encoding, greedy
+   * left-to-right `replace`, count-desc/pair-asc tie-break). `finalSelect`
+   * reads any of m1..m3 (the merge picks) or c3 (the final corpus). */
+  private def bpeSql(finalSelect: String): String = {
+    def pick(k: Int, field: String) = s"(SELECT $field FROM m$k)"
+    val steps = (1 to 3).map { k =>
+      s"""p$k AS (SELECT ts[i] AS l, ts[i+1] AS r
+         |  FROM (SELECT string_split(s[2:-2], '⟩⟨') AS ts FROM c${k - 1}),
+         |       range(1, 100000) t(i) WHERE i < len(ts)),
+         |m$k AS (SELECT l, r, count(*) AS n FROM p$k GROUP BY 1, 2
+         |  ORDER BY n DESC, l, r LIMIT 1),
+         |c$k AS (SELECT doc_id, nraw,
+         |  replace(s, '⟨' || ${pick(k, "l")} || '⟩⟨' || ${pick(k, "r")} || '⟩',
+         |             '⟨' || ${pick(k, "l")} || ' ' || ${pick(k, "r")} || '⟩') AS s
+         |  FROM c${k - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c0 AS (
+       |  SELECT doc_id, len(ws) AS nraw,
+       |    '⟨' || array_to_string(ws, '⟩⟨') || '⟩' AS s
+       |  FROM (SELECT doc_id, $W AS ws FROM documents) WHERE len(ws) > 0),
+       |$steps
+       |$finalSelect""".stripMargin
+  }
 
   private def pagerankSql(iters: Int): String = {
     val steps = (1 to iters).map { k =>
@@ -2026,6 +2057,14 @@ object SparkEntry {
          |  FROM sc) WHERE rnk <= 3""".stripMargin,
     "p_token_count" ->
       s"""SELECT doc_id, CAST(len($W) AS BIGINT) AS n_tokens FROM documents""".stripMargin,
+    "p_bpe_train" -> bpeSql(
+      """SELECT CAST(1 AS INT) AS rank, l AS "left", r AS "right", CAST(n AS BIGINT) AS pair_count FROM m1
+        |UNION ALL SELECT 2, l, r, CAST(n AS BIGINT) FROM m2
+        |UNION ALL SELECT 3, l, r, CAST(n AS BIGINT) FROM m3""".stripMargin),
+    "p_bpe_encode" -> bpeSql(
+      """SELECT c3.doc_id, CAST(c3.nraw AS BIGINT) AS n_tokens_raw,
+        |  CAST(len(string_split(c3.s[2:-2], '⟩⟨')) AS BIGINT) AS n_tokens_bpe
+        |FROM c3""".stripMargin),
     "p_bpe_tokens" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT)
         |  AS n_bpe_tokens FROM documents""".stripMargin,

@@ -87,6 +87,8 @@ object GraftConnectDispatch {
     "pipe_hash_sample" -> Set("idCol", "fraction", "seed"),
     "pipe_mixture_sample" -> Set("idCol", "strataCol", "fractions", "seed"),
     "pipe_bigram_lm" -> Set("idCol", "textCol", "alpha"),
+    "pipe_bpe_train" -> Set("textCol", "numMerges"),
+    "pipe_bpe_encode" -> Set("idCol", "textCol", "numMerges"),
     "pipe_vocab_oov" -> Set("idCol", "textCol", "vocabSize"),
     "pipe_ann_topk" -> Set("idCol", "vecCol", "k"),
     "pipe_ann_ivf_hier" -> Set("idCol", "vecCol", "k", "nsuper", "nlistPer",
@@ -159,7 +161,7 @@ object GraftConnectDispatch {
       def id = required("idCol")
       def text = required("textCol")
       def vec = required("vecCol")
-      import graft.pipeline.{Dedup, Sampling, Similarity, Text}
+      import graft.pipeline.{Dedup, Sampling, Similarity, Text, Tokenizer}
       return algorithm match {
         case "pipe_exact_dedup" =>
           val cols = params.get("contentCols") match {
@@ -227,6 +229,11 @@ object GraftConnectDispatch {
             }.getOrElse(42L))
         case "pipe_bigram_lm" =>
           Text.bigramLmScore(t, id, text, alpha = dbl("alpha").getOrElse(0.5))
+        case "pipe_bpe_train" =>
+          Tokenizer.bpeTrain(t, text, numMerges = int("numMerges").getOrElse(10))
+        case "pipe_bpe_encode" =>
+          Tokenizer.bpeTrainEncode(t, id, text,
+            numMerges = int("numMerges").getOrElse(10))._2
         case "pipe_vocab_oov" =>
           Text.vocabOovRate(t, id, text, vocabSize = int("vocabSize").getOrElse(1000))
         case "pipe_ann_topk" =>

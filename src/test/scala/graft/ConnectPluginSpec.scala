@@ -252,6 +252,10 @@ class ConnectPluginSpec extends TestBase {
       """{"idCol": "doc_id", "fraction": 1.0}""").count() == 4)
     assert(run("pipe_bigram_lm",
       """{"idCol": "doc_id", "textCol": "text"}""").count() == 4)
+    assert(run("pipe_bpe_train",
+      """{"textCol": "text", "numMerges": 2}""").count() == 2)
+    assert(run("pipe_bpe_encode",
+      """{"idCol": "doc_id", "textCol": "text", "numMerges": 2}""").count() == 4)
     assert(run("pipe_vocab_oov",
       """{"idCol": "doc_id", "textCol": "text", "vocabSize": 5}""").count() == 4)
     // mixture sampling through the JSON object parameter; an empty

@@ -279,6 +279,16 @@ class PipelineMethods:
         return self._call("pipe_hash_sample", idCol=idCol, fraction=fraction,
                           seed=seed)
 
+    def importanceSample(self, idCol: str, weightCol: str,
+                         targetFraction: float,
+                         seed: Optional[int] = None):
+        """DSIR-style importance resampling: keep each row with probability
+        min(1, k*w), with k waterfilled so expected kept mass is
+        targetFraction * N."""
+        return self._call("pipe_importance_sample", idCol=idCol,
+                          weightCol=weightCol, targetFraction=targetFraction,
+                          seed=seed)
+
     def mixtureSample(self, idCol: str, strataCol: str,
                       fractions: Dict[str, float],
                       seed: Optional[int] = None):

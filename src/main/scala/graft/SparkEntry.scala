@@ -798,6 +798,11 @@ object SparkEntry {
       pipeline.Sampling.mixtureSample(load(s, dir, "documents"), "doc_id", "source",
         Map("src0" -> 0.75, "src1" -> 0.25))
         .select(col("doc_id"), col("source"))),
+    "p_importance_sample" -> ((s, dir) => // DSIR-style: keep ∝ weight,
+      // expected mass 0.3·N; n_chars as the importance weight
+      pipeline.Sampling.importanceSample(load(s, dir, "documents"),
+        "doc_id", "n_chars", targetFraction = 0.3)
+        .select(col("doc_id"), col("n_chars"))),
     "p_bigram_lm" -> ((s, dir) => // corpus-trained bigram LM quality score
       pipeline.Text.bigramLmScore(load(s, dir, "documents"), "doc_id", "text",
         alpha = 0.5)),
@@ -2159,6 +2164,29 @@ object SparkEntry {
       s"""SELECT doc_id, source FROM documents
          |WHERE ${duckHex4("md5('42|' || source || '|' || CAST(doc_id AS VARCHAR))")}
          |  < CASE source WHEN 'src0' THEN 49152 WHEN 'src1' THEN 16384 END""".stripMargin,
+    "p_importance_sample" -> // waterfilling k replayed over 2 renorm rounds
+      s"""WITH z AS (SELECT SUM(CAST(n_chars AS DOUBLE)) AS zsum,
+         |                  COUNT(*) AS n FROM documents),
+         |k0 AS (SELECT (0.3 * n) AS t, ((0.3 * n) / zsum) AS k FROM z),
+         |r1 AS (SELECT SUM(CASE WHEN CAST(d.n_chars AS DOUBLE) * k0.k >= 1.0
+         |                       THEN 1.0 ELSE 0.0 END) AS c,
+         |              SUM(CASE WHEN CAST(d.n_chars AS DOUBLE) * k0.k >= 1.0
+         |                       THEN 0.0 ELSE CAST(d.n_chars AS DOUBLE) END) AS zu
+         |       FROM documents d, k0),
+         |k1 AS (SELECT k0.t, CASE WHEN r1.zu > 0.0 AND k0.t > r1.c
+         |                         THEN (k0.t - r1.c) / r1.zu ELSE k0.k END AS k
+         |       FROM k0, r1),
+         |r2 AS (SELECT SUM(CASE WHEN CAST(d.n_chars AS DOUBLE) * k1.k >= 1.0
+         |                       THEN 1.0 ELSE 0.0 END) AS c,
+         |              SUM(CASE WHEN CAST(d.n_chars AS DOUBLE) * k1.k >= 1.0
+         |                       THEN 0.0 ELSE CAST(d.n_chars AS DOUBLE) END) AS zu
+         |       FROM documents d, k1),
+         |k2 AS (SELECT CASE WHEN r2.zu > 0.0 AND k1.t > r2.c
+         |                   THEN (k1.t - r2.c) / r2.zu ELSE k1.k END AS k
+         |       FROM k1, r2)
+         |SELECT doc_id, n_chars FROM documents, k2
+         |WHERE ${duckHex4("md5('42|' || CAST(doc_id AS VARCHAR))")}
+         |  < least(1.0, k2.k * CAST(n_chars AS DOUBLE)) * 65536.0""".stripMargin,
     "p_bigram_lm" ->
       s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
          |b AS (SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS bg FROM t),

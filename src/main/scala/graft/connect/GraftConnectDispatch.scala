@@ -86,6 +86,7 @@ object GraftConnectDispatch {
     "pipe_redact_pii" -> Set("idCol", "textCol"),
     "pipe_hash_sample" -> Set("idCol", "fraction", "seed"),
     "pipe_mixture_sample" -> Set("idCol", "strataCol", "fractions", "seed"),
+    "pipe_importance_sample" -> Set("idCol", "weightCol", "targetFraction", "seed"),
     "pipe_bigram_lm" -> Set("idCol", "textCol", "alpha"),
     "pipe_bpe_train" -> Set("textCol", "numMerges"),
     "pipe_bpe_encode" -> Set("idCol", "textCol", "numMerges"),
@@ -206,6 +207,15 @@ object GraftConnectDispatch {
           Sampling.hashSample(t, id,
             fraction = dbl("fraction").getOrElse(throw new IllegalArgumentException(
               "pipe_hash_sample requires params_json key 'fraction'")),
+            seed = params.get("seed").collect {
+              case JInt(i) => i.toLong
+              case JLong(l) => l
+            }.getOrElse(42L))
+        case "pipe_importance_sample" =>
+          Sampling.importanceSample(t, id, required("weightCol"),
+            targetFraction = dbl("targetFraction").getOrElse(
+              throw new IllegalArgumentException(
+                "pipe_importance_sample requires params_json key 'targetFraction'")),
             seed = params.get("seed").collect {
               case JInt(i) => i.toLong
               case JLong(l) => l

@@ -120,4 +120,47 @@ object Sampling {
       .select(col(idCol), col(sizeCol),
         floor((col("_off") + col("_cum") - col(sizeCol)) / budget).as("shard_id"))
   }
+
+  /** Importance resampling (the DSIR recipe, Xie et al. arXiv:2302.03169:
+   * resample proportionally to an importance weight — quality score,
+   * LM perplexity ratio, domain match): each row survives with
+   * probability `min(1, k · w)`, where `k` is the waterfilling constant
+   * making the expected kept count equal `targetFraction · N`. A naive
+   * `k = tf·N/Σw` silently under-delivers on heavy-tailed weights (mass
+   * clipped at probability 1 is lost), so `k` is refined by clip-
+   * renormalization rounds — rows already at probability 1 are set
+   * aside and the remaining budget re-spread over the rest; the clipped
+   * set grows monotonically, and two rounds settle it for all but
+   * pathological weight ladders (each round is one tiny aggregate job).
+   * The acceptance draw is the same md5 hash the plain samplers use —
+   * deterministic per (seed, id), retry/AQE-safe, SQL-replayable; the
+   * filter itself is a narrow scan-speed pass. Weights must be
+   * non-negative; an all-zero corpus keeps nothing. */
+  def importanceSample(df: DataFrame, idCol: String, weightCol: String,
+      targetFraction: Double, seed: Long = 42L, renormRounds: Int = 2): DataFrame = {
+    require(targetFraction >= 0 && targetFraction <= 1,
+      s"targetFraction must be in [0,1]: $targetFraction")
+    val w = col(weightCol).cast("double")
+    val row = df.agg(sum(w).as("z"), count(lit(1)).as("n"), min(w).as("mn")).head()
+    if (row.isNullAt(0) || row.getDouble(0) == 0.0)
+      return df.limit(0)
+    require(row.getDouble(2) >= 0.0,
+      s"importanceSample: negative weight in '$weightCol'")
+    val target = targetFraction * row.getLong(1)
+    // (tf * N) / Z evaluated in this exact association so a SQL replay
+    // using the same expressions reproduces every double bit-for-bit
+    var k = target / row.getDouble(0)
+    for (_ <- 1 to renormRounds) {
+      // rows clipped at probability 1 consume one unit each; re-spread
+      // the remaining budget over the unclipped mass
+      val r = df.agg(
+        sum(when(w * k >= 1.0, 1.0).otherwise(0.0)).as("c"),
+        sum(when(w * k >= 1.0, 0.0).otherwise(w)).as("zu")).head()
+      val clipped = r.getDouble(0)
+      val zu = r.getDouble(1)
+      if (zu > 0.0 && target > clipped) k = (target - clipped) / zu
+    }
+    df.filter(draw16(lit(seed), col(idCol).cast("string")) <
+      least(lit(1.0), lit(k) * w) * 65536.0)
+  }
 }

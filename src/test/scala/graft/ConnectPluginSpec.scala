@@ -250,6 +250,9 @@ class ConnectPluginSpec extends TestBase {
       """{"idCol": "doc_id", "textCol": "text"}""").count() == 4)
     assert(run("pipe_hash_sample",
       """{"idCol": "doc_id", "fraction": 1.0}""").count() == 4)
+    assert(run("pipe_importance_sample",
+      """{"idCol": "doc_id", "weightCol": "doc_id", "targetFraction": 1.0}""")
+      .count() >= 3) // near-total target keeps (almost) everything
     assert(run("pipe_bigram_lm",
       """{"idCol": "doc_id", "textCol": "text"}""").count() == 4)
     assert(run("pipe_bpe_train",

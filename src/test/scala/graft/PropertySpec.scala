@@ -562,6 +562,29 @@ class PropertySpec extends TestBase {
     assert(folded === Map(1L -> "body one", 2L -> "body two"))
   }
 
+  test("importanceSample: mass targets fraction, favors heavy rows, deterministic") {
+    val df = (1L to 2000L).map(i => (i, if (i % 10 == 0) 100.0 else 1.0))
+      .toDF("doc_id", "w")
+    val kept = pipeline.Sampling.importanceSample(df, "doc_id", "w", 0.3)
+      .as[(Long, Double)].collect()
+    // waterfilling honors the target: expected kept ≈ 0.3 * 2000 = 600
+    // (200 heavy rows clip to probability 1; the remaining 400-unit
+    // budget spreads over 1800 light rows at ≈ 0.222 each)
+    assert(kept.length > 480 && kept.length < 720, kept.length)
+    val heavyRate = kept.count(_._2 == 100.0) / 200.0
+    val lightRate = kept.count(_._2 == 1.0) / 1800.0
+    assert(heavyRate === 1.0, s"clipped heavy rows keep probability 1: $heavyRate")
+    assert(lightRate > 0.15 && lightRate < 0.3,
+      s"light rows near the renormalized 0.222: $lightRate")
+    // deterministic: same call, same rows
+    val again = pipeline.Sampling.importanceSample(df, "doc_id", "w", 0.3)
+      .as[(Long, Double)].collect()
+    assert(kept.map(_._1).toSet === again.map(_._1).toSet)
+    // zero-weight rows never survive; all-zero corpus keeps nothing
+    val zeros = Seq((1L, 0.0), (2L, 0.0)).toDF("doc_id", "w")
+    assert(pipeline.Sampling.importanceSample(zeros, "doc_id", "w", 1.0).count() === 0)
+  }
+
   test("simhash of identical docs is identical; hamming grows with edits") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

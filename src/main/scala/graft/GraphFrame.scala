@@ -437,7 +437,11 @@ object GraphFrame {
   def release(result: DataFrame): Unit = lib.IterationManager.release(result)
 
   /** Build a graph from edges only: the vertex set is derived as the
-   * distinct union of endpoints. */
+   * distinct union of endpoints. The derived set is NOT persisted here
+   * (divergence from the reference's always-persist :1213-1240 — a
+   * transient graph in a query sweep should not pin executor storage);
+   * pass a [[StorageLevel]] to get the reference behavior when the graph
+   * is reused across several algorithm calls. */
   def fromEdges(edges: DataFrame): GraphFrame = {
     val v = edges.select(col(SRC).as(ID))
       .unionAll(edges.select(col(DST).as(ID)))
@@ -445,6 +449,16 @@ object GraphFrame {
     // the vertex set IS the endpoint set — referential integrity holds by
     // construction, so motifs/triplets on this graph need no vertex joins
     new GraphFrame(v, edges, true)
+  }
+
+  /** [[fromEdges]] with the derived vertex set persisted at
+   * `storageLevel` (reference GraphFrame.scala:1233-1240) — otherwise
+   * every use of `vertices` re-runs the distinct-endpoints scan; callers
+   * own the unpersist. */
+  def fromEdges(edges: DataFrame, storageLevel: StorageLevel): GraphFrame = {
+    val g = fromEdges(edges)
+    g.vertices.persist(storageLevel)
+    g
   }
 
   /** Pack all columns of `df` into a single struct column named `name`. */

@@ -154,6 +154,19 @@ class GraphFrameSpec extends TestBase {
       rev.head.getString(2) == "edge1")
   }
 
+  test("fromEdges with a storage level persists the derived vertices (reference :187-199)") {
+    import org.apache.spark.storage.StorageLevel
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val g = GraphFrame.fromEdges(e, StorageLevel.MEMORY_ONLY)
+    try {
+      assert(g.vertices.storageLevel === StorageLevel.MEMORY_ONLY)
+      assert(g.vertices.count() === 3)
+    } finally g.vertices.unpersist()
+    // the 1-arg form stays lazy (no cache entry once the above unpersisted)
+    assert(GraphFrame.fromEdges(e).vertices.storageLevel
+      === StorageLevel.NONE)
+  }
+
   test("vertexColumnMap / edgeColumnMap (reference :388, :406)") {
     assert(friends.vertexColumnMap === Map("id" -> 0, "name" -> 1, "age" -> 2))
     assert(friends.edgeColumnMap === Map("src" -> 0, "dst" -> 1, "relationship" -> 2))

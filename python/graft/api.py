@@ -117,8 +117,12 @@ class GraphFrameMethods:
                           maxIter=maxIter)
 
     def shortestPaths(self, landmarks: list,
-                      maxIter: Optional[int] = None):
-        return self._call("shortest_paths", landmarks=landmarks, maxIter=maxIter)
+                      maxIter: Optional[int] = None,
+                      isDirected: Optional[bool] = None,
+                      weightCol: Optional[str] = None):
+        return self._call("shortest_paths", landmarks=landmarks,
+                          maxIter=maxIter, isDirected=isDirected,
+                          weightCol=weightCol)
 
     def labelPropagation(self, maxIter: Optional[int] = None):
         return self._call("label_propagation", maxIter=maxIter)

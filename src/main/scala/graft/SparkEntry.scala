@@ -261,6 +261,14 @@ object SparkEntry {
     "g_shortest_paths" -> ((s, dir) =>
       graphB(s, dir).shortestPaths.landmarks(Seq(0)).run()
         .select(col(ID), element_at(col("distances"), lit(0)).as("dist"))),
+    "g_shortest_paths_weighted" -> ((s, dir) => { // Bellman-Ford extension:
+      // deterministic integer weights derived from the endpoint keys
+      val g0 = graphB(s, dir)
+      val ge = GraphFrame(g0.vertices, g0.edges.withColumn("w",
+        (col(SRC) * 7 + col(DST) * 3) % 5 + 1))
+      ge.shortestPaths.landmarks(Seq(0)).weightCol("w").run()
+        .select(col(ID), element_at(col("distances"), lit(0)).as("dist"))
+    }),
     "g_pagerank" -> ((s, dir) =>
       graphB(s, dir).pageRank.resetProbability(0.15).maxIter(10).run()
         .vertices.select(col(ID), round(col("pagerank"), 5).as("pagerank"))),
@@ -1743,6 +1751,13 @@ object SparkEntry {
          |b AS (SELECT 0 AS id, 0 AS d
          |      UNION SELECT e.src, b.d + 1 FROM b JOIN e ON e.dst = b.id WHERE b.d < 50)
          |SELECT n_nationkey AS id, CAST(MIN(b.d) AS INT) AS dist
+         |FROM nation LEFT JOIN b ON b.id = n_nationkey GROUP BY 1""".stripMargin,
+    "g_shortest_paths_weighted" ->
+      s"""WITH RECURSIVE e0 AS ($NE),
+         |e AS (SELECT src, dst, (src * 7 + dst * 3) % 5 + 1 AS w FROM e0),
+         |b AS (SELECT 0 AS id, 0 AS d
+         |      UNION SELECT e.src, b.d + e.w FROM b JOIN e ON e.dst = b.id WHERE b.d < 150)
+         |SELECT n_nationkey AS id, CAST(MIN(b.d) AS DOUBLE) AS dist
          |FROM nation LEFT JOIN b ON b.id = n_nationkey GROUP BY 1""".stripMargin,
     "g_pagerank" -> pagerankSql(10),
     "g_pagerank_tol" -> pagerankTolSql(0.001, 40),

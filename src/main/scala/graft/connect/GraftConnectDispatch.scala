@@ -48,7 +48,7 @@ object GraftConnectDispatch {
     "strongly_connected_components" -> Set("maxIter"),
     "page_rank" -> Set("resetProb", "maxIter", "tol", "sourceId"),
     "parallel_personalized_page_rank" -> Set("sourceIds", "resetProb", "maxIter"),
-    "shortest_paths" -> Set("landmarks", "maxIter", "isDirected"),
+    "shortest_paths" -> Set("landmarks", "maxIter", "isDirected", "weightCol"),
     "label_propagation" -> Set("maxIter", "algorithm", "isDirected"),
     "triangle_count" -> Set("algorithm", "lgNomEntries"),
     "kcore" -> Set("maxIter"),
@@ -379,6 +379,7 @@ object GraftConnectDispatch {
         int("maxIter").foreach(sp.maxIter)
         typed("isDirected", "a boolean") { case JBool(b) => b }
           .foreach(sp.setDirected)
+        str("weightCol").foreach(sp.weightCol)
         sp.run()
       case "label_propagation" =>
         val lp = g.labelPropagation

@@ -110,33 +110,42 @@ case class ArraySumAgg(
 }
 
 /**
- * Per-key minimum over `map<K, int>` inputs; result is the key-union with
- * the minimum value per key. Buffer size is bounded by the number of
- * distinct keys (landmarks), independent of how many messages arrive.
- * Key type is any atomic type; serialization round-trips through an
- * UnsafeProjection of the map type itself.
+ * Per-key minimum over `map<K, V>` inputs (V int, long or double);
+ * result is the key-union with the minimum value per key. Buffer size is
+ * bounded by the number of distinct keys (landmarks), independent of how
+ * many messages arrive. Key type is any atomic type; serialization
+ * round-trips through an UnsafeProjection of the map type itself.
  */
 case class MapMinAgg(
     child: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[mutable.HashMap[Any, Int]] {
+    extends TypedImperativeAggregate[mutable.HashMap[Any, Any]] {
 
   override def children: Seq[Expression] = child :: Nil
   override def nullable: Boolean = true
   override def dataType: DataType = child.dataType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case MapType(_, IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case MapType(_, IntegerType | LongType | DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"graft_map_min expects map<_, int>, got $other")
+      s"graft_map_min expects map<_, int|bigint|double>, got $other")
   }
 
   private lazy val keyType = child.dataType.asInstanceOf[MapType].keyType
+  private lazy val valueType = child.dataType.asInstanceOf[MapType].valueType
   @transient private lazy val serProj =
     UnsafeProjection.create(Array[DataType](dataType))
 
-  override def createAggregationBuffer(): mutable.HashMap[Any, Int] =
+  private def less(a: Any, b: Any): Boolean = valueType match {
+    case IntegerType => a.asInstanceOf[Int] < b.asInstanceOf[Int]
+    case LongType => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+    case DoubleType => a.asInstanceOf[Double] < b.asInstanceOf[Double]
+    case other => throw new IllegalStateException(s"unreachable: $other")
+  }
+
+  override def createAggregationBuffer(): mutable.HashMap[Any, Any] =
     mutable.HashMap.empty
 
   /** UTF8String values coming out of unsafe rows are pointers into reused
@@ -146,16 +155,16 @@ case class MapMinAgg(
     case other => other
   }
 
-  private def mergeMapData(buffer: mutable.HashMap[Any, Int], m: MapData): Unit = {
+  private def mergeMapData(buffer: mutable.HashMap[Any, Any], m: MapData): Unit = {
     val keys = m.keyArray()
     val vals = m.valueArray()
     var i = 0
     val n = m.numElements()
     while (i < n) {
       val k = own(keys.get(i, keyType))
-      val v = vals.getInt(i)
+      val v = vals.get(i, valueType)
       buffer.get(k) match {
-        case Some(prev) => if (v < prev) buffer.update(k, v)
+        case Some(prev) => if (less(v, prev)) buffer.update(k, v)
         case None => buffer.update(k, v)
       }
       i += 1
@@ -163,25 +172,25 @@ case class MapMinAgg(
   }
 
   override def update(
-      buffer: mutable.HashMap[Any, Int], input: InternalRow): mutable.HashMap[Any, Int] = {
+      buffer: mutable.HashMap[Any, Any], input: InternalRow): mutable.HashMap[Any, Any] = {
     val v = child.eval(input)
     if (v != null) mergeMapData(buffer, v.asInstanceOf[MapData])
     buffer
   }
 
   override def merge(
-      buffer: mutable.HashMap[Any, Int],
-      other: mutable.HashMap[Any, Int]): mutable.HashMap[Any, Int] = {
+      buffer: mutable.HashMap[Any, Any],
+      other: mutable.HashMap[Any, Any]): mutable.HashMap[Any, Any] = {
     other.foreach { case (k, v) =>
       buffer.get(k) match {
-        case Some(prev) => if (v < prev) buffer.update(k, v)
+        case Some(prev) => if (less(v, prev)) buffer.update(k, v)
         case None => buffer.update(k, v)
       }
     }
     buffer
   }
 
-  private def toMapData(buffer: mutable.HashMap[Any, Int]): MapData = {
+  private def toMapData(buffer: mutable.HashMap[Any, Any]): MapData = {
     val ks = new Array[Any](buffer.size)
     val vs = new Array[Any](buffer.size)
     var i = 0
@@ -189,15 +198,15 @@ case class MapMinAgg(
     ArrayBasedMapData(ks, vs)
   }
 
-  override def eval(buffer: mutable.HashMap[Any, Int]): Any = toMapData(buffer)
+  override def eval(buffer: mutable.HashMap[Any, Any]): Any = toMapData(buffer)
 
-  override def serialize(buffer: mutable.HashMap[Any, Int]): Array[Byte] =
+  override def serialize(buffer: mutable.HashMap[Any, Any]): Array[Byte] =
     serProj(InternalRow(toMapData(buffer))).getBytes
 
-  override def deserialize(storage: Array[Byte]): mutable.HashMap[Any, Int] = {
+  override def deserialize(storage: Array[Byte]): mutable.HashMap[Any, Any] = {
     val row = new UnsafeRow(1)
     row.pointTo(storage, storage.length)
-    val out = mutable.HashMap.empty[Any, Int]
+    val out = mutable.HashMap.empty[Any, Any]
     mergeMapData(out, row.getMap(0))
     out
   }

@@ -262,4 +262,38 @@ class PregelPruningSpec extends TestBase {
     assert(resultDF.sort("id").select("value").as[Int].collect().toSeq ==
       Seq.fill(n)(1))
   }
+
+  test("state column inside a HOF lambda body resolves to the NEW state (lateral alias)") {
+    // The update projection aliases the new state under the old name, and
+    // Spark resolves a lambda-captured column reference against that
+    // lateral alias — NOT the join child. A voting expression comparing
+    // old-to-new must therefore pass the old state as a HOF ARGUMENT
+    // (weighted ShortestPaths does; this pins the underlying behavior so
+    // a Spark-side change is noticed).
+    import org.apache.spark.sql.functions._
+    val v = Seq(1, 2).toDF("id")
+    val e = Seq((1, 2)).toDF("src", "dst")
+    // state: array<int> growing by one element per round
+    val captured = GraphFrame(v, e).pregel
+      .withVertexColumn("xs", array(lit(0)),
+        array_union(col("xs"), coalesce(Pregel.msg, array())))
+      // dbg: does a lambda referencing col("xs") see the OLD or NEW array?
+      // new xs = [0, 1] (size 2), old xs = [0] (size 1); the predicate
+      // x === size(col("xs")) matches an element of [0, 1] only when the
+      // lambda's col("xs") resolved to the OLD size-1 array
+      .withVertexColumn("lambda_saw_old", lit(false),
+        exists(array_union(col("xs"), coalesce(Pregel.msg, array())),
+          x => x === size(col("xs"))))
+      .sendMsgToDst(array(Pregel.src("xs")(0) + 1))
+      .aggMsgs(flatten(collect_list(Pregel.msg)))
+      .setMaxIter(1)
+      .run()
+    val row = captured.filter(col("id") === 2)
+      .select("xs", "lambda_saw_old").head()
+    assert(row.getSeq[Int](0) === Seq(0, 1)) // new state after one round
+    assert(!row.getBoolean(1),
+      "lambda-captured state column resolved to the OLD state — Spark's " +
+        "lateral-alias behavior changed; the weighted-ShortestPaths " +
+        "voting expression contract can be simplified")
+  }
 }

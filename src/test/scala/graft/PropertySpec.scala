@@ -562,6 +562,71 @@ class PropertySpec extends TestBase {
     assert(folded === Map(1L -> "body one", 2L -> "body two"))
   }
 
+  test("weighted shortestPaths: later arrival undercuts an earlier entry") {
+    val v = Seq("a", "b", "c").toDF("id")
+    val e = Seq(("a", "b", 10), ("a", "c", 1), ("c", "b", 1)).toDF("src", "dst", "w")
+    val g = GraphFrame(v, e)
+    val got = g.shortestPaths.landmarks(Seq[Any]("b")).weightCol("w").run()
+      .select(col("id"), element_at(col("distances"), "b").as("d"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(got("b") === Some(0.0))
+    assert(got("c") === Some(1.0))
+    assert(got("a") === Some(2.0), "the 2-hop path must beat the direct w=10 edge")
+    // unweighted mode still reports hops
+    val hops = g.shortestPaths.landmarks(Seq[Any]("b")).run()
+      .select(col("id"), element_at(col("distances"), "b").as("d"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(hops("a") === Some(1))
+    // negative weights rejected
+    val bad = GraphFrame(v, Seq(("a", "b", -1)).toDF("src", "dst", "w"))
+    intercept[IllegalArgumentException] {
+      bad.shortestPaths.landmarks(Seq[Any]("b")).weightCol("w").run()
+    }
+  }
+
+  test("weighted shortestPaths equals Dijkstra on random graphs") {
+    val genWeighted = for {
+      n <- Gen.choose(2, 15)
+      m <- Gen.choose(1, 35)
+      edges <- Gen.listOfN(m, for {
+        s <- Gen.choose(0L, n - 1L); d <- Gen.choose(0L, n - 1L)
+        w <- Gen.choose(1, 5)
+      } yield (s, d, w))
+    } yield (n, edges)
+    def dijkstraTo(n: Int, edges: Seq[(Long, Long, Int)], target: Long): Map[Long, Double] = {
+      // distance v -> target along edge direction == Dijkstra on reversed edges
+      val rev = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(e => (e._1, e._3))
+      }
+      val dist = scala.collection.mutable.Map[Long, Double](target -> 0.0)
+      val pq = scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+        Ordering.by(-_._1))
+      pq.enqueue((0.0, target))
+      while (pq.nonEmpty) {
+        val (d, u) = pq.dequeue()
+        if (d <= dist.getOrElse(u, Double.MaxValue)) {
+          rev.getOrElse(u, Nil).foreach { case (v2, w) =>
+            val nd = d + w
+            if (nd < dist.getOrElse(v2, Double.MaxValue)) {
+              dist(v2) = nd; pq.enqueue((nd, v2))
+            }
+          }
+        }
+      }
+      dist.toMap
+    }
+    check(Prop.forAllNoShrink(genWeighted) { case (n, edges) =>
+      val g = GraphFrame((0L until n.toLong).toDF("id"),
+        edges.toDF("src", "dst", "w"))
+      val got = g.shortestPaths.landmarks(Seq[Any](0L)).weightCol("w").run()
+        .select(col("id"), element_at(col("distances"), 0L).as("d"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+        .toMap
+      val want = dijkstraTo(n, edges, 0L)
+      (0L until n.toLong).forall(v => got(v) === want.get(v))
+    }, minSuccessful = 6)
+  }
+
   test("importanceSample: mass targets fraction, favors heavy rows, deterministic") {
     val df = (1L to 2000L).map(i => (i, if (i % 10 == 0) 100.0 else 1.0))
       .toDF("doc_id", "w")

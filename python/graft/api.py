@@ -130,6 +130,10 @@ class GraphFrameMethods:
     def triangleCount(self):
         return self._call("triangle_count")
 
+    def hits(self, maxIter: Optional[int] = None):
+        """HITS hubs/authorities (engine extension)."""
+        return self._call("hits", maxIter=maxIter)
+
     def kCore(self, maxIter: Optional[int] = None):
         return self._call("kcore", maxIter=maxIter)
 

@@ -99,5 +99,23 @@ ann = Pipeline(emb).annTopK(idCol="vec_id", vecCol="embedding", k=2).collect()
 assert len(ann) == 18  # 9 queries x k=2
 print("CLASSIC OK pipe_ann_topk")
 
+bpe = Pipeline(docs).bpeTrain(textCol="text", numMerges=2).collect()
+assert len(bpe) == 2 and bpe[0]["rank"] == 1
+print("CLASSIC OK pipe_bpe_train")
+
+imp = Pipeline(docs).importanceSample(
+    idCol="doc_id", weightCol="doc_id", targetFraction=1.0).collect()
+assert len(imp) == 2  # doc 0 has weight 0; docs 1..2 waterfill to p=1
+print("CLASSIC OK pipe_importance_sample")
+
+wsp_edges = spark.createDataFrame(
+    [(0, 1, 10.0), (0, 2, 1.0), (2, 1, 1.0)], ["src", "dst", "w"])
+wsp = GraphFrame(spark.createDataFrame([(i,) for i in range(3)], ["id"]),
+                 wsp_edges)
+d = {r["id"]: r["distances"] for r in
+     wsp.shortestPaths(landmarks=[1], weightCol="w").collect()}
+assert d[0][1] == 2.0, d  # 2-hop path beats the direct w=10 edge
+print("CLASSIC OK weighted_shortest_paths")
+
 spark.stop()
 print("CLASSIC ALL OK")

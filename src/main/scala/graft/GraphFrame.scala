@@ -334,6 +334,9 @@ class GraphFrame private (
   def shortestPaths: lib.ShortestPaths = new lib.ShortestPaths(this)
   def triangleCount: lib.TriangleCount = new lib.TriangleCount(this)
   def kCore: lib.KCore = new lib.KCore(this)
+  /** HITS hubs/authorities (this engine's extension; no reference
+   * counterpart). */
+  def hits: lib.Hits = new lib.Hits(this)
   def detectingCycles: lib.DetectingCycles = new lib.DetectingCycles(this)
   def maximalIndependentSet: lib.MaximalIndependentSet = new lib.MaximalIndependentSet(this)
   def randomWalks: rw.RandomWalks = new rw.RandomWalks(this)

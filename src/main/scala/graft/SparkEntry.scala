@@ -261,6 +261,10 @@ object SparkEntry {
     "g_shortest_paths" -> ((s, dir) =>
       graphB(s, dir).shortestPaths.landmarks(Seq(0)).run()
         .select(col(ID), element_at(col("distances"), lit(0)).as("dist"))),
+    "g_hits" -> ((s, dir) => // hubs/authorities, 5 L2-normalized rounds
+      graphB(s, dir).hits.maxIter(5).run()
+        .select(col(ID), round(col("hub"), 6).as("hub"),
+          round(col("authority"), 6).as("authority"))),
     "g_shortest_paths_weighted" -> ((s, dir) => { // Bellman-Ford extension:
       // deterministic integer weights derived from the endpoint keys
       val g0 = graphB(s, dir)
@@ -915,6 +919,38 @@ object SparkEntry {
   private val W = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
   /** 3-word shingles over w (mirrors Text.wordShingles(n=3)). */
   private val SH3 = "[array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]"
+
+  /** Unrolled HITS replay: per round, authority = in-sum of hubs then
+   * L2-normalize, hub = out-sum of NEW authorities then L2-normalize —
+   * the same join/agg expressions graft.lib.Hits evaluates. */
+  private def hitsSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""a${k}r AS MATERIALIZED (SELECT e.dst AS id, SUM(h${k - 1}.hub) AS a
+         |  FROM e JOIN h${k - 1} ON h${k - 1}.id = e.src GROUP BY 1),
+         |a${k}f AS MATERIALIZED (SELECT v.id, h${k - 1}.hub, COALESCE(a${k}r.a, 0.0) AS a
+         |  FROM v JOIN h${k - 1} ON h${k - 1}.id = v.id
+         |  LEFT JOIN a${k}r ON a${k}r.id = v.id),
+         |a${k}n AS MATERIALIZED (SELECT sqrt(SUM(a * a)) AS nz FROM a${k}f),
+         |a$k AS MATERIALIZED (SELECT id, hub,
+         |    CASE WHEN nz > 0 THEN a / nz ELSE 0.0 END AS auth
+         |  FROM a${k}f, a${k}n),
+         |b${k}r AS MATERIALIZED (SELECT e.src AS id, SUM(a$k.auth) AS h
+         |  FROM e JOIN a$k ON a$k.id = e.dst GROUP BY 1),
+         |b${k}f AS MATERIALIZED (SELECT v.id, COALESCE(b${k}r.h, 0.0) AS h, a$k.auth
+         |  FROM v JOIN a$k ON a$k.id = v.id
+         |  LEFT JOIN b${k}r ON b${k}r.id = v.id),
+         |b${k}n AS MATERIALIZED (SELECT sqrt(SUM(h * h)) AS nz FROM b${k}f),
+         |h$k AS MATERIALIZED (SELECT id,
+         |    CASE WHEN nz > 0 THEN h / nz ELSE 0.0 END AS hub, auth
+         |  FROM b${k}f, b${k}n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED ($NE),
+       |v AS MATERIALIZED (SELECT n_nationkey AS id FROM nation),
+       |h0 AS (SELECT id, 1.0 AS hub FROM v),
+       |$steps
+       |SELECT id, round(hub, 6) AS hub, round(auth, 6) AS authority
+       |FROM h$iters""".stripMargin
+  }
 
   /** Unrolled 3-merge word-level BPE replay (mirrors
    * graft.pipeline.Tokenizer: `⟨sym⟩` boundary encoding, greedy
@@ -1752,6 +1788,7 @@ object SparkEntry {
          |      UNION SELECT e.src, b.d + 1 FROM b JOIN e ON e.dst = b.id WHERE b.d < 50)
          |SELECT n_nationkey AS id, CAST(MIN(b.d) AS INT) AS dist
          |FROM nation LEFT JOIN b ON b.id = n_nationkey GROUP BY 1""".stripMargin,
+    "g_hits" -> hitsSql(5),
     "g_shortest_paths_weighted" ->
       s"""WITH RECURSIVE e0 AS ($NE),
          |e AS (SELECT src, dst, (src * 7 + dst * 3) % 5 + 1 AS w FROM e0),

@@ -52,6 +52,7 @@ object GraftConnectDispatch {
     "label_propagation" -> Set("maxIter", "algorithm", "isDirected"),
     "triangle_count" -> Set("algorithm", "lgNomEntries"),
     "kcore" -> Set("maxIter"),
+    "hits" -> Set("maxIter"),
     "maximal_independent_set" -> Set("maxIter", "hashMode"),
     "detecting_cycles" -> Set("maxIter"),
     "random_walks" -> Set("walkLength", "walksPerVertex", "restartProb",
@@ -393,6 +394,10 @@ object GraftConnectDispatch {
         str("algorithm").foreach(tc.setAlgorithm)
         int("lgNomEntries").foreach(tc.setLgNomEntries)
         tc.run()
+      case "hits" =>
+        val h = g.hits
+        int("maxIter").foreach(h.maxIter)
+        h.run()
       case "kcore" =>
         val kc = g.kCore
         int("maxIter").foreach(kc.maxIter)

@@ -422,4 +422,24 @@ class AlgorithmsSpec extends TestBase {
       .select("id", "component").as[(Long, Long)].collect().toMap
     assert((1 to n).map(i => m2(i.toLong)).toSet.size == 1) // now one SCC
   }
+
+  test("hits: two hubs pointing at one authority (hand-computed fixpoint)") {
+    val v = Seq("a", "b", "c").toDF("id")
+    val e = Seq(("a", "c"), ("b", "c")).toDF("src", "dst")
+    val m = GraphFrame(v, e).hits.maxIter(3).run()
+      .select("id", "hub", "authority").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val s2 = 1.0 / math.sqrt(2)
+    assert(math.abs(m("c")._2 - 1.0) < 1e-12)   // sole authority
+    assert(math.abs(m("a")._1 - s2) < 1e-12)    // symmetric hubs
+    assert(math.abs(m("b")._1 - s2) < 1e-12)
+    assert(m("c")._1 === 0.0 && m("a")._2 === 0.0 && m("b")._2 === 0.0)
+  }
+
+  test("hits: empty edge set yields all-zero scores, not NaN") {
+    val g = GraphFrame(Seq(1L, 2L).toDF("id"),
+      Seq.empty[(Long, Long)].toDF("src", "dst"))
+    val rows = g.hits.maxIter(2).run().select("hub", "authority").collect()
+    assert(rows.forall(r => r.getDouble(0) === 0.0 && r.getDouble(1) === 0.0))
+  }
 }

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Cross-partitioning determinism: the same inputs must produce
+ * bit-identical results under different shuffle-partition counts and AQE
+ * settings. This is the failure class behind the round-6 outage
+ * (surrogate ids derived from `monotonically_increasing_id` drifted with
+ * AQE's runtime partition coalescing) — each algorithm here is run under
+ * three session shapes and compared exactly. */
+class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private def withSession[T](partitions: Int, aqe: Boolean)(f: SparkSession => T): T = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName(s"graft-determinism-$partitions-$aqe")
+      .config("spark.sql.shuffle.partitions", partitions.toString)
+      .config("spark.sql.adaptive.enabled", aqe.toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try f(spark) finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
+  override def afterAll(): Unit = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+  }
+
+  // fixed pseudo-random graph over STRING ids (the surrogate-id path the
+  // round-6 regression hit) — built deterministically per session
+  private def results(spark: SparkSession): Map[String, Any] = {
+    import spark.implicits._
+    val rng = new scala.util.Random(19)
+    val n = 60
+    val edges = (1 to 150).map { _ =>
+      (s"v${rng.nextInt(n)}", s"v${rng.nextInt(n)}")
+    }.distinct
+    val v = (0 until n).map(i => s"v$i").toDF("id").repartition(5)
+    val e = edges.toDF("src", "dst").repartition(7)
+    val g = GraphFrame(v, e)
+
+    val cc = g.connectedComponents.run()
+      .select("id", "component").as[(String, Long)].collect().toMap
+    val pr = g.pageRank.maxIter(5).run().vertices
+      .select(col("id"), round(col("pagerank"), 9)).as[(String, Double)]
+      .collect().toMap
+    val sp = g.shortestPaths.landmarks(Seq[Any]("v0", "v1")).run()
+      .select(col("id"), element_at(col("distances"), "v0"),
+        element_at(col("distances"), "v1"))
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.get(1)), Option(r.get(2))))).toMap
+    val kc = g.kCore.run().select("id", "kcore")
+      .as[(String, Int)].collect().toMap
+
+    val docs = (1L to 80L).map(i =>
+      (i, (0 until 12).map(_ => s"w${rng.nextInt(9)}").mkString(" ")))
+      .toDF("doc_id", "text").repartition(6)
+    val lsh = pipeline.Dedup.minhashLsh(docs, "doc_id", "text")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val seg = pipeline.Dedup.segmentDedup(docs, "doc_id", "text",
+        windowWords = 3, maxDupCount = 2)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+
+    Map("cc" -> cc, "pr" -> pr, "sp" -> sp, "kc" -> kc,
+      "lsh" -> lsh, "seg" -> seg)
+  }
+
+  test("cc/pagerank/shortest-paths/kcore/lsh/segment-dedup identical across partitionings") {
+    val base = withSession(4, aqe = true)(results)
+    val alt1 = withSession(11, aqe = true)(results)
+    val alt2 = withSession(3, aqe = false)(results)
+    for (k <- base.keys) {
+      assert(base(k) === alt1(k), s"$k drifted between 4-partition and 11-partition runs")
+      assert(base(k) === alt2(k), s"$k drifted between AQE-on and AQE-off runs")
+    }
+  }
+}

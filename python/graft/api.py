@@ -134,6 +134,11 @@ class GraphFrameMethods:
         """HITS hubs/authorities (engine extension)."""
         return self._call("hits", maxIter=maxIter)
 
+    def katz(self, maxIter: Optional[int] = None,
+             alpha: Optional[float] = None, beta: Optional[float] = None):
+        """Katz centrality (engine extension)."""
+        return self._call("katz", maxIter=maxIter, alpha=alpha, beta=beta)
+
     def kCore(self, maxIter: Optional[int] = None):
         return self._call("kcore", maxIter=maxIter)
 

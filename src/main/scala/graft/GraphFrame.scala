@@ -337,6 +337,8 @@ class GraphFrame private (
   /** HITS hubs/authorities (this engine's extension; no reference
    * counterpart). */
   def hits: lib.Hits = new lib.Hits(this)
+  /** Katz centrality (engine extension). */
+  def katz: lib.Katz = new lib.Katz(this)
   def detectingCycles: lib.DetectingCycles = new lib.DetectingCycles(this)
   def maximalIndependentSet: lib.MaximalIndependentSet = new lib.MaximalIndependentSet(this)
   def randomWalks: rw.RandomWalks = new rw.RandomWalks(this)

@@ -261,6 +261,9 @@ object SparkEntry {
     "g_shortest_paths" -> ((s, dir) =>
       graphB(s, dir).shortestPaths.landmarks(Seq(0)).run()
         .select(col(ID), element_at(col("distances"), lit(0)).as("dist"))),
+    "g_katz" -> ((s, dir) => // damped all-walks centrality, 8 rounds
+      graphB(s, dir).katz.alpha(0.05).beta(1.0).maxIter(8).run()
+        .select(col(ID), round(col("katz"), 6).as("katz"))),
     "g_hits" -> ((s, dir) => // hubs/authorities, 5 L2-normalized rounds
       graphB(s, dir).hits.maxIter(5).run()
         .select(col(ID), round(col("hub"), 6).as("hub"),
@@ -920,36 +923,50 @@ object SparkEntry {
   /** 3-word shingles over w (mirrors Text.wordShingles(n=3)). */
   private val SH3 = "[array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]"
 
-  /** Unrolled HITS replay: per round, authority = in-sum of hubs then
-   * L2-normalize, hub = out-sum of NEW authorities then L2-normalize —
-   * the same join/agg expressions graft.lib.Hits evaluates. */
+  /** Unrolled Katz replay: x ← beta + alpha · (in-sum of x). */
+  private def katzSql(iters: Int, alpha: Double, beta: Double): String = {
+    val steps = (1 to iters).map { k =>
+      s"""x${k}r AS MATERIALIZED (SELECT e.dst AS id, SUM(x${k - 1}.k) AS s
+         |  FROM e JOIN x${k - 1} ON x${k - 1}.id = e.src GROUP BY 1),
+         |x$k AS MATERIALIZED (SELECT v.id,
+         |    CAST($beta AS DOUBLE) + CAST($alpha AS DOUBLE) * COALESCE(x${k}r.s, 0.0) AS k
+         |  FROM v LEFT JOIN x${k}r ON x${k}r.id = v.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED ($NE),
+       |v AS MATERIALIZED (SELECT n_nationkey AS id FROM nation),
+       |x0 AS (SELECT id, CAST($beta AS DOUBLE) AS k FROM v),
+       |$steps
+       |SELECT id, round(k, 6) AS katz FROM x$iters""".stripMargin
+  }
+
+  /** Unrolled HITS replay: raw power iteration (authority = in-sum of
+   * hubs, hub = out-sum of NEW authorities) with one L2 normalization of
+   * each score at the END — per-round normalization only rescales, and
+   * graft.lib.Hits skips it for one-job-per-window lazy rounds. */
   private def hitsSql(iters: Int): String = {
     val steps = (1 to iters).map { k =>
       s"""a${k}r AS MATERIALIZED (SELECT e.dst AS id, SUM(h${k - 1}.hub) AS a
          |  FROM e JOIN h${k - 1} ON h${k - 1}.id = e.src GROUP BY 1),
-         |a${k}f AS MATERIALIZED (SELECT v.id, h${k - 1}.hub, COALESCE(a${k}r.a, 0.0) AS a
+         |a$k AS MATERIALIZED (SELECT v.id, h${k - 1}.hub,
+         |    COALESCE(a${k}r.a, 0.0) AS auth
          |  FROM v JOIN h${k - 1} ON h${k - 1}.id = v.id
          |  LEFT JOIN a${k}r ON a${k}r.id = v.id),
-         |a${k}n AS MATERIALIZED (SELECT sqrt(SUM(a * a)) AS nz FROM a${k}f),
-         |a$k AS MATERIALIZED (SELECT id, hub,
-         |    CASE WHEN nz > 0 THEN a / nz ELSE 0.0 END AS auth
-         |  FROM a${k}f, a${k}n),
          |b${k}r AS MATERIALIZED (SELECT e.src AS id, SUM(a$k.auth) AS h
          |  FROM e JOIN a$k ON a$k.id = e.dst GROUP BY 1),
-         |b${k}f AS MATERIALIZED (SELECT v.id, COALESCE(b${k}r.h, 0.0) AS h, a$k.auth
+         |h$k AS MATERIALIZED (SELECT v.id, COALESCE(b${k}r.h, 0.0) AS hub, a$k.auth
          |  FROM v JOIN a$k ON a$k.id = v.id
-         |  LEFT JOIN b${k}r ON b${k}r.id = v.id),
-         |b${k}n AS MATERIALIZED (SELECT sqrt(SUM(h * h)) AS nz FROM b${k}f),
-         |h$k AS MATERIALIZED (SELECT id,
-         |    CASE WHEN nz > 0 THEN h / nz ELSE 0.0 END AS hub, auth
-         |  FROM b${k}f, b${k}n)""".stripMargin
+         |  LEFT JOIN b${k}r ON b${k}r.id = v.id)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS MATERIALIZED ($NE),
        |v AS MATERIALIZED (SELECT n_nationkey AS id FROM nation),
        |h0 AS (SELECT id, 1.0 AS hub FROM v),
-       |$steps
-       |SELECT id, round(hub, 6) AS hub, round(auth, 6) AS authority
-       |FROM h$iters""".stripMargin
+       |$steps,
+       |nz AS (SELECT sqrt(SUM(hub * hub)) AS hn, sqrt(SUM(auth * auth)) AS an
+       |       FROM h$iters)
+       |SELECT id,
+       |  round(CASE WHEN hn > 0 THEN hub / hn ELSE 0.0 END, 6) AS hub,
+       |  round(CASE WHEN an > 0 THEN auth / an ELSE 0.0 END, 6) AS authority
+       |FROM h$iters, nz""".stripMargin
   }
 
   /** Unrolled 3-merge word-level BPE replay (mirrors
@@ -1788,6 +1805,7 @@ object SparkEntry {
          |      UNION SELECT e.src, b.d + 1 FROM b JOIN e ON e.dst = b.id WHERE b.d < 50)
          |SELECT n_nationkey AS id, CAST(MIN(b.d) AS INT) AS dist
          |FROM nation LEFT JOIN b ON b.id = n_nationkey GROUP BY 1""".stripMargin,
+    "g_katz" -> katzSql(8, 0.05, 1.0),
     "g_hits" -> hitsSql(5),
     "g_shortest_paths_weighted" ->
       s"""WITH RECURSIVE e0 AS ($NE),

@@ -53,6 +53,7 @@ object GraftConnectDispatch {
     "triangle_count" -> Set("algorithm", "lgNomEntries"),
     "kcore" -> Set("maxIter"),
     "hits" -> Set("maxIter"),
+    "katz" -> Set("maxIter", "alpha", "beta"),
     "maximal_independent_set" -> Set("maxIter", "hashMode"),
     "detecting_cycles" -> Set("maxIter"),
     "random_walks" -> Set("walkLength", "walksPerVertex", "restartProb",
@@ -398,6 +399,12 @@ object GraftConnectDispatch {
         val h = g.hits
         int("maxIter").foreach(h.maxIter)
         h.run()
+      case "katz" =>
+        val kz = g.katz
+        int("maxIter").foreach(kz.maxIter)
+        dbl("alpha").foreach(kz.alpha)
+        dbl("beta").foreach(kz.beta)
+        kz.run()
       case "kcore" =>
         val kc = g.kCore
         int("maxIter").foreach(kc.maxIter)

@@ -442,4 +442,15 @@ class AlgorithmsSpec extends TestBase {
     val rows = g.hits.maxIter(2).run().select("hub", "authority").collect()
     assert(rows.forall(r => r.getDouble(0) === 0.0 && r.getDouble(1) === 0.0))
   }
+
+  test("katz: hand-computed chain fixpoint") {
+    val v = Seq("a", "b", "c").toDF("id")
+    val e = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val m = GraphFrame(v, e).katz.alpha(0.5).beta(1.0).maxIter(3).run()
+      .select("id", "katz").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("a") === 1.0)
+    assert(m("b") === 1.5)
+    assert(m("c") === 1.75)
+  }
 }

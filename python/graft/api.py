@@ -221,6 +221,9 @@ class PipelineMethods:
     def _call(self, _algorithm: str, **params: Any):
         raise NotImplementedError
 
+    def _call2(self, _left, _algorithm: str, **params: Any):
+        raise NotImplementedError
+
     # --- dedup ---------------------------------------------------------
     def exactDedup(self, idCol: str, contentCols: list):
         return self._call("pipe_exact_dedup", idCol=idCol, contentCols=contentCols)
@@ -291,6 +294,15 @@ class PipelineMethods:
                    seed: Optional[int] = None):
         return self._call("pipe_hash_sample", idCol=idCol, fraction=fraction,
                           seed=seed)
+
+    def asofJoin(self, left, on: list, leftTs: str, rightTs: str,
+                 rightCols: list, prefix: Optional[str] = None,
+                 strict: Optional[bool] = None):
+        """As-of join: this Pipeline's table is the RIGHT side; ``left``
+        (a DataFrame) rides the vertices slot."""
+        return self._call2(left, "pipe_asof_join", on=on, leftTs=leftTs,
+                           rightTs=rightTs, rightCols=rightCols,
+                           prefix=prefix, strict=strict)
 
     def importanceSample(self, idCol: str, weightCol: str,
                          targetFraction: float,

@@ -80,3 +80,8 @@ class Pipeline(PipelineMethods):
 
     def _call(self, _algorithm: str, **params: Any) -> DataFrame:
         return _invoke(self._table, None, _algorithm, params)
+
+    def _call2(self, _left: DataFrame, _algorithm: str,
+               **params: Any) -> DataFrame:
+        # two-table ops (asofJoin): left rides the vertices slot
+        return _invoke(self._table, _left, _algorithm, params)

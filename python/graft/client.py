@@ -127,3 +127,10 @@ class Pipeline(PipelineMethods):
         session = self._table._session
         plan = _GraftRelationPlan(_algorithm, None, self._table, params)
         return DataFrame(plan, session)
+
+    def _call2(self, _left: DataFrame, _algorithm: str,
+               **params: Any) -> DataFrame:
+        # two-table ops (asofJoin): left rides the vertices slot
+        session = self._table._session
+        plan = _GraftRelationPlan(_algorithm, _left, self._table, params)
+        return DataFrame(plan, session)

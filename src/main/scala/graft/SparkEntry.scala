@@ -841,6 +841,19 @@ object SparkEntry {
       pipeline.Events.sessionize(load(s, dir, "events"), gapMinutes = 30)
         .select(col("user_id"), col("session_idx").cast("long").as("session_idx"),
           col("n_events"), col("duration_ms"))),
+    "e_asof_attribution" -> ((s, dir) => { // each purchase -> the user's
+      // latest view at or before it (one union+window pass, no range join)
+      val ev0 = load(s, dir, "events")
+      val ev = ev0.withColumn("ts_ms", pipeline.Events.tsMillis(ev0))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id"), col("ts_ms"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_ms"))
+      pipeline.Events.asofJoin(purchases, views, Seq("user_id"),
+          "ts_ms", "ts_ms", Seq("event_id", "ts_ms"), prefix = "view_")
+        .select(col("event_id"), col("user_id"), col("view_event_id"),
+          (col("ts_ms") - col("view_ts_ms")).as("gap_ms"))
+    }),
 
     // --- streaming (run to completion through a memory sink: the driver
     // gate then hash-checks streaming output against the BATCH oracle,
@@ -2327,6 +2340,26 @@ object SparkEntry {
         |  FROM x)
         |SELECT user_id, CAST(sess AS BIGINT) AS session_idx, count(*) AS n_events,
         |  CAST(MAX(ms) - MIN(ms) AS BIGINT) AS duration_ms
-        |FROM y GROUP BY 1, 2""".stripMargin
+        |FROM y GROUP BY 1, 2""".stripMargin,
+    "e_asof_attribution" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_ms(ts) AS t, 0 AS side,
+        |         event_id AS pid, epoch_ms(ts) AS pts, NULL AS lid
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, epoch_ms(ts), 1, NULL, NULL, event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (SELECT user_id, t, side, lid,
+        |    last_value(pid IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY t, side, pid
+        |       ROWS UNBOUNDED PRECEDING) AS vid,
+        |    last_value(pts IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY t, side, pid
+        |       ROWS UNBOUNDED PRECEDING) AS vts
+        |  FROM u)
+        |SELECT CAST(lid AS BIGINT) AS event_id, user_id,
+        |  CAST(vid AS BIGINT) AS view_event_id,
+        |  CAST(t - vts AS BIGINT) AS gap_ms
+        |FROM w WHERE side = 1""".stripMargin
   )
 }

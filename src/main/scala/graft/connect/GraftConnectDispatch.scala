@@ -100,7 +100,11 @@ object GraftConnectDispatch {
     "pipe_image_resize" -> Set("idCol", "binCol", "width", "height"),
     "pipe_image_histogram" -> Set("idCol", "binCol", "bins"),
     "pipe_audio_decode" -> Set("idCol", "binCol"),
-    "pipe_video_demux" -> Set("idCol", "binCol"))
+    "pipe_video_demux" -> Set("idCol", "binCol"),
+    // the ONE two-table pipeline op: left rides the vertices slot,
+    // right the edges slot
+    "pipe_asof_join" -> Set("on", "leftTs", "rightTs", "rightCols",
+      "prefix", "strict"))
 
   /** Algorithm names accepted by [[run]], for error messages and clients. */
   val algorithms: Seq[String] = (acceptedParams.keys ++ pipelineParams.keys).toSeq.sorted
@@ -157,6 +161,26 @@ object GraftConnectDispatch {
     }
 
     if (pipelineParams.contains(algorithm)) {
+      if (algorithm == "pipe_asof_join") {
+        val leftT = vertices.getOrElse(throw new IllegalArgumentException(
+          "pipe_asof_join needs TWO tables: left in the vertices slot, " +
+            "right in the edges slot"))
+        def strList(k: String): Seq[String] = params.get(k) match {
+          case Some(JArray(vs)) => vs.map {
+            case JString(x) => x
+            case other => throw new IllegalArgumentException(
+              s"$k entries must be strings, got: $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            s"pipe_asof_join requires params_json key '$k' (array of column names)")
+        }
+        return graft.pipeline.Events.asofJoin(leftT, edges,
+          on = strList("on"), leftTs = required("leftTs"),
+          rightTs = required("rightTs"), rightCols = strList("rightCols"),
+          prefix = str("prefix").getOrElse("asof_"),
+          strict = typed("strict", "a boolean") { case JBool(b) => b }
+            .getOrElse(false))
+      }
       if (vertices.nonEmpty) throw new IllegalArgumentException(
         s"$algorithm is a single-table pipeline operator: send the input " +
           "table in the edges slot and omit vertices")

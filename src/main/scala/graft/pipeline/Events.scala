@@ -17,7 +17,7 @@ object Events {
    * on ~1e18 nano values. Micros without `isAdjustedToUTC` surface as
    * TIMESTAMP_NTZ, which `unix_millis` rejects — cast through TIMESTAMP
    * (sessions here run UTC, so the reinterpretation is identity). */
-  private def tsMillis(events: DataFrame): org.apache.spark.sql.Column =
+  private[graft] def tsMillis(events: DataFrame): org.apache.spark.sql.Column =
     events.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
       case org.apache.spark.sql.types.TimestampNTZType =>
@@ -51,5 +51,52 @@ object Events {
       .groupBy(col("user_id"), col("_sess").as("session_idx"))
       .agg(count(lit(1)).as("n_events"),
         (max(col("_ms")) - min(col("_ms"))).as("duration_ms"))
+  }
+
+  /**
+   * As-of join: attach to every left row the LATEST right row with
+   * `rightTs <= leftTs` (strictly `<` when `strict`) sharing the `on`
+   * keys — event attribution, slowly-changing-dimension lookup, "price
+   * as of trade time".
+   *
+   * Spark-first plan: ONE union + window pass. Both sides are tagged and
+   * unioned, sorted within each key partition by (ts, side, payload),
+   * and a running `last(payload, ignoreNulls)` carries the most recent
+   * right payload forward into each left row. That is a single
+   * shuffle-and-sort at scan width — no per-row range probe, and none of
+   * the O(|L|·|R| per key) blowup of the naive `join + filter + rank`
+   * formulation. Skewed keys follow the sort's range partitioning.
+   *
+   * Determinism: among right rows tied on (key, ts), the LARGEST payload
+   * struct wins (lexicographic by `rightCols` order) — pass a unique id
+   * as `rightCols.head` for a total tie-break. Output: every left column
+   * plus each of `rightCols` as `prefix + name` (null when no right row
+   * qualifies).
+   */
+  def asofJoin(left: DataFrame, right: DataFrame, on: Seq[String],
+      leftTs: String, rightTs: String, rightCols: Seq[String],
+      prefix: String = "asof_", strict: Boolean = false): DataFrame = {
+    require(on.nonEmpty, "asofJoin: join keys required")
+    require(rightCols.nonEmpty, "asofJoin: rightCols required")
+    val pay = struct(rightCols.map(col): _*)
+    val rSide = right.select((on.map(col) :+ col(rightTs).as("_asof_ts") :+
+      lit(0).as("_asof_side") :+ pay.as("_asof_pay")): _*)
+    val payType = rSide.schema("_asof_pay").dataType
+    val lCols = left.columns.toSeq
+    val lSide = left.select((lCols.map(col) :+ col(leftTs).as("_asof_ts") :+
+      lit(1).as("_asof_side") :+ lit(null).cast(payType).as("_asof_pay")): _*)
+    // left-only columns are null on right rows; dropped again at the end
+    val unioned = lSide.unionByName(rSide, allowMissingColumns = true)
+    // side order decides ties at equal ts: right-before-left gives <=,
+    // left-before-right gives strict <
+    val sideOrd = if (strict) col("_asof_side").desc else col("_asof_side").asc
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("_asof_ts").asc, sideOrd, col("_asof_pay").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("_asof_hit", last(col("_asof_pay"), ignoreNulls = true).over(w))
+      .filter(col("_asof_side") === 1)
+      .select((lCols.map(col) ++
+        rightCols.map(c => col("_asof_hit")(c).as(prefix + c))): _*)
   }
 }

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** As-of join: hand-checked semantics (backward lookup, ties, strict
+ * mode, missing match) and a differential test against a naive
+ * driver-side implementation on random data. */
+class AsofJoinSpec extends TestBase {
+  import spark.implicits._
+
+  private val right = Seq(
+    (1L, 100L, 10L), (1L, 200L, 11L), (1L, 200L, 12L), (1L, 300L, 13L),
+    (2L, 150L, 20L)).toDF("k", "ts", "rid")
+  private val left = Seq(
+    (1L, 50L, 1L), (1L, 200L, 2L), (1L, 250L, 3L), (2L, 150L, 4L),
+    (3L, 999L, 5L)).toDF("k", "ts", "lid")
+
+  test("backward as-of: latest right at or before each left row") {
+    val out = pipeline.Events.asofJoin(left, right, Seq("k"),
+        "ts", "ts", Seq("rid", "ts"), prefix = "m_")
+      .select("lid", "m_rid", "m_ts").collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(out(1L) === ((None, None)))           // nothing at or before 50
+    assert(out(2L) === ((Some(12L), Some(200L)))) // tie at 200 -> largest rid
+    assert(out(3L) === ((Some(12L), Some(200L))))
+    assert(out(4L) === ((Some(20L), Some(150L)))) // equal ts included
+    assert(out(5L) === ((None, None)))           // key with no right rows
+  }
+
+  test("strict mode excludes equal timestamps") {
+    val out = pipeline.Events.asofJoin(left, right, Seq("k"),
+        "ts", "ts", Seq("rid"), prefix = "m_", strict = true)
+      .select("lid", "m_rid").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(2L) === Some(10L)) // the 200s are excluded, 100 remains
+    assert(out(4L) === None)      // only right row is at the same ts
+  }
+
+  test("matches a naive implementation on random data") {
+    val rng = new scala.util.Random(23)
+    val r = (1 to 300).map(_ =>
+      (rng.nextInt(8).toLong, rng.nextInt(50).toLong * 10, rng.nextLong().abs))
+    val l = (1 to 200).map(i =>
+      (rng.nextInt(10).toLong, rng.nextInt(60).toLong * 10, i.toLong))
+    val got = pipeline.Events.asofJoin(
+        l.toDF("k", "ts", "lid"), r.toDF("k", "ts", "rid"),
+        Seq("k"), "ts", "ts", Seq("rid"), prefix = "m_")
+      .select("lid", "m_rid").collect()
+      .map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    val byKey = r.groupBy(_._1)
+    val want = l.map { case (k, ts, lid) =>
+      val cands = byKey.getOrElse(k, Nil).filter(_._2 <= ts)
+      lid -> (if (cands.isEmpty) None
+              else Some(cands.maxBy(c => (c._2, c._3))._3))
+    }.toMap
+    assert(got === want)
+  }
+}

@@ -253,6 +253,17 @@ class ConnectPluginSpec extends TestBase {
     assert(run("pipe_importance_sample",
       """{"idCol": "doc_id", "weightCol": "doc_id", "targetFraction": 1.0}""")
       .count() >= 3) // near-total target keeps (almost) everything
+    // the one two-table pipe op: left in the vertices slot
+    val asofL = spark.sql("SELECT 1 AS k, 10 AS ts UNION ALL SELECT 1, 30")
+    val asofR = spark.sql("SELECT 1 AS k, 5 AS ts, 100 AS rid UNION ALL SELECT 1, 20, 200")
+    val asof = GraftConnectDispatch.run(Some(asofL), asofR, "pipe_asof_join",
+      """{"on": ["k"], "leftTs": "ts", "rightTs": "ts", "rightCols": ["rid"]}""")
+      .collect().map(r => r.getInt(1) -> r.get(2)).toMap
+    assert(asof === Map(10 -> 100, 30 -> 200))
+    intercept[IllegalArgumentException] {
+      GraftConnectDispatch.run(scala.None, asofR, "pipe_asof_join",
+        """{"on": ["k"], "leftTs": "ts", "rightTs": "ts", "rightCols": ["rid"]}""")
+    }
     assert(run("pipe_bigram_lm",
       """{"idCol": "doc_id", "textCol": "text"}""").count() == 4)
     assert(run("pipe_bpe_train",

@@ -263,6 +263,13 @@ class PipelineMethods:
                           threshold=threshold, nlist=nlist, lloydIters=lloydIters)
 
     # --- text ----------------------------------------------------------
+    def chunk(self, idCol: str, textCol: str,
+              chunkWords: Optional[int] = None,
+              overlapWords: Optional[int] = None):
+        """RAG-style overlapping word-window chunking."""
+        return self._call("pipe_chunk", idCol=idCol, textCol=textCol,
+                          chunkWords=chunkWords, overlapWords=overlapWords)
+
     def tokenCount(self, idCol: str, textCol: str):
         return self._call("pipe_token_count", idCol=idCol, textCol=textCol)
 

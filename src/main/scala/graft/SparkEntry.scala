@@ -627,6 +627,9 @@ object SparkEntry {
     // --- pipeline: dedup ---
     "p_dedup_exact" -> ((s, dir) =>
       pipeline.Dedup.exact(load(s, dir, "documents"), "doc_id", Seq("text"))),
+    "p_chunk" -> ((s, dir) => // RAG chunking: 32-word chunks, 8 overlap
+      pipeline.Text.chunk(load(s, dir, "documents"), "doc_id", "text",
+        chunkWords = 32, overlapWords = 8)),
     "p_segment_dedup" -> ((s, dir) => // CCNet-style paragraph dedup; the
       // word-soup fixture has no line structure, so segment = 4-word window
       pipeline.Dedup.segmentDedup(load(s, dir, "documents"), "doc_id", "text",
@@ -1936,6 +1939,14 @@ object SparkEntry {
     "p_dedup_exact" ->
       """SELECT doc_id, md5(text) AS fp,
         |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM documents""".stripMargin,
+    "p_chunk" -> // stride 24 = 32 - 8; last start reaches the text end
+      s"""WITH w AS (SELECT doc_id, $W AS ws FROM documents),
+         |c AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         |        array_to_string(ws[i*24+1:i*24+32], ' ') AS chunk_text,
+         |        CAST(least(len(ws) - i*24, 32) AS BIGINT) AS n_words
+         |      FROM w, range(0, 100000) r(i)
+         |      WHERE i <= greatest((len(ws) - 1 - 8) // 24, 0))
+         |SELECT doc_id, chunk_idx, chunk_text, n_words FROM c""".stripMargin,
     "p_segment_dedup" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |seg AS (SELECT doc_id, i, array_to_string(ws[(i-1)*4+1:i*4], ' ') AS s

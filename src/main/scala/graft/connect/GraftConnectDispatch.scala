@@ -82,6 +82,7 @@ object GraftConnectDispatch {
       "maxDupCount", "lowercase"),
     "pipe_semantic_dedup" -> Set("idCol", "vecCol", "threshold", "nlist", "lloydIters"),
     "pipe_token_count" -> Set("idCol", "textCol"),
+    "pipe_chunk" -> Set("idCol", "textCol", "chunkWords", "overlapWords"),
     "pipe_language_id" -> Set("idCol", "textCol"),
     "pipe_quality" -> Set("idCol", "textCol"),
     "pipe_char_entropy" -> Set("idCol", "textCol"),
@@ -225,6 +226,10 @@ object GraftConnectDispatch {
             nlist = int("nlist").getOrElse(16),
             lloydIters = int("lloydIters").getOrElse(0))
         case "pipe_token_count" => Text.tokenCount(t, id, text)
+        case "pipe_chunk" =>
+          Text.chunk(t, id, text,
+            chunkWords = int("chunkWords").getOrElse(64),
+            overlapWords = int("overlapWords").getOrElse(16))
         case "pipe_language_id" => Text.languageId(t, id, text)
         case "pipe_quality" => Text.quality(t, id, text)
         case "pipe_char_entropy" => Text.charEntropy(t, id, text)

@@ -341,4 +341,34 @@ object Text {
       .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         round(coalesce(col("_r"), lit(0.0)), 4).as("oov_rate"))
   }
+
+  /**
+   * RAG-style document chunking: split `textCol` into overlapping
+   * word-window chunks of `chunkWords` words with `overlapWords` words
+   * of context carried between consecutive chunks (stride = chunk −
+   * overlap). Returns one row per chunk: (idCol, chunk_idx, chunk_text,
+   * n_words) — the retrieval-corpus preparation step feeding the
+   * embedding + ANN operators. Narrow generate (scan-speed, no shuffle);
+   * chunk boundaries are a pure function of the text, stable under
+   * retries and repartitioning.
+   */
+  def chunk(df0: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int = 64, overlapWords: Int = 16): DataFrame = {
+    require(chunkWords > 0, s"chunkWords must be positive: $chunkWords")
+    require(overlapWords >= 0 && overlapWords < chunkWords,
+      s"need 0 <= overlapWords < chunkWords, got $overlapWords/$chunkWords")
+    val stride = chunkWords - overlapWords
+    val ws = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    // last start: the first position whose chunk reaches the text end —
+    // no trailing chunk that is a pure suffix of its predecessor
+    val chunks = Dedup.bindOnce(ws, w =>
+      transform(sequence(lit(0),
+          greatest(floor((size(w) - 1 - overlapWords) / stride), lit(0)).cast("int")),
+        i => struct(
+          array_join(slice(w, i * stride + 1, lit(chunkWords)), " ").as("t"),
+          least(size(w) - i * stride, lit(chunkWords)).as("n"))))
+    df0.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "_c")))
+      .select(col(idCol), col("chunk_idx"),
+        col("_c.t").as("chunk_text"), col("_c.n").cast("long").as("n_words"))
+  }
 }

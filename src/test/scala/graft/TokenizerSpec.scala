@@ -40,4 +40,24 @@ class TokenizerSpec extends TestBase {
       pipeline.Tokenizer.bpeTrain(bad, "text", 1)
     }
   }
+
+  test("chunk: overlapping word windows cover the text without redundant tails") {
+    val docs = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, "a b"), (3L, "solo")).toDF("doc_id", "text")
+    val out = pipeline.Text.chunk(docs, "doc_id", "text",
+        chunkWords = 4, overlapWords = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    // doc 1: starts 1,3,5,7 (start 9 would be a pure suffix of 7-10)
+    assert(out((1L, 0)) === (("w1 w2 w3 w4", 4L)))
+    assert(out((1L, 1)) === (("w3 w4 w5 w6", 4L)))
+    assert(out((1L, 2)) === (("w5 w6 w7 w8", 4L)))
+    assert(out((1L, 3)) === (("w7 w8 w9 w10", 4L)))
+    assert(!out.contains((1L, 4)))
+    assert(out((2L, 0)) === (("a b", 2L)))
+    assert(out((3L, 0)) === (("solo", 1L)))
+    intercept[IllegalArgumentException] {
+      pipeline.Text.chunk(docs, "doc_id", "text", chunkWords = 4, overlapWords = 4)
+    }
+  }
 }

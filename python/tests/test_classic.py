@@ -117,5 +117,26 @@ d = {r["id"]: r["distances"] for r in
 assert d[0][1] == 2.0, d  # 2-hop path beats the direct w=10 edge
 print("CLASSIC OK weighted_shortest_paths")
 
+hk = {r["id"]: (r["hub"], r["authority"]) for r in g.hits(maxIter=3).collect()}
+assert abs(sum(h * h for h, _ in hk.values()) - 1.0) < 1e-9  # L2-unit hubs
+print("CLASSIC OK hits")
+
+kz = {r["id"]: r["katz"] for r in g.katz(maxIter=3, alpha=0.1).collect()}
+assert all(v >= 1.0 for v in kz.values())
+print("CLASSIC OK katz")
+
+ch = Pipeline(docs).chunk(idCol="doc_id", textCol="text",
+                          chunkWords=4, overlapWords=1).collect()
+assert {r["doc_id"] for r in ch} == {0, 1, 2} and all(r["n_words"] <= 4 for r in ch)
+print("CLASSIC OK pipe_chunk")
+
+asof_l = spark.createDataFrame([(1, 10), (1, 30)], ["k", "ts"])
+asof_r = spark.createDataFrame([(1, 5, 100), (1, 20, 200)], ["k", "ts", "rid"])
+asof = {r["ts"]: r["asof_rid"] for r in
+        Pipeline(asof_r).asofJoin(asof_l, on=["k"], leftTs="ts",
+                                  rightTs="ts", rightCols=["rid"]).collect()}
+assert asof == {10: 100, 30: 200}, asof
+print("CLASSIC OK pipe_asof_join")
+
 spark.stop()
 print("CLASSIC ALL OK")

@@ -68,7 +68,20 @@ object GraftExtensions {
       "graft_hindex",
       usage = "graft_hindex(v: int) - aggregate: h-index of the values (largest h with at least " +
         "h values >= h), combined as a value->count histogram.",
-      arity = 1) { args => HIndexAgg(args(0)) }
+      arity = 1) { args => HIndexAgg(args(0)) },
+    desc(
+      "graft_lane_sum",
+      usage = "graft_lane_sum(lane: int, v: double, dim: int) - aggregate: scatter-add of " +
+        "(lane, value) pairs into a dense double[dim]; dim must be a literal.",
+      arity = 3) { args =>
+      val dim = args(2) match {
+        case e if e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType =>
+          e.eval().asInstanceOf[Int]
+        case other => throw new IllegalArgumentException(
+          s"graft_lane_sum: dim must be an int literal, got $other")
+      }
+      graft.expressions.LaneSumAgg(args(0), args(1), dim)
+    }
   )
 
   private def desc(name: String, usage: String, arity: Int)(

@@ -80,6 +80,21 @@ class IterAggregatesSpec extends TestBase {
     assert(out.head.getMap[Long, Int](0).toMap === Map(10L -> 1, 20L -> 7, 30L -> 9))
   }
 
+  test("graft_lane_sum via SQL: scatter-add into a dense vector, literal dim") {
+    GraftExtensions.register(spark)
+    val df = Seq((1, 0, 1.5), (1, 2, 2.5), (1, 0, 3.0), (2, 1, 4.0))
+      .toDF("k", "lane", "v")
+    df.createOrReplaceTempView("ils_t")
+    val out = spark.sql(
+      "SELECT k, graft_lane_sum(lane, v, 3) AS s FROM ils_t GROUP BY k ORDER BY k")
+      .collect()
+    assert(out(0).getSeq[Double](1) === Seq(4.5, 0.0, 2.5))
+    assert(out(1).getSeq[Double](1) === Seq(0.0, 4.0, 0.0))
+    intercept[Exception] { // non-literal dim fails loudly
+      spark.sql("SELECT graft_lane_sum(lane, v, lane) FROM ils_t").collect()
+    }
+  }
+
   test("graft_hindex matches the sorted-scan h-index across partitions") {
     def naive(vs: Seq[Int]): Int = {
       val sorted = vs.sorted(Ordering[Int].reverse)

@@ -15,6 +15,13 @@ run / fork := true
 // prefix) so the one-line JSON contract of graft.Bench / graft.Verify
 // stays machine-parseable from sbt's stdout.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress the trailing "[success] Total time: ..." banner: the bench
+// driver parses the LITERAL last stdout line as JSON, and the banner was
+// shadowing graft.Bench's one-line artifact every round (BENCH_r* landed
+// with parsed:null). With the banner off, the JSON line printed by the
+// forked main IS the final stdout line.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -28,6 +28,7 @@ object GraftConf {
   val CcStorageLevelKey = "spark.graft.connectedComponents.intermediatestoragelevel"
   val CcSmallGraphThresholdKey = "spark.graft.connectedComponents.smallgraphthreshold"
   val TriangleHubThresholdKey = "spark.graft.triangleCount.hubthreshold"
+  val LinkAnalysisSmallGraphThresholdKey = "spark.graft.linkAnalysis.smallgraphthreshold"
 
   private def get(key: String): Option[String] =
     SparkSession.getActiveSession.flatMap(s => Option(s.conf.get(key, null)))
@@ -61,4 +62,11 @@ object GraftConf {
    * triangleCount switches from full-neighbor-set intersection to the
    * degree-oriented skew-safe path (see lib/TriangleCount.scala). */
   def triangleHubThreshold: Option[Long] = get(TriangleHubThresholdKey).map(_.toLong)
+
+  /** Edge+vertex count below which Hits/Katz finish their power iteration
+   * in one bounded driver job instead of per-round distributed supersteps
+   * (same pattern and rationale as the connected-components union-find
+   * tail; 0 disables). */
+  def linkAnalysisSmallGraphThreshold: Option[Long] =
+    get(LinkAnalysisSmallGraphThresholdKey).map(_.toLong)
 }

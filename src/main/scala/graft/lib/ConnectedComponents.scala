@@ -22,7 +22,7 @@ import graft.GraphFrame
  * mapped back for non-integral id types).
  */
 class ConnectedComponents(g: GraphFrame) {
-  import GraphFrame.{ID, LONG_ID, LONG_SRC, LONG_DST}
+  import GraphFrame.{ID, SRC, DST, LONG_ID, LONG_SRC, LONG_DST}
   import graft.GraftConf
 
   // defaults come from the session conf (spark.graft.connectedComponents.*,
@@ -101,14 +101,29 @@ class ConnectedComponents(g: GraphFrame) {
     val mgr = IterationManager.withReliableDir(g.spark, reliableDirV,
       checkpointIntervalV, storageLevelV)
     // surrogate-id table feeds both the edge translation and the final
-    // label join — for non-integral ids it costs a shuffle+sort, so cache
-    // it instead of recomputing per consumer
+    // label join — for non-integral ids it costs a shuffle+sort (the
+    // row_number mint), so it must be evaluated exactly ONCE. Translating
+    // edges through `g.indexedEdges` would re-plan `indexedVertices` and
+    // only dodge the recompute if CacheManager canonicalization happens to
+    // match the aliased projection; joining against the SAME cached frame
+    // makes single evaluation structural. Lazy persist: the round-0 probe
+    // job below is the first consumer, so an eager count here would be a
+    // whole extra job just to warm the cache.
     val iv0 = g.indexedVertices.select(col(LONG_ID).as("vid"), col(ID))
-    val iv = if (g.hasIntegralIdType) iv0 else mgr.persistOnly(iv0)
+    val (iv, rawEdges) =
+      if (g.hasIntegralIdType)
+        (iv0, g.indexedEdges.select(col(LONG_SRC).as("s"), col(LONG_DST).as("d")))
+      else {
+        val p = mgr.persistLazy(iv0)
+        val e = g.edges.select(col(SRC), col(DST))
+          .join(p.select(col("vid").as("s"), col(ID).as(SRC)), SRC)
+          .join(p.select(col("vid").as("d"), col(ID).as(DST)), DST)
+          .select(col("s"), col("d"))
+        (p, e)
+      }
 
     // canonical undirected edge list on surrogate longs: src > dst, no loops
-    var ee = g.indexedEdges
-      .select(col(LONG_SRC).as("s"), col(LONG_DST).as("d"))
+    var ee = rawEdges
       .filter(col("s") =!= col("d"))
       .select(greatest(col("s"), col("d")).as("src"), least(col("s"), col("d")).as("dst"))
       .distinct()

@@ -28,14 +28,33 @@ class Hits(g: GraphFrame) {
   import GraphFrame.{ID, SRC, DST}
 
   private var maxIterV: Int = 10
+  private var smallGraphThresholdV: Long =
+    graft.GraftConf.linkAnalysisSmallGraphThreshold.getOrElse(100000L)
 
   def maxIter(n: Int): this.type = { maxIterV = n; this }
+  /** EDGE-count threshold below which the power iteration finishes in one
+   * bounded driver loop instead of per-round distributed supersteps (same
+   * pattern as ConnectedComponents' union-find tail; 0 disables). Driver
+   * cost at the 100k default: one ~2x32-byte-per-edge collect plus
+   * O(maxIter x edges) float adds — microseconds where the superstep path
+   * pays ~0.4 s of scheduling per lineage-cut job (measured 3.2 s → 1.x s
+   * on the 25-vertex nations graph). At scale the probe count doubles as
+   * the cache warm the distributed rounds need anyway. */
+  def setSmallGraphThreshold(n: Long): this.type = { smallGraphThresholdV = n; this }
 
   /** Returns vertices + `hub: double`, `authority: double` (L2-unit each). */
   def run(): DataFrame = {
     // pinned: re-joined every half-round, and possibly an expensive
     // upstream query (e.g. a multi-join edge derivation)
     val e = g.edges.select(col(SRC), col(DST)).persist()
+    // maxIter=0 normalizes the all-ones init over ALL vertices, which the
+    // endpoints-only local loop cannot see — distributed handles it
+    if (smallGraphThresholdV > 0 && maxIterV >= 1 &&
+        e.count() <= smallGraphThresholdV) {
+      val r = runLocal(e)
+      e.unpersist(false)
+      return r
+    }
     val mgr = new IterationManager(2)
     var state = mgr.cycle(
       g.vertices.select(col(ID), lit(1.0).as("hub"), lit(1.0).as("authority")), 0)
@@ -69,5 +88,36 @@ class Hits(g: GraphFrame) {
       Seq(ID), "left_outer"))
     e.unpersist(false)
     result
+  }
+
+  /** Driver-side tail: identical recurrence (raw sums, one final L2
+   * normalization), sorted-edge accumulation order so the result is a pure
+   * function of the graph value. Vertices touching no edge score 0 from
+   * round 1 on — filled in closed form by the join-back. */
+  private def runLocal(e: DataFrame): DataFrame = {
+    import scala.collection.mutable
+    val (edges, vids) = LocalLinkAnalysis.collectGraph(e, g)
+    val valid = vids.toSet
+    var hub = mutable.HashMap.empty[Any, Double]
+    var auth = mutable.HashMap.empty[Any, Double]
+    vids.foreach { v => hub(v) = 1.0; auth(v) = 1.0 }
+    for (_ <- 1 to maxIterV) {
+      val a = mutable.HashMap.empty[Any, Double]
+      vids.foreach(v => a(v) = 0.0)
+      edges.foreach { case (s, d) =>
+        if (valid(s) && valid(d)) a(d) += hub(s)
+      }
+      val h = mutable.HashMap.empty[Any, Double]
+      vids.foreach(v => h(v) = 0.0)
+      edges.foreach { case (s, d) =>
+        if (valid(s) && valid(d)) h(s) += a(d)
+      }
+      hub = h; auth = a
+    }
+    val hNorm = math.sqrt(vids.iterator.map(v => hub(v) * hub(v)).sum)
+    val aNorm = math.sqrt(vids.iterator.map(v => auth(v) * auth(v)).sum)
+    LocalLinkAnalysis.joinBack(g, vids, Seq(
+      ("hub", (v: Any) => if (hNorm > 0) hub(v) / hNorm else 0.0, 0.0),
+      ("authority", (v: Any) => if (aNorm > 0) auth(v) / aNorm else 0.0, 0.0)))
   }
 }

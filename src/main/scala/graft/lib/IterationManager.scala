@@ -113,6 +113,20 @@ private[graft] class IterationManager(
   private val persisted = mutable.Queue.empty[Entry]
   private val sideFrames = mutable.ArrayBuffer.empty[DataFrame]
 
+  // NOTE on cadence (round-8 experiment, kept for the record): stretching
+  // the cut interval when the state frame is tiny — "skip eager cuts,
+  // persist lazily, let the next action compute through" — was built and
+  // MEASURED WORSE, badly: 5-round HITS went 3.2 s → 73 s at an 8x
+  // stretch and 9.3 s at 2x. An iterative round references the previous
+  // state more than once (self-joins), so every lazy (un-materialized)
+  // round DOUBLES the logical tree the analyzer walks — 4^rounds subplan
+  // copies for HITS's two-self-join rounds. Eager cuts are precisely what
+  // keep analysis linear; the per-cut job (~0.4 s at local[16] scheduler
+  // floor) is the cheap part. Small-graph latency is instead handled
+  // where it belongs: bounded driver-side tails in the algorithms
+  // themselves (ConnectedComponents.finishWithUnionFind, Hits/Katz
+  // localIterate), same pattern, measured 2-6x on the nations graphs.
+
   private def free(e: Entry): Unit = {
     if (e.viaDatasetPersist) e.df.unpersist(false)
     if (e.rddIds.nonEmpty) {
@@ -173,6 +187,16 @@ private[graft] class IterationManager(
   def persistOnly(df: DataFrame): DataFrame = {
     val p = df.persist(storageLevel)
     p.count()
+    sideFrames += p
+    p
+  }
+
+  /** Persist WITHOUT materializing: the side frame's first consumer job
+   * computes and caches it (one job saved vs [[persistOnly]] — the right
+   * call when the first consumer runs immediately anyway); tracked and
+   * released by [[close]]. */
+  def persistLazy(df: DataFrame): DataFrame = {
+    val p = df.persist(storageLevel)
     sideFrames += p
     p
   }

@@ -22,15 +22,25 @@ class Katz(g: GraphFrame) {
   private var alphaV: Double = 0.1
   private var betaV: Double = 1.0
   private var maxIterV: Int = 10
+  private var smallGraphThresholdV: Long =
+    graft.GraftConf.linkAnalysisSmallGraphThreshold.getOrElse(100000L)
 
   def alpha(a: Double): this.type = { alphaV = a; this }
   def beta(b: Double): this.type = { betaV = b; this }
   def maxIter(n: Int): this.type = { maxIterV = n; this }
+  /** EDGE-count threshold for the bounded driver-side tail (0 disables);
+   * see [[Hits.setSmallGraphThreshold]] for the cost math — identical. */
+  def setSmallGraphThreshold(n: Long): this.type = { smallGraphThresholdV = n; this }
 
   /** Returns vertices + `katz: double`. */
   def run(): DataFrame = {
     // pinned: re-joined every round, and possibly an expensive upstream query
     val e = g.edges.select(col(SRC), col(DST)).persist()
+    if (smallGraphThresholdV > 0 && e.count() <= smallGraphThresholdV) {
+      val r = runLocal(e)
+      e.unpersist(false)
+      return r
+    }
     val mgr = new IterationManager(2)
     var state = mgr.cycle(
       g.vertices.select(col(ID), lit(betaV).as("katz")), 0)
@@ -46,5 +56,27 @@ class Katz(g: GraphFrame) {
     val result = mgr.finish(g.vertices.join(state, Seq(ID), "left_outer"))
     e.unpersist(false)
     result
+  }
+
+  /** Driver-side tail: identical recurrence, sorted-edge accumulation
+   * order. A vertex touching no edge earns exactly β every round — filled
+   * in closed form by the join-back. */
+  private def runLocal(e: DataFrame): DataFrame = {
+    import scala.collection.mutable
+    val (edges, vids) = LocalLinkAnalysis.collectGraph(e, g)
+    val valid = vids.toSet
+    var x = mutable.HashMap.empty[Any, Double]
+    vids.foreach(v => x(v) = betaV)
+    for (_ <- 1 to maxIterV) {
+      val in = mutable.HashMap.empty[Any, Double]
+      vids.foreach(v => in(v) = 0.0)
+      edges.foreach { case (s, d) =>
+        if (valid(s) && valid(d)) in(d) += x(s)
+      }
+      val nx = mutable.HashMap.empty[Any, Double]
+      vids.foreach(v => nx(v) = betaV + alphaV * in(v))
+      x = nx
+    }
+    LocalLinkAnalysis.joinBack(g, vids, Seq(("katz", (v: Any) => x(v), betaV)))
   }
 }

@@ -453,4 +453,31 @@ class AlgorithmsSpec extends TestBase {
     assert(m("b") === 1.5)
     assert(m("c") === 1.75)
   }
+
+  test("hits/katz: driver-side small-graph tail equals the distributed path " +
+      "(isolated vertex, multi-edge, dangling edge)") {
+    // friends + a duplicated edge (sums must count it twice) + a dangling
+    // edge whose dst is not a vertex (must contribute nothing); Gabby
+    // stays isolated (closed-form fill)
+    val e = friends.edges.select("src", "dst")
+      .unionAll(Seq(("a", "b"), ("b", "zzz-not-a-vertex")).toDF("src", "dst"))
+    val g = GraphFrame(friends.vertices, e)
+    def hitsMap(th: Long) = g.hits.maxIter(4).setSmallGraphThreshold(th).run()
+      .select("id", "hub", "authority").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val (local, dist) = (hitsMap(100000L), hitsMap(0L))
+    assert(local.keySet == dist.keySet)
+    local.foreach { case (id, (h, a)) =>
+      assert(math.abs(h - dist(id)._1) < 1e-12, s"hub($id)")
+      assert(math.abs(a - dist(id)._2) < 1e-12, s"authority($id)")
+    }
+    assert(local("g") == ((0.0, 0.0))) // isolated: closed-form fill
+    def katzMap(th: Long) = g.katz.alpha(0.1).beta(2.0).maxIter(5)
+      .setSmallGraphThreshold(th).run()
+      .select("id", "katz").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val (kl, kd) = (katzMap(100000L), katzMap(0L))
+    kl.foreach { case (id, k) => assert(math.abs(k - kd(id)) < 1e-12, s"katz($id)") }
+    assert(kl("g") === 2.0) // isolated: beta every round
+  }
 }

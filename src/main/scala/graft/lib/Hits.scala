@@ -15,9 +15,10 @@ import graft.GraphFrame
  * recurrence), so this implementation iterates RAW sums lazily and
  * normalizes ONCE at the end: the whole loop runs one materializing job
  * per lineage-cut window instead of two norm-collect jobs per round.
- * Raw magnitudes grow like (spectral radius)^rounds — far inside double
- * range for any realistic maxIter/degree (overflow needs
- * degree^maxIter > 1e308).
+ * Raw magnitudes grow like (spectral radius)^rounds; an in-loop guard
+ * rescales both columns by their max whenever they pass 1e100 (checked
+ * every 8 rounds — see the inline math), so unbounded user maxIter
+ * cannot overflow into all-NaN output.
  *
  * Scale: each round is two hash-aggregated joins over the (pinned) edge
  * table — the same shuffle shape as a PageRank round, twice; vertex
@@ -74,6 +75,28 @@ class Hits(g: GraphFrame) {
         .join(hubRaw, Seq(ID), "left_outer")
         .select(col(ID), coalesce(col("_h"), lit(0.0)).as("hub"),
           col("authority")), round)
+      // Overflow guard: raw sums grow like (spectral radius)^round, and
+      // maxIter is user-settable (Connect/Python) with no bound — e.g. a
+      // 1e8-degree hub at maxIter 40 would hit Infinity and turn the final
+      // normalization into all-NaN. Every 8 rounds (round 8 is a cut round
+      // for any interval dividing 8, so the agg reads the fresh cache), if
+      // magnitudes left the comfortable range, divide both columns by
+      // their max — a pure projection the next cycle persists,
+      // direction-preserving, so the final normalization is unchanged.
+      // Between checks a jump from 1e100 to 1e308 would need a per-round
+      // growth factor above 1e26 ~ degree^2, i.e. a 1e13-degree vertex —
+      // beyond any real edge count.
+      if (round % 8 == 0 && round < maxIterV) {
+        val m = state.agg(max(abs(col("hub"))).as("h"),
+          max(abs(col("authority"))).as("a")).head()
+        if (!m.isNullAt(0) && !m.isNullAt(1)) {
+          val (mh, ma) = (m.getDouble(0), m.getDouble(1))
+          if (mh > 1e100 || ma > 1e100)
+            state = state.select(col(ID),
+              (col("hub") / lit(math.max(mh, 1.0))).as("hub"),
+              (col("authority") / lit(math.max(ma, 1.0))).as("authority"))
+        }
+      }
     }
 
     val norms = state.agg(
@@ -113,6 +136,13 @@ class Hits(g: GraphFrame) {
         if (valid(s) && valid(d)) h(s) += a(d)
       }
       hub = h; auth = a
+      // same overflow guard as the distributed path (free here)
+      val mh = vids.iterator.map(v => math.abs(hub(v))).foldLeft(0.0)(math.max)
+      val ma = vids.iterator.map(v => math.abs(auth(v))).foldLeft(0.0)(math.max)
+      if (mh > 1e100 || ma > 1e100) {
+        val (sh, sa) = (math.max(mh, 1.0), math.max(ma, 1.0))
+        vids.foreach { v => hub(v) /= sh; auth(v) /= sa }
+      }
     }
     val hNorm = math.sqrt(vids.iterator.map(v => hub(v) * hub(v)).sum)
     val aNorm = math.sqrt(vids.iterator.map(v => auth(v) * auth(v)).sum)

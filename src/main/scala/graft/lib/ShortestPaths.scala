@@ -44,8 +44,12 @@ class ShortestPaths(g: GraphFrame) {
     require(landmarksV.nonEmpty, "shortestPaths: landmarks required")
     weightColV.foreach { w =>
       require(g.edges.columns.contains(w), s"shortestPaths: no edge column '$w'")
-      require(g.edges.filter(col(GraphFrame.quoteName(w)) < 0).isEmpty,
-        s"shortestPaths: negative weights in '$w' (Bellman-Ford needs >= 0)")
+      // null must fail here too: `null < 0` filters to nothing, and a null
+      // weight would otherwise unbox to 0.0 inside the min-merge — a
+      // silent zero-cost crossing corrupting every distance through it
+      val wc = col(GraphFrame.quoteName(w))
+      require(g.edges.filter(wc.isNull || wc < 0).isEmpty,
+        s"shortestPaths: null or negative weights in '$w' (Bellman-Ford needs >= 0)")
     }
     val idType = g.vertices.schema(ID).dataType
     val valueType: org.apache.spark.sql.types.DataType =

@@ -78,6 +78,14 @@ object Events {
       prefix: String = "asof_", strict: Boolean = false): DataFrame = {
     require(on.nonEmpty, "asofJoin: join keys required")
     require(rightCols.nonEmpty, "asofJoin: rightCols required")
+    // the internal tag columns would silently shadow (or ambiguate) any
+    // caller column with the same name — fail loudly instead, mirroring
+    // MotifCompiler's __tmp guard
+    val reserved = Seq("_asof_ts", "_asof_side", "_asof_pay", "_asof_hit")
+    for (df <- Seq(left, right); c <- df.columns if reserved.contains(c))
+      throw new IllegalArgumentException(
+        s"asofJoin: input column '$c' collides with a reserved internal name " +
+          s"(${reserved.mkString(", ")})")
     val pay = struct(rightCols.map(col): _*)
     val rSide = right.select((on.map(col) :+ col(rightTs).as("_asof_ts") :+
       lit(0).as("_asof_side") :+ pay.as("_asof_pay")): _*)

@@ -81,6 +81,18 @@ object EventStreams {
       sep: String = "\n", windowWords: Int = 0,
       maxDupCount: Long = 1, lowercase: Boolean = false): Dataset[SegOut] = {
     import docs.sparkSession.implicits._
+    // SegOut carries a Long doc_id; a silent cast would turn string or
+    // other non-integral ids into null on EVERY row (collapsing
+    // provenance) — reject them at plan time instead (the batch
+    // segmentDedup keeps the original id type; map ids to Long upstream)
+    docs.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"segmentDedupStream: id column '$idCol' must be integral (got $other); " +
+          "the streaming state schema keys doc_id as Long — map ids upstream " +
+          "(the batch segmentDedup keeps the original id type)")
+    }
     val segsExpr = graft.pipeline.Dedup.segments(col(textCol), sep, windowWords)
     val seg0 = docs.select(col(idCol).cast("long").as("doc_id"),
         posexplode(segsExpr).as(Seq("pos", "segment")))

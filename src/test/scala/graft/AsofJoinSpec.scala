@@ -27,6 +27,18 @@ class AsofJoinSpec extends TestBase {
     assert(out(5L) === ((None, None)))           // key with no right rows
   }
 
+  test("reserved _asof_* column names in either input are rejected loudly") {
+    val poisoned = left.withColumn("_asof_ts", lit(1L))
+    val ex = intercept[IllegalArgumentException] {
+      pipeline.Events.asofJoin(poisoned, right, Seq("k"), "ts", "ts", Seq("rid"))
+    }
+    assert(ex.getMessage.contains("_asof_ts"))
+    val poisonedR = right.withColumn("_asof_hit", lit(1L))
+    intercept[IllegalArgumentException] {
+      pipeline.Events.asofJoin(left, poisonedR, Seq("k"), "ts", "ts", Seq("rid"))
+    }
+  }
+
   test("strict mode excludes equal timestamps") {
     val out = pipeline.Events.asofJoin(left, right, Seq("k"),
         "ts", "ts", Seq("rid"), prefix = "m_", strict = true)
@@ -54,5 +66,43 @@ class AsofJoinSpec extends TestBase {
               else Some(cands.maxBy(c => (c._2, c._3))._3))
     }.toMap
     assert(got === want)
+  }
+
+  test("tie-break property: winner is partition-count-invariant and " +
+      "independent of trailing rightCols order (nulls and NaN present)") {
+    // many deliberate (key, ts) ties; rid unique and FIRST in rightCols, so
+    // the documented contract ("pass a unique id as rightCols.head") must
+    // yield ONE winner per left row no matter how the inputs are
+    // partitioned or how the remaining payload columns are ordered —
+    // even with null and NaN values in those trailing columns
+    val rng = new scala.util.Random(97)
+    val rrows = (1 to 240).map { i =>
+      val payload: java.lang.Double =
+        if (i % 7 == 0) null
+        else if (i % 11 == 0) Double.NaN
+        else rng.nextDouble()
+      (rng.nextInt(5).toLong, rng.nextInt(6).toLong * 100, i.toLong, payload,
+        if (i % 5 == 0) null else s"s${rng.nextInt(3)}")
+    }
+    val lrows = (1 to 120).map(i =>
+      (rng.nextInt(6).toLong, rng.nextInt(8).toLong * 100, i.toLong))
+    def winners(lparts: Int, rparts: Int, tail: Seq[String]): Map[Long, Option[Any]] =
+      pipeline.Events.asofJoin(
+          lrows.toDF("k", "ts", "lid").repartition(lparts),
+          rrows.toDF("k", "ts", "rid", "d", "s").repartition(rparts),
+          Seq("k"), "ts", "ts", "rid" +: tail, prefix = "m_")
+        .select("lid", "m_rid").collect()
+        .map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    val base = winners(1, 1, Seq("d", "s"))
+    // the unique head makes the expected winner computable: max (ts, rid)
+    val byKey = rrows.groupBy(_._1)
+    lrows.foreach { case (k, ts, lid) =>
+      val cands = byKey.getOrElse(k, Nil).filter(_._2 <= ts)
+      val want = if (cands.isEmpty) None else Some(cands.maxBy(c => (c._2, c._3))._3)
+      assert(base(lid) === want, s"lid=$lid")
+    }
+    assert(winners(7, 3, Seq("d", "s")) === base)
+    assert(winners(16, 16, Seq("d", "s")) === base)
+    assert(winners(3, 7, Seq("s", "d")) === base) // permuted trailing cols
   }
 }

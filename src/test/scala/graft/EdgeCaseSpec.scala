@@ -89,6 +89,41 @@ class EdgeCaseSpec extends TestBase {
     assert(g.asUndirected().edges.count() == 2)
   }
 
+  test("weighted shortestPaths rejects null weights as loudly as negative ones") {
+    // `null < 0` filters to nothing, so without the explicit isNull check a
+    // null weight silently became a zero-cost crossing inside the min-merge
+    val v = Seq(0L, 1L, 2L).toDF("id")
+    val e = Seq((0L, 1L, Some(1.0)), (1L, 2L, None))
+      .toDF("src", "dst", "w")
+    val ex = intercept[IllegalArgumentException] {
+      GraphFrame(v, e).shortestPaths.landmarks(Seq(0L)).weightCol("w").run()
+    }
+    assert(ex.getMessage.contains("null or negative"))
+  }
+
+  test("segmentDedupStream rejects non-integral id columns at plan time") {
+    val docs = Seq(("docA", "hello\nworld")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      streaming.EventStreams.segmentDedupStream(docs, "doc_id", "text")
+    }
+    assert(ex.getMessage.contains("must be integral"))
+  }
+
+  test("hits overflow guard: huge maxIter on a high-degree star stays finite") {
+    // star(5000) grows raw sums ~5000x per round; 120 rounds would pass
+    // 1e308 without the in-loop rescale (local tail path — the guard
+    // logic is shared in shape with the distributed one)
+    val m = star(5000).hits.maxIter(120).run()
+      .select("id", "hub", "authority").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(m.values.forall { case (h, a) =>
+      java.lang.Double.isFinite(h) && java.lang.Double.isFinite(a) })
+    assert(math.abs(m(0L)._1 - 1.0) < 1e-9)   // sole hub, unit normalized
+    assert(m(0L)._2 === 0.0)
+    val leafAuth = 1.0 / math.sqrt(5000)
+    assert(math.abs(m(1L)._2 - leafAuth) < 1e-9)
+  }
+
   test("pregel-backed algorithms pass dotted vertex attribute columns through") {
     // reference ShortestPathsSuite.scala:166-179: Pregel's per-round state
     // re-selects vertex columns by name — a dotted attr must survive

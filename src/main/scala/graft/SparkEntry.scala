@@ -185,6 +185,11 @@ object SparkEntry {
     "g_motif_fixed2" -> ((s, dir) => // fixed-length chain expansion (a)-[e*2]->(b)
       graphB(s, dir).find("(a)-[e*2]->(b)")
         .select(col(s"a.$ID").as("a_id"), col(s"b.$ID").as("b_id"))),
+    "g_motif_undirected_fixed" -> ((s, dir) => // starred UNDIRECTED chain:
+      // each hop matches either orientation, per-hop tags ';'-joined
+      graphB(s, dir).find("(a)-[e*2]-(b)")
+        .select(col(s"a.$ID").as("a_id"), col(s"_ab1.$ID").as("mid_id"),
+          col(s"b.$ID").as("b_id"), col("_direction"))),
     "g_type_degrees" -> ((s, dir) => {
       // per-edge-type pivot degrees on the customer→order graph typed by
       // order status (struct flattened for the driver canonicalizer)
@@ -1647,6 +1652,13 @@ object SparkEntry {
       s"""WITH e AS ($NE)
          |SELECT e1.src AS a_id, e2.dst AS b_id
          |FROM e e1 JOIN e e2 ON e2.src = e1.dst""".stripMargin,
+    "g_motif_undirected_fixed" ->
+      s"""WITH e AS ($NE),
+         |u AS (SELECT src AS x, dst AS y, 'fwd' AS d FROM e
+         |      UNION ALL SELECT dst, src, 'rev' FROM e)
+         |SELECT u1.x AS a_id, u1.y AS mid_id, u2.y AS b_id,
+         |       u1.d || ';' || u2.d AS _direction
+         |FROM u u1 JOIN u u2 ON u2.x = u1.y""".stripMargin,
     "g_type_degrees" ->
       """SELECT 'c' || CAST(o_custkey AS VARCHAR) AS id,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS INT) AS deg_f,

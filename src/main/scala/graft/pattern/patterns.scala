@@ -11,6 +11,7 @@ import scala.util.parsing.combinator.RegexParsers
  *   edgeTerm := vertex arrow vertex
  *   arrow    := '-[' name? ('*' int)? ']->'      forward
  *             | '<-[' name? ']-'                 backward (rewritten to forward)
+ *             | '-[' name? ('*' int)? ']-'       undirected (both orientations)
  *   vertex   := '(' name? ')'
  *
  * Fixed-length `(a)-[e*3]->(b)` expands to a 3-edge chain through generated
@@ -57,12 +58,13 @@ object PatternParser extends RegexParsers {
       case n ~ rep => Arrow(n.map(NamedEdge).getOrElse(AnonymousEdge),
         rep.map(_.toInt), backward = true)
     }
-  // undirected `-[e]-`: must not consume the `->` of a forward arrow, so it
-  // is tried after fwd/bwd and requires the closing `-` not followed by `>`
+  // undirected `-[e]-` (optionally starred `-[e*3]-`): must not consume the
+  // `->` of a forward arrow, so it is tried after fwd/bwd and requires the
+  // closing `-` not followed by `>`
   private def undArrow: Parser[Arrow] =
-    "-[" ~> opt(name) <~ "]-" <~ not(">") ^^ {
-      case n => Arrow(n.map(NamedEdge).getOrElse(AnonymousEdge), None,
-        backward = false, undirected = true)
+    "-[" ~> opt(name) ~ opt("*" ~> "\\d+".r) <~ "]-" <~ not(">") ^^ {
+      case n ~ rep => Arrow(n.map(NamedEdge).getOrElse(AnonymousEdge),
+        rep.map(_.toInt), backward = false, undirected = true)
     }
 
   /** Fixed-length chain expansion with the REFERENCE's user-visible naming
@@ -76,7 +78,15 @@ object PatternParser extends RegexParsers {
    * ANONYMOUS `[*n]` stay anonymous, exactly like the reference. */
   private def expandEdge(a: VertexTerm, arrow: Arrow, b: VertexTerm): List[Pattern] = {
     val (s, d) = if (arrow.backward) (b, a) else (a, b)
-    if (arrow.undirected) List(UndirectedEdgePattern(s, arrow.edge, d))
+    // an undirected starred arrow `(a)-[e*3]-(b)` expands to the SAME
+    // named chain as the directed form, with each hop undirected — the
+    // compiler then unions every per-hop orientation, tagged in
+    // `_direction` (reference semantics: union of per-orientation chains;
+    // its GraphFrame.scala:625-657 handles the starred undirected case
+    // inside find)
+    val mk: (VertexTerm, EdgeTerm, VertexTerm) => Pattern =
+      if (arrow.undirected) UndirectedEdgePattern.apply else EdgePattern.apply
+    if (arrow.undirected && arrow.repeat.isEmpty) List(mk(s, arrow.edge, d))
     else if (arrow.repeat.isEmpty) List(EdgePattern(s, arrow.edge, d))
     else {
       val hop = arrow.repeat.get
@@ -92,8 +102,8 @@ object PatternParser extends RegexParsers {
       val chain = (s +: mids) :+ d
       chain.sliding(2).zipWithIndex.map { case (Seq(x, y), i) =>
         arrow.edge match {
-          case NamedEdge(n) => EdgePattern(x, NamedEdge(s"_$n${i + 1}"), y)
-          case AnonymousEdge => EdgePattern(x, AnonymousEdge, y)
+          case NamedEdge(n) => mk(x, NamedEdge(s"_$n${i + 1}"), y)
+          case AnonymousEdge => mk(x, AnonymousEdge, y)
         }
       }.toList
     }

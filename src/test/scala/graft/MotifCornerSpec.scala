@@ -187,6 +187,30 @@ class MotifCornerSpec extends TestBase {
     assert(g.find("(u)-[]-(v)").columns.contains("_direction"))
   }
 
+  test("undirected fixed-length (u)-[e*2]-(v): hand-checked rows, naming, " +
+      "equivalence with var-length *2..2") {
+    val fixed = g.find("(u)-[e*2]-(v)")
+    assert(fixed.columns.contains("_direction"))
+    assert(Seq("_uv1", "_e1", "_e2").forall(fixed.columns.contains))
+    // vertex 3 touches only edge 2->3: both hops from 3 go through mid 2,
+    // whose undirected neighbors are 1 (via 1->2), 3 (via 2->3), 0 (via 2->0)
+    assert(ids(fixed.where("u.id == 3"), "u", "_uv1", "v") ==
+      Set(Seq(3L, 2L, 1L), Seq(3L, 2L, 3L), Seq(3L, 2L, 0L)))
+    // reference equivalence contract: fixed-length undirected == the
+    // *n..n var-length undirected form (modulo the _hop tag)
+    val varlen = g.find("(u)-[e*2..2]-(v)")
+    assert(varlen.select("_hop").distinct().as[Int].collect().toSeq == Seq(2))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("u.id"), col("_uv1.id"), col("v.id"), col("_direction"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(rows(fixed) == rows(varlen))
+    // per-hop orientation tags: 2 hops -> "x;y" per row, both values used
+    val dirs = fixed.select("_direction").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(dirs.subsetOf(Set("fwd;fwd", "fwd;rev", "rev;fwd", "rev;rev")))
+    assert(dirs.size > 1)
+  }
+
   test("stateful predicate: relationship chain filter") {
     // reference PatternMatchSuite.scala:816-851 uses a stateful UDF; the
     // same query is expressible with a post-hoc struct filter (our

@@ -68,6 +68,20 @@ class ParserContractSpec extends AnyFunSuite {
       UndirectedEdgePattern(NamedVertex("v"), AnonymousEdge, NamedVertex("k"))))
   }
 
+  test("undirected fixed-length expands to an undirected chain with the " +
+      "directed form's naming contract") {
+    assert(p("(u)-[e*1]-(v)") ==
+      Seq(UndirectedEdgePattern(NamedVertex("u"), NamedEdge("_e1"), NamedVertex("v"))))
+    assert(p("(u)-[e*3]-(v)") == Seq(
+      UndirectedEdgePattern(NamedVertex("u"), NamedEdge("_e1"), NamedVertex("_uv1")),
+      UndirectedEdgePattern(NamedVertex("_uv1"), NamedEdge("_e2"), NamedVertex("_uv2")),
+      UndirectedEdgePattern(NamedVertex("_uv2"), NamedEdge("_e3"), NamedVertex("v"))))
+    assert(p("(u)-[*2]-(v)") == Seq(
+      UndirectedEdgePattern(NamedVertex("u"), AnonymousEdge, NamedVertex("_uv1")),
+      UndirectedEdgePattern(NamedVertex("_uv1"), AnonymousEdge, NamedVertex("v"))))
+    intercept[IllegalArgumentException](p("(u)-[*0]-(v)"))
+  }
+
   test("backward and bidirectional rewrites (reference PatternSuite:119-141)") {
     assert(p("(v)<-[e]-(u)") == p("(u)-[e]->(v)"))
     assert(p("(v)<-[]-(u)") == p("(u)-[]->(v)"))

@@ -63,10 +63,10 @@ object GraftConf {
    * degree-oriented skew-safe path (see lib/TriangleCount.scala). */
   def triangleHubThreshold: Option[Long] = get(TriangleHubThresholdKey).map(_.toLong)
 
-  /** Edge+vertex count below which Hits/Katz finish their power iteration
-   * in one bounded driver job instead of per-round distributed supersteps
-   * (same pattern and rationale as the connected-components union-find
-   * tail; 0 disables). */
+  /** Edge count below which Hits/Katz finish their power iteration in one
+   * bounded driver job instead of per-round distributed supersteps (same
+   * pattern and rationale as the connected-components union-find tail;
+   * 0 disables; full bounded-path matrix: docs/THRESHOLDS.md). */
   def linkAnalysisSmallGraphThreshold: Option[Long] =
     get(LinkAnalysisSmallGraphThresholdKey).map(_.toLong)
 }

@@ -397,7 +397,7 @@ class GraphFrame private (
    * `big` with frequency above `threshold` are joined via an explicit
    * broadcast of `small`, the long tail via a regular shuffle join, and the
    * two halves unioned. Prefer plain AQE skew handling; this is the manual
-   * escape hatch. */
+   * escape hatch. Full bounded-path matrix: docs/THRESHOLDS.md. */
   def skewedJoin(big: DataFrame, small: DataFrame, key: String,
       threshold: Long): DataFrame = {
     val hot = big.groupBy(key).count().filter(col("count") > threshold)

@@ -79,7 +79,8 @@ class ConnectedComponents(g: GraphFrame) {
    * remainder under 1M EDGES finishes in one driver job instead of
    * ~5-8 more supersteps of fixed scheduling overhead (measured 2.1x
    * on the 1.19M-edge baseline trade graph). At 100 TB the distributed
-   * rounds still do all contraction work until the remainder fits. */
+   * rounds still do all contraction work until the remainder fits.
+   * Full bounded-path matrix: docs/THRESHOLDS.md. */
   def setSmallGraphThreshold(n: Long): this.type = { smallGraphThresholdV = n; this }
 
   def run(): DataFrame = {

@@ -38,9 +38,10 @@ class Hits(g: GraphFrame) {
    * pattern as ConnectedComponents' union-find tail; 0 disables). Driver
    * cost at the 100k default: one ~2x32-byte-per-edge collect plus
    * O(maxIter x edges) float adds — microseconds where the superstep path
-   * pays ~0.4 s of scheduling per lineage-cut job (measured 3.2 s → 1.x s
+   * pays ~0.4 s of scheduling per lineage-cut job (measured 3.2 s → 1.5 s
    * on the 25-vertex nations graph). At scale the probe count doubles as
-   * the cache warm the distributed rounds need anyway. */
+   * the cache warm the distributed rounds need anyway.
+   * Full bounded-path matrix: docs/THRESHOLDS.md. */
   def setSmallGraphThreshold(n: Long): this.type = { smallGraphThresholdV = n; this }
 
   /** Returns vertices + `hub: double`, `authority: double` (L2-unit each). */

@@ -29,7 +29,8 @@ class Katz(g: GraphFrame) {
   def beta(b: Double): this.type = { betaV = b; this }
   def maxIter(n: Int): this.type = { maxIterV = n; this }
   /** EDGE-count threshold for the bounded driver-side tail (0 disables);
-   * see [[Hits.setSmallGraphThreshold]] for the cost math — identical. */
+   * see [[Hits.setSmallGraphThreshold]] for the cost math — identical.
+   * Full bounded-path matrix: docs/THRESHOLDS.md. */
   def setSmallGraphThreshold(n: Long): this.type = { smallGraphThresholdV = n; this }
 
   /** Returns vertices + `katz: double`. */

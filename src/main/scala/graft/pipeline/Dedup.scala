@@ -228,7 +228,8 @@ object Dedup {
    * dozens to thousands of edges out of millions of documents) are
    * union-found on the driver in one job; anything bigger runs the
    * distributed GraphFrame CC, which is the 100 TB path. Both label with
-   * the natural-ordering minimum id, so results are identical. */
+   * the natural-ordering minimum id, so results are identical.
+   * Full bounded-path matrix: docs/THRESHOLDS.md. */
   private[graft] def clusterReps(df: DataFrame, idCol: String, pairs0: DataFrame,
       smallThreshold: Long = 100000L): DataFrame = {
     // the pair frame is the output of the whole LSH chain — persist it so

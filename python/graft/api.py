@@ -139,6 +139,16 @@ class GraphFrameMethods:
         """Katz centrality (engine extension)."""
         return self._call("katz", maxIter=maxIter, alpha=alpha, beta=beta)
 
+    def betweenness(self, sampleK: Optional[int] = None,
+                    normalized: Optional[bool] = None):
+        """Brandes betweenness centrality (engine extension)."""
+        return self._call("betweenness", sampleK=sampleK,
+                          normalized=normalized)
+
+    def closeness(self):
+        """Closeness + harmonic centrality (engine extension)."""
+        return self._call("closeness")
+
     def kCore(self, maxIter: Optional[int] = None):
         return self._call("kcore", maxIter=maxIter)
 

@@ -339,6 +339,10 @@ class GraphFrame private (
   def hits: lib.Hits = new lib.Hits(this)
   /** Katz centrality (engine extension). */
   def katz: lib.Katz = new lib.Katz(this)
+  /** Brandes betweenness centrality (engine extension). */
+  def betweenness: lib.Betweenness = new lib.Betweenness(this)
+  /** Closeness + harmonic centrality (engine extension). */
+  def closeness: lib.Closeness = new lib.Closeness(this)
   def detectingCycles: lib.DetectingCycles = new lib.DetectingCycles(this)
   def maximalIndependentSet: lib.MaximalIndependentSet = new lib.MaximalIndependentSet(this)
   def randomWalks: rw.RandomWalks = new rw.RandomWalks(this)

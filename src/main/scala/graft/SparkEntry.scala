@@ -50,6 +50,19 @@ object SparkEntry {
       load(s, dir, "nation").select(col("n_nationkey").as(ID), col("n_name")),
       nationEdges(s, dir))
 
+  /** Irregular cycle+chords graph over the 25 nations: id → (id+7) % 25,
+   * plus id → (3·id+1) % 25 for id % 3 = 0 (out-degrees 1-2, diameter ~8
+   * — real path structure where the trade graph is near-complete). */
+  private def circulantGraph(s: SparkSession, dir: String): GraphFrame = {
+    val v = load(s, dir, "nation").select(col("n_nationkey").as(ID))
+    val e = v.select(col(ID).as(SRC), pmod(col(ID) + 7, lit(25)).as(DST))
+      .unionByName(v.filter(col(ID) % 3 === 0)
+        .select(col(ID).as(SRC), pmod(col(ID) * 3 + 1, lit(25)).as(DST)))
+      .filter(col(SRC) =!= col(DST))
+      .distinct()
+    GraphFrame(v, e)
+  }
+
   /** Event-type transition graph: edge t1→t2 when some user's consecutive
    * events are typed t1 then t2. */
   private def eventTypeGraph(s: SparkSession, dir: String): GraphFrame = {
@@ -284,21 +297,24 @@ object SparkEntry {
     "g_pagerank" -> ((s, dir) =>
       graphB(s, dir).pageRank.resetProbability(0.15).maxIter(10).run()
         .vertices.select(col(ID), round(col("pagerank"), 5).as("pagerank"))),
-    "g_pagerank_tol" -> ((s, dir) => {
+    "g_pagerank_tol" -> ((s, dir) =>
       // tolerance mode: vertices vote to halt when their rank moves < tol;
       // the trade graph is near-regular (converges in 1 round), so the
       // harness builds an irregular cycle+chords graph over the 25 nations
       // (out-degrees 1-2, converges at round 25 for tol=1e-3). The oracle
       // unrolls the rounds AND replays the stop rule itself.
-      val v = load(s, dir, "nation").select(col("n_nationkey").as(ID))
-      val e = v.select(col(ID).as(SRC), pmod(col(ID) + 7, lit(25)).as(DST))
-        .unionByName(v.filter(col(ID) % 3 === 0)
-          .select(col(ID).as(SRC), pmod(col(ID) * 3 + 1, lit(25)).as(DST)))
-        .filter(col(SRC) =!= col(DST))
-        .distinct()
-      GraphFrame(v, e).pageRank.resetProbability(0.15).tol(0.001).run()
-        .vertices.select(col(ID), round(col("pagerank"), 5).as("pagerank"))
-    }),
+      circulantGraph(s, dir).pageRank.resetProbability(0.15).tol(0.001).run()
+        .vertices.select(col(ID), round(col("pagerank"), 5).as("pagerank"))),
+    "g_betweenness" -> ((s, dir) =>
+      // exact Brandes on the cycle+chords graph (real path structure — the
+      // trade graph is near-complete and would score ~flat); oracle
+      // enumerates the shortest-path DAG with recursive CTEs
+      circulantGraph(s, dir).betweenness.run()
+        .select(col(ID), round(col("betweenness"), 5).as("betweenness"))),
+    "g_closeness" -> ((s, dir) =>
+      circulantGraph(s, dir).closeness.run()
+        .select(col(ID), round(col("closeness"), 5).as("closeness"),
+          round(col("harmonic"), 5).as("harmonic"))),
     "g_triangle_count" -> ((s, dir) =>
       graphB(s, dir).triangleCount.run()
         .select(col(ID), col("count").as("tri_count"))),
@@ -1037,6 +1053,54 @@ object SparkEntry {
    * stop rule — the reported ranks are those of the first round whose
    * max |Δrank| over all vertices drops below `tol`, exactly when the
    * Pregel active-vertex loop stops. */
+  /** Circulant cycle+chords CTEs shared by the centrality oracles: the
+   * graph (cv/ce), all-pairs BFS distances (dist), and shortest-path
+   * counts (csig — each `csp` row is one distinct shortest path, extended
+   * only along DAG edges dist(s, next) = d+1, so COUNT(*) = sigma). */
+  private val CIRC_DIST_SIGMA =
+    """cv AS (SELECT n_nationkey AS id FROM nation),
+      |ce AS (SELECT DISTINCT src, dst FROM (
+      |    SELECT id AS src, (id + 7) % 25 AS dst FROM cv
+      |    UNION ALL
+      |    SELECT id, (3 * id + 1) % 25 FROM cv WHERE id % 3 = 0)
+      |  WHERE src <> dst),
+      |cwalk AS (SELECT id AS s, id AS v, 0 AS d FROM cv
+      |  UNION SELECT w.s, ce.dst, w.d + 1 FROM cwalk w
+      |    JOIN ce ON ce.src = w.v WHERE w.d < 25),
+      |cdist AS (SELECT s, v, MIN(d) AS d FROM cwalk GROUP BY s, v),
+      |csp AS (SELECT id AS s, id AS v, 0 AS d FROM cv
+      |  UNION ALL SELECT p.s, ce.dst, p.d + 1 FROM csp p
+      |    JOIN ce ON ce.src = p.v
+      |    JOIN cdist dd ON dd.s = p.s AND dd.v = ce.dst AND dd.d = p.d + 1),
+      |csig AS (SELECT s, v, CAST(COUNT(*) AS DOUBLE) AS sig
+      |  FROM csp GROUP BY s, v)""".stripMargin
+
+  /** Brandes identity: btw(v) = Σ_{s≠v≠t} σ_sv · σ_vt / σ_st over pairs
+   * with d(s,v) + d(v,t) = d(s,t). */
+  private def betweennessSql: String =
+    s"""WITH RECURSIVE $CIRC_DIST_SIGMA,
+       |btw AS (SELECT sv.v AS id, SUM(sv.sig * vt.sig / st.sig) AS b
+       |  FROM csig sv
+       |  JOIN csig vt ON vt.s = sv.v
+       |  JOIN csig st ON st.s = sv.s AND st.v = vt.v
+       |  JOIN cdist d1 ON d1.s = sv.s AND d1.v = sv.v
+       |  JOIN cdist d2 ON d2.s = vt.s AND d2.v = vt.v
+       |  JOIN cdist d3 ON d3.s = st.s AND d3.v = st.v
+       |  WHERE sv.v <> sv.s AND sv.v <> vt.v AND sv.s <> vt.v
+       |    AND d1.d + d2.d = d3.d
+       |  GROUP BY 1)
+       |SELECT n_nationkey AS id, ROUND(COALESCE(b, 0), 5) AS betweenness
+       |FROM nation LEFT JOIN btw ON btw.id = n_nationkey""".stripMargin
+
+  private def closenessSql: String =
+    s"""WITH RECURSIVE $CIRC_DIST_SIGMA,
+       |agg AS (SELECT s, COUNT(*) AS r, SUM(d) AS total, SUM(1.0 / d) AS h
+       |  FROM cdist WHERE v <> s GROUP BY s)
+       |SELECT n_nationkey AS id,
+       |  ROUND(COALESCE((r * 1.0 / 24.0) * r / total, 0), 5) AS closeness,
+       |  ROUND(COALESCE(h, 0), 5) AS harmonic
+       |FROM nation LEFT JOIN agg ON agg.s = n_nationkey""".stripMargin
+
   private def pagerankTolSql(tol: Double, maxRounds: Int): String = {
     // every pr$k is referenced three times (next round, delta check, final
     // select) — MATERIALIZED stops DuckDB's CTE inlining from expanding the
@@ -1844,6 +1908,8 @@ object SparkEntry {
          |FROM nation LEFT JOIN b ON b.id = n_nationkey GROUP BY 1""".stripMargin,
     "g_pagerank" -> pagerankSql(10),
     "g_pagerank_tol" -> pagerankTolSql(0.001, 40),
+    "g_betweenness" -> betweennessSql,
+    "g_closeness" -> closenessSql,
     "g_reversed_undirected" ->
       s"""WITH e AS ($NE),
          |a AS (SELECT src AS id, count(*) AS c FROM e GROUP BY 1),

@@ -54,6 +54,8 @@ object GraftConnectDispatch {
     "kcore" -> Set("maxIter"),
     "hits" -> Set("maxIter"),
     "katz" -> Set("maxIter", "alpha", "beta"),
+    "betweenness" -> Set("sampleK", "normalized"),
+    "closeness" -> Set.empty[String],
     "maximal_independent_set" -> Set("maxIter", "hashMode"),
     "detecting_cycles" -> Set("maxIter"),
     "random_walks" -> Set("walkLength", "walksPerVertex", "restartProb",
@@ -434,6 +436,13 @@ object GraftConnectDispatch {
         dbl("alpha").foreach(kz.alpha)
         dbl("beta").foreach(kz.beta)
         kz.run()
+      case "betweenness" =>
+        val bc = g.betweenness
+        int("sampleK").foreach(bc.sampleSources)
+        typed("normalized", "a boolean") { case JBool(b) => b }
+          .foreach(bc.normalized)
+        bc.run()
+      case "closeness" => g.closeness.run()
       case "kcore" =>
         val kc = g.kCore
         int("maxIter").foreach(kc.maxIter)

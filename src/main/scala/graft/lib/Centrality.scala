@@ -1,0 +1,270 @@
+package graft.lib
+
+import scala.collection.mutable
+import scala.collection.mutable.ArrayBuffer
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.GraphFrame
+
+/**
+ * Shortest-path centralities (engine extensions; no reference counterpart
+ * — the natural companions of the reference's ShortestPaths/PageRank
+ * surface): Brandes betweenness and closeness/harmonic centrality, both
+ * over one shared multi-source BFS.
+ *
+ * '''Forward phase''' (shared): a multi-source BFS carrying per-(source,
+ * vertex) shortest-path counts. The frontier is rows `(s, id, sigma)`;
+ * each level is ONE join against the pinned edge table plus a hash
+ * aggregation on `(s, id)` (map-side combinable sigma sum) and an
+ * anti-join against the settled set. Level frames are lineage-cut and
+ * retained — the backward phase consumes them by level.
+ *
+ * '''Backward phase''' (betweenness only): Brandes' dependency
+ * accumulation processed by strictly descending level, so each round is
+ * again one join + one aggregation and the round count is the diameter —
+ * never per-path work. sigma/delta arithmetic stays inside whole-stage
+ * codegen.
+ *
+ * Scale: state is O(V x S) rows of fixed width where S is the source
+ * count — bound S with [[Betweenness.sampleSources]] (deterministic
+ * md5-ordered sample, scaled by n/k into the standard Brandes estimator).
+ * The edge table is deduplicated, narrowed to (src, dst) and persisted
+ * once; every level reuses it. Below
+ * `spark.graft.linkAnalysis.smallgraphthreshold` edges (default 100k, 0
+ * disables) the whole computation finishes in one bounded driver loop —
+ * the same tail pattern as [[Hits]]/[[Katz]]/ConnectedComponents; full
+ * threshold matrix in docs/THRESHOLDS.md.
+ *
+ * Semantics (both paths, identical by AlgorithmsSpec's local==distributed
+ * property): directed edges, parallel edges collapsed, self-loops
+ * naturally ignored by the shortest-path DAG restriction; sources are the
+ * vertex-table ids; unreachable pairs contribute nothing; vertices
+ * touching no edge score 0 / are filled in closed form by the join-back.
+ */
+private[graft] object MultiSourceBFS {
+  import GraphFrame.{SRC, DST}
+
+  /** One frame per BFS level: `(s, id, sigma: double)` where `id` is at
+   * distance `level` from source `s` and `sigma` counts the distinct
+   * shortest s→id paths. Level 0 is the sources themselves (sigma 1).
+   * Every frame is eagerly lineage-cut (localCheckpoint) — callers free
+   * them via [[IterationManager.release]] once consumed. */
+  def levels(edges: DataFrame, sources: DataFrame): ArrayBuffer[DataFrame] = {
+    val out = ArrayBuffer.empty[DataFrame]
+    out += sources.select(col("s"), col("s").as("id"), lit(1.0).as("sigma"))
+      .localCheckpoint(true)
+    var level = 0
+    var frontier = out.head
+    while (!frontier.isEmpty) {
+      level += 1
+      // candidates at this level: extend the frontier one hop, merge path
+      // counts per (s, id), then drop (s, id) pairs settled at a shorter
+      // distance. Aggregate BEFORE the anti-join: the agg shrinks the
+      // frame the anti-join has to shuffle.
+      val settled = out.map(_.select(col("s"), col("id"))).reduce(_ union _)
+      frontier = frontier.join(edges, frontier("id") === edges(SRC))
+        .groupBy(col("s"), col(DST).as("id"))
+        .agg(sum("sigma").as("sigma"))
+        .join(settled, Seq("s", "id"), "left_anti")
+        .localCheckpoint(true)
+      if (!frontier.isEmpty) out += frontier
+    }
+    out
+  }
+}
+
+/** Brandes betweenness centrality — see [[MultiSourceBFS]] for the
+ * execution design. Returns vertices + `betweenness: double`. */
+class Betweenness(g: GraphFrame) {
+  import GraphFrame.{ID, SRC, DST}
+
+  private var sampleKV: Int = 0 // 0 = exact (every vertex a source)
+  private var normalizedV: Boolean = false
+  private var smallGraphThresholdV: Long =
+    graft.GraftConf.linkAnalysisSmallGraphThreshold.getOrElse(100000L)
+
+  /** Estimate from k deterministic sources (md5-ordered — replayable, no
+   * RNG state) with the standard Brandes n/k scale-up; 0 = exact. */
+  def sampleSources(k: Int): this.type = {
+    require(k >= 0, "sampleSources k must be >= 0 (0 = exact)")
+    sampleKV = k; this
+  }
+  /** Divide by (n-1)(n-2) — the directed-graph pair count. */
+  def normalized(b: Boolean): this.type = { normalizedV = b; this }
+  /** Same bounded-driver-tail knob as [[Hits]]; docs/THRESHOLDS.md. */
+  def setSmallGraphThreshold(n: Long): this.type = { smallGraphThresholdV = n; this }
+
+  def run(): DataFrame = {
+    val e = g.edges.select(col(SRC), col(DST)).distinct().persist()
+    val n = g.vertices.count()
+    val scale = if (sampleKV > 0 && sampleKV < n) n.toDouble / sampleKV else 1.0
+    val norm = if (normalizedV && n > 2) 1.0 / ((n - 1.0) * (n - 2.0)) else 1.0
+    if (smallGraphThresholdV > 0 && e.count() <= smallGraphThresholdV) {
+      val r = runLocal(e, scale * norm)
+      e.unpersist(false)
+      return r
+    }
+
+    val sources = sampledSources()
+    val levels = MultiSourceBFS.levels(e, sources)
+    val maxLevel = levels.size - 1
+
+    // Backward: delta(s,v) = sigma_v * SUM_{w in DAG-succ(v)} (1+delta_w)/sigma_w,
+    // descending by level; the inner join with the level-l frame enforces
+    // dist(s,v) = l, i.e. only shortest-path-DAG predecessors collect.
+    val cut = ArrayBuffer.empty[DataFrame] // checkpointed delta frames to free
+    val deltas = ArrayBuffer.empty[DataFrame]
+    var deltaNext = levels(maxLevel).withColumn("delta", lit(0.0))
+    for (l <- (maxLevel - 1) to 0 by -1) {
+      val contrib = deltaNext
+        .join(e, deltaNext("id") === e(DST))
+        .select(col("s"), col(SRC).as("id"),
+          ((lit(1.0) + col("delta")) / col("sigma")).as("part"))
+        .groupBy("s", "id").agg(sum("part").as("part"))
+      deltaNext = levels(l).join(contrib, Seq("s", "id"), "left")
+        .select(col("s"), col("id"), col("sigma"),
+          (col("sigma") * coalesce(col("part"), lit(0.0))).as("delta"))
+        .localCheckpoint(true)
+      cut += deltaNext
+      if (l > 0) deltas += deltaNext // level 0 is the source itself: no credit
+    }
+
+    val result =
+      if (deltas.isEmpty)
+        g.vertices.withColumn("betweenness", lit(0.0)).localCheckpoint(true)
+      else {
+        val btw = deltas.map(_.select(col("id"), col("delta"))).reduce(_ union _)
+          .groupBy(col("id")).agg(sum("delta").as("_b"))
+          .withColumnRenamed("id", "_c_id")
+        g.vertices.join(btw, col(ID) === col("_c_id"), "left_outer")
+          .select(g.vertices.columns.map(c => g.vertices(GraphFrame.quoteName(c))) :+
+            (coalesce(col("_b"), lit(0.0)) * lit(scale * norm)).as("betweenness"): _*)
+          .localCheckpoint(true)
+      }
+    (levels ++ cut).foreach(IterationManager.release)
+    e.unpersist(false)
+    result
+  }
+
+  /** md5-ordered deterministic source sample as a `(s)` frame. */
+  private def sampledSources(): DataFrame = {
+    val all = g.vertices.select(col(ID).as("s"))
+    if (sampleKV <= 0) all
+    else all.orderBy(md5(col("s").cast("string")), col("s")).limit(sampleKV)
+  }
+
+  private def runLocal(e: DataFrame, factor: Double): DataFrame = {
+    val (edges, _) = LocalLinkAnalysis.collectGraph(e, g)
+    val allSources = g.vertices.select(col(ID)).collect().map(_.get(0))
+      .sortBy(String.valueOf(_))
+    val sources: Array[Any] =
+      if (sampleKV > 0 && sampleKV < allSources.length)
+        allSources.sortBy(v => (md5Hex(String.valueOf(v)), String.valueOf(v)))
+          .take(sampleKV)
+      else allSources
+    val adj = edges.groupBy(_._1).map { case (s, es) =>
+      (s, es.map(_._2).distinct.sortBy(String.valueOf(_)))
+    }
+    val btw = mutable.HashMap.empty[Any, Double]
+    for (s <- sources) {
+      // Brandes 2001: forward BFS stack + sigma, backward accumulation
+      val dist = mutable.HashMap[Any, Int](s -> 0)
+      val sigma = mutable.HashMap[Any, Double](s -> 1.0)
+      val order = ArrayBuffer[Any](s)
+      val queue = mutable.Queue[Any](s)
+      while (queue.nonEmpty) {
+        val v = queue.dequeue()
+        for (w <- adj.getOrElse(v, Array.empty[Any])) {
+          if (!dist.contains(w)) {
+            dist(w) = dist(v) + 1; sigma(w) = 0.0
+            order += w; queue.enqueue(w)
+          }
+          if (dist(w) == dist(v) + 1) sigma(w) = sigma(w) + sigma(v)
+        }
+      }
+      val delta = mutable.HashMap.empty[Any, Double]
+      for (v <- order.reverseIterator) {
+        for (w <- adj.getOrElse(v, Array.empty[Any]) if dist.get(w).contains(dist(v) + 1))
+          delta(v) = delta.getOrElse(v, 0.0) +
+            sigma(v) / sigma(w) * (1.0 + delta.getOrElse(w, 0.0))
+        if (v != s) btw(v) = btw.getOrElse(v, 0.0) + delta.getOrElse(v, 0.0)
+      }
+    }
+    LocalLinkAnalysis.joinBack(g, btw.keys.toArray.sortBy(String.valueOf(_)),
+      Seq(("betweenness", (v: Any) => btw(v) * factor, 0.0)))
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+}
+
+/** Closeness centrality (Wasserman–Faust reachability-corrected) plus
+ * harmonic centrality, over outgoing distances — see [[MultiSourceBFS]].
+ * Returns vertices + `closeness: double`, `harmonic: double`;
+ * zero-out-reach vertices score 0 on both. */
+class Closeness(g: GraphFrame) {
+  import GraphFrame.{ID, SRC, DST}
+
+  private var smallGraphThresholdV: Long =
+    graft.GraftConf.linkAnalysisSmallGraphThreshold.getOrElse(100000L)
+  /** Same bounded-driver-tail knob as [[Hits]]; docs/THRESHOLDS.md. */
+  def setSmallGraphThreshold(n: Long): this.type = { smallGraphThresholdV = n; this }
+
+  def run(): DataFrame = {
+    val e = g.edges.select(col(SRC), col(DST)).distinct().persist()
+    val n = g.vertices.count()
+    if (smallGraphThresholdV > 0 && e.count() <= smallGraphThresholdV) {
+      val r = runLocal(e, n)
+      e.unpersist(false)
+      return r
+    }
+    val levels = MultiSourceBFS.levels(e, g.vertices.select(col(ID).as("s")))
+    // per source: reachable count r (v != s), total distance, harmonic sum
+    // — one union + one aggregation over the level frames
+    val settled = levels.zipWithIndex.map { case (lf, d) =>
+      lf.select(col("s"), lit(d).as("d"))
+    }.reduce(_ union _).filter(col("d") > 0)
+    val agg = settled.groupBy("s").agg(
+      count(lit(1)).as("r"), sum("d").as("total"), sum(lit(1.0) / col("d")).as("h"))
+    val result = g.vertices.join(agg, col(ID) === col("s"), "left_outer")
+      .select(g.vertices.columns.map(c => g.vertices(GraphFrame.quoteName(c))) :+
+        coalesce(col("r") / lit(math.max(n - 1.0, 1.0)) * col("r") / col("total"),
+          lit(0.0)).as("closeness") :+
+        coalesce(col("h"), lit(0.0)).as("harmonic"): _*)
+      .localCheckpoint(true)
+    levels.foreach(IterationManager.release)
+    e.unpersist(false)
+    result
+  }
+
+  private def runLocal(e: DataFrame, n: Long): DataFrame = {
+    val (edges, _) = LocalLinkAnalysis.collectGraph(e, g)
+    val sources = g.vertices.select(col(ID)).collect().map(_.get(0))
+      .sortBy(String.valueOf(_))
+    val adj = edges.groupBy(_._1).map { case (s, es) =>
+      (s, es.map(_._2).distinct.sortBy(String.valueOf(_)))
+    }
+    val clo = mutable.HashMap.empty[Any, Double]
+    val har = mutable.HashMap.empty[Any, Double]
+    for (s <- sources) {
+      val dist = mutable.HashMap[Any, Int](s -> 0)
+      val queue = mutable.Queue[Any](s)
+      while (queue.nonEmpty) {
+        val v = queue.dequeue()
+        for (w <- adj.getOrElse(v, Array.empty[Any]) if !dist.contains(w)) {
+          dist(w) = dist(v) + 1; queue.enqueue(w)
+        }
+      }
+      val ds = dist.collect { case (v, d) if v != s => d }
+      if (ds.nonEmpty) {
+        val r = ds.size.toDouble
+        clo(s) = r / math.max(n - 1.0, 1.0) * r / ds.sum
+        har(s) = ds.toSeq.sorted.map(1.0 / _).sum
+      }
+    }
+    LocalLinkAnalysis.joinBack(g, sources,
+      Seq(("closeness", (v: Any) => clo.getOrElse(v, 0.0), 0.0),
+        ("harmonic", (v: Any) => har.getOrElse(v, 0.0), 0.0)))
+  }
+}

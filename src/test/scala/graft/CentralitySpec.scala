@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class CentralitySpec extends TestBase {
+  import spark.implicits._
+
+  /** a->b, a->c, b->d, c->d — two equal shortest a~>d paths (sigma = 2). */
+  private def diamond: GraphFrame = {
+    val v = Seq("a", "b", "c", "d").toDF("id")
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")).toDF("src", "dst")
+    GraphFrame(v, e)
+  }
+
+  private def btwMap(g: GraphFrame, threshold: Long): Map[Any, Double] =
+    g.betweenness.setSmallGraphThreshold(threshold).run()
+      .select("id", "betweenness").collect()
+      .map(r => (r.get(0), r.getDouble(1))).toMap
+
+  test("betweenness: directed path — interior vertices carry the pairs") {
+    // 0->1->2->3: b(1) counts (0,2),(0,3) = 2; b(2) counts (0,3),(1,3) = 2
+    val m = btwMap(chain(4), threshold = 100)
+    assert(m(0L) == 0.0 && m(3L) == 0.0)
+    assert(m(1L) == 2.0 && m(2L) == 2.0)
+  }
+
+  test("betweenness: diamond splits credit across equal shortest paths") {
+    val m = btwMap(diamond, threshold = 100)
+    assert(m("a") == 0.0 && m("d") == 0.0)
+    assert(math.abs(m("b") - 0.5) < 1e-12 && math.abs(m("c") - 0.5) < 1e-12)
+  }
+
+  test("betweenness: local tail == distributed supersteps (and isolated score 0)") {
+    val g = friends // string ids, isolated vertex g, a 4-cycle a->e->d->a
+    val local = btwMap(g, threshold = 100000)
+    val dist = btwMap(g, threshold = 0)
+    assert(local.keySet == dist.keySet)
+    for ((k, v) <- local) assert(math.abs(v - dist(k)) < 1e-9, s"vertex $k")
+    assert(local("g") == 0.0)
+  }
+
+  test("betweenness: normalization and star graph") {
+    // star 0->1,2,3: no vertex is interior; normalized stays all-zero
+    val m = btwMap(star(3), 100)
+    assert(m.values.forall(_ == 0.0))
+    val norm = chain(3).betweenness.normalized(true).run()
+      .select("id", "betweenness").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // raw b(1)=1 (pair 0~>2), n=3 => normalized 1/((3-1)(3-2)) = 0.5
+    assert(math.abs(norm(1L) - 0.5) < 1e-12)
+  }
+
+  test("betweenness: sampled sources are deterministic and scaled") {
+    val g = chain(5)
+    val s1 = g.betweenness.sampleSources(2).setSmallGraphThreshold(100).run()
+      .select("id", "betweenness").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val s2 = g.betweenness.sampleSources(2).setSmallGraphThreshold(100).run()
+      .select("id", "betweenness").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(s1 == s2) // md5-ordered sample: replayable, no RNG state
+    // sampled estimator == local exact when the sample covers all sources
+    val exact = btwMap(g, 100)
+    val all = g.betweenness.sampleSources(5).setSmallGraphThreshold(100).run()
+      .select("id", "betweenness").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    for ((k, v) <- exact) assert(math.abs(v - all(k.asInstanceOf[Long])) < 1e-9)
+  }
+
+  test("closeness: path graph Wasserman-Faust + harmonic, hand-checked") {
+    // 0->1->2->3 out-distances from 0: 1,2,3 => WF (3/3)*(3/6)=0.5;
+    // harmonic 1 + 1/2 + 1/3
+    val m = chain(4).closeness.setSmallGraphThreshold(100).run()
+      .select("id", "closeness", "harmonic").collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    assert(math.abs(m(0L)._1 - 0.5) < 1e-12)
+    assert(math.abs(m(0L)._2 - (1.0 + 0.5 + 1.0 / 3)) < 1e-12)
+    // 3 reaches nothing: both scores 0 (not NaN/null)
+    assert(m(3L) == ((0.0, 0.0)))
+    // 2 reaches only 3: WF (1/3)*(1/1) = 1/3
+    assert(math.abs(m(2L)._1 - 1.0 / 3) < 1e-12)
+  }
+
+  test("closeness: local tail == distributed supersteps") {
+    val local = friends.closeness.setSmallGraphThreshold(100000).run()
+      .select("id", "closeness", "harmonic").collect()
+      .map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    val dist = friends.closeness.setSmallGraphThreshold(0).run()
+      .select("id", "closeness", "harmonic").collect()
+      .map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    assert(local.keySet == dist.keySet)
+    for ((k, (c, h)) <- local) {
+      assert(math.abs(c - dist(k)._1) < 1e-9, s"closeness $k")
+      assert(math.abs(h - dist(k)._2) < 1e-9, s"harmonic $k")
+    }
+    assert(local("g") == ((0.0, 0.0))) // isolated
+  }
+
+  test("centrality: parallel edges collapse, self-loops are inert") {
+    val v = Seq(0L, 1L, 2L).toDF("id")
+    val e = Seq((0L, 1L), (0L, 1L), (1L, 1L), (1L, 2L)).toDF("src", "dst")
+    val g = GraphFrame(v, e)
+    for (t <- Seq(0L, 100L)) {
+      val m = btwMap(g, t)
+      assert(m(1L) == 1.0, s"threshold $t") // only pair (0,2); sigma stays 1
+    }
+  }
+}

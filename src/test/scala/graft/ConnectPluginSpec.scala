@@ -125,6 +125,19 @@ class ConnectPluginSpec extends TestBase {
     assert(fe.count() == 2)
   }
 
+  test("dispatch covers betweenness and closeness") {
+    // path 0->1->2->3: interior betweenness 2; closeness(0) = 0.5
+    val v = spark.sql("SELECT * FROM VALUES (0L),(1L),(2L),(3L) AS t(id)")
+    val e = spark.sql("SELECT * FROM VALUES (0L,1L),(1L,2L),(2L,3L) AS t(src, dst)")
+    val b = GraftConnectDispatch.run(Some(v), e, "betweenness",
+      """{"normalized": false}""")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(b(1L) == 2.0 && b(0L) == 0.0)
+    val c = GraftConnectDispatch.run(Some(v), e, "closeness", "{}")
+    assert(c.columns.toSet == Set("id", "closeness", "harmonic"))
+    assert(c.filter("id = 0").head().getDouble(1) == 0.5)
+  }
+
   test("dispatch covers aggregate_neighbors path mode (accumulators over the wire)") {
     // diamond 0 -> {1,2} -> 3: two paths, costs 2.0 and 6.0
     val v = spark.sql("SELECT * FROM VALUES (0L),(1L),(2L),(3L) AS t(id)")

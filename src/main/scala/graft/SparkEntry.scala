@@ -939,6 +939,19 @@ object SparkEntry {
       q.processAllAvailable(); q.stop()
       s.table("graft_stream_segdedup")
         .select(col("doc_id"), col("pos"), col("segment"), col("kept"))
+    }),
+    "e_stream_join" -> ((s, dir) => {
+      // stream-stream interval join: purchases within 30 min of a click by
+      // the same user; inner join output is watermark-independent, so the
+      // finite replay equals the batch join the oracle states
+      val stream = streaming.EventStreams.intervalJoinStream(
+        streaming.EventStreams.readEvents(s, dir), "click", "purchase")
+      val q = stream.writeStream.format("memory").queryName("graft_stream_join")
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      s.table("graft_stream_join")
+        .select(col("left_id").as("click_id"), col("right_id").as("purchase_id"),
+          col("user_id"), col("lag_ms"))
     })
   )
 
@@ -2397,6 +2410,12 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "e_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "e_stream_join" ->
+      """SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
+        |  epoch_ms(b.ts) - epoch_ms(a.ts) AS lag_ms
+        |FROM events a JOIN events b ON b.user_id = a.user_id
+        |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        |  AND epoch_ms(b.ts) - epoch_ms(a.ts) BETWEEN 0 AND 1800000""".stripMargin,
     "e_stream_segment_dedup" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |seg AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,

@@ -55,6 +55,35 @@ object EventStreams {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /**
+   * Stream-stream interval join (attribution): every `rightType` event by
+   * the same user within `[0, windowMinutes]` AFTER each `leftType` event
+   * — e.g. purchases within 30 minutes of a click. Both sides carry
+   * watermarks and the join condition is a direct event-time range, so
+   * Spark derives a state watermark for BOTH join buffers: state is
+   * bounded by (watermark horizon + interval) x per-user rate, never by
+   * stream length. Returns `(left_id, right_id, user_id, lag_ms)`;
+   * `lag_ms` compares millisecond-floored event times, so the boundary
+   * rule is exact under any source timestamp precision.
+   */
+  def intervalJoinStream(events: DataFrame, leftType: String,
+      rightType: String, windowMinutes: Int = 30,
+      watermark: String = "2 hours", tsCol: String = "ts_utc"): DataFrame = {
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("event_id").as("left_id"), col("user_id"),
+        col(tsCol).as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val r = events.filter(col("event_type") === rightType)
+      .select(col("event_id").as("right_id"), col("user_id").as("r_user"),
+        col(tsCol).as("r_ts"))
+      .withWatermark("r_ts", watermark)
+    l.join(r, col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("left_id"), col("right_id"), col("user_id"),
+        (unix_millis(col("r_ts")) - unix_millis(col("l_ts"))).as("lag_ms"))
+  }
+
   case class SegOut(doc_id: Long, pos: Int, segment: String, kept: Boolean)
 
   /**

@@ -152,6 +152,10 @@ class GraphFrameMethods:
     def kCore(self, maxIter: Optional[int] = None):
         return self._call("kcore", maxIter=maxIter)
 
+    def kTruss(self, k: Optional[int] = None, maxIter: Optional[int] = None):
+        """K-truss decomposition (engine extension)."""
+        return self._call("ktruss", k=k, maxIter=maxIter)
+
     def maximalIndependentSet(self, maxIter: Optional[int] = None,
                               hashMode: Optional[str] = None):
         return self._call("maximal_independent_set", maxIter=maxIter,

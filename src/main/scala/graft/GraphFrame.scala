@@ -334,6 +334,8 @@ class GraphFrame private (
   def shortestPaths: lib.ShortestPaths = new lib.ShortestPaths(this)
   def triangleCount: lib.TriangleCount = new lib.TriangleCount(this)
   def kCore: lib.KCore = new lib.KCore(this)
+  /** K-truss decomposition (engine extension). */
+  def kTruss: lib.KTruss = new lib.KTruss(this)
   /** HITS hubs/authorities (this engine's extension; no reference
    * counterpart). */
   def hits: lib.Hits = new lib.Hits(this)

@@ -315,6 +315,11 @@ object SparkEntry {
       circulantGraph(s, dir).closeness.run()
         .select(col(ID), round(col("closeness"), 5).as("closeness"),
           round(col("harmonic"), 5).as("harmonic"))),
+    "g_ktruss" -> ((s, dir) =>
+      // k=12 exercises the full cascade at sf0.001 (support-9 shell drops,
+      // undercutting the 10-clique -> empty) and the stable complete-graph
+      // truss at sf0.01; the oracle unrolls the peeling rounds
+      graphB(s, dir).kTruss.setK(12).run()),
     "g_triangle_count" -> ((s, dir) =>
       graphB(s, dir).triangleCount.run()
         .select(col(ID), col("count").as("tri_count"))),
@@ -1113,6 +1118,29 @@ object SparkEntry {
        |  ROUND(COALESCE((r * 1.0 / 24.0) * r / total, 0), 5) AS closeness,
        |  ROUND(COALESCE(h, 0), 5) AS harmonic
        |FROM nation LEFT JOIN agg ON agg.s = n_nationkey""".stripMargin
+
+  /** Unrolled k-truss peeling: per round, per-edge triangle support via
+   * the doubled edge list self-join, then drop edges under k-2;
+   * `rounds` must cover the cascade depth (engine iterates to fixpoint). */
+  private def ktrussSql(k: Int, rounds: Int): String = {
+    val steps = (0 until rounds).map { i =>
+      s"""u$i AS (SELECT src AS a, dst AS b FROM e$i
+         |  UNION ALL SELECT dst, src FROM e$i),
+         |s$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst, COUNT(*) AS sup FROM e$i e
+         |  JOIN u$i x ON x.a = e.src
+         |  JOIN u$i y ON y.a = e.dst AND y.b = x.b
+         |  GROUP BY 1, 2),
+         |e${i + 1} AS MATERIALIZED (
+         |  SELECT src, dst FROM s$i WHERE sup >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ne AS ($NE),
+       |e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS src,
+       |  GREATEST(src, dst) AS dst FROM ne),
+       |$steps
+       |SELECT src, dst, sup AS support FROM s${rounds - 1}
+       |WHERE sup >= ${k - 2}""".stripMargin
+  }
 
   private def pagerankTolSql(tol: Double, maxRounds: Int): String = {
     // every pr$k is referenced three times (next round, delta check, final
@@ -1923,6 +1951,7 @@ object SparkEntry {
     "g_pagerank_tol" -> pagerankTolSql(0.001, 40),
     "g_betweenness" -> betweennessSql,
     "g_closeness" -> closenessSql,
+    "g_ktruss" -> ktrussSql(12, 6),
     "g_reversed_undirected" ->
       s"""WITH e AS ($NE),
          |a AS (SELECT src AS id, count(*) AS c FROM e GROUP BY 1),

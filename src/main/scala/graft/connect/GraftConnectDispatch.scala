@@ -56,6 +56,7 @@ object GraftConnectDispatch {
     "katz" -> Set("maxIter", "alpha", "beta"),
     "betweenness" -> Set("sampleK", "normalized"),
     "closeness" -> Set.empty[String],
+    "ktruss" -> Set("k", "maxIter"),
     "maximal_independent_set" -> Set("maxIter", "hashMode"),
     "detecting_cycles" -> Set("maxIter"),
     "random_walks" -> Set("walkLength", "walksPerVertex", "restartProb",
@@ -443,6 +444,11 @@ object GraftConnectDispatch {
           .foreach(bc.normalized)
         bc.run()
       case "closeness" => g.closeness.run()
+      case "ktruss" =>
+        val kt = g.kTruss
+        int("k").foreach(kt.setK)
+        int("maxIter").foreach(kt.maxIter)
+        kt.run()
       case "kcore" =>
         val kc = g.kCore
         int("maxIter").foreach(kc.maxIter)

@@ -156,6 +156,12 @@ class GraphFrameMethods:
         """K-truss decomposition (engine extension)."""
         return self._call("ktruss", k=k, maxIter=maxIter)
 
+    def neighborhoodFunction(self, maxIter: Optional[int] = None,
+                             lgNomEntries: Optional[int] = None):
+        """ANF/HyperANF neighborhood function (engine extension)."""
+        return self._call("neighborhood_function", maxIter=maxIter,
+                          lgNomEntries=lgNomEntries)
+
     def maximalIndependentSet(self, maxIter: Optional[int] = None,
                               hashMode: Optional[str] = None):
         return self._call("maximal_independent_set", maxIter=maxIter,

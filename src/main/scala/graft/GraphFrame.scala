@@ -336,6 +336,10 @@ class GraphFrame private (
   def kCore: lib.KCore = new lib.KCore(this)
   /** K-truss decomposition (engine extension). */
   def kTruss: lib.KTruss = new lib.KTruss(this)
+  /** ANF/HyperANF neighborhood function + effective diameter (engine
+   * extension). */
+  def neighborhoodFunction: lib.NeighborhoodFunction =
+    new lib.NeighborhoodFunction(this)
   /** HITS hubs/authorities (this engine's extension; no reference
    * counterpart). */
   def hits: lib.Hits = new lib.Hits(this)

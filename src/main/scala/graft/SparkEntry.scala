@@ -320,6 +320,11 @@ object SparkEntry {
       // undercutting the 10-clique -> empty) and the stable complete-graph
       // truss at sf0.01; the oracle unrolls the peeling rounds
       graphB(s, dir).kTruss.setK(12).run()),
+    "g_neighborhood" -> ((s, dir) =>
+      // ANF: 25-vertex balls stay far below the 2^12 nominal entries, so
+      // the sketch estimates are exact and the recursive-CTE pair counts
+      // oracle applies (same contract as g_triangle_approx)
+      circulantGraph(s, dir).neighborhoodFunction.run()),
     "g_triangle_count" -> ((s, dir) =>
       graphB(s, dir).triangleCount.run()
         .select(col(ID), col("count").as("tri_count"))),
@@ -1952,6 +1957,12 @@ object SparkEntry {
     "g_betweenness" -> betweennessSql,
     "g_closeness" -> closenessSql,
     "g_ktruss" -> ktrussSql(12, 6),
+    "g_neighborhood" ->
+      s"""WITH RECURSIVE $CIRC_DIST_SIGMA,
+         |ds AS (SELECT DISTINCT d FROM cdist),
+         |nf AS (SELECT ds.d, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |  FROM ds JOIN cdist c ON c.d <= ds.d GROUP BY ds.d)
+         |SELECT CAST(d AS INT) AS d, n_pairs FROM nf""".stripMargin,
     "g_reversed_undirected" ->
       s"""WITH e AS ($NE),
          |a AS (SELECT src AS id, count(*) AS c FROM e GROUP BY 1),

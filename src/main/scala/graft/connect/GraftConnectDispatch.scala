@@ -57,6 +57,7 @@ object GraftConnectDispatch {
     "betweenness" -> Set("sampleK", "normalized"),
     "closeness" -> Set.empty[String],
     "ktruss" -> Set("k", "maxIter"),
+    "neighborhood_function" -> Set("maxIter", "lgNomEntries"),
     "maximal_independent_set" -> Set("maxIter", "hashMode"),
     "detecting_cycles" -> Set("maxIter"),
     "random_walks" -> Set("walkLength", "walksPerVertex", "restartProb",
@@ -449,6 +450,11 @@ object GraftConnectDispatch {
         int("k").foreach(kt.setK)
         int("maxIter").foreach(kt.maxIter)
         kt.run()
+      case "neighborhood_function" =>
+        val nfn = g.neighborhoodFunction
+        int("maxIter").foreach(nfn.maxIter)
+        int("lgNomEntries").foreach(nfn.setLgNomEntries)
+        nfn.run()
       case "kcore" =>
         val kc = g.kCore
         int("maxIter").foreach(kc.maxIter)

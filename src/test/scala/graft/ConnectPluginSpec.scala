@@ -138,6 +138,19 @@ class ConnectPluginSpec extends TestBase {
     assert(c.filter("id = 0").head().getDouble(1) == 0.5)
   }
 
+  test("dispatch covers ktruss and neighborhood_function") {
+    // K4: every edge closes 2 triangles -> 4-truss keeps all 6 edges
+    val v = spark.sql("SELECT * FROM VALUES (0L),(1L),(2L),(3L) AS t(id)")
+    val e = spark.sql("""SELECT * FROM VALUES (0L,1L),(0L,2L),(0L,3L),
+      (1L,2L),(1L,3L),(2L,3L) AS t(src, dst)""")
+    val t = GraftConnectDispatch.run(Some(v), e, "ktruss", """{"k": 4}""")
+    assert(t.count() == 6 && t.columns.contains("support"))
+    val n = GraftConnectDispatch.run(Some(v), e, "neighborhood_function",
+      """{"lgNomEntries": 10}""")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(n == Map(0 -> 4L, 1 -> 10L)) // transitive tournament: d=1 saturates
+  }
+
   test("dispatch covers aggregate_neighbors path mode (accumulators over the wire)") {
     // diamond 0 -> {1,2} -> 3: two paths, costs 2.0 and 6.0
     val v = spark.sql("SELECT * FROM VALUES (0L),(1L),(2L),(3L) AS t(id)")

@@ -174,10 +174,15 @@ class GraphFrameMethods:
                     walksPerVertex: Optional[int] = None,
                     restartProb: Optional[float] = None,
                     seed: Optional[int] = None,
-                    hashMode: Optional[str] = None):
+                    hashMode: Optional[str] = None,
+                    returnParam: Optional[float] = None,
+                    inOutParam: Optional[float] = None):
+        """Random walks; set returnParam/inOutParam (node2vec p/q) for
+        second-order biased walks."""
         return self._call("random_walks", walkLength=walkLength,
                           walksPerVertex=walksPerVertex,
-                          restartProb=restartProb, seed=seed, hashMode=hashMode)
+                          restartProb=restartProb, seed=seed, hashMode=hashMode,
+                          returnParam=returnParam, inOutParam=inOutParam)
 
     def powerIterationClustering(self, k: int, maxIter: Optional[int] = None,
                                  weightCol: Optional[str] = None,

@@ -493,6 +493,13 @@ object SparkEntry {
         .select(col("walk_id"),
           array_join(col("random_walk").cast("array<string>"), ",")
             .as("random_walk"))),
+    "g_node2vec" -> ((s, dir) => // biased second-order walks; power-of-two
+      // p/q make the threshold-scan prefix sums dyadic-exact in SQL
+      graphB(s, dir).randomWalks.setWalkLength(3).setWalksPerVertex(2)
+        .setHashMode("md5").setReturnParam(0.5).setInOutParam(4.0).run()
+        .select(col("walk_id"),
+          array_join(col("random_walk").cast("array<string>"), ",")
+            .as("random_walk"))),
     "p_bipartite_projection" -> ((s, dir) =>
       suppliesGraph(s, dir).bipartiteProjection("supplies")),
     "p_bipartite_capped" -> ((s, dir) =>
@@ -1123,6 +1130,52 @@ object SparkEntry {
        |  ROUND(COALESCE((r * 1.0 / 24.0) * r / total, 0), 5) AS closeness,
        |  ROUND(COALESCE(h, 0), 5) AS harmonic
        |FROM nation LEFT JOIN agg ON agg.s = n_nationkey""".stripMargin
+
+  /** node2vec walks, unrolled (md5 mode, restart 0): the same md5-ordered
+   * neighbor lists as [[randomWalksSql]], but the pick is a cumulative
+   * threshold scan over prev-distance weights (1/p return, 1 adjacent,
+   * 1/q otherwise, uniform when prev is NULL). p/q are powers of two so
+   * every prefix sum is a dyadic rational — exact in both engines
+   * regardless of summation order. */
+  private def node2vecSql(steps: Int, walksPerVertex: Int, seed: Long,
+      p: Double, q: Double): String = {
+    val stepCtes = (1 to steps).map { k =>
+      val h = duckHex4(s"md5(s.walk_id || '|$k|${seed + 1}')")
+      s"""s$k AS MATERIALIZED (
+         |  SELECT walk_id, nxt AS cur,
+         |    CASE WHEN nxt IS NULL THEN path
+         |         ELSE list_append(path, CAST(nxt AS VARCHAR)) END AS path,
+         |    CASE WHEN nxt IS NULL THEN NULL ELSE oldcur END AS prev
+         |  FROM (
+         |    SELECT walk_id, path, oldcur,
+         |      CASE WHEN nbrs IS NULL OR len(nbrs) = 0 THEN NULL
+         |           ELSE nbrs[LEAST(len(list_filter(
+         |             [list_sum(w[1:i]) for i in range(1, len(w) + 1)],
+         |             y -> y <= (h16 / 65536.0) * list_sum(w))) + 1, len(nbrs))]
+         |      END AS nxt
+         |    FROM (
+         |      SELECT s.walk_id, s.path, s.cur AS oldcur, nb.nbrs,
+         |        ($h) AS h16,
+         |        list_transform(nb.nbrs, x -> CASE
+         |          WHEN s.prev IS NULL THEN 1.0
+         |          WHEN x = s.prev THEN ${1.0 / p}
+         |          WHEN list_contains(pnb.nbrs, x) THEN 1.0
+         |          ELSE ${1.0 / q} END) AS w
+         |      FROM s${k - 1} s
+         |      LEFT JOIN nb ON nb.src = s.cur
+         |      LEFT JOIN nb pnb ON pnb.src = s.prev)))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED ($NE),
+       |nb AS MATERIALIZED (SELECT src, list(dst
+       |    ORDER BY substr(md5(CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR) || '|$seed'), 1, 15), dst) AS nbrs
+       |  FROM e GROUP BY src),
+       |s0 AS MATERIALIZED (SELECT CAST(n_nationkey AS VARCHAR) || '#' || CAST(t.k AS VARCHAR) AS walk_id,
+       |    n_nationkey AS cur, [CAST(n_nationkey AS VARCHAR)] AS path,
+       |    CAST(NULL AS INTEGER) AS prev
+       |  FROM nation, range(0, $walksPerVertex) t(k)),
+       |$stepCtes
+       |SELECT walk_id, array_to_string(path, ',') AS random_walk FROM s$steps""".stripMargin
+  }
 
   /** Unrolled k-truss peeling: per round, per-edge triangle support via
    * the doubled edge list self-join, then drop edges under k-2;
@@ -1998,6 +2051,7 @@ object SparkEntry {
     "g_kcore" -> kcoreSql(12),
     "g_mis" -> misSql(8, 42L),
     "g_random_walks" -> randomWalksSql(4, 2, 42L),
+    "g_node2vec" -> node2vecSql(3, 2, 42L, 0.5, 4.0),
     "g_hash_embeddings" ->
       "SELECT CAST(n_nationkey AS VARCHAR) AS id, CAST(8 AS INT) AS dim FROM nation",
     "g_hash2vec" ->

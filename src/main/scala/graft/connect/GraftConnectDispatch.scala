@@ -61,7 +61,7 @@ object GraftConnectDispatch {
     "maximal_independent_set" -> Set("maxIter", "hashMode"),
     "detecting_cycles" -> Set("maxIter"),
     "random_walks" -> Set("walkLength", "walksPerVertex", "restartProb",
-      "seed", "hashMode"),
+      "seed", "hashMode", "returnParam", "inOutParam"),
     "power_iteration_clustering" -> Set("k", "maxIter", "weightCol", "initMode"),
     "svd_plus_plus" -> Set("rank", "maxIter", "minValue", "maxValue"),
     "rw_embeddings" -> Set("dim", "walkLength", "walksPerVertex", "seed",
@@ -473,6 +473,8 @@ object GraftConnectDispatch {
         int("walkLength").foreach(rw.setWalkLength)
         int("walksPerVertex").foreach(rw.setWalksPerVertex)
         dbl("restartProb").foreach(rw.setRestartProbability)
+        dbl("returnParam").foreach(rw.setReturnParam)
+        dbl("inOutParam").foreach(rw.setInOutParam)
         params.get("seed").foreach { v =>
           rw.setSeed(v match {
             case JInt(i) => i.toLong

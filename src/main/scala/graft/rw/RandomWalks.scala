@@ -36,11 +36,30 @@ class RandomWalks(g: GraphFrame) {
   private var runIdV: String = java.util.UUID.randomUUID().toString
   private var startBatchV: Int = 1
 
+  private var returnParamV: Double = 1.0
+  private var inOutParamV: Double = 1.0
+
   def setWalkLength(n: Int): this.type = { walkLength = n; this }
   def setWalksPerVertex(n: Int): this.type = { walksPerVertex = n; this }
   def setRestartProbability(p: Double): this.type = { restartProb = p; this }
   def setMaxNeighborsPerVertex(n: Int): this.type = { maxNeighbors = n; this }
   def setSeed(s: Long): this.type = { seedV = s; this }
+
+  // --- node2vec bias (Grover & Leskovec, KDD'16 §3.2) -----------------
+  /** node2vec return parameter p: candidate == previous vertex weighs
+   * 1/p. Defaults 1.0 (with `q`) = exactly the unbiased walk — the
+   * unbiased path (single join per step) is kept when both are 1. Picks
+   * stay deterministic: the threshold draw is hash-derived, and with
+   * power-of-two p/q every prefix sum is a dyadic rational, so an
+   * external SQL replay is bit-exact. */
+  def setReturnParam(p: Double): this.type = {
+    require(p > 0, s"returnParam must be > 0: $p"); returnParamV = p; this
+  }
+  /** node2vec in-out parameter q: candidates NOT adjacent to the previous
+   * vertex weigh 1/q (adjacent ones weigh 1). See [[setReturnParam]]. */
+  def setInOutParam(q: Double): this.type = {
+    require(q > 0, s"inOutParam must be > 0: $q"); inOutParamV = q; this
+  }
 
   // --- batched, resumable execution (reference RandomWalkBase.scala:28-417:
   // per-batch state persisted as parquet under a run-scoped prefix, so a
@@ -123,43 +142,91 @@ class RandomWalks(g: GraphFrame) {
       "setStartingFromBatch needs setTemporaryPrefix (state is read from its batches)")
 
     val mgr = IterationManager.withReliableDir(g.spark, None)
-    // state: (walk_id, origin, cur, path)
+    val biased = returnParamV != 1.0 || inOutParamV != 1.0
+    val idType = g.vertices.schema(ID).dataType
+    // state: (walk_id, origin, cur, path[, prev — biased mode only])
     var state =
       if (startBatchV > 1) spark.read.parquet(batchPath(startBatchV - 1))
-      else g.vertices.select(col(ID)).crossJoin(
-          spark.range(walksPerVertex).select(col("id").as("_rw_k")))
-        .select(
-          concat(col(ID).cast("string"), lit("#"), col("_rw_k")).as("walk_id"),
-          col(ID).as("_rw_origin"), col(ID).as("_rw_cur"),
-          array(col(ID)).as("random_walk"))
+      else {
+        val base = g.vertices.select(col(ID)).crossJoin(
+            spark.range(walksPerVertex).select(col("id").as("_rw_k")))
+          .select(
+            concat(col(ID).cast("string"), lit("#"), col("_rw_k")).as("walk_id"),
+            col(ID).as("_rw_origin"), col(ID).as("_rw_cur"),
+            array(col(ID)).as("random_walk"))
+        if (biased) base.withColumn("_rw_prev", lit(null).cast(idType)) else base
+      }
     state = mgr.cycle(state, 0)
 
     def advanceStep(step: Int): Unit = {
-      val joined = state.join(nbrs, col("_rw_cur") === col("_rw_v"), "left_outer")
+      val joined0 = state.join(nbrs, col("_rw_cur") === col("_rw_v"), "left_outer")
       val h =
         if (hashModeV == "md5")
           pmod(md5Long(col("walk_id"), lit(step), lit(seedV)), lit(1000000L))
         else pmod(xxhash64(col("walk_id"), lit(step), lit(seedV)), lit(1000000L))
       val restart = h < lit((restartProb * 1000000L).toLong)
       val nbrCount = size(col("_rw_nbrs"))
-      val pickIdx =
+      // 16 bits of md5 (parity with the strpos-nibble arithmetic an
+      // external SQL oracle can compute) or xxhash64, as a draw in
+      // [0, 65536) — modded for the uniform pick, /65536 for the biased
+      // threshold scan
+      val draw16 =
         if (hashModeV == "md5")
-          // 16 bits of md5 mod fan-out: parity with the strpos-nibble
-          // arithmetic an external SQL oracle can compute
-          pmod(conv(substring(md5(concat_ws("|",
-            col("walk_id"), lit(step), lit(seedV + 1))), 1, 4), 16, 10).cast("long"),
-            nbrCount.cast("long"))
-        else pmod(xxhash64(col("walk_id"), lit(step), lit(seedV + 1)), nbrCount)
-      val pick = element_at(col("_rw_nbrs"), (pickIdx + 1).cast("int"))
-      val next = when(restart, col("_rw_origin"))
-        .when(col("_rw_nbrs").isNull || nbrCount === 0, lit(null))
-        .otherwise(if (idIsLong) pick else pick)
-      val stepped = joined.select(
-        col("walk_id"), col("_rw_origin"),
-        next.as("_rw_cur"),
-        when(next.isNull, col("random_walk"))
-          .otherwise(array_append(col("random_walk"), next)).as("random_walk"))
-      state = mgr.cycle(stepped, step)
+          conv(substring(md5(concat_ws("|",
+            col("walk_id"), lit(step), lit(seedV + 1))), 1, 4), 16, 10).cast("long")
+        else pmod(xxhash64(col("walk_id"), lit(step), lit(seedV + 1)), lit(65536L))
+      if (!biased) {
+        val pickIdx = pmod(draw16, nbrCount.cast("long"))
+        val pick = element_at(col("_rw_nbrs"), (pickIdx + 1).cast("int"))
+        val next = when(restart, col("_rw_origin"))
+          .when(col("_rw_nbrs").isNull || nbrCount === 0, lit(null))
+          .otherwise(pick)
+        val stepped = joined0.select(
+          col("walk_id"), col("_rw_origin"),
+          next.as("_rw_cur"),
+          when(next.isNull, col("random_walk"))
+            .otherwise(array_append(col("random_walk"), next)).as("random_walk"))
+        state = mgr.cycle(stepped, step)
+      } else {
+        // node2vec: weight each sampled candidate by its distance from the
+        // PREVIOUS vertex — 1/p for returning, 1 for prev-adjacent, 1/q
+        // otherwise (adjacency relative to prev's own bounded sample, the
+        // contract an external replay can state). Two O(fanout) HOF
+        // passes, both whole-stage-codegen: total weight, then a
+        // cumulative threshold scan for the pick.
+        val pn = nbrs.select(col("_rw_v").as("_rw_pv"), col("_rw_nbrs").as("_rw_pnbrs"))
+        val joined = joined0.join(pn, col("_rw_prev") === col("_rw_pv"), "left_outer")
+        val weights = transform(col("_rw_nbrs"), x =>
+          when(col("_rw_prev").isNull, lit(1.0))
+            .when(x === col("_rw_prev"), lit(1.0 / returnParamV))
+            .when(array_contains(col("_rw_pnbrs"), x), lit(1.0))
+            .otherwise(lit(1.0 / inOutParamV)))
+        val total = aggregate(weights, lit(0.0), (acc, x) => acc + x)
+        val target = (draw16.cast("double") / lit(65536.0)) * total
+        val zero = struct(lit(0.0).as("cum"), lit(0).as("idx"), lit(-1).as("pick"))
+        val folded = aggregate(weights, zero, (acc, x) => struct(
+          (acc.getField("cum") + x).as("cum"),
+          (acc.getField("idx") + 1).as("idx"),
+          when(acc.getField("pick") >= 1, acc.getField("pick"))
+            .when(acc.getField("cum") + x > target, acc.getField("idx") + 1)
+            .otherwise(-1).as("pick")))
+        // u < 1 keeps the scan inside the array; the clamp only guards
+        // float round-up at the very last prefix
+        val pickPos = least(when(folded.getField("pick") >= 1,
+          folded.getField("pick")).otherwise(nbrCount), nbrCount)
+        val pick = element_at(col("_rw_nbrs"), pickPos.cast("int"))
+        val next = when(restart, col("_rw_origin"))
+          .when(col("_rw_nbrs").isNull || nbrCount === 0, lit(null))
+          .otherwise(pick)
+        val stepped = joined.select(
+          col("walk_id"), col("_rw_origin"),
+          next.as("_rw_cur"),
+          when(next.isNull, col("random_walk"))
+            .otherwise(array_append(col("random_walk"), next)).as("random_walk"),
+          when(restart || next.isNull, lit(null).cast(idType))
+            .otherwise(col("_rw_cur")).as("_rw_prev"))
+        state = mgr.cycle(stepped, step)
+      }
     }
 
     for (batch <- startBatchV to numBatches) {

@@ -162,6 +162,11 @@ class GraphFrameMethods:
         return self._call("neighborhood_function", maxIter=maxIter,
                           lgNomEntries=lgNomEntries)
 
+    def linkPrediction(self, maxHubDegree: Optional[int] = None):
+        """CN/Jaccard/Adamic-Adar/PA link-prediction scores (engine
+        extension)."""
+        return self._call("link_prediction", maxHubDegree=maxHubDegree)
+
     def maximalIndependentSet(self, maxIter: Optional[int] = None,
                               hashMode: Optional[str] = None):
         return self._call("maximal_independent_set", maxIter=maxIter,

@@ -340,6 +340,9 @@ class GraphFrame private (
    * extension). */
   def neighborhoodFunction: lib.NeighborhoodFunction =
     new lib.NeighborhoodFunction(this)
+  /** Link-prediction scores: CN / Jaccard / Adamic-Adar / preferential
+   * attachment (engine extension). */
+  def linkPrediction: lib.LinkPrediction = new lib.LinkPrediction(this)
   /** HITS hubs/authorities (this engine's extension; no reference
    * counterpart). */
   def hits: lib.Hits = new lib.Hits(this)

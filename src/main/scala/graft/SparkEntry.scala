@@ -325,6 +325,12 @@ object SparkEntry {
       // the sketch estimates are exact and the recursive-CTE pair counts
       // oracle applies (same contract as g_triangle_approx)
       circulantGraph(s, dir).neighborhoodFunction.run()),
+    "g_link_prediction" -> ((s, dir) =>
+      circulantGraph(s, dir).linkPrediction.run()
+        .select(col(SRC), col(DST), col("cn"),
+          round(col("jaccard"), 5).as("jaccard"),
+          round(col("adamic_adar"), 5).as("adamic_adar"),
+          col("pref_attach"))),
     "g_triangle_count" -> ((s, dir) =>
       graphB(s, dir).triangleCount.run()
         .select(col(ID), col("count").as("tri_count"))),
@@ -2016,6 +2022,29 @@ object SparkEntry {
          |nf AS (SELECT ds.d, CAST(COUNT(*) AS BIGINT) AS n_pairs
          |  FROM ds JOIN cdist c ON c.d <= ds.d GROUP BY ds.d)
          |SELECT CAST(d AS INT) AS d, n_pairs FROM nf""".stripMargin,
+    "g_link_prediction" ->
+      """WITH cv AS (SELECT n_nationkey AS id FROM nation),
+        |ce AS (SELECT DISTINCT src, dst FROM (
+        |    SELECT id AS src, (id + 7) % 25 AS dst FROM cv
+        |    UNION ALL SELECT id, (3 * id + 1) % 25 FROM cv WHERE id % 3 = 0)
+        |  WHERE src <> dst),
+        |canon AS (SELECT DISTINCT LEAST(src, dst) AS src,
+        |  GREATEST(src, dst) AS dst FROM ce),
+        |u AS (SELECT src AS w, dst AS n FROM canon
+        |  UNION ALL SELECT dst, src FROM canon),
+        |deg AS (SELECT w, COUNT(*) AS d FROM u GROUP BY w),
+        |cand AS (SELECT x.n AS u, y.n AS v, COUNT(*) AS cn,
+        |    SUM(1.0 / LN(dg.d)) AS aa
+        |  FROM u x JOIN u y ON x.w = y.w AND x.n < y.n
+        |  JOIN deg dg ON dg.w = x.w
+        |  GROUP BY 1, 2),
+        |nc AS (SELECT c.* FROM cand c LEFT JOIN canon e
+        |  ON e.src = c.u AND e.dst = c.v WHERE e.src IS NULL)
+        |SELECT nc.u AS src, nc.v AS dst, cn,
+        |  ROUND(cn * 1.0 / (du.d + dv.d - cn), 5) AS jaccard,
+        |  ROUND(aa, 5) AS adamic_adar,
+        |  du.d * dv.d AS pref_attach
+        |FROM nc JOIN deg du ON du.w = nc.u JOIN deg dv ON dv.w = nc.v""".stripMargin,
     "g_reversed_undirected" ->
       s"""WITH e AS ($NE),
          |a AS (SELECT src AS id, count(*) AS c FROM e GROUP BY 1),

@@ -58,6 +58,7 @@ object GraftConnectDispatch {
     "closeness" -> Set.empty[String],
     "ktruss" -> Set("k", "maxIter"),
     "neighborhood_function" -> Set("maxIter", "lgNomEntries"),
+    "link_prediction" -> Set("maxHubDegree"),
     "maximal_independent_set" -> Set("maxIter", "hashMode"),
     "detecting_cycles" -> Set("maxIter"),
     "random_walks" -> Set("walkLength", "walksPerVertex", "restartProb",
@@ -455,6 +456,10 @@ object GraftConnectDispatch {
         int("maxIter").foreach(nfn.maxIter)
         int("lgNomEntries").foreach(nfn.setLgNomEntries)
         nfn.run()
+      case "link_prediction" =>
+        val lp = g.linkPrediction
+        int("maxHubDegree").foreach(n => lp.setMaxHubDegree(n.toLong))
+        lp.run()
       case "kcore" =>
         val kc = g.kCore
         int("maxIter").foreach(kc.maxIter)

@@ -167,6 +167,14 @@ class GraphFrameMethods:
         extension)."""
         return self._call("link_prediction", maxHubDegree=maxHubDegree)
 
+    def greedyColoring(self, maxColors: Optional[int] = None,
+                       maxIter: Optional[int] = None,
+                       seed: Optional[int] = None,
+                       hashMode: Optional[str] = None):
+        """Greedy graph coloring by iterated Luby MIS (engine extension)."""
+        return self._call("greedy_coloring", maxColors=maxColors,
+                          maxIter=maxIter, seed=seed, hashMode=hashMode)
+
     def maximalIndependentSet(self, maxIter: Optional[int] = None,
                               hashMode: Optional[str] = None):
         return self._call("maximal_independent_set", maxIter=maxIter,

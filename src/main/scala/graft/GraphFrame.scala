@@ -354,6 +354,8 @@ class GraphFrame private (
   def closeness: lib.Closeness = new lib.Closeness(this)
   def detectingCycles: lib.DetectingCycles = new lib.DetectingCycles(this)
   def maximalIndependentSet: lib.MaximalIndependentSet = new lib.MaximalIndependentSet(this)
+  /** Greedy graph coloring by iterated Luby MIS (engine extension). */
+  def greedyColoring: lib.GreedyColoring = new lib.GreedyColoring(this)
   def randomWalks: rw.RandomWalks = new rw.RandomWalks(this)
   def randomWalkEmbeddings: embeddings.RandomWalkEmbeddings =
     new embeddings.RandomWalkEmbeddings(this)

@@ -331,6 +331,11 @@ object SparkEntry {
           round(col("jaccard"), 5).as("jaccard"),
           round(col("adamic_adar"), 5).as("adamic_adar"),
           col("pref_attach"))),
+    "g_coloring" -> ((s, dir) => // md5 priorities => Luby color rounds
+      // replay exactly in SQL (oracle unrolls colors x rounds; hashes are
+      // keyed by (color, round) so the engine's early exits don't matter)
+      circulantGraph(s, dir).greedyColoring.setHashMode("md5").run()
+        .select(col(ID), col("color"))),
     "g_triangle_count" -> ((s, dir) =>
       graphB(s, dir).triangleCount.run()
         .select(col(ID), col("count").as("tri_count"))),
@@ -1136,6 +1141,52 @@ object SparkEntry {
        |  ROUND(COALESCE((r * 1.0 / 24.0) * r / total, 0), 5) AS closeness,
        |  ROUND(COALESCE(h, 0), 5) AS harmonic
        |FROM nation LEFT JOIN agg ON agg.s = n_nationkey""".stripMargin
+
+  /** Greedy coloring by iterated Luby MIS, unrolled (md5 mode) on the
+   * circulant graph: `colors` color blocks of `rounds` Luby rounds each;
+   * priorities are keyed by (color, round) so rounds the engine never ran
+   * (its inner loop exits on an empty pool) drop out as empty winner sets
+   * here too. Both caps must cover the actual schedule. */
+  private def coloringSql(colors: Int, rounds: Int, seed: Long): String = {
+    def p(x: String, c: Int, r: Int) = s"md5(CAST($x AS VARCHAR) || '|$seed|$c|$r')"
+    val blocks = (0 until colors).map { c =>
+      val lubys = (0 until rounds).map { r =>
+        s"""eu${c}_$r AS MATERIALIZED (SELECT u.s, u.d FROM u
+           |  JOIN pool${c}_$r a ON a.id = u.s JOIN pool${c}_$r b ON b.id = u.d),
+           |nm${c}_$r AS MATERIALIZED (SELECT s AS id, MIN(${p("d", c, r)}) AS m
+           |  FROM eu${c}_$r GROUP BY s),
+           |w${c}_$r AS MATERIALIZED (SELECT q.id FROM pool${c}_$r q
+           |  LEFT JOIN nm${c}_$r n ON n.id = q.id
+           |  WHERE n.m IS NULL OR ${p("q.id", c, r)} < n.m),
+           |pool${c}_${r + 1} AS MATERIALIZED (SELECT id FROM pool${c}_$r
+           |  WHERE id NOT IN (SELECT id FROM w${c}_$r)
+           |  AND id NOT IN (SELECT DISTINCT x.d FROM eu${c}_$r x
+           |    JOIN w${c}_$r w ON w.id = x.s))""".stripMargin
+      }.mkString(",\n")
+      val wins = (0 until rounds).map(r => s"SELECT id FROM w${c}_$r")
+        .mkString(" UNION ALL ")
+      s"""pool${c}_0 AS MATERIALIZED (SELECT id FROM un$c),
+         |$lubys,
+         |wc$c AS MATERIALIZED (SELECT id FROM ($wins)),
+         |un${c + 1} AS MATERIALIZED (SELECT id FROM un$c
+         |  WHERE id NOT IN (SELECT id FROM wc$c))""".stripMargin
+    }.mkString(",\n")
+    val out = (0 until colors).map(c => s"SELECT id, $c AS color FROM wc$c")
+      .mkString(" UNION ALL ")
+    s"""WITH cv AS (SELECT n_nationkey AS id FROM nation),
+       |ce AS (SELECT DISTINCT src, dst FROM (
+       |    SELECT id AS src, (id + 7) % 25 AS dst FROM cv
+       |    UNION ALL SELECT id, (3 * id + 1) % 25 FROM cv WHERE id % 3 = 0)
+       |  WHERE src <> dst),
+       |canon AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+       |  GREATEST(src, dst) AS b FROM ce),
+       |u AS MATERIALIZED (SELECT a AS s, b AS d FROM canon
+       |  UNION ALL SELECT b, a FROM canon),
+       |un0 AS MATERIALIZED (SELECT id FROM cv),
+       |$blocks
+       |SELECT CAST(id AS INTEGER) AS id, CAST(color AS INTEGER) AS color
+       |FROM ($out)""".stripMargin
+  }
 
   /** node2vec walks, unrolled (md5 mode, restart 0): the same md5-ordered
    * neighbor lists as [[randomWalksSql]], but the pick is a cumulative
@@ -2081,6 +2132,7 @@ object SparkEntry {
     "g_mis" -> misSql(8, 42L),
     "g_random_walks" -> randomWalksSql(4, 2, 42L),
     "g_node2vec" -> node2vecSql(3, 2, 42L, 0.5, 4.0),
+    "g_coloring" -> coloringSql(6, 6, 42L),
     "g_hash_embeddings" ->
       "SELECT CAST(n_nationkey AS VARCHAR) AS id, CAST(8 AS INT) AS dim FROM nation",
     "g_hash2vec" ->

@@ -59,6 +59,7 @@ object GraftConnectDispatch {
     "ktruss" -> Set("k", "maxIter"),
     "neighborhood_function" -> Set("maxIter", "lgNomEntries"),
     "link_prediction" -> Set("maxHubDegree"),
+    "greedy_coloring" -> Set("maxColors", "maxIter", "seed", "hashMode"),
     "maximal_independent_set" -> Set("maxIter", "hashMode"),
     "detecting_cycles" -> Set("maxIter"),
     "random_walks" -> Set("walkLength", "walksPerVertex", "restartProb",
@@ -460,6 +461,13 @@ object GraftConnectDispatch {
         val lp = g.linkPrediction
         int("maxHubDegree").foreach(n => lp.setMaxHubDegree(n.toLong))
         lp.run()
+      case "greedy_coloring" =>
+        val gc = g.greedyColoring
+        int("maxColors").foreach(gc.maxColors)
+        int("maxIter").foreach(gc.maxIter)
+        int("seed").foreach(n => gc.seed(n.toLong))
+        str("hashMode").foreach(gc.setHashMode)
+        gc.run()
       case "kcore" =>
         val kc = g.kCore
         int("maxIter").foreach(kc.maxIter)

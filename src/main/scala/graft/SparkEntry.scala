@@ -971,12 +971,21 @@ object SparkEntry {
     "e_stream_join" -> ((s, dir) => {
       // stream-stream interval join: purchases within 30 min of a click by
       // the same user; inner join output is watermark-independent, so the
-      // finite replay equals the batch join the oracle states
-      val stream = streaming.EventStreams.intervalJoinStream(
-        streaming.EventStreams.readEvents(s, dir), "click", "purchase")
-      val q = stream.writeStream.format("memory").queryName("graft_stream_join")
-        .outputMode("append").start()
-      q.processAllAvailable(); q.stop()
+      // finite replay equals the batch join the oracle states. The join
+      // keeps 4 state-store partitions per side per store — at 32 shuffle
+      // partitions the per-micro-batch store setup dominates a small
+      // stream (7.2 s -> ~2 s); a production job sizes this to its keyed
+      // state volume, and the partition count only shards (never changes)
+      // the inner-join output
+      val old = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val stream = streaming.EventStreams.intervalJoinStream(
+          streaming.EventStreams.readEvents(s, dir), "click", "purchase")
+        val q = stream.writeStream.format("memory").queryName("graft_stream_join")
+          .outputMode("append").start()
+        q.processAllAvailable(); q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", old)
       s.table("graft_stream_join")
         .select(col("left_id").as("click_id"), col("right_id").as("purchase_id"),
           col("user_id"), col("lag_ms"))

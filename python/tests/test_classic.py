@@ -138,5 +138,30 @@ asof = {r["ts"]: r["asof_rid"] for r in
 assert asof == {10: 100, 30: 200}, asof
 print("CLASSIC OK pipe_asof_join")
 
+bc = {r["id"]: r["betweenness"] for r in g.betweenness().collect()}
+# unique shortest paths everywhere => exact integer pair counts
+# (hand-enumerated): both bridge endpoints carry 7, their feeders 4
+assert bc[2] == 7.0 and bc[3] == 7.0 and bc[1] == 4.0 and bc[0] == 1.0, bc
+print("CLASSIC OK betweenness")
+
+kt = [(r["src"], r["dst"], r["support"]) for r in g.kTruss(k=3).collect()]
+assert len(kt) == 6 and all(s == 1 for _, _, s in kt), kt  # bridge drops
+print("CLASSIC OK ktruss")
+
+col = {r["id"]: r["color"] for r in g.greedyColoring(hashMode="md5").collect()}
+for s, d in [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]:
+    assert col[s] != col[d], col
+print("CLASSIC OK greedy_coloring")
+
+nf = {r["d"]: r["n_pairs"] for r in g.neighborhoodFunction().collect()}
+# left triangle reaches all 6, right triangle only itself: 3*6 + 3*3
+assert nf[0] == 6 and nf[max(nf)] == 27, nf
+print("CLASSIC OK neighborhood_function")
+
+n2v = g.randomWalks(walkLength=4, walksPerVertex=2,
+                    returnParam=0.5, inOutParam=2.0).collect()
+assert len(n2v) == 12 and all(len(r["random_walk"]) == 5 for r in n2v)
+print("CLASSIC OK node2vec_walks")
+
 spark.stop()
 print("CLASSIC ALL OK")

@@ -38,7 +38,9 @@ class ClassicPythonSpec extends AnyFunSuite {
       s"missing final marker:\n${out.takeRight(15).mkString("\n")}")
     // every individual check reported
     Seq("degrees", "page_rank", "find", "connected_components",
-      "typed_param_error", "pipe_near_dup_clusters", "pipe_ann_topk")
+      "typed_param_error", "pipe_near_dup_clusters", "pipe_ann_topk",
+      "betweenness", "ktruss", "greedy_coloring", "neighborhood_function",
+      "node2vec_walks")
       .foreach(c => assert(out.exists(l => l.contains("CLASSIC OK") && l.contains(c)),
         s"check $c missing"))
   }

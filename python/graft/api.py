@@ -167,6 +167,10 @@ class GraphFrameMethods:
         extension)."""
         return self._call("link_prediction", maxHubDegree=maxHubDegree)
 
+    def clusteringCoefficient(self):
+        """Local clustering coefficient (engine extension)."""
+        return self._call("clustering_coefficient")
+
     def greedyColoring(self, maxColors: Optional[int] = None,
                        maxIter: Optional[int] = None,
                        seed: Optional[int] = None,

@@ -336,6 +336,9 @@ class GraphFrame private (
   def kCore: lib.KCore = new lib.KCore(this)
   /** K-truss decomposition (engine extension). */
   def kTruss: lib.KTruss = new lib.KTruss(this)
+  /** Local clustering coefficient (engine extension). */
+  def clusteringCoefficient: lib.ClusteringCoefficient =
+    new lib.ClusteringCoefficient(this)
   /** ANF/HyperANF neighborhood function + effective diameter (engine
    * extension). */
   def neighborhoodFunction: lib.NeighborhoodFunction =

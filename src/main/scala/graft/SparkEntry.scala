@@ -339,6 +339,10 @@ object SparkEntry {
     "g_triangle_count" -> ((s, dir) =>
       graphB(s, dir).triangleCount.run()
         .select(col(ID), col("count").as("tri_count"))),
+    "g_clustering_coeff" -> ((s, dir) =>
+      graphB(s, dir).clusteringCoefficient.run()
+        .select(col(ID), col("tri_count"),
+          round(col("clustering_coeff"), 5).as("clustering_coeff"))),
     "g_bfs" -> ((s, dir) =>
       graphB(s, dir).bfs
         .fromExpr(col(ID) === 0)
@@ -2186,6 +2190,22 @@ object SparkEntry {
          |   GROUP BY v)
          |SELECT n_nationkey AS id, COALESCE(c, 0) AS tri_count
          |FROM nation LEFT JOIN pv ON v = n_nationkey""".stripMargin,
+    "g_clustering_coeff" ->
+      s"""WITH e0 AS ($NE),
+         |canon AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e0),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |        FROM canon e1 JOIN canon e2 ON e2.a = e1.b
+         |        JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |pv AS (SELECT v, count(*) AS c FROM (
+         |   SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+         |   GROUP BY v),
+         |deg AS (SELECT v, COUNT(*) AS d FROM (
+         |   SELECT a AS v FROM canon UNION ALL SELECT b FROM canon) GROUP BY v)
+         |SELECT n_nationkey AS id, COALESCE(c, 0) AS tri_count,
+         |  ROUND(CASE WHEN COALESCE(d, 0) < 2 THEN 0
+         |    ELSE 2.0 * COALESCE(c, 0) / (d * (d - 1)) END, 5) AS clustering_coeff
+         |FROM nation LEFT JOIN pv ON pv.v = n_nationkey
+         |LEFT JOIN deg ON deg.v = n_nationkey""".stripMargin,
     "g_bfs" ->
       s"""WITH RECURSIVE e AS ($NE),
          |f AS (SELECT 0 AS id, 0 AS d

@@ -60,6 +60,7 @@ object GraftConnectDispatch {
     "neighborhood_function" -> Set("maxIter", "lgNomEntries"),
     "link_prediction" -> Set("maxHubDegree"),
     "greedy_coloring" -> Set("maxColors", "maxIter", "seed", "hashMode"),
+    "clustering_coefficient" -> Set.empty[String],
     "maximal_independent_set" -> Set("maxIter", "hashMode"),
     "detecting_cycles" -> Set("maxIter"),
     "random_walks" -> Set("walkLength", "walksPerVertex", "restartProb",
@@ -447,6 +448,7 @@ object GraftConnectDispatch {
           .foreach(bc.normalized)
         bc.run()
       case "closeness" => g.closeness.run()
+      case "clustering_coefficient" => g.clusteringCoefficient.run()
       case "ktruss" =>
         val kt = g.kTruss
         int("k").foreach(kt.setK)

@@ -105,9 +105,10 @@ class GraphFrameMethods:
 
     def pageRank(self, resetProb: Optional[float] = None,
                  maxIter: Optional[int] = None, tol: Optional[float] = None,
-                 sourceId: Optional[Any] = None):
+                 sourceId: Optional[Any] = None,
+                 weightCol: Optional[str] = None):
         return self._call("page_rank", resetProb=resetProb, maxIter=maxIter,
-                          tol=tol, sourceId=sourceId)
+                          tol=tol, sourceId=sourceId, weightCol=weightCol)
 
     def parallelPersonalizedPageRank(
             self, sourceIds: list, resetProb: Optional[float] = None,

@@ -305,6 +305,16 @@ object SparkEntry {
       // unrolls the rounds AND replays the stop rule itself.
       circulantGraph(s, dir).pageRank.resetProbability(0.15).tol(0.001).run()
         .vertices.select(col(ID), round(col("pagerank"), 5).as("pagerank"))),
+    "g_pagerank_weighted" -> ((s, dir) => {
+      // mass distributed proportionally to a deterministic edge weight
+      // (same synthesized weights as g_shortest_paths_weighted)
+      val g0 = circulantGraph(s, dir)
+      val e = g0.edges.withColumn("w",
+        (pmod(col(SRC) * 7 + col(DST) * 3, lit(5)) + 1).cast("double"))
+      GraphFrame(g0.vertices, e).pageRank
+        .resetProbability(0.15).maxIter(10).weightCol("w").run()
+        .vertices.select(col(ID), round(col("pagerank"), 5).as("pagerank"))
+    }),
     "g_betweenness" -> ((s, dir) =>
       // exact Brandes on the cycle+chords graph (real path structure — the
       // trade graph is near-complete and would score ~flat); oracle
@@ -1270,6 +1280,30 @@ object SparkEntry {
        |WHERE sup >= ${k - 2}""".stripMargin
   }
 
+  /** Weighted PageRank on the circulant graph, `iters` unrolled rounds:
+   * r = α + (1-α)·Σ r_u·w/W_u with the g_shortest_paths_weighted weight
+   * formula. */
+  private def pagerankWeightedSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""pw$k AS MATERIALIZED (
+         |  SELECT v.id, 0.15 + 0.85 * COALESCE(SUM(p.r * e.w / o.wsum), 0) AS r
+         |  FROM v LEFT JOIN e ON e.dst = v.id
+         |  LEFT JOIN pw${k - 1} p ON p.id = e.src
+         |  LEFT JOIN ow o ON o.src = e.src
+         |  GROUP BY v.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT n_nationkey AS id FROM nation),
+       |e0 AS (SELECT DISTINCT src, dst FROM (
+       |    SELECT id AS src, (id + 7) % 25 AS dst FROM v
+       |    UNION ALL SELECT id, (3 * id + 1) % 25 FROM v WHERE id % 3 = 0)
+       |  WHERE src <> dst),
+       |e AS (SELECT src, dst, CAST((src * 7 + dst * 3) % 5 + 1 AS DOUBLE) AS w FROM e0),
+       |ow AS (SELECT src, SUM(w) AS wsum FROM e GROUP BY src),
+       |pw0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS r FROM v),
+       |$steps
+       |SELECT id, ROUND(r, 5) AS pagerank FROM pw$iters""".stripMargin
+  }
+
   private def pagerankTolSql(tol: Double, maxRounds: Int): String = {
     // every pr$k is referenced three times (next round, delta check, final
     // select) — MATERIALIZED stops DuckDB's CTE inlining from expanding the
@@ -2077,6 +2111,7 @@ object SparkEntry {
          |FROM nation LEFT JOIN b ON b.id = n_nationkey GROUP BY 1""".stripMargin,
     "g_pagerank" -> pagerankSql(10),
     "g_pagerank_tol" -> pagerankTolSql(0.001, 40),
+    "g_pagerank_weighted" -> pagerankWeightedSql(10),
     "g_betweenness" -> betweennessSql,
     "g_closeness" -> closenessSql,
     "g_ktruss" -> ktrussSql(12, 6),

@@ -46,7 +46,7 @@ object GraftConnectDispatch {
       "requiredEdgeAttributes"),
     "connected_components" -> Set("algorithm"),
     "strongly_connected_components" -> Set("maxIter"),
-    "page_rank" -> Set("resetProb", "maxIter", "tol", "sourceId"),
+    "page_rank" -> Set("resetProb", "maxIter", "tol", "sourceId", "weightCol"),
     "parallel_personalized_page_rank" -> Set("sourceIds", "resetProb", "maxIter"),
     "shortest_paths" -> Set("landmarks", "maxIter", "isDirected", "weightCol"),
     "label_propagation" -> Set("maxIter", "algorithm", "isDirected"),
@@ -396,6 +396,7 @@ object GraftConnectDispatch {
         int("maxIter").foreach(pr.maxIter)
         dbl("tol").foreach(pr.tol)
         params.get("sourceId").foreach(v => pr.sourceId(idValue(v)))
+        str("weightCol").foreach(pr.weightCol)
         pr.run().vertices
       case "parallel_personalized_page_rank" =>
         val srcs = params.get("sourceIds") match {

@@ -30,6 +30,16 @@ class PageRank(g: GraphFrame) {
   /** Personalized PageRank from a single source vertex. */
   def sourceId(id: Any): this.type = { srcIdV = Some(id); this }
 
+  private var weightColV: Option[String] = None
+  /** Weighted PageRank (engine extension): each vertex distributes its
+   * rank proportionally to this edge column instead of uniformly —
+   * rank += (1-α)·Σ rank_u·w_uv/W_u with W_u the source's out-weight
+   * sum. Null or negative weights fail eagerly (a null would silently
+   * become a zero-mass edge); zero weights are legal (the edge carries
+   * no mass). Same shuffle shape as the uniform plan — the weight rides
+   * the existing edge struct. */
+  def weightCol(c: String): this.type = { weightColV = Some(c); this }
+
   private var reliableDirV: Option[String] = None
   /** Reliable checkpointing under `dir` (see Pregel.setUseReliableCheckpoint). */
   def setUseReliableCheckpoint(dir: String): this.type = {
@@ -37,7 +47,18 @@ class PageRank(g: GraphFrame) {
   }
 
   def run(): GraphFrame = {
-    val outDeg = g.outDegrees
+    weightColV.foreach { w =>
+      val wc = col(GraphFrame.quoteName(w))
+      require(g.edges.filter(wc.isNull || wc < 0).isEmpty,
+        s"pageRank weightCol '$w' must be non-null and >= 0 on every edge")
+    }
+    // uniform: per-vertex out-degree; weighted: out-weight sum
+    val outDeg = weightColV match {
+      case Some(w) => g.edges
+        .groupBy(col(SRC).as(ID))
+        .agg(sum(col(GraphFrame.quoteName(w)).cast("double")).as("outDegree"))
+      case None => g.outDegrees
+    }
     val v = g.vertices.join(outDeg, Seq(ID), "left_outer")
       .na.fill(0, Seq("outDegree"))
       .withColumnRenamed("outDegree", "_pr_outdeg")
@@ -59,9 +80,16 @@ class PageRank(g: GraphFrame) {
     val newRank = teleport +
       lit(1.0 - resetProb) * coalesce(Pregel.msg, lit(0.0))
 
+    val contribution = weightColV match {
+      // W_u = 0 means every out-weight is 0: no mass leaves (0/0 guarded)
+      case Some(w) => when(Pregel.src("_pr_outdeg") > 0,
+        Pregel.src("pagerank") * Pregel.edge(w) / Pregel.src("_pr_outdeg"))
+        .otherwise(lit(0.0))
+      case None => Pregel.src("pagerank") / Pregel.src("_pr_outdeg")
+    }
     val pregel = g2.pregel
       .withVertexColumn("pagerank", initRank, newRank)
-      .sendMsgToDst(Pregel.src("pagerank") / Pregel.src("_pr_outdeg"))
+      .sendMsgToDst(contribution)
       .aggMsgs(sum(Pregel.msg))
       .setMaxIter(if (tolV.isDefined) 100 else maxIterV)
     reliableDirV.foreach(pregel.setUseReliableCheckpoint)
@@ -78,7 +106,12 @@ class PageRank(g: GraphFrame) {
 
     val weights = g.edges
       .join(outDeg.select(col(ID).as(SRC), col("outDegree").as("_pr_od")), Seq(SRC), "left_outer")
-      .withColumn(GraphFrame.WEIGHT, lit(1.0) / col("_pr_od"))
+      .withColumn(GraphFrame.WEIGHT, weightColV match {
+        case Some(w) => when(col("_pr_od") > 0,
+          col(GraphFrame.quoteName(w)).cast("double") / col("_pr_od"))
+          .otherwise(lit(0.0))
+        case None => lit(1.0) / col("_pr_od")
+      })
       .drop("_pr_od")
     GraphFrame(ranks, weights)
   }

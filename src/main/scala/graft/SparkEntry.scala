@@ -982,6 +982,22 @@ object SparkEntry {
       s.table("graft_stream_segdedup")
         .select(col("doc_id"), col("pos"), col("segment"), col("kept"))
     }),
+    "e_stream_enrich" -> ((s, dir) => {
+      // stream-static broadcast enrichment (stateless — no watermark, no
+      // join buffer) feeding a running per-nation aggregate in complete
+      // mode; the finite replay equals the batch join+group the oracle
+      // states
+      val dim = load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val enriched = streaming.EventStreams.enrichStream(
+        streaming.EventStreams.readEvents(s, dir), dim, "user_id", "c_custkey")
+      val agg = enriched.groupBy(col("c_nationkey").as("nation_key"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      val q = agg.writeStream.format("memory").queryName("graft_stream_enrich")
+        .outputMode("complete").start()
+      q.processAllAvailable(); q.stop()
+      s.table("graft_stream_enrich")
+    }),
     "e_stream_join" -> ((s, dir) => {
       // stream-stream interval join: purchases within 30 min of a click by
       // the same user; inner join output is watermark-independent, so the
@@ -2649,6 +2665,11 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "e_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "e_stream_enrich" ->
+      """SELECT c.c_nationkey AS nation_key, count(*) AS n_events,
+        |  ROUND(SUM(e.value), 4) AS sum_value
+        |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        |GROUP BY 1""".stripMargin,
     "e_stream_join" ->
       """SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
         |  epoch_ms(b.ts) - epoch_ms(a.ts) AS lag_ms

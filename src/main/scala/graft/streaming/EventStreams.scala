@@ -84,6 +84,16 @@ object EventStreams {
         (unix_millis(col("r_ts")) - unix_millis(col("l_ts"))).as("lag_ms"))
   }
 
+  /** Stream-static enrichment: broadcast-join a static dimension onto an
+   * event stream. Stream-static inner joins are stateless — no watermark,
+   * no join buffer; Spark re-plans the static side per micro-batch, so a
+   * small dimension should be broadcast (forced here) and a huge one
+   * should be pre-bucketed instead. The classic fact-stream ×
+   * dimension-table shape at any scale. */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+      leftKey: String, rightKey: String): DataFrame =
+    events.join(broadcast(dim), col(leftKey) === col(rightKey))
+
   case class SegOut(doc_id: Long, pos: Int, segment: String, kept: Boolean)
 
   /**

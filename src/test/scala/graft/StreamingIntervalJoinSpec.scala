@@ -42,6 +42,26 @@ class StreamingIntervalJoinSpec extends TestBase {
     assert(rows.find(_._2 == 3L).get._4 == 30 * min) // lag_ms
   }
 
+  test("stream-static enrichment joins every batch against the dimension") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val ev = in.toDF().toDF("user_id", "value")
+    val dim = Seq((7L, "DE"), (9L, "FR")).toDF("k", "country")
+    val out = EventStreams.enrichStream(ev, dim, "user_id", "k")
+      .groupBy("country").agg(sum("value").as("total"))
+    val sink = s"enrich_sink_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
+    try {
+      in.addData(Seq((7L, 1.0), (9L, 2.0), (8L, 99.0))) // 8 has no dim row
+      q.processAllAvailable()
+      in.addData(Seq((7L, 3.0)))
+      q.processAllAvailable()
+      val m = spark.table(sink).as[(String, Double)].collect().toMap
+      assert(m == Map("DE" -> 4.0, "FR" -> 2.0))
+    } finally q.stop()
+  }
+
   test("a later micro-batch's purchase joins a buffered earlier click") {
     val min = 60000L
     val rows = runBatches(Seq(

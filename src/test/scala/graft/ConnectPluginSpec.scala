@@ -151,6 +151,20 @@ class ConnectPluginSpec extends TestBase {
     assert(n == Map(0 -> 4L, 1 -> 10L)) // transitive tournament: d=1 saturates
   }
 
+  test("dispatch covers link_prediction, clustering_coefficient, weighted page_rank") {
+    val v = spark.sql("SELECT * FROM VALUES (0L),(1L),(2L) AS t(id)")
+    val e = spark.sql("SELECT * FROM VALUES (0L,1L,3.0),(1L,2L,1.0) AS t(src, dst, w)")
+    val lp = GraftConnectDispatch.run(Some(v), e, "link_prediction", "{}")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(lp == Map((0L, 2L) -> 1L)) // the single distance-2 pair
+    val cc = GraftConnectDispatch.run(Some(v), e, "clustering_coefficient", "{}")
+    assert(cc.columns.contains("clustering_coeff") && cc.count() == 3)
+    val pr = GraftConnectDispatch.run(Some(v), e, "page_rank",
+      """{"maxIter": 1, "weightCol": "w"}""")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(math.abs(pr(1L) - (0.15 + 0.85 * 1.0)) < 1e-12) // all of 0's mass
+  }
+
   test("dispatch covers aggregate_neighbors path mode (accumulators over the wire)") {
     // diamond 0 -> {1,2} -> 3: two paths, costs 2.0 and 6.0
     val v = spark.sql("SELECT * FROM VALUES (0L),(1L),(2L),(3L) AS t(id)")

@@ -172,6 +172,20 @@ class GraphFrameMethods:
         """Local clustering coefficient (engine extension)."""
         return self._call("clustering_coefficient")
 
+    def graphStats(self):
+        """One-row graph profile (engine extension)."""
+        return self._call("graph_stats")
+
+    def sampleVertices(self, fraction: Optional[float] = None,
+                       seed: Optional[int] = None):
+        """Deterministic md5 vertex sample; returns the induced edges."""
+        return self._call("sample_vertices", fraction=fraction, seed=seed)
+
+    def sampleEdges(self, fraction: Optional[float] = None,
+                    seed: Optional[int] = None):
+        """Deterministic md5 edge sample; returns the kept edges."""
+        return self._call("sample_edges", fraction=fraction, seed=seed)
+
     def greedyColoring(self, maxColors: Optional[int] = None,
                        maxIter: Optional[int] = None,
                        seed: Optional[int] = None,

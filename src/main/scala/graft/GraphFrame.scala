@@ -411,6 +411,57 @@ class GraphFrame private (
     org.apache.spark.graphx.Graph(vs, es)
   }
 
+  /** Deterministic vertex sample + induced subgraph (engine extension):
+   * a vertex survives iff the leading 16 md5 bits of `seed|id` fall under
+   * `fraction`·2^16 (the same draw as the pipeline's hashSample — no RNG
+   * state, stable under retries/AQE, replayable by an external engine);
+   * edges keep only endpoints that both survived. The standard dev-scale
+   * subsample of a production graph: one narrow filter per table, no
+   * shuffle, no collected state. */
+  def sampleVertices(fraction: Double, seed: Long = 42L): GraphFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1]: $fraction")
+    val t = math.round(fraction * 65536.0).toInt
+    def keep(c: Column): Column =
+      conv(substring(md5(concat_ws("|", lit(seed), c.cast("string"))), 1, 4), 16, 10)
+        .cast("int") < lit(t)
+    GraphFrame(vertices.filter(keep(col(ID))),
+      edges.filter(keep(col(SRC)) && keep(col(DST))))
+  }
+
+  /** Deterministic edge sample (same draw, keyed `seed|src|dst`); the
+   * vertex table is unchanged. */
+  def sampleEdges(fraction: Double, seed: Long = 42L): GraphFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1]: $fraction")
+    val t = math.round(fraction * 65536.0).toInt
+    GraphFrame(vertices, edges.filter(
+      conv(substring(md5(concat_ws("|", lit(seed), col(SRC).cast("string"),
+        col(DST).cast("string"))), 1, 4), 16, 10).cast("int") < lit(t)))
+  }
+
+  /** One-row graph profile (engine extension): vertex/edge counts,
+   * distinct-edge and self-loop counts, in/out-degree extremes, mean
+   * out-degree, and the isolated-vertex count — two aggregation passes
+   * (one over edges, one semi-join for isolation), no collected state.
+   * The first thing to run against an unfamiliar 100 TB graph. */
+  def stats: DataFrame = {
+    val eAgg = edges.agg(
+      count(lit(1)).as("n_edges"),
+      count_distinct(col(SRC), col(DST)).as("n_distinct_edges"),
+      sum(when(col(SRC) === col(DST), 1L).otherwise(0L)).as("n_self_loops"))
+    val maxOut = edges.groupBy(SRC).count()
+      .agg(coalesce(max("count"), lit(0L)).as("max_out_degree"))
+    val maxIn = edges.groupBy(DST).count()
+      .agg(coalesce(max("count"), lit(0L)).as("max_in_degree"))
+    val nV = vertices.agg(count(lit(1)).as("n_vertices"))
+    val nIso = vertices.select(col(ID))
+      .join(edges.select(col(SRC).as(ID)).unionAll(edges.select(col(DST).as(ID))),
+        Seq(ID), "left_anti")
+      .agg(count(lit(1)).as("n_isolated"))
+    nV.crossJoin(eAgg).crossJoin(maxOut).crossJoin(maxIn).crossJoin(nIso)
+      .withColumn("avg_out_degree",
+        round(col("n_edges") / col("n_vertices"), 5))
+  }
+
   /** Skew-aware join helper (reference GraphFrame.scala:1106-1126): keys of
    * `big` with frequency above `threshold` are joined via an explicit
    * broadcast of `small`, the long tail via a regular shuffle join, and the

@@ -305,6 +305,15 @@ object SparkEntry {
       // unrolls the rounds AND replays the stop rule itself.
       circulantGraph(s, dir).pageRank.resetProbability(0.15).tol(0.001).run()
         .vertices.select(col(ID), round(col("pagerank"), 5).as("pagerank"))),
+    "g_sample_subgraph" -> ((s, dir) => {
+      // deterministic md5 vertex sample + induced degrees (the dev-scale
+      // subsample path; the oracle replays the 16-bit draw)
+      val sg = graphB(s, dir).sampleVertices(0.5, 7L)
+      sg.vertices.select(col(ID))
+        .join(sg.degrees, Seq(ID), "left_outer")
+        .select(col(ID), coalesce(col("degree"), lit(0L)).as("degree"))
+    }),
+    "g_graph_stats" -> ((s, dir) => graphA(s, dir).stats),
     "g_pagerank_weighted" -> ((s, dir) => {
       // mass distributed proportionally to a deterministic edge weight
       // (same synthesized weights as g_shortest_paths_weighted)
@@ -2127,6 +2136,32 @@ object SparkEntry {
          |FROM nation LEFT JOIN b ON b.id = n_nationkey GROUP BY 1""".stripMargin,
     "g_pagerank" -> pagerankSql(10),
     "g_pagerank_tol" -> pagerankTolSql(0.001, 40),
+    "g_sample_subgraph" -> {
+      val h = duckHex4("md5('7|' || CAST(n_nationkey AS VARCHAR))")
+      s"""WITH e AS ($NE),
+         |keep AS (SELECT n_nationkey AS id FROM nation WHERE ($h) < 32768),
+         |se AS (SELECT e.src, e.dst FROM e
+         |  JOIN keep a ON a.id = e.src JOIN keep b ON b.id = e.dst),
+         |d AS (SELECT id, count(*) AS deg FROM (
+         |  SELECT src AS id FROM se UNION ALL SELECT dst FROM se) GROUP BY id)
+         |SELECT keep.id, COALESCE(deg, 0) AS degree
+         |FROM keep LEFT JOIN d ON d.id = keep.id""".stripMargin
+    },
+    "g_graph_stats" ->
+      """WITH v AS (SELECT 'c' || CAST(c_custkey AS VARCHAR) AS id FROM customer
+        |  UNION ALL SELECT 'o' || CAST(o_orderkey AS VARCHAR) FROM orders),
+        |e AS (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |  'o' || CAST(o_orderkey AS VARCHAR) AS dst FROM orders)
+        |SELECT (SELECT count(*) FROM v) AS n_vertices,
+        |  (SELECT count(*) FROM e) AS n_edges,
+        |  (SELECT count(*) FROM (SELECT DISTINCT src, dst FROM e)) AS n_distinct_edges,
+        |  (SELECT count(*) FROM e WHERE src = dst) AS n_self_loops,
+        |  (SELECT MAX(c) FROM (SELECT count(*) AS c FROM e GROUP BY src)) AS max_out_degree,
+        |  (SELECT MAX(c) FROM (SELECT count(*) AS c FROM e GROUP BY dst)) AS max_in_degree,
+        |  (SELECT count(*) FROM v WHERE id NOT IN (SELECT src FROM e)
+        |     AND id NOT IN (SELECT dst FROM e)) AS n_isolated,
+        |  ROUND((SELECT count(*) FROM e) * 1.0 /
+        |    (SELECT count(*) FROM v), 5) AS avg_out_degree""".stripMargin,
     "g_pagerank_weighted" -> pagerankWeightedSql(10),
     "g_betweenness" -> betweennessSql,
     "g_closeness" -> closenessSql,

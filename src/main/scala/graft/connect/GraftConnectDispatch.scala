@@ -61,6 +61,9 @@ object GraftConnectDispatch {
     "link_prediction" -> Set("maxHubDegree"),
     "greedy_coloring" -> Set("maxColors", "maxIter", "seed", "hashMode"),
     "clustering_coefficient" -> Set.empty[String],
+    "graph_stats" -> Set.empty[String],
+    "sample_vertices" -> Set("fraction", "seed"),
+    "sample_edges" -> Set("fraction", "seed"),
     "maximal_independent_set" -> Set("maxIter", "hashMode"),
     "detecting_cycles" -> Set("maxIter"),
     "random_walks" -> Set("walkLength", "walksPerVertex", "restartProb",
@@ -450,6 +453,15 @@ object GraftConnectDispatch {
         bc.run()
       case "closeness" => g.closeness.run()
       case "clustering_coefficient" => g.clusteringCoefficient.run()
+      case "graph_stats" => g.stats
+      // sampling returns the induced EDGES (the vertex filter is the same
+      // md5 draw a client can apply itself; edges are the derived part)
+      case "sample_vertices" =>
+        g.sampleVertices(dbl("fraction").getOrElse(0.1),
+          int("seed").map(_.toLong).getOrElse(42L)).edges
+      case "sample_edges" =>
+        g.sampleEdges(dbl("fraction").getOrElse(0.1),
+          int("seed").map(_.toLong).getOrElse(42L)).edges
       case "ktruss" =>
         val kt = g.kTruss
         int("k").foreach(kt.setK)

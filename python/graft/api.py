@@ -150,6 +150,11 @@ class GraphFrameMethods:
         """Closeness + harmonic centrality (engine extension)."""
         return self._call("closeness")
 
+    def eccentricity(self):
+        """Per-vertex eccentricity over reachable out-distances (engine
+        extension)."""
+        return self._call("eccentricity")
+
     def kCore(self, maxIter: Optional[int] = None):
         return self._call("kcore", maxIter=maxIter)
 

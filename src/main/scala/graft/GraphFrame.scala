@@ -355,6 +355,9 @@ class GraphFrame private (
   def betweenness: lib.Betweenness = new lib.Betweenness(this)
   /** Closeness + harmonic centrality (engine extension). */
   def closeness: lib.Closeness = new lib.Closeness(this)
+  /** Per-vertex eccentricity over reachable out-distances (engine
+   * extension). */
+  def eccentricity: lib.Eccentricity = new lib.Eccentricity(this)
   def detectingCycles: lib.DetectingCycles = new lib.DetectingCycles(this)
   def maximalIndependentSet: lib.MaximalIndependentSet = new lib.MaximalIndependentSet(this)
   /** Greedy graph coloring by iterated Luby MIS (engine extension). */

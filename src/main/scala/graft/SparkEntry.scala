@@ -334,6 +334,9 @@ object SparkEntry {
       circulantGraph(s, dir).closeness.run()
         .select(col(ID), round(col("closeness"), 5).as("closeness"),
           round(col("harmonic"), 5).as("harmonic"))),
+    "g_eccentricity" -> ((s, dir) =>
+      circulantGraph(s, dir).eccentricity.run()
+        .select(col(ID), col("eccentricity"))),
     "g_ktruss" -> ((s, dir) =>
       // k=12 exercises the full cascade at sf0.001 (support-9 shell drops,
       // undercutting the 10-clique -> empty) and the stable complete-graph
@@ -2165,6 +2168,11 @@ object SparkEntry {
     "g_pagerank_weighted" -> pagerankWeightedSql(10),
     "g_betweenness" -> betweennessSql,
     "g_closeness" -> closenessSql,
+    "g_eccentricity" ->
+      s"""WITH RECURSIVE $CIRC_DIST_SIGMA,
+         |ec AS (SELECT s, MAX(d) AS m FROM cdist GROUP BY s)
+         |SELECT n_nationkey AS id, CAST(COALESCE(m, 0) AS INT) AS eccentricity
+         |FROM nation LEFT JOIN ec ON ec.s = n_nationkey""".stripMargin,
     "g_ktruss" -> ktrussSql(12, 6),
     "g_neighborhood" ->
       s"""WITH RECURSIVE $CIRC_DIST_SIGMA,

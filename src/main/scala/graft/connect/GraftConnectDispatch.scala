@@ -56,6 +56,7 @@ object GraftConnectDispatch {
     "katz" -> Set("maxIter", "alpha", "beta"),
     "betweenness" -> Set("sampleK", "normalized"),
     "closeness" -> Set.empty[String],
+    "eccentricity" -> Set.empty[String],
     "ktruss" -> Set("k", "maxIter"),
     "neighborhood_function" -> Set("maxIter", "lgNomEntries"),
     "link_prediction" -> Set("maxHubDegree"),
@@ -452,6 +453,7 @@ object GraftConnectDispatch {
           .foreach(bc.normalized)
         bc.run()
       case "closeness" => g.closeness.run()
+      case "eccentricity" => g.eccentricity.run()
       case "clustering_coefficient" => g.clusteringCoefficient.run()
       case "graph_stats" => g.stats
       // sampling returns the induced EDGES (the vertex filter is the same

@@ -199,6 +199,66 @@ class Betweenness(g: GraphFrame) {
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 }
 
+/** Per-vertex eccentricity over outgoing distances (engine extension) —
+ * max distance to any REACHABLE vertex (0 when nothing is reachable; on
+ * disconnected graphs true eccentricity is infinite, so the reachable
+ * restriction is stated, not hidden). Graph radius/diameter are the
+ * min/max of the non-isolated rows. Same [[MultiSourceBFS]] forward
+ * phase and bounded driver tail as [[Closeness]]. */
+class Eccentricity(g: GraphFrame) {
+  import GraphFrame.{ID, SRC, DST}
+
+  private var smallGraphThresholdV: Long =
+    graft.GraftConf.linkAnalysisSmallGraphThreshold.getOrElse(100000L)
+  /** Same bounded-driver-tail knob as [[Hits]]; docs/THRESHOLDS.md. */
+  def setSmallGraphThreshold(n: Long): this.type = { smallGraphThresholdV = n; this }
+
+  def run(): DataFrame = {
+    val e = g.edges.select(col(SRC), col(DST)).distinct().persist()
+    if (smallGraphThresholdV > 0 && e.count() <= smallGraphThresholdV) {
+      val r = runLocal(e)
+      e.unpersist(false)
+      return r
+    }
+    val levels = MultiSourceBFS.levels(e, g.vertices.select(col(ID).as("s")))
+    val agg = levels.zipWithIndex.map { case (lf, d) =>
+      lf.select(col("s"), lit(d).as("d"))
+    }.reduce(_ union _).groupBy("s").agg(max("d").as("_ec"))
+    val result = g.vertices.join(agg, col(ID) === col("s"), "left_outer")
+      .select(g.vertices.columns.map(c => g.vertices(GraphFrame.quoteName(c))) :+
+        coalesce(col("_ec"), lit(0)).cast("int").as("eccentricity"): _*)
+      .localCheckpoint(true)
+    levels.foreach(IterationManager.release)
+    e.unpersist(false)
+    result
+  }
+
+  private def runLocal(e: DataFrame): DataFrame = {
+    import scala.collection.mutable
+    val (edges, _) = LocalLinkAnalysis.collectGraph(e, g)
+    val sources = g.vertices.select(col(ID)).collect().map(_.get(0))
+      .sortBy(String.valueOf(_))
+    val adj = edges.groupBy(_._1).map { case (s, es) =>
+      (s, es.map(_._2).distinct.sortBy(String.valueOf(_)))
+    }
+    val ecc = mutable.HashMap.empty[Any, Double]
+    for (s <- sources) {
+      val dist = mutable.HashMap[Any, Int](s -> 0)
+      val queue = mutable.Queue[Any](s)
+      while (queue.nonEmpty) {
+        val v = queue.dequeue()
+        for (w <- adj.getOrElse(v, Array.empty[Any]) if !dist.contains(w)) {
+          dist(w) = dist(v) + 1; queue.enqueue(w)
+        }
+      }
+      ecc(s) = dist.values.max.toDouble
+    }
+    LocalLinkAnalysis.joinBack(g, sources,
+      Seq(("eccD", (v: Any) => ecc.getOrElse(v, 0.0), 0.0)))
+      .withColumn("eccentricity", col("eccD").cast("int")).drop("eccD")
+  }
+}
+
 /** Closeness centrality (Wasserman–Faust reachability-corrected) plus
  * harmonic centrality, over outgoing distances — see [[MultiSourceBFS]].
  * Returns vertices + `closeness: double`, `harmonic: double`;

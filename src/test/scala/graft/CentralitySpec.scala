@@ -93,6 +93,19 @@ class CentralitySpec extends TestBase {
     assert(local("g") == ((0.0, 0.0))) // isolated
   }
 
+  test("eccentricity: chain distances, sink zero, local == distributed") {
+    def ecc(g: GraphFrame, t: Long): Map[Any, Int] =
+      g.eccentricity.setSmallGraphThreshold(t).run()
+        .select("id", "eccentricity").collect()
+        .map(r => (r.get(0), r.getInt(1))).toMap
+    val m = ecc(chain(4), 100)
+    assert(m == Map(0L -> 3, 1L -> 2, 2L -> 1, 3L -> 0)) // sink reaches nothing
+    val local = ecc(friends, 100000)
+    val dist = ecc(friends, 0)
+    assert(local == dist)
+    assert(local("g") == 0) // isolated
+  }
+
   test("centrality: parallel edges collapse, self-loops are inert") {
     val v = Seq(0L, 1L, 2L).toDF("id")
     val e = Seq((0L, 1L), (0L, 1L), (1L, 1L), (1L, 2L)).toDF("src", "dst")

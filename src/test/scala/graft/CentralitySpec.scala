@@ -64,6 +64,17 @@ class CentralitySpec extends TestBase {
     for ((k, v) <- exact) assert(math.abs(v - all(k.asInstanceOf[Long])) < 1e-9)
   }
 
+  test("betweenness: sampled sources — local tail == distributed supersteps") {
+    def sampled(t: Long): Map[Long, Double] =
+      chain(5).betweenness.sampleSources(3).setSmallGraphThreshold(t).run()
+        .select("id", "betweenness").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val local = sampled(100000)
+    val dist = sampled(0)
+    assert(local.keySet == dist.keySet)
+    for ((k, v) <- local) assert(math.abs(v - dist(k)) < 1e-9, s"vertex $k")
+  }
+
   test("closeness: path graph Wasserman-Faust + harmonic, hand-checked") {
     // 0->1->2->3 out-distances from 0: 1,2,3 => WF (3/3)*(3/6)=0.5;
     // harmonic 1 + 1/2 + 1/3

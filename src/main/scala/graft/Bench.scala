@@ -85,11 +85,7 @@ object Bench {
     // `recorded_baseline_ratio` is that static 0.66 geomean — NOT
     // recomputed per run (refresh with graft.BaselineBench).
     //
-    // subDp/supDp = decimals below/above 1 s. The driver keeps only a
-    // 2000-char TAIL of stdout (plus sbt's trailing success line), and
-    // the 9-digit BENCH_r05/r06 lines lost their head to it — so the
-    // stdout line degrades precision until it fits the tail window,
-    // while the file artifact below always carries full milliseconds.
+    // subDp/supDp = decimals below/above 1 s.
     def line(subDp: Int, supDp: Int, withRatio: Boolean, compact: Boolean): String = {
       val qs = results.map { case (k, v, ok, _) =>
         "\"" + k + "\":" + (if (!ok) "-1" else round(v, if (v < 1) subDp else supDp))
@@ -102,13 +98,19 @@ object Bench {
         (if (withRatio) ""","recorded_baseline_ratio":0.66""" else "") +
         s""","sf":"$sf"}"""
     }
-    val budget = 1900 // tail capture 2000 minus sbt's trailing success line
-    val stdoutLine = Seq(
-      line(3, 3, true, compact = false), line(2, 2, true, compact = false),
-      line(2, 1, true, compact = true), line(2, 1, false, compact = true),
-      line(1, 1, false, compact = true))
-      .find(_.length <= budget).getOrElse(line(1, 1, false, compact = true))
-    println(stdoutLine)
+    // The driver keeps only a ~2000-char TAIL of stdout and parses the
+    // LITERAL last line as JSON. With 118+ queries even a 1-decimal
+    // per-query map is ~2600 chars, so any map-bearing line loses its
+    // head to the tail window (BENCH_r05..r08 all landed parsed:null).
+    // Print the full map once for humans/logs, then a SHORT summary as
+    // the final line — the per-query map lives in
+    // tools/bench_last_run.json at full precision.
+    println(line(3, 3, true, compact = false))
+    val summary =
+      s"""{"metric":"total","value":${round(total, 1)},"unit":"sec","n_queries":${results.size},""" +
+        s""""failed":$failedJson,"flaky":$flakyJson,"recorded_baseline_ratio":0.66,""" +
+        s""""queries_file":"tools/bench_last_run.json","sf":"${sfDir.split('/').last}"}"""
+    println(summary)
     // full-precision artifact, immune to the stdout tail bound
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("tools/bench_last_run.json"),

@@ -337,6 +337,19 @@ object SparkEntry {
     "g_eccentricity" -> ((s, dir) =>
       circulantGraph(s, dir).eccentricity.run()
         .select(col(ID), col("eccentricity"))),
+    "g_closeness_sampled" -> ((s, dir) =>
+      // landmark (Eppstein–Wang) estimator: 9 md5-ordered landmarks,
+      // reversed-edge multi-source BFS, n/k scale-up — the O(V·k) path
+      // the exact O(V²) all-sources BFS can't take at 100x scale; the
+      // oracle replays the same md5 draw and the same estimator
+      circulantGraph(s, dir).closeness.sampleSources(9).run()
+        .select(col(ID), round(col("closeness"), 5).as("closeness"),
+          round(col("harmonic"), 5).as("harmonic"))),
+    "g_eccentricity_sampled" -> ((s, dir) =>
+      // sampled eccentricity = max distance to the 9 landmarks — a
+      // documented LOWER bound (no scale-up: max is not an average)
+      circulantGraph(s, dir).eccentricity.sampleSources(9).run()
+        .select(col(ID), col("eccentricity"))),
     "g_ktruss" -> ((s, dir) =>
       // k=12 exercises the full cascade at sf0.001 (support-9 shell drops,
       // undercutting the 10-clique -> empty) and the stable complete-graph
@@ -723,8 +736,10 @@ object SparkEntry {
     "p_dedup_clusters" -> ((s, dir) =>
       pipeline.Dedup.nearDupClusters(load(s, dir, "documents"), "doc_id", "text")),
     "p_clean_corpus" -> ((s, dir) => {
-      // composed training-data pipeline: quality gate + near-dup removal
-      val docs = load(s, dir, "documents")
+      // composed training-data pipeline: quality gate + near-dup removal.
+      // `documents` feeds three branches (quality scan, LSH shingling,
+      // final join) — persist so the parquet scan + decode runs once.
+      val docs = load(s, dir, "documents").persist()
       val quality = pipeline.Text.quality(docs, "doc_id", "text")
         .filter(col("n_tokens") >= 20 && col("stop_ratio") <= 0.2)
         .select("doc_id")
@@ -2168,6 +2183,24 @@ object SparkEntry {
     "g_pagerank_weighted" -> pagerankWeightedSql(10),
     "g_betweenness" -> betweennessSql,
     "g_closeness" -> closenessSql,
+    // landmark estimator: same md5-ordered draw as the engine, distances
+    // TO the landmarks (cdist.s = scored vertex, cdist.v = landmark),
+    // n/k = 25/9 scale-up on the reachable count and both sums
+    "g_closeness_sampled" ->
+      s"""WITH RECURSIVE $CIRC_DIST_SIGMA,
+         |lm AS (SELECT id FROM cv ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 9),
+         |agg AS (SELECT c.s AS id, COUNT(*) AS r, SUM(d) AS total, SUM(1.0 / d) AS h
+         |  FROM cdist c JOIN lm ON lm.id = c.v WHERE c.d > 0 GROUP BY 1)
+         |SELECT n_nationkey AS id,
+         |  ROUND(COALESCE((25.0 / 9.0) * r / 24.0 * r / total, 0), 5) AS closeness,
+         |  ROUND(COALESCE((25.0 / 9.0) * h, 0), 5) AS harmonic
+         |FROM nation LEFT JOIN agg ON agg.id = n_nationkey""".stripMargin,
+    "g_eccentricity_sampled" ->
+      s"""WITH RECURSIVE $CIRC_DIST_SIGMA,
+         |lm AS (SELECT id FROM cv ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 9),
+         |ec AS (SELECT c.s AS id, MAX(d) AS m FROM cdist c JOIN lm ON lm.id = c.v GROUP BY 1)
+         |SELECT n_nationkey AS id, CAST(COALESCE(m, 0) AS INT) AS eccentricity
+         |FROM nation LEFT JOIN ec ON ec.id = n_nationkey""".stripMargin,
     "g_eccentricity" ->
       s"""WITH RECURSIVE $CIRC_DIST_SIGMA,
          |ec AS (SELECT s, MAX(d) AS m FROM cdist GROUP BY s)

@@ -26,8 +26,10 @@ import graft.GraphFrame
  * codegen.
  *
  * Scale: state is O(V x S) rows of fixed width where S is the source
- * count — bound S with [[Betweenness.sampleSources]] (deterministic
- * md5-ordered sample, scaled by n/k into the standard Brandes estimator).
+ * count — bound S with `sampleSources(k)` on ALL of [[Betweenness]]
+ * (deterministic md5-ordered sample, scaled by n/k into the standard
+ * Brandes estimator), [[Closeness]] (Eppstein–Wang landmark estimate
+ * over reversed edges) and [[Eccentricity]] (landmark lower bound).
  * The edge table is deduplicated, narrowed to (src, dst) and persisted
  * once; every level reuses it. Below
  * `spark.graft.linkAnalysis.smallgraphthreshold` edges (default 100k, 0
@@ -43,6 +45,13 @@ import graft.GraphFrame
  */
 private[graft] object MultiSourceBFS {
   import GraphFrame.{SRC, DST}
+
+  /** md5 hex of a value's string form — the deterministic sampling key
+   * shared by every `sampleSources` implementation (local and
+   * distributed pick IDENTICAL landmark sets by construction). */
+  def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   /** One frame per BFS level: `(s, id, sigma: double)` where `id` is at
    * distance `level` from source `s` and `sigma` counts the distinct
@@ -194,9 +203,7 @@ class Betweenness(g: GraphFrame) {
       Seq(("betweenness", (v: Any) => btw(v) * factor, 0.0)))
   }
 
-  private def md5Hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private def md5Hex(s: String): String = MultiSourceBFS.md5Hex(s)
 }
 
 /** Per-vertex eccentricity over outgoing distances (engine extension) —
@@ -208,23 +215,46 @@ class Betweenness(g: GraphFrame) {
 class Eccentricity(g: GraphFrame) {
   import GraphFrame.{ID, SRC, DST}
 
+  private var sampleKV: Int = 0 // 0 = exact (every vertex a BFS source)
   private var smallGraphThresholdV: Long =
     graft.GraftConf.linkAnalysisSmallGraphThreshold.getOrElse(100000L)
+
+  /** Landmark estimate from k deterministic md5-ordered landmarks:
+   * ecc(v) becomes `max over sampled landmarks l of d(v, l)` — a LOWER
+   * BOUND on the true reachable eccentricity (max is not an average, so
+   * no n/k scale-up applies). State drops from O(V²) rows to O(V·k): one
+   * multi-source BFS from the landmarks over the REVERSED edges, scored
+   * at the reached vertex. 0 = exact. */
+  def sampleSources(k: Int): this.type = {
+    require(k >= 0, "sampleSources k must be >= 0 (0 = exact)")
+    sampleKV = k; this
+  }
   /** Same bounded-driver-tail knob as [[Hits]]; docs/THRESHOLDS.md. */
   def setSmallGraphThreshold(n: Long): this.type = { smallGraphThresholdV = n; this }
 
   def run(): DataFrame = {
     val e = g.edges.select(col(SRC), col(DST)).distinct().persist()
+    val n = g.vertices.count()
+    val sampled = sampleKV > 0 && sampleKV < n
     if (smallGraphThresholdV > 0 && e.count() <= smallGraphThresholdV) {
-      val r = runLocal(e)
+      val r = runLocal(e, sampled)
       e.unpersist(false)
       return r
     }
-    val levels = MultiSourceBFS.levels(e, g.vertices.select(col(ID).as("s")))
+    // exact: forward BFS from every vertex, scored at the source.
+    // sampled: BFS from the landmarks over reversed edges (so the level
+    // distance IS d(v, landmark) in the original direction), scored at
+    // the reached vertex.
+    val (bfsEdges, sources) =
+      if (sampled)
+        (e.select(col(DST).as(SRC), col(SRC).as(DST)), sampledLandmarks())
+      else (e, g.vertices.select(col(ID).as("s")))
+    val levels = MultiSourceBFS.levels(bfsEdges, sources)
+    val keyCol = if (sampled) "id" else "s"
     val agg = levels.zipWithIndex.map { case (lf, d) =>
-      lf.select(col("s"), lit(d).as("d"))
-    }.reduce(_ union _).groupBy("s").agg(max("d").as("_ec"))
-    val result = g.vertices.join(agg, col(ID) === col("s"), "left_outer")
+      lf.select(col(keyCol).as("_k"), lit(d).as("d"))
+    }.reduce(_ union _).groupBy("_k").agg(max("d").as("_ec"))
+    val result = g.vertices.join(agg, col(ID) === col("_k"), "left_outer")
       .select(g.vertices.columns.map(c => g.vertices(GraphFrame.quoteName(c))) :+
         coalesce(col("_ec"), lit(0)).cast("int").as("eccentricity"): _*)
       .localCheckpoint(true)
@@ -233,12 +263,22 @@ class Eccentricity(g: GraphFrame) {
     result
   }
 
-  private def runLocal(e: DataFrame): DataFrame = {
+  private def sampledLandmarks(): DataFrame =
+    g.vertices.select(col(ID).as("s"))
+      .orderBy(md5(col("s").cast("string")), col("s")).limit(sampleKV)
+
+  private def runLocal(e: DataFrame, sampled: Boolean): DataFrame = {
     import scala.collection.mutable
     val (edges, _) = LocalLinkAnalysis.collectGraph(e, g)
-    val sources = g.vertices.select(col(ID)).collect().map(_.get(0))
+    val ids = g.vertices.select(col(ID)).collect().map(_.get(0))
       .sortBy(String.valueOf(_))
-    val adj = edges.groupBy(_._1).map { case (s, es) =>
+    val sources: Array[Any] =
+      if (sampled)
+        ids.sortBy(v => (MultiSourceBFS.md5Hex(String.valueOf(v)), String.valueOf(v)))
+          .take(sampleKV)
+      else ids
+    val adjPairs = if (sampled) edges.map { case (s, d) => (d, s) } else edges
+    val adj = adjPairs.groupBy(_._1).map { case (s, es) =>
       (s, es.map(_._2).distinct.sortBy(String.valueOf(_)))
     }
     val ecc = mutable.HashMap.empty[Any, Double]
@@ -251,10 +291,13 @@ class Eccentricity(g: GraphFrame) {
           dist(w) = dist(v) + 1; queue.enqueue(w)
         }
       }
-      ecc(s) = dist.values.max.toDouble
+      if (sampled) // reversed BFS: dist(s→v) here is d(v, landmark s)
+        for ((v, d) <- dist)
+          ecc(v) = math.max(ecc.getOrElse(v, 0.0), d.toDouble)
+      else ecc(s) = dist.values.max.toDouble
     }
-    LocalLinkAnalysis.joinBack(g, sources,
-      Seq(("eccD", (v: Any) => ecc.getOrElse(v, 0.0), 0.0)))
+    LocalLinkAnalysis.joinBack(g, ecc.keys.toArray.sortBy(String.valueOf(_)),
+      Seq(("eccD", (v: Any) => ecc(v), 0.0)))
       .withColumn("eccentricity", col("eccD").cast("int")).drop("eccD")
   }
 }
@@ -266,47 +309,82 @@ class Eccentricity(g: GraphFrame) {
 class Closeness(g: GraphFrame) {
   import GraphFrame.{ID, SRC, DST}
 
+  private var sampleKV: Int = 0 // 0 = exact (every vertex a BFS source)
   private var smallGraphThresholdV: Long =
     graft.GraftConf.linkAnalysisSmallGraphThreshold.getOrElse(100000L)
+
+  /** Standard landmark (Eppstein–Wang) estimate from k deterministic
+   * md5-ordered landmarks: the per-vertex reachable count, distance sum
+   * and harmonic sum over the k sampled targets are scaled by n/k, i.e.
+   * closeness(v) ≈ ((n/k)·r̂/(n-1)) · (r̂/total̂) and
+   * harmonic(v) ≈ (n/k)·Σ 1/d(v, lᵢ). State drops from O(V²) rows to
+   * O(V·k): one multi-source BFS from the landmarks over the REVERSED
+   * edges, scored at the reached vertex. Unbiased for harmonic; the
+   * Wasserman–Faust closeness is a ratio estimate (consistent, slight
+   * small-k bias). 0 = exact. */
+  def sampleSources(k: Int): this.type = {
+    require(k >= 0, "sampleSources k must be >= 0 (0 = exact)")
+    sampleKV = k; this
+  }
   /** Same bounded-driver-tail knob as [[Hits]]; docs/THRESHOLDS.md. */
   def setSmallGraphThreshold(n: Long): this.type = { smallGraphThresholdV = n; this }
 
   def run(): DataFrame = {
     val e = g.edges.select(col(SRC), col(DST)).distinct().persist()
     val n = g.vertices.count()
+    val sampled = sampleKV > 0 && sampleKV < n
+    val scale = if (sampled) n.toDouble / sampleKV else 1.0
     if (smallGraphThresholdV > 0 && e.count() <= smallGraphThresholdV) {
-      val r = runLocal(e, n)
+      val r = runLocal(e, n, sampled, scale)
       e.unpersist(false)
       return r
     }
-    val levels = MultiSourceBFS.levels(e, g.vertices.select(col(ID).as("s")))
-    // per source: reachable count r (v != s), total distance, harmonic sum
-    // — one union + one aggregation over the level frames
+    // exact: forward BFS from every vertex, scored at the source.
+    // sampled: BFS from the landmarks over reversed edges (level distance
+    // = d(v, landmark) in the original direction), scored at the reached
+    // vertex with the n/k estimator.
+    val (bfsEdges, sources) =
+      if (sampled)
+        (e.select(col(DST).as(SRC), col(SRC).as(DST)),
+          g.vertices.select(col(ID).as("s"))
+            .orderBy(md5(col("s").cast("string")), col("s")).limit(sampleKV))
+      else (e, g.vertices.select(col(ID).as("s")))
+    val levels = MultiSourceBFS.levels(bfsEdges, sources)
+    // per scored vertex: reachable count r (d > 0), total distance,
+    // harmonic sum — one union + one aggregation over the level frames
+    val keyCol = if (sampled) "id" else "s"
     val settled = levels.zipWithIndex.map { case (lf, d) =>
-      lf.select(col("s"), lit(d).as("d"))
+      lf.select(col(keyCol).as("_k"), lit(d).as("d"))
     }.reduce(_ union _).filter(col("d") > 0)
-    val agg = settled.groupBy("s").agg(
+    val agg = settled.groupBy("_k").agg(
       count(lit(1)).as("r"), sum("d").as("total"), sum(lit(1.0) / col("d")).as("h"))
-    val result = g.vertices.join(agg, col(ID) === col("s"), "left_outer")
+    val result = g.vertices.join(agg, col(ID) === col("_k"), "left_outer")
       .select(g.vertices.columns.map(c => g.vertices(GraphFrame.quoteName(c))) :+
-        coalesce(col("r") / lit(math.max(n - 1.0, 1.0)) * col("r") / col("total"),
+        coalesce(lit(scale) * col("r") / lit(math.max(n - 1.0, 1.0)) * col("r") / col("total"),
           lit(0.0)).as("closeness") :+
-        coalesce(col("h"), lit(0.0)).as("harmonic"): _*)
+        coalesce(lit(scale) * col("h"), lit(0.0)).as("harmonic"): _*)
       .localCheckpoint(true)
     levels.foreach(IterationManager.release)
     e.unpersist(false)
     result
   }
 
-  private def runLocal(e: DataFrame, n: Long): DataFrame = {
+  private def runLocal(e: DataFrame, n: Long, sampled: Boolean, scale: Double): DataFrame = {
     val (edges, _) = LocalLinkAnalysis.collectGraph(e, g)
-    val sources = g.vertices.select(col(ID)).collect().map(_.get(0))
+    val ids = g.vertices.select(col(ID)).collect().map(_.get(0))
       .sortBy(String.valueOf(_))
-    val adj = edges.groupBy(_._1).map { case (s, es) =>
+    val sources: Array[Any] =
+      if (sampled)
+        ids.sortBy(v => (MultiSourceBFS.md5Hex(String.valueOf(v)), String.valueOf(v)))
+          .take(sampleKV)
+      else ids
+    val adjPairs = if (sampled) edges.map { case (s, d) => (d, s) } else edges
+    val adj = adjPairs.groupBy(_._1).map { case (s, es) =>
       (s, es.map(_._2).distinct.sortBy(String.valueOf(_)))
     }
-    val clo = mutable.HashMap.empty[Any, Double]
-    val har = mutable.HashMap.empty[Any, Double]
+    val rAcc = mutable.HashMap.empty[Any, Double]
+    val tAcc = mutable.HashMap.empty[Any, Double]
+    val hAcc = mutable.HashMap.empty[Any, Double]
     for (s <- sources) {
       val dist = mutable.HashMap[Any, Int](s -> 0)
       val queue = mutable.Queue[Any](s)
@@ -316,15 +394,29 @@ class Closeness(g: GraphFrame) {
           dist(w) = dist(v) + 1; queue.enqueue(w)
         }
       }
-      val ds = dist.collect { case (v, d) if v != s => d }
-      if (ds.nonEmpty) {
-        val r = ds.size.toDouble
-        clo(s) = r / math.max(n - 1.0, 1.0) * r / ds.sum
-        har(s) = ds.toSeq.sorted.map(1.0 / _).sum
+      if (sampled) {
+        // reversed BFS: dist(s→v) here is d(v, landmark s); accumulate at
+        // the reached vertex, in sorted order for float determinism
+        for ((v, d) <- dist.toSeq.sortBy(p => String.valueOf(p._1)) if d > 0) {
+          rAcc(v) = rAcc.getOrElse(v, 0.0) + 1.0
+          tAcc(v) = tAcc.getOrElse(v, 0.0) + d
+          hAcc(v) = hAcc.getOrElse(v, 0.0) + 1.0 / d
+        }
+      } else {
+        val ds = dist.collect { case (v, d) if v != s => d }
+        if (ds.nonEmpty) {
+          rAcc(s) = ds.size.toDouble
+          tAcc(s) = ds.sum.toDouble
+          hAcc(s) = ds.toSeq.sorted.map(1.0 / _).sum
+        }
       }
     }
-    LocalLinkAnalysis.joinBack(g, sources,
-      Seq(("closeness", (v: Any) => clo.getOrElse(v, 0.0), 0.0),
-        ("harmonic", (v: Any) => har.getOrElse(v, 0.0), 0.0)))
+    def clo(v: Any): Double =
+      if (rAcc.contains(v))
+        scale * rAcc(v) / math.max(n - 1.0, 1.0) * rAcc(v) / tAcc(v)
+      else 0.0
+    LocalLinkAnalysis.joinBack(g, rAcc.keys.toArray.sortBy(String.valueOf(_)),
+      Seq(("closeness", clo, 0.0),
+        ("harmonic", (v: Any) => scale * hAcc.getOrElse(v, 0.0), 0.0)))
   }
 }

@@ -117,6 +117,57 @@ class CentralitySpec extends TestBase {
     assert(local("g") == 0) // isolated
   }
 
+  test("closeness: sampled landmarks — hand-checked estimator on K3") {
+    // bidirectional triangle: all pairwise distances 1. With k=2 landmarks
+    // (scale 3/2): a landmark v sees one other landmark (r=1, total=1) =>
+    // closeness (3/2)*1/2*1/1 = 0.75, harmonic 1.5; the non-landmark sees
+    // both (r=2, total=2) => closeness (3/2)*2/2*2/2 = 1.5, harmonic 3.0.
+    val v = Seq(0L, 1L, 2L).toDF("id")
+    val e = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L), (0L, 2L), (2L, 0L))
+      .toDF("src", "dst")
+    val g = GraphFrame(v, e)
+    for (t <- Seq(0L, 100000L)) { // distributed AND local tail
+      val m = g.closeness.sampleSources(2).setSmallGraphThreshold(t).run()
+        .select("id", "closeness", "harmonic").collect()
+        .map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2)))).toMap
+      val scores = m.values.toSeq.sortBy(_._1)
+      assert(scores.count(s => math.abs(s._1 - 0.75) < 1e-9 &&
+        math.abs(s._2 - 1.5) < 1e-9) == 2, s"threshold $t: $m")
+      assert(scores.count(s => math.abs(s._1 - 1.5) < 1e-9 &&
+        math.abs(s._2 - 3.0) < 1e-9) == 1, s"threshold $t: $m")
+    }
+  }
+
+  test("closeness: sampled — local tail == distributed, deterministic") {
+    def run(t: Long): Map[String, (Double, Double)] =
+      friends.closeness.sampleSources(3).setSmallGraphThreshold(t).run()
+        .select("id", "closeness", "harmonic").collect()
+        .map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    val local = run(100000)
+    val dist = run(0)
+    assert(local.keySet == dist.keySet)
+    for ((k, (c, h)) <- local) {
+      assert(math.abs(c - dist(k)._1) < 1e-9, s"closeness $k")
+      assert(math.abs(h - dist(k)._2) < 1e-9, s"harmonic $k")
+    }
+    assert(run(0) == dist) // md5 draw: replayable, no RNG state
+    assert(local("g")._2 == 0.0) // isolated vertex reaches no landmark
+  }
+
+  test("eccentricity: sampled is a lower bound; local == distributed") {
+    def ecc(t: Long, k: Int): Map[Long, Int] =
+      chain(5).eccentricity.sampleSources(k).setSmallGraphThreshold(t).run()
+        .select("id", "eccentricity").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val exact = ecc(100000, 0)
+    val local = ecc(100000, 2)
+    val dist = ecc(0, 2)
+    assert(local == dist)
+    for ((v, s) <- local) assert(s <= exact(v), s"vertex $v: $s > ${exact(v)}")
+    // k >= n degrades to exact
+    assert(ecc(100000, 5) == exact)
+  }
+
   test("centrality: parallel edges collapse, self-loops are inert") {
     val v = Seq(0L, 1L, 2L).toDF("id")
     val e = Seq((0L, 1L), (0L, 1L), (1L, 1L), (1L, 2L)).toDF("src", "dst")

@@ -146,14 +146,17 @@ class GraphFrameMethods:
         return self._call("betweenness", sampleK=sampleK,
                           normalized=normalized)
 
-    def closeness(self):
-        """Closeness + harmonic centrality (engine extension)."""
-        return self._call("closeness")
+    def closeness(self, sampleK: Optional[int] = None):
+        """Closeness + harmonic centrality (engine extension). sampleK > 0
+        switches to the Eppstein-Wang landmark estimate (n/k scaled) from
+        k deterministic md5-ordered landmarks."""
+        return self._call("closeness", sampleK=sampleK)
 
-    def eccentricity(self):
+    def eccentricity(self, sampleK: Optional[int] = None):
         """Per-vertex eccentricity over reachable out-distances (engine
-        extension)."""
-        return self._call("eccentricity")
+        extension). sampleK > 0 reports max distance to k deterministic
+        landmarks — a lower bound on the exact value."""
+        return self._call("eccentricity", sampleK=sampleK)
 
     def kCore(self, maxIter: Optional[int] = None):
         return self._call("kcore", maxIter=maxIter)
@@ -182,14 +185,23 @@ class GraphFrameMethods:
         return self._call("graph_stats")
 
     def sampleVertices(self, fraction: Optional[float] = None,
-                       seed: Optional[int] = None):
-        """Deterministic md5 vertex sample; returns the induced edges."""
-        return self._call("sample_vertices", fraction=fraction, seed=seed)
+                       seed: Optional[int] = None,
+                       part: Optional[str] = None):
+        """Deterministic md5 vertex sample. One table per call: the
+        induced edges by default, or the sampled vertex rows (with their
+        attributes) when part="vertices" — call twice for both halves of
+        the sampled subgraph."""
+        return self._call("sample_vertices", fraction=fraction, seed=seed,
+                          part=part)
 
     def sampleEdges(self, fraction: Optional[float] = None,
-                    seed: Optional[int] = None):
-        """Deterministic md5 edge sample; returns the kept edges."""
-        return self._call("sample_edges", fraction=fraction, seed=seed)
+                    seed: Optional[int] = None,
+                    part: Optional[str] = None):
+        """Deterministic md5 edge sample. One table per call: the kept
+        edges by default, or the endpoint-restricted vertex rows when
+        part="vertices"."""
+        return self._call("sample_edges", fraction=fraction, seed=seed,
+                          part=part)
 
     def greedyColoring(self, maxColors: Optional[int] = None,
                        maxIter: Optional[int] = None,

@@ -452,18 +452,27 @@ object GraftConnectDispatch {
         typed("normalized", "a boolean") { case JBool(b) => b }
           .foreach(bc.normalized)
         bc.run()
-      case "closeness" => g.closeness.run()
-      case "eccentricity" => g.eccentricity.run()
+      case "closeness" =>
+        val cl = g.closeness
+        int("sampleK").foreach(cl.sampleSources)
+        cl.run()
+      case "eccentricity" =>
+        val ec = g.eccentricity
+        int("sampleK").foreach(ec.sampleSources)
+        ec.run()
       case "clustering_coefficient" => g.clusteringCoefficient.run()
       case "graph_stats" => g.stats
-      // sampling returns the induced EDGES (the vertex filter is the same
-      // md5 draw a client can apply itself; edges are the derived part)
+      // sampling returns ONE table per call: the induced edges by default,
+      // or the sampled vertex rows (with their attributes) when
+      // part=vertices — a remote client fetches both with two calls
       case "sample_vertices" =>
-        g.sampleVertices(dbl("fraction").getOrElse(0.1),
-          int("seed").map(_.toLong).getOrElse(42L)).edges
+        val sg = g.sampleVertices(dbl("fraction").getOrElse(0.1),
+          int("seed").map(_.toLong).getOrElse(42L))
+        if (str("part").contains("vertices")) sg.vertices else sg.edges
       case "sample_edges" =>
-        g.sampleEdges(dbl("fraction").getOrElse(0.1),
-          int("seed").map(_.toLong).getOrElse(42L)).edges
+        val sg = g.sampleEdges(dbl("fraction").getOrElse(0.1),
+          int("seed").map(_.toLong).getOrElse(42L))
+        if (str("part").contains("vertices")) sg.vertices else sg.edges
       case "ktruss" =>
         val kt = g.kTruss
         int("k").foreach(kt.setK)

@@ -85,11 +85,15 @@ class GreedyColoring(g: GraphFrame) {
     var uncolored = cut(g.vertices.select(ID))
     val colorFrames = mutable.ArrayBuffer.empty[DataFrame]
 
+    // hash-only priority, deliberately WITHOUT an id tie-break: a winner
+    // must be STRICTLY below every pool neighbor, so on a hash collision
+    // neither endpoint wins and both retry next round (whose hash input
+    // differs) — exactly what the local tail and the SQL oracle compute.
+    // An id tie-break here would silently diverge from both on collision.
     def prio(c: Column, color: Int, round: Int): Column =
       if (hashModeV == "md5")
-        struct(md5(concat_ws("|", c.cast("string"), lit(seedV), lit(color),
-          lit(round))).as("h"), c.as("i"))
-      else struct(xxhash64(c, lit(seedV), lit(color), lit(round)).as("h"), c.as("i"))
+        md5(concat_ws("|", c.cast("string"), lit(seedV), lit(color), lit(round)))
+      else xxhash64(c, lit(seedV), lit(color), lit(round))
 
     var color = 0
     while (color < maxColorsV && !uncolored.isEmpty) {
@@ -132,8 +136,10 @@ class GreedyColoring(g: GraphFrame) {
   }
 
   /** Driver tail (md5 mode): identical priorities — md5 hex strings order
-   * the same way Spark's struct(min) orders them — over sorted adjacency,
-   * so the coloring is a pure function of the graph value. */
+   * the same way Spark's string min orders them, and the strict
+   * hash-only winner rule (no id tie-break) is the same in both paths
+   * and the SQL oracle — over sorted adjacency, so the coloring is a
+   * pure function of the graph value. */
   private def runLocal(und: DataFrame): DataFrame = {
     val (edges, _) = LocalLinkAnalysis.collectGraph(und, g)
     val ids = g.vertices.select(col(ID)).collect().map(_.get(0))

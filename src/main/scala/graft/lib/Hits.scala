@@ -125,7 +125,7 @@ class Hits(g: GraphFrame) {
     var hub = mutable.HashMap.empty[Any, Double]
     var auth = mutable.HashMap.empty[Any, Double]
     vids.foreach { v => hub(v) = 1.0; auth(v) = 1.0 }
-    for (_ <- 1 to maxIterV) {
+    for (round <- 1 to maxIterV) {
       val a = mutable.HashMap.empty[Any, Double]
       vids.foreach(v => a(v) = 0.0)
       edges.foreach { case (s, d) =>
@@ -137,12 +137,18 @@ class Hits(g: GraphFrame) {
         if (valid(s) && valid(d)) h(s) += a(d)
       }
       hub = h; auth = a
-      // same overflow guard as the distributed path (free here)
-      val mh = vids.iterator.map(v => math.abs(hub(v))).foldLeft(0.0)(math.max)
-      val ma = vids.iterator.map(v => math.abs(auth(v))).foldLeft(0.0)(math.max)
-      if (mh > 1e100 || ma > 1e100) {
-        val (sh, sa) = (math.max(mh, 1.0), math.max(ma, 1.0))
-        vids.foreach { v => hub(v) /= sh; auth(v) /= sa }
+      // same overflow guard as the distributed path — SAME CADENCE too
+      // (every 8th round, never the last): rescale timing changes float
+      // rounding, and local==distributed parity holds only if both paths
+      // follow an identical numeric trajectory on graphs whose raw sums
+      // cross 1e100
+      if (round % 8 == 0 && round < maxIterV) {
+        val mh = vids.iterator.map(v => math.abs(hub(v))).foldLeft(0.0)(math.max)
+        val ma = vids.iterator.map(v => math.abs(auth(v))).foldLeft(0.0)(math.max)
+        if (mh > 1e100 || ma > 1e100) {
+          val (sh, sa) = (math.max(mh, 1.0), math.max(ma, 1.0))
+          vids.foreach { v => hub(v) /= sh; auth(v) /= sa }
+        }
       }
     }
     val hNorm = math.sqrt(vids.iterator.map(v => hub(v) * hub(v)).sum)

@@ -60,9 +60,12 @@ class NeighborhoodFunction(g: GraphFrame) {
       .groupBy(col(ID))
       .agg(expr(s"theta_sketch_agg($ID, $lg)").as("_nf_sk")), 0)
 
-    // theta_sketch_estimate returns LONG (Spark rounds the raw estimate)
+    // theta_sketch_estimate returns LONG (Spark rounds the raw estimate);
+    // sum() over zero rows is NULL — coalesce so an empty vertex table
+    // yields a clean (0, 0) row instead of an NPE
     def total(): Long =
-      state.agg(sum(expr("theta_sketch_estimate(_nf_sk)"))).head().getLong(0)
+      state.agg(coalesce(sum(expr("theta_sketch_estimate(_nf_sk)")), lit(0L)))
+        .head().getLong(0)
 
     val counts = ArrayBuffer[(Int, Long)]((0, total()))
     var d = 0
@@ -88,6 +91,9 @@ class NeighborhoodFunction(g: GraphFrame) {
   def effectiveDiameter(alpha: Double = 0.9): Double = {
     require(alpha > 0 && alpha <= 1, s"alpha out of (0, 1]: $alpha")
     val rows: Array[Row] = run().orderBy("d").collect()
+    // run() always emits the d=0 row, but guard anyway: an empty graph's
+    // neighborhood function is all-zero — report diameter 0, not a crash
+    if (rows.isEmpty || rows.last.getLong(1) == 0L) return 0.0
     val nMax = rows.last.getLong(1)
     rows.find(_.getLong(1) >= alpha * nMax).map(_.getInt(0).toDouble).get
   }

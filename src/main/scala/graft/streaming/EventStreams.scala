@@ -62,9 +62,18 @@ object EventStreams {
    * watermarks and the join condition is a direct event-time range, so
    * Spark derives a state watermark for BOTH join buffers: state is
    * bounded by (watermark horizon + interval) x per-user rate, never by
-   * stream length. Returns `(left_id, right_id, user_id, lag_ms)`;
-   * `lag_ms` compares millisecond-floored event times, so the boundary
-   * rule is exact under any source timestamp precision.
+   * stream length. Returns `(left_id, right_id, user_id, lag_ms)`.
+   *
+   * Boundary contract: the window test compares RAW event timestamps at
+   * full source precision — an event exactly `windowMinutes` after the
+   * click matches; one even a microsecond later does not. (Flooring
+   * inside the join condition would hide the range from Spark's state-
+   * watermark derivation and unbound both join buffers, so the raw-
+   * timestamp rule IS the contract.) `lag_ms` is the millisecond FLOOR
+   * of that raw lag: with sub-millisecond source timestamps an emitted
+   * row's `lag_ms` can equal the window bound while a slightly-later,
+   * same-`lag_ms` event is excluded. Sources quantized to whole
+   * milliseconds (the `events` fixture) see no difference.
    */
   def intervalJoinStream(events: DataFrame, leftType: String,
       rightType: String, windowMinutes: Int = 30,

@@ -115,12 +115,19 @@ class RefSuitePortSpec extends TestBase {
   }
 
   test("svdPlusPlus: MSE on the training set stays under the reference bound") {
-    // The reference asserts <= 8.0 on its own csv fixture; our synthetic
-    // ALS fixture + GraphX's unseeded factor init lands 6.4-8.7 across
-    // runs, so the delegate check keeps a deflaked envelope and the exact
-    // bound moves to the deterministic variant below.
+    // The reference asserts <= 8.0 on its own csv fixture. The delegate
+    // CANNOT be seeded: stock GraphX's factor init calls the GLOBAL
+    // scala.util.Random$ singleton inside parallel RDD lambdas (verified
+    // by bytecode: SVDPlusPlus$ getstatic Random$.MODULE$ /
+    // nextDouble()D), so even Random.setSeed leaves per-vertex draws at
+    // the mercy of 16-thread interleaving — there is no seed to thread
+    // through. The envelope is therefore measured, not guessed: 25
+    // fresh-model reps on this fixture (round 9, local[16]) landed
+    // 5.13-9.16, mean 7.33; 10.5 covers the observed max with ~15%
+    // headroom. The exact pinned bound lives with the deterministic
+    // variant below.
     val err = svdppMse(Graphs.ALSSyntheticData())
-    assert(err <= 12.0, s"svd++ training MSE $err > 12.0")
+    assert(err <= 10.5, s"svd++ training MSE $err > 10.5")
   }
 
   test("svdPlusPlus: deterministic variant trains to a pinned loss") {
@@ -139,11 +146,10 @@ class RefSuitePortSpec extends TestBase {
       gg.edges.select(col("src").cast("string"), col("dst").cast("string"),
         col("weight").cast("float")))
     val err = svdppMse(g)
-    // same deflaked envelope as the delegate check above (GraphX's
-    // unseeded factor init spreads runs across ~6.4-8.7; measured 8.07
-    // in a clean round-8 session) — the exact bound lives with the
-    // deterministic variant
-    assert(err <= 12.0, s"svd++ (string/float) training MSE $err > 12.0")
+    // same measured envelope as the delegate check above (global-Random
+    // init, unseedable — see the bytecode note there; 25 reps landed
+    // 5.13-9.16) — the exact bound lives with the deterministic variant
+    assert(err <= 10.5, s"svd++ (string/float) training MSE $err > 10.5")
   }
 
   // ---- KMinSamplingSuite.scala:11-63 ----

@@ -74,15 +74,15 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flakyJson = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Side-by-side vs the reference engine, BOTH halves re-measured in
-    // round 7 (2026-08-13, three interleaved fresh-JVM session pairs,
-    // after the finish()/surrogate fixes) with the committed harness
+    // round 9 (2026-08-14, FOUR interleaved fresh-JVM session pairs,
+    // after the CC single-evaluation fix) with the committed harness
     // (graft.BaselineBench vs the reference core compiled from
     // /root/reference, identical JMH-style protocol — 1 warmup + 3 avg,
     // noop sink, Kryo, MEMORY_AND_DISK_SER inputs — on the same
-    // 1.19M-edge long-id trade graph at sf0.1, local[16]):
-    // CC 0.45, SP 0.74, LPA 0.86. Recipe + per-pair raw numbers +
-    // variance discussion: tools/baseline_sidebyside.md.
-    // `recorded_baseline_ratio` is that static 0.66 geomean — NOT
+    // 1.19M-edge long-id trade graph at sf0.1, local[16]): median-based
+    // CC 0.44, SP 0.87, LPA 0.83. Recipe + per-pair raw numbers +
+    // outlier discussion: tools/baseline_sidebyside.md.
+    // `recorded_baseline_ratio` is that static 0.68 geomean — NOT
     // recomputed per run (refresh with graft.BaselineBench).
     //
     // subDp/supDp = decimals below/above 1 s.
@@ -95,7 +95,7 @@ object Bench {
       val flakyPart = if (flaky.nonEmpty || !compact) s""","flaky":$flakyJson""" else ""
       val sf = if (compact) sfDir.split('/').last else sfDir
       s"""{"metric":"total","value":${round(total, 1)},"unit":"sec","queries":$qs,"failed":$failedJson$flakyPart""" +
-        (if (withRatio) ""","recorded_baseline_ratio":0.66""" else "") +
+        (if (withRatio) ""","recorded_baseline_ratio":0.68""" else "") +
         s""","sf":"$sf"}"""
     }
     // The driver keeps only a ~2000-char TAIL of stdout and parses the
@@ -108,7 +108,7 @@ object Bench {
     println(line(3, 3, true, compact = false))
     val summary =
       s"""{"metric":"total","value":${round(total, 1)},"unit":"sec","n_queries":${results.size},""" +
-        s""""failed":$failedJson,"flaky":$flakyJson,"recorded_baseline_ratio":0.66,""" +
+        s""""failed":$failedJson,"flaky":$flakyJson,"recorded_baseline_ratio":0.68,""" +
         s""""queries_file":"tools/bench_last_run.json","sf":"${sfDir.split('/').last}"}"""
     println(summary)
     // full-precision artifact, immune to the stdout tail bound

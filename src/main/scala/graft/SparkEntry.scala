@@ -337,6 +337,12 @@ object SparkEntry {
     "g_eccentricity" -> ((s, dir) =>
       circulantGraph(s, dir).eccentricity.run()
         .select(col(ID), col("eccentricity"))),
+    "g_betweenness_sampled" -> ((s, dir) =>
+      // Brandes estimator from 9 md5-ordered sources with the n/k
+      // scale-up; the oracle restricts the shortest-path-DAG triple join
+      // to the same landmark set and applies the same 25/9 factor
+      circulantGraph(s, dir).betweenness.sampleSources(9).run()
+        .select(col(ID), round(col("betweenness"), 5).as("betweenness"))),
     "g_closeness_sampled" -> ((s, dir) =>
       // landmark (Eppstein–Wang) estimator: 9 md5-ordered landmarks,
       // reversed-edge multi-source BFS, n/k scale-up — the O(V·k) path
@@ -1009,6 +1015,30 @@ object SparkEntry {
       s.table("graft_stream_segdedup")
         .select(col("doc_id"), col("pos"), col("segment"), col("kept"))
     }),
+    "e_stream_incremental_dedup" -> ((s, dir) => {
+      // steady-state streaming ingest: the corpus index (doc_id < 400) is
+      // batch-built (in production: loaded from parquet); new docs
+      // (doc_id >= 400) arrive as a stream and match via foreachBatch of
+      // the BATCH incrementalNearDups. A single-file replay is one
+      // micro-batch, so the streamed output equals p_incremental_dedup
+      // row-for-row — same oracle SQL
+      val docs = load(s, dir, "documents")
+      val index = pipeline.Dedup.minhashIndex(
+        docs.filter(col("doc_id") < 400), "doc_id", "text").persist()
+      val schemaDocs = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(schemaDocs)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") >= 400)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      var outSchema: org.apache.spark.sql.types.StructType = null
+      val q = streaming.EventStreams.incrementalNearDupStream(
+          stream, "doc_id", "text", index,
+          (pairs, _) => { outSchema = pairs.schema; buf ++= pairs.collect() })
+        .queryName("graft_stream_incdedup").start()
+      q.processAllAvailable(); q.stop()
+      index.unpersist(false)
+      s.createDataFrame(s.sparkContext.parallelize(buf.toSeq, 1), outSchema)
+    }),
     "e_stream_enrich" -> ((s, dir) => {
       // stream-static broadcast enrichment (stateless — no watermark, no
       // join buffer) feeding a running per-nation aggregate in complete
@@ -1066,6 +1096,31 @@ object SparkEntry {
   private val W = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
   /** 3-word shingles over w (mirrors Text.wordShingles(n=3)). */
   private val SH3 = "[array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]"
+
+  /** Incremental near-dup oracle (new batch doc_id >= 400 vs the
+   * doc_id < 400 corpus index, plus within-batch pairs) — shared by the
+   * batch query and its single-micro-batch streaming twin. */
+  private lazy val incrementalDedupSql: String =
+    s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+       |s AS (SELECT doc_id, $SH3 AS sh FROM t WHERE len(w) >= 3),
+       |sig AS MATERIALIZED (SELECT doc_id, list_transform(range(0, 16), h ->
+       |   list_min(list_transform(sh, x -> md5(CAST(h AS VARCHAR) || '|' || x)))) AS mh
+       |   FROM s),
+       |bands AS MATERIALIZED (SELECT doc_id, r.b AS band,
+       |   md5(array_to_string(mh[2 * r.b + 1:2 * r.b + 2], '|')) AS bh
+       |   FROM sig, range(0, 8) r(b)),
+       |nb AS (SELECT * FROM bands WHERE doc_id >= 400),
+       |cb AS (SELECT * FROM bands WHERE doc_id < 400),
+       |p AS (SELECT DISTINCT nb.doc_id AS id, cb.doc_id AS mid
+       |   FROM nb JOIN cb ON nb.band = cb.band AND nb.bh = cb.bh
+       |  UNION
+       |  SELECT DISTINCT x.doc_id, y.doc_id
+       |   FROM nb x JOIN nb y ON x.band = y.band AND x.bh = y.bh
+       |   AND x.doc_id > y.doc_id)
+       |SELECT p.id AS doc_id, p.mid AS match_id,
+       |  ROUND(CAST(len(list_filter(range(1, 17), i -> a.mh[i] = b.mh[i])) AS DOUBLE) / 16,
+       |    4) AS est_jaccard
+       |FROM p JOIN sig a ON a.doc_id = p.id JOIN sig b ON b.doc_id = p.mid""".stripMargin
 
   /** Unrolled Katz replay: x ← beta + alpha · (in-sum of x). */
   private def katzSql(iters: Int, alpha: Double, beta: Double): String = {
@@ -2183,6 +2238,23 @@ object SparkEntry {
     "g_pagerank_weighted" -> pagerankWeightedSql(10),
     "g_betweenness" -> betweennessSql,
     "g_closeness" -> closenessSql,
+    "g_betweenness_sampled" ->
+      s"""WITH RECURSIVE $CIRC_DIST_SIGMA,
+         |lm AS (SELECT id FROM cv ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 9),
+         |btw AS (SELECT sv.v AS id, SUM(sv.sig * vt.sig / st.sig) AS b
+         |  FROM csig sv
+         |  JOIN lm ON lm.id = sv.s
+         |  JOIN csig vt ON vt.s = sv.v
+         |  JOIN csig st ON st.s = sv.s AND st.v = vt.v
+         |  JOIN cdist d1 ON d1.s = sv.s AND d1.v = sv.v
+         |  JOIN cdist d2 ON d2.s = vt.s AND d2.v = vt.v
+         |  JOIN cdist d3 ON d3.s = st.s AND d3.v = st.v
+         |  WHERE sv.v <> sv.s AND sv.v <> vt.v AND sv.s <> vt.v
+         |    AND d1.d + d2.d = d3.d
+         |  GROUP BY 1)
+         |SELECT n_nationkey AS id,
+         |  ROUND(COALESCE(b, 0) * 25.0 / 9.0, 5) AS betweenness
+         |FROM nation LEFT JOIN btw ON btw.id = n_nationkey""".stripMargin,
     // landmark estimator: same md5-ordered draw as the engine, distances
     // TO the landmarks (cdist.s = scored vertex, cdist.v = landmark),
     // n/k = 25/9 scale-up on the reachable count and both sums
@@ -2380,27 +2452,11 @@ object SparkEntry {
         |  CAST(coalesce(sum(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS kept,
         |  CAST(coalesce(sum(CASE WHEN keep THEN 0 ELSE 1 END), 0) AS BIGINT) AS dropped
         |FROM k GROUP BY doc_id""".stripMargin,
-    "p_incremental_dedup" ->
-      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
-         |s AS (SELECT doc_id, $SH3 AS sh FROM t WHERE len(w) >= 3),
-         |sig AS MATERIALIZED (SELECT doc_id, list_transform(range(0, 16), h ->
-         |   list_min(list_transform(sh, x -> md5(CAST(h AS VARCHAR) || '|' || x)))) AS mh
-         |   FROM s),
-         |bands AS MATERIALIZED (SELECT doc_id, r.b AS band,
-         |   md5(array_to_string(mh[2 * r.b + 1:2 * r.b + 2], '|')) AS bh
-         |   FROM sig, range(0, 8) r(b)),
-         |nb AS (SELECT * FROM bands WHERE doc_id >= 400),
-         |cb AS (SELECT * FROM bands WHERE doc_id < 400),
-         |p AS (SELECT DISTINCT nb.doc_id AS id, cb.doc_id AS mid
-         |   FROM nb JOIN cb ON nb.band = cb.band AND nb.bh = cb.bh
-         |  UNION
-         |  SELECT DISTINCT x.doc_id, y.doc_id
-         |   FROM nb x JOIN nb y ON x.band = y.band AND x.bh = y.bh
-         |   AND x.doc_id > y.doc_id)
-         |SELECT p.id AS doc_id, p.mid AS match_id,
-         |  ROUND(CAST(len(list_filter(range(1, 17), i -> a.mh[i] = b.mh[i])) AS DOUBLE) / 16,
-         |    4) AS est_jaccard
-         |FROM p JOIN sig a ON a.doc_id = p.id JOIN sig b ON b.doc_id = p.mid""".stripMargin,
+    "p_incremental_dedup" -> incrementalDedupSql,
+    // single-file replay = one micro-batch, and the foreachBatch body IS
+    // the batch operator — so the streamed output equals the batch
+    // incremental dedup row-for-row and shares its oracle verbatim
+    "e_stream_incremental_dedup" -> incrementalDedupSql,
     "p_minhash_lsh" ->
       s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
          |s AS (SELECT doc_id, $SH3 AS sh FROM t WHERE len(w) >= 3),

@@ -125,6 +125,51 @@ object EventStreams {
    * key across executors. Emits per-segment keep decisions; reassembly
    * (groupBy doc_id, sort by pos) composes downstream or per sink batch.
    */
+  /**
+   * Streaming steady-state near-dup ingest: every arriving micro-batch of
+   * documents is matched against a PERSISTED MinHash index
+   * ([[graft.pipeline.Dedup.minhashIndex]] output, typically loaded from
+   * parquet) and, when `matchNewPairs`, against the docs that arrived
+   * earlier IN THE SAME micro-batch — by running the tested batch
+   * operator [[graft.pipeline.Dedup.incrementalNearDups]] inside
+   * `foreachBatch`. Each matched pair `(id, match_id, est_jaccard)` is
+   * handed to `sink`.
+   *
+   * Contract, stated rather than hidden: novel duplicates that arrive in
+   * DIFFERENT micro-batches are NOT matched against each other until the
+   * corpus index is refreshed to include them — the standard steady-state
+   * ingest design (the index refresh cadence bounds the blind window).
+   * Dedup state never lives in the stream: the per-batch cost is
+   * O(batch) signature computation + bucket equi-joins against the
+   * (static, re-broadcast per micro-batch) index, so this runs at any
+   * corpus size the batch operator handles.
+   *
+   * The index width is validated ONCE here, eagerly, at stream
+   * definition (one bounded aggregate over the static index) — the
+   * per-batch calls skip the scan but keep the always-on per-row width
+   * guard.
+   */
+  def incrementalNearDupStream(docs: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, sink: (DataFrame, Long) => Unit,
+      matchNewPairs: Boolean = true, n: Int = 3, bands: Int = 8,
+      rowsPerBand: Int = 2, minEstJaccard: Double = 0.0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val numHashes = bands * rowsPerBand
+    index.agg(min(size(col("sig"))).as("_lo"), max(size(col("sig"))).as("_hi"))
+      .collect().foreach { r =>
+        if (!r.isNullAt(0)) {
+          require(r.getInt(0) == numHashes && r.getInt(1) == numHashes,
+            s"index signature widths [${r.getInt(0)}, ${r.getInt(1)}] != " +
+              s"bands*rowsPerBand = $numHashes — index built with different parameters?")
+        }
+      }
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.pipeline.Dedup.incrementalNearDups(
+        batch, idCol, textCol, index, matchNewPairs, n, bands, rowsPerBand,
+        minEstJaccard, validateIndexWidth = false), batchId)
+    }
+  }
+
   def segmentDedupStream(docs: DataFrame, idCol: String, textCol: String,
       sep: String = "\n", windowWords: Int = 0,
       maxDupCount: Long = 1, lowercase: Boolean = false): Dataset[SegOut] = {

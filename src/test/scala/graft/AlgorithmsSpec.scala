@@ -47,6 +47,60 @@ class AlgorithmsSpec extends TestBase {
     assert(w.forall(x => math.abs(x - 1.0 / 3) < 1e-12))
   }
 
+  test("pageRank: local tail == distributed supersteps (all four modes)") {
+    // friends: string ids, an isolated vertex (g), a cycle — run every
+    // mode through BOTH paths and require identical trajectories
+    def ranks(build: lib.PageRank => lib.PageRank, threshold: Long): Map[String, Double] =
+      build(friends.pageRank).setSmallGraphThreshold(threshold).run()
+        .vertices.select("id", "pagerank").as[(String, Double)].collect().toMap
+    val modes: Seq[(String, lib.PageRank => lib.PageRank)] = Seq(
+      ("fixed", _.resetProbability(0.15).maxIter(7)),
+      ("tol", _.resetProbability(0.15).tol(0.001)),
+      ("personalized", _.resetProbability(0.15).maxIter(7).sourceId("a")),
+      ("personalized-tol", _.resetProbability(0.15).tol(0.001).sourceId("a")))
+    for ((name, build) <- modes) {
+      val local = ranks(build, 100000)
+      val dist = ranks(build, 0)
+      assert(local.keySet == dist.keySet, name)
+      for ((k, v) <- local)
+        assert(math.abs(v - dist(k)) < 1e-9, s"$name vertex $k: $v vs ${dist(k)}")
+    }
+    // weighted mode on a graph with a weight column
+    val v = Seq(0L, 1L, 2L).toDF("id")
+    val e = Seq((0L, 1L, 3.0), (0L, 2L, 1.0), (1L, 2L, 2.0), (2L, 0L, 1.0))
+      .toDF("src", "dst", "w")
+    def wr(threshold: Long): Map[Long, Double] =
+      GraphFrame(v, e).pageRank.resetProbability(0.15).maxIter(8).weightCol("w")
+        .setSmallGraphThreshold(threshold).run()
+        .vertices.select("id", "pagerank").as[(Long, Double)].collect().toMap
+    val wl = wr(100000)
+    val wd = wr(0)
+    for ((k, x) <- wl) assert(math.abs(x - wd(k)) < 1e-9, s"weighted vertex $k")
+    // the tail still reports the edge-weight frame
+    val ew = GraphFrame(v, e).pageRank.maxIter(2).setSmallGraphThreshold(100000)
+      .run().edges.select("src", "dst", "weight").as[(Long, Long, Double)].collect()
+    assert(ew.length == 4 && ew.forall(_._3 > 0))
+  }
+
+  test("parallelPersonalizedPageRank: local tail == distributed supersteps") {
+    def ranks(threshold: Long): Map[String, Seq[Double]] =
+      friends.parallelPersonalizedPageRank.resetProbability(0.15).maxIter(6)
+        .sourceIds(Seq("a", "e", "g")) // g is isolated: lane teleports only
+        .setSmallGraphThreshold(threshold).run()
+        .vertices.select("id", "pageranks").as[(String, Seq[Double])].collect().toMap
+    val local = ranks(100000)
+    val dist = ranks(0)
+    assert(local.keySet == dist.keySet)
+    for ((k, v) <- local) {
+      assert(v.size == 3 && dist(k).size == 3, k)
+      v.zip(dist(k)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"vertex $k: $v vs ${dist(k)}")
+      }
+    }
+    // isolated source g: own lane keeps the teleport mass, others 0
+    assert(math.abs(local("g")(2) - 0.15) < 1e-12 && local("g")(0) == 0.0)
+  }
+
   test("pageRank sums to ~V on a cycle") {
     val v = (0L until 4L).toDF("id")
     val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("src", "dst")

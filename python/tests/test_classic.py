@@ -163,5 +163,18 @@ n2v = g.randomWalks(walkLength=4, walksPerVertex=2,
 assert len(n2v) == 12 and all(len(r["random_walk"]) == 5 for r in n2v)
 print("CLASSIC OK node2vec_walks")
 
+cl = {r["id"]: (r["closeness"], r["harmonic"])
+      for r in g.closeness(sampleK=3).collect()}
+cl2 = {r["id"]: (r["closeness"], r["harmonic"])
+       for r in g.closeness(sampleK=3).collect()}
+assert len(cl) == 6 and cl == cl2  # md5 landmark draw: replayable
+assert any(v[1] > 0 for v in cl.values())
+print("CLASSIC OK closeness_sampled")
+
+ecx = {r["id"]: r["eccentricity"] for r in g.eccentricity().collect()}
+ecs = {r["id"]: r["eccentricity"] for r in g.eccentricity(sampleK=2).collect()}
+assert set(ecs) == set(ecx) and all(ecs[i] <= ecx[i] for i in ecs)  # lower bound
+print("CLASSIC OK eccentricity_sampled")
+
 spark.stop()
 print("CLASSIC ALL OK")

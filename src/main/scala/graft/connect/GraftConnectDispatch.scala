@@ -55,16 +55,16 @@ object GraftConnectDispatch {
     "hits" -> Set("maxIter"),
     "katz" -> Set("maxIter", "alpha", "beta"),
     "betweenness" -> Set("sampleK", "normalized"),
-    "closeness" -> Set.empty[String],
-    "eccentricity" -> Set.empty[String],
+    "closeness" -> Set("sampleK"),
+    "eccentricity" -> Set("sampleK"),
     "ktruss" -> Set("k", "maxIter"),
     "neighborhood_function" -> Set("maxIter", "lgNomEntries"),
     "link_prediction" -> Set("maxHubDegree"),
     "greedy_coloring" -> Set("maxColors", "maxIter", "seed", "hashMode"),
     "clustering_coefficient" -> Set.empty[String],
     "graph_stats" -> Set.empty[String],
-    "sample_vertices" -> Set("fraction", "seed"),
-    "sample_edges" -> Set("fraction", "seed"),
+    "sample_vertices" -> Set("fraction", "seed", "part"),
+    "sample_edges" -> Set("fraction", "seed", "part"),
     "maximal_independent_set" -> Set("maxIter", "hashMode"),
     "detecting_cycles" -> Set("maxIter"),
     "random_walks" -> Set("walkLength", "walksPerVertex", "restartProb",

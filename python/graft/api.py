@@ -315,6 +315,18 @@ class PipelineMethods:
         return self._call("pipe_near_dup_clusters", idCol=idCol, textCol=textCol,
                           shingle=shingle, bands=bands, rowsPerBand=rowsPerBand)
 
+    def dedupQuality(self, idCol: str, textCol: str,
+                     threshold: Optional[float] = None,
+                     shingle: Optional[int] = None,
+                     bands: Optional[int] = None,
+                     rowsPerBand: Optional[int] = None):
+        """One-row measured LSH dedup quality (n_true, n_cand, n_hit,
+        recall, precision) vs complete exact-Jaccard ground truth —
+        run on a hash-sample at scale."""
+        return self._call("pipe_dedup_quality", idCol=idCol, textCol=textCol,
+                          threshold=threshold, shingle=shingle, bands=bands,
+                          rowsPerBand=rowsPerBand)
+
     def simhash(self, idCol: str, textCol: str,
                 bits: Optional[int] = None):
         return self._call("pipe_simhash", idCol=idCol, textCol=textCol, bits=bits)

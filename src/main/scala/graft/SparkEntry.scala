@@ -755,6 +755,11 @@ object SparkEntry {
       docs.join(quality, "doc_id").join(keep, "doc_id")
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
+    "p_dedup_recall" -> ((s, dir) =>
+      // measured LSH quality vs COMPLETE exact-Jaccard ground truth
+      // (threshold 0.3); the oracle recomputes both sides independently
+      pipeline.Dedup.lshDedupQuality(load(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.3)),
     "p_simhash" -> ((s, dir) =>
       pipeline.Dedup.simhash(load(s, dir, "documents"), "doc_id", "text", bits = 16)),
     "p_ngram_jaccard" -> ((s, dir) =>
@@ -2511,6 +2516,41 @@ object SparkEntry {
          |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
          |JOIN q ON q.doc_id = d.doc_id JOIN kept k ON k.doc_id = d.doc_id""".stripMargin,
     "p_simhash" -> simhashSql(16),
+    "p_dedup_recall" ->
+      // truth: COMPLETE J >= 0.3 pairs via the shared-shingle join
+      // (minShared 1, uncapped); candidates: the 8x2 minhash banding
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+         |s AS (SELECT doc_id, unnest($SH3) AS sh FROM t WHERE len(w) >= 3),
+         |d AS (SELECT DISTINCT doc_id, sh FROM s),
+         |sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
+         |pr AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+         |       FROM d x JOIN d y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |       GROUP BY 1, 2),
+         |truth AS (SELECT a, b FROM pr
+         |  JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+         |  WHERE ROUND(shared / CAST(sa.n + sb.n - shared AS DOUBLE), 4) >= 0.3),
+         |sg AS (SELECT doc_id, list_transform(range(0, 16), h ->
+         |   list_min(list_transform(sh, x -> md5(CAST(h AS VARCHAR) || '|' || x)))) AS mh
+         |   FROM (SELECT doc_id, $SH3 AS sh FROM t WHERE len(w) >= 3)),
+         |bands AS (SELECT doc_id, r.b AS band,
+         |   md5(array_to_string(mh[2 * r.b + 1:2 * r.b + 2], '|')) AS bh
+         |   FROM sg, range(0, 8) r(b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |   FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+         |    AND x.doc_id < y.doc_id),
+         |m AS (SELECT COALESCE(t2.a, c.a) AS a, COALESCE(t2.b, c.b) AS b,
+         |   t2.a IS NOT NULL AS is_t, c.a IS NOT NULL AS is_c
+         |   FROM truth t2 FULL OUTER JOIN cand c ON t2.a = c.a AND t2.b = c.b)
+         |SELECT CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         |  CAST(SUM(CASE WHEN is_c THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+         |  CAST(SUM(CASE WHEN is_t AND is_c THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  CASE WHEN SUM(CASE WHEN is_t THEN 1 ELSE 0 END) = 0 THEN 1.0
+         |    ELSE ROUND(SUM(CASE WHEN is_t AND is_c THEN 1 ELSE 0 END) /
+         |      CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS DOUBLE), 4) END AS recall,
+         |  CASE WHEN SUM(CASE WHEN is_c THEN 1 ELSE 0 END) = 0 THEN 1.0
+         |    ELSE ROUND(SUM(CASE WHEN is_t AND is_c THEN 1 ELSE 0 END) /
+         |      CAST(SUM(CASE WHEN is_c THEN 1 ELSE 0 END) AS DOUBLE), 4) END AS precision
+         |FROM m""".stripMargin,
     "p_ngram_jaccard" ->
       // mirrors the stop-shingle document-frequency cap (maxDocFreq=1000):
       // shared counts use only cap-surviving shingles; sizes stay uncapped

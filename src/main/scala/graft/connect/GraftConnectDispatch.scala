@@ -88,6 +88,7 @@ object GraftConnectDispatch {
     "pipe_exact_dedup" -> Set("idCol", "contentCols"),
     "pipe_minhash_lsh" -> Set("idCol", "textCol", "shingle", "bands", "rowsPerBand"),
     "pipe_near_dup_clusters" -> Set("idCol", "textCol", "shingle", "bands", "rowsPerBand"),
+    "pipe_dedup_quality" -> Set("idCol", "textCol", "threshold", "shingle", "bands", "rowsPerBand"),
     "pipe_simhash" -> Set("idCol", "textCol", "bits"),
     "pipe_segment_dedup" -> Set("idCol", "textCol", "sep", "windowWords",
       "maxDupCount", "lowercase"),
@@ -219,6 +220,12 @@ object GraftConnectDispatch {
             rowsPerBand = int("rowsPerBand").getOrElse(2))
         case "pipe_near_dup_clusters" =>
           Dedup.nearDupClusters(t, id, text, n = int("shingle").getOrElse(3),
+            bands = int("bands").getOrElse(8),
+            rowsPerBand = int("rowsPerBand").getOrElse(2))
+        case "pipe_dedup_quality" =>
+          Dedup.lshDedupQuality(t, id, text,
+            threshold = dbl("threshold").getOrElse(0.5),
+            n = int("shingle").getOrElse(3),
             bands = int("bands").getOrElse(8),
             rowsPerBand = int("rowsPerBand").getOrElse(2))
         case "pipe_simhash" =>

@@ -461,4 +461,49 @@ object Dedup {
         coalesce(col("kept"), lit(0L)).as("kept"),
         coalesce(col("dropped"), lit(0L)).as("dropped"))
   }
+
+  /**
+   * Measured LSH dedup quality — the dedup analog of the ANN recall
+   * queries: ONE row `(n_true, n_cand, n_hit, recall, precision)`
+   * comparing the MinHash+LSH candidate pairs against EXACT ground
+   * truth.
+   *
+   * Ground truth is COMPLETE, not sampled: pairs with distinct-shingle
+   * Jaccard >= `threshold` found via the shared-shingle self-join — any
+   * pair with J >= t > 0 shares at least one shingle, so the equi-join
+   * surfaces every true pair (minShared = 1, no doc-frequency cap).
+   * `recall` = hit fraction of true pairs (1.0 when there are none);
+   * `precision` = true fraction of LSH candidates — candidates are
+   * PRE-verification, so low precision costs exact-verify work
+   * downstream rather than wrong output.
+   *
+   * Scale: the uncapped shared-shingle join is quadratic in the hottest
+   * shingle's document frequency — at 100 TB this is a MEASUREMENT to
+   * run on a hash-sample of the corpus ([[Sampling.hashSample]]), not on
+   * the corpus itself; the LSH side is the production-shaped banded
+   * join. The (bands, rowsPerBand) S-curve this measures is what
+   * justifies the production parameters.
+   */
+  def lshDedupQuality(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, n: Int = 3, bands: Int = 8,
+      rowsPerBand: Int = 2): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"lshDedupQuality threshold out of (0, 1]: $threshold")
+    val truth = ngramJaccard(df, idCol, textCol, n, minShared = 1,
+        probeHotShingles = false)
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), lit(1).as("_t"))
+    val cand = minhashLsh(df, idCol, textCol, n, bands, rowsPerBand)
+      .select(col("a"), col("b"), lit(1).as("_c"))
+    truth.join(cand, Seq("a", "b"), "full_outer")
+      .agg(count(col("_t")).as("n_true"), count(col("_c")).as("n_cand"),
+        count(when(col("_t").isNotNull && col("_c").isNotNull, 1)).as("n_hit"))
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        when(col("n_true") === 0, lit(1.0))
+          .otherwise(round(col("n_hit") / col("n_true").cast("double"), 4))
+          .as("recall"),
+        when(col("n_cand") === 0, lit(1.0))
+          .otherwise(round(col("n_hit") / col("n_cand").cast("double"), 4))
+          .as("precision"))
+  }
 }

@@ -78,6 +78,29 @@ class PropertySpec extends TestBase {
     assert(!pairs.contains((3L, 4L)))
   }
 
+  test("lshDedupQuality: identical docs score perfect recall; empty truth reads 1.0") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "a completely different document about query engines and joins"),
+      (4L, "another unrelated text mentioning shuffles and partitions here"))
+      .toDF("doc_id", "text")
+    val q = pipeline.Dedup.lshDedupQuality(docs, "doc_id", "text", threshold = 0.9)
+      .collect().head
+    // the only J >= 0.9 pair is the identical (1,2); identical signatures
+    // always share every band, so it is also a candidate: recall 1.0
+    assert(q.getAs[Long]("n_true") === 1L)
+    assert(q.getAs[Long]("n_hit") === 1L)
+    assert(q.getAs[Double]("recall") === 1.0)
+    assert(q.getAs[Double]("precision") > 0.0)
+    // disjoint corpus: zero true pairs => recall defined as 1.0
+    val disjoint = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val q2 = pipeline.Dedup.lshDedupQuality(disjoint, "doc_id", "text").collect().head
+    assert(q2.getAs[Long]("n_true") === 0L && q2.getAs[Double]("recall") === 1.0)
+  }
+
   test("ngramJaccard stop-shingle cap bounds fan-out without touching rare pairs") {
     import org.apache.spark.sql.functions._
     // every doc shares the boilerplate header; only 1/2 truly overlap

@@ -257,6 +257,19 @@ class AlgorithmsSpec extends TestBase {
     assert(m == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
   }
 
+  test("labelPropagation: local tail == distributed supersteps (directed + undirected)") {
+    for (dir <- Seq(true, false)) {
+      def labels(threshold: Long): Map[String, String] =
+        friends.labelPropagation.setDirected(dir).maxIter(4)
+          .setSmallGraphThreshold(threshold).run()
+          .select("id", "label").as[(String, String)].collect().toMap
+      val local = labels(100000)
+      val dist = labels(0)
+      assert(local == dist, s"directed=$dir")
+      assert(local("g") == "g") // isolated vertex keeps its own label
+    }
+  }
+
   test("labelPropagation converges on two cliques (undirected)") {
     val g = twoBlobs(4)
     // remove the bridge for clean communities

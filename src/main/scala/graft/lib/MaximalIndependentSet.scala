@@ -36,11 +36,28 @@ class MaximalIndependentSet(g: GraphFrame) {
     hashModeV = m; this
   }
 
+  private var smallGraphThresholdV: Long =
+    graft.GraftConf.linkAnalysisSmallGraphThreshold.getOrElse(100000L)
+  /** Same bounded driver tail as [[GreedyColoring]] — md5 mode only (the
+   * local loop replays md5 hex ordering; xxhash64 is a Tungsten
+   * internal). 0 disables; docs/THRESHOLDS.md row 11. */
+  def setSmallGraphThreshold(n: Long): this.type = { smallGraphThresholdV = n; this }
+
   def run(): DataFrame = {
     val und = g.edges
       .filter(col(SRC) =!= col(DST))
       .select(least(col(SRC), col(DST)).as(SRC), greatest(col(SRC), col(DST)).as(DST))
       .distinct()
+
+    if (hashModeV == "md5" && smallGraphThresholdV > 0) {
+      val undPre = und.persist()
+      if (undPre.count() <= smallGraphThresholdV) {
+        val r = runLocal(undPre)
+        undPre.unpersist(false)
+        return r
+      }
+      undPre.unpersist(false)
+    }
 
     val mgr = IterationManager.withReliableDir(g.spark, None)
     var remaining = mgr.persistOnly(g.vertices.select(ID))
@@ -50,10 +67,14 @@ class MaximalIndependentSet(g: GraphFrame) {
 
     var round = 0
     while (round < maxIterV && remaining.take(1).nonEmpty) {
+      // hash-only priority, deliberately WITHOUT an id tie-break (same
+      // rule as GreedyColoring): on a collision neither endpoint wins and
+      // both retry next round with a different hash — what the local tail
+      // and the SQL oracle compute
       def prio(c: Column): Column =
         if (hashModeV == "md5")
-          struct(md5(concat_ws("|", c.cast("string"), lit(seedV), lit(round))).as("h"), c.as("i"))
-        else struct(xxhash64(c, lit(seedV), lit(round)).as("h"), c.as("i"))
+          md5(concat_ws("|", c.cast("string"), lit(seedV), lit(round)))
+        else xxhash64(c, lit(seedV), lit(round))
       val er = undP
         .join(remaining.select(col(ID).as(SRC)), Seq(SRC), "left_semi")
         .join(remaining.select(col(ID).as(DST)), Seq(DST), "left_semi")
@@ -82,5 +103,48 @@ class MaximalIndependentSet(g: GraphFrame) {
     undP.unpersist(false)
     roundWinners.foreach(_.unpersist(false))
     out
+  }
+
+  /** Driver tail (md5 mode): identical Luby rounds — md5 hex strings
+   * order the same way Spark's string min orders them, and the strict
+   * hash-only winner rule matches the distributed path and the SQL
+   * oracle. Pure function of the graph value (sorted adjacency). */
+  private def runLocal(und: DataFrame): DataFrame = {
+    import scala.collection.mutable
+    val (edges, _) = LocalLinkAnalysis.collectGraph(und, g)
+    val ids = g.vertices.select(col(ID)).collect().map(_.get(0))
+      .sortBy(String.valueOf(_))
+    val adj = mutable.HashMap.empty[Any, mutable.ArrayBuffer[Any]]
+    for ((s, d) <- edges) {
+      adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += d
+      adj.getOrElseUpdate(d, mutable.ArrayBuffer.empty) += s
+    }
+    def h(v: Any, round: Int): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${String.valueOf(v)}|$seedV|$round".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val mis = mutable.LinkedHashSet.empty[Any]
+    val remaining = mutable.HashSet(ids.toSeq: _*)
+    var round = 0
+    while (round < maxIterV && remaining.nonEmpty) {
+      val hs = remaining.iterator.map(v => (v, h(v, round))).toMap
+      val winners = remaining.toSeq.sortBy(String.valueOf(_)).filter { v =>
+        adj.getOrElse(v, Nil).filter(remaining).forall(n => hs(v) < hs(n))
+      }
+      winners.foreach(mis += _)
+      val drop = winners.toSet ++
+        winners.flatMap(v => adj.getOrElse(v, Nil).filter(remaining))
+      remaining --= drop
+      round += 1
+    }
+    // semi-join against the local winner set keeps vertex columns + types
+    val idField = g.vertices.schema(ID)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(ID, idField.dataType, nullable = true)))
+    val rel: java.util.List[org.apache.spark.sql.Row] = java.util.Arrays.asList(
+      mis.toSeq.sortBy(String.valueOf(_))
+        .map(v => org.apache.spark.sql.Row(v)): _*)
+    g.vertices.join(
+      broadcast(g.spark.createDataFrame(rel, schema)), Seq(ID), "left_semi")
   }
 }

@@ -25,12 +25,21 @@ class StronglyConnectedComponents(g: GraphFrame) {
 
   private var maxIterV: Int = 100
   private var reliableDirV: Option[String] = None
+  private var smallGraphThresholdV: Long =
+    graft.GraftConf.linkAnalysisSmallGraphThreshold.getOrElse(100000L)
 
   def maxIter(n: Int): this.type = { maxIterV = n; this }
   /** Reliable checkpointing under `dir` (see ConnectedComponents). */
   def setUseReliableCheckpoint(dir: String): this.type = {
     reliableDirV = Some(dir); this
   }
+  /** Same bounded driver tail as [[Hits]]/[[PageRank]] (0 disables;
+   * docs/THRESHOLDS.md row 2). The tail SIMULATES the distributed
+   * algorithm (trim fixpoint → max-color fixpoint → root sweeps → peel,
+   * capped at maxIter outer rounds) rather than substituting Tarjan —
+   * both fixpoints are schedule-independent, so the labels are identical
+   * even when the outer-round cap truncates assignment. */
+  def setSmallGraphThreshold(n: Long): this.type = { smallGraphThresholdV = n; this }
 
   private def newMgr(): IterationManager =
     IterationManager.withReliableDir(g.spark, reliableDirV)
@@ -41,6 +50,16 @@ class StronglyConnectedComponents(g: GraphFrame) {
       .select(col(LONG_SRC).as("src"), col(LONG_DST).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
+
+    if (smallGraphThresholdV > 0) {
+      val eP = e0.persist()
+      if (eP.count() <= smallGraphThresholdV) {
+        val r = runLocal(iv, eP)
+        eP.unpersist(false)
+        return r
+      }
+      eP.unpersist(false)
+    }
 
     val remMgr = newMgr()
     val reMgr = newMgr()
@@ -182,5 +201,83 @@ class StronglyConnectedComponents(g: GraphFrame) {
     reMgr.close()
     assignedParts.foreach(IterationManager.release)
     out
+  }
+
+  /** Driver tail: simulates the exact distributed schedule on the
+   * collected long-id edge set (see setSmallGraphThreshold). Vertices
+   * the loop never assigns — trimmed singletons, isolates beyond the
+   * peel, anything past the outer cap — are labeled with their own vid
+   * by the same coalesce the distributed path uses. */
+  private def runLocal(iv: DataFrame, e: DataFrame): DataFrame = {
+    import scala.collection.mutable
+    val edges0 = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity)
+    val endpoints = edges0.iterator.flatMap(p => Iterator(p._1, p._2))
+      .toArray.distinct.sorted
+    val comp = mutable.HashMap.empty[Long, Long]
+    // rem mirrors the distributed remainder; isolates never join an edge,
+    // so tracking endpoint vids suffices (isolates are assigned own-vid by
+    // the coloring round they participate in — which equals the coalesce)
+    var rem: Set[Long] = endpoints.toSet
+    var es = edges0
+    var outer = 0
+    def oneSided(ed: Array[(Long, Long)]): Boolean = {
+      val s = ed.iterator.map(_._1).toSet
+      val d = ed.iterator.map(_._2).toSet
+      (s diff d).nonEmpty || (d diff s).nonEmpty
+    }
+    while (outer < maxIterV && rem.nonEmpty) {
+      val didTrim = oneSided(es)
+      if (didTrim) {
+        while (oneSided(es)) {
+          val s = es.iterator.map(_._1).toSet
+          val d = es.iterator.map(_._2).toSet
+          val keep = s intersect d
+          es = es.filter(p => keep(p._1) && keep(p._2))
+        }
+        rem = rem intersect es.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+      }
+      if (didTrim && rem.isEmpty) { outer = maxIterV }
+      else {
+        // max-color fixpoint (schedule-independent monotone max)
+        val color = mutable.HashMap.empty[Long, Long]
+        rem.foreach(v => color(v) = v)
+        var changed = true
+        while (changed) {
+          changed = false
+          es.foreach { case (s, d) =>
+            if (color(s) > color(d)) { color(d) = color(s); changed = true }
+          }
+        }
+        // backward reachability from every root within its color
+        val radj = es.groupBy(_._2).map { case (d, b) => (d, b.map(_._1)) }
+        val queue = mutable.Queue.empty[Long]
+        rem.iterator.filter(v => color(v) == v).foreach { r =>
+          comp(r) = r; queue.enqueue(r)
+        }
+        while (queue.nonEmpty) {
+          val v = queue.dequeue()
+          val c = comp(v)
+          for (u <- radj.getOrElse(v, Array.empty[Long])
+               if !comp.contains(u) && color(u) == c) {
+            comp(u) = c; queue.enqueue(u)
+          }
+        }
+        rem = rem.filterNot(comp.contains)
+        es = es.filter(p => !comp.contains(p._1) && !comp.contains(p._2))
+        outer += 1
+      }
+    }
+    val spark = g.spark
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vid", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("component", org.apache.spark.sql.types.LongType)))
+    val rel: java.util.List[org.apache.spark.sql.Row] = java.util.Arrays.asList(
+      comp.toSeq.sortBy(_._1)
+        .map { case (v, c) => org.apache.spark.sql.Row(v, c) }: _*)
+    g.vertices.join(
+      iv.join(broadcast(spark.createDataFrame(rel, schema)), Seq("vid"), "left_outer")
+        .select(col(ID), coalesce(col("component"), col("vid")).as("component")),
+      Seq(ID), "left_outer")
   }
 }

@@ -490,6 +490,42 @@ class AlgorithmsSpec extends TestBase {
     assert((1 to n).map(i => m2(i.toLong)).toSet.size == 1) // now one SCC
   }
 
+  test("mis: md5 local tail == distributed supersteps; independence + maximality") {
+    def mis(threshold: Long): Set[String] =
+      friends.maximalIndependentSet.setHashMode("md5")
+        .setSmallGraphThreshold(threshold).run()
+        .select("id").as[String].collect().toSet
+    val local = mis(100000)
+    val dist = mis(0)
+    assert(local == dist, s"$local vs $dist")
+    // independence + maximality against the undirected edge set
+    val und = Set(("a", "b"), ("b", "c"), ("c", "b"), ("f", "c"), ("e", "f"),
+      ("e", "d"), ("d", "a"), ("a", "e")).flatMap(p => Seq(p, p.swap))
+    assert(!und.exists { case (s, d) => local(s) && local(d) })
+    val all = Set("a", "b", "c", "d", "e", "f", "g")
+    assert((all -- local).forall(v => und.exists {
+      case (s, d) => s == v && local(d)
+    } || v == "g" && local("g")), s"not maximal: $local")
+  }
+
+  test("scc: local tail == distributed supersteps (cycles, tails, string ids, cap)") {
+    // mixed structure: a 3-cycle, a 2-cycle, a chain tail, an isolate
+    val v = Seq("a", "b", "c", "d", "e", "f", "g", "h").toDF("id")
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), // 3-cycle
+      ("d", "e"), ("e", "d"), // 2-cycle
+      ("c", "d"), ("e", "f"), ("f", "h")) // bridges + tail (g isolated)
+      .toDF("src", "dst")
+    def scc(threshold: Long, cap: Int = 100): Map[String, Long] =
+      GraphFrame(v, e).stronglyConnectedComponents.maxIter(cap)
+        .setSmallGraphThreshold(threshold).run()
+        .select("id", "component").as[(String, Long)].collect().toMap
+    val local = scc(100000)
+    val dist = scc(0)
+    assert(local == dist, s"$local vs $dist")
+    // outer-round cap truncation must match too (cap 1: one peel round)
+    assert(scc(100000, cap = 1) == scc(0, cap = 1))
+  }
+
   test("hits: two hubs pointing at one authority (hand-computed fixpoint)") {
     val v = Seq("a", "b", "c").toDF("id")
     val e = Seq(("a", "c"), ("b", "c")).toDF("src", "dst")

@@ -490,6 +490,26 @@ class AlgorithmsSpec extends TestBase {
     assert((1 to n).map(i => m2(i.toLong)).toSet.size == 1) // now one SCC
   }
 
+  test("detectingCycles: local tail == distributed supersteps (overlapping cycles, cap)") {
+    // overlapping cycles sharing vertex 0: 0->1->2->0, 0->2 (short 0->2->0? no
+    // reverse), plus 1->3->1 and a self-loop 4->4; 5 isolated
+    val v = (0L to 5L).toDF("id")
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L), (1L, 3L), (3L, 1L), (4L, 4L),
+      (2L, 1L)).toDF("src", "dst")
+    def cycles(threshold: Long, cap: Int = 50): Set[Seq[Long]] =
+      GraphFrame(v, e).detectingCycles.maxIter(cap)
+        .setSmallGraphThreshold(threshold).run()
+        .select("found_cycles").as[Seq[Long]].collect().toSet
+    val local = cycles(100000)
+    val dist = cycles(0)
+    assert(local == dist, s"$local vs $dist")
+    assert(local.contains(Seq(0L, 1L, 2L)) && local.contains(Seq(1L, 2L)) &&
+      local.contains(Seq(1L, 3L)) && local.contains(Seq(4L)), local)
+    // the length cap must truncate identically (cap 2: 3-cycles drop)
+    assert(cycles(100000, cap = 2) == cycles(0, cap = 2))
+    assert(!cycles(100000, cap = 2).contains(Seq(0L, 1L, 2L)))
+  }
+
   test("mis: md5 local tail == distributed supersteps; independence + maximality") {
     def mis(threshold: Long): Set[String] =
       friends.maximalIndependentSet.setHashMode("md5")

@@ -490,6 +490,19 @@ class AlgorithmsSpec extends TestBase {
     assert((1 to n).map(i => m2(i.toLong)).toSet.size == 1) // now one SCC
   }
 
+  test("kcore: local tail == distributed supersteps (blobs + chain, cap)") {
+    val g = twoBlobs(4) // two 4-cliques (coreness 3) bridged by one edge
+    def cores(threshold: Long, cap: Int = Int.MaxValue): Map[Long, Int] =
+      g.kCore.maxIter(cap).setSmallGraphThreshold(threshold).run()
+        .select("id", "kcore").as[(Long, Int)].collect().toMap
+    val local = cores(100000)
+    val dist = cores(0)
+    assert(local == dist, s"$local vs $dist")
+    assert(local.values.forall(_ == 3)) // bridge doesn't change coreness
+    // mid-convergence cap truncation must match too
+    assert(cores(100000, cap = 1) == cores(0, cap = 1))
+  }
+
   test("detectingCycles: local tail == distributed supersteps (overlapping cycles, cap)") {
     // overlapping cycles sharing vertex 0: 0->1->2->0, 0->2 (short 0->2->0? no
     // reverse), plus 1->3->1 and a self-loop 4->4; 5 isolated

@@ -1036,11 +1036,19 @@ object SparkEntry {
         .filter(col("doc_id") >= 400)
       val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
       var outSchema: org.apache.spark.sql.types.StructType = null
-      val q = streaming.EventStreams.incrementalNearDupStream(
-          stream, "doc_id", "text", index,
-          (pairs, _) => { outSchema = pairs.schema; buf ++= pairs.collect() })
-        .queryName("graft_stream_incdedup").start()
-      q.processAllAvailable(); q.stop()
+      // the per-micro-batch LSH chain runs half a dozen joins over a few
+      // thousand rows: 8 shuffle partitions instead of 32 cuts pure task
+      // scheduling (same reasoning + output-invariance as e_stream_join's
+      // resize; a production job sizes this to its batch volume)
+      val old = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = streaming.EventStreams.incrementalNearDupStream(
+            stream, "doc_id", "text", index,
+            (pairs, _) => { outSchema = pairs.schema; buf ++= pairs.collect() })
+          .queryName("graft_stream_incdedup").start()
+        q.processAllAvailable(); q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", old)
       index.unpersist(false)
       s.createDataFrame(s.sparkContext.parallelize(buf.toSeq, 1), outSchema)
     }),

@@ -225,13 +225,16 @@ class GraphFrameMethods:
                     seed: Optional[int] = None,
                     hashMode: Optional[str] = None,
                     returnParam: Optional[float] = None,
-                    inOutParam: Optional[float] = None):
+                    inOutParam: Optional[float] = None,
+                    weightCol: Optional[str] = None):
         """Random walks; set returnParam/inOutParam (node2vec p/q) for
-        second-order biased walks."""
+        second-order biased walks, weightCol for edge-weight-biased
+        transitions (parallel edges sum; composes with p/q)."""
         return self._call("random_walks", walkLength=walkLength,
                           walksPerVertex=walksPerVertex,
                           restartProb=restartProb, seed=seed, hashMode=hashMode,
-                          returnParam=returnParam, inOutParam=inOutParam)
+                          returnParam=returnParam, inOutParam=inOutParam,
+                          weightCol=weightCol)
 
     def powerIterationClustering(self, k: int, maxIter: Optional[int] = None,
                                  weightCol: Optional[str] = None,

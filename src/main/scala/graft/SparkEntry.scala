@@ -556,6 +556,18 @@ object SparkEntry {
         .select(col("walk_id"),
           array_join(col("random_walk").cast("array<string>"), ",")
             .as("random_walk"))),
+    "g_random_walks_weighted" -> ((s, dir) => { // edge-weight-biased picks:
+      // integer weights + md5 draws keep every threshold-scan prefix sum
+      // exact in double, so the SQL replay is bit-exact
+      val g0 = graphB(s, dir)
+      val ge = GraphFrame(g0.vertices, g0.edges.withColumn("w",
+        ((col(SRC) * 7 + col(DST) * 3) % 5 + 1).cast("double")))
+      ge.randomWalks.setWalkLength(3).setWalksPerVertex(2)
+        .setHashMode("md5").setWeightCol("w").run()
+        .select(col("walk_id"),
+          array_join(col("random_walk").cast("array<string>"), ",")
+            .as("random_walk"))
+    }),
     "p_bipartite_projection" -> ((s, dir) =>
       suppliesGraph(s, dir).bipartiteProjection("supplies")),
     "p_bipartite_capped" -> ((s, dir) =>
@@ -1963,6 +1975,43 @@ object SparkEntry {
    * rw/RandomWalks in md5 hash mode: neighbor lists ordered by
    * md5(src|dst|seed) — 15 fixed-width hex chars order identically to the
    * 60-bit numeric weight — and the step pick is 16 md5 bits mod fan-out). */
+  /** Edge-weight-biased walk replay: same md5 draws and sampled-neighbor
+   * order as [[randomWalksSql]], with the node2vec-style cumulative
+   * threshold scan driven by per-edge integer weights (exact prefix
+   * sums). Weight expr mirrors the query: (src*7 + dst*3) % 5 + 1. */
+  private def weightedWalksSql(steps: Int, walksPerVertex: Int, seed: Long): String = {
+    val ord = s"substr(md5(CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR) || '|$seed'), 1, 15), dst"
+    val stepCtes = (1 to steps).map { k =>
+      val h = duckHex4(s"md5(s.walk_id || '|$k|${seed + 1}')")
+      s"""s$k AS MATERIALIZED (
+         |  SELECT walk_id, nxt AS cur,
+         |    CASE WHEN nxt IS NULL THEN path
+         |         ELSE list_append(path, CAST(nxt AS VARCHAR)) END AS path
+         |  FROM (
+         |    SELECT walk_id, path,
+         |      CASE WHEN nbrs IS NULL OR len(nbrs) = 0 THEN NULL
+         |           ELSE nbrs[LEAST(len(list_filter(
+         |             [list_sum(w[1:i]) for i in range(1, len(w) + 1)],
+         |             y -> y <= (h16 / 65536.0) * list_sum(w))) + 1, len(nbrs))]
+         |      END AS nxt
+         |    FROM (
+         |      SELECT s.walk_id, s.path, nb.nbrs, nb.wts AS w, ($h) AS h16
+         |      FROM s${k - 1} s LEFT JOIN nb ON nb.src = s.cur)))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED ($NE),
+       |ew AS MATERIALIZED (SELECT src, dst,
+       |    CAST((src * 7 + dst * 3) % 5 + 1 AS DOUBLE) AS w FROM e),
+       |nb AS MATERIALIZED (SELECT src,
+       |    list(dst ORDER BY $ord) AS nbrs,
+       |    list(w ORDER BY $ord) AS wts
+       |  FROM ew GROUP BY src),
+       |s0 AS MATERIALIZED (SELECT CAST(n_nationkey AS VARCHAR) || '#' || CAST(t.k AS VARCHAR) AS walk_id,
+       |    n_nationkey AS cur, [CAST(n_nationkey AS VARCHAR)] AS path
+       |  FROM nation, range(0, $walksPerVertex) t(k)),
+       |$stepCtes
+       |SELECT walk_id, array_to_string(path, ',') AS random_walk FROM s$steps""".stripMargin
+  }
+
   private def randomWalksSql(steps: Int, walksPerVertex: Int, seed: Long): String = {
     val stepCtes = (1 to steps).map { k =>
       val h = duckHex4(s"md5(s.walk_id || '|$k|${seed + 1}')")
@@ -2356,6 +2405,7 @@ object SparkEntry {
     "g_kcore" -> kcoreSql(12),
     "g_mis" -> misSql(8, 42L),
     "g_random_walks" -> randomWalksSql(4, 2, 42L),
+    "g_random_walks_weighted" -> weightedWalksSql(3, 2, 42L),
     "g_node2vec" -> node2vecSql(3, 2, 42L, 0.5, 4.0),
     "g_coloring" -> coloringSql(6, 6, 42L),
     "g_hash_embeddings" ->

@@ -68,7 +68,7 @@ object GraftConnectDispatch {
     "maximal_independent_set" -> Set("maxIter", "hashMode"),
     "detecting_cycles" -> Set("maxIter"),
     "random_walks" -> Set("walkLength", "walksPerVertex", "restartProb",
-      "seed", "hashMode", "returnParam", "inOutParam"),
+      "seed", "hashMode", "returnParam", "inOutParam", "weightCol"),
     "power_iteration_clustering" -> Set("k", "maxIter", "weightCol", "initMode"),
     "svd_plus_plus" -> Set("rank", "maxIter", "minValue", "maxValue"),
     "rw_embeddings" -> Set("dim", "walkLength", "walksPerVertex", "seed",
@@ -521,6 +521,7 @@ object GraftConnectDispatch {
         dbl("restartProb").foreach(rw.setRestartProbability)
         dbl("returnParam").foreach(rw.setReturnParam)
         dbl("inOutParam").foreach(rw.setInOutParam)
+        str("weightCol").foreach(rw.setWeightCol)
         params.get("seed").foreach { v =>
           rw.setSeed(v match {
             case JInt(i) => i.toLong

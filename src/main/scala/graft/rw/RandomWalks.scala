@@ -61,6 +61,18 @@ class RandomWalks(g: GraphFrame) {
     require(q > 0, s"inOutParam must be > 0: $q"); inOutParamV = q; this
   }
 
+  private var weightColV: Option[String] = None
+  /** Edge-weight-biased transitions (engine extension): each step picks
+   * the next neighbor with probability proportional to this edge column
+   * (parallel edges SUM their weights). Composes multiplicatively with
+   * the node2vec p/q bias. Null or negative weights fail eagerly; an
+   * all-zero-weight neighborhood deterministically picks the last
+   * sampled neighbor (the cumulative scan's clamp — stated, not
+   * hidden). With integer weights and the md5 hash mode, every prefix
+   * sum is exact in double, so an external SQL replay is bit-exact —
+   * the same dyadic-exactness contract as the p/q bias. */
+  def setWeightCol(c: String): this.type = { weightColV = Some(c); this }
+
   // --- batched, resumable execution (reference RandomWalkBase.scala:28-417:
   // per-batch state persisted as parquet under a run-scoped prefix, so a
   // multi-day walk over a 100 TB graph survives driver loss and resumes
@@ -124,11 +136,34 @@ class RandomWalks(g: GraphFrame) {
       if (hashModeV == "md5")
         md5Long(col(SRC).cast("string"), col(DST).cast("string"), lit(seedV))
       else xxhash64(col(SRC), col(DST), lit(seedV))
-    val nbrs = g.edges
+    val nbrsBase = g.edges
       .select(col(SRC), col(DST), edgeW.as("_w"))
       .groupBy(col(SRC).as("_rw_v"))
       .agg(sampler(col("_w"), if (idIsLong) col(DST) else col(DST).cast("string"))
         .as("_rw_nbrs"))
+    // weighted mode: align a weights array to the sampled neighbor order
+    // (posexplode → per-(v, nbr) summed edge weight → re-sort by position)
+    val nbrs = (weightColV match {
+      case None => nbrsBase
+      case Some(wc) =>
+        val wcol = col(graft.GraphFrame.quoteName(wc)).cast("double")
+        require(g.edges.filter(wcol.isNull || wcol < 0).isEmpty,
+          s"randomWalks weightCol '$wc' must be non-null and >= 0 on every edge")
+        val ew = g.edges
+          .groupBy(col(SRC).as("_rw_v"),
+            (if (idIsLong) col(DST) else col(DST).cast("string")).as("_nb"))
+          .agg(sum(wcol).as("_ew"))
+        nbrsBase
+          .select(col("_rw_v"), posexplode(col("_rw_nbrs")).as(Seq("_pos", "_nb")))
+          .join(ew, Seq("_rw_v", "_nb"), "left")
+          .groupBy("_rw_v")
+          .agg(array_sort(collect_list(struct(col("_pos"), col("_nb"), col("_ew"))))
+            .as("_ps"))
+          .select(col("_rw_v"),
+            transform(col("_ps"), x => x.getField("_nb")).as("_rw_nbrs"),
+            transform(col("_ps"), x => coalesce(x.getField("_ew"), lit(0.0)))
+              .as("_rw_wts"))
+    })
       .repartition(col("_rw_v"))
       .persist()
 
@@ -142,7 +177,7 @@ class RandomWalks(g: GraphFrame) {
       "setStartingFromBatch needs setTemporaryPrefix (state is read from its batches)")
 
     val mgr = IterationManager.withReliableDir(g.spark, None)
-    val biased = returnParamV != 1.0 || inOutParamV != 1.0
+    val biased = returnParamV != 1.0 || inOutParamV != 1.0 || weightColV.isDefined
     val idType = g.vertices.schema(ID).dataType
     // state: (walk_id, origin, cur, path[, prev — biased mode only])
     var state =
@@ -196,11 +231,16 @@ class RandomWalks(g: GraphFrame) {
         // cumulative threshold scan for the pick.
         val pn = nbrs.select(col("_rw_v").as("_rw_pv"), col("_rw_nbrs").as("_rw_pnbrs"))
         val joined = joined0.join(pn, col("_rw_prev") === col("_rw_pv"), "left_outer")
-        val weights = transform(col("_rw_nbrs"), x =>
+        def n2vBias(x: Column): Column =
           when(col("_rw_prev").isNull, lit(1.0))
             .when(x === col("_rw_prev"), lit(1.0 / returnParamV))
             .when(array_contains(col("_rw_pnbrs"), x), lit(1.0))
-            .otherwise(lit(1.0 / inOutParamV)))
+            .otherwise(lit(1.0 / inOutParamV))
+        val weights = weightColV match {
+          case None => transform(col("_rw_nbrs"), n2vBias(_))
+          case Some(_) =>
+            zip_with(col("_rw_nbrs"), col("_rw_wts"), (x, w) => n2vBias(x) * w)
+        }
         val total = aggregate(weights, lit(0.0), (acc, x) => acc + x)
         val target = (draw16.cast("double") / lit(65536.0)) * total
         val zero = struct(lit(0.0).as("cum"), lit(0).as("idx"), lit(-1).as("pick"))

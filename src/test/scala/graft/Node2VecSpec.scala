@@ -67,4 +67,49 @@ class Node2VecSpec extends TestBase {
     intercept[IllegalArgumentException](triangle.randomWalks.setReturnParam(0.0))
     intercept[IllegalArgumentException](triangle.randomWalks.setInOutParam(-1.0))
   }
+
+  test("weighted walks: zero-weight edges never picked while mass exists") {
+    // 0 -> 1 (w=0), 0 -> 2 (w=5): every step from 0 must go to 2
+    val v = Seq(0L, 1L, 2L).toDF("id")
+    val e = Seq((0L, 1L, 0.0), (0L, 2L, 5.0), (2L, 0L, 1.0)).toDF("src", "dst", "w")
+    val g = GraphFrame(v, e)
+    val out = g.randomWalks.setWalkLength(6).setWalksPerVertex(4)
+      .setSeed(3L).setWeightCol("w").run()
+      .as[(String, Seq[Long])].collect().toMap
+    for ((id, path) <- out if id.startsWith("0#") || id.startsWith("2#"))
+      assert(!path.contains(1L), s"$id walked through the zero-weight edge: $path")
+    // determinism under a seed
+    val again = g.randomWalks.setWalkLength(6).setWalksPerVertex(4)
+      .setSeed(3L).setWeightCol("w").run()
+      .as[(String, Seq[Long])].collect().toMap
+    assert(out == again)
+  }
+
+  test("weighted walks: parallel edges sum; all-zero neighborhood picks the clamp") {
+    // parallel 0->1 edges (2.0 + 3.0) vs single 0->2 (5.0): both directions
+    // legal, but the pick distribution must reflect the 5-vs-5 summed mass —
+    // sanity: both neighbors appear across many walks
+    val v = Seq(0L, 1L, 2L).toDF("id")
+    val e = Seq((0L, 1L, 2.0), (0L, 1L, 3.0), (0L, 2L, 5.0),
+      (1L, 0L, 1.0), (2L, 0L, 1.0)).toDF("src", "dst", "w")
+    val seen = GraphFrame(v, e).randomWalks.setWalkLength(8).setWalksPerVertex(8)
+      .setSeed(11L).setWeightCol("w").run()
+      .as[(String, Seq[Long])].collect().flatMap(_._2).toSet
+    assert(seen.contains(1L) && seen.contains(2L))
+    // all-zero out-weights: the cumulative scan's clamp picks the LAST
+    // sampled neighbor deterministically (documented)
+    val ez = Seq((0L, 1L, 0.0), (1L, 0L, 1.0)).toDF("src", "dst", "w")
+    val z = GraphFrame(Seq(0L, 1L).toDF("id"), ez).randomWalks
+      .setWalkLength(2).setWalksPerVertex(1).setSeed(5L).setWeightCol("w").run()
+      .as[(String, Seq[Long])].collect().toMap
+    assert(z("0#0").tail.head == 1L)
+  }
+
+  test("weighted walks: null/negative weights rejected eagerly") {
+    val v = Seq(0L, 1L).toDF("id")
+    val bad = Seq((0L, 1L, -1.0)).toDF("src", "dst", "w")
+    intercept[IllegalArgumentException] {
+      GraphFrame(v, bad).randomWalks.setWeightCol("w").run()
+    }
+  }
 }

@@ -393,12 +393,14 @@ class PipelineMethods:
 
     def asofJoin(self, left, on: list, leftTs: str, rightTs: str,
                  rightCols: list, prefix: Optional[str] = None,
-                 strict: Optional[bool] = None):
+                 strict: Optional[bool] = None,
+                 direction: Optional[str] = None):
         """As-of join: this Pipeline's table is the RIGHT side; ``left``
-        (a DataFrame) rides the vertices slot."""
+        (a DataFrame) rides the vertices slot. direction="forward" flips
+        to the earliest right row at-or-after each left row."""
         return self._call2(left, "pipe_asof_join", on=on, leftTs=leftTs,
                            rightTs=rightTs, rightCols=rightCols,
-                           prefix=prefix, strict=strict)
+                           prefix=prefix, strict=strict, direction=direction)
 
     def importanceSample(self, idCol: str, weightCol: str,
                          targetFraction: float,

@@ -971,6 +971,22 @@ object SparkEntry {
           (col("ts_ms") - col("view_ts_ms")).as("gap_ms"))
     }),
 
+    "e_asof_forward" -> ((s, dir) => { // each view -> the user's NEXT
+      // purchase at-or-after it (forward as-of: same one-pass scan in
+      // descending time order)
+      val ev0 = load(s, dir, "events")
+      val ev = ev0.withColumn("ts_ms", pipeline.Events.tsMillis(ev0))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_ms"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id"), col("ts_ms"))
+      pipeline.Events.asofJoin(views, purchases, Seq("user_id"),
+          "ts_ms", "ts_ms", Seq("event_id", "ts_ms"), prefix = "next_",
+          direction = "forward")
+        .select(col("event_id"), col("user_id"), col("next_event_id"),
+          (col("next_ts_ms") - col("ts_ms")).as("gap_ms"))
+    }),
+
     // --- streaming (run to completion through a memory sink: the driver
     // gate then hash-checks streaming output against the BATCH oracle,
     // turning the unit-level batch-parity claim into an oracled row) ---
@@ -2958,6 +2974,28 @@ object SparkEntry {
         |SELECT CAST(lid AS BIGINT) AS event_id, user_id,
         |  CAST(vid AS BIGINT) AS view_event_id,
         |  CAST(t - vts AS BIGINT) AS gap_ms
+        |FROM w WHERE side = 1""".stripMargin,
+    // forward as-of: identical scan in DESCENDING time — the running
+    // last-ignore-nulls then carries the nearest LATER purchase
+    "e_asof_forward" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_ms(ts) AS t, 0 AS side,
+        |         event_id AS pid, epoch_ms(ts) AS pts, NULL AS lid
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, epoch_ms(ts), 1, NULL, NULL, event_id
+        |  FROM events WHERE event_type = 'view'),
+        |w AS (SELECT user_id, t, side, lid,
+        |    last_value(pid IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY t DESC, side, pid
+        |       ROWS UNBOUNDED PRECEDING) AS nid,
+        |    last_value(pts IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY t DESC, side, pid
+        |       ROWS UNBOUNDED PRECEDING) AS nts
+        |  FROM u)
+        |SELECT CAST(lid AS BIGINT) AS event_id, user_id,
+        |  CAST(nid AS BIGINT) AS next_event_id,
+        |  CAST(nts - t AS BIGINT) AS gap_ms
         |FROM w WHERE side = 1""".stripMargin
   )
 }

@@ -117,7 +117,7 @@ object GraftConnectDispatch {
     // the ONE two-table pipeline op: left rides the vertices slot,
     // right the edges slot
     "pipe_asof_join" -> Set("on", "leftTs", "rightTs", "rightCols",
-      "prefix", "strict"))
+      "prefix", "strict", "direction"))
 
   /** Algorithm names accepted by [[run]], for error messages and clients. */
   val algorithms: Seq[String] = (acceptedParams.keys ++ pipelineParams.keys).toSeq.sorted
@@ -192,7 +192,8 @@ object GraftConnectDispatch {
           rightTs = required("rightTs"), rightCols = strList("rightCols"),
           prefix = str("prefix").getOrElse("asof_"),
           strict = typed("strict", "a boolean") { case JBool(b) => b }
-            .getOrElse(false))
+            .getOrElse(false),
+          direction = str("direction").getOrElse("backward"))
       }
       if (vertices.nonEmpty) throw new IllegalArgumentException(
         s"$algorithm is a single-table pipeline operator: send the input " +

@@ -57,7 +57,10 @@ object Events {
    * As-of join: attach to every left row the LATEST right row with
    * `rightTs <= leftTs` (strictly `<` when `strict`) sharing the `on`
    * keys — event attribution, slowly-changing-dimension lookup, "price
-   * as of trade time".
+   * as of trade time". `direction = "forward"` flips the rule to the
+   * EARLIEST right row with `rightTs >= leftTs` (strictly `>` when
+   * `strict`) — "next purchase after this view" — by running the same
+   * single-pass scan in descending time order.
    *
    * Spark-first plan: ONE union + window pass. Both sides are tagged and
    * unioned, sorted within each key partition by (ts, side, payload),
@@ -75,9 +78,12 @@ object Events {
    */
   def asofJoin(left: DataFrame, right: DataFrame, on: Seq[String],
       leftTs: String, rightTs: String, rightCols: Seq[String],
-      prefix: String = "asof_", strict: Boolean = false): DataFrame = {
+      prefix: String = "asof_", strict: Boolean = false,
+      direction: String = "backward"): DataFrame = {
     require(on.nonEmpty, "asofJoin: join keys required")
     require(rightCols.nonEmpty, "asofJoin: rightCols required")
+    require(direction == "backward" || direction == "forward",
+      s"asofJoin: direction must be 'backward' or 'forward', got '$direction'")
     // the internal tag columns would silently shadow (or ambiguate) any
     // caller column with the same name — fail loudly instead, mirroring
     // MotifCompiler's __tmp guard
@@ -95,11 +101,17 @@ object Events {
       lit(1).as("_asof_side") :+ lit(null).cast(payType).as("_asof_pay")): _*)
     // left-only columns are null on right rows; dropped again at the end
     val unioned = lSide.unionByName(rSide, allowMissingColumns = true)
-    // side order decides ties at equal ts: right-before-left gives <=,
-    // left-before-right gives strict <
+    // side order decides ties at equal ts: right-before-left gives <=
+    // (backward) / >= (forward), left-before-right gives the strict rule.
+    // forward mode is the identical scan in DESCENDING time: the running
+    // last() then carries the nearest LATER right payload into each left
+    // row; tied right payloads stay ascending in scan order, so the
+    // largest-payload tie-break is the same in both directions.
     val sideOrd = if (strict) col("_asof_side").desc else col("_asof_side").asc
+    val tsOrd =
+      if (direction == "forward") col("_asof_ts").desc else col("_asof_ts").asc
     val w = Window.partitionBy(on.map(col): _*)
-      .orderBy(col("_asof_ts").asc, sideOrd, col("_asof_pay").asc)
+      .orderBy(tsOrd, sideOrd, col("_asof_pay").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("_asof_hit", last(col("_asof_pay"), ignoreNulls = true).over(w))

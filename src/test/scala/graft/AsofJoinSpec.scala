@@ -48,6 +48,51 @@ class AsofJoinSpec extends TestBase {
     assert(out(4L) === None)      // only right row is at the same ts
   }
 
+  test("forward as-of: earliest right at or after; strict; naive differential") {
+    val out = pipeline.Events.asofJoin(left, right, Seq("k"),
+        "ts", "ts", Seq("rid", "ts"), prefix = "m_", direction = "forward")
+      .select("lid", "m_rid", "m_ts").collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(out(1L) === ((Some(10L), Some(100L)))) // next after 50 is 100
+    assert(out(2L) === ((Some(12L), Some(200L)))) // tie at 200 -> largest rid
+    assert(out(3L) === ((Some(13L), Some(300L))))
+    assert(out(4L) === ((Some(20L), Some(150L)))) // equal ts included
+    assert(out(5L) === ((None, None)))
+    // strict: equal ts excluded
+    val s = pipeline.Events.asofJoin(left, right, Seq("k"),
+        "ts", "ts", Seq("rid"), prefix = "m_", strict = true,
+        direction = "forward")
+      .select("lid", "m_rid").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(s(2L) === Some(13L)) // the 200s excluded, 300 remains
+    assert(s(4L) === None)
+    // differential vs naive on random data
+    val rng = new scala.util.Random(41)
+    val rr = (1 to 300).map(_ =>
+      (rng.nextInt(8).toLong, rng.nextInt(50).toLong * 10, rng.nextLong().abs))
+    val ll = (1 to 200).map(i =>
+      (rng.nextInt(10).toLong, rng.nextInt(60).toLong * 10, i.toLong))
+    val got = pipeline.Events.asofJoin(
+        ll.toDF("k", "ts", "lid"), rr.toDF("k", "ts", "rid"),
+        Seq("k"), "ts", "ts", Seq("rid"), prefix = "m_", direction = "forward")
+      .select("lid", "m_rid").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    for ((k, ts, lid) <- ll) {
+      val cand = rr.filter(x => x._1 == k && x._2 >= ts)
+      val want =
+        if (cand.isEmpty) None
+        else {
+          val minTs = cand.map(_._2).min
+          Some(cand.filter(_._2 == minTs).map(_._3).max) // largest payload
+        }
+      assert(got(lid) === want, s"left ($k, $ts, $lid)")
+    }
+    intercept[IllegalArgumentException] {
+      pipeline.Events.asofJoin(left, right, Seq("k"), "ts", "ts",
+        Seq("rid"), direction = "sideways")
+    }
+  }
+
   test("matches a naive implementation on random data") {
     val rng = new scala.util.Random(23)
     val r = (1 to 300).map(_ =>

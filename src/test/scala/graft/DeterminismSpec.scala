@@ -73,8 +73,20 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
         windowWords = 3, maxDupCount = 2)
       .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
 
+    // round-9 surfaces: weighted walks (md5 draws + aligned weight
+    // arrays) and the sampled landmark estimators over the surrogate path
+    val gw = GraphFrame(v, e.withColumn("w",
+      (length(col("src")) * 3 + length(col("dst")) * 7).cast("double")))
+    val ww = gw.randomWalks.setWalkLength(4).setWalksPerVertex(1)
+      .setHashMode("md5").setSeed(5L).setWeightCol("w").run()
+      .select(col("walk_id"), concat_ws(",", col("random_walk")))
+      .as[(String, String)].collect().toMap
+    val cls = g.closeness.sampleSources(7).run()
+      .select(col("id"), round(col("closeness"), 9), round(col("harmonic"), 9))
+      .collect().map(r => r.getString(0) -> ((r.get(1), r.get(2)))).toMap
+
     Map("cc" -> cc, "pr" -> pr, "sp" -> sp, "kc" -> kc,
-      "lsh" -> lsh, "seg" -> seg)
+      "lsh" -> lsh, "seg" -> seg, "ww" -> ww, "cls" -> cls)
   }
 
   test("cc/pagerank/shortest-paths/kcore/lsh/segment-dedup identical across partitionings") {

@@ -141,10 +141,13 @@ class GraphFrameMethods:
         return self._call("katz", maxIter=maxIter, alpha=alpha, beta=beta)
 
     def betweenness(self, sampleK: Optional[int] = None,
-                    normalized: Optional[bool] = None):
-        """Brandes betweenness centrality (engine extension)."""
+                    normalized: Optional[bool] = None,
+                    weightCol: Optional[str] = None):
+        """Brandes betweenness centrality (engine extension); weightCol
+        switches to Dijkstra-based weighted shortest paths (weights must
+        be strictly positive)."""
         return self._call("betweenness", sampleK=sampleK,
-                          normalized=normalized)
+                          normalized=normalized, weightCol=weightCol)
 
     def closeness(self, sampleK: Optional[int] = None):
         """Closeness + harmonic centrality (engine extension). sampleK > 0

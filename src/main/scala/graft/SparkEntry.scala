@@ -337,6 +337,15 @@ object SparkEntry {
     "g_eccentricity" -> ((s, dir) =>
       circulantGraph(s, dir).eccentricity.run()
         .select(col(ID), col("eccentricity"))),
+    "g_betweenness_weighted" -> ((s, dir) => { // Dijkstra-Brandes: integer
+      // weights keep the strict dist(u)+w = dist(v) DAG test and every
+      // CTE sum exact in double
+      val g0 = circulantGraph(s, dir)
+      val ge = GraphFrame(g0.vertices, g0.edges.withColumn("w",
+        ((col(SRC) * 7 + col(DST) * 3) % 5 + 1).cast("double")))
+      ge.betweenness.weightCol("w").run()
+        .select(col(ID), round(col("betweenness"), 5).as("betweenness"))
+    }),
     "g_betweenness_sampled" -> ((s, dir) =>
       // Brandes estimator from 9 md5-ordered sources with the n/k
       // scale-up; the oracle restricts the shortest-path-DAG triple join
@@ -2316,6 +2325,39 @@ object SparkEntry {
     "g_pagerank_weighted" -> pagerankWeightedSql(10),
     "g_betweenness" -> betweennessSql,
     "g_closeness" -> closenessSql,
+    // weighted Brandes identity over the weighted circulant: cwalk dedups
+    // (s, v, d) triples (weights 1..5 bound d <= 130 so the recursion is
+    // finite without a hop column); cspw enumerates DAG paths exactly
+    "g_betweenness_weighted" ->
+      """WITH RECURSIVE cv AS (SELECT n_nationkey AS id FROM nation),
+        |ce AS (SELECT src, dst, CAST((src * 7 + dst * 3) % 5 + 1 AS DOUBLE) AS w
+        |  FROM (SELECT DISTINCT src, dst FROM (
+        |      SELECT id AS src, (id + 7) % 25 AS dst FROM cv
+        |      UNION ALL
+        |      SELECT id, (3 * id + 1) % 25 FROM cv WHERE id % 3 = 0)
+        |    WHERE src <> dst)),
+        |cwalk AS (SELECT id AS s, id AS v, CAST(0 AS DOUBLE) AS d FROM cv
+        |  UNION SELECT w2.s, ce.dst, w2.d + ce.w FROM cwalk w2
+        |    JOIN ce ON ce.src = w2.v WHERE w2.d < 130),
+        |cdistw AS (SELECT s, v, MIN(d) AS d FROM cwalk GROUP BY s, v),
+        |cspw AS (SELECT id AS s, id AS v, CAST(0 AS DOUBLE) AS d FROM cv
+        |  UNION ALL SELECT p.s, ce.dst, p.d + ce.w FROM cspw p
+        |    JOIN ce ON ce.src = p.v
+        |    JOIN cdistw dd ON dd.s = p.s AND dd.v = ce.dst AND dd.d = p.d + ce.w),
+        |csigw AS (SELECT s, v, CAST(COUNT(*) AS DOUBLE) AS sig
+        |  FROM cspw GROUP BY s, v),
+        |btw AS (SELECT sv.v AS id, SUM(sv.sig * vt.sig / st.sig) AS b
+        |  FROM csigw sv
+        |  JOIN csigw vt ON vt.s = sv.v
+        |  JOIN csigw st ON st.s = sv.s AND st.v = vt.v
+        |  JOIN cdistw d1 ON d1.s = sv.s AND d1.v = sv.v
+        |  JOIN cdistw d2 ON d2.s = vt.s AND d2.v = vt.v
+        |  JOIN cdistw d3 ON d3.s = st.s AND d3.v = st.v
+        |  WHERE sv.v <> sv.s AND sv.v <> vt.v AND sv.s <> vt.v
+        |    AND d1.d + d2.d = d3.d
+        |  GROUP BY 1)
+        |SELECT n_nationkey AS id, ROUND(COALESCE(b, 0), 5) AS betweenness
+        |FROM nation LEFT JOIN btw ON btw.id = n_nationkey""".stripMargin,
     "g_betweenness_sampled" ->
       s"""WITH RECURSIVE $CIRC_DIST_SIGMA,
          |lm AS (SELECT id FROM cv ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 9),

@@ -54,7 +54,7 @@ object GraftConnectDispatch {
     "kcore" -> Set("maxIter"),
     "hits" -> Set("maxIter"),
     "katz" -> Set("maxIter", "alpha", "beta"),
-    "betweenness" -> Set("sampleK", "normalized"),
+    "betweenness" -> Set("sampleK", "normalized", "weightCol"),
     "closeness" -> Set("sampleK"),
     "eccentricity" -> Set("sampleK"),
     "ktruss" -> Set("k", "maxIter"),
@@ -457,6 +457,7 @@ object GraftConnectDispatch {
       case "betweenness" =>
         val bc = g.betweenness
         int("sampleK").foreach(bc.sampleSources)
+        str("weightCol").foreach(bc.weightCol)
         typed("normalized", "a boolean") { case JBool(b) => b }
           .foreach(bc.normalized)
         bc.run()

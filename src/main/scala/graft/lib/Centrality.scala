@@ -89,6 +89,7 @@ class Betweenness(g: GraphFrame) {
 
   private var sampleKV: Int = 0 // 0 = exact (every vertex a source)
   private var normalizedV: Boolean = false
+  private var weightColV: Option[String] = None
   private var smallGraphThresholdV: Long =
     graft.GraftConf.linkAnalysisSmallGraphThreshold.getOrElse(100000L)
 
@@ -100,10 +101,24 @@ class Betweenness(g: GraphFrame) {
   }
   /** Divide by (n-1)(n-2) — the directed-graph pair count. */
   def normalized(b: Boolean): this.type = { normalizedV = b; this }
+  /** Weighted Brandes (engine extension): shortest paths minimize the SUM
+   * of this edge column instead of hop count. Weights must be STRICTLY
+   * positive (a zero weight would put cycles in the shortest-path DAG and
+   * break the dependency recursion) — validated eagerly. Parallel edges
+   * collapse to their MINIMUM weight (only a minimum-weight copy can lie
+   * on a shortest path; σ counts it once, matching the unweighted
+   * distinct()). Composes with [[sampleSources]]. */
+  def weightCol(c: String): this.type = { weightColV = Some(c); this }
   /** Same bounded-driver-tail knob as [[Hits]]; docs/THRESHOLDS.md. */
   def setSmallGraphThreshold(n: Long): this.type = { smallGraphThresholdV = n; this }
 
   def run(): DataFrame = {
+    weightColV.foreach { w =>
+      val wc = col(GraphFrame.quoteName(w))
+      require(g.edges.filter(wc.isNull || wc <= 0).isEmpty,
+        s"betweenness weightCol '$w' must be non-null and > 0 on every edge")
+      return runWeighted(w)
+    }
     val e = g.edges.select(col(SRC), col(DST)).distinct().persist()
     val n = g.vertices.count()
     val scale = if (sampleKV > 0 && sampleKV < n) n.toDouble / sampleKV else 1.0
@@ -160,6 +175,175 @@ class Betweenness(g: GraphFrame) {
     val all = g.vertices.select(col(ID).as("s"))
     if (sampleKV <= 0) all
     else all.orderBy(md5(col("s").cast("string")), col("s")).limit(sampleKV)
+  }
+
+  /** Weighted Brandes, three fixpoint phases (each round ONE join + one
+   * aggregation over (s, v)-keyed state): multi-source Bellman-Ford
+   * distances; σ path counts by DAG hop level; δ dependency fixpoint
+   * (correct for every vertex of DAG height ≤ k after k rounds, stable
+   * after longest-DAG-path rounds). The shortest-path DAG membership
+   * test is STRICT double equality `dist(u) + w == dist(v)` — exact for
+   * integer-valued (or dyadic) weights, the same exactness contract as
+   * the weighted-walk prefix sums; arbitrary float weights can drop DAG
+   * edges to summation-order noise and are the caller's risk. */
+  private def runWeighted(w: String): DataFrame = {
+    val e = g.edges
+      .groupBy(col(SRC), col(DST))
+      .agg(min(col(GraphFrame.quoteName(w)).cast("double")).as("_bw"))
+      .persist()
+    val n = g.vertices.count()
+    val scale = if (sampleKV > 0 && sampleKV < n) n.toDouble / sampleKV else 1.0
+    val norm = if (normalizedV && n > 2) 1.0 / ((n - 1.0) * (n - 2.0)) else 1.0
+    if (smallGraphThresholdV > 0 && e.count() <= smallGraphThresholdV) {
+      val r = runLocalWeighted(e, scale * norm)
+      e.unpersist(false)
+      return r
+    }
+    val cuts = ArrayBuffer.empty[DataFrame]
+    def cut(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(true); cuts += c; c
+    }
+
+    // Phase A: distances
+    var dist = cut(sampledSources()
+      .select(col("s"), col("s").as("id"), lit(0.0).as("dist")))
+    var frontier = dist
+    var active = true
+    while (active) {
+      val cand = frontier.join(e, frontier("id") === e(SRC))
+        .groupBy(col("s"), col(DST).as("id"))
+        .agg(min(col("dist") + col("_bw")).as("dist"))
+      val improved = cut(cand
+        .join(dist.select(col("s"), col("id"), col("dist").as("_old")),
+          Seq("s", "id"), "left_outer")
+        .filter(col("_old").isNull || col("dist") < col("_old"))
+        .select("s", "id", "dist"))
+      active = improved.take(1).nonEmpty
+      if (active) {
+        dist = cut(dist.join(improved.select("s", "id"), Seq("s", "id"), "left_anti")
+          .unionByName(improved))
+        frontier = improved
+      }
+    }
+
+    // shortest-path DAG per source
+    val dagR = cut(e
+      .join(dist.select(col("s"), col("id").as(SRC), col("dist").as("_du")), Seq(SRC))
+      .join(dist.select(col("s"), col("id").as(DST), col("dist").as("_dv")),
+        Seq("s", DST))
+      .filter(col("_du") + col("_bw") === col("_dv"))
+      .select(col("s"), col(SRC).as("_u"), col(DST).as("_v")))
+
+    // Phase B: σ = Σ over hop levels of per-level path counts
+    val pLevels = ArrayBuffer.empty[DataFrame]
+    var p = cut(sampledSources()
+      .select(col("s"), col("s").as("id"), lit(1.0).as("p")))
+    pLevels += p
+    while (!p.isEmpty) {
+      p = cut(p.join(dagR, p("s") === dagR("s") && p("id") === dagR("_u"))
+        .groupBy(dagR("s").as("s"), col("_v").as("id"))
+        .agg(sum("p").as("p")))
+      if (!p.isEmpty) pLevels += p
+    }
+    val sig = cut(pLevels.reduce(_ unionByName _)
+      .groupBy("s", "id").agg(sum("p").as("sigma")))
+
+    // Phase C: δ fixpoint
+    var delta = cut(sig.select(col("s"), col("id"), lit(0.0).as("delta")))
+    var stable = false
+    while (!stable) {
+      val dw = delta.select(col("s"), col("id").as("_v"), col("delta").as("_dw"))
+        .join(sig.select(col("s"), col("id").as("_v"), col("sigma").as("_sw")),
+          Seq("s", "_v"))
+      val contrib = dagR.join(dw, Seq("s", "_v"))
+        .groupBy("s", "_u")
+        .agg(sum((lit(1.0) + col("_dw")) / col("_sw")).as("part"))
+        .select(col("s"), col("_u").as("id"), col("part"))
+      val nd = cut(sig.join(contrib, Seq("s", "id"), "left_outer")
+        .select(col("s"), col("id"),
+          (col("sigma") * coalesce(col("part"), lit(0.0))).as("delta")))
+      stable = nd
+        .join(delta.select(col("s"), col("id"), col("delta").as("_od")), Seq("s", "id"))
+        .filter(col("delta") =!= col("_od")).take(1).isEmpty
+      delta = nd
+    }
+
+    val btw = delta.filter(col("id") =!= col("s"))
+      .groupBy(col("id")).agg(sum("delta").as("_b"))
+      .withColumnRenamed("id", "_c_id")
+    val result = g.vertices.join(btw, col(ID) === col("_c_id"), "left_outer")
+      .select(g.vertices.columns.map(c => g.vertices(GraphFrame.quoteName(c))) :+
+        (coalesce(col("_b"), lit(0.0)) * lit(scale * norm)).as("betweenness"): _*)
+      .localCheckpoint(true)
+    cuts.foreach(IterationManager.release)
+    e.unpersist(false)
+    result
+  }
+
+  /** Driver tail for the weighted mode: textbook Dijkstra-based Brandes
+   * per (sampled) source — exact at convergence, and betweenness is a
+   * pure function of the graph, so local == distributed up to float
+   * summation noise (exact for integer weights). */
+  private def runLocalWeighted(e: DataFrame, factor: Double): DataFrame = {
+    import scala.collection.mutable
+    val rows = e.collect().iterator
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => (r.get(0), r.get(1), r.getDouble(2))).toArray
+      .sortBy { case (s, d, _) => (String.valueOf(s), String.valueOf(d)) }
+    val epDF = e.select(col(SRC).as(ID)).union(e.select(col(DST).as(ID))).distinct()
+    val vids = g.vertices.select(col(ID)).join(epDF, Seq(ID), "left_semi")
+      .collect().map(_.get(0)).sortBy(String.valueOf(_))
+    val valid = vids.toSet
+    val allSources = g.vertices.select(col(ID)).collect().map(_.get(0))
+      .sortBy(String.valueOf(_))
+    val sources: Array[Any] =
+      if (sampleKV > 0 && sampleKV < allSources.length)
+        allSources.sortBy(v => (md5Hex(String.valueOf(v)), String.valueOf(v)))
+          .take(sampleKV)
+      else allSources
+    val adj = rows.filter { case (s, d, _) => valid(s) && valid(d) }
+      .groupBy(_._1).map { case (s, es) =>
+        (s, es.map(x => (x._2, x._3)).sortBy(x => String.valueOf(x._1)))
+      }
+    val btw = mutable.HashMap.empty[Any, Double]
+    for (s <- sources) {
+      val dist = mutable.HashMap.empty[Any, Double]
+      val sigma = mutable.HashMap.empty[Any, Double]
+      val settledOrder = ArrayBuffer.empty[Any]
+      val settled = mutable.HashSet.empty[Any]
+      implicit val ord: Ordering[(Double, String)] =
+        Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.String.reverse)
+      val pq = mutable.PriorityQueue((0.0, String.valueOf(s)))
+      val byKey = mutable.HashMap(String.valueOf(s) -> s)
+      dist(s) = 0.0; sigma(s) = 1.0
+      while (pq.nonEmpty) {
+        val (dv, key) = pq.dequeue()
+        val v = byKey(key)
+        if (!settled(v) && dist(v) == dv) {
+          settled += v; settledOrder += v
+          for ((nb, wE) <- adj.getOrElse(v, Array.empty[(Any, Double)])) {
+            val nd = dv + wE
+            if (!dist.contains(nb) || nd < dist(nb)) {
+              dist(nb) = nd; sigma(nb) = sigma(v)
+              byKey(String.valueOf(nb)) = nb
+              pq.enqueue((nd, String.valueOf(nb)))
+            } else if (nd == dist(nb) && !settled(nb)) {
+              sigma(nb) = sigma(nb) + sigma(v)
+            }
+          }
+        }
+      }
+      val delta = mutable.HashMap.empty[Any, Double]
+      for (v <- settledOrder.reverseIterator) {
+        for ((nb, wE) <- adj.getOrElse(v, Array.empty[(Any, Double)])
+             if dist.get(nb).contains(dist(v) + wE))
+          delta(v) = delta.getOrElse(v, 0.0) +
+            sigma(v) / sigma(nb) * (1.0 + delta.getOrElse(nb, 0.0))
+        if (v != s) btw(v) = btw.getOrElse(v, 0.0) + delta.getOrElse(v, 0.0)
+      }
+    }
+    LocalLinkAnalysis.joinBack(g, btw.keys.toArray.sortBy(String.valueOf(_)),
+      Seq(("betweenness", (v: Any) => btw(v) * factor, 0.0)))
   }
 
   private def runLocal(e: DataFrame, factor: Double): DataFrame = {

@@ -117,6 +117,57 @@ class CentralitySpec extends TestBase {
     assert(local("g") == 0) // isolated
   }
 
+  test("betweenness weighted: weights reroute shortest paths (hand-checked)") {
+    // 0->1->3 costs 1+1=2; 0->2->3 costs 5+5=10; direct 0->3 costs 4.
+    // Unweighted: two 2-hop paths tie and the direct edge wins (1 hop) =>
+    // b(1)=b(2)=0. Weighted: THE shortest 0~>3 path is 0->1->3 => b(1)=1.
+    val v = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val e = Seq((0L, 1L, 1.0), (1L, 3L, 1.0), (0L, 2L, 5.0), (2L, 3L, 5.0),
+      (0L, 3L, 4.0)).toDF("src", "dst", "w")
+    val g = GraphFrame(v, e)
+    for (t <- Seq(0L, 100000L)) { // distributed AND local tail
+      val m = g.betweenness.weightCol("w").setSmallGraphThreshold(t).run()
+        .select("id", "betweenness").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(math.abs(m(1L) - 1.0) < 1e-9, s"threshold $t: $m")
+      assert(m(2L) == 0.0 && m(0L) == 0.0 && m(3L) == 0.0, s"threshold $t: $m")
+    }
+    // equal-weight split: 0->1->3 and 0->2->3 both cost 2, no direct edge
+    val e2 = Seq((0L, 1L, 1.0), (1L, 3L, 1.0), (0L, 2L, 1.0), (2L, 3L, 1.0))
+      .toDF("src", "dst", "w")
+    val m2 = GraphFrame(v, e2).betweenness.weightCol("w")
+      .setSmallGraphThreshold(100L).run()
+      .select("id", "betweenness").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(math.abs(m2(1L) - 0.5) < 1e-9 && math.abs(m2(2L) - 0.5) < 1e-9, m2)
+  }
+
+  test("betweenness weighted: local tail == distributed; sampled; validation") {
+    // string-id graph with integer weights and an isolated vertex
+    val gw = GraphFrame(friends.vertices,
+      friends.edges.withColumn("w",
+        (length(col("src")) + length(col("dst")) * 2).cast("double")))
+    def btw(t: Long, k: Int = 0): Map[String, Double] = {
+      val b = gw.betweenness.weightCol("w").setSmallGraphThreshold(t)
+      if (k > 0) b.sampleSources(k)
+      b.run().select("id", "betweenness").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toMap
+    }
+    val local = btw(100000)
+    val dist = btw(0)
+    assert(local.keySet == dist.keySet)
+    for ((k, x) <- local) assert(math.abs(x - dist(k)) < 1e-9, s"vertex $k")
+    assert(local("g") == 0.0)
+    // sampled + weighted compose through both paths
+    val sl = btw(100000, k = 3)
+    val sd = btw(0, k = 3)
+    for ((k, x) <- sl) assert(math.abs(x - sd(k)) < 1e-9, s"sampled vertex $k")
+    // nonpositive weights rejected eagerly
+    val bad = GraphFrame(friends.vertices,
+      friends.edges.withColumn("w", lit(0.0)))
+    intercept[IllegalArgumentException](bad.betweenness.weightCol("w").run())
+  }
+
   test("closeness: sampled landmarks — hand-checked estimator on K3") {
     // bidirectional triangle: all pairwise distances 1. With k=2 landmarks
     // (scale 3/2): a landmark v sees one other landmark (r=1, total=1) =>

@@ -149,17 +149,21 @@ class GraphFrameMethods:
         return self._call("betweenness", sampleK=sampleK,
                           normalized=normalized, weightCol=weightCol)
 
-    def closeness(self, sampleK: Optional[int] = None):
+    def closeness(self, sampleK: Optional[int] = None,
+                  weightCol: Optional[str] = None):
         """Closeness + harmonic centrality (engine extension). sampleK > 0
         switches to the Eppstein-Wang landmark estimate (n/k scaled) from
-        k deterministic md5-ordered landmarks."""
-        return self._call("closeness", sampleK=sampleK)
+        k deterministic md5-ordered landmarks; weightCol switches to
+        shortest weighted distances (strictly positive weights)."""
+        return self._call("closeness", sampleK=sampleK, weightCol=weightCol)
 
-    def eccentricity(self, sampleK: Optional[int] = None):
+    def eccentricity(self, sampleK: Optional[int] = None,
+                     weightCol: Optional[str] = None):
         """Per-vertex eccentricity over reachable out-distances (engine
         extension). sampleK > 0 reports max distance to k deterministic
-        landmarks — a lower bound on the exact value."""
-        return self._call("eccentricity", sampleK=sampleK)
+        landmarks — a lower bound on the exact value; weightCol switches
+        to weighted distances (the column becomes double)."""
+        return self._call("eccentricity", sampleK=sampleK, weightCol=weightCol)
 
     def kCore(self, maxIter: Optional[int] = None):
         return self._call("kcore", maxIter=maxIter)

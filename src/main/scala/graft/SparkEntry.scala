@@ -365,6 +365,23 @@ object SparkEntry {
       // documented LOWER bound (no scale-up: max is not an average)
       circulantGraph(s, dir).eccentricity.sampleSources(9).run()
         .select(col(ID), col("eccentricity"))),
+    "g_closeness_weighted" -> ((s, dir) => { // Wasserman–Faust + harmonic
+      // over shortest WEIGHTED distances (integer weights = exact sums)
+      val g0 = circulantGraph(s, dir)
+      val ge = GraphFrame(g0.vertices, g0.edges.withColumn("w",
+        ((col(SRC) * 7 + col(DST) * 3) % 5 + 1).cast("double")))
+      ge.closeness.weightCol("w").run()
+        .select(col(ID), round(col("closeness"), 5).as("closeness"),
+          round(col("harmonic"), 5).as("harmonic"))
+    }),
+    "g_eccentricity_weighted" -> ((s, dir) => { // max weighted out-distance
+      // (double in weighted mode)
+      val g0 = circulantGraph(s, dir)
+      val ge = GraphFrame(g0.vertices, g0.edges.withColumn("w",
+        ((col(SRC) * 7 + col(DST) * 3) % 5 + 1).cast("double")))
+      ge.eccentricity.weightCol("w").run()
+        .select(col(ID), round(col("eccentricity"), 5).as("eccentricity"))
+    }),
     "g_ktruss" -> ((s, dir) =>
       // k=12 exercises the full cascade at sf0.001 (support-9 shell drops,
       // undercutting the 10-clique -> empty) and the stable complete-graph
@@ -1286,6 +1303,23 @@ object SparkEntry {
       |    JOIN cdist dd ON dd.s = p.s AND dd.v = ce.dst AND dd.d = p.d + 1),
       |csig AS (SELECT s, v, CAST(COUNT(*) AS DOUBLE) AS sig
       |  FROM csp GROUP BY s, v)""".stripMargin
+
+  /** Weighted circulant CTEs: the graph with integer weights
+   * (src*7 + dst*3) % 5 + 1 and all-pairs weighted distances (cwalk
+   * dedups (s, v, d) triples; weights 1..5 bound d <= 130 so the
+   * recursion is finite without a hop column). */
+  private val CIRC_DIST_W =
+    """cv AS (SELECT n_nationkey AS id FROM nation),
+      |ce AS (SELECT src, dst, CAST((src * 7 + dst * 3) % 5 + 1 AS DOUBLE) AS w
+      |  FROM (SELECT DISTINCT src, dst FROM (
+      |      SELECT id AS src, (id + 7) % 25 AS dst FROM cv
+      |      UNION ALL
+      |      SELECT id, (3 * id + 1) % 25 FROM cv WHERE id % 3 = 0)
+      |    WHERE src <> dst)),
+      |cwalk AS (SELECT id AS s, id AS v, CAST(0 AS DOUBLE) AS d FROM cv
+      |  UNION SELECT w2.s, ce.dst, w2.d + ce.w FROM cwalk w2
+      |    JOIN ce ON ce.src = w2.v WHERE w2.d < 130),
+      |cdistw AS (SELECT s, v, MIN(d) AS d FROM cwalk GROUP BY s, v)""".stripMargin
 
   /** Brandes identity: btw(v) = Σ_{s≠v≠t} σ_sv · σ_vt / σ_st over pairs
    * with d(s,v) + d(v,t) = d(s,t). */
@@ -2329,17 +2363,7 @@ object SparkEntry {
     // (s, v, d) triples (weights 1..5 bound d <= 130 so the recursion is
     // finite without a hop column); cspw enumerates DAG paths exactly
     "g_betweenness_weighted" ->
-      """WITH RECURSIVE cv AS (SELECT n_nationkey AS id FROM nation),
-        |ce AS (SELECT src, dst, CAST((src * 7 + dst * 3) % 5 + 1 AS DOUBLE) AS w
-        |  FROM (SELECT DISTINCT src, dst FROM (
-        |      SELECT id AS src, (id + 7) % 25 AS dst FROM cv
-        |      UNION ALL
-        |      SELECT id, (3 * id + 1) % 25 FROM cv WHERE id % 3 = 0)
-        |    WHERE src <> dst)),
-        |cwalk AS (SELECT id AS s, id AS v, CAST(0 AS DOUBLE) AS d FROM cv
-        |  UNION SELECT w2.s, ce.dst, w2.d + ce.w FROM cwalk w2
-        |    JOIN ce ON ce.src = w2.v WHERE w2.d < 130),
-        |cdistw AS (SELECT s, v, MIN(d) AS d FROM cwalk GROUP BY s, v),
+      s"""WITH RECURSIVE $CIRC_DIST_W,
         |cspw AS (SELECT id AS s, id AS v, CAST(0 AS DOUBLE) AS d FROM cv
         |  UNION ALL SELECT p.s, ce.dst, p.d + ce.w FROM cspw p
         |    JOIN ce ON ce.src = p.v
@@ -2393,6 +2417,20 @@ object SparkEntry {
          |ec AS (SELECT c.s AS id, MAX(d) AS m FROM cdist c JOIN lm ON lm.id = c.v GROUP BY 1)
          |SELECT n_nationkey AS id, CAST(COALESCE(m, 0) AS INT) AS eccentricity
          |FROM nation LEFT JOIN ec ON ec.id = n_nationkey""".stripMargin,
+    "g_closeness_weighted" ->
+      s"""WITH RECURSIVE $CIRC_DIST_W,
+         |agg AS (SELECT s, COUNT(*) AS r, SUM(d) AS total, SUM(1.0 / d) AS h
+         |  FROM cdistw WHERE d > 0 GROUP BY s)
+         |SELECT n_nationkey AS id,
+         |  ROUND(COALESCE((r * 1.0 / 24.0) * r / total, 0), 5) AS closeness,
+         |  ROUND(COALESCE(h, 0), 5) AS harmonic
+         |FROM nation LEFT JOIN agg ON agg.s = n_nationkey""".stripMargin,
+    "g_eccentricity_weighted" ->
+      s"""WITH RECURSIVE $CIRC_DIST_W,
+         |ec AS (SELECT s, MAX(d) AS m FROM cdistw GROUP BY s)
+         |SELECT n_nationkey AS id,
+         |  ROUND(COALESCE(m, 0), 5) AS eccentricity
+         |FROM nation LEFT JOIN ec ON ec.s = n_nationkey""".stripMargin,
     "g_eccentricity" ->
       s"""WITH RECURSIVE $CIRC_DIST_SIGMA,
          |ec AS (SELECT s, MAX(d) AS m FROM cdist GROUP BY s)

@@ -55,8 +55,8 @@ object GraftConnectDispatch {
     "hits" -> Set("maxIter"),
     "katz" -> Set("maxIter", "alpha", "beta"),
     "betweenness" -> Set("sampleK", "normalized", "weightCol"),
-    "closeness" -> Set("sampleK"),
-    "eccentricity" -> Set("sampleK"),
+    "closeness" -> Set("sampleK", "weightCol"),
+    "eccentricity" -> Set("sampleK", "weightCol"),
     "ktruss" -> Set("k", "maxIter"),
     "neighborhood_function" -> Set("maxIter", "lgNomEntries"),
     "link_prediction" -> Set("maxHubDegree"),
@@ -464,10 +464,12 @@ object GraftConnectDispatch {
       case "closeness" =>
         val cl = g.closeness
         int("sampleK").foreach(cl.sampleSources)
+        str("weightCol").foreach(cl.weightCol)
         cl.run()
       case "eccentricity" =>
         val ec = g.eccentricity
         int("sampleK").foreach(ec.sampleSources)
+        str("weightCol").foreach(ec.weightCol)
         ec.run()
       case "clustering_coefficient" => g.clusteringCoefficient.run()
       case "graph_stats" => g.stats

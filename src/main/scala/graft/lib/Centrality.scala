@@ -53,6 +53,66 @@ private[graft] object MultiSourceBFS {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  /** Multi-source Bellman-Ford over `(src, dst, _bw)` edges: the FINAL
+   * `(s, id, dist)` frame for every reached pair (sources at dist 0).
+   * Each round is one join + one min-aggregation on the improved
+   * frontier; rounds = shortest-path hop diameter. Every loop-carried
+   * frame goes through `cut` (lineage-cut + retained; the caller
+   * releases). Shared by the weighted centralities. */
+  def weightedDistances(e: DataFrame, sources: DataFrame,
+      cut: DataFrame => DataFrame): DataFrame = {
+    var dist = cut(sources
+      .select(col("s"), col("s").as("id"), lit(0.0).as("dist")))
+    var frontier = dist
+    var active = true
+    while (active) {
+      val cand = frontier.join(e, frontier("id") === e(SRC))
+        .groupBy(col("s"), col(DST).as("id"))
+        .agg(min(col("dist") + col("_bw")).as("dist"))
+      val improved = cut(cand
+        .join(dist.select(col("s"), col("id"), col("dist").as("_old")),
+          Seq("s", "id"), "left_outer")
+        .filter(col("_old").isNull || col("dist") < col("_old"))
+        .select("s", "id", "dist"))
+      active = improved.take(1).nonEmpty
+      if (active) {
+        dist = cut(dist.join(improved.select("s", "id"), Seq("s", "id"), "left_anti")
+          .unionByName(improved))
+        frontier = improved
+      }
+    }
+    dist
+  }
+
+  /** Driver-side Dijkstra distances from every `sources` vertex over a
+   * weighted adjacency map — the local twin of [[weightedDistances]]. */
+  def localDijkstra(adj: Map[Any, Array[(Any, Double)]], source: Any)
+      : scala.collection.mutable.HashMap[Any, Double] = {
+    import scala.collection.mutable
+    val dist = mutable.HashMap[Any, Double](source -> 0.0)
+    val settled = mutable.HashSet.empty[Any]
+    implicit val ord: Ordering[(Double, String)] =
+      Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.String.reverse)
+    val byKey = mutable.HashMap(String.valueOf(source) -> source)
+    val pq = mutable.PriorityQueue((0.0, String.valueOf(source)))
+    while (pq.nonEmpty) {
+      val (dv, key) = pq.dequeue()
+      val v = byKey(key)
+      if (!settled(v) && dist(v) == dv) {
+        settled += v
+        for ((nb, w) <- adj.getOrElse(v, Array.empty[(Any, Double)])) {
+          val nd = dv + w
+          if (!dist.contains(nb) || nd < dist(nb)) {
+            dist(nb) = nd
+            byKey(String.valueOf(nb)) = nb
+            pq.enqueue((nd, String.valueOf(nb)))
+          }
+        }
+      }
+    }
+    dist
+  }
+
   /** One frame per BFS level: `(s, id, sigma: double)` where `id` is at
    * distance `level` from source `s` and `sigma` counts the distinct
    * shortest s→id paths. Level 0 is the sources themselves (sigma 1).
@@ -204,27 +264,8 @@ class Betweenness(g: GraphFrame) {
       val c = df.localCheckpoint(true); cuts += c; c
     }
 
-    // Phase A: distances
-    var dist = cut(sampledSources()
-      .select(col("s"), col("s").as("id"), lit(0.0).as("dist")))
-    var frontier = dist
-    var active = true
-    while (active) {
-      val cand = frontier.join(e, frontier("id") === e(SRC))
-        .groupBy(col("s"), col(DST).as("id"))
-        .agg(min(col("dist") + col("_bw")).as("dist"))
-      val improved = cut(cand
-        .join(dist.select(col("s"), col("id"), col("dist").as("_old")),
-          Seq("s", "id"), "left_outer")
-        .filter(col("_old").isNull || col("dist") < col("_old"))
-        .select("s", "id", "dist"))
-      active = improved.take(1).nonEmpty
-      if (active) {
-        dist = cut(dist.join(improved.select("s", "id"), Seq("s", "id"), "left_anti")
-          .unionByName(improved))
-        frontier = improved
-      }
-    }
+    // Phase A: distances (shared multi-source Bellman-Ford)
+    val dist = MultiSourceBFS.weightedDistances(e, sampledSources(), cut)
 
     // shortest-path DAG per source
     val dagR = cut(e
@@ -413,10 +454,24 @@ class Eccentricity(g: GraphFrame) {
     require(k >= 0, "sampleSources k must be >= 0 (0 = exact)")
     sampleKV = k; this
   }
+  private var weightColV: Option[String] = None
+  /** Weighted eccentricity (engine extension): max shortest WEIGHTED
+   * out-distance to any reachable vertex — the output column becomes
+   * `eccentricity: double` (hop mode stays int). Strictly positive
+   * weights; parallel edges collapse to their minimum copy; composes
+   * with [[sampleSources]] (landmark lower bound). Exactness contract
+   * as [[Betweenness.weightCol]]. */
+  def weightCol(c: String): this.type = { weightColV = Some(c); this }
   /** Same bounded-driver-tail knob as [[Hits]]; docs/THRESHOLDS.md. */
   def setSmallGraphThreshold(n: Long): this.type = { smallGraphThresholdV = n; this }
 
   def run(): DataFrame = {
+    weightColV.foreach { w =>
+      val wc = col(GraphFrame.quoteName(w))
+      require(g.edges.filter(wc.isNull || wc <= 0).isEmpty,
+        s"eccentricity weightCol '$w' must be non-null and > 0 on every edge")
+      return runWeighted(w)
+    }
     val e = g.edges.select(col(SRC), col(DST)).distinct().persist()
     val n = g.vertices.count()
     val sampled = sampleKV > 0 && sampleKV < n
@@ -484,6 +539,73 @@ class Eccentricity(g: GraphFrame) {
       Seq(("eccD", (v: Any) => ecc(v), 0.0)))
       .withColumn("eccentricity", col("eccD").cast("int")).drop("eccD")
   }
+
+  /** Weighted mode over the shared multi-source Bellman-Ford; the
+   * eccentricity column is a DOUBLE here (weighted distances). */
+  private def runWeighted(w: String): DataFrame = {
+    val e = g.edges
+      .groupBy(col(SRC), col(DST))
+      .agg(min(col(GraphFrame.quoteName(w)).cast("double")).as("_bw"))
+      .persist()
+    val n = g.vertices.count()
+    val sampled = sampleKV > 0 && sampleKV < n
+    if (smallGraphThresholdV > 0 && e.count() <= smallGraphThresholdV) {
+      val r = runLocalWeighted(e, sampled)
+      e.unpersist(false)
+      return r
+    }
+    val cuts = ArrayBuffer.empty[DataFrame]
+    def cut(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(true); cuts += c; c
+    }
+    val (bfsEdges, sources) =
+      if (sampled)
+        (e.select(col(DST).as(SRC), col(SRC).as(DST), col("_bw")),
+          sampledLandmarks())
+      else (e, g.vertices.select(col(ID).as("s")))
+    val dist = MultiSourceBFS.weightedDistances(bfsEdges, sources, cut)
+    val keyCol = if (sampled) "id" else "s"
+    val agg = dist.groupBy(col(keyCol).as("_k")).agg(max("dist").as("_ec"))
+    val result = g.vertices.join(agg, col(ID) === col("_k"), "left_outer")
+      .select(g.vertices.columns.map(c => g.vertices(GraphFrame.quoteName(c))) :+
+        coalesce(col("_ec"), lit(0.0)).as("eccentricity"): _*)
+      .localCheckpoint(true)
+    cuts.foreach(IterationManager.release)
+    e.unpersist(false)
+    result
+  }
+
+  private def runLocalWeighted(e: DataFrame, sampled: Boolean): DataFrame = {
+    import scala.collection.mutable
+    val rows = e.collect().iterator
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => (r.get(0), r.get(1), r.getDouble(2))).toArray
+      .sortBy { case (s, d, _) => (String.valueOf(s), String.valueOf(d)) }
+    val epDF = e.select(col(SRC).as(ID)).union(e.select(col(DST).as(ID))).distinct()
+    val valid = g.vertices.select(col(ID)).join(epDF, Seq(ID), "left_semi")
+      .collect().map(_.get(0)).toSet
+    val ids = g.vertices.select(col(ID)).collect().map(_.get(0))
+      .sortBy(String.valueOf(_))
+    val sources: Array[Any] =
+      if (sampled)
+        ids.sortBy(v => (MultiSourceBFS.md5Hex(String.valueOf(v)), String.valueOf(v)))
+          .take(sampleKV)
+      else ids
+    val pairs = rows.filter { case (s, d, _) => valid(s) && valid(d) }
+    val adjPairs = if (sampled) pairs.map { case (s, d, w2) => (d, s, w2) } else pairs
+    val adj: Map[Any, Array[(Any, Double)]] = adjPairs.groupBy(_._1).map {
+      case (s, es) => (s, es.map(x => (x._2, x._3)).sortBy(x => String.valueOf(x._1)))
+    }
+    val ecc = mutable.HashMap.empty[Any, Double]
+    for (s <- sources) {
+      val dist = MultiSourceBFS.localDijkstra(adj, s)
+      if (sampled)
+        for ((v, d) <- dist) ecc(v) = math.max(ecc.getOrElse(v, 0.0), d)
+      else ecc(s) = dist.values.max
+    }
+    LocalLinkAnalysis.joinBack(g, ecc.keys.toArray.sortBy(String.valueOf(_)),
+      Seq(("eccentricity", (v: Any) => ecc(v), 0.0)))
+  }
 }
 
 /** Closeness centrality (Wasserman–Faust reachability-corrected) plus
@@ -510,10 +632,24 @@ class Closeness(g: GraphFrame) {
     require(k >= 0, "sampleSources k must be >= 0 (0 = exact)")
     sampleKV = k; this
   }
+  private var weightColV: Option[String] = None
+  /** Weighted distances (engine extension): same Wasserman–Faust /
+   * harmonic formulas over shortest WEIGHTED distances (strictly
+   * positive weights — a zero weight would make harmonic's 1/d blow up;
+   * parallel edges collapse to their minimum copy). Composes with
+   * [[sampleSources]] (the landmark Bellman-Ford runs over reversed
+   * edges). Exactness contract as [[Betweenness.weightCol]]. */
+  def weightCol(c: String): this.type = { weightColV = Some(c); this }
   /** Same bounded-driver-tail knob as [[Hits]]; docs/THRESHOLDS.md. */
   def setSmallGraphThreshold(n: Long): this.type = { smallGraphThresholdV = n; this }
 
   def run(): DataFrame = {
+    weightColV.foreach { w =>
+      val wc = col(GraphFrame.quoteName(w))
+      require(g.edges.filter(wc.isNull || wc <= 0).isEmpty,
+        s"closeness weightCol '$w' must be non-null and > 0 on every edge")
+      return runWeighted(w)
+    }
     val e = g.edges.select(col(SRC), col(DST)).distinct().persist()
     val n = g.vertices.count()
     val sampled = sampleKV > 0 && sampleKV < n
@@ -592,6 +728,100 @@ class Closeness(g: GraphFrame) {
           rAcc(s) = ds.size.toDouble
           tAcc(s) = ds.sum.toDouble
           hAcc(s) = ds.toSeq.sorted.map(1.0 / _).sum
+        }
+      }
+    }
+    def clo(v: Any): Double =
+      if (rAcc.contains(v))
+        scale * rAcc(v) / math.max(n - 1.0, 1.0) * rAcc(v) / tAcc(v)
+      else 0.0
+    LocalLinkAnalysis.joinBack(g, rAcc.keys.toArray.sortBy(String.valueOf(_)),
+      Seq(("closeness", clo, 0.0),
+        ("harmonic", (v: Any) => scale * hAcc.getOrElse(v, 0.0), 0.0)))
+  }
+
+  /** Weighted mode: same aggregation over the shared multi-source
+   * Bellman-Ford distances (exact: forward from every vertex, scored at
+   * the source; sampled: from the landmarks over reversed edges, scored
+   * at the reached vertex with the n/k estimator). */
+  private def runWeighted(w: String): DataFrame = {
+    val e = g.edges
+      .groupBy(col(SRC), col(DST))
+      .agg(min(col(GraphFrame.quoteName(w)).cast("double")).as("_bw"))
+      .persist()
+    val n = g.vertices.count()
+    val sampled = sampleKV > 0 && sampleKV < n
+    val scale = if (sampled) n.toDouble / sampleKV else 1.0
+    if (smallGraphThresholdV > 0 && e.count() <= smallGraphThresholdV) {
+      val r = runLocalWeighted(e, n, sampled, scale)
+      e.unpersist(false)
+      return r
+    }
+    val cuts = ArrayBuffer.empty[DataFrame]
+    def cut(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(true); cuts += c; c
+    }
+    val (bfsEdges, sources) =
+      if (sampled)
+        (e.select(col(DST).as(SRC), col(SRC).as(DST), col("_bw")),
+          g.vertices.select(col(ID).as("s"))
+            .orderBy(md5(col("s").cast("string")), col("s")).limit(sampleKV))
+      else (e, g.vertices.select(col(ID).as("s")))
+    val dist = MultiSourceBFS.weightedDistances(bfsEdges, sources, cut)
+    val keyCol = if (sampled) "id" else "s"
+    val agg = dist.filter(col("dist") > 0)
+      .groupBy(col(keyCol).as("_k"))
+      .agg(count(lit(1)).as("r"), sum("dist").as("total"),
+        sum(lit(1.0) / col("dist")).as("h"))
+    val result = g.vertices.join(agg, col(ID) === col("_k"), "left_outer")
+      .select(g.vertices.columns.map(c => g.vertices(GraphFrame.quoteName(c))) :+
+        coalesce(lit(scale) * col("r") / lit(math.max(n - 1.0, 1.0)) * col("r") / col("total"),
+          lit(0.0)).as("closeness") :+
+        coalesce(lit(scale) * col("h"), lit(0.0)).as("harmonic"): _*)
+      .localCheckpoint(true)
+    cuts.foreach(IterationManager.release)
+    e.unpersist(false)
+    result
+  }
+
+  private def runLocalWeighted(e: DataFrame, n: Long, sampled: Boolean,
+      scale: Double): DataFrame = {
+    val rows = e.collect().iterator
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => (r.get(0), r.get(1), r.getDouble(2))).toArray
+      .sortBy { case (s, d, _) => (String.valueOf(s), String.valueOf(d)) }
+    val epDF = e.select(col(SRC).as(ID)).union(e.select(col(DST).as(ID))).distinct()
+    val valid = g.vertices.select(col(ID)).join(epDF, Seq(ID), "left_semi")
+      .collect().map(_.get(0)).toSet
+    val ids = g.vertices.select(col(ID)).collect().map(_.get(0))
+      .sortBy(String.valueOf(_))
+    val sources: Array[Any] =
+      if (sampled)
+        ids.sortBy(v => (MultiSourceBFS.md5Hex(String.valueOf(v)), String.valueOf(v)))
+          .take(sampleKV)
+      else ids
+    val pairs = rows.filter { case (s, d, _) => valid(s) && valid(d) }
+    val adjPairs = if (sampled) pairs.map { case (s, d, w) => (d, s, w) } else pairs
+    val adj: Map[Any, Array[(Any, Double)]] = adjPairs.groupBy(_._1).map {
+      case (s, es) => (s, es.map(x => (x._2, x._3)).sortBy(x => String.valueOf(x._1)))
+    }
+    val rAcc = mutable.HashMap.empty[Any, Double]
+    val tAcc = mutable.HashMap.empty[Any, Double]
+    val hAcc = mutable.HashMap.empty[Any, Double]
+    for (s <- sources) {
+      val dist = MultiSourceBFS.localDijkstra(adj, s)
+      if (sampled) {
+        for ((v, d) <- dist.toSeq.sortBy(p => String.valueOf(p._1)) if d > 0) {
+          rAcc(v) = rAcc.getOrElse(v, 0.0) + 1.0
+          tAcc(v) = tAcc.getOrElse(v, 0.0) + d
+          hAcc(v) = hAcc.getOrElse(v, 0.0) + 1.0 / d
+        }
+      } else {
+        val ds = dist.toSeq.collect { case (v, d) if v != s => d }.sorted
+        if (ds.nonEmpty) {
+          rAcc(s) = ds.size.toDouble
+          tAcc(s) = ds.sum
+          hAcc(s) = ds.map(1.0 / _).sum
         }
       }
     }

@@ -219,6 +219,46 @@ class CentralitySpec extends TestBase {
     assert(ecc(100000, 5) == exact)
   }
 
+  test("closeness/eccentricity weighted: hand-checked chain + parity + sampled") {
+    // 0 -> 1 (w=2) -> 2 (w=3): from 0 dists are 2, 5 => WF (2/2)*(2/7);
+    // harmonic 1/2 + 1/5; ecc(0) = 5.0 (double in weighted mode)
+    val v = Seq(0L, 1L, 2L).toDF("id")
+    val e = Seq((0L, 1L, 2.0), (1L, 2L, 3.0)).toDF("src", "dst", "w")
+    val g = GraphFrame(v, e)
+    for (t <- Seq(0L, 100000L)) {
+      val m = g.closeness.weightCol("w").setSmallGraphThreshold(t).run()
+        .select("id", "closeness", "harmonic").collect()
+        .map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2)))).toMap
+      assert(math.abs(m(0L)._1 - 2.0 / 7.0) < 1e-12, s"threshold $t: $m")
+      assert(math.abs(m(0L)._2 - (0.5 + 0.2)) < 1e-12, s"threshold $t")
+      assert(m(2L) == ((0.0, 0.0)))
+      val ec = g.eccentricity.weightCol("w").setSmallGraphThreshold(t).run()
+        .select("id", "eccentricity").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(ec == Map(0L -> 5.0, 1L -> 3.0, 2L -> 0.0), s"threshold $t: $ec")
+    }
+    // sampled + weighted: local == distributed on a string-id graph
+    val gw = GraphFrame(friends.vertices, friends.edges.withColumn("w",
+      (length(col("src")) + length(col("dst"))).cast("double")))
+    def cls(t: Long): Map[String, (Double, Double)] =
+      gw.closeness.weightCol("w").sampleSources(3).setSmallGraphThreshold(t).run()
+        .select("id", "closeness", "harmonic").collect()
+        .map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    val cl = cls(100000); val cd = cls(0)
+    for ((k, (c, h)) <- cl) {
+      assert(math.abs(c - cd(k)._1) < 1e-9, s"closeness $k")
+      assert(math.abs(h - cd(k)._2) < 1e-9, s"harmonic $k")
+    }
+    def ecs(t: Long): Map[String, Double] =
+      gw.eccentricity.weightCol("w").sampleSources(3).setSmallGraphThreshold(t).run()
+        .select("id", "eccentricity").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(ecs(100000) == ecs(0))
+    // nonpositive weights rejected
+    intercept[IllegalArgumentException](
+      GraphFrame(v, e.withColumn("w", lit(0.0))).closeness.weightCol("w").run())
+  }
+
   test("centrality: parallel edges collapse, self-loops are inert") {
     val v = Seq(0L, 1L, 2L).toDF("id")
     val e = Seq((0L, 1L), (0L, 1L), (1L, 1L), (1L, 2L)).toDF("src", "dst")

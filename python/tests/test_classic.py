@@ -138,6 +138,14 @@ asof = {r["ts"]: r["asof_rid"] for r in
 assert asof == {10: 100, 30: 200}, asof
 print("CLASSIC OK pipe_asof_join")
 
+asof_f = {r["ts"]: r["next_rid"] for r in
+          Pipeline(asof_r).asofJoin(asof_l, on=["k"], leftTs="ts",
+                                    rightTs="ts", rightCols=["rid"],
+                                    prefix="next_",
+                                    direction="forward").collect()}
+assert asof_f == {10: 200, 30: None}, asof_f  # earliest at-or-after
+print("CLASSIC OK pipe_asof_forward")
+
 bc = {r["id"]: r["betweenness"] for r in g.betweenness().collect()}
 # unique shortest paths everywhere => exact integer pair counts
 # (hand-enumerated): both bridge endpoints carry 7, their feeders 4

@@ -177,9 +177,13 @@ class RandomWalks(g: GraphFrame) {
       "setStartingFromBatch needs setTemporaryPrefix (state is read from its batches)")
 
     val mgr = IterationManager.withReliableDir(g.spark, None)
-    val biased = returnParamV != 1.0 || inOutParamV != 1.0 || weightColV.isDefined
+    // n2v needs the PREVIOUS vertex in state (one extra neighbor join per
+    // step); pure weighted bias reads the aligned weights array off the
+    // already-joined neighbor frame — no prev tracking, no second join
+    val n2v = returnParamV != 1.0 || inOutParamV != 1.0
+    val biased = n2v || weightColV.isDefined
     val idType = g.vertices.schema(ID).dataType
-    // state: (walk_id, origin, cur, path[, prev — biased mode only])
+    // state: (walk_id, origin, cur, path[, prev — node2vec mode only])
     var state =
       if (startBatchV > 1) spark.read.parquet(batchPath(startBatchV - 1))
       else {
@@ -189,7 +193,7 @@ class RandomWalks(g: GraphFrame) {
             concat(col(ID).cast("string"), lit("#"), col("_rw_k")).as("walk_id"),
             col(ID).as("_rw_origin"), col(ID).as("_rw_cur"),
             array(col(ID)).as("random_walk"))
-        if (biased) base.withColumn("_rw_prev", lit(null).cast(idType)) else base
+        if (n2v) base.withColumn("_rw_prev", lit(null).cast(idType)) else base
       }
     state = mgr.cycle(state, 0)
 
@@ -230,15 +234,18 @@ class RandomWalks(g: GraphFrame) {
         // passes, both whole-stage-codegen: total weight, then a
         // cumulative threshold scan for the pick.
         val pn = nbrs.select(col("_rw_v").as("_rw_pv"), col("_rw_nbrs").as("_rw_pnbrs"))
-        val joined = joined0.join(pn, col("_rw_prev") === col("_rw_pv"), "left_outer")
+        val joined =
+          if (n2v) joined0.join(pn, col("_rw_prev") === col("_rw_pv"), "left_outer")
+          else joined0
         def n2vBias(x: Column): Column =
           when(col("_rw_prev").isNull, lit(1.0))
             .when(x === col("_rw_prev"), lit(1.0 / returnParamV))
             .when(array_contains(col("_rw_pnbrs"), x), lit(1.0))
             .otherwise(lit(1.0 / inOutParamV))
-        val weights = weightColV match {
-          case None => transform(col("_rw_nbrs"), n2vBias(_))
-          case Some(_) =>
+        val weights = (weightColV, n2v) match {
+          case (None, _) => transform(col("_rw_nbrs"), n2vBias(_))
+          case (Some(_), false) => col("_rw_wts")
+          case (Some(_), true) =>
             zip_with(col("_rw_nbrs"), col("_rw_wts"), (x, w) => n2vBias(x) * w)
         }
         val total = aggregate(weights, lit(0.0), (acc, x) => acc + x)
@@ -258,13 +265,14 @@ class RandomWalks(g: GraphFrame) {
         val next = when(restart, col("_rw_origin"))
           .when(col("_rw_nbrs").isNull || nbrCount === 0, lit(null))
           .otherwise(pick)
-        val stepped = joined.select(
+        val outCols = Seq(
           col("walk_id"), col("_rw_origin"),
           next.as("_rw_cur"),
           when(next.isNull, col("random_walk"))
-            .otherwise(array_append(col("random_walk"), next)).as("random_walk"),
-          when(restart || next.isNull, lit(null).cast(idType))
-            .otherwise(col("_rw_cur")).as("_rw_prev"))
+            .otherwise(array_append(col("random_walk"), next)).as("random_walk")) ++
+          (if (n2v) Seq(when(restart || next.isNull, lit(null).cast(idType))
+            .otherwise(col("_rw_cur")).as("_rw_prev")) else Nil)
+        val stepped = joined.select(outCols: _*)
         state = mgr.cycle(stepped, step)
       }
     }

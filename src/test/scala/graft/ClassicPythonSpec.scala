@@ -40,7 +40,8 @@ class ClassicPythonSpec extends AnyFunSuite {
     Seq("degrees", "page_rank", "find", "connected_components",
       "typed_param_error", "pipe_near_dup_clusters", "pipe_ann_topk",
       "betweenness", "ktruss", "greedy_coloring", "neighborhood_function",
-      "node2vec_walks", "closeness_sampled", "eccentricity_sampled")
+      "node2vec_walks", "closeness_sampled", "eccentricity_sampled",
+      "pipe_asof_forward")
       .foreach(c => assert(out.exists(l => l.contains("CLASSIC OK") && l.contains(c)),
         s"check $c missing"))
   }

@@ -362,6 +362,54 @@ class GraphFrame private (
   def maximalIndependentSet: lib.MaximalIndependentSet = new lib.MaximalIndependentSet(this)
   /** Greedy graph coloring by iterated Luby MIS (engine extension). */
   def greedyColoring: lib.GreedyColoring = new lib.GreedyColoring(this)
+  /** Synchronous Louvain-style modularity local moving (engine
+   * extension; deterministic integer-gain variant). */
+  def louvain: lib.Louvain = new lib.Louvain(this)
+
+  /** Newman modularity Q of a vertex partition, over the SIMPLE
+   * UNDIRECTED canonicalization of this graph (self-loops dropped,
+   * parallel/reciprocal edges collapsed, unit weight) — the same
+   * canonicalization [[louvain]] optimizes. `communities` must map
+   * every edge-endpoint `id` to a community value. With integer
+   * degrees Q = (4m·Σ_c intra_c − Σ_c tot_c²) / (4m²): both sums are
+   * exact Long integers (one inner join + two aggregations; exact up
+   * to m ≈ 1.5e9 like [[lib.Louvain]]), so the only float operation is
+   * the final division. Returns one row: (modularity, n_communities,
+   * m_edges); `n_communities` counts communities holding at least one
+   * edge endpoint (all mapped communities when the graph is edgeless). */
+  def modularity(communities: DataFrame, labelCol: String = "community"): DataFrame = {
+    val und = edges.select(col(SRC), col(DST))
+      .filter(col(SRC).isNotNull && col(DST).isNotNull && col(SRC) =!= col(DST))
+      .select(least(col(SRC), col(DST)).as("a"), greatest(col(SRC), col(DST)).as("b"))
+      .distinct()
+      .join(vertices.select(col(ID).as("a")), Seq("a"), "left_semi")
+      .join(vertices.select(col(ID).as("b")), Seq("b"), "left_semi")
+      .persist()
+    val m = und.count()
+    val lab = communities.select(col(ID), col(labelCol).as("_c"))
+    if (m == 0) {
+      und.unpersist(false)
+      return lab.sparkSession.range(1).select(
+        lit(0.0).as("modularity"),
+        lit(lab.select("_c").distinct().count()).as("n_communities"),
+        lit(0L).as("m_edges"))
+    }
+    val both = und
+      .join(lab.select(col(ID).as("a"), col("_c").as("_ca")), Seq("a"))
+      .join(lab.select(col(ID).as("b"), col("_c").as("_cb")), Seq("b"))
+    val intra = both.filter(col("_ca") === col("_cb")).count()
+    val u = und.select(col("a").as("s")).unionByName(und.select(col("b").as("s")))
+    val tot2 = u.join(lab.select(col(ID).as("s"), col("_c")), Seq("s"))
+      .groupBy("_c").agg(count(lit(1)).as("tot"))
+      .agg(sum(col("tot") * col("tot")).as("t2"), count(lit(1)).as("nc"))
+      .head()
+    und.unpersist(false)
+    val q = (4.0 * m * intra - tot2.getLong(0)) / (4.0 * m * m)
+    lab.sparkSession.range(1).select(
+      lit(q).as("modularity"),
+      lit(tot2.getLong(1)).as("n_communities"),
+      lit(m).as("m_edges"))
+  }
   def randomWalks: rw.RandomWalks = new rw.RandomWalks(this)
   def randomWalkEmbeddings: embeddings.RandomWalkEmbeddings =
     new embeddings.RandomWalkEmbeddings(this)

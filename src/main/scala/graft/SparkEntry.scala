@@ -63,6 +63,22 @@ object SparkEntry {
     GraphFrame(v, e)
   }
 
+  /** Planted-community graph over the 25 nations: the five regions form
+   * 5-cliques (dense intra-community structure), plus the sparse
+   * id → (id+7) % 25 chord ring crossing them — the shape community
+   * detection should mostly undo. */
+  private def communityGraph(s: SparkSession, dir: String): GraphFrame = {
+    val n = load(s, dir, "nation")
+      .select(col("n_nationkey").as(ID), col("n_regionkey"))
+    val same = n.as("x").join(n.as("y"),
+        col("x.n_regionkey") === col("y.n_regionkey") &&
+          col(s"x.$ID") < col(s"y.$ID"))
+      .select(col(s"x.$ID").as(SRC), col(s"y.$ID").as(DST))
+    val chord = n.select(col(ID).as(SRC), pmod(col(ID) + 7, lit(25)).as(DST))
+    GraphFrame(n.select(col(ID)),
+      same.unionByName(chord).filter(col(SRC) =!= col(DST)).distinct())
+  }
+
   /** Event-type transition graph: edge t1→t2 when some user's consecutive
    * events are typed t1 then t2. */
   private def eventTypeGraph(s: SparkSession, dir: String): GraphFrame = {
@@ -403,6 +419,19 @@ object SparkEntry {
       // keyed by (color, round) so the engine's early exits don't matter)
       circulantGraph(s, dir).greedyColoring.setHashMode("md5").run()
         .select(col(ID), col("color"))),
+    "g_louvain" -> ((s, dir) => // oracle: 4 unrolled synchronous rounds of
+      // the exact-integer modularity-gain argmax (no floats anywhere in
+      // the winner rule, so the replay is bit-exact)
+      communityGraph(s, dir).louvain.run()
+        .select(col(ID), col("community"))),
+    "g_modularity" -> ((s, dir) => { // one-row Q of the louvain partition;
+      // integer numerator (4m·intra − Σtot²), the division is the only
+      // float op — oracle computes the identical expression
+      val g = communityGraph(s, dir)
+      g.modularity(g.louvain.run().select(col(ID), col("community")))
+        .select(round(col("modularity"), 6).as("modularity"),
+          col("n_communities"), col("m_edges"))
+    }),
     "g_triangle_count" -> ((s, dir) =>
       graphB(s, dir).triangleCount.run()
         .select(col(ID), col("count").as("tri_count"))),
@@ -966,6 +995,16 @@ object SparkEntry {
     "p_vocab_oov" -> ((s, dir) => // top-100 vocabulary, per-doc OOV rate
       pipeline.Text.vocabOovRate(load(s, dir, "documents"), "doc_id", "text",
         vocabSize = 100)),
+    "p_nb_classifier" -> ((s, dir) => // fastText-style curation gate as
+      // closed-form multinomial NB: md5 75/25 split, fixed-point 1e-6
+      // log-likelihoods so the per-doc sum is an exact integer — the
+      // oracle retrains and rescores bit-identically in SQL. (The
+      // synthetic corpus's langs share one vocabulary, so accuracy sits
+      // near the class prior — the gate checks the exact train/score
+      // pipeline, not model quality; ClassifySpec shows 100% on a
+      // separable corpus.)
+      pipeline.Classify.naiveBayesTrainPredict(load(s, dir, "documents"),
+        "doc_id", "text", "lang", trainFraction = 0.75, seed = 42L)),
     "p_semantic_dedup" -> ((s, dir) => // SemDeDup: IVF cells + within-cell cosine
       pipeline.Dedup.semanticDedup(load(s, dir, "embeddings"), "vec_id",
         "embedding", threshold = 0.4, nlist = 8, lloydIters = 1)),
@@ -1572,6 +1611,51 @@ object SparkEntry {
 
   private val cosExpr =
     "list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))"
+
+  /** Community-graph edge list (mirrors [[communityGraph]]: region
+   * 5-cliques + the (id+7) % 25 chord ring). */
+  private val NE_COMM =
+    """SELECT x.n_nationkey AS src, y.n_nationkey AS dst
+      |FROM nation x JOIN nation y
+      |  ON x.n_regionkey = y.n_regionkey AND x.n_nationkey < y.n_nationkey
+      |UNION
+      |SELECT n_nationkey, (n_nationkey + 7) % 25 FROM nation""".stripMargin
+
+  /** Synchronous Louvain local-moving on the community graph, `rounds`
+   * unrolled rounds (mirrors lib/Louvain): canonical simple undirected
+   * edges, every vertex starts in its own community, each round every
+   * vertex adopts the candidate community (neighbors' plus its own)
+   * maximizing the exact integer gain 2m·e(i,c) − deg(i)·(tot(c) −
+   * [c=own]·deg(i)), ties to the smallest community id; odd rounds
+   * admit only candidates ≤ own, even rounds ≥ own (the engine's
+   * oscillation-breaking alternation). All-integer — the replay is
+   * bit-exact. Ends at CTE `l<rounds>` (id, deg, community). */
+  private def louvainCtes(rounds: Int): String = {
+    val steps = (1 to rounds).map { k =>
+      val dir = if (k % 2 == 1) "<=" else ">=" // alternating-direction rule
+      s"""t$k AS MATERIALIZED (SELECT community AS nc, SUM(deg) AS tot FROM l${k - 1} GROUP BY 1),
+         |cd$k AS MATERIALIZED (SELECT s, nc, SUM(cnt) AS e_ic FROM (
+         |  SELECT u.s AS s, p.community AS nc, 1 AS cnt FROM u JOIN l${k - 1} p ON p.id = u.d
+         |  UNION ALL SELECT id, community, 0 FROM l${k - 1}) GROUP BY 1, 2),
+         |sc$k AS MATERIALIZED (SELECT cd.s, cd.nc, me.deg,
+         |    2 * (SELECT m FROM mm) * cd.e_ic
+         |      - me.deg * (t.tot - CASE WHEN cd.nc = me.community THEN me.deg ELSE 0 END) AS gain
+         |  FROM cd$k cd JOIN t$k t ON t.nc = cd.nc JOIN l${k - 1} me ON me.id = cd.s
+         |  WHERE cd.nc $dir me.community),
+         |l$k AS MATERIALIZED (SELECT s AS id, deg, nc AS community FROM (
+         |  SELECT s, deg, nc, ROW_NUMBER() OVER (PARTITION BY s ORDER BY gain DESC, nc ASC) AS rn
+         |  FROM sc$k) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED ($NE_COMM),
+       |c AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst),
+       |u AS MATERIALIZED (SELECT a AS s, b AS d FROM c UNION ALL SELECT b, a FROM c),
+       |mm AS MATERIALIZED (SELECT COUNT(*) AS m FROM c),
+       |l0 AS MATERIALIZED (SELECT n.n_nationkey AS id,
+       |    CAST(COALESCE(dg.c, 0) AS BIGINT) AS deg, n.n_nationkey AS community
+       |  FROM nation n LEFT JOIN (SELECT s, COUNT(*) AS c FROM u GROUP BY s) dg
+       |    ON dg.s = n.n_nationkey),
+       |$steps""".stripMargin
+  }
 
   /** Synchronous CDLP, `iters` unrolled rounds: most frequent incoming
    * label, ties to the smallest label; no-inbox vertices keep their label
@@ -2498,6 +2582,20 @@ object SparkEntry {
     "g_skew_hub" -> skewStatsSql(hub = true),
     "g_skew_flat" -> skewStatsSql(hub = false),
     "g_label_propagation" -> lpaSql(5),
+    "g_louvain" ->
+      s"""${louvainCtes(4)}
+         |SELECT id, community FROM l4""".stripMargin,
+    "g_modularity" ->
+      s"""${louvainCtes(4)},
+         |intra AS MATERIALIZED (SELECT COUNT(*) AS x FROM c
+         |  JOIN l4 p ON p.id = c.a JOIN l4 q ON q.id = c.b
+         |  WHERE p.community = q.community),
+         |tt AS MATERIALIZED (SELECT SUM(tot * tot) AS t2, COUNT(*) AS nc FROM (
+         |  SELECT community, SUM(deg) AS tot FROM l4 WHERE deg > 0 GROUP BY 1))
+         |SELECT ROUND((4.0 * (SELECT m FROM mm) * (SELECT x FROM intra) - (SELECT t2 FROM tt))
+         |    / (4.0 * (SELECT m FROM mm) * (SELECT m FROM mm)), 6) AS modularity,
+         |  (SELECT nc FROM tt) AS n_communities,
+         |  (SELECT m FROM mm) AS m_edges""".stripMargin,
     "g_kcore" -> kcoreSql(12),
     "g_mis" -> misSql(8, 42L),
     "g_random_walks" -> randomWalksSql(4, 2, 42L),
@@ -2977,6 +3075,35 @@ object SparkEntry {
          |SELECT d.doc_id, CAST(COALESCE(r.n_tokens, 0) AS BIGINT) AS n_tokens,
          |  ROUND(COALESCE(r.orate, 0.0), 4) AS oov_rate
          |FROM documents d LEFT JOIN r USING (doc_id)""".stripMargin,
+    "p_nb_classifier" -> // full NB retrain + rescore in SQL: md5 75/25
+      // split, Laplace (n+1)/(tot+V), fixed-point micro-nat BIGINT sums
+      s"""WITH tr AS (SELECT doc_id, lang, text FROM documents
+         |  WHERE ${duckHex4("md5('42|' || CAST(doc_id AS VARCHAR))")} < 49152),
+         |te AS (SELECT doc_id, text FROM documents
+         |  WHERE NOT (${duckHex4("md5('42|' || CAST(doc_id AS VARCHAR))")} < 49152)),
+         |tt AS (SELECT lang AS c, unnest($W) AS tok FROM tr),
+         |tc AS (SELECT tok, c, COUNT(*) AS n FROM tt GROUP BY 1, 2),
+         |ct AS (SELECT c, SUM(n) AS tot FROM tc GROUP BY 1),
+         |vv AS (SELECT COUNT(DISTINCT tok) AS v FROM tc),
+         |pr AS (SELECT dc.c,
+         |    CAST(ROUND(LN(CAST(dc.n AS DOUBLE) / (SELECT COUNT(*) FROM tr)) * 1e6) AS BIGINT) AS fp_prior,
+         |    CAST(ROUND(LN(1.0 / CAST(ct.tot + (SELECT v FROM vv) AS DOUBLE)) * 1e6) AS BIGINT) AS fp_unseen
+         |  FROM (SELECT lang AS c, COUNT(*) AS n FROM tr GROUP BY 1) dc
+         |  JOIN ct ON ct.c = dc.c),
+         |md AS (SELECT tc.tok, tc.c,
+         |    CAST(ROUND(LN(CAST(tc.n + 1 AS DOUBLE) / CAST(ct.tot + (SELECT v FROM vv) AS DOUBLE)) * 1e6) AS BIGINT) AS fp
+         |  FROM tc JOIN ct ON ct.c = tc.c),
+         |tk AS (SELECT doc_id AS d, unnest($W) AS tok FROM te),
+         |pc AS (SELECT tk.d, pr.c, SUM(COALESCE(md.fp, pr.fp_unseen)) AS s
+         |  FROM tk CROSS JOIN pr LEFT JOIN md ON md.tok = tk.tok AND md.c = pr.c
+         |  GROUP BY 1, 2),
+         |al AS (SELECT te.doc_id AS d, pr.c,
+         |    CAST(COALESCE(pc.s, 0) + pr.fp_prior AS BIGINT) AS score
+         |  FROM te CROSS JOIN pr LEFT JOIN pc ON pc.d = te.doc_id AND pc.c = pr.c)
+         |SELECT d AS doc_id, c AS predicted, score FROM (
+         |  SELECT d, c, score,
+         |    ROW_NUMBER() OVER (PARTITION BY d ORDER BY score DESC, c ASC) AS rn
+         |  FROM al) WHERE rn = 1""".stripMargin,
     "e_window_agg" ->
       """SELECT event_type,
         |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS window_start,

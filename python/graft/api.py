@@ -183,6 +183,20 @@ class GraphFrameMethods:
         extension)."""
         return self._call("link_prediction", maxHubDegree=maxHubDegree)
 
+    def louvain(self, maxIter: Optional[int] = None):
+        """Synchronous Louvain-style modularity local moving (engine
+        extension): deterministic integer-gain variant with an
+        alternating-direction anti-oscillation rule. Returns vertices +
+        ``community``."""
+        return self._call("louvain", maxIter=maxIter)
+
+    def modularity(self, maxIter: Optional[int] = None):
+        """One-row Newman modularity Q of the ``louvain(maxIter)``
+        partition (single-relation remote contract — scoring an
+        arbitrary client partition needs the Scala API, which accepts a
+        communities DataFrame)."""
+        return self._call("modularity", maxIter=maxIter)
+
     def clusteringCoefficient(self):
         """Local clustering coefficient (engine extension)."""
         return self._call("clustering_coefficient")
@@ -437,6 +451,17 @@ class PipelineMethods:
         """Top-K corpus vocabulary + per-document OOV rate."""
         return self._call("pipe_vocab_oov", idCol=idCol, textCol=textCol,
                           vocabSize=vocabSize)
+
+    def nbClassifier(self, idCol: str, textCol: str, labelCol: str,
+                     trainFraction: Optional[float] = None,
+                     seed: Optional[int] = None):
+        """Multinomial Naive Bayes curation classifier: trains on the
+        md5-split train fraction, returns (idCol, predicted, score) for
+        the held-out rows; scores are exact fixed-point micro-nat
+        integers (deterministic under any plan)."""
+        return self._call("pipe_nb_classifier", idCol=idCol, textCol=textCol,
+                          labelCol=labelCol, trainFraction=trainFraction,
+                          seed=seed)
 
     # --- multimodal (JDK-codec image/audio kernels) --------------------
     def imageDecode(self, idCol: str, binCol: str):

@@ -184,5 +184,23 @@ ecs = {r["id"]: r["eccentricity"] for r in g.eccentricity(sampleK=2).collect()}
 assert set(ecs) == set(ecx) and all(ecs[i] <= ecx[i] for i in ecs)  # lower bound
 print("CLASSIC OK eccentricity_sampled")
 
+nb_docs = spark.createDataFrame(
+    [(i, "apple banana cherry", "fruit") for i in range(20)] +
+    [(i, "wrench hammer pliers", "tool") for i in range(20, 40)],
+    ["doc_id", "text", "label"])
+nb = Pipeline(nb_docs).nbClassifier(
+    idCol="doc_id", textCol="text", labelCol="label").collect()
+held = {r["doc_id"]: r["predicted"] for r in nb}
+assert 0 < len(held) < 40  # md5 split leaves a held-out set
+assert all(p == ("fruit" if d < 20 else "tool") for d, p in held.items()), held
+print("CLASSIC OK pipe_nb_classifier")
+
+lv = {r["id"]: r["community"] for r in g.louvain(maxIter=4).collect()}
+assert len({lv[0], lv[1], lv[2]}) == 1 and len({lv[3], lv[4], lv[5]}) == 1
+assert lv[0] != lv[3], lv  # one community per bridged triangle
+q = g.modularity(maxIter=4).collect()[0]
+assert abs(q["modularity"] - 70.0 / 196.0) < 1e-12 and q["n_communities"] == 2
+print("CLASSIC OK louvain_modularity")
+
 spark.stop()
 print("CLASSIC ALL OK")

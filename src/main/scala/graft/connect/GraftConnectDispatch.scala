@@ -1,7 +1,7 @@
 package graft.connect
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -61,6 +61,8 @@ object GraftConnectDispatch {
     "neighborhood_function" -> Set("maxIter", "lgNomEntries"),
     "link_prediction" -> Set("maxHubDegree"),
     "greedy_coloring" -> Set("maxColors", "maxIter", "seed", "hashMode"),
+    "louvain" -> Set("maxIter"),
+    "modularity" -> Set("maxIter"),
     "clustering_coefficient" -> Set.empty[String],
     "graph_stats" -> Set.empty[String],
     "sample_vertices" -> Set("fraction", "seed", "part"),
@@ -103,6 +105,8 @@ object GraftConnectDispatch {
     "pipe_mixture_sample" -> Set("idCol", "strataCol", "fractions", "seed"),
     "pipe_importance_sample" -> Set("idCol", "weightCol", "targetFraction", "seed"),
     "pipe_bigram_lm" -> Set("idCol", "textCol", "alpha"),
+    "pipe_nb_classifier" -> Set("idCol", "textCol", "labelCol",
+      "trainFraction", "seed"),
     "pipe_bpe_train" -> Set("textCol", "numMerges"),
     "pipe_bpe_encode" -> Set("idCol", "textCol", "numMerges"),
     "pipe_vocab_oov" -> Set("idCol", "textCol", "vocabSize"),
@@ -202,7 +206,7 @@ object GraftConnectDispatch {
       def id = required("idCol")
       def text = required("textCol")
       def vec = required("vecCol")
-      import graft.pipeline.{Dedup, Sampling, Similarity, Text, Tokenizer}
+      import graft.pipeline.{Classify, Dedup, Sampling, Similarity, Text, Tokenizer}
       return algorithm match {
         case "pipe_exact_dedup" =>
           val cols = params.get("contentCols") match {
@@ -289,6 +293,12 @@ object GraftConnectDispatch {
             }.getOrElse(42L))
         case "pipe_bigram_lm" =>
           Text.bigramLmScore(t, id, text, alpha = dbl("alpha").getOrElse(0.5))
+        case "pipe_nb_classifier" =>
+          Classify.naiveBayesTrainPredict(t, id, text,
+            str("labelCol").getOrElse(throw new IllegalArgumentException(
+              "pipe_nb_classifier requires params_json key 'labelCol'")),
+            trainFraction = dbl("trainFraction").getOrElse(0.75),
+            seed = int("seed").map(_.toLong).getOrElse(42L))
         case "pipe_bpe_train" =>
           Tokenizer.bpeTrain(t, text, numMerges = int("numMerges").getOrElse(10))
         case "pipe_bpe_encode" =>
@@ -471,6 +481,17 @@ object GraftConnectDispatch {
         int("sampleK").foreach(ec.sampleSources)
         str("weightCol").foreach(ec.weightCol)
         ec.run()
+      case "louvain" =>
+        val lv = g.louvain
+        int("maxIter").foreach(lv.maxIter)
+        lv.run()
+      // single-relation contract: Q of the louvain(maxIter) partition
+      // (an arbitrary client-side partition would need a second input
+      // relation, which the proto's one-graph shape doesn't carry)
+      case "modularity" =>
+        val lv = g.louvain
+        int("maxIter").foreach(lv.maxIter)
+        g.modularity(lv.run().select(col(graft.GraphFrame.ID), col("community")))
       case "clustering_coefficient" => g.clusteringCoefficient.run()
       case "graph_stats" => g.stats
       // sampling returns ONE table per call: the induced edges by default,

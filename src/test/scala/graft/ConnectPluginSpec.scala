@@ -165,6 +165,25 @@ class ConnectPluginSpec extends TestBase {
     assert(math.abs(pr(1L) - (0.15 + 0.85 * 1.0)) < 1e-12) // all of 0's mass
   }
 
+  test("dispatch covers louvain and modularity") {
+    // two triangles bridged by 2 -> 3 resolve to one community each
+    val v = spark.sql("SELECT * FROM VALUES (0L),(1L),(2L),(3L),(4L),(5L) AS t(id)")
+    val e = spark.sql("""SELECT * FROM VALUES (0L,1L),(0L,2L),(1L,2L),
+      (2L,3L),(3L,4L),(3L,5L),(4L,5L) AS t(src, dst)""")
+    val c = GraftConnectDispatch.run(Some(v), e, "louvain", """{"maxIter": 4}""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(Set(c(0L), c(1L), c(2L)).size == 1 && Set(c(3L), c(4L), c(5L)).size == 1)
+    assert(c(0L) != c(3L))
+    val q = GraftConnectDispatch.run(Some(v), e, "modularity", """{"maxIter": 4}""").head()
+    assert(math.abs(q.getAs[Double]("modularity") - 70.0 / 196.0) < 1e-12)
+    assert(q.getAs[Long]("n_communities") == 2L && q.getAs[Long]("m_edges") == 7L)
+    // unknown params still fail loudly
+    val err = intercept[IllegalArgumentException] {
+      GraftConnectDispatch.run(Some(v), e, "louvain", """{"bogus": 1}""")
+    }
+    assert(err.getMessage.contains("bogus"))
+  }
+
   test("dispatch covers aggregate_neighbors path mode (accumulators over the wire)") {
     // diamond 0 -> {1,2} -> 3: two paths, costs 2.0 and 6.0
     val v = spark.sql("SELECT * FROM VALUES (0L),(1L),(2L),(3L) AS t(id)")

@@ -205,6 +205,12 @@ class GraphFrameMethods:
         """One-row graph profile (engine extension)."""
         return self._call("graph_stats")
 
+    def assortativity(self):
+        """One-row degree assortativity coefficient (Newman 2002) over
+        the simple undirected canonicalization; null for degree-regular
+        graphs."""
+        return self._call("assortativity")
+
     def sampleVertices(self, fraction: Optional[float] = None,
                        seed: Optional[int] = None,
                        part: Optional[str] = None):

@@ -489,6 +489,54 @@ class GraphFrame private (
         col(DST).cast("string"))), 1, 4), 16, 10).cast("int") < lit(t)))
   }
 
+  /** Degree assortativity coefficient (Newman, "Assortative mixing in
+   * networks", PRL 89.208701, 2002) over the SIMPLE UNDIRECTED
+   * canonicalization (same as [[modularity]]). With integer degree
+   * sums over the M edges — S1 = Σ(dᵢ+dⱼ), S2 = Σ(dᵢ²+dⱼ²),
+   * SP = Σ dᵢdⱼ — the coefficient is the single float division
+   * r = (4M·SP − S1²) / (2M·S2 − S1²); the sums run in DECIMAL(38,0)
+   * so hub degrees up to ~10⁹ cannot silently overflow. Returns one
+   * row (assortativity, m_edges); a degree-regular graph (zero
+   * denominator) yields null. One degree aggregation + one edge→degree
+   * join + one global aggregate — no driver state. */
+  def assortativity: DataFrame = {
+    val und = edges.select(col(SRC), col(DST))
+      .filter(col(SRC).isNotNull && col(DST).isNotNull && col(SRC) =!= col(DST))
+      .select(least(col(SRC), col(DST)).as("a"), greatest(col(SRC), col(DST)).as("b"))
+      .distinct()
+      .join(vertices.select(col(ID).as("a")), Seq("a"), "left_semi")
+      .join(vertices.select(col(ID).as("b")), Seq("b"), "left_semi")
+      .persist()
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val u = und.select(col("a").as("s")).unionByName(und.select(col("b").as("s")))
+    val deg = u.groupBy("s").agg(count(lit(1)).cast(dec).as("d"))
+    val spark = vertices.sparkSession
+    val row = und
+      .join(deg.select(col("s").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("s").as("b"), col("d").as("db")), Seq("b"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("da") * col("db")).as("sp"),
+        sum(col("da") + col("db")).as("s1"),
+        sum(col("da") * col("da") + col("db") * col("db")).as("s2"))
+      .head()
+    und.unpersist(false)
+    val m = row.getLong(0)
+    if (m == 0)
+      return spark.range(1).select(
+        lit(null).cast("double").as("assortativity"), lit(0L).as("m_edges"))
+    val bm = BigDecimal(m)
+    val sp = row.getDecimal(1); val s1 = row.getDecimal(2); val s2 = row.getDecimal(3)
+    val num = 4 * bm * sp - BigDecimal(s1) * BigDecimal(s1)
+    val den = 2 * bm * s2 - BigDecimal(s1) * BigDecimal(s1)
+    // num.toDouble / den.toDouble — two nearest-double conversions of
+    // exact integers then one IEEE division, the same float path an
+    // independent SQL engine takes (bit-identical replay)
+    val r = if (den == 0) null
+      else java.lang.Double.valueOf(num.toDouble / den.toDouble)
+    spark.range(1).select(
+      lit(r).cast("double").as("assortativity"), lit(m).as("m_edges"))
+  }
+
   /** One-row graph profile (engine extension): vertex/edge counts,
    * distinct-edge and self-loop counts, in/out-degree extremes, mean
    * out-degree, and the isolated-vertex count — two aggregation passes

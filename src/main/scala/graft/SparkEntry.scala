@@ -432,6 +432,11 @@ object SparkEntry {
         .select(round(col("modularity"), 6).as("modularity"),
           col("n_communities"), col("m_edges"))
     }),
+    "g_assortativity" -> ((s, dir) => // exact integer degree sums; the
+      // only float op is one division both engines take identically
+      graphB(s, dir).assortativity
+        .select(round(col("assortativity"), 6).as("assortativity"),
+          col("m_edges"))),
     "g_triangle_count" -> ((s, dir) =>
       graphB(s, dir).triangleCount.run()
         .select(col(ID), col("count").as("tri_count"))),
@@ -2585,6 +2590,19 @@ object SparkEntry {
     "g_louvain" ->
       s"""${louvainCtes(4)}
          |SELECT id, community FROM l4""".stripMargin,
+    "g_assortativity" ->
+      s"""WITH e AS MATERIALIZED ($NE),
+         |c AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM e WHERE src <> dst),
+         |u AS MATERIALIZED (SELECT a AS s FROM c UNION ALL SELECT b FROM c),
+         |dg AS MATERIALIZED (SELECT s, COUNT(*) AS d FROM u GROUP BY 1),
+         |t AS MATERIALIZED (SELECT COUNT(*) AS m, SUM(x.d * y.d) AS sp,
+         |    SUM(x.d + y.d) AS s1, SUM(x.d * x.d + y.d * y.d) AS s2
+         |  FROM c JOIN dg x ON x.s = c.a JOIN dg y ON y.s = c.b)
+         |SELECT CASE WHEN 2 * m * s2 - s1 * s1 = 0 THEN NULL
+         |    ELSE ROUND(CAST(4 * m * sp - s1 * s1 AS DOUBLE)
+         |      / CAST(2 * m * s2 - s1 * s1 AS DOUBLE), 6) END AS assortativity,
+         |  CAST(m AS BIGINT) AS m_edges FROM t""".stripMargin,
     "g_modularity" ->
       s"""${louvainCtes(4)},
          |intra AS MATERIALIZED (SELECT COUNT(*) AS x FROM c

@@ -64,6 +64,7 @@ object GraftConnectDispatch {
     "louvain" -> Set("maxIter"),
     "modularity" -> Set("maxIter"),
     "clustering_coefficient" -> Set.empty[String],
+    "assortativity" -> Set.empty[String],
     "graph_stats" -> Set.empty[String],
     "sample_vertices" -> Set("fraction", "seed", "part"),
     "sample_edges" -> Set("fraction", "seed", "part"),
@@ -493,6 +494,7 @@ object GraftConnectDispatch {
         int("maxIter").foreach(lv.maxIter)
         g.modularity(lv.run().select(col(graft.GraphFrame.ID), col("community")))
       case "clustering_coefficient" => g.clusteringCoefficient.run()
+      case "assortativity" => g.assortativity
       case "graph_stats" => g.stats
       // sampling returns ONE table per call: the induced edges by default,
       // or the sampled vertex rows (with their attributes) when

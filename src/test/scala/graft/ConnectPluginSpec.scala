@@ -182,6 +182,8 @@ class ConnectPluginSpec extends TestBase {
       GraftConnectDispatch.run(Some(v), e, "louvain", """{"bogus": 1}""")
     }
     assert(err.getMessage.contains("bogus"))
+    val as = GraftConnectDispatch.run(Some(v), e, "assortativity", "{}").head()
+    assert(as.getAs[Long]("m_edges") == 7L)
   }
 
   test("dispatch covers aggregate_neighbors path mode (accumulators over the wire)") {

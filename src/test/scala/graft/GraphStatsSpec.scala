@@ -44,4 +44,30 @@ class GraphStatsSpec extends TestBase {
     assert(rows(a.edges) == rows(friends.sampleEdges(0.5, 3L).edges))
     intercept[IllegalArgumentException](friends.sampleEdges(1.5))
   }
+
+  test("assortativity: star is exactly -1, regular cycle is null, empty is null") {
+    // every star edge pairs degree n with degree 1 — closed form r = -1
+    val r = star(6).assortativity.head()
+    assert(r.getAs[Long]("m_edges") == 6L)
+    assert(math.abs(r.getAs[Double]("assortativity") - (-1.0)) < 1e-12)
+    // 5-cycle: 2-regular, zero variance => undefined (null), not NaN
+    val v = (0L to 4L).toDF("id")
+    val e = (0L to 4L).map(i => (i, (i + 1) % 5)).toDF("src", "dst")
+    val cyc = GraphFrame(v, e).assortativity.head()
+    assert(cyc.isNullAt(cyc.fieldIndex("assortativity")))
+    assert(cyc.getAs[Long]("m_edges") == 5L)
+    val none = GraphFrame(v, spark.emptyDataset[(Long, Long)].toDF("src", "dst"))
+      .assortativity.head()
+    assert(none.isNullAt(none.fieldIndex("assortativity")) && none.getLong(1) == 0L)
+  }
+
+  test("assortativity ignores direction, multi-edges, and self-loops") {
+    val v = (0L to 3L).toDF("id")
+    // star 0->{1,2,3} with a reciprocal, a duplicate, and a loop mixed in
+    val e = Seq((0L, 1L), (1L, 0L), (0L, 2L), (0L, 2L), (0L, 3L), (2L, 2L))
+      .toDF("src", "dst")
+    val r = GraphFrame(v, e).assortativity.head()
+    assert(r.getAs[Long]("m_edges") == 3L)
+    assert(math.abs(r.getAs[Double]("assortativity") - (-1.0)) < 1e-12)
+  }
 }

@@ -140,6 +140,12 @@ class GraphFrameMethods:
         """Katz centrality (engine extension)."""
         return self._call("katz", maxIter=maxIter, alpha=alpha, beta=beta)
 
+    def eigenvector(self, maxIter: Optional[int] = None):
+        """Eigenvector centrality (engine extension): fixed-round power
+        iteration x <- A^T x, sup-normalized once at the end (top vertex
+        scores exactly 1.0)."""
+        return self._call("eigenvector", maxIter=maxIter)
+
     def betweenness(self, sampleK: Optional[int] = None,
                     normalized: Optional[bool] = None,
                     weightCol: Optional[str] = None):

@@ -351,6 +351,8 @@ class GraphFrame private (
   def hits: lib.Hits = new lib.Hits(this)
   /** Katz centrality (engine extension). */
   def katz: lib.Katz = new lib.Katz(this)
+  /** Eigenvector centrality (engine extension). */
+  def eigenvector: lib.Eigenvector = new lib.Eigenvector(this)
   /** Brandes betweenness centrality (engine extension). */
   def betweenness: lib.Betweenness = new lib.Betweenness(this)
   /** Closeness + harmonic centrality (engine extension). */

@@ -298,6 +298,11 @@ object SparkEntry {
     "g_katz" -> ((s, dir) => // damped all-walks centrality, 8 rounds
       graphB(s, dir).katz.alpha(0.05).beta(1.0).maxIter(8).run()
         .select(col(ID), round(col("katz"), 6).as("katz"))),
+    "g_eigenvector" -> ((s, dir) => // raw power iteration, 10 rounds, one
+      // final sup-norm division (top vertex exactly 1.0); the near-complete
+      // trade graph has spectral gap, so 10 rounds are already stable
+      graphB(s, dir).eigenvector.maxIter(10).run()
+        .select(col(ID), round(col("eigenvector"), 6).as("eigenvector"))),
     "g_hits" -> ((s, dir) => // hubs/authorities, 5 L2-normalized rounds
       graphB(s, dir).hits.maxIter(5).run()
         .select(col(ID), round(col("hub"), 6).as("hub"),
@@ -1247,6 +1252,27 @@ object SparkEntry {
        |x0 AS (SELECT id, CAST($beta AS DOUBLE) AS k FROM v),
        |$steps
        |SELECT id, round(k, 6) AS katz FROM x$iters""".stripMargin
+  }
+
+  /** Unrolled eigenvector-centrality replay: raw power iteration
+   * x ← Aᵀx from all-ones, ONE sup-norm division at the end — the exact
+   * trajectory graft.lib.Eigenvector computes (its 1e100 overflow guard
+   * cannot trigger at 10 rounds on a 25-vertex graph). */
+  private def eigenvectorSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""ev$k AS MATERIALIZED (
+         |  SELECT v.id, COALESCE(SUM(p.x), 0.0) AS x
+         |  FROM v LEFT JOIN e ON e.dst = v.id
+         |  LEFT JOIN ev${k - 1} p ON p.id = e.src
+         |  GROUP BY v.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED ($NE),
+       |v AS MATERIALIZED (SELECT n_nationkey AS id FROM nation),
+       |ev0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS x FROM v),
+       |$steps,
+       |mx AS (SELECT MAX(ABS(x)) AS m FROM ev$iters)
+       |SELECT id, ROUND(CASE WHEN m > 0 THEN x / m ELSE 0.0 END, 6)
+       |  AS eigenvector FROM ev$iters, mx""".stripMargin
   }
 
   /** Unrolled HITS replay: raw power iteration (authority = in-sum of
@@ -2409,6 +2435,7 @@ object SparkEntry {
          |SELECT n_nationkey AS id, CAST(MIN(b.d) AS INT) AS dist
          |FROM nation LEFT JOIN b ON b.id = n_nationkey GROUP BY 1""".stripMargin,
     "g_katz" -> katzSql(8, 0.05, 1.0),
+    "g_eigenvector" -> eigenvectorSql(10),
     "g_hits" -> hitsSql(5),
     "g_shortest_paths_weighted" ->
       s"""WITH RECURSIVE e0 AS ($NE),

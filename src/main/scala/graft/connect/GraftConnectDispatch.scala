@@ -54,6 +54,7 @@ object GraftConnectDispatch {
     "kcore" -> Set("maxIter"),
     "hits" -> Set("maxIter"),
     "katz" -> Set("maxIter", "alpha", "beta"),
+    "eigenvector" -> Set("maxIter"),
     "betweenness" -> Set("sampleK", "normalized", "weightCol"),
     "closeness" -> Set("sampleK", "weightCol"),
     "eccentricity" -> Set("sampleK", "weightCol"),
@@ -465,6 +466,10 @@ object GraftConnectDispatch {
         dbl("alpha").foreach(kz.alpha)
         dbl("beta").foreach(kz.beta)
         kz.run()
+      case "eigenvector" =>
+        val ev = g.eigenvector
+        int("maxIter").foreach(ev.maxIter)
+        ev.run()
       case "betweenness" =>
         val bc = g.betweenness
         int("sampleK").foreach(bc.sampleSources)

@@ -1,0 +1,113 @@
+package graft.lib
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.GraphFrame
+
+/**
+ * Eigenvector centrality (beyond the reference's library): raw power
+ * iteration `x ← Aᵀ x` from the all-ones vector, normalized ONCE at the
+ * end to sup-norm 1 (the top vertex scores exactly 1.0). A vertex's
+ * score is the sum of its in-neighbors' scores — the undamped,
+ * un-normalized sibling of PageRank ([[PageRank]] divides by out-degree
+ * and damps; [[Katz]] adds a per-round β) — converging to the principal
+ * eigenvector of Aᵀ on aperiodic strongly-connected graphs, and always
+ * well-defined at fixed `maxIter`.
+ *
+ * Per-round normalization is skipped deliberately: it only rescales the
+ * direction, and skipping keeps each round a single join+agg job (no
+ * per-round max action). The same 1e100 overflow guard as [[Hits]]
+ * protects user-settable maxIter, on the identical every-8th-round
+ * cadence in BOTH paths so local==distributed parity holds even on
+ * graphs whose raw sums cross the guard.
+ *
+ * Scale: one hash-aggregated edge join per round — the same shuffle
+ * shape as a PageRank round — with rounds through the
+ * [[IterationManager]].
+ */
+class Eigenvector(g: GraphFrame) {
+  import GraphFrame.{ID, SRC, DST}
+
+  private var maxIterV: Int = 10
+  private var smallGraphThresholdV: Long =
+    graft.GraftConf.linkAnalysisSmallGraphThreshold.getOrElse(100000L)
+
+  /** At least 1: with zero rounds the sup-normalized all-ones vector is
+   * not a centrality and the isolated-vertex closed form (0 after any
+   * round that sums in-links) would not hold. */
+  def maxIter(n: Int): this.type = {
+    require(n >= 1, s"eigenvector maxIter must be >= 1, got $n")
+    maxIterV = n; this
+  }
+  /** EDGE-count threshold for the bounded driver-side tail (0 disables);
+   * see [[Hits.setSmallGraphThreshold]] for the cost math — identical.
+   * Full bounded-path matrix: docs/THRESHOLDS.md. */
+  def setSmallGraphThreshold(n: Long): this.type = { smallGraphThresholdV = n; this }
+
+  /** Returns vertices + `eigenvector: double` (sup-norm 1; all-zero —
+   * e.g. a vertex with no in-links on a DAG's source layer after enough
+   * rounds — stays 0). */
+  def run(): DataFrame = {
+    // pinned: re-joined every round, and possibly an expensive upstream query
+    val e = g.edges.select(col(SRC), col(DST)).persist()
+    if (smallGraphThresholdV > 0 && e.count() <= smallGraphThresholdV) {
+      val r = runLocal(e)
+      e.unpersist(false)
+      return r
+    }
+    val mgr = new IterationManager(2)
+    var state = mgr.cycle(g.vertices.select(col(ID), lit(1.0).as("x")), 0)
+    for (round <- 1 to maxIterV) {
+      val in = e.join(state.select(col(ID).as(SRC), col("x")), SRC)
+        .groupBy(col(DST).as(ID)).agg(sum("x").as("_x"))
+      state = mgr.cycle(state.select(col(ID))
+        .join(in, Seq(ID), "left_outer")
+        .select(col(ID), coalesce(col("_x"), lit(0.0)).as("x")), round)
+      // overflow guard — same bound, cadence and rescale rule as Hits
+      if (round % 8 == 0 && round < maxIterV) {
+        val m = state.agg(max(abs(col("x")))).head()
+        if (!m.isNullAt(0) && m.getDouble(0) > 1e100)
+          state = state.select(col(ID),
+            (col("x") / lit(math.max(m.getDouble(0), 1.0))).as("x"))
+      }
+    }
+    val mRow = state.agg(max(abs(col("x")))).head()
+    val norm = if (mRow.isNullAt(0)) 0.0 else mRow.getDouble(0)
+    val result = mgr.finish(g.vertices.join(
+      state.select(col(ID),
+        (if (norm > 0) col("x") / norm else lit(0.0)).as("eigenvector")),
+      Seq(ID), "left_outer"))
+    e.unpersist(false)
+    result
+  }
+
+  /** Driver-side tail: identical recurrence (raw sums, one final sup-norm
+   * normalization), sorted-edge accumulation order so the result is a
+   * pure function of the graph value. Vertices touching no edge score 0
+   * from round 1 on — filled in closed form by the join-back. */
+  private def runLocal(e: DataFrame): DataFrame = {
+    import scala.collection.mutable
+    val (edges, vids) = LocalLinkAnalysis.collectGraph(e, g)
+    val valid = vids.toSet
+    var x = mutable.HashMap.empty[Any, Double]
+    vids.foreach(v => x(v) = 1.0)
+    for (round <- 1 to maxIterV) {
+      val nx = mutable.HashMap.empty[Any, Double]
+      vids.foreach(v => nx(v) = 0.0)
+      edges.foreach { case (s, d) =>
+        if (valid(s) && valid(d)) nx(d) += x(s)
+      }
+      x = nx
+      // same overflow guard, SAME CADENCE (every 8th round, never the
+      // last) — rescale timing changes float rounding, and parity holds
+      // only if both paths follow an identical numeric trajectory
+      if (round % 8 == 0 && round < maxIterV) {
+        val m = vids.iterator.map(v => math.abs(x(v))).foldLeft(0.0)(math.max)
+        if (m > 1e100) { val s = math.max(m, 1.0); vids.foreach(v => x(v) /= s) }
+      }
+    }
+    val norm = vids.iterator.map(v => math.abs(x(v))).foldLeft(0.0)(math.max)
+    LocalLinkAnalysis.joinBack(g, vids, Seq(
+      ("eigenvector", (v: Any) => if (norm > 0) x(v) / norm else 0.0, 0.0)))
+  }
+}

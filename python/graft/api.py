@@ -146,6 +146,13 @@ class GraphFrameMethods:
         scores exactly 1.0)."""
         return self._call("eigenvector", maxIter=maxIter)
 
+    def minimumSpanningForest(self, weightCol: str):
+        """Minimum spanning forest (engine extension): distributed
+        Boruvka over the undirected weighted view; (weight, src, dst)
+        total key order makes the forest unique. Returns the forest's
+        edges (src, dst, weight) with src < dst."""
+        return self._call("minimum_spanning_forest", weightCol=weightCol)
+
     def betweenness(self, sampleK: Optional[int] = None,
                     normalized: Optional[bool] = None,
                     weightCol: Optional[str] = None):

@@ -353,6 +353,10 @@ class GraphFrame private (
   def katz: lib.Katz = new lib.Katz(this)
   /** Eigenvector centrality (engine extension). */
   def eigenvector: lib.Eigenvector = new lib.Eigenvector(this)
+  /** Minimum spanning forest — Borůvka on the undirected weighted view
+   * (engine extension). */
+  def minimumSpanningForest: lib.MinimumSpanningForest =
+    new lib.MinimumSpanningForest(this)
   /** Brandes betweenness centrality (engine extension). */
   def betweenness: lib.Betweenness = new lib.Betweenness(this)
   /** Closeness + harmonic centrality (engine extension). */

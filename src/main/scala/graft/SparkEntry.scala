@@ -303,6 +303,24 @@ object SparkEntry {
       // trade graph has spectral gap, so 10 rounds are already stable
       graphB(s, dir).eigenvector.maxIter(10).run()
         .select(col(ID), round(col("eigenvector"), 6).as("eigenvector"))),
+    "g_mst" -> ((s, dir) => { // unique MSF of the trade-count-weighted
+      // nation graph: engine runs Borůvka (distributed) / Kruskal (tail)
+      // over the (w, a, b) total key order; the oracle uses the CYCLE RULE
+      // (edge in MSF iff endpoints not connected by strictly lighter-keyed
+      // edges) — three algorithm families, one uniqueness theorem
+      val base = load(s, dir, "lineitem")
+        .join(load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(load(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as(SRC), col("s_nationkey").as(DST))
+        .filter(col(SRC) =!= col(DST))
+      val e = base.groupBy(least(col(SRC), col(DST)).as(SRC),
+          greatest(col(SRC), col(DST)).as(DST))
+        .agg(count(lit(1)).cast("double").as("w"))
+      GraphFrame(load(s, dir, "nation").select(col("n_nationkey").as(ID)), e)
+        .minimumSpanningForest.weightCol("w").run()
+        .select(col(SRC), col(DST), col("weight"))
+    }),
     "g_hits" -> ((s, dir) => // hubs/authorities, 5 L2-normalized rounds
       graphB(s, dir).hits.maxIter(5).run()
         .select(col(ID), round(col("hub"), 6).as("hub"),
@@ -2436,6 +2454,30 @@ object SparkEntry {
          |FROM nation LEFT JOIN b ON b.id = n_nationkey GROUP BY 1""".stripMargin,
     "g_katz" -> katzSql(8, 0.05, 1.0),
     "g_eigenvector" -> eigenvectorSql(10),
+    // Cycle-rule MSF: an edge joins the unique MSF iff its endpoints are
+    // NOT connected using only strictly smaller-keyed edges; k is the
+    // rank of the engine's (w, a, b) total key order, so "k smaller"
+    // IS "key smaller". Deliberately a different algorithm family from
+    // both engine paths (Borůvka distributed, Kruskal tail).
+    "g_mst" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT LEAST(c.c_nationkey, s.s_nationkey) AS a,
+        |         GREATEST(c.c_nationkey, s.s_nationkey) AS b
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey),
+        |ek AS (SELECT a, b, CAST(COUNT(*) AS DOUBLE) AS w,
+        |    ROW_NUMBER() OVER (ORDER BY COUNT(*), a, b) AS k
+        |  FROM base GROUP BY a, b),
+        |reach AS (
+        |  SELECT k AS qk, a AS v FROM ek
+        |  UNION
+        |  SELECT r.qk, CASE WHEN x.a = r.v THEN x.b ELSE x.a END AS v
+        |  FROM reach r JOIN ek x ON (x.a = r.v OR x.b = r.v) AND x.k < r.qk)
+        |SELECT e.a AS src, e.b AS dst, e.w AS weight FROM ek e
+        |WHERE NOT EXISTS (SELECT 1 FROM reach r WHERE r.qk = e.k AND r.v = e.b)""".stripMargin,
     "g_hits" -> hitsSql(5),
     "g_shortest_paths_weighted" ->
       s"""WITH RECURSIVE e0 AS ($NE),

@@ -55,6 +55,7 @@ object GraftConnectDispatch {
     "hits" -> Set("maxIter"),
     "katz" -> Set("maxIter", "alpha", "beta"),
     "eigenvector" -> Set("maxIter"),
+    "minimum_spanning_forest" -> Set("weightCol"),
     "betweenness" -> Set("sampleK", "normalized", "weightCol"),
     "closeness" -> Set("sampleK", "weightCol"),
     "eccentricity" -> Set("sampleK", "weightCol"),
@@ -470,6 +471,10 @@ object GraftConnectDispatch {
         val ev = g.eigenvector
         int("maxIter").foreach(ev.maxIter)
         ev.run()
+      case "minimum_spanning_forest" =>
+        val msf = g.minimumSpanningForest
+        str("weightCol").foreach(msf.weightCol)
+        msf.run()
       case "betweenness" =>
         val bc = g.betweenness
         int("sampleK").foreach(bc.sampleSources)

@@ -506,6 +506,15 @@ class PipelineMethods:
     def annTopK(self, idCol: str, vecCol: str, k: int):
         return self._call("pipe_ann_topk", idCol=idCol, vecCol=vecCol, k=k)
 
+    def knnGraph(self, idCol: str, vecCol: str, k: int,
+                 mutual: Optional[bool] = None):
+        """kNN graph over an embedding table: mutual=True (default) keeps
+        canonical (src < dst) edges only when each endpoint is in the
+        other's exact top-k (the mutual-kNN semantic-cluster substrate);
+        mutual=False returns the directed graph with ranks."""
+        return self._call("pipe_knn_graph", idCol=idCol, vecCol=vecCol, k=k,
+                          mutual=mutual)
+
     def annIvfHier(self, idCol: str, vecCol: str, k: int,
                    nsuper: Optional[int] = None, nlistPer: Optional[int] = None,
                    wprobe: Optional[int] = None,

@@ -871,6 +871,18 @@ object SparkEntry {
       // the banded bucket candidates exactly (md5-derived plane weights)
       pipeline.Similarity.lshTopK(load(s, dir, "embeddings"), "vec_id", "embedding",
         k = 3, bands = 2, planesPerBand = 4, dim = 64)),
+    "p_knn_graph" -> ((s, dir) => // mutual-kNN graph: canonical (src<dst)
+      // edge iff each endpoint is in the other's exact top-5
+      pipeline.Similarity.knnGraph(load(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 5)),
+    "p_knn_clusters" -> ((s, dir) => { // semantic clusters: CC over the
+      // mutual-kNN graph — the pipeline→graph bridge (vectors that only a
+      // hub connects stay apart; mutual cliques merge)
+      val emb = load(s, dir, "embeddings")
+      val edges = pipeline.Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)
+      GraphFrame(emb.select(col("vec_id").as(ID)), edges)
+        .connectedComponents.run().select(col(ID), col("component"))
+    }),
     "p_ann_ivf" -> ((s, dir) => // oracle mirrors the md5-sampled quantizer
       // AND its two Lloyd refinement steps (assignment + per-cell means)
       pipeline.Similarity.ivfTopK(load(s, dir, "embeddings"), "vec_id", "embedding",
@@ -1092,6 +1104,19 @@ object SparkEntry {
       q.processAllAvailable(); q.stop()
       s.table("graft_stream_window")
         .select(col("event_type"), col("window_start"), col("n_events"), col("sum_value"))
+    }),
+    "e_stream_topk" -> ((s, dir) => {
+      // windowed heavy hitters: streaming per-hour (type, user) counts run
+      // to completion, then the deterministic batch finisher cuts top-3
+      // per (window, type) — count desc, user_id asc tie-break
+      val stream = streaming.EventStreams.userCountsStream(
+        streaming.EventStreams.readEvents(s, dir), complete = true)
+      val q = stream.writeStream.format("memory").queryName("graft_stream_topk")
+        .outputMode("complete").start()
+      q.processAllAvailable(); q.stop()
+      streaming.EventStreams.topK(s.table("graft_stream_topk"), 3)
+        .select(col("window_start"), col("event_type"), col("user_id"),
+          col("n_events"), col("rank").cast("long").as("rank"))
     }),
     "e_stream_sessionize" -> ((s, dir) => {
       // stateful gap sessionization with NoTimeout: every session CLOSED
@@ -1787,6 +1812,23 @@ object SparkEntry {
       }.mkString(" + ")
       s"SELECT vec_id, $b AS band, $bits AS bucket FROM e"
     }.mkString("\nUNION ALL\n")
+
+  /** Mutual-kNN-graph CTEs (k = 5, mirrors Similarity.knnGraph): exact
+   * per-vector top-5 by cosine (ties → neighbor id asc), then the mutual
+   * self-join keeps canonical (src < dst) edges. `tail` is appended after
+   * the `mu` CTE — either the final SELECT, or ", more CTEs… SELECT". */
+  private def knnGraphSql(tail: String): String =
+    s"""WITH RECURSIVE e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sc AS (SELECT x.vec_id AS qid, y.vec_id AS nid,
+       |    list_dot_product(x.v, y.v) /
+       |      (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS c
+       |  FROM e x JOIN e y ON y.vec_id <> x.vec_id),
+       |tk AS MATERIALIZED (SELECT qid, nid FROM (
+       |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rnk
+       |  FROM sc) WHERE rnk <= 5),
+       |mu AS (SELECT f.qid AS src, f.nid AS dst FROM tk f
+       |  JOIN tk r ON f.qid = r.nid AND f.nid = r.qid WHERE f.qid < f.nid)
+       |$tail""".stripMargin
 
   private def annLshSql(k: Int, bands: Int, planesPerBand: Int, dim: Int): String =
     s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -3011,6 +3053,13 @@ object SparkEntry {
          |  SELECT query_id, neighbor_id,
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rnk
          |  FROM sc) WHERE rnk <= 3""".stripMargin,
+    "p_knn_graph" -> knnGraphSql("SELECT src, dst FROM mu"),
+    "p_knn_clusters" -> knnGraphSql(
+      """,
+        |u AS (SELECT src AS s1, dst AS d1 FROM mu UNION SELECT dst, src FROM mu),
+        |r AS (SELECT vec_id AS id, vec_id AS comp FROM embeddings
+        |      UNION SELECT u.d1, r.comp FROM r JOIN u ON u.s1 = r.id)
+        |SELECT id, MIN(comp) AS component FROM r GROUP BY id""".stripMargin),
     "p_token_count" ->
       s"""SELECT doc_id, CAST(len($W) AS BIGINT) AS n_tokens FROM documents""".stripMargin,
     "p_bpe_train" -> bpeSql(
@@ -3203,6 +3252,15 @@ object SparkEntry {
         |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS window_start,
         |  count(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "e_stream_topk" ->
+      """WITH c AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS window_start,
+        |    event_type, user_id, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT window_start, event_type, user_id, n_events, rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start, event_type
+        |    ORDER BY n_events DESC, user_id ASC) AS rank FROM c)
+        |WHERE rank <= 3""".stripMargin,
     "e_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     "e_stream_enrich" ->

@@ -114,6 +114,7 @@ object GraftConnectDispatch {
     "pipe_bpe_encode" -> Set("idCol", "textCol", "numMerges"),
     "pipe_vocab_oov" -> Set("idCol", "textCol", "vocabSize"),
     "pipe_ann_topk" -> Set("idCol", "vecCol", "k"),
+    "pipe_knn_graph" -> Set("idCol", "vecCol", "k", "mutual"),
     "pipe_ann_ivf_hier" -> Set("idCol", "vecCol", "k", "nsuper", "nlistPer",
       "wprobe", "nprobe"),
     "pipe_image_decode" -> Set("idCol", "binCol"),
@@ -311,6 +312,10 @@ object GraftConnectDispatch {
           Text.vocabOovRate(t, id, text, vocabSize = int("vocabSize").getOrElse(1000))
         case "pipe_ann_topk" =>
           Similarity.topK(t, id, vec, k = int("k").getOrElse(10))
+        case "pipe_knn_graph" =>
+          Similarity.knnGraph(t, id, vec, k = int("k").getOrElse(10),
+            mutual = typed("mutual", "a boolean") { case JBool(b) => b }
+              .getOrElse(true))
         case "pipe_ann_ivf_hier" =>
           Similarity.ivfTopKHier(t, id, vec, k = int("k").getOrElse(10),
             nsuper = int("nsuper").getOrElse(16),

@@ -74,6 +74,31 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 
+  /** kNN graph over an embedding table: each row's exact top-k cosine
+   * neighbors become edges. `mutual = true` (the default) keeps the
+   * canonical undirected edge `(src < dst)` only when EACH endpoint is in
+   * the other's top-k — the mutual-kNN graph, the standard semantic-
+   * cluster substrate (a hub vector cannot glue unrelated docs together,
+   * because the hub is in everyone's top-k but they are not in its).
+   * `mutual = false` returns the directed graph with the rank kept.
+   *
+   * Scale: this exact form scores all pairs — the measurement baseline.
+   * Past ~10⁵ rows, generate candidates with [[ivfTopK]]/[[lshTopK]] and
+   * feed them through the same mutual self-join finisher (one equi-join
+   * on the reversed pair, no extra scan of the corpus). */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      mutual: Boolean = true): DataFrame = {
+    val t = topK(df, idCol, vecCol, k)
+    if (!mutual)
+      t.select(col("query_id").as("src"), col("neighbor_id").as("dst"), col("rnk"))
+    else
+      t.as("f").join(t.as("r"),
+          col("f.query_id") === col("r.neighbor_id") &&
+            col("f.neighbor_id") === col("r.query_id"))
+        .filter(col("f.query_id") < col("f.neighbor_id"))
+        .select(col("f.query_id").as("src"), col("f.neighbor_id").as("dst"))
+  }
+
   /** ±1 weight of hyperplane `p` at dimension `i`, from the parity of the
    * first md5 byte of "p|i" — deterministic everywhere, no RNG state. */
   def planeSign(p: Int, i: Int): Double = {

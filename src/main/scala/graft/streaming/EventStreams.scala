@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -102,6 +103,32 @@ object EventStreams {
   def enrichStream(events: DataFrame, dim: DataFrame,
       leftKey: String, rightKey: String): DataFrame =
     events.join(broadcast(dim), col(leftKey) === col(rightKey))
+
+  /** Streaming heavy hitters, stage 1: per-hour per-type per-user event
+   * counts under a watermark. State is bounded by (watermark horizon ×
+   * active (type, user) pairs in it), never by stream length. Rank-k
+   * cannot run INSIDE a streaming aggregation (window functions need
+   * finished groups), so the top-k cut is the batch finisher [[topK]] —
+   * apply it per closed window in `foreachBatch` (append mode) or over
+   * the final complete-mode table. */
+  def userCountsStream(events: DataFrame, watermark: String = "2 hours",
+      complete: Boolean = false): DataFrame =
+    (if (complete) events else events.withWatermark("ts_utc", watermark))
+      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH").as("window_start"),
+        col("event_type"), col("user_id"), col("n_events"))
+
+  /** Streaming heavy hitters, stage 2 (batch finisher): top-k users per
+   * (window, type) by count — ties broken by user_id ascending, so the
+   * cut is deterministic. One shuffle on the group key, an in-partition
+   * rank, no global sort. */
+  def topK(counts: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("window_start"), col("event_type"))
+      .orderBy(col("n_events").desc, col("user_id").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 
   case class SegOut(doc_id: Long, pos: Int, segment: String, kept: Boolean)
 

@@ -186,6 +186,26 @@ class ConnectPluginSpec extends TestBase {
     assert(as.getAs[Long]("m_edges") == 7L)
   }
 
+  test("dispatch covers eigenvector, minimum_spanning_forest, pipe_knn_graph") {
+    val v = spark.sql("SELECT * FROM VALUES (0L),(1L),(2L),(3L) AS t(id)")
+    val e = spark.sql("""SELECT * FROM VALUES (0L,1L,1.0),(1L,2L,2.0),
+      (2L,0L,3.0),(2L,3L,4.0) AS t(src, dst, w)""")
+    val ev = GraftConnectDispatch.run(Some(v), e, "eigenvector",
+      """{"maxIter": 6}""").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(math.abs(ev.values.max - 1.0) < 1e-15 && ev.size == 4)
+    val msf = GraftConnectDispatch.run(Some(v), e, "minimum_spanning_forest",
+      """{"weightCol": "w"}""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(msf == Set((0L, 1L, 1.0), (1L, 2L, 2.0), (2L, 3L, 4.0)))
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(30)
+    val kg = GraftConnectDispatch.run(scala.None, emb, "pipe_knn_graph",
+      """{"idCol": "vec_id", "vecCol": "embedding", "k": 3}""")
+    assert(kg.columns.toSeq == Seq("src", "dst"))
+    val kgd = GraftConnectDispatch.run(scala.None, emb, "pipe_knn_graph",
+      """{"idCol": "vec_id", "vecCol": "embedding", "k": 3, "mutual": false}""")
+    assert(kgd.columns.toSeq == Seq("src", "dst", "rnk") && kgd.count() == 90)
+  }
+
   test("dispatch covers aggregate_neighbors path mode (accumulators over the wire)") {
     // diamond 0 -> {1,2} -> 3: two paths, costs 2.0 and 6.0
     val v = spark.sql("SELECT * FROM VALUES (0L),(1L),(2L),(3L) AS t(id)")

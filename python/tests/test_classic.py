@@ -202,5 +202,28 @@ q = g.modularity(maxIter=4).collect()[0]
 assert abs(q["modularity"] - 70.0 / 196.0) < 1e-12 and q["n_communities"] == 2
 print("CLASSIC OK louvain_modularity")
 
+ev = {r["id"]: r["eigenvector"] for r in g.eigenvector(maxIter=10).collect()}
+ev2 = {r["id"]: r["eigenvector"] for r in g.eigenvector(maxIter=10).collect()}
+assert ev == ev2 and abs(max(ev.values()) - 1.0) < 1e-15
+assert all(0.0 <= v <= 1.0 for v in ev.values()), ev
+print("CLASSIC OK eigenvector")
+
+mst_edges = spark.createDataFrame(
+    [(0, 1, 10.0), (0, 2, 1.0), (2, 1, 1.0)], ["src", "dst", "w"])
+mst_g = GraphFrame(spark.createDataFrame([(i,) for i in range(3)], ["id"]),
+                   mst_edges)
+mst = {(r["src"], r["dst"], r["weight"])
+       for r in mst_g.minimumSpanningForest(weightCol="w").collect()}
+assert mst == {(0, 2, 1.0), (1, 2, 1.0)}, mst  # the w=10 cycle edge drops
+print("CLASSIC OK minimum_spanning_forest")
+
+kg = {(r["src"], r["dst"])
+      for r in Pipeline(emb).knnGraph(idCol="vec_id", vecCol="embedding",
+                                      k=2).collect()}
+# three one-hot classes of three identical vectors -> one triangle each
+assert kg == {(0, 3), (0, 6), (3, 6), (1, 4), (1, 7), (4, 7),
+              (2, 5), (2, 8), (5, 8)}, kg
+print("CLASSIC OK pipe_knn_graph")
+
 spark.stop()
 print("CLASSIC ALL OK")

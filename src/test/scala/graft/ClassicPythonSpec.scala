@@ -41,7 +41,8 @@ class ClassicPythonSpec extends AnyFunSuite {
       "typed_param_error", "pipe_near_dup_clusters", "pipe_ann_topk",
       "betweenness", "ktruss", "greedy_coloring", "neighborhood_function",
       "node2vec_walks", "closeness_sampled", "eccentricity_sampled",
-      "pipe_asof_forward", "louvain_modularity", "pipe_nb_classifier")
+      "pipe_asof_forward", "louvain_modularity", "pipe_nb_classifier",
+      "eigenvector", "minimum_spanning_forest", "pipe_knn_graph")
       .foreach(c => assert(out.exists(l => l.contains("CLASSIC OK") && l.contains(c)),
         s"check $c missing"))
   }

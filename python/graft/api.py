@@ -224,6 +224,16 @@ class GraphFrameMethods:
         graphs."""
         return self._call("assortativity")
 
+    def reciprocity(self):
+        """One-row edge reciprocity: fraction of simple directed edges
+        whose reverse edge also exists; null on the empty graph."""
+        return self._call("reciprocity")
+
+    def transitivity(self):
+        """One-row global transitivity: 3*triangles / wedges on the
+        canonical undirected simple graph; null when wedge-free."""
+        return self._call("transitivity")
+
     def sampleVertices(self, fraction: Optional[float] = None,
                        seed: Optional[int] = None,
                        part: Optional[str] = None):

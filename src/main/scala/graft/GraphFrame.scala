@@ -505,6 +505,65 @@ class GraphFrame private (
    * row (assortativity, m_edges); a degree-regular graph (zero
    * denominator) yields null. One degree aggregation + one edge→degree
    * join + one global aggregate — no driver state. */
+  /** One-row edge reciprocity (engine extension): over the simple
+   * directed graph (distinct src≠dst edges whose endpoints exist), the
+   * fraction whose reverse edge is also present — the classic directed
+   * mutuality metric. Both operands are exact counts; the division is
+   * the single float op (same nearest-double path as a SQL replay).
+   * Returns (reciprocity, m_mutual, m_edges); the empty graph yields a
+   * null coefficient. One distinct + one self-semi-join — no driver
+   * state beyond the two counts. */
+  def reciprocity: DataFrame = {
+    val e = edges.select(col(SRC), col(DST))
+      .filter(col(SRC).isNotNull && col(DST).isNotNull && col(SRC) =!= col(DST))
+      .distinct()
+      .join(vertices.select(col(ID).as(SRC)), Seq(SRC), "left_semi")
+      .join(vertices.select(col(ID).as(DST)), Seq(DST), "left_semi")
+      .persist()
+    val m = e.count()
+    val mutual = e.as("x").join(e.as("y"),
+      col(s"x.$SRC") === col(s"y.$DST") && col(s"x.$DST") === col(s"y.$SRC"),
+      "left_semi").count()
+    e.unpersist(false)
+    val spark = vertices.sparkSession
+    val r = if (m == 0) null
+      else java.lang.Double.valueOf(mutual.toDouble / m.toDouble)
+    spark.range(1).select(lit(r).cast("double").as("reciprocity"),
+      lit(mutual).as("m_mutual"), lit(m).as("m_edges"))
+  }
+
+  /** One-row global transitivity (engine extension): 3·triangles /
+   * wedges on the canonical undirected simple graph — equivalently
+   * Σᵥ tri(v) / Σᵥ C(d(v), 2), since each triangle is counted at its
+   * three corners. Triangle counts come from [[lib.TriangleCount]]
+   * (inheriting the skew-adaptive path choice); wedge sums run in
+   * DECIMAL(38,0) so hub degrees cannot silently overflow. Both
+   * operands exact; one float division. Returns (transitivity,
+   * n_triangles, n_wedges); a wedge-free graph yields null. */
+  def transitivity: DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val triSum = new lib.TriangleCount(this).run()
+      .agg(coalesce(sum(col("count")), lit(0L))).head().getLong(0)
+    val canon = edges.filter(col(SRC).isNotNull && col(DST).isNotNull &&
+        col(SRC) =!= col(DST))
+      .select(least(col(SRC), col(DST)).as("a"), greatest(col(SRC), col(DST)).as("b"))
+      .distinct()
+      .join(vertices.select(col(ID).as("a")), Seq("a"), "left_semi")
+      .join(vertices.select(col(ID).as("b")), Seq("b"), "left_semi")
+    // sum d·(d−1) (always even) and halve exactly in BigDecimal — decimal
+    // DIVISION inside the agg would widen the scale and invite rounding
+    val wRow = canon.select(col("a").as("s")).unionByName(canon.select(col("b").as("s")))
+      .groupBy("s").agg(count(lit(1)).cast(dec).as("d"))
+      .agg(coalesce(sum(col("d") * (col("d") - 1)), lit(0).cast(dec))).head()
+    val wedges = BigDecimal(wRow.getDecimal(0)) / 2
+    val spark = vertices.sparkSession
+    val t = if (wedges == 0) null
+      else java.lang.Double.valueOf(triSum.toDouble / wedges.toDouble)
+    spark.range(1).select(lit(t).cast("double").as("transitivity"),
+      lit(triSum / 3).as("n_triangles"),
+      lit(wedges.toLong).as("n_wedges"))
+  }
+
   def assortativity: DataFrame = {
     val und = edges.select(col(SRC), col(DST))
       .filter(col(SRC).isNotNull && col(DST).isNotNull && col(SRC) =!= col(DST))

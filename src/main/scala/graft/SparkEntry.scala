@@ -460,6 +460,16 @@ object SparkEntry {
       graphB(s, dir).assortativity
         .select(round(col("assortativity"), 6).as("assortativity"),
           col("m_edges"))),
+    "g_reciprocity" -> ((s, dir) => // exact mutual/total counts; the
+      // division is the only float op, identical in the oracle
+      graphB(s, dir).reciprocity
+        .select(round(col("reciprocity"), 6).as("reciprocity"),
+          col("m_mutual"), col("m_edges"))),
+    "g_transitivity" -> ((s, dir) => // 3T/W with exact integer operands;
+      // triangle counts via the skew-adaptive kernel, one float division
+      graphB(s, dir).transitivity
+        .select(round(col("transitivity"), 6).as("transitivity"),
+          col("n_triangles"), col("n_wedges"))),
     "g_triangle_count" -> ((s, dir) =>
       graphB(s, dir).triangleCount.run()
         .select(col(ID), col("count").as("tri_count"))),
@@ -2764,6 +2774,26 @@ object SparkEntry {
          |   GROUP BY v)
          |SELECT n_nationkey AS id, COALESCE(c, 0) AS tri_count
          |FROM nation LEFT JOIN pv ON v = n_nationkey""".stripMargin,
+    "g_reciprocity" ->
+      s"""WITH e AS ($NE),
+         |m AS (SELECT count(*) AS m_edges FROM e),
+         |mu AS (SELECT count(*) AS m_mutual FROM e x
+         |  WHERE EXISTS (SELECT 1 FROM e y WHERE y.src = x.dst AND y.dst = x.src))
+         |SELECT ROUND(CAST(m_mutual AS DOUBLE) / CAST(m_edges AS DOUBLE), 6)
+         |  AS reciprocity, CAST(m_mutual AS BIGINT) AS m_mutual,
+         |  CAST(m_edges AS BIGINT) AS m_edges FROM m, mu""".stripMargin,
+    "g_transitivity" ->
+      s"""WITH e0 AS ($NE),
+         |canon AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e0),
+         |tri AS (SELECT count(*) AS t FROM canon e1
+         |  JOIN canon e2 ON e2.a = e1.b
+         |  JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |w AS (SELECT SUM(d * (d - 1)) / 2 AS wedges FROM (
+         |  SELECT v, count(*) AS d FROM (
+         |    SELECT a AS v FROM canon UNION ALL SELECT b FROM canon) GROUP BY v))
+         |SELECT ROUND(CAST(3 * t AS DOUBLE) / CAST(wedges AS DOUBLE), 6)
+         |  AS transitivity, CAST(t AS BIGINT) AS n_triangles,
+         |  CAST(wedges AS BIGINT) AS n_wedges FROM tri, w""".stripMargin,
     "g_triangle_count" ->
       s"""WITH e0 AS ($NE),
          |canon AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e0),

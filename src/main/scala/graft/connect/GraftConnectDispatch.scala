@@ -67,6 +67,8 @@ object GraftConnectDispatch {
     "modularity" -> Set("maxIter"),
     "clustering_coefficient" -> Set.empty[String],
     "assortativity" -> Set.empty[String],
+    "reciprocity" -> Set.empty[String],
+    "transitivity" -> Set.empty[String],
     "graph_stats" -> Set.empty[String],
     "sample_vertices" -> Set("fraction", "seed", "part"),
     "sample_edges" -> Set("fraction", "seed", "part"),
@@ -510,6 +512,8 @@ object GraftConnectDispatch {
         g.modularity(lv.run().select(col(graft.GraphFrame.ID), col("community")))
       case "clustering_coefficient" => g.clusteringCoefficient.run()
       case "assortativity" => g.assortativity
+      case "reciprocity" => g.reciprocity
+      case "transitivity" => g.transitivity
       case "graph_stats" => g.stats
       // sampling returns ONE table per call: the induced edges by default,
       // or the sampled vertex rows (with their attributes) when

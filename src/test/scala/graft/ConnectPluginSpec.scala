@@ -204,6 +204,11 @@ class ConnectPluginSpec extends TestBase {
     val kgd = GraftConnectDispatch.run(scala.None, emb, "pipe_knn_graph",
       """{"idCol": "vec_id", "vecCol": "embedding", "k": 3, "mutual": false}""")
     assert(kgd.columns.toSeq == Seq("src", "dst", "rnk") && kgd.count() == 90)
+    // one-row metrics: triangle 0->1->2->0 plus the pendant 2->3 edge
+    val rc = GraftConnectDispatch.run(Some(v), e, "reciprocity", "{}").head()
+    assert(rc.getAs[Long]("m_edges") == 4L && rc.getAs[Long]("m_mutual") == 0L)
+    val tr = GraftConnectDispatch.run(Some(v), e, "transitivity", "{}").head()
+    assert(tr.getAs[Long]("n_triangles") == 1L && tr.getAs[Long]("n_wedges") == 5L)
   }
 
   test("dispatch covers aggregate_neighbors path mode (accumulators over the wire)") {

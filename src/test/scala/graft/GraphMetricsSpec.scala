@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** One-row reciprocity and global-transitivity metrics on hand-counted
+ * graphs (the modularity/assortativity family). */
+class GraphMetricsSpec extends TestBase {
+  import spark.implicits._
+
+  test("reciprocity: mutual pair + one-way edge = 2/3; duplicates and loops drop") {
+    val v = Seq(1L, 2L, 3L).toDF("id")
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 3L), (2L, 2L))
+      .toDF("src", "dst")
+    val r = GraphFrame(v, e).reciprocity.head()
+    assert(r.getAs[Long]("m_edges") == 3L && r.getAs[Long]("m_mutual") == 2L)
+    assert(math.abs(r.getAs[Double]("reciprocity") - 2.0 / 3.0) < 1e-15)
+  }
+
+  test("reciprocity: empty graph yields null coefficient, zero counts") {
+    val g = GraphFrame(Seq(1L).toDF("id"),
+      Seq.empty[(Long, Long)].toDF("src", "dst"))
+    val r = g.reciprocity.head()
+    assert(r.isNullAt(0) && r.getAs[Long]("m_edges") == 0L)
+  }
+
+  test("transitivity: triangle + pendant = 3/5; complete graph = 1") {
+    // triangle 1-2-3 plus pendant 3-4: T=1, wedges: d=(2,2,3,1) → 1+1+3 = 5
+    val v = (1L to 4L).toDF("id")
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val t = GraphFrame(v, e).transitivity.head()
+    assert(t.getAs[Long]("n_triangles") == 1L && t.getAs[Long]("n_wedges") == 5L)
+    assert(math.abs(t.getAs[Double]("transitivity") - 3.0 / 5.0) < 1e-15)
+    // K4: T=4, wedges 4·C(3,2)=12 → 12/12 = 1
+    val k4 = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b))
+      .toDF("src", "dst")
+    val t4 = GraphFrame(v, k4).transitivity.head()
+    assert(t4.getAs[Double]("transitivity") == 1.0)
+    assert(t4.getAs[Long]("n_triangles") == 4L && t4.getAs[Long]("n_wedges") == 12L)
+  }
+
+  test("transitivity: wedge-free graph (single edge) yields null") {
+    val g = GraphFrame(Seq(1L, 2L).toDF("id"), Seq((1L, 2L)).toDF("src", "dst"))
+    val t = g.transitivity.head()
+    assert(t.isNullAt(0) && t.getAs[Long]("n_wedges") == 0L)
+  }
+
+  test("antiparallel edges are ONE undirected edge for transitivity, mutual for reciprocity") {
+    val v = Seq(1L, 2L, 3L).toDF("id")
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val t = GraphFrame(v, e).transitivity.head()
+    assert(t.getAs[Long]("n_triangles") == 1L && t.getAs[Long]("n_wedges") == 3L)
+    val r = GraphFrame(v, e).reciprocity.head()
+    assert(r.getAs[Long]("m_mutual") == 2L && r.getAs[Long]("m_edges") == 4L)
+  }
+}

@@ -525,6 +525,18 @@ class PipelineMethods:
         return self._call("pipe_knn_graph", idCol=idCol, vecCol=vecCol, k=k,
                           mutual=mutual)
 
+    def labelSpread(self, idCol: str, vecCol: str, labelCol: str,
+                    k: Optional[int] = None, rounds: Optional[int] = None,
+                    seedFraction: Optional[float] = None,
+                    seed: Optional[int] = None):
+        """Semi-supervised label spreading over the mutual-kNN graph:
+        an md5 draw clamps seedFraction of rows as seeds; non-seeds take
+        the mode of their neighbors' labels each synchronous round
+        (ties to the smaller label). Returns (idCol, label, is_seed)."""
+        return self._call("pipe_label_spread", idCol=idCol, vecCol=vecCol,
+                          labelCol=labelCol, k=k, rounds=rounds,
+                          seedFraction=seedFraction, seed=seed)
+
     def annIvfHier(self, idCol: str, vecCol: str, k: int,
                    nsuper: Optional[int] = None, nlistPer: Optional[int] = None,
                    wprobe: Optional[int] = None,

@@ -885,6 +885,11 @@ object SparkEntry {
       // edge iff each endpoint is in the other's exact top-5
       pipeline.Similarity.knnGraph(load(s, dir, "embeddings"), "vec_id",
         "embedding", k = 5)),
+    "p_knn_label_spread" -> ((s, dir) => // semi-supervised: md5-clamped
+      // 50% seeds, 3 synchronous mode-of-neighbors rounds over the
+      // mutual-kNN graph; the oracle replays draw, graph and every round
+      pipeline.Similarity.labelSpread(load(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", k = 5, rounds = 3, seedFraction = 0.5)),
     "p_knn_clusters" -> ((s, dir) => { // semantic clusters: CC over the
       // mutual-kNN graph — the pipeline→graph bridge (vectors that only a
       // hub connects stay apart; mutual cliques merge)
@@ -1839,6 +1844,32 @@ object SparkEntry {
        |mu AS (SELECT f.qid AS src, f.nid AS dst FROM tk f
        |  JOIN tk r ON f.qid = r.nid AND f.nid = r.qid WHERE f.qid < f.nid)
        |$tail""".stripMargin
+
+  /** Label-spreading tail for [[knnGraphSql]]: the md5 16-bit seed draw
+   * (seed 42, fraction 0.5 → threshold 32768), then `rounds` unrolled
+   * synchronous mode-of-neighbors rounds (count desc, label asc), seeds
+   * clamped, non-seeds recomputed from scratch each round — the exact
+   * trajectory of pipeline.Similarity.labelSpread. */
+  private def labelSpreadTail(rounds: Int): String = {
+    val h = duckHex4("md5('42|' || CAST(vec_id AS VARCHAR))")
+    val steps = (1 to rounds).map { r =>
+      s"""v$r AS (SELECT u.vv AS id, l.lab, count(*) AS n
+         |  FROM u JOIN l${r - 1} l ON l.id = u.uu
+         |  WHERE l.lab IS NOT NULL GROUP BY 1, 2),
+         |w$r AS (SELECT id, lab FROM (
+         |  SELECT id, lab, ROW_NUMBER() OVER (PARTITION BY id
+         |    ORDER BY n DESC, lab ASC) AS rk FROM v$r) WHERE rk = 1),
+         |l$r AS (SELECT p.id, CASE WHEN p.is_seed THEN p.lab ELSE w$r.lab END AS lab,
+         |    p.is_seed
+         |  FROM l${r - 1} p LEFT JOIN w$r ON w$r.id = p.id)""".stripMargin
+    }.mkString(",\n")
+    s""",
+       |seeds AS (SELECT vec_id AS id, label, (($h) < 32768) AS is_seed FROM embeddings),
+       |l0 AS (SELECT id, CASE WHEN is_seed THEN label END AS lab, is_seed FROM seeds),
+       |u AS (SELECT src AS uu, dst AS vv FROM mu UNION ALL SELECT dst, src FROM mu),
+       |$steps
+       |SELECT id AS vec_id, lab AS label, is_seed FROM l$rounds""".stripMargin
+  }
 
   private def annLshSql(k: Int, bands: Int, planesPerBand: Int, dim: Int): String =
     s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -3084,6 +3115,7 @@ object SparkEntry {
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rnk
          |  FROM sc) WHERE rnk <= 3""".stripMargin,
     "p_knn_graph" -> knnGraphSql("SELECT src, dst FROM mu"),
+    "p_knn_label_spread" -> knnGraphSql(labelSpreadTail(3)),
     "p_knn_clusters" -> knnGraphSql(
       """,
         |u AS (SELECT src AS s1, dst AS d1 FROM mu UNION SELECT dst, src FROM mu),

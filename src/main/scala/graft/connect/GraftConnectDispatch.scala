@@ -117,6 +117,8 @@ object GraftConnectDispatch {
     "pipe_vocab_oov" -> Set("idCol", "textCol", "vocabSize"),
     "pipe_ann_topk" -> Set("idCol", "vecCol", "k"),
     "pipe_knn_graph" -> Set("idCol", "vecCol", "k", "mutual"),
+    "pipe_label_spread" -> Set("idCol", "vecCol", "labelCol", "k", "rounds",
+      "seedFraction", "seed"),
     "pipe_ann_ivf_hier" -> Set("idCol", "vecCol", "k", "nsuper", "nlistPer",
       "wprobe", "nprobe"),
     "pipe_image_decode" -> Set("idCol", "binCol"),
@@ -318,6 +320,13 @@ object GraftConnectDispatch {
           Similarity.knnGraph(t, id, vec, k = int("k").getOrElse(10),
             mutual = typed("mutual", "a boolean") { case JBool(b) => b }
               .getOrElse(true))
+        case "pipe_label_spread" =>
+          Similarity.labelSpread(t, id, vec,
+            labelCol = str("labelCol").getOrElse(throw new IllegalArgumentException(
+              "pipe_label_spread requires params_json key 'labelCol'")),
+            k = int("k").getOrElse(5), rounds = int("rounds").getOrElse(3),
+            seedFraction = dbl("seedFraction").getOrElse(0.5),
+            seed = int("seed").map(_.toLong).getOrElse(42L))
         case "pipe_ann_ivf_hier" =>
           Similarity.ivfTopKHier(t, id, vec, k = int("k").getOrElse(10),
             nsuper = int("nsuper").getOrElse(16),

@@ -99,6 +99,54 @@ object Similarity {
         .select(col("f.query_id").as("src"), col("f.neighbor_id").as("dst"))
   }
 
+  /** Semi-supervised label spreading over the mutual-kNN graph (engine
+   * extension): a deterministic 16-bit md5 draw (the [[graft.GraphFrame
+   * .sampleVertices]] idiom) clamps `seedFraction` of rows as SEEDS
+   * keeping their `labelCol` value; for `rounds` synchronous rounds every
+   * non-seed takes the MODE of its neighbors' current labels (count desc,
+   * label asc tie-break; no labeled neighbor → unlabeled that round —
+   * recomputed each round, not sticky, so the state is a pure function of
+   * the round number). Returns (idCol, label, is_seed).
+   *
+   * Scale: building the kNN edges dominates; each round is one edge join
+   * + one (id, label) count aggregation + one argmax window over at most
+   * V×L rows, with a lineage cut per round. */
+  def labelSpread(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int = 5, rounds: Int = 3,
+      seedFraction: Double = 0.5, seed: Long = 42L): DataFrame = {
+    require(seedFraction >= 0 && seedFraction <= 1,
+      s"seedFraction must be in [0,1]: $seedFraction")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val t = math.round(seedFraction * 65536.0).toInt
+    val und = {
+      val e = knnGraph(df, idCol, vecCol, k)
+      e.select(col("src").as("_u"), col("dst").as("_v"))
+        .unionByName(e.select(col("dst").as("_u"), col("src").as("_v")))
+    }
+    val isSeed = conv(substring(md5(concat_ws("|", lit(seed),
+      col(idCol).cast("string"))), 1, 4), 16, 10).cast("int") < lit(t)
+    val mgr = new graft.lib.IterationManager(1)
+    val undP = mgr.persistOnly(und)
+    var state = mgr.cycle(df.select(col(idCol).as("_id"),
+      when(isSeed, col(labelCol)).otherwise(lit(null)).as("_lab"),
+      isSeed.as("is_seed")), 0)
+    for (r <- 1 to rounds) {
+      val votes = undP.join(state.select(col("_id").as("_u"), col("_lab")), "_u")
+        .filter(col("_lab").isNotNull)
+        .groupBy(col("_v").as("_id"), col("_lab")).agg(count(lit(1)).as("_n"))
+      val w = Window.partitionBy("_id")
+        .orderBy(col("_n").desc, col("_lab").asc)
+      val win = votes.withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") === 1).select(col("_id"), col("_lab").as("_new"))
+      state = mgr.cycle(state.join(win, Seq("_id"), "left_outer")
+        .select(col("_id"),
+          when(col("is_seed"), col("_lab")).otherwise(col("_new")).as("_lab"),
+          col("is_seed")), r)
+    }
+    mgr.finish(state.select(col("_id").as(idCol), col("_lab").as("label"),
+      col("is_seed")))
+  }
+
   /** ±1 weight of hyperplane `p` at dimension `i`, from the parity of the
    * first md5 byte of "p|i" — deterministic everywhere, no RNG state. */
   def planeSign(p: Int, i: Int): Double = {

@@ -209,6 +209,17 @@ class ConnectPluginSpec extends TestBase {
     assert(rc.getAs[Long]("m_edges") == 4L && rc.getAs[Long]("m_mutual") == 0L)
     val tr = GraftConnectDispatch.run(Some(v), e, "transitivity", "{}").head()
     assert(tr.getAs[Long]("n_triangles") == 1L && tr.getAs[Long]("n_wedges") == 5L)
+    // label spreading over the embedding fixture needs a label column
+    val embL = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(40)
+    val ls = GraftConnectDispatch.run(scala.None, embL, "pipe_label_spread",
+      """{"idCol": "vec_id", "vecCol": "embedding", "labelCol": "label",
+        |"k": 3, "rounds": 2, "seedFraction": 0.5}""".stripMargin)
+    assert(ls.columns.toSeq == Seq("vec_id", "label", "is_seed") && ls.count() == 40)
+    val missingLab = intercept[IllegalArgumentException] {
+      GraftConnectDispatch.run(scala.None, embL, "pipe_label_spread",
+        """{"idCol": "vec_id", "vecCol": "embedding"}""")
+    }
+    assert(missingLab.getMessage.contains("labelCol"))
   }
 
   test("dispatch covers aggregate_neighbors path mode (accumulators over the wire)") {

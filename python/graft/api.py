@@ -537,6 +537,14 @@ class PipelineMethods:
                           labelCol=labelCol, k=k, rounds=rounds,
                           seedFraction=seedFraction, seed=seed)
 
+    def randomProjection(self, idCol: str, vecCol: str, dOut: int,
+                         dim: Optional[int] = None):
+        """Johnson-Lindenstrauss random projection to dOut dims via the
+        deterministic md5-parity +/-1 weights (no RNG state); returns
+        (idCol, reduced: array<double>)."""
+        return self._call("pipe_random_projection", idCol=idCol,
+                          vecCol=vecCol, dOut=dOut, dim=dim)
+
     def annIvfHier(self, idCol: str, vecCol: str, k: int,
                    nsuper: Optional[int] = None, nlistPer: Optional[int] = None,
                    wprobe: Optional[int] = None,

@@ -885,6 +885,12 @@ object SparkEntry {
       // edge iff each endpoint is in the other's exact top-5
       pipeline.Similarity.knnGraph(load(s, dir, "embeddings"), "vec_id",
         "embedding", k = 5)),
+    "p_random_projection" -> ((s, dir) => // JL ±1 projection 64 → 16 dims;
+      // rows (vec_id, d, val) so the float compare rounds per scalar
+      pipeline.Similarity.randomProjection(load(s, dir, "embeddings"),
+          "vec_id", "embedding", dOut = 16)
+        .select(col("vec_id"), posexplode(col("reduced")).as(Seq("d", "val")))
+        .select(col("vec_id"), col("d"), round(col("val"), 6).as("val"))),
     "p_knn_label_spread" -> ((s, dir) => // semi-supervised: md5-clamped
       // 50% seeds, 3 synchronous mode-of-neighbors rounds over the
       // mutual-kNN graph; the oracle replays draw, graph and every round
@@ -3116,6 +3122,19 @@ object SparkEntry {
          |  FROM sc) WHERE rnk <= 3""".stripMargin,
     "p_knn_graph" -> knnGraphSql("SELECT src, dst FROM mu"),
     "p_knn_label_spread" -> knnGraphSql(labelSpreadTail(3)),
+    "p_random_projection" -> {
+      // one UNION ALL arm per output dim, the ±1 weights as SQL literals
+      // (identical md5 parity to the engine's planeWeights)
+      val arms = (0 until 16).map { p =>
+        val w = "[" + (0 until 64).map(i =>
+          if (pipeline.Similarity.planeSign(p, i) > 0) "1.0" else "-1.0")
+          .mkString(", ") + "]"
+        s"SELECT vec_id, CAST($p AS INT) AS d, " +
+          s"ROUND(list_dot_product(v, $w) / sqrt(16.0), 6) AS val FROM e"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |$arms""".stripMargin
+    },
     "p_knn_clusters" -> knnGraphSql(
       """,
         |u AS (SELECT src AS s1, dst AS d1 FROM mu UNION SELECT dst, src FROM mu),

@@ -119,6 +119,7 @@ object GraftConnectDispatch {
     "pipe_knn_graph" -> Set("idCol", "vecCol", "k", "mutual"),
     "pipe_label_spread" -> Set("idCol", "vecCol", "labelCol", "k", "rounds",
       "seedFraction", "seed"),
+    "pipe_random_projection" -> Set("idCol", "vecCol", "dOut", "dim"),
     "pipe_ann_ivf_hier" -> Set("idCol", "vecCol", "k", "nsuper", "nlistPer",
       "wprobe", "nprobe"),
     "pipe_image_decode" -> Set("idCol", "binCol"),
@@ -320,6 +321,11 @@ object GraftConnectDispatch {
           Similarity.knnGraph(t, id, vec, k = int("k").getOrElse(10),
             mutual = typed("mutual", "a boolean") { case JBool(b) => b }
               .getOrElse(true))
+        case "pipe_random_projection" =>
+          Similarity.randomProjection(t, id, vec,
+            dOut = int("dOut").getOrElse(throw new IllegalArgumentException(
+              "pipe_random_projection requires params_json key 'dOut'")),
+            dim = int("dim").getOrElse(-1))
         case "pipe_label_spread" =>
           Similarity.labelSpread(t, id, vec,
             labelCol = str("labelCol").getOrElse(throw new IllegalArgumentException(

@@ -99,6 +99,28 @@ object Similarity {
         .select(col("f.query_id").as("src"), col("f.neighbor_id").as("dst"))
   }
 
+  /** Johnson–Lindenstrauss random projection (engine extension): output
+   * dim p = (w_p · v) / √dOut with w_p the same md5-parity ±1 weight
+   * vectors as [[hyperplaneSignature]] — deterministic everywhere, no RNG
+   * state, pairwise distances preserved in expectation (JL lemma with
+   * Achlioptas ±1 entries). One codegen'd [[graft.expressions
+   * .ArrayDotProduct]] call per output dim against a LITERAL weight
+   * array: a pure per-row projection, nothing shuffles, so it composes
+   * in front of any of this file's pair/top-k stages as the standard
+   * dimensionality cut (e.g. 4096 → 64 before brute-force scoring).
+   * Returns (idCol, reduced: array<double>). */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+      dOut: Int, dim: Int = -1): DataFrame = {
+    require(dOut > 0, s"dOut must be positive: $dOut")
+    val v = df.select(col(idCol), asDouble(col(vecCol)).as("_s_v"))
+    val d = resolveDim(v, dim)
+    val scale = math.sqrt(dOut.toDouble)
+    val dims = (0 until dOut).map { p =>
+      dotProduct(col("_s_v"), typedlit(planeWeights(p, d))) / lit(scale)
+    }
+    v.select(col(idCol), array(dims: _*).as("reduced"))
+  }
+
   /** Semi-supervised label spreading over the mutual-kNN graph (engine
    * extension): a deterministic 16-bit md5 draw (the [[graft.GraphFrame
    * .sampleVertices]] idiom) clamps `seedFraction` of rows as SEEDS

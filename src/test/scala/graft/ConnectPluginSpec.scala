@@ -220,6 +220,10 @@ class ConnectPluginSpec extends TestBase {
         """{"idCol": "vec_id", "vecCol": "embedding"}""")
     }
     assert(missingLab.getMessage.contains("labelCol"))
+    val rp = GraftConnectDispatch.run(scala.None, embL, "pipe_random_projection",
+      """{"idCol": "vec_id", "vecCol": "embedding", "dOut": 8}""")
+    assert(rp.columns.toSeq == Seq("vec_id", "reduced") && rp.count() == 40)
+    assert(rp.head().getSeq[Double](1).length == 8)
   }
 
   test("dispatch covers aggregate_neighbors path mode (accumulators over the wire)") {

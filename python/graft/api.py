@@ -452,6 +452,20 @@ class PipelineMethods:
                            rightTs=rightTs, rightCols=rightCols,
                            prefix=prefix, strict=strict, direction=direction)
 
+    def funnel(self, steps: list, windowMinutes: Optional[int] = None):
+        """Ordered conversion funnel over an events-shaped table
+        (user_id, event_type, ts): step k matches at the earliest event
+        at-or-after step k-1's match, all within windowMinutes of the
+        step-1 match. One row per step with exact counts."""
+        return self._call("pipe_funnel", steps=steps,
+                          windowMinutes=windowMinutes)
+
+    def cohortRetention(self):
+        """Weekly cohort retention over an events-shaped table: users
+        bucketed by the epoch week of their first event; one row per
+        (cohort_week, week_offset) with distinct active users."""
+        return self._call("pipe_cohort")
+
     def importanceSample(self, idCol: str, weightCol: str,
                          targetFraction: float,
                          seed: Optional[int] = None):

@@ -1126,6 +1126,16 @@ object SparkEntry {
       s.table("graft_stream_window")
         .select(col("event_type"), col("window_start"), col("n_events"), col("sum_value"))
     }),
+    "e_funnel" -> ((s, dir) => // view→click→purchase within one week of
+      // the first view; per-step min-match chaining, exact counts, one
+      // float division per row
+      pipeline.Events.funnel(load(s, dir, "events"),
+          Seq("view", "click", "purchase"), windowMinutes = 10080)
+        .select(col("step"), col("event_type"), col("n_users"),
+          round(col("conversion"), 6).as("conversion"))),
+    "e_cohort" -> ((s, dir) => // epoch-week cohort retention: exact
+      // integer week math, no calendar dependency
+      pipeline.Events.cohortRetention(load(s, dir, "events"))),
     "e_stream_topk" -> ((s, dir) => {
       // windowed heavy hitters: streaming per-hour (type, user) counts run
       // to completion, then the deterministic batch finisher cuts top-3
@@ -3333,6 +3343,32 @@ object SparkEntry {
         |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS window_start,
         |  count(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "e_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |s1 AS (SELECT user_id, MIN(ms) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ms) AS t2, MIN(s1.t1) AS t1
+        |  FROM ev e JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ms >= s1.t1
+        |    AND e.ms <= s1.t1 + 604800000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ms) AS t3
+        |  FROM ev e JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ms >= s2.t2
+        |    AND e.ms <= s2.t1 + 604800000 GROUP BY 1),
+        |n AS (SELECT (SELECT count(*) FROM s1) AS n1,
+        |             (SELECT count(*) FROM s2) AS n2,
+        |             (SELECT count(*) FROM s3) AS n3)
+        |SELECT CAST(1 AS INT) AS step, 'view' AS event_type, n1 AS n_users,
+        |  ROUND(CAST(n1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS conversion FROM n
+        |UNION ALL SELECT 2, 'click', n2,
+        |  ROUND(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) FROM n
+        |UNION ALL SELECT 3, 'purchase', n3,
+        |  ROUND(CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) FROM n""".stripMargin,
+    "e_cohort" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(ts) // 604800000 AS wk FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS cw FROM ev GROUP BY 1)
+        |SELECT cw AS cohort_week, wk - cw AS week_offset,
+        |  count(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
     "e_stream_topk" ->
       """WITH c AS (
         |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS window_start,

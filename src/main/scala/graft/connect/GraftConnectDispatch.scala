@@ -120,6 +120,8 @@ object GraftConnectDispatch {
     "pipe_label_spread" -> Set("idCol", "vecCol", "labelCol", "k", "rounds",
       "seedFraction", "seed"),
     "pipe_random_projection" -> Set("idCol", "vecCol", "dOut", "dim"),
+    "pipe_funnel" -> Set("steps", "windowMinutes"),
+    "pipe_cohort" -> Set.empty[String],
     "pipe_ann_ivf_hier" -> Set("idCol", "vecCol", "k", "nsuper", "nlistPer",
       "wprobe", "nprobe"),
     "pipe_image_decode" -> Set("idCol", "binCol"),
@@ -321,6 +323,20 @@ object GraftConnectDispatch {
           Similarity.knnGraph(t, id, vec, k = int("k").getOrElse(10),
             mutual = typed("mutual", "a boolean") { case JBool(b) => b }
               .getOrElse(true))
+        case "pipe_funnel" =>
+          val steps = params.get("steps") match {
+            case Some(JArray(vs)) => vs.map {
+              case JString(x) => x
+              case other => throw new IllegalArgumentException(
+                s"steps entries must be strings, got: $other")
+            }
+            case _ => throw new IllegalArgumentException(
+              "pipe_funnel requires params_json key 'steps' (array of event types)")
+          }
+          graft.pipeline.Events.funnel(t, steps,
+            windowMinutes = int("windowMinutes").getOrElse(60 * 24))
+        case "pipe_cohort" =>
+          graft.pipeline.Events.cohortRetention(t)
         case "pipe_random_projection" =>
           Similarity.randomProjection(t, id, vec,
             dOut = int("dOut").getOrElse(throw new IllegalArgumentException(

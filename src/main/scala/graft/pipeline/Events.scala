@@ -119,4 +119,66 @@ object Events {
       .select((lCols.map(col) ++
         rightCols.map(c => col("_asof_hit")(c).as(prefix + c))): _*)
   }
+
+  /** Ordered conversion funnel: per user, step k matches at the EARLIEST
+   * event of type `steps(k)` at-or-after the step k−1 match, all within
+   * `windowMinutes` of the step-1 match (millisecond-floored boundaries,
+   * inclusive). Returns one row per step: (step, event_type, n_users,
+   * conversion = n_users / step-1 users, both exact counts with one
+   * float division). A k-step funnel is k−1 per-user min-aggregation
+   * joins — each one shuffle on user_id, no window over the full stream,
+   * no driver state. */
+  def funnel(events: DataFrame, steps: Seq[String],
+      windowMinutes: Int = 60 * 24): DataFrame = {
+    require(steps.size >= 2, s"funnel needs at least 2 steps, got $steps")
+    require(steps.distinct.size == steps.size, s"funnel steps must be distinct: $steps")
+    val ms = tsMillis(events)
+    val spark = events.sparkSession
+    val winMs = windowMinutes.toLong * 60000L
+    def stepEvents(t: String) = events.filter(col("event_type") === t)
+      .select(col("user_id"), ms.as("_ms"))
+    var matched = stepEvents(steps.head)
+      .groupBy("user_id").agg(min(col("_ms")).as("_t"))
+      .select(col("user_id"), col("_t"), col("_t").as("_t0"))
+      .persist()
+    var counts = Vector((1, steps.head, matched.count()))
+    for ((t, i) <- steps.tail.zipWithIndex) {
+      val next = stepEvents(t).join(matched, "user_id")
+        .filter(col("_ms") >= col("_t") && col("_ms") <= col("_t0") + winMs)
+        .groupBy("user_id").agg(min(col("_ms")).as("_t"),
+          first(col("_t0")).as("_t0"))
+        .persist()
+      counts = counts :+ ((i + 2, t, next.count()))
+      matched.unpersist(false)
+      matched = next
+    }
+    matched.unpersist(false)
+    val n1 = counts.head._3
+    import spark.implicits._
+    counts.map { case (s, t, n) =>
+      (s, t, n, if (n1 == 0) null else java.lang.Double.valueOf(n.toDouble / n1.toDouble))
+    }.toDF("step", "event_type", "n_users", "conversion")
+  }
+
+  /** Weekly cohort retention: users bucketed by the epoch week
+   * (floor(ms / 7·86400000)) of their FIRST event; one row per
+   * (cohort_week, week_offset) with the distinct active users. Exact
+   * integer week math — no calendar/timezone dependency, identical in
+   * any SQL engine. Two shuffles: the per-user first-event aggregation
+   * and the (cohort, offset) distinct count. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    // (ms − ms mod w) / w: the numerator is an exact multiple of w and
+    // the integer quotient is far below 2^53, so the double division is
+    // EXACT — a bare ms/w cast-to-long could truncate a float hair below
+    // the true week at bucket boundaries
+    val ms = tsMillis(events)
+    val w7 = lit(604800000L)
+    val wk = ((ms - pmod(ms, w7)) / w7).cast("long")
+    val userWeeks = events.select(col("user_id"), wk.as("_wk"))
+    val cohorts = userWeeks.groupBy("user_id").agg(min(col("_wk")).as("_c"))
+    userWeeks.join(cohorts, "user_id")
+      .groupBy(col("_c").as("cohort_week"),
+        (col("_wk") - col("_c")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
 }

@@ -224,6 +224,19 @@ class ConnectPluginSpec extends TestBase {
       """{"idCol": "vec_id", "vecCol": "embedding", "dOut": 8}""")
     assert(rp.columns.toSeq == Seq("vec_id", "reduced") && rp.count() == 40)
     assert(rp.head().getSeq[Double](1).length == 8)
+    // events-shaped ops through the pipe surface
+    val evs = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val fn = GraftConnectDispatch.run(scala.None, evs, "pipe_funnel",
+      """{"steps": ["view", "click", "purchase"], "windowMinutes": 10080}""")
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    assert(fn.size == 3 && fn(1) >= fn(2) && fn(2) >= fn(3))
+    val co = GraftConnectDispatch.run(scala.None, evs, "pipe_cohort", "{}")
+    assert(co.columns.toSeq == Seq("cohort_week", "week_offset", "n_users")
+      && co.count() > 0)
+    val badSteps = intercept[IllegalArgumentException] {
+      GraftConnectDispatch.run(scala.None, evs, "pipe_funnel", "{}")
+    }
+    assert(badSteps.getMessage.contains("steps"))
   }
 
   test("dispatch covers aggregate_neighbors path mode (accumulators over the wire)") {

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Events
+
+/** Ordered-funnel and cohort-retention semantics on hand-built event
+ * streams (epoch-ms timestamps via timestamp_millis). */
+class FunnelCohortSpec extends TestBase {
+  import spark.implicits._
+
+  private val MIN = 60000L
+  private val T0 = 1700000000000L
+
+  private def ev(rows: Seq[(Long, String, Long)]) =
+    rows.toDF("user_id", "event_type", "ms")
+      .select(col("user_id"), col("event_type"),
+        timestamp_millis(col("ms")).as("ts"))
+
+  private def funnelMap(rows: Seq[(Long, String, Long)], win: Int = 60) =
+    Events.funnel(ev(rows), Seq("view", "click", "purchase"), win)
+      .collect().map(r => (r.getInt(0), (r.getString(1), r.getLong(2)))).toMap
+
+  test("steps must match in order; out-of-order clicks don't count") {
+    val m = funnelMap(Seq(
+      (1L, "view", T0), (1L, "click", T0 + MIN), (1L, "purchase", T0 + 2 * MIN),
+      (2L, "click", T0), (2L, "view", T0 + MIN), // click BEFORE view: no step 2
+      (3L, "view", T0))) // stops at step 1
+    assert(m(1) == ("view", 3L))
+    assert(m(2) == ("click", 1L))
+    assert(m(3) == ("purchase", 1L))
+  }
+
+  test("window bound is inclusive and anchored at the FIRST view") {
+    val m = funnelMap(Seq(
+      (1L, "view", T0), (1L, "click", T0 + 60 * MIN), // exactly on bound: in
+      (2L, "view", T0), (2L, "click", T0 + 61 * MIN), // beyond: out
+      // user 3: a later view cannot re-anchor the window
+      (3L, "view", T0), (3L, "view", T0 + 30 * MIN), (3L, "click", T0 + 80 * MIN)),
+      win = 60)
+    // only user 1 converts: boundary inclusive, anchor is the first view
+    assert(m(1) == ("view", 3L) && m(2) == ("click", 1L), m.toString)
+  }
+
+  test("step k anchors at step k-1's matched time, not any later event") {
+    // click at T0+5 matches; purchase BEFORE the click (T0+2) must not count
+    val m = funnelMap(Seq(
+      (1L, "view", T0), (1L, "click", T0 + 5 * MIN), (1L, "purchase", T0 + 2 * MIN)))
+    assert(m(3) == ("purchase", 0L))
+    // conversion of an empty step is 0 over n1
+    val c = Events.funnel(ev(Seq((1L, "view", T0))), Seq("view", "click"), 60)
+      .collect().map(r => (r.getInt(0), r.getDouble(3))).toMap
+    assert(c(1) == 1.0 && c(2) == 0.0)
+  }
+
+  test("cohort retention: offsets count distinct users per week") {
+    val W = 604800000L
+    val base = (T0 / W) * W // week-aligned
+    val rows = Seq(
+      (1L, "view", base), (1L, "view", base + W), (1L, "view", base + 2 * W),
+      (2L, "view", base), (2L, "view", base + 2 * W),
+      (3L, "view", base + W)) // later cohort
+    val m = Events.cohortRetention(ev(rows))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val c0 = base / W
+    assert(m((c0, 0L)) == 2L && m((c0, 1L)) == 1L && m((c0, 2L)) == 2L)
+    assert(m((c0 + 1, 0L)) == 1L && m.size == 4)
+  }
+}

@@ -140,11 +140,13 @@ class GraphFrameMethods:
         """Katz centrality (engine extension)."""
         return self._call("katz", maxIter=maxIter, alpha=alpha, beta=beta)
 
-    def eigenvector(self, maxIter: Optional[int] = None):
+    def eigenvector(self, maxIter: Optional[int] = None,
+                    weightCol: Optional[str] = None):
         """Eigenvector centrality (engine extension): fixed-round power
         iteration x <- A^T x, sup-normalized once at the end (top vertex
-        scores exactly 1.0)."""
-        return self._call("eigenvector", maxIter=maxIter)
+        scores exactly 1.0); weightCol scales each in-neighbor's score by
+        the edge weight."""
+        return self._call("eigenvector", maxIter=maxIter, weightCol=weightCol)
 
     def minimumSpanningForest(self, weightCol: str):
         """Minimum spanning forest (engine extension): distributed

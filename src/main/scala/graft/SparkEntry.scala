@@ -303,6 +303,14 @@ object SparkEntry {
       // trade graph has spectral gap, so 10 rounds are already stable
       graphB(s, dir).eigenvector.maxIter(10).run()
         .select(col(ID), round(col("eigenvector"), 6).as("eigenvector"))),
+    "g_eigenvector_weighted" -> ((s, dir) => { // x ← AᵀWx with the same
+      // deterministic integer weights as g_shortest_paths_weighted
+      val g0 = graphB(s, dir)
+      val we = g0.edges.withColumn("w",
+        pmod(col(SRC) * 7 + col(DST) * 3, lit(5)) + lit(1))
+      GraphFrame(g0.vertices, we).eigenvector.weightCol("w").maxIter(10).run()
+        .select(col(ID), round(col("eigenvector"), 6).as("eigenvector"))
+    }),
     "g_mst" -> ((s, dir) => { // unique MSF of the trade-count-weighted
       // nation graph: engine runs Borůvka (distributed) / Kruskal (tail)
       // over the (w, a, b) total key order; the oracle uses the CYCLE RULE
@@ -1332,15 +1340,19 @@ object SparkEntry {
    * x ← Aᵀx from all-ones, ONE sup-norm division at the end — the exact
    * trajectory graft.lib.Eigenvector computes (its 1e100 overflow guard
    * cannot trigger at 10 rounds on a 25-vertex graph). */
-  private def eigenvectorSql(iters: Int): String = {
+  private def eigenvectorSql(iters: Int, weighted: Boolean = false): String = {
+    val term = if (weighted) "p.x * e.w" else "p.x"
+    val eCte = if (weighted)
+      s"(SELECT src, dst, CAST((src * 7 + dst * 3) % 5 + 1 AS DOUBLE) AS w FROM ($NE))"
+    else s"($NE)"
     val steps = (1 to iters).map { k =>
       s"""ev$k AS MATERIALIZED (
-         |  SELECT v.id, COALESCE(SUM(p.x), 0.0) AS x
+         |  SELECT v.id, COALESCE(SUM($term), 0.0) AS x
          |  FROM v LEFT JOIN e ON e.dst = v.id
          |  LEFT JOIN ev${k - 1} p ON p.id = e.src
          |  GROUP BY v.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS MATERIALIZED ($NE),
+    s"""WITH e AS MATERIALIZED $eCte,
        |v AS MATERIALIZED (SELECT n_nationkey AS id FROM nation),
        |ev0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS x FROM v),
        |$steps,
@@ -2553,6 +2565,7 @@ object SparkEntry {
          |FROM nation LEFT JOIN b ON b.id = n_nationkey GROUP BY 1""".stripMargin,
     "g_katz" -> katzSql(8, 0.05, 1.0),
     "g_eigenvector" -> eigenvectorSql(10),
+    "g_eigenvector_weighted" -> eigenvectorSql(10, weighted = true),
     // Cycle-rule MSF: an edge joins the unique MSF iff its endpoints are
     // NOT connected using only strictly smaller-keyed edges; k is the
     // rank of the engine's (w, a, b) total key order, so "k smaller"

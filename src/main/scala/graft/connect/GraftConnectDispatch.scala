@@ -54,7 +54,7 @@ object GraftConnectDispatch {
     "kcore" -> Set("maxIter"),
     "hits" -> Set("maxIter"),
     "katz" -> Set("maxIter", "alpha", "beta"),
-    "eigenvector" -> Set("maxIter"),
+    "eigenvector" -> Set("maxIter", "weightCol"),
     "minimum_spanning_forest" -> Set("weightCol"),
     "betweenness" -> Set("sampleK", "normalized", "weightCol"),
     "closeness" -> Set("sampleK", "weightCol"),
@@ -508,6 +508,7 @@ object GraftConnectDispatch {
       case "eigenvector" =>
         val ev = g.eigenvector
         int("maxIter").foreach(ev.maxIter)
+        str("weightCol").foreach(ev.weightCol)
         ev.run()
       case "minimum_spanning_forest" =>
         val msf = g.minimumSpanningForest

@@ -29,8 +29,16 @@ class Eigenvector(g: GraphFrame) {
   import GraphFrame.{ID, SRC, DST}
 
   private var maxIterV: Int = 10
+  private var weightColV: Option[String] = None
   private var smallGraphThresholdV: Long =
     graft.GraftConf.linkAnalysisSmallGraphThreshold.getOrElse(100000L)
+
+  /** Numeric edge column: the recurrence becomes x ← Aᵀ W x (each
+   * in-neighbor's score scaled by the edge weight; parallel edges each
+   * contribute). Principal-eigenvector semantics need non-negative
+   * weights — not enforced, since the fixed-round sum is well-defined
+   * either way; the final normalization divides by max |x|. */
+  def weightCol(c: String): this.type = { weightColV = Some(c); this }
 
   /** At least 1: with zero rounds the sup-normalized all-ones vector is
    * not a centrality and the isolated-vertex closed form (0 after any
@@ -48,8 +56,12 @@ class Eigenvector(g: GraphFrame) {
    * e.g. a vertex with no in-links on a DAG's source layer after enough
    * rounds — stays 0). */
   def run(): DataFrame = {
-    // pinned: re-joined every round, and possibly an expensive upstream query
-    val e = g.edges.select(col(SRC), col(DST)).persist()
+    // pinned: re-joined every round, and possibly an expensive upstream
+    // query. The unweighted path rides the same x·w plan with w = 1.0 —
+    // float-identical to a bare sum (x·1.0 == x bit-exactly).
+    val wCol = weightColV.map(w => col(graft.GraphFrame.quoteName(w))
+      .cast("double")).getOrElse(lit(1.0))
+    val e = g.edges.select(col(SRC), col(DST), wCol.as("_w")).persist()
     if (smallGraphThresholdV > 0 && e.count() <= smallGraphThresholdV) {
       val r = runLocal(e)
       e.unpersist(false)
@@ -59,7 +71,7 @@ class Eigenvector(g: GraphFrame) {
     var state = mgr.cycle(g.vertices.select(col(ID), lit(1.0).as("x")), 0)
     for (round <- 1 to maxIterV) {
       val in = e.join(state.select(col(ID).as(SRC), col("x")), SRC)
-        .groupBy(col(DST).as(ID)).agg(sum("x").as("_x"))
+        .groupBy(col(DST).as(ID)).agg(sum(col("x") * col("_w")).as("_x"))
       state = mgr.cycle(state.select(col(ID))
         .join(in, Seq(ID), "left_outer")
         .select(col(ID), coalesce(col("_x"), lit(0.0)).as("x")), round)
@@ -87,15 +99,24 @@ class Eigenvector(g: GraphFrame) {
    * from round 1 on — filled in closed form by the join-back. */
   private def runLocal(e: DataFrame): DataFrame = {
     import scala.collection.mutable
-    val (edges, vids) = LocalLinkAnalysis.collectGraph(e, g)
+    // (src, dst, w) with w in the sort key: parallel edges with distinct
+    // weights accumulate in a fixed order regardless of partitioning
+    val edges = e.collect().iterator
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => (r.get(0), r.get(1), if (r.isNullAt(2)) 0.0 else r.getDouble(2)))
+      .toArray
+      .sortBy { case (s, d, w) => (String.valueOf(s), String.valueOf(d), w) }
+    val epDF = e.select(col(SRC).as(ID)).union(e.select(col(DST).as(ID))).distinct()
+    val vids = g.vertices.select(col(ID)).join(epDF, Seq(ID), "left_semi")
+      .collect().map(_.get(0)).sortBy(String.valueOf(_))
     val valid = vids.toSet
     var x = mutable.HashMap.empty[Any, Double]
     vids.foreach(v => x(v) = 1.0)
     for (round <- 1 to maxIterV) {
       val nx = mutable.HashMap.empty[Any, Double]
       vids.foreach(v => nx(v) = 0.0)
-      edges.foreach { case (s, d) =>
-        if (valid(s) && valid(d)) nx(d) += x(s)
+      edges.foreach { case (s, d, w) =>
+        if (valid(s) && valid(d)) nx(d) += x(s) * w
       }
       x = nx
       // same overflow guard, SAME CADENCE (every 8th round, never the

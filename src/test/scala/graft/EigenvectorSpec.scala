@@ -56,6 +56,31 @@ class EigenvectorSpec extends TestBase {
     }
   }
 
+  test("weightCol: weighted in-sums, parity, and bit-identity of w=1 with unweighted") {
+    val v = Seq("a", "b", "z", "q").toDF("id")
+    val e = Seq(("a", "z", 2.0), ("b", "z", 3.0), ("z", "q", 1.0), ("q", "z", 4.0))
+      .toDF("src", "dst", "w")
+    val g = GraphFrame(v, e)
+    def run(threshold: Long, iters: Int) =
+      g.eigenvector.weightCol("w").maxIter(iters)
+        .setSmallGraphThreshold(threshold).run()
+        .select("id", "eigenvector").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toMap
+    // one round: z gets 2+3+4 = 9, q gets 1 → z = 1.0, q = 1/9
+    val m1 = run(100000, 1)
+    assert(m1("z") == 1.0 && math.abs(m1("q") - 1.0 / 9.0) < 1e-15 && m1("a") == 0.0)
+    // local == distributed on the weighted recurrence
+    val l = run(100000, 6); val d = run(0, 6)
+    for ((k, x) <- l) assert(math.abs(x - d(k)) < 1e-12, s"vertex $k")
+    // all-ones weight column is bit-identical to the unweighted operator
+    val ones = GraphFrame(v, e.withColumn("w", lit(1.0)))
+    val wOne = ones.eigenvector.weightCol("w").maxIter(6).run()
+      .select("id", "eigenvector").collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val plain = ones.eigenvector.maxIter(6).run()
+      .select("id", "eigenvector").collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    for ((k, x) <- plain) assert(wOne(k) == x, s"vertex $k")
+  }
+
   test("maxIter must be at least 1") {
     val g = GraphFrame(Seq("a").toDF("id"),
       Seq(("a", "a")).toDF("src", "dst"))

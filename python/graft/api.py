@@ -226,6 +226,12 @@ class GraphFrameMethods:
         graphs."""
         return self._call("assortativity")
 
+    def edgeBetweenness(self, sampleK: Optional[int] = None):
+        """Edge betweenness (Girvan-Newman primitive): per distinct edge,
+        the summed pair dependency over shortest paths; sampleK composes
+        with n/k scaling. Unweighted only."""
+        return self._call("edge_betweenness", sampleK=sampleK)
+
     def reciprocity(self):
         """One-row edge reciprocity: fraction of simple directed edges
         whose reverse edge also exists; null on the empty graph."""

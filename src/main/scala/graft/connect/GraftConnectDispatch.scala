@@ -68,6 +68,7 @@ object GraftConnectDispatch {
     "clustering_coefficient" -> Set.empty[String],
     "assortativity" -> Set.empty[String],
     "reciprocity" -> Set.empty[String],
+    "edge_betweenness" -> Set("sampleK"),
     "transitivity" -> Set.empty[String],
     "graph_stats" -> Set.empty[String],
     "sample_vertices" -> Set("fraction", "seed", "part"),
@@ -545,6 +546,10 @@ object GraftConnectDispatch {
       case "clustering_coefficient" => g.clusteringCoefficient.run()
       case "assortativity" => g.assortativity
       case "reciprocity" => g.reciprocity
+      case "edge_betweenness" =>
+        val ebc = g.betweenness
+        int("sampleK").foreach(ebc.sampleSources)
+        ebc.runEdges()
       case "transitivity" => g.transitivity
       case "graph_stats" => g.stats
       // sampling returns ONE table per call: the induced edges by default,

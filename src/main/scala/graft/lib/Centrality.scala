@@ -230,6 +230,125 @@ class Betweenness(g: GraphFrame) {
     result
   }
 
+  /** Edge betweenness (the Girvan–Newman primitive): each DISTINCT edge's
+   * summed pair dependency Σ_{s,t} σ_st(e)/σ_st, via Brandes' edge rule
+   * δ_s((u,v)) = σ_su/σ_sv · (1 + δ_s(v)) on the shortest-path DAG — ONE
+   * extra level-l join per backward level on top of [[run]]'s vertex
+   * phases (the σ_su factor is exactly the level frame). Unlike vertex
+   * betweenness, endpoint pairs count (an s→t path's first and last edges
+   * carry it). `sampleSources` composes with the same n/k scaling;
+   * unweighted only — the weighted fixpoint would need the same edge join
+   * on ITS δ phase, which is not built (fails loudly). Returns one row
+   * per distinct edge: (src, dst, edge_betweenness), 0.0 for edges on no
+   * shortest path (self-loops included). */
+  def runEdges(): DataFrame = {
+    require(weightColV.isEmpty,
+      "edge betweenness is unweighted-only (weightCol is not supported)")
+    val e = g.edges.select(col(SRC), col(DST)).distinct().persist()
+    val n = g.vertices.count()
+    val scale = if (sampleKV > 0 && sampleKV < n) n.toDouble / sampleKV else 1.0
+    if (smallGraphThresholdV > 0 && e.count() <= smallGraphThresholdV) {
+      val r = runLocalEdges(e, scale)
+      e.unpersist(false)
+      return r
+    }
+    val sources = sampledSources()
+    val levels = MultiSourceBFS.levels(e, sources)
+    val maxLevel = levels.size - 1
+    val cut = ArrayBuffer.empty[DataFrame]
+    val parts = ArrayBuffer.empty[DataFrame]
+    var deltaNext = levels(maxLevel).withColumn("delta", lit(0.0))
+    for (l <- (maxLevel - 1) to 0 by -1) {
+      // per DAG edge (u, v) with dist(s,u) = l: (1+δ_v)/σ_v, later scaled
+      // by σ_su from the level-l frame (which also enforces the DAG test)
+      val partRows = deltaNext.join(e, deltaNext("id") === e(DST))
+        .select(col("s"), e(SRC).as("_u"), deltaNext("id").as("_v"),
+          ((lit(1.0) + col("delta")) / col("sigma")).as("part"))
+      val ec = partRows.join(levels(l).select(col("s"), col("id").as("_u"),
+          col("sigma").as("_su")), Seq("s", "_u"))
+        .groupBy(col("_u"), col("_v"))
+        .agg(sum(col("_su") * col("part")).as("_c"))
+        .localCheckpoint(true)
+      parts += ec; cut += ec
+      val contrib = partRows.groupBy(col("s"), col("_u").as("id"))
+        .agg(sum("part").as("part"))
+      deltaNext = levels(l).join(contrib, Seq("s", "id"), "left")
+        .select(col("s"), col("id"), col("sigma"),
+          (col("sigma") * coalesce(col("part"), lit(0.0))).as("delta"))
+        .localCheckpoint(true)
+      cut += deltaNext
+    }
+    val result = {
+      val agg =
+        if (parts.isEmpty) null
+        else parts.reduce(_ unionByName _)
+          .groupBy(col("_u"), col("_v")).agg(sum("_c").as("_b"))
+      val joined =
+        if (agg == null) e.withColumn("edge_betweenness", lit(0.0))
+        else e.join(agg, e(SRC) === agg("_u") && e(DST) === agg("_v"), "left_outer")
+          .select(e(SRC), e(DST),
+            (coalesce(col("_b"), lit(0.0)) * lit(scale)).as("edge_betweenness"))
+      joined.localCheckpoint(true)
+    }
+    (levels ++ cut).foreach(IterationManager.release)
+    e.unpersist(false)
+    result
+  }
+
+  /** Driver-side tail for [[runEdges]]: the same Brandes loop as
+   * [[runLocal]] with the edge-dependency credit accumulated inside the
+   * backward sweep. */
+  private def runLocalEdges(e: DataFrame, factor: Double): DataFrame = {
+    val (edges, _) = LocalLinkAnalysis.collectGraph(e, g)
+    val allSources = g.vertices.select(col(ID)).collect().map(_.get(0))
+      .sortBy(String.valueOf(_))
+    val sources: Array[Any] =
+      if (sampleKV > 0 && sampleKV < allSources.length)
+        allSources.sortBy(v => (md5Hex(String.valueOf(v)), String.valueOf(v)))
+          .take(sampleKV)
+      else allSources
+    val adj = edges.groupBy(_._1).map { case (s, es) =>
+      (s, es.map(_._2).distinct.sortBy(String.valueOf(_)))
+    }
+    val ebt = mutable.HashMap.empty[(Any, Any), Double]
+    for (s <- sources) {
+      val dist = mutable.HashMap[Any, Int](s -> 0)
+      val sigma = mutable.HashMap[Any, Double](s -> 1.0)
+      val order = ArrayBuffer[Any](s)
+      val queue = mutable.Queue[Any](s)
+      while (queue.nonEmpty) {
+        val v = queue.dequeue()
+        for (w <- adj.getOrElse(v, Array.empty[Any])) {
+          if (!dist.contains(w)) {
+            dist(w) = dist(v) + 1; sigma(w) = 0.0
+            order += w; queue.enqueue(w)
+          }
+          if (dist(w) == dist(v) + 1) sigma(w) = sigma(w) + sigma(v)
+        }
+      }
+      val delta = mutable.HashMap.empty[Any, Double]
+      for (v <- order.reverseIterator) {
+        for (w <- adj.getOrElse(v, Array.empty[Any]) if dist.get(w).contains(dist(v) + 1)) {
+          val c = sigma(v) / sigma(w) * (1.0 + delta.getOrElse(w, 0.0))
+          ebt((v, w)) = ebt.getOrElse((v, w), 0.0) + c
+          delta(v) = delta.getOrElse(v, 0.0) + c
+        }
+      }
+    }
+    val idType = g.edges.schema(SRC).dataType
+    val distinctEdges = edges.distinct.sortBy { case (a, b) =>
+      (String.valueOf(a), String.valueOf(b)) }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(SRC, idType),
+      org.apache.spark.sql.types.StructField(DST, idType),
+      org.apache.spark.sql.types.StructField("edge_betweenness",
+        org.apache.spark.sql.types.DoubleType)))
+    val rows: java.util.List[org.apache.spark.sql.Row] = java.util.Arrays.asList(
+      distinctEdges.map { case (u, v) =>
+        org.apache.spark.sql.Row(u, v, ebt.getOrElse((u, v), 0.0) * factor) }: _*)
+    g.edges.sparkSession.createDataFrame(rows, schema)
+  }
+
   /** md5-ordered deterministic source sample as a `(s)` frame. */
   private def sampledSources(): DataFrame = {
     val all = g.vertices.select(col(ID).as("s"))

@@ -17,6 +17,46 @@ class CentralitySpec extends TestBase {
       .select("id", "betweenness").collect()
       .map(r => (r.get(0), r.getDouble(1))).toMap
 
+  private def ebtMap(g: GraphFrame, threshold: Long): Map[(Any, Any), Double] =
+    g.betweenness.setSmallGraphThreshold(threshold).runEdges()
+      .collect().map(r => ((r.get(0), r.get(1)), r.getDouble(2))).toMap
+
+  test("edge betweenness: directed path — each edge carries its crossing pairs") {
+    // 0->1->2->3: edge (0,1) carries pairs (0,1),(0,2),(0,3) = 3;
+    // (1,2) carries (0,2),(0,3),(1,2),(1,3) = 4; (2,3) carries 3
+    val m = ebtMap(chain(4), threshold = 100)
+    assert(m((0L, 1L)) == 3.0 && m((1L, 2L)) == 4.0 && m((2L, 3L)) == 3.0)
+  }
+
+  test("edge betweenness: diamond splits across the two equal paths") {
+    // a->{b,c}->d: pair (a,d) has sigma 2, each branch edge gets 0.5 of it
+    // plus its own endpoint pairs (a,b)/(b,d): 1 + 0.5 = 1.5 per edge
+    val m = ebtMap(diamond, threshold = 100)
+    assert(m.values.sum == 6.0) // 5 reachable pairs, path lengths 1+1+1+2(x... )
+    for (e <- Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")))
+      assert(math.abs(m((e._1, e._2)) - 1.5) < 1e-12, m.toString)
+  }
+
+  test("edge betweenness: local tail == distributed; sampled draw composes") {
+    val g = friends
+    val local = ebtMap(g, threshold = 100000)
+    val dist = ebtMap(g, threshold = 0)
+    assert(local.keySet == dist.keySet)
+    for ((k, v) <- local) assert(math.abs(v - dist(k)) < 1e-9, s"edge $k")
+    val sl = g.betweenness.sampleSources(3).setSmallGraphThreshold(100000)
+      .runEdges().collect().map(r => ((r.get(0), r.get(1)), r.getDouble(2))).toMap
+    val sd = g.betweenness.sampleSources(3).setSmallGraphThreshold(0)
+      .runEdges().collect().map(r => ((r.get(0), r.get(1)), r.getDouble(2))).toMap
+    for ((k, v) <- sl) assert(math.abs(v - sd(k)) < 1e-9, s"sampled edge $k")
+  }
+
+  test("edge betweenness rejects weightCol loudly") {
+    val g = chain(3)
+    intercept[IllegalArgumentException] {
+      g.betweenness.weightCol("w").runEdges()
+    }
+  }
+
   test("betweenness: directed path — interior vertices carry the pairs") {
     // 0->1->2->3: b(1) counts (0,2),(0,3) = 2; b(2) counts (0,3),(1,3) = 2
     val m = btwMap(chain(4), threshold = 100)

@@ -204,6 +204,9 @@ class ConnectPluginSpec extends TestBase {
     val kgd = GraftConnectDispatch.run(scala.None, emb, "pipe_knn_graph",
       """{"idCol": "vec_id", "vecCol": "embedding", "k": 3, "mutual": false}""")
     assert(kgd.columns.toSeq == Seq("src", "dst", "rnk") && kgd.count() == 90)
+    val ebt = GraftConnectDispatch.run(Some(v), e, "edge_betweenness", "{}")
+    assert(ebt.columns.toSeq == Seq("src", "dst", "edge_betweenness")
+      && ebt.count() == 4)
     // one-row metrics: triangle 0->1->2->0 plus the pendant 2->3 edge
     val rc = GraftConnectDispatch.run(Some(v), e, "reciprocity", "{}").head()
     assert(rc.getAs[Long]("m_edges") == 4L && rc.getAs[Long]("m_mutual") == 0L)

@@ -85,8 +85,45 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("id"), round(col("closeness"), 9), round(col("harmonic"), 9))
       .collect().map(r => r.getString(0) -> ((r.get(1), r.get(2)))).toMap
 
+    // third-session surfaces: MSF (distributed Borůvka — threshold 0
+    // forces it; the key order must make the same unique forest under any
+    // partitioning), eigenvector (distributed fixed-round sums, rounded),
+    // edge betweenness (DAG joins), mutual-kNN edges + label spreading
+    // (md5 seed draw + mode ties), funnel/cohort (exact integer
+    // analytics)
+    val msf = gw.minimumSpanningForest.weightCol("w")
+      .setSmallGraphThreshold(0).run()
+      .select("src", "dst", "weight").as[(String, String, Double)]
+      .collect().toSet
+    val ev = g.eigenvector.maxIter(6).setSmallGraphThreshold(0).run()
+      .select(col("id"), round(col("eigenvector"), 9))
+      .as[(String, Double)].collect().toMap
+    val ebt = g.betweenness.setSmallGraphThreshold(0).runEdges()
+      .select(col("src"), col("dst"), round(col("edge_betweenness"), 9))
+      .as[(String, String, Double)].collect().toSet
+    val emb = (0L until 40L).map(i =>
+      (i, Seq.tabulate(6)(d => ((i * 13 + d * 5) % 17).toFloat), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label").repartition(5)
+    val kg = pipeline.Similarity.knnGraph(emb, "vec_id", "embedding", k = 3)
+      .as[(Long, Long)].collect().toSet
+    val ls = pipeline.Similarity.labelSpread(emb, "vec_id", "embedding",
+        "label", k = 3, rounds = 2, seedFraction = 0.5)
+      .collect().map(r => (r.getLong(0), (String.valueOf(r.get(1)), r.getBoolean(2)))).toMap
+    val evts = (1L to 300L).map { i =>
+      (i % 20, Seq("view", "click", "purchase")((i % 7 % 3).toInt),
+        1700000000000L + i * 977000L)
+    }.toDF("user_id", "event_type", "ms")
+      .select(col("user_id"), col("event_type"),
+        timestamp_millis(col("ms")).as("ts")).repartition(6)
+    val fn = pipeline.Events.funnel(evts, Seq("view", "click", "purchase"), 600)
+      .select("step", "n_users").as[(Int, Long)].collect().toMap
+    val co = pipeline.Events.cohortRetention(evts)
+      .as[(Long, Long, Long)].collect().toSet
+
     Map("cc" -> cc, "pr" -> pr, "sp" -> sp, "kc" -> kc,
-      "lsh" -> lsh, "seg" -> seg, "ww" -> ww, "cls" -> cls)
+      "lsh" -> lsh, "seg" -> seg, "ww" -> ww, "cls" -> cls,
+      "msf" -> msf, "ev" -> ev, "ebt" -> ebt, "kg" -> kg, "ls" -> ls,
+      "fn" -> fn, "co" -> co)
   }
 
   test("cc/pagerank/shortest-paths/kcore/lsh/segment-dedup identical across partitionings") {

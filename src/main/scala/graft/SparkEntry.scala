@@ -1151,6 +1151,22 @@ object SparkEntry {
     "e_cohort" -> ((s, dir) => // epoch-week cohort retention: exact
       // integer week math, no calendar dependency
       pipeline.Events.cohortRetention(load(s, dir, "events"))),
+    "e_stream_funnel" -> ((s, dir) => {
+      // conversion tracking in a stream: 3-long state per user, emits a
+      // row the moment the final step matches; equals the batch funnel's
+      // converted users under in-order arrival (one file = one in-order
+      // batch here; the oracle is the batch s1→s2→s3 chain)
+      val q = streaming.EventStreams.funnelStream(
+          streaming.EventStreams.readEvents(s, dir),
+          Seq("view", "click", "purchase"), windowMinutes = 10080)
+        .toDF()
+        .writeStream.format("memory").queryName("graft_stream_funnel")
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      s.table("graft_stream_funnel")
+        .select(col("user_id"), col("anchor_ms"), col("converted_ms"),
+          col("duration_ms"))
+    }),
     "e_stream_topk" -> ((s, dir) => {
       // windowed heavy hitters: streaming per-hour (type, user) counts run
       // to completion, then the deterministic batch finisher cuts top-3
@@ -3406,6 +3422,19 @@ object SparkEntry {
         |SELECT cw AS cohort_week, wk - cw AS week_offset,
         |  count(DISTINCT ev.user_id) AS n_users
         |FROM ev JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
+    "e_stream_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |s1 AS (SELECT user_id, MIN(ms) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ms) AS t2, MIN(s1.t1) AS t1
+        |  FROM ev e JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ms >= s1.t1
+        |    AND e.ms <= s1.t1 + 604800000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ms) AS t3, MIN(s2.t1) AS t1
+        |  FROM ev e JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ms >= s2.t2
+        |    AND e.ms <= s2.t1 + 604800000 GROUP BY 1)
+        |SELECT user_id, t1 AS anchor_ms, t3 AS converted_ms,
+        |  t3 - t1 AS duration_ms FROM s3""".stripMargin,
     "e_stream_topk" ->
       """WITH c AS (
         |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS window_start,

@@ -244,6 +244,66 @@ object EventStreams {
    * users' final sessions flush on timeout; pass
    * `GroupStateTimeout.NoTimeout` for finite replays (timeout-driven
    * empty batches otherwise keep `processAllAvailable` spinning). */
+  case class FunnelEv(user_id: Long, stp: Int, ts_ms: Long)
+  case class FunnelProg(k: Int, anchor: Long, lastT: Long, done: Boolean)
+  case class FunnelConv(user_id: Long, anchor_ms: Long, converted_ms: Long,
+    duration_ms: Long)
+
+  /**
+   * Streaming form of [[graft.pipeline.Events.funnel]], emitting one
+   * CONVERSION row per user the moment the final step matches: state is
+   * (steps matched, anchor = first step-1 time, last matched time) —
+   * three longs per active user, never the event history. Within a
+   * micro-batch events are sorted by (ts, step) so batch boundaries
+   * don't change results; ACROSS batches each user's events must arrive
+   * in event-time order — an event older than the user's funnel state is
+   * dropped (the state cannot rewind), which is the documented contract
+   * (run behind a watermark-sorted upstream or accept at-arrival-order
+   * semantics). Under in-order arrival the emitted set equals the batch
+   * operator's converted users with identical anchor/conversion times.
+   */
+  def funnelStream(events: DataFrame, steps: Seq[String],
+      windowMinutes: Int = 60 * 24): Dataset[FunnelConv] = {
+    require(steps.size >= 2, s"funnel needs at least 2 steps, got $steps")
+    require(steps.distinct.size == steps.size, s"funnel steps must be distinct: $steps")
+    import events.sparkSession.implicits._
+    val winMs = windowMinutes.toLong * 60000L
+    val nSteps = steps.size
+    val stpCol = steps.zipWithIndex.tail.foldLeft(
+      when(col("event_type") === steps.head, lit(0))) {
+      case (acc, (t, i)) => acc.when(col("event_type") === t, lit(i))
+    }
+    events.filter(col("event_type").isin(steps: _*))
+      .select(col("user_id"), stpCol.as("stp"),
+        unix_millis(col("ts_utc")).as("ts_ms"))
+      .as[FunnelEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProg, FunnelConv](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[FunnelEv], state: GroupState[FunnelProg]) =>
+          var st = state.getOption.getOrElse(FunnelProg(0, 0L, 0L, done = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelConv]
+          // (ts, step) order: at equal timestamps the LOWER step matches
+          // first, exactly like the batch operator's >= chaining
+          rows.toSeq.sortBy(e => (e.ts_ms, e.stp)).foreach { e =>
+            if (!st.done) {
+              if (st.k == 0) {
+                if (e.stp == 0) st = FunnelProg(1, e.ts_ms, e.ts_ms, done = false)
+              } else if (e.stp == st.k && e.ts_ms >= st.lastT &&
+                  e.ts_ms <= st.anchor + winMs) {
+                st = st.copy(k = st.k + 1, lastT = e.ts_ms)
+                if (st.k == nSteps) {
+                  st = st.copy(done = true)
+                  out += FunnelConv(user, st.anchor, e.ts_ms, e.ts_ms - st.anchor)
+                }
+              }
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   def sessionizeStream(events: DataFrame, gapMinutes: Int = 30,
       timeout: org.apache.spark.sql.streaming.GroupStateTimeout =
         GroupStateTimeout.ProcessingTimeTimeout,

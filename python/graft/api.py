@@ -468,6 +468,14 @@ class PipelineMethods:
         return self._call("pipe_funnel", steps=steps,
                           windowMinutes=windowMinutes)
 
+    def approxDistinct(self, groupCol: str, valueCol: str,
+                       k: Optional[int] = None):
+        """Per-group approximate distinct count via a KMV md5 sketch
+        ((k-1)/h_k over the k smallest hash fractions; exact below k
+        distinct values). Deterministic, no RNG state."""
+        return self._call("pipe_approx_distinct", groupCol=groupCol,
+                          valueCol=valueCol, k=k)
+
     def cohortRetention(self):
         """Weekly cohort retention over an events-shaped table: users
         bucketed by the epoch week of their first event; one row per

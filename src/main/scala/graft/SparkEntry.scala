@@ -900,6 +900,15 @@ object SparkEntry {
       // edge iff each endpoint is in the other's exact top-5
       pipeline.Similarity.knnGraph(load(s, dir, "embeddings"), "vec_id",
         "embedding", k = 5)),
+    "p_approx_distinct" -> ((s, dir) => { // KMV sketch: per-language
+      // approximate distinct token count, (k-1)/h_k over the 16 smallest
+      // 60-bit md5 fractions — the estimate itself replays bit-identically
+      val toks = load(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      pipeline.Sampling.approxDistinct(toks, "lang", "tok", k = 16)
+        .select(col("lang"), round(col("approx_distinct"), 4).as("approx_distinct"))
+    }),
     "p_random_projection" -> ((s, dir) => // JL ±1 projection 64 → 16 dims;
       // rows (vec_id, d, val) so the float compare rounds per scalar
       pipeline.Similarity.randomProjection(load(s, dir, "embeddings"),
@@ -2297,6 +2306,13 @@ object SparkEntry {
       s"(strpos('0123456789abcdef', substr($md5expr, $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
       .mkString(" + ")
 
+  /** First 60 bits (15 nibbles) of an md5 hex string as a BIGINT —
+   * mirrors Spark `conv(substr(md5, 1, 15), 16, 10) :: long`. */
+  private def duckHex15(md5expr: String): String =
+    (1 to 15).map(i =>
+      s"(strpos('0123456789abcdef', substr($md5expr, $i, 1)) - 1) * ${1L << (4 * (15 - i))}")
+      .mkString(" + ")
+
   /** Deterministic random walks, `steps` unrolled steps (mirrors
    * rw/RandomWalks in md5 hash mode: neighbor lists ordered by
    * md5(src|dst|seed) — 15 fixed-width hex chars order identically to the
@@ -3185,6 +3201,19 @@ object SparkEntry {
          |  FROM sc) WHERE rnk <= 3""".stripMargin,
     "p_knn_graph" -> knnGraphSql("SELECT src, dst FROM mu"),
     "p_knn_label_spread" -> knnGraphSql(labelSpreadTail(3)),
+    "p_approx_distinct" -> {
+      val h = duckHex15("md5(tok)")
+      s"""WITH t AS (SELECT lang, unnest($W) AS tok FROM documents),
+         |d AS (SELECT DISTINCT lang, ($h) AS h FROM t WHERE lang IS NOT NULL),
+         |r AS (SELECT lang, h,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rk,
+         |    COUNT(*) OVER (PARTITION BY lang) AS nd
+         |  FROM d)
+         |SELECT lang, ROUND(CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE)
+         |    ELSE 15.0 / (CAST(h AS DOUBLE) / 1152921504606846976.0) END, 4)
+         |  AS approx_distinct
+         |FROM r WHERE rk = CASE WHEN nd < 16 THEN 1 ELSE 16 END""".stripMargin
+    },
     "p_random_projection" -> {
       // one UNION ALL arm per output dim, the ±1 weights as SQL literals
       // (identical md5 parity to the engine's planeWeights)

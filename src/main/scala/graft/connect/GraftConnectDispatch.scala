@@ -122,6 +122,7 @@ object GraftConnectDispatch {
       "seedFraction", "seed"),
     "pipe_random_projection" -> Set("idCol", "vecCol", "dOut", "dim"),
     "pipe_funnel" -> Set("steps", "windowMinutes"),
+    "pipe_approx_distinct" -> Set("groupCol", "valueCol", "k"),
     "pipe_cohort" -> Set.empty[String],
     "pipe_ann_ivf_hier" -> Set("idCol", "vecCol", "k", "nsuper", "nlistPer",
       "wprobe", "nprobe"),
@@ -338,6 +339,10 @@ object GraftConnectDispatch {
             windowMinutes = int("windowMinutes").getOrElse(60 * 24))
         case "pipe_cohort" =>
           graft.pipeline.Events.cohortRetention(t)
+        case "pipe_approx_distinct" =>
+          graft.pipeline.Sampling.approxDistinct(t,
+            groupCol = required("groupCol"), valueCol = required("valueCol"),
+            k = int("k").getOrElse(64))
         case "pipe_random_projection" =>
           Similarity.randomProjection(t, id, vec,
             dOut = int("dOut").getOrElse(throw new IllegalArgumentException(

@@ -163,4 +163,33 @@ object Sampling {
     df.filter(draw16(lit(seed), col(idCol).cast("string")) <
       least(lit(1.0), lit(k) * w) * 65536.0)
   }
+
+  /** Approximate distinct count per group via a K-Minimum-Values sketch:
+   * hash each distinct value to a 60-bit md5 fraction, keep the k
+   * smallest per group ([[graft.expressions.KMinSampling]] — O(k) buffer
+   * memory, map-side combinable), estimate (k−1)/h₍k₎; groups with fewer
+   * than k distinct hashes report the exact count. Deterministic — the
+   * md5 draw has no RNG state, so the estimate (relative error ~1/√(k−2))
+   * replays bit-identically anywhere, DuckDB included. Values hash
+   * through their Spark string form (`CAST(value AS STRING)`); the
+   * `(group, hash)` dedup is one shuffle of 8-byte pairs — the unsketched
+   * part of the cost, exact by construction. Returns
+   * (groupCol, approx_distinct: double). */
+  def approxDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 3, s"approxDistinct needs k >= 3 (got $k): the (k-1)/h estimator")
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val d = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol), h.as("_h")).distinct()
+    val kmin = graft.expressions.KMinSampling.sampleLong(k)
+    d.groupBy(col(groupCol))
+      .agg(kmin(col("_h"), col("_h")).as("_mins"), count(lit(1)).as("_nd"))
+      .select(col(groupCol),
+        when(col("_nd") < k, col("_nd").cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (element_at(col("_mins"), k).cast("double") /
+              lit(1152921504606846976.0 /* 2^60 */)))
+          .as("approx_distinct"))
+  }
 }

@@ -240,6 +240,10 @@ class ConnectPluginSpec extends TestBase {
       GraftConnectDispatch.run(scala.None, evs, "pipe_funnel", "{}")
     }
     assert(badSteps.getMessage.contains("steps"))
+    val ad = GraftConnectDispatch.run(scala.None, evs, "pipe_approx_distinct",
+      """{"groupCol": "event_type", "valueCol": "user_id", "k": 8}""")
+    assert(ad.columns.toSeq == Seq("event_type", "approx_distinct")
+      && ad.count() == 5)
   }
 
   test("dispatch covers aggregate_neighbors path mode (accumulators over the wire)") {

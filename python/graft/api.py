@@ -468,6 +468,14 @@ class PipelineMethods:
         return self._call("pipe_funnel", steps=steps,
                           windowMinutes=windowMinutes)
 
+    def groupSample(self, groupCol: str, idCol: str, k: int,
+                    seed: Optional[int] = None):
+        """Deterministic per-group sample: the k rows per group with the
+        smallest md5(seed|id) draws — stable under re-runs and any
+        partitioning."""
+        return self._call("pipe_group_sample", groupCol=groupCol,
+                          idCol=idCol, k=k, seed=seed)
+
     def approxDistinct(self, groupCol: str, valueCol: str,
                        k: Optional[int] = None):
         """Per-group approximate distinct count via a KMV md5 sketch

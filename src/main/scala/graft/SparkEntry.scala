@@ -900,6 +900,11 @@ object SparkEntry {
       // edge iff each endpoint is in the other's exact top-5
       pipeline.Similarity.knnGraph(load(s, dir, "embeddings"), "vec_id",
         "embedding", k = 5)),
+    "p_group_sample" -> ((s, dir) => // k docs per source, smallest
+      // md5(seed|doc_id) draws — deterministic, replayed by the oracle
+      pipeline.Sampling.groupSample(load(s, dir, "documents"),
+          "source", "doc_id", k = 5)
+        .select(col("doc_id"), col("source"))),
     "p_approx_distinct" -> ((s, dir) => { // KMV sketch: per-language
       // approximate distinct token count, (k-1)/h_k over the 16 smallest
       // 60-bit md5 fractions — the estimate itself replays bit-identically
@@ -3201,6 +3206,11 @@ object SparkEntry {
          |  FROM sc) WHERE rnk <= 3""".stripMargin,
     "p_knn_graph" -> knnGraphSql("SELECT src, dst FROM mu"),
     "p_knn_label_spread" -> knnGraphSql(labelSpreadTail(3)),
+    "p_group_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) WHERE rk <= 5""".stripMargin,
     "p_approx_distinct" -> {
       val h = duckHex15("md5(tok)")
       s"""WITH t AS (SELECT lang, unnest($W) AS tok FROM documents),

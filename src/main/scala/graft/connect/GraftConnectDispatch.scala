@@ -123,6 +123,7 @@ object GraftConnectDispatch {
     "pipe_random_projection" -> Set("idCol", "vecCol", "dOut", "dim"),
     "pipe_funnel" -> Set("steps", "windowMinutes"),
     "pipe_approx_distinct" -> Set("groupCol", "valueCol", "k"),
+    "pipe_group_sample" -> Set("groupCol", "idCol", "k", "seed"),
     "pipe_cohort" -> Set.empty[String],
     "pipe_ann_ivf_hier" -> Set("idCol", "vecCol", "k", "nsuper", "nlistPer",
       "wprobe", "nprobe"),
@@ -343,6 +344,12 @@ object GraftConnectDispatch {
           graft.pipeline.Sampling.approxDistinct(t,
             groupCol = required("groupCol"), valueCol = required("valueCol"),
             k = int("k").getOrElse(64))
+        case "pipe_group_sample" =>
+          graft.pipeline.Sampling.groupSample(t,
+            groupCol = required("groupCol"), idCol = required("idCol"),
+            k = int("k").getOrElse(throw new IllegalArgumentException(
+              "pipe_group_sample requires params_json key 'k'")),
+            seed = int("seed").map(_.toLong).getOrElse(42L))
         case "pipe_random_projection" =>
           Similarity.randomProjection(t, id, vec,
             dOut = int("dOut").getOrElse(throw new IllegalArgumentException(

@@ -164,6 +164,22 @@ object Sampling {
       least(lit(1.0), lit(k) * w) * 65536.0)
   }
 
+  /** Deterministic per-group sample: the k rows per group with the
+   * smallest md5(seed|id) hex draw (ties broken by id) — "give me k docs
+   * per source" with no RNG state, stable under re-runs, retries and any
+   * partitioning. One shuffle on the group key + an in-partition
+   * row_number; no global sort. Fractions vary by group size — for a
+   * fixed RATE per stratum use [[stratifiedHashSample]] instead. */
+  def groupSample(df: DataFrame, groupCol: String, idCol: String, k: Int,
+      seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"groupSample needs k >= 1, got $k")
+    val draw = md5(concat_ws("|", lit(seed), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(draw, col(idCol))
+    df.withColumn("_gs_rk", row_number().over(w))
+      .filter(col("_gs_rk") <= k).drop("_gs_rk")
+  }
+
   /** Approximate distinct count per group via a K-Minimum-Values sketch:
    * hash each distinct value to a 60-bit md5 fraction, keep the k
    * smallest per group ([[graft.expressions.KMinSampling]] — O(k) buffer

@@ -244,6 +244,9 @@ class ConnectPluginSpec extends TestBase {
       """{"groupCol": "event_type", "valueCol": "user_id", "k": 8}""")
     assert(ad.columns.toSeq == Seq("event_type", "approx_distinct")
       && ad.count() == 5)
+    val gs = GraftConnectDispatch.run(scala.None, evs, "pipe_group_sample",
+      """{"groupCol": "event_type", "idCol": "event_id", "k": 3}""")
+    assert(gs.count() == 15 && gs.columns.sameElements(evs.columns))
   }
 
   test("dispatch covers aggregate_neighbors path mode (accumulators over the wire)") {

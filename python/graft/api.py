@@ -468,6 +468,14 @@ class PipelineMethods:
         return self._call("pipe_funnel", steps=steps,
                           windowMinutes=windowMinutes)
 
+    def pmiBigrams(self, idCol: str, textCol: str,
+                   minCount: Optional[int] = None,
+                   topK: Optional[int] = None):
+        """Collocation mining: top-k adjacent-token bigrams by pointwise
+        mutual information over exact corpus counts."""
+        return self._call("pipe_pmi_bigrams", idCol=idCol, textCol=textCol,
+                          minCount=minCount, topK=topK)
+
     def groupSample(self, groupCol: str, idCol: str, k: int,
                     seed: Optional[int] = None):
         """Deterministic per-group sample: the k rows per group with the

@@ -900,6 +900,12 @@ object SparkEntry {
       // edge iff each endpoint is in the other's exact top-5
       pipeline.Similarity.knnGraph(load(s, dir, "embeddings"), "vec_id",
         "embedding", k = 5)),
+    "p_pmi_bigrams" -> ((s, dir) => // collocations: top-20 adjacent pairs
+      // by PMI over exact corpus counts; one ln per surviving pair
+      pipeline.Text.pmiBigrams(load(s, dir, "documents"), "doc_id", "text",
+          minCount = 3, topK = 20)
+        .select(col("w1"), col("w2"), col("pair_count"),
+          round(col("pmi"), 6).as("pmi"))),
     "p_group_sample" -> ((s, dir) => // k docs per source, smallest
       // md5(seed|doc_id) draws — deterministic, replayed by the oracle
       pipeline.Sampling.groupSample(load(s, dir, "documents"),
@@ -3206,6 +3212,24 @@ object SparkEntry {
          |  FROM sc) WHERE rnk <= 3""".stripMargin,
     "p_knn_graph" -> knnGraphSql("SELECT src, dst FROM mu"),
     "p_knn_label_spread" -> knnGraphSql(labelSpreadTail(3)),
+    "p_pmi_bigrams" ->
+      s"""WITH tk AS (SELECT $W AS ws FROM documents),
+         |t2 AS (SELECT ws FROM tk WHERE len(ws) > 0),
+         |bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+         |  FROM t2, range(1, 100000) t(i) WHERE i < len(ws)),
+         |uni AS (SELECT tok, count(*) AS c
+         |  FROM (SELECT unnest(ws) AS tok FROM t2) GROUP BY 1),
+         |tot AS (SELECT (SELECT SUM(c) FROM uni) AS n, (SELECT count(*) FROM bg) AS m),
+         |pair AS (SELECT w1, w2, count(*) AS pair_count FROM bg
+         |  GROUP BY 1, 2 HAVING count(*) >= 3),
+         |sc AS (SELECT p.w1, p.w2, p.pair_count,
+         |    LN((CAST(p.pair_count AS DOUBLE) / m) /
+         |      ((CAST(u1.c AS DOUBLE) / n) * (CAST(u2.c AS DOUBLE) / n))) AS pmi
+         |  FROM pair p JOIN uni u1 ON u1.tok = p.w1
+         |  JOIN uni u2 ON u2.tok = p.w2, tot)
+         |SELECT w1, w2, pair_count, ROUND(pmi, 6) AS pmi FROM (
+         |  SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS rk FROM sc)
+         |WHERE rk <= 20""".stripMargin,
     "p_group_sample" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source

@@ -124,6 +124,7 @@ object GraftConnectDispatch {
     "pipe_funnel" -> Set("steps", "windowMinutes"),
     "pipe_approx_distinct" -> Set("groupCol", "valueCol", "k"),
     "pipe_group_sample" -> Set("groupCol", "idCol", "k", "seed"),
+    "pipe_pmi_bigrams" -> Set("idCol", "textCol", "minCount", "topK"),
     "pipe_cohort" -> Set.empty[String],
     "pipe_ann_ivf_hier" -> Set("idCol", "vecCol", "k", "nsuper", "nlistPer",
       "wprobe", "nprobe"),
@@ -344,6 +345,10 @@ object GraftConnectDispatch {
           graft.pipeline.Sampling.approxDistinct(t,
             groupCol = required("groupCol"), valueCol = required("valueCol"),
             k = int("k").getOrElse(64))
+        case "pipe_pmi_bigrams" =>
+          Text.pmiBigrams(t, id, text,
+            minCount = int("minCount").getOrElse(3),
+            topK = int("topK").getOrElse(20))
         case "pipe_group_sample" =>
           graft.pipeline.Sampling.groupSample(t,
             groupCol = required("groupCol"), idCol = required("idCol"),

@@ -371,4 +371,44 @@ object Text {
       .select(col(idCol), col("chunk_idx"),
         col("_c.t").as("chunk_text"), col("_c.n").cast("long").as("n_words"))
   }
+
+  /** Collocation mining by pointwise mutual information: adjacent-token
+   * bigrams scored PMI = ln((c₁₂/M) / ((c₁/N)(c₂/N))) over exact corpus
+   * counts (N tokens, M bigrams), the association statistic behind
+   * collocation extraction and tokenizer-merge seeding — a frequent pair
+   * of frequent words ("of the") scores LOW where a bound phrase scores
+   * high, the opposite cut from [[topNgrams]]' raw frequency. The top-k
+   * cut is a distributed `ORDER BY (pmi desc, w1, w2) LIMIT k` — total
+   * order, no single-partition window; two one-row count probes feed the
+   * N/M literals. Float ops: one division chain + one `ln` per surviving
+   * pair; exact-count ties score bit-equal and break on (w1, w2).
+   * Returns (w1, w2, pair_count, pmi). */
+  def pmiBigrams(df: DataFrame, idCol: String, textCol: String,
+      minCount: Int = 3, topK: Int = 20): DataFrame = {
+    val toks = df.select(tokens(col(textCol)).as("_ws")).filter(size(col("_ws")) > 0)
+    val bg = toks.filter(size(col("_ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("_ws")) - 1),
+        i => struct(element_at(col("_ws"), i).as("w1"),
+          element_at(col("_ws"), i + 1).as("w2")))).as("_p"))
+      .select(col("_p.w1"), col("_p.w2"))
+      .persist()
+    val uni = toks.select(explode(col("_ws")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c")).persist()
+    val n = uni.agg(sum("c")).head().getLong(0)
+    val m = bg.count()
+    val pair = bg.groupBy("w1", "w2").agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minCount)
+    val out = pair
+      .join(uni.select(col("tok").as("w1"), col("c").as("_c1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c").as("_c2")), "w2")
+      .select(col("w1"), col("w2"), col("pair_count"),
+        log((col("pair_count").cast("double") / lit(m.toDouble)) /
+          ((col("_c1").cast("double") / lit(n.toDouble)) *
+            (col("_c2").cast("double") / lit(n.toDouble)))).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+    val materialized = out.localCheckpoint(true)
+    bg.unpersist(false); uni.unpersist(false)
+    materialized
+  }
 }

@@ -247,6 +247,11 @@ class ConnectPluginSpec extends TestBase {
     val gs = GraftConnectDispatch.run(scala.None, evs, "pipe_group_sample",
       """{"groupCol": "event_type", "idCol": "event_id", "k": 3}""")
     assert(gs.count() == 15 && gs.columns.sameElements(evs.columns))
+    val docs2 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    val pmi = GraftConnectDispatch.run(scala.None, docs2, "pipe_pmi_bigrams",
+      """{"idCol": "doc_id", "textCol": "text", "minCount": 2, "topK": 5}""")
+    assert(pmi.columns.toSeq == Seq("w1", "w2", "pair_count", "pmi")
+      && pmi.count() <= 5)
   }
 
   test("dispatch covers aggregate_neighbors path mode (accumulators over the wire)") {

@@ -462,6 +462,19 @@ object SparkEntry {
       // the winner rule, so the replay is bit-exact)
       communityGraph(s, dir).louvain.run()
         .select(col(ID), col("community"))),
+    "g_louvain_coarse" -> ((s, dir) => // phase-2 coarsening: the level-1
+      // communities aggregate into a weighted super-graph (intra edges →
+      // super-loops) and the same rounds re-run there; oracle unrolls
+      // BOTH levels including the coarsen step — still all-integer
+      communityGraph(s, dir).louvain.setLevels(2).run()
+        .select(col(ID), col("community"))),
+    "g_louvain_decimal" -> ((s, dir) => // the >1.5e9-edge scale mode forced
+      // on the DISTRIBUTED path (threshold 0): DECIMAL(38,0) gain scoring
+      // must pick bit-identical winners to the Long fast path, so the
+      // oracle is g_louvain's replay verbatim
+      communityGraph(s, dir).louvain.setGainMode("decimal")
+        .setSmallGraphThreshold(0).run()
+        .select(col(ID), col("community"))),
     "g_modularity" -> ((s, dir) => { // one-row Q of the louvain partition;
       // integer numerator (4m·intra − Σtot²), the division is the only
       // float op — oracle computes the identical expression
@@ -1791,31 +1804,62 @@ object SparkEntry {
    * oscillation-breaking alternation). All-integer — the replay is
    * bit-exact. Ends at CTE `l<rounds>` (id, deg, community). */
   private def louvainCtes(rounds: Int): String = {
-    val steps = (1 to rounds).map { k =>
-      val dir = if (k % 2 == 1) "<=" else ">=" // alternating-direction rule
-      s"""t$k AS MATERIALIZED (SELECT community AS nc, SUM(deg) AS tot FROM l${k - 1} GROUP BY 1),
-         |cd$k AS MATERIALIZED (SELECT s, nc, SUM(cnt) AS e_ic FROM (
-         |  SELECT u.s AS s, p.community AS nc, 1 AS cnt FROM u JOIN l${k - 1} p ON p.id = u.d
-         |  UNION ALL SELECT id, community, 0 FROM l${k - 1}) GROUP BY 1, 2),
-         |sc$k AS MATERIALIZED (SELECT cd.s, cd.nc, me.deg,
-         |    2 * (SELECT m FROM mm) * cd.e_ic
-         |      - me.deg * (t.tot - CASE WHEN cd.nc = me.community THEN me.deg ELSE 0 END) AS gain
-         |  FROM cd$k cd JOIN t$k t ON t.nc = cd.nc JOIN l${k - 1} me ON me.id = cd.s
-         |  WHERE cd.nc $dir me.community),
-         |l$k AS MATERIALIZED (SELECT s AS id, deg, nc AS community FROM (
-         |  SELECT s, deg, nc, ROW_NUMBER() OVER (PARTITION BY s ORDER BY gain DESC, nc ASC) AS rn
-         |  FROM sc$k) WHERE rn = 1)""".stripMargin
-    }.mkString(",\n")
     s"""WITH e AS MATERIALIZED ($NE_COMM),
        |c AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst),
-       |u AS MATERIALIZED (SELECT a AS s, b AS d FROM c UNION ALL SELECT b, a FROM c),
+       |u AS MATERIALIZED (SELECT a AS s, b AS d, 1 AS w FROM c UNION ALL SELECT b, a, 1 FROM c),
        |mm AS MATERIALIZED (SELECT COUNT(*) AS m FROM c),
        |l0 AS MATERIALIZED (SELECT n.n_nationkey AS id,
        |    CAST(COALESCE(dg.c, 0) AS BIGINT) AS deg, n.n_nationkey AS community
        |  FROM nation n LEFT JOIN (SELECT s, COUNT(*) AS c FROM u GROUP BY s) dg
        |    ON dg.s = n.n_nationkey),
-       |$steps""".stripMargin
+       |${louvainRoundSteps(rounds, "u", "l", "")}""".stripMargin
   }
+
+  /** `rounds` unrolled weighted local-moving rounds over edge CTE
+   * `$u(s, d, w)` from state CTE `$st 0(id, deg, community)` (states
+   * `$st k`, scratch CTEs prefixed `$p`) — weighted generalization of
+   * the level-1 replay (e_ic sums edge WEIGHT; super-loops never enter
+   * `$u`, so they shape deg only, mirroring lib/Louvain). */
+  private def louvainRoundSteps(rounds: Int, u: String, st: String, p: String): String =
+    (1 to rounds).map { k =>
+      val dir = if (k % 2 == 1) "<=" else ">=" // alternating-direction rule
+      s"""${p}t$k AS MATERIALIZED (SELECT community AS nc, SUM(deg) AS tot FROM $st${k - 1} GROUP BY 1),
+         |${p}cd$k AS MATERIALIZED (SELECT s, nc, SUM(cnt) AS e_ic FROM (
+         |  SELECT $u.s AS s, p.community AS nc, $u.w AS cnt FROM $u JOIN $st${k - 1} p ON p.id = $u.d
+         |  UNION ALL SELECT id, community, 0 FROM $st${k - 1}) GROUP BY 1, 2),
+         |${p}sc$k AS MATERIALIZED (SELECT cd.s, cd.nc, me.deg,
+         |    2 * (SELECT m FROM mm) * cd.e_ic
+         |      - me.deg * (t.tot - CASE WHEN cd.nc = me.community THEN me.deg ELSE 0 END) AS gain
+         |  FROM ${p}cd$k cd JOIN ${p}t$k t ON t.nc = cd.nc JOIN $st${k - 1} me ON me.id = cd.s
+         |  WHERE cd.nc $dir me.community),
+         |$st$k AS MATERIALIZED (SELECT s AS id, deg, nc AS community FROM (
+         |  SELECT s, deg, nc, ROW_NUMBER() OVER (PARTITION BY s ORDER BY gain DESC, nc ASC) AS rn
+         |  FROM ${p}sc$k) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+
+  /** Two-level Louvain replay (mirrors lib/Louvain setLevels(2)): after
+   * the level-1 rounds, communities aggregate into super-vertices
+   * (intra edges → super-loops contributing 2w to degree and nothing to
+   * any e_ic; inter edges → weighted super-edges), the SAME weighted
+   * rounds re-run on the super-graph with m conserved, and the labels
+   * compose back down. All-integer — bit-exact. */
+  private def louvainCoarseSql(rounds: Int): String =
+    s"""${louvainCtes(rounds)},
+       |a1 AS MATERIALIZED (SELECT id, community FROM l$rounds),
+       |ce2 AS MATERIALIZED (SELECT LEAST(x.community, y.community) AS a,
+       |    GREATEST(x.community, y.community) AS b, COUNT(*) AS w
+       |  FROM c JOIN a1 x ON x.id = c.a JOIN a1 y ON y.id = c.b GROUP BY 1, 2),
+       |u2 AS MATERIALIZED (SELECT a AS s, b AS d, w FROM ce2 WHERE a <> b
+       |  UNION ALL SELECT b, a, w FROM ce2 WHERE a <> b),
+       |lo2 AS MATERIALIZED (SELECT a AS id, w FROM ce2 WHERE a = b),
+       |z0 AS MATERIALIZED (SELECT v.id,
+       |    CAST(COALESCE(dw.wd, 0) + 2 * COALESCE(lo.w, 0) AS BIGINT) AS deg,
+       |    v.id AS community
+       |  FROM (SELECT DISTINCT community AS id FROM a1) v
+       |  LEFT JOIN (SELECT s, SUM(w) AS wd FROM u2 GROUP BY 1) dw ON dw.s = v.id
+       |  LEFT JOIN lo2 lo ON lo.id = v.id),
+       |${louvainRoundSteps(rounds, "u2", "z", "z")}
+       |SELECT a1.id, z.community FROM a1 JOIN z$rounds z ON z.id = a1.community""".stripMargin
 
   /** Synchronous CDLP, `iters` unrolled rounds: most frequent incoming
    * label, ties to the smallest label; no-inbox vertices keep their label
@@ -2836,6 +2880,10 @@ object SparkEntry {
     "g_skew_flat" -> skewStatsSql(hub = false),
     "g_label_propagation" -> lpaSql(5),
     "g_louvain" ->
+      s"""${louvainCtes(4)}
+         |SELECT id, community FROM l4""".stripMargin,
+    "g_louvain_coarse" -> louvainCoarseSql(4),
+    "g_louvain_decimal" ->
       s"""${louvainCtes(4)}
          |SELECT id, community FROM l4""".stripMargin,
     "g_assortativity" ->

@@ -93,6 +93,83 @@ class LouvainSpec extends TestBase {
     assert(qFound > 0.3) // two dense blobs: near the two-community optimum
   }
 
+  test("coarse level: distributed and driver-tail trajectories are identical") {
+    val v = (0L until 14L).toDF("id")
+    val e = ((0L until 14L).map(i => (i, (i + 1) % 14)) ++
+      Seq((0L, 7L), (3L, 10L), (1L, 5L), (8L, 12L), (2L, 9L)))
+      .toDF("src", "dst")
+    val g = GraphFrame(v, e)
+    for (levels <- Seq(2, 3)) {
+      val dist = g.louvain.setLevels(levels).setSmallGraphThreshold(0).run()
+        .select("id", "community").as[(Long, Long)].collect().toSet
+      val tail = g.louvain.setLevels(levels).setSmallGraphThreshold(100000).run()
+        .select("id", "community").as[(Long, Long)].collect().toSet
+      assert(dist == tail, s"divergence at levels=$levels")
+    }
+    // string ids through a coarse level (friends: reciprocal b<->c
+    // collapses, g isolated — the isolated singleton must survive both
+    // the distributed super-vertex set and the tail's coalesce)
+    val d2 = friends.louvain.setLevels(2).setSmallGraphThreshold(0).run()
+      .select("id", "community").as[(String, String)].collect().toSet
+    val t2 = friends.louvain.setLevels(2).setSmallGraphThreshold(100000).run()
+      .select("id", "community").as[(String, String)].collect().toSet
+    assert(d2 == t2)
+    assert(d2.contains(("g", "g")))
+  }
+
+  test("coarse level never lowers Q, and repairs part of a chase-stuck chain") {
+    // chain of four bridged triangles: synchronous level-1 local moving
+    // gets chase-stuck here (vertices pursue neighbors that moved away
+    // the same round — a period-2 limit cycle the alternating rule does
+    // not break, only swaps; measured Q 0.242 vs the 0.549 optimum).
+    // The coarse level must (a) never lower Q and (b) on this fixture
+    // measurably improve it by merging stranded singleton communities.
+    val v = (0L to 11L).toDF("id")
+    val tri = (0 until 4).flatMap { t =>
+      val b = 3L * t
+      Seq((b, b + 1), (b, b + 2), (b + 1, b + 2))
+    }
+    val bridges = Seq((2L, 3L), (5L, 6L), (8L, 9L))
+    val g = GraphFrame(v, (tri ++ bridges).toDF("src", "dst"))
+    val p1 = g.louvain.run().select("id", "community")
+    val p2 = g.louvain.setLevels(2).run().select("id", "community")
+    val q1 = g.modularity(p1).head().getAs[Double]("modularity")
+    val q2 = g.modularity(p2).head().getAs[Double]("modularity")
+    assert(q2 >= q1 - 1e-12, s"coarse Q $q2 < level-1 Q $q1")
+    assert(q2 > q1 + 0.01, s"coarse level did not improve the stuck chain ($q1 -> $q2)")
+  }
+
+  test("coarse level is a no-op on an already-optimal partition") {
+    // bridged triangles: level 1 finds the two triangles; the super-graph
+    // is two vertices (deg 7 each, loop 3 each) with one bridge edge —
+    // merge gain 2m·1 − 7·7 = −35 < 0, so the coarse rounds must keep
+    // the partition (and the composed labels must be unchanged)
+    val g = bridgedTriangles
+    val p1 = g.louvain.run().select("id", "community")
+      .as[(Long, Long)].collect().toSet
+    val p2 = g.louvain.setLevels(2).run().select("id", "community")
+      .as[(Long, Long)].collect().toSet
+    assert(p1 == p2)
+  }
+
+  test("decimal gain scoring is bit-identical to Long on both paths") {
+    val g = twoBlobs(5)
+    for (threshold <- Seq(0L, 100000L); levels <- Seq(1, 2)) {
+      val long = g.louvain.setLevels(levels).setGainMode("long")
+        .setSmallGraphThreshold(threshold).run()
+        .select("id", "community").as[(Long, Long)].collect().toSet
+      val dec = g.louvain.setLevels(levels).setGainMode("decimal")
+        .setSmallGraphThreshold(threshold).run()
+        .select("id", "community").as[(Long, Long)].collect().toSet
+      assert(long == dec, s"decimal/long divergence at threshold=$threshold levels=$levels")
+    }
+  }
+
+  test("forced long mode fails loudly past the exactness bound; setters validate") {
+    intercept[IllegalArgumentException](bridgedTriangles.louvain.setGainMode("float"))
+    intercept[IllegalArgumentException](bridgedTriangles.louvain.setLevels(0))
+  }
+
   test("edgeless and self-loop-only graphs: every vertex its own community") {
     val v = (0L to 3L).toDF("id")
     val e = Seq((1L, 1L)).toDF("src", "dst") // canonicalization drops loops

@@ -1293,6 +1293,43 @@ object SparkEntry {
       index.unpersist(false)
       s.createDataFrame(s.sparkContext.parallelize(buf.toSeq, 1), outSchema)
     }),
+    "e_stream_incdedup_grow" -> ((s, dir) => {
+      // grow-mode streaming ingest: TWO deterministic micro-batches
+      // (docs 400-449, then 450-499) against the corpus index (<400).
+      // Batch 2 must also match batch 1's docs — the r9 cross-batch
+      // blind window, now closed by appending each batch's fingerprints
+      // to the live index after matching. The oracle replays both
+      // batches: batch-1 rows match corpus + earlier-in-batch, batch-2
+      // rows match corpus + ALL of batch 1 + earlier-in-batch.
+      import s.implicits._
+      val docs = load(s, dir, "documents")
+      val index = pipeline.Dedup.minhashIndex(
+        docs.filter(col("doc_id") < 400), "doc_id", "text").persist()
+      // bounded driver staging: exactly the 100 docs with 400 <= id < 500
+      // (fixed regardless of SF), fed as two MemoryStream batches
+      val staged = docs.filter(col("doc_id") >= 400 && col("doc_id") < 500)
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      var outSchema: org.apache.spark.sql.types.StructType = null
+      val old = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = streaming.EventStreams.incrementalNearDupStream(
+            in.toDF().toDF("doc_id", "text"), "doc_id", "text", index,
+            (pairs, _) => { outSchema = pairs.schema; buf ++= pairs.collect() },
+            growIndex = true)
+          .queryName("graft_stream_incdedup_grow").start()
+        val (b1, b2) = staged.partition(_._1 < 450)
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+        q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", old)
+      index.unpersist(false)
+      s.createDataFrame(s.sparkContext.parallelize(buf.toSeq, 1), outSchema)
+    }),
     "e_stream_enrich" -> ((s, dir) => {
       // stream-static broadcast enrichment (stateless — no watermark, no
       // join buffer) feeding a running per-nation aggregate in complete
@@ -1370,6 +1407,41 @@ object SparkEntry {
        |  UNION
        |  SELECT DISTINCT x.doc_id, y.doc_id
        |   FROM nb x JOIN nb y ON x.band = y.band AND x.bh = y.bh
+       |   AND x.doc_id > y.doc_id)
+       |SELECT p.id AS doc_id, p.mid AS match_id,
+       |  ROUND(CAST(len(list_filter(range(1, 17), i -> a.mh[i] = b.mh[i])) AS DOUBLE) / 16,
+       |    4) AS est_jaccard
+       |FROM p JOIN sig a ON a.doc_id = p.id JOIN sig b ON b.doc_id = p.mid""".stripMargin
+
+  /** Two-micro-batch GROW-mode replay (mirrors e_stream_incdedup_grow):
+   * batch 1 = docs [400, 450) matches corpus (<400) + earlier-in-batch;
+   * batch 2 = docs [450, 500) matches corpus + ALL of batch 1 (the live
+   * index grew) + earlier-in-batch. */
+  private lazy val incrementalDedupGrowSql: String =
+    s"""WITH t AS (SELECT doc_id, $W AS w FROM documents WHERE doc_id < 500),
+       |s AS (SELECT doc_id, $SH3 AS sh FROM t WHERE len(w) >= 3),
+       |sig AS MATERIALIZED (SELECT doc_id, list_transform(range(0, 16), h ->
+       |   list_min(list_transform(sh, x -> md5(CAST(h AS VARCHAR) || '|' || x)))) AS mh
+       |   FROM s),
+       |bands AS MATERIALIZED (SELECT doc_id, r.b AS band,
+       |   md5(array_to_string(mh[2 * r.b + 1:2 * r.b + 2], '|')) AS bh
+       |   FROM sig, range(0, 8) r(b)),
+       |n1 AS (SELECT * FROM bands WHERE doc_id >= 400 AND doc_id < 450),
+       |n2 AS (SELECT * FROM bands WHERE doc_id >= 450),
+       |cb AS (SELECT * FROM bands WHERE doc_id < 400),
+       |lb AS (SELECT * FROM bands WHERE doc_id < 450),
+       |p AS (SELECT DISTINCT n1.doc_id AS id, cb.doc_id AS mid
+       |   FROM n1 JOIN cb ON n1.band = cb.band AND n1.bh = cb.bh
+       |  UNION
+       |  SELECT DISTINCT x.doc_id, y.doc_id
+       |   FROM n1 x JOIN n1 y ON x.band = y.band AND x.bh = y.bh
+       |   AND x.doc_id > y.doc_id
+       |  UNION
+       |  SELECT DISTINCT n2.doc_id, lb.doc_id
+       |   FROM n2 JOIN lb ON n2.band = lb.band AND n2.bh = lb.bh
+       |  UNION
+       |  SELECT DISTINCT x.doc_id, y.doc_id
+       |   FROM n2 x JOIN n2 y ON x.band = y.band AND x.bh = y.bh
        |   AND x.doc_id > y.doc_id)
        |SELECT p.id AS doc_id, p.mid AS match_id,
        |  ROUND(CAST(len(list_filter(range(1, 17), i -> a.mh[i] = b.mh[i])) AS DOUBLE) / 16,
@@ -3048,6 +3120,7 @@ object SparkEntry {
     // the batch operator — so the streamed output equals the batch
     // incremental dedup row-for-row and shares its oracle verbatim
     "e_stream_incremental_dedup" -> incrementalDedupSql,
+    "e_stream_incdedup_grow" -> incrementalDedupGrowSql,
     "p_minhash_lsh" ->
       s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
          |s AS (SELECT doc_id, $SH3 AS sh FROM t WHERE len(w) >= 3),

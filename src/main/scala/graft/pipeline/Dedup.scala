@@ -149,20 +149,31 @@ object Dedup {
       index: DataFrame, matchNewPairs: Boolean = true,
       n: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
       minEstJaccard: Double = 0.0, validateIndexWidth: Boolean = true): DataFrame = {
-    val numHashes = bands * rowsPerBand
     // eager: validate EVERY row's width in one probe job (a single-row
     // check would pass an index accidentally built with mixed parameters)
-    if (validateIndexWidth) {
-      index.agg(min(size(col("sig"))).as("_lo"), max(size(col("sig"))).as("_hi"))
-        .collect().foreach { r =>
-          if (!r.isNullAt(0)) {
-            require(r.getInt(0) == numHashes && r.getInt(1) == numHashes,
-              s"index signature widths [${r.getInt(0)}, ${r.getInt(1)}] != " +
-                s"bands*rowsPerBand = $numHashes — index built with different parameters?")
-          }
+    if (validateIndexWidth) validateIndexWidths(index, bands * rowsPerBand)
+    incrementalNearDupsIndexed(
+      minhashIndex(newDf, idCol, textCol, n, bands, rowsPerBand),
+      idCol, index, matchNewPairs, bands * rowsPerBand, minEstJaccard)
+  }
+
+  private[graft] def validateIndexWidths(index: DataFrame, numHashes: Int): Unit =
+    index.agg(min(size(col("sig"))).as("_lo"), max(size(col("sig"))).as("_hi"))
+      .collect().foreach { r =>
+        if (!r.isNullAt(0)) {
+          require(r.getInt(0) == numHashes && r.getInt(1) == numHashes,
+            s"index signature widths [${r.getInt(0)}, ${r.getInt(1)}] != " +
+              s"bands*rowsPerBand = $numHashes — index built with different parameters?")
         }
-    }
-    val newIdx = minhashIndex(newDf, idCol, textCol, n, bands, rowsPerBand)
+      }
+
+  /** [[incrementalNearDups]] over an ALREADY-COMPUTED new-batch index
+   * ([[minhashIndex]] output) — the streaming grow path computes the
+   * batch's fingerprints once, matches here, then appends the same rows
+   * to its live index (streaming/EventStreams.incrementalNearDupStream). */
+  private[graft] def incrementalNearDupsIndexed(newIdx: DataFrame, idCol: String,
+      index: DataFrame, matchNewPairs: Boolean, numHashes: Int,
+      minEstJaccard: Double): DataFrame = {
     val nb = indexBuckets(newIdx, idCol, "_n_id")
     val cb = indexBuckets(index, idCol, "_c_id")
     val corpusPairs = nb.join(cb,

@@ -162,38 +162,61 @@ object EventStreams {
    * `foreachBatch`. Each matched pair `(id, match_id, est_jaccard)` is
    * handed to `sink`.
    *
-   * Contract, stated rather than hidden: novel duplicates that arrive in
-   * DIFFERENT micro-batches are NOT matched against each other until the
-   * corpus index is refreshed to include them — the standard steady-state
-   * ingest design (the index refresh cadence bounds the blind window).
-   * Dedup state never lives in the stream: the per-batch cost is
-   * O(batch) signature computation + bucket equi-joins against the
-   * (static, re-broadcast per micro-batch) index, so this runs at any
-   * corpus size the batch operator handles.
+   * Cross-batch contract, stated rather than hidden: with `growIndex`
+   * OFF, novel duplicates that arrive in DIFFERENT micro-batches are NOT
+   * matched against each other until the corpus index is refreshed to
+   * include them — the plain steady-state ingest design (the index
+   * refresh cadence bounds the blind window), with zero stream state.
+   * With `growIndex` ON the blind window is CLOSED: each micro-batch's
+   * fingerprints are computed once, matched, then APPENDED to the live
+   * index (after matching, so a doc never matches itself), so later
+   * micro-batches dedup against every earlier in-stream document as well
+   * as the initial corpus. Ordering contract: within a micro-batch the
+   * later doc points at the earlier one (id > match_id); across batches
+   * the later BATCH's docs point at earlier batches' docs uncondition-
+   * ally. Grow-mode state is the appended fingerprints themselves —
+   * O(streamed docs) index rows materialized into executor block storage
+   * (`localCheckpoint`), NOT the texts; the growth is in-memory to THIS
+   * query and dies with it, so a production restart must rebuild the
+   * live index from rows durably written via `indexSink` (called with
+   * each batch's fingerprint frame — e.g. a parquet append of the same
+   * rows [[graft.pipeline.Dedup.minhashIndex]] wrote for the corpus).
+   *
+   * Per-batch cost either way is O(batch) signature computation + bucket
+   * equi-joins against the index, so this runs at any corpus size the
+   * batch operator handles.
    *
    * The index width is validated ONCE here, eagerly, at stream
    * definition (one bounded aggregate over the static index) — the
    * per-batch calls skip the scan but keep the always-on per-row width
-   * guard.
+   * guard (grow-mode appends are produced by [[graft.pipeline.Dedup
+   * .minhashIndex]] with these same parameters, so they cannot drift).
    */
   def incrementalNearDupStream(docs: DataFrame, idCol: String, textCol: String,
       index: DataFrame, sink: (DataFrame, Long) => Unit,
       matchNewPairs: Boolean = true, n: Int = 3, bands: Int = 8,
-      rowsPerBand: Int = 2, minEstJaccard: Double = 0.0)
+      rowsPerBand: Int = 2, minEstJaccard: Double = 0.0,
+      growIndex: Boolean = false, indexSink: (DataFrame, Long) => Unit = null)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val numHashes = bands * rowsPerBand
-    index.agg(min(size(col("sig"))).as("_lo"), max(size(col("sig"))).as("_hi"))
-      .collect().foreach { r =>
-        if (!r.isNullAt(0)) {
-          require(r.getInt(0) == numHashes && r.getInt(1) == numHashes,
-            s"index signature widths [${r.getInt(0)}, ${r.getInt(1)}] != " +
-              s"bands*rowsPerBand = $numHashes — index built with different parameters?")
-        }
-      }
+    graft.pipeline.Dedup.validateIndexWidths(index, numHashes)
+    var live = index
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      sink(graft.pipeline.Dedup.incrementalNearDups(
-        batch, idCol, textCol, index, matchNewPairs, n, bands, rowsPerBand,
-        minEstJaccard, validateIndexWidth = false), batchId)
+      if (growIndex) {
+        // compute the batch's fingerprints ONCE, detached from the
+        // streaming source (localCheckpoint), so the same rows can be
+        // matched now and live in the index beyond this callback
+        val newIdx = graft.pipeline.Dedup
+          .minhashIndex(batch, idCol, textCol, n, bands, rowsPerBand)
+          .localCheckpoint(true)
+        sink(graft.pipeline.Dedup.incrementalNearDupsIndexed(
+          newIdx, idCol, live, matchNewPairs, numHashes, minEstJaccard), batchId)
+        if (indexSink != null) indexSink(newIdx, batchId)
+        live = live.unionByName(newIdx)
+      } else
+        sink(graft.pipeline.Dedup.incrementalNearDups(
+          batch, idCol, textCol, index, matchNewPairs, n, bands, rowsPerBand,
+          minEstJaccard, validateIndexWidth = false), batchId)
     }
   }
 

@@ -1120,6 +1120,11 @@ object SparkEntry {
     "p_dup_spans" -> ((s, dir) => // cross-doc duplicated 3-token spans
       pipeline.Text.dupSpans(load(s, dir, "documents"), "doc_id", "text",
         n = 3, minDocs = 2)),
+    "p_dup_spans_maximal" -> ((s, dir) => // EXACT maximal repeats: capped
+      // 4-token seed buckets + per-pair longest-common-extension; lengths
+      // exact with no quantization, oracle replays every stage
+      pipeline.Text.dupSpansMaximal(load(s, dir, "documents"), "doc_id",
+        "text", seedTokens = 4, maxBucket = 256)),
     "p_top_ngrams" -> ((s, dir) => // corpus boilerplate mining: top bigrams
       pipeline.Text.topNgrams(load(s, dir, "documents"), "doc_id", "text",
         n = 2, k = 50)),
@@ -1412,6 +1417,41 @@ object SparkEntry {
        |  ROUND(CAST(len(list_filter(range(1, 17), i -> a.mh[i] = b.mh[i])) AS DOUBLE) / 16,
        |    4) AS est_jaccard
        |FROM p JOIN sig a ON a.doc_id = p.id JOIN sig b ON b.doc_id = p.mid""".stripMargin
+
+  /** Exact maximal duplicated spans replay (mirrors Text.dupSpansMaximal):
+   * md5'd `seedTokens`-token windows, capped cross-doc seed buckets,
+   * per-pair longest-common-extension (first aligned mismatch), per-
+   * position max, predecessor maximality filter, span rebuild. */
+  private def dupSpansMaximalSql(seedTokens: Int, maxBucket: Int): String = {
+    val n = seedTokens
+    s"""WITH t AS MATERIALIZED (SELECT doc_id, $W AS w FROM documents),
+       |s0 AS (SELECT doc_id AS d, w, unnest(range(0, len(w) - ${n - 1})) AS pos
+       |  FROM t WHERE len(w) >= $n),
+       |sd AS MATERIALIZED (SELECT d, CAST(pos AS INT) AS pos,
+       |  md5(array_to_string(w[pos + 1 : pos + $n], ' ')) AS k FROM s0),
+       |ok AS (SELECT k FROM sd GROUP BY k
+       |  HAVING COUNT(DISTINCT d) >= 2 AND COUNT(*) <= $maxBucket),
+       |cand AS MATERIALIZED (SELECT sd.d, sd.pos, sd.k FROM sd JOIN ok ON ok.k = sd.k),
+       |px AS MATERIALIZED (SELECT x.d AS d1, x.pos AS p1, y.d AS d2, y.pos AS p2
+       |  FROM cand x JOIN cand y ON x.k = y.k AND x.d < y.d),
+       |pw AS (SELECT px.*, a.w AS w1, b.w AS w2,
+       |    LEAST(len(a.w) - px.p1, len(b.w) - px.p2) AS lmax
+       |  FROM px JOIN t a ON a.doc_id = px.d1 JOIN t b ON b.doc_id = px.d2),
+       |pl AS MATERIALIZED (SELECT d1, p1, d2, p2,
+       |    CAST(CASE WHEN fm IS NULL OR fm = 0 THEN lmax ELSE fm - 1 END AS INT) AS len FROM (
+       |  SELECT *, list_position(list_transform(range(1, lmax + 1),
+       |      i -> w1[p1 + i] = w2[p2 + i]), false) AS fm
+       |  FROM pw)),
+       |pp AS MATERIALIZED (SELECT d, pos, MAX(len) AS len FROM (
+       |  SELECT d1 AS d, p1 AS pos, len FROM pl
+       |  UNION ALL SELECT d2, p2, len FROM pl) GROUP BY 1, 2),
+       |mx AS (SELECT c.d, c.pos, c.len FROM pp c
+       |  LEFT JOIN pp l ON l.d = c.d AND l.pos = c.pos - 1
+       |  WHERE l.len IS NULL OR l.len < c.len + 1)
+       |SELECT mx.d AS doc_id, CAST(mx.pos AS INT) AS pos, CAST(mx.len AS INT) AS len,
+       |  array_to_string(t.w[mx.pos + 1 : mx.pos + mx.len], ' ') AS span
+       |FROM mx JOIN t ON t.doc_id = mx.d""".stripMargin
+  }
 
   /** Two-micro-batch GROW-mode replay (mirrors e_stream_incdedup_grow):
    * batch 1 = docs [400, 450) matches corpus (<400) + earlier-in-batch;
@@ -3253,6 +3293,7 @@ object SparkEntry {
          |    ) AS BIGINT) AS shard_id
          |FROM t""".stripMargin,
     "p_semantic_dedup" -> semanticDedupSql(0.4, 8, 1),
+    "p_dup_spans_maximal" -> dupSpansMaximalSql(seedTokens = 4, maxBucket = 256),
     "p_dup_spans" ->
       s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
          |s AS (SELECT doc_id, unnest($SH3) AS sh FROM t WHERE len(w) >= 3)

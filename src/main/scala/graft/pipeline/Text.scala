@@ -230,6 +230,102 @@ object Text {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** EXACT maximal cross-document duplicated spans — the precise half of
+   * exact substring dedup that [[dupSpans]] only approximates with
+   * fixed-width windows ("Deduplicating Training Data Makes Language
+   * Models Better", Lee et al. 2022; their suffix array is replaced by
+   * capped shingle-bucket seeding + per-pair longest-common-extension,
+   * so no suffix structure ever sits in driver memory).
+   *
+   * For every document position, the LONGEST token span starting there
+   * that also appears verbatim in at least one OTHER document, reported
+   * only when maximal (not contained in a longer duplicated span — a
+   * span survives iff its predecessor position cannot be extended over
+   * it: pos = 0 or len(pos−1) < len(pos)+1, which is sufficient because
+   * any containing span's suffix starting at pos−1 would itself be a
+   * duplicated span). Returns (doc_id-typed idCol, pos, len, span),
+   * len ≥ `seedTokens` (shorter duplicates are below the operator's
+   * minimum-span contract, mirroring Lee et al.'s length threshold).
+   *
+   * Construction, every stage an equi-join or hash aggregation:
+   *  1. seeding: positions whose `seedTokens`-token window appears in
+   *     ≥2 docs form cross-doc candidate pairs via ONE bucket
+   *     self-join — buckets wider than `maxBucket` positions are
+   *     boilerplate (mine them with [[topNgrams]]) and are dropped, the
+   *     cap that keeps the pair fan-out linear-ish at corpus scale
+   *     (deterministic bucket-level rule, replayed by the oracle);
+   *  2. exact match length per pair by longest-common-extension: join
+   *     each pair to its two token arrays and compare aligned slices in
+   *     one codegen pass (`zip_with` + first-mismatch) — O(matched
+   *     length) work per pair, i.e. proportional to the output being
+   *     reported, with NO length quantization or cap (a prior
+   *     prefix-doubling variant was measured 3-10x slower here: 10
+   *     sequential probe joins against corpus-sized key frames, vs two
+   *     joins against the doc-array frame);
+   *  3. per-position max over partners, predecessor maximality filter,
+   *     span text rebuilt by one slice against the source.
+   *
+   * The heavy shuffles carry ids, positions, and 32-char window hashes;
+   * token ARRAYS move only in the two pair→doc joins of stage 2, whose
+   * row count is the capped pair count, never the corpus. Per-pair work
+   * is bounded by document length — multi-gigabyte single documents
+   * would need the doubling construction instead; for corpora of
+   * bounded-length documents (the training-data shape) this is the
+   * faster exact path. */
+  def dupSpansMaximal(df0: DataFrame, idCol: String, textCol: String,
+      seedTokens: Int = 8, maxBucket: Int = 256): DataFrame = {
+    require(seedTokens >= 1, s"seedTokens must be >= 1, got $seedTokens")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val df = ensureParallelism(df0)
+    val seed = df.select(col(idCol).as("_d"),
+        posexplode(wordShingles(col(textCol), seedTokens)).as(Seq("pos", "_sh")))
+      .select(col("_d"), col("pos"), md5(col("_sh")).as("k"))
+      .persist()
+    val okBuckets = seed.groupBy("k")
+      .agg(countDistinct(col("_d")).as("_nd"), count(lit(1)).as("_n"))
+      .filter(col("_nd") >= 2 && col("_n") <= maxBucket)
+      .select(col("k"))
+    val cand = seed.join(okBuckets, "k")
+    val pairs = cand.as("x").join(cand.as("y"),
+        col("x.k") === col("y.k") && col("x._d") < col("y._d"))
+      .select(col("x._d").as("d1"), col("x.pos").as("p1"),
+        col("y._d").as("d2"), col("y.pos").as("p2"))
+    // longest common extension: L = min remaining lengths; first aligned
+    // mismatch bounds the exact match length (array_position is 0 when
+    // the slices agree end-to-end)
+    val docArr = df.select(col(idCol).as("_d"), tokens(col(textCol)).as("_w"))
+    val lCol = least(size(col("_w1")) - col("p1"), size(col("_w2")) - col("p2"))
+    val firstMismatch = array_position(
+      zip_with(slice(col("_w1"), col("p1") + 1, col("_L")),
+        slice(col("_w2"), col("p2") + 1, col("_L")),
+        (a, b) => a === b),
+      false)
+    val matched = pairs
+      .join(docArr.select(col("_d").as("d1"), col("_w").as("_w1")), Seq("d1"))
+      .join(docArr.select(col("_d").as("d2"), col("_w").as("_w2")), Seq("d2"))
+      .withColumn("_L", lCol)
+      .withColumn("_fm", firstMismatch)
+      .select(col("d1"), col("p1"), col("d2"), col("p2"),
+        when(col("_fm") === 0, col("_L"))
+          .otherwise(col("_fm") - 1).cast("int").as("len"))
+    val perPos = matched.select(col("d1").as("_d"), col("p1").as("pos"), col("len"))
+      .unionByName(matched.select(col("d2").as("_d"), col("p2").as("pos"), col("len")))
+      .groupBy(col("_d"), col("pos")).agg(max(col("len")).as("len"))
+      .persist() // self-joined below; without the pin the whole pair stage runs twice
+    // maximality: drop spans the predecessor position extends over
+    val maximal = perPos.as("c").join(perPos.as("l"),
+        col("c._d") === col("l._d") && col("l.pos") === col("c.pos") - 1, "left_outer")
+      .filter(col("l.len").isNull || col("l.len") < col("c.len") + 1)
+      .select(col("c._d").as("_d"), col("c.pos").as("pos"), col("c.len").as("len"))
+    val out = maximal.join(docArr, Seq("_d"))
+      .select(col("_d").as(idCol), col("pos"), col("len"),
+        concat_ws(" ", slice(col("_w"), col("pos") + 1, col("len"))).as("span"))
+    out.cache() // materialize before releasing the stage pins below
+    out.count()
+    seed.unpersist(false); perPos.unpersist(false)
+    out
+  }
+
   /** Corpus-wide top-`k` `n`-grams by occurrence (boilerplate mining):
    * (ngram, n_occ, n_docs, rank), rank 1 = most frequent, ties broken by
    * ngram ascending so the cut is deterministic. The heavy stage is one

@@ -29,6 +29,7 @@ object GraftConf {
   val CcSmallGraphThresholdKey = "spark.graft.connectedComponents.smallgraphthreshold"
   val TriangleHubThresholdKey = "spark.graft.triangleCount.hubthreshold"
   val LinkAnalysisSmallGraphThresholdKey = "spark.graft.linkAnalysis.smallgraphthreshold"
+  val CentralityRequireSampledAboveKey = "spark.graft.centrality.requiresampledabove"
 
   private def get(key: String): Option[String] =
     SparkSession.getActiveSession.flatMap(s => Option(s.conf.get(key, null)))
@@ -69,4 +70,13 @@ object GraftConf {
    * 0 disables; full bounded-path matrix: docs/THRESHOLDS.md). */
   def linkAnalysisSmallGraphThreshold: Option[Long] =
     get(LinkAnalysisSmallGraphThresholdKey).map(_.toLong)
+
+  /** Source count above which an EXACT (unsampled) distributed
+   * Betweenness/Closeness/Eccentricity run fails loudly instead of
+   * silently scheduling O(V×S) = O(V²) level state — the caller must
+   * either `sampleSources(k)` (O(V·k)) or disable the guard (`0`) to
+   * force the exact run. Default 100,000 sources
+   * (docs/THRESHOLDS.md row 2). */
+  def centralityRequireSampledAbove: Option[Long] =
+    get(CentralityRequireSampledAboveKey).map(_.toLong)
 }

@@ -53,6 +53,22 @@ private[graft] object MultiSourceBFS {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  /** Loud guard for the EXACT all-source distributed paths: above
+   * `spark.graft.centrality.requiresampledabove` sources (default
+   * 100,000; `0` disables), an exact run must be an explicit decision —
+   * its level frames hold O(V×S) = O(V²) rows, which no cluster absorbs
+   * silently at the engine's target scale. The driver tails never reach
+   * here (they are bounded by the edge-count threshold), and sampled
+   * runs (O(V·k)) pass untouched. docs/THRESHOLDS.md row 2. */
+  def guardExactSources(op: String, nSources: Long): Unit = {
+    val limit = graft.GraftConf.centralityRequireSampledAbove.getOrElse(100000L)
+    require(limit <= 0 || nSources <= limit,
+      s"$op: exact all-source run over $nSources sources would build O(V*S) " +
+        s"level state (> $limit); call sampleSources(k) for the O(V*k) " +
+        s"estimator, or set ${graft.GraftConf.CentralityRequireSampledAboveKey} " +
+        "to 0 (or above your source count) to force the exact run")
+  }
+
   /** Multi-source Bellman-Ford over `(src, dst, _bw)` edges: the FINAL
    * `(s, id, dist)` frame for every reached pair (sources at dist 0).
    * Each round is one join + one min-aggregation on the improved
@@ -188,6 +204,8 @@ class Betweenness(g: GraphFrame) {
       e.unpersist(false)
       return r
     }
+    if (!(sampleKV > 0 && sampleKV < n))
+      MultiSourceBFS.guardExactSources("betweenness", n)
 
     val sources = sampledSources()
     val levels = MultiSourceBFS.levels(e, sources)
@@ -378,6 +396,8 @@ class Betweenness(g: GraphFrame) {
       e.unpersist(false)
       return r
     }
+    if (!(sampleKV > 0 && sampleKV < n))
+      MultiSourceBFS.guardExactSources("betweenness", n)
     val cuts = ArrayBuffer.empty[DataFrame]
     def cut(df: DataFrame): DataFrame = {
       val c = df.localCheckpoint(true); cuts += c; c
@@ -599,6 +619,7 @@ class Eccentricity(g: GraphFrame) {
       e.unpersist(false)
       return r
     }
+    if (!sampled) MultiSourceBFS.guardExactSources("eccentricity", n)
     // exact: forward BFS from every vertex, scored at the source.
     // sampled: BFS from the landmarks over reversed edges (so the level
     // distance IS d(v, landmark) in the original direction), scored at
@@ -673,6 +694,7 @@ class Eccentricity(g: GraphFrame) {
       e.unpersist(false)
       return r
     }
+    if (!sampled) MultiSourceBFS.guardExactSources("eccentricity", n)
     val cuts = ArrayBuffer.empty[DataFrame]
     def cut(df: DataFrame): DataFrame = {
       val c = df.localCheckpoint(true); cuts += c; c
@@ -778,6 +800,7 @@ class Closeness(g: GraphFrame) {
       e.unpersist(false)
       return r
     }
+    if (!sampled) MultiSourceBFS.guardExactSources("closeness", n)
     // exact: forward BFS from every vertex, scored at the source.
     // sampled: BFS from the landmarks over reversed edges (level distance
     // = d(v, landmark) in the original direction), scored at the reached
@@ -876,6 +899,7 @@ class Closeness(g: GraphFrame) {
       e.unpersist(false)
       return r
     }
+    if (!sampled) MultiSourceBFS.guardExactSources("closeness", n)
     val cuts = ArrayBuffer.empty[DataFrame]
     def cut(df: DataFrame): DataFrame = {
       val c = df.localCheckpoint(true); cuts += c; c

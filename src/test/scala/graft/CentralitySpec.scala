@@ -308,4 +308,36 @@ class CentralitySpec extends TestBase {
       assert(m(1L) == 1.0, s"threshold $t") // only pair (0,2); sigma stays 1
     }
   }
+
+  test("exact all-source guard: unsampled distributed runs above the conf fail loudly") {
+    // 4 vertices, guard at 3 sources: every exact DISTRIBUTED run (tail
+    // disabled) must refuse with the sampleSources remedy; sampled runs
+    // and guard-disabled (0) runs pass; driver tails are never guarded
+    val g = diamond
+    val key = GraftConf.CentralityRequireSampledAboveKey
+    spark.conf.set(key, "3")
+    try {
+      val wg = GraphFrame(g.vertices,
+        g.edges.withColumn("w", lit(1.0)))
+      val exact = Seq(
+        () => g.betweenness.setSmallGraphThreshold(0).run(),
+        () => wg.betweenness.weightCol("w").setSmallGraphThreshold(0).run(),
+        () => g.closeness.setSmallGraphThreshold(0).run(),
+        () => wg.closeness.weightCol("w").setSmallGraphThreshold(0).run(),
+        () => g.eccentricity.setSmallGraphThreshold(0).run(),
+        () => wg.eccentricity.weightCol("w").setSmallGraphThreshold(0).run())
+      for (f <- exact) {
+        val ex = intercept[IllegalArgumentException](f().collect())
+        assert(ex.getMessage.contains("sampleSources"), ex.getMessage)
+      }
+      // sampled: passes under the same conf
+      assert(g.betweenness.sampleSources(2).setSmallGraphThreshold(0)
+        .run().count() == 4)
+      // driver tail: never guarded
+      assert(g.betweenness.setSmallGraphThreshold(100).run().count() == 4)
+      // 0 disables: exact distributed run proceeds
+      spark.conf.set(key, "0")
+      assert(g.betweenness.setSmallGraphThreshold(0).run().count() == 4)
+    } finally spark.conf.unset(key)
+  }
 }

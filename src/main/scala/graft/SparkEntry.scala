@@ -1125,6 +1125,12 @@ object SparkEntry {
       // exact with no quantization, oracle replays every stage
       pipeline.Text.dupSpansMaximal(load(s, dir, "documents"), "doc_id",
         "text", seedTokens = 4, maxBucket = 256)),
+    "p_cut_dup_spans" -> ((s, dir) => // the cut half: corpus rebuilt with
+      // every maximal-span occurrence removed except the globally first
+      // (smallest (doc, pos) per span text) — oracle replays the winner
+      // rule, the union-of-cuts removal, and the ordered rebuild
+      pipeline.Text.cutDupSpans(load(s, dir, "documents"), "doc_id",
+        "text", seedTokens = 4, maxBucket = 256)),
     "p_top_ngrams" -> ((s, dir) => // corpus boilerplate mining: top bigrams
       pipeline.Text.topNgrams(load(s, dir, "documents"), "doc_id", "text",
         n = 2, k = 50)),
@@ -1422,7 +1428,34 @@ object SparkEntry {
    * md5'd `seedTokens`-token windows, capped cross-doc seed buckets,
    * per-pair longest-common-extension (first aligned mismatch), per-
    * position max, predecessor maximality filter, span rebuild. */
-  private def dupSpansMaximalSql(seedTokens: Int, maxBucket: Int): String = {
+  private def dupSpansMaximalSql(seedTokens: Int, maxBucket: Int): String =
+    s"""${dupSpansMaximalCtes(seedTokens, maxBucket)}
+       |SELECT mx.d AS doc_id, CAST(mx.pos AS INT) AS pos, CAST(mx.len AS INT) AS len,
+       |  array_to_string(t.w[mx.pos + 1 : mx.pos + mx.len], ' ') AS span
+       |FROM mx JOIN t ON t.doc_id = mx.d""".stripMargin
+
+  /** Cut replay (mirrors Text.cutDupSpans): group the maximal spans by
+   * text, keep the smallest (doc, pos) occurrence, drop every token
+   * covered by a losing occurrence, rebuild in position order. */
+  private def cutDupSpansSql(seedTokens: Int, maxBucket: Int): String =
+    s"""${dupSpansMaximalCtes(seedTokens, maxBucket)},
+       |sp AS (SELECT mx.d, mx.pos, mx.len,
+       |    array_to_string(t.w[mx.pos + 1 : mx.pos + mx.len], ' ') AS span
+       |  FROM mx JOIN t ON t.doc_id = mx.d),
+       |lose AS (SELECT d, pos, len FROM (
+       |  SELECT sp.*, ROW_NUMBER() OVER (PARTITION BY md5(span) ORDER BY d, pos) AS rn
+       |  FROM sp) WHERE rn > 1),
+       |rem AS (SELECT DISTINCT d, unnest(range(pos, pos + len)) AS tp FROM lose),
+       |tok AS (SELECT doc_id AS d, unnest(range(0, len(w))) AS pos, unnest(w) AS tk FROM t),
+       |keep AS (SELECT tok.* FROM tok LEFT JOIN rem ON rem.d = tok.d AND rem.tp = tok.pos
+       |  WHERE rem.tp IS NULL),
+       |reb AS (SELECT d, string_agg(tk, ' ' ORDER BY pos) AS clean_text FROM keep GROUP BY d),
+       |cnt AS (SELECT d, COUNT(*) AS n FROM rem GROUP BY d)
+       |SELECT t.doc_id, COALESCE(reb.clean_text, '') AS clean_text,
+       |  CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_removed_tokens
+       |FROM t LEFT JOIN reb ON reb.d = t.doc_id LEFT JOIN cnt ON cnt.d = t.doc_id""".stripMargin
+
+  private def dupSpansMaximalCtes(seedTokens: Int, maxBucket: Int): String = {
     val n = seedTokens
     s"""WITH t AS MATERIALIZED (SELECT doc_id, $W AS w FROM documents),
        |s0 AS (SELECT doc_id AS d, w, unnest(range(0, len(w) - ${n - 1})) AS pos
@@ -1447,10 +1480,7 @@ object SparkEntry {
        |  UNION ALL SELECT d2, p2, len FROM pl) GROUP BY 1, 2),
        |mx AS (SELECT c.d, c.pos, c.len FROM pp c
        |  LEFT JOIN pp l ON l.d = c.d AND l.pos = c.pos - 1
-       |  WHERE l.len IS NULL OR l.len < c.len + 1)
-       |SELECT mx.d AS doc_id, CAST(mx.pos AS INT) AS pos, CAST(mx.len AS INT) AS len,
-       |  array_to_string(t.w[mx.pos + 1 : mx.pos + mx.len], ' ') AS span
-       |FROM mx JOIN t ON t.doc_id = mx.d""".stripMargin
+       |  WHERE l.len IS NULL OR l.len < c.len + 1)""".stripMargin
   }
 
   /** Two-micro-batch GROW-mode replay (mirrors e_stream_incdedup_grow):
@@ -3294,6 +3324,7 @@ object SparkEntry {
          |FROM t""".stripMargin,
     "p_semantic_dedup" -> semanticDedupSql(0.4, 8, 1),
     "p_dup_spans_maximal" -> dupSpansMaximalSql(seedTokens = 4, maxBucket = 256),
+    "p_cut_dup_spans" -> cutDupSpansSql(seedTokens = 4, maxBucket = 256),
     "p_dup_spans" ->
       s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
          |s AS (SELECT doc_id, unnest($SH3) AS sh FROM t WHERE len(w) >= 3)

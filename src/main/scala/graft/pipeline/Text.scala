@@ -326,6 +326,56 @@ object Text {
     out
   }
 
+  /** The CUT half of exact substring dedup (Lee et al. 2022): rebuild the
+   * corpus with every maximal duplicated span occurrence REMOVED except
+   * the globally first one. Composes [[dupSpansMaximal]]:
+   *
+   *  1. occurrences group by span text (keyed by md5(span) so the group
+   *     shuffle carries 32-char hashes, not span text); the winner is the
+   *     smallest (doc, pos) — deterministic, replayable;
+   *  2. every losing occurrence explodes into its token positions; a doc
+   *     token is dropped when covered by ANY losing range (overlapping
+   *     ranges union naturally — a kept winner span can still lose
+   *     tokens to a DIFFERENT overlapping removed range, the standard
+   *     union-of-cuts semantics, stated rather than hidden);
+   *  3. text rebuilds from the kept tokens in position order (one
+   *     order-preserving aggregation per doc).
+   *
+   * Returns one row per input document: (idCol, clean_text — "" when
+   * everything was cut, n_removed_tokens). Work beyond the span
+   * detection is proportional to the REMOVED token count plus one
+   * corpus re-tokenization — the rebuild never shuffles more than the
+   * corpus' own token rows. */
+  def cutDupSpans(df0: DataFrame, idCol: String, textCol: String,
+      seedTokens: Int = 8, maxBucket: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val df = ensureParallelism(df0)
+    val spans = dupSpansMaximal(df, idCol, textCol, seedTokens, maxBucket)
+    val w = Window.partitionBy(md5(col("span"))).orderBy(col(idCol), col("pos"))
+    // removed token positions collapse to ONE array row per touched doc
+    // (collect_set dedups overlapping ranges), so the rebuild is a
+    // doc-keyed join + a codegen'd indexed filter over each token array —
+    // no corpus-wide position explode, anti-join, or struct re-sort
+    val remArr = spans.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") > 1)
+      .select(col(idCol).as("_d"),
+        explode(sequence(col("pos"), col("pos") + col("len") - 1)).as("_tp"))
+      .groupBy(col("_d")).agg(collect_set(col("_tp")).as("_rm"))
+    val out = df.select(col(idCol).as("_d"), tokens(col(textCol)).as("_w"))
+      .join(remArr, Seq("_d"), "left_outer")
+      .select(col("_d").as(idCol),
+        when(col("_rm").isNull, concat_ws(" ", col("_w")))
+          .otherwise(concat_ws(" ",
+            filter(col("_w"), (t, i) => !array_contains(col("_rm"), i))))
+          .as("clean_text"),
+        coalesce(size(col("_rm")).cast("long"), lit(0L)).as("n_removed_tokens"))
+    // size() of a NULL array is -1 under legacy conf and null otherwise;
+    // the when-guard above makes the coalesce the only consumer
+    out.select(col(idCol), col("clean_text"),
+      when(col("n_removed_tokens") < 0, lit(0L))
+        .otherwise(col("n_removed_tokens")).as("n_removed_tokens"))
+  }
+
   /** Corpus-wide top-`k` `n`-grams by occurrence (boilerplate mining):
    * (ngram, n_occ, n_docs, rank), rank 1 = most frequent, ties broken by
    * ngram ascending so the cut is deterministic. The heavy stage is one

@@ -198,12 +198,18 @@ class GraphFrameMethods:
         extension)."""
         return self._call("link_prediction", maxHubDegree=maxHubDegree)
 
-    def louvain(self, maxIter: Optional[int] = None):
+    def louvain(self, maxIter: Optional[int] = None,
+                levels: Optional[int] = None,
+                gainMode: Optional[str] = None):
         """Synchronous Louvain-style modularity local moving (engine
         extension): deterministic integer-gain variant with an
-        alternating-direction anti-oscillation rule. Returns vertices +
-        ``community``."""
-        return self._call("louvain", maxIter=maxIter)
+        alternating-direction anti-oscillation rule. ``levels`` > 1 adds
+        classic community-coarsening passes; ``gainMode`` in
+        ``{"auto", "long", "decimal"}`` controls the exact-integer gain
+        arithmetic (auto switches to DECIMAL(38,0) past 1.5e9 edges).
+        Returns vertices + ``community``."""
+        return self._call("louvain", maxIter=maxIter, levels=levels,
+                          gainMode=gainMode)
 
     def modularity(self, maxIter: Optional[int] = None):
         """One-row Newman modularity Q of the ``louvain(maxIter)``
@@ -391,6 +397,26 @@ class PipelineMethods:
     def simhash(self, idCol: str, textCol: str,
                 bits: Optional[int] = None):
         return self._call("pipe_simhash", idCol=idCol, textCol=textCol, bits=bits)
+
+    def dupSpansMaximal(self, idCol: str, textCol: str,
+                        seedTokens: Optional[int] = None,
+                        maxBucket: Optional[int] = None):
+        """EXACT maximal cross-document duplicated spans (capped seed
+        buckets + longest-common-extension): one row per maximal span
+        occurrence ``(idCol, pos, len, span)``, len >= seedTokens."""
+        return self._call("pipe_dup_spans_maximal", idCol=idCol,
+                          textCol=textCol, seedTokens=seedTokens,
+                          maxBucket=maxBucket)
+
+    def cutDupSpans(self, idCol: str, textCol: str,
+                    seedTokens: Optional[int] = None,
+                    maxBucket: Optional[int] = None):
+        """Corpus rebuilt with every maximal duplicated span occurrence
+        removed except the globally first: ``(idCol, clean_text,
+        n_removed_tokens)``."""
+        return self._call("pipe_cut_dup_spans", idCol=idCol,
+                          textCol=textCol, seedTokens=seedTokens,
+                          maxBucket=maxBucket)
 
     def segmentDedup(self, idCol: str, textCol: str,
                      sep: Optional[str] = None,

@@ -63,7 +63,7 @@ object GraftConnectDispatch {
     "neighborhood_function" -> Set("maxIter", "lgNomEntries"),
     "link_prediction" -> Set("maxHubDegree"),
     "greedy_coloring" -> Set("maxColors", "maxIter", "seed", "hashMode"),
-    "louvain" -> Set("maxIter"),
+    "louvain" -> Set("maxIter", "levels", "gainMode"),
     "modularity" -> Set("maxIter"),
     "clustering_coefficient" -> Set.empty[String],
     "assortativity" -> Set.empty[String],
@@ -98,6 +98,8 @@ object GraftConnectDispatch {
     "pipe_near_dup_clusters" -> Set("idCol", "textCol", "shingle", "bands", "rowsPerBand"),
     "pipe_dedup_quality" -> Set("idCol", "textCol", "threshold", "shingle", "bands", "rowsPerBand"),
     "pipe_simhash" -> Set("idCol", "textCol", "bits"),
+    "pipe_dup_spans_maximal" -> Set("idCol", "textCol", "seedTokens", "maxBucket"),
+    "pipe_cut_dup_spans" -> Set("idCol", "textCol", "seedTokens", "maxBucket"),
     "pipe_segment_dedup" -> Set("idCol", "textCol", "sep", "windowWords",
       "maxDupCount", "lowercase"),
     "pipe_semantic_dedup" -> Set("idCol", "vecCol", "threshold", "nlist", "lloydIters"),
@@ -250,6 +252,14 @@ object GraftConnectDispatch {
             rowsPerBand = int("rowsPerBand").getOrElse(2))
         case "pipe_simhash" =>
           Dedup.simhash(t, id, text, bits = int("bits").getOrElse(16))
+        case "pipe_dup_spans_maximal" =>
+          Text.dupSpansMaximal(t, id, text,
+            seedTokens = int("seedTokens").getOrElse(8),
+            maxBucket = int("maxBucket").getOrElse(256))
+        case "pipe_cut_dup_spans" =>
+          Text.cutDupSpans(t, id, text,
+            seedTokens = int("seedTokens").getOrElse(8),
+            maxBucket = int("maxBucket").getOrElse(256))
         case "pipe_segment_dedup" =>
           Dedup.segmentDedup(t, id, text,
             sep = params.get("sep").collect { case JString(s) => s }.getOrElse("\n"),
@@ -552,6 +562,8 @@ object GraftConnectDispatch {
       case "louvain" =>
         val lv = g.louvain
         int("maxIter").foreach(lv.maxIter)
+        int("levels").foreach(lv.setLevels)
+        str("gainMode").foreach(lv.setGainMode)
         lv.run()
       // single-relation contract: Q of the louvain(maxIter) partition
       // (an arbitrary client-side partition would need a second input

@@ -177,6 +177,12 @@ class ConnectPluginSpec extends TestBase {
     val q = GraftConnectDispatch.run(Some(v), e, "modularity", """{"maxIter": 4}""").head()
     assert(math.abs(q.getAs[Double]("modularity") - 70.0 / 196.0) < 1e-12)
     assert(q.getAs[Long]("n_communities") == 2L && q.getAs[Long]("m_edges") == 7L)
+    // r10 params: coarse levels are a no-op on the optimal partition;
+    // decimal gain scoring is bit-identical to the Long default
+    val c2 = GraftConnectDispatch.run(Some(v), e, "louvain",
+        """{"maxIter": 4, "levels": 2, "gainMode": "decimal"}""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(c2 == c)
     // unknown params still fail loudly
     val err = intercept[IllegalArgumentException] {
       GraftConnectDispatch.run(Some(v), e, "louvain", """{"bogus": 1}""")
@@ -395,6 +401,11 @@ class ConnectPluginSpec extends TestBase {
     }
     assert(run("pipe_bigram_lm",
       """{"idCol": "doc_id", "textCol": "text"}""").count() == 4)
+    // r10 span ops: the 0/1 near-dup pair shares a run >= 4 tokens
+    assert(run("pipe_dup_spans_maximal",
+      """{"idCol": "doc_id", "textCol": "text", "seedTokens": 4}""").count() >= 2)
+    assert(run("pipe_cut_dup_spans",
+      """{"idCol": "doc_id", "textCol": "text", "seedTokens": 4}""").count() == 4)
     assert(run("pipe_bpe_train",
       """{"textCol": "text", "numMerges": 2}""").count() == 2)
     assert(run("pipe_bpe_encode",

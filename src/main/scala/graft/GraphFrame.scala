@@ -602,6 +602,64 @@ class GraphFrame private (
       lit(r).cast("double").as("assortativity"), lit(m).as("m_edges"))
   }
 
+  /** Rich-club coefficient sweep (engine extension): for each degree
+   * threshold k in `ks`, the density of the subgraph induced by the
+   * "club" of vertices with undirected simple degree > k —
+   * φ(k) = 2·E_k / (N_k·(N_k−1)). A rising φ(k) means hubs
+   * preferentially attach to each other (the rich-club effect).
+   *
+   * Shape: one degree aggregation over the canonical undirected simple
+   * graph, then ONE constant fan-out of |ks| rows per vertex / edge
+   * (explode of a literal array — no per-k rescans of the edge list)
+   * into two grouped counts. Every operand is an exact integer; the
+   * single float division happens once per output row, so a SQL engine
+   * replays φ bit-identically. Clubs with fewer than two members yield
+   * a null φ. Scale: two shuffles on (k, …) keys, both |ks|-bounded
+   * multiples of the input — no driver state, no all-pairs anywhere. */
+  def richClub(ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty, "richClub: need at least one degree threshold")
+    val canon = edges.filter(col(SRC).isNotNull && col(DST).isNotNull &&
+        col(SRC) =!= col(DST))
+      .select(least(col(SRC), col(DST)).as("a"), greatest(col(SRC), col(DST)).as("b"))
+      .distinct()
+      .join(vertices.select(col(ID).as("a")), Seq("a"), "left_semi")
+      .join(vertices.select(col(ID).as("b")), Seq("b"), "left_semi")
+      .persist()
+    val deg = canon.select(col("a").as("s")).unionByName(canon.select(col("b").as("s")))
+      .groupBy("s").agg(count(lit(1)).as("d"))
+    val kArr = array(ks.distinct.sorted.map(k => lit(k)): _*)
+    val nk = deg.select(col("d"), explode(kArr).as("k"))
+      .filter(col("d") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_k"))
+    val ek = canon
+      .join(deg.select(col("s").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("s").as("b"), col("d").as("db")), Seq("b"))
+      .select(explode(kArr).as("k"), col("da"), col("db"))
+      .filter(col("da") > col("k") && col("db") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("e_k"))
+    // the grouped counts are |ks| rows — collect them (bounded by the
+    // literal argument, cf. reciprocity's two counts), then emit the
+    // φ rows from the driver so canon can be unpersisted eagerly
+    val got = nk.join(ek, Seq("k"), "full")
+      .select(col("k"), coalesce(col("n_k"), lit(0L)).as("n_k"),
+        coalesce(col("e_k"), lit(0L)).as("e_k"))
+      .collect()
+      .map(r => r.getAs[Int]("k") -> (r.getAs[Long]("n_k"), r.getAs[Long]("e_k")))
+      .toMap
+    canon.unpersist(false)
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    ks.distinct.sorted.map { k =>
+      val (n, e) = got.getOrElse(k, (0L, 0L))
+      // 2E/(N(N−1)) in one IEEE division over exact integer operands —
+      // the identical float path a SQL replay takes (callers round)
+      val phi = if (n >= 2)
+        Some(2.0 * e.toDouble / (n.toDouble * (n - 1).toDouble))
+      else None
+      (k, n, e, phi)
+    }.toDF("k", "n_k", "e_k", "phi")
+  }
+
   /** One-row graph profile (engine extension): vertex/edge counts,
    * distinct-edge and self-loop counts, in/out-degree extremes, mean
    * out-degree, and the isolated-vertex count — two aggregation passes

@@ -498,6 +498,12 @@ object SparkEntry {
       graphB(s, dir).transitivity
         .select(round(col("transitivity"), 6).as("transitivity"),
           col("n_triangles"), col("n_wedges"))),
+    "g_rich_club" -> ((s, dir) => // exact N_k/E_k club counts per degree
+      // threshold; the one float division per row is the identical
+      // nearest-double path the oracle takes
+      graphB(s, dir).richClub(Seq(2, 8, 14, 20))
+        .select(col("k"), col("n_k"), col("e_k"),
+          round(col("phi"), 6).as("phi"))),
     "g_triangle_count" -> ((s, dir) =>
       graphB(s, dir).triangleCount.run()
         .select(col(ID), col("count").as("tri_count"))),
@@ -924,6 +930,14 @@ object SparkEntry {
       pipeline.Sampling.groupSample(load(s, dir, "documents"),
           "source", "doc_id", k = 5)
         .select(col("doc_id"), col("source"))),
+    "p_weighted_sample" -> ((s, dir) => // 50 docs ∝ ⌊n_chars/16⌋ tickets,
+      // min-of-draws race (no pow/ln anywhere) — the oracle replays every
+      // ticket, the per-doc min and the (key, id) top-50
+      pipeline.Sampling.weightedSample(
+          load(s, dir, "documents")
+            .withColumn("w", greatest(lit(1L), floor(col("n_chars") / 16).cast("long"))),
+          "doc_id", "w", k = 50)
+        .select(col("doc_id"), col("n_chars"), col("sample_rank"))),
     "p_approx_distinct" -> ((s, dir) => { // KMV sketch: per-language
       // approximate distinct token count, (k-1)/h_k over the 16 smallest
       // 60-bit md5 fractions — the estimate itself replays bit-identically
@@ -3099,6 +3113,23 @@ object SparkEntry {
          |SELECT ROUND(CAST(m_mutual AS DOUBLE) / CAST(m_edges AS DOUBLE), 6)
          |  AS reciprocity, CAST(m_mutual AS BIGINT) AS m_mutual,
          |  CAST(m_edges AS BIGINT) AS m_edges FROM m, mu""".stripMargin,
+    "g_rich_club" ->
+      s"""WITH e0 AS ($NE),
+         |canon AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+         |  GREATEST(src, dst) AS b FROM e0 WHERE src <> dst),
+         |deg AS MATERIALIZED (SELECT s, COUNT(*) AS d FROM (
+         |  SELECT a AS s FROM canon UNION ALL SELECT b FROM canon) GROUP BY 1),
+         |ks AS (SELECT unnest([2, 8, 14, 20]) AS k),
+         |nk AS (SELECT k, COUNT(*) AS n_k FROM ks JOIN deg ON d > k GROUP BY 1),
+         |ek AS (SELECT k, COUNT(*) AS e_k FROM ks
+         |  JOIN canon ON TRUE
+         |  JOIN deg x ON x.s = canon.a JOIN deg y ON y.s = canon.b
+         |  WHERE x.d > k AND y.d > k GROUP BY 1)
+         |SELECT ks.k AS k, CAST(COALESCE(n_k, 0) AS BIGINT) AS n_k,
+         |  CAST(COALESCE(e_k, 0) AS BIGINT) AS e_k,
+         |  CASE WHEN COALESCE(n_k, 0) >= 2
+         |    THEN ROUND(2.0 * COALESCE(e_k, 0) / (n_k * (n_k - 1)), 6) END AS phi
+         |FROM ks LEFT JOIN nk ON nk.k = ks.k LEFT JOIN ek ON ek.k = ks.k""".stripMargin,
     "g_transitivity" ->
       s"""WITH e0 AS ($NE),
          |canon AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e0),
@@ -3428,6 +3459,20 @@ object SparkEntry {
         |  SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source
         |    ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents) WHERE rk <= 5""".stripMargin,
+    "p_weighted_sample" -> {
+      val h = duckHex15(
+        "md5('42|' || CAST(doc_id AS VARCHAR) || '|' || CAST(j AS VARCHAR))")
+      s"""WITH t AS (SELECT doc_id, n_chars,
+         |    GREATEST(1, CAST(FLOOR(n_chars / 16.0) AS BIGINT)) AS w
+         |  FROM documents),
+         |tick AS (SELECT doc_id, unnest(range(1, w + 1)) AS j FROM t),
+         |keyd AS (SELECT doc_id, MIN($h) AS k FROM tick GROUP BY 1),
+         |top AS (SELECT doc_id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) AS INT) AS sample_rank
+         |  FROM keyd ORDER BY k, doc_id LIMIT 50)
+         |SELECT t.doc_id, t.n_chars, top.sample_rank
+         |FROM top JOIN t ON t.doc_id = top.doc_id""".stripMargin
+    },
     "p_approx_distinct" -> {
       val h = duckHex15("md5(tok)")
       s"""WITH t AS (SELECT lang, unnest($W) AS tok FROM documents),

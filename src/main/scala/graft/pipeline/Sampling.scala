@@ -180,6 +180,52 @@ object Sampling {
       .filter(col("_gs_rk") <= k).drop("_gs_rk")
   }
 
+  /** Weighted sampling WITHOUT replacement, k winners with inclusion
+   * odds exactly proportional to an integer weight column (sample k
+   * documents ∝ token count, ∝ quality score ticks, …): each row enters
+   * `w` md5 lottery tickets (draw_j = md5(seed|id|j), j = 1..w) and its
+   * key is its best ticket; the k smallest keys win. Pooling all Σw
+   * i.i.d. tickets, each is equally likely to be the global best, so
+   * P(row wins the next slot) = w/Σw exactly — the Efraimidis–Spirakis
+   * race in ticket form, chosen over the u^(1/w) key because it needs
+   * NO transcendental: `pow`/`ln` are not correctly-rounded IEEE ops,
+   * so their 1-ulp cross-engine wobble could flip the boundary of the
+   * winner set, while min-of-draws replays bit-identically in any
+   * engine with md5 (same reason the walks and NB scoring avoid
+   * floats). Ties (two equal 60-bit draws) break by id.
+   *
+   * Cost: the ticket fan-out is Σw rows (narrow explode, map-side
+   * min-combine into one shuffle of (id, key) pairs, then a distributed
+   * TakeOrdered of k) — so weights are REQUIRED ≤ `maxWeight`
+   * (fail-loud; rescale ratios, e.g. ⌈tokens/64⌉, to stay under it —
+   * odds only need the ratio). Returns the winning rows of `df` with
+   * `sample_rank` (1-based). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int,
+      seed: Long = 42L, maxWeight: Int = 4096): DataFrame = {
+    require(k >= 1, s"weightedSample needs k >= 1, got $k")
+    require(maxWeight >= 1, s"weightedSample needs maxWeight >= 1, got $maxWeight")
+    val w = col(weightCol).cast("long")
+    val mx = df.agg(max(w)).head()
+    if (!mx.isNullAt(0))
+      require(mx.getLong(0) <= maxWeight,
+        s"weightedSample: max weight ${mx.getLong(0)} exceeds maxWeight=$maxWeight — " +
+          "rescale the weights (ratios are all that matter) or raise the knob " +
+          "(ticket fan-out is sum(weight) rows)")
+    val draw = conv(substring(md5(concat_ws("|", lit(seed),
+      col(idCol).cast("string"), col("_j").cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val winners = df.filter(w > 0)
+      .select(col(idCol), explode(sequence(lit(1L), w)).as("_j"))
+      .select(col(idCol), draw.as("_d"))
+      .groupBy(idCol).agg(min("_d").as("_key"))
+      .orderBy(col("_key"), col(idCol)).limit(k)
+      .withColumn("sample_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("_key"), col(idCol))))
+    df.join(broadcast(winners), Seq(idCol))
+      .drop("_key")
+  }
+
   /** Approximate distinct count per group via a K-Minimum-Values sketch:
    * hash each distinct value to a 60-bit md5 fraction, keep the k
    * smallest per group ([[graft.expressions.KMinSampling]] — O(k) buffer

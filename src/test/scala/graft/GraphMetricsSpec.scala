@@ -44,6 +44,33 @@ class GraphMetricsSpec extends TestBase {
     assert(t.isNullAt(0) && t.getAs[Long]("n_wedges") == 0L)
   }
 
+  test("richClub: K4 core with pendants — hand-counted φ(k) sweep") {
+    // K4 on 1-4 plus pendants 5-1, 6-2: degrees (4,4,3,3,1,1), 8 edges
+    val v = (1L to 6L).toDF("id")
+    val e = ((for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)) ++
+      Seq((5L, 1L), (6L, 2L))).toDF("src", "dst")
+    val rows = GraphFrame(v, e).richClub(Seq(0, 2, 3, 4))
+      .collect().map(r => r.getAs[Int]("k") ->
+        (r.getAs[Long]("n_k"), r.getAs[Long]("e_k"),
+          Option(r.getAs[java.lang.Double]("phi")).map(_.doubleValue)))
+      .toMap
+    assert(rows(0) == ((6L, 8L, Some(16.0 / 30.0))))
+    assert(rows(2) == ((4L, 6L, Some(1.0))))
+    assert(rows(3) == ((2L, 1L, Some(1.0))))
+    assert(rows(4) == ((0L, 0L, None)))
+  }
+
+  test("richClub: duplicates, antiparallel edges and self-loops collapse before degrees") {
+    val v = Seq(1L, 2L, 3L).toDF("id")
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 3L))
+      .toDF("src", "dst")
+    // canonical edges: {1-2, 2-3}; degrees (1, 2, 1)
+    val rows = GraphFrame(v, e).richClub(Seq(0, 1)).collect()
+      .map(r => r.getAs[Int]("k") -> (r.getAs[Long]("n_k"), r.getAs[Long]("e_k")))
+      .toMap
+    assert(rows(0) == ((3L, 2L)) && rows(1) == ((1L, 0L)))
+  }
+
   test("antiparallel edges are ONE undirected edge for transitivity, mutual for reciprocity") {
     val v = Seq(1L, 2L, 3L).toDF("id")
     val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L)).toDF("src", "dst")

@@ -1238,6 +1238,21 @@ object SparkEntry {
         .select(col("window_start"), col("event_type"), col("user_id"),
           col("n_events"), col("rank").cast("long").as("rank"))
     }),
+    "e_stream_anomaly" -> ((s, dir) => {
+      // rate-spike detection: streaming hourly per-type counts run to
+      // completion, then the exact-integer finisher flags windows whose
+      // count beats 3/2 x the mean of the type's previous 3 observed
+      // windows — n·3·2 > 3·Σprev, no float anywhere
+      val stream = streaming.EventStreams.hourlyAggStream(
+        streaming.EventStreams.readEvents(s, dir), complete = true)
+      val q = stream.writeStream.format("memory")
+        .queryName("graft_stream_anomaly").outputMode("complete").start()
+      q.processAllAvailable(); q.stop()
+      streaming.EventStreams.rateSpikes(s.table("graft_stream_anomaly"),
+          lookback = 3, num = 3L, den = 2L)
+        .select(col("window_start"), col("event_type"), col("n_events"),
+          col("prev_sum"), col("spike"))
+    }),
     "e_stream_sessionize" -> ((s, dir) => {
       // stateful gap sessionization with NoTimeout: every session CLOSED
       // by a later event emits; each user's final session stays open in
@@ -3736,6 +3751,18 @@ object SparkEntry {
         |    AND e.ms <= s2.t1 + 604800000 GROUP BY 1)
         |SELECT user_id, t1 AS anchor_ms, t3 AS converted_ms,
         |  t3 - t1 AS duration_ms FROM s3""".stripMargin,
+    "e_stream_anomaly" ->
+      """WITH c AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS window_start,
+        |    event_type, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT *,
+        |    lag(n_events, 1) OVER w + lag(n_events, 2) OVER w
+        |      + lag(n_events, 3) OVER w AS prev_sum
+        |  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY window_start))
+        |SELECT window_start, event_type, n_events, prev_sum,
+        |  COALESCE(n_events * 6 > 3 * prev_sum, FALSE) AS spike
+        |FROM l""".stripMargin,
     "e_stream_topk" ->
       """WITH c AS (
         |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS window_start,

@@ -130,6 +130,36 @@ object EventStreams {
       .filter(col("rank") <= k)
   }
 
+  /** Rate-spike anomaly detection, stage 2 (batch finisher over the
+   * watermark-closed windowed counts of [[hourlyAggStream]]): a window is
+   * a spike when its count exceeds `num/den` times the mean of that
+   * type's previous `lookback` OBSERVED windows — evaluated as the exact
+   * integer cross-multiplication `n·lookback·den > num·Σprev`, so there
+   * is no float anywhere and any engine replays the flag identically.
+   * Windows without a full lookback history report `spike = false` (cold
+   * start is not an anomaly). "Previous" means previous EMITTED windows
+   * per type (a silent hour produces no row and is skipped), which keeps
+   * the rule a pure per-type lag — the streaming stage needs no change
+   * and no zero-filling join.
+   *
+   * Scale: one shuffle on event_type + an in-partition ordered lag — the
+   * row count entering this finisher is (windows × types), already
+   * aggregated down from the raw stream by stage 1. Returns the counts
+   * plus (prev_sum, spike). */
+  def rateSpikes(counts: DataFrame, lookback: Int = 3,
+      num: Long = 3L, den: Long = 2L): DataFrame = {
+    require(lookback >= 1, s"rateSpikes needs lookback >= 1, got $lookback")
+    require(num > 0 && den > 0, s"rateSpikes ratio must be positive: $num/$den")
+    val w = Window.partitionBy(col("event_type")).orderBy(col("window_start"))
+    val prevSum = (1 to lookback)
+      .map(i => lag(col("n_events"), i).over(w))
+      .reduce(_ + _) // null when any of the lookback lags is missing
+    counts.withColumn("prev_sum", prevSum)
+      .withColumn("spike",
+        coalesce(col("n_events") * lookback * den > lit(num) * col("prev_sum"),
+          lit(false)))
+  }
+
   case class SegOut(doc_id: Long, pos: Int, segment: String, kept: Boolean)
 
   /**

@@ -30,6 +30,7 @@ object GraftConf {
   val TriangleHubThresholdKey = "spark.graft.triangleCount.hubthreshold"
   val LinkAnalysisSmallGraphThresholdKey = "spark.graft.linkAnalysis.smallgraphthreshold"
   val CentralityRequireSampledAboveKey = "spark.graft.centrality.requiresampledabove"
+  val SimRankMaxPairsKey = "spark.graft.simrank.maxpairs"
 
   private def get(key: String): Option[String] =
     SparkSession.getActiveSession.flatMap(s => Option(s.conf.get(key, null)))
@@ -79,4 +80,10 @@ object GraftConf {
    * (docs/THRESHOLDS.md row 2). */
   def centralityRequireSampledAbove: Option[Long] =
     get(CentralityRequireSampledAboveKey).map(_.toLong)
+
+  /** Fail-loud budget on SimRank's sparse pair state per round — all-pairs
+   * similarity can approach O(V²) rows on dense structure; the guard
+   * names the fix (minSim pruning or top-k similarity) instead of
+   * melting the cluster. 0 disables (docs/THRESHOLDS.md). */
+  def simRankMaxPairs: Option[Long] = get(SimRankMaxPairsKey).map(_.toLong)
 }

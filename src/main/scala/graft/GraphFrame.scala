@@ -351,6 +351,8 @@ class GraphFrame private (
   def hits: lib.Hits = new lib.Hits(this)
   /** Katz centrality (engine extension). */
   def katz: lib.Katz = new lib.Katz(this)
+
+  def simRank: lib.SimRank = new lib.SimRank(this)
   /** Eigenvector centrality (engine extension). */
   def eigenvector: lib.Eigenvector = new lib.Eigenvector(this)
   /** Minimum spanning forest — Borůvka on the undirected weighted view

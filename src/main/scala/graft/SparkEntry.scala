@@ -452,6 +452,17 @@ object SparkEntry {
           round(col("jaccard"), 5).as("jaccard"),
           round(col("adamic_adar"), 5).as("adamic_adar"),
           col("pref_attach"))),
+    "g_simrank" -> ((s, dir) => // Jeh–Widom structural similarity, 3
+      // synchronous rounds on the cycle+chords graph; sparse canonical
+      // pair state, diagonal implicit — the oracle unrolls every round
+      circulantGraph(s, dir).simRank.setC(0.8).maxIter(3).run()
+        .select(col("a"), col("b"), round(col("simrank"), 5).as("simrank"))),
+    "g_simrank_dist" -> ((s, dir) => // the DISTRIBUTED pair-join path
+      // forced (threshold 0) must reproduce the driver tail bit-for-bit
+      // at the oracle's rounding — same replay verbatim
+      circulantGraph(s, dir).simRank.setC(0.8).maxIter(3)
+        .setSmallGraphThreshold(0).run()
+        .select(col("a"), col("b"), round(col("simrank"), 5).as("simrank"))),
     "g_coloring" -> ((s, dir) => // md5 priorities => Luby color rounds
       // replay exactly in SQL (oracle unrolls colors x rounds; hashes are
       // keyed by (color, round) so the engine's early exits don't matter)
@@ -1703,6 +1714,41 @@ object SparkEntry {
       |  UNION SELECT w2.s, ce.dst, w2.d + ce.w FROM cwalk w2
       |    JOIN ce ON ce.src = w2.v WHERE w2.d < 130),
       |cdistw AS (SELECT s, v, MIN(d) AS d FROM cwalk GROUP BY s, v)""".stripMargin
+
+  /** SimRank replay on the circulant graph: `iters` unrolled synchronous
+   * rounds of s_k(a,b) = (c·Σ s_{k-1}(i,j)) / (|I(a)|·|I(b)|) over ordered
+   * in-neighbor pairs, each round's table carrying both pair orders plus
+   * the constant-1 diagonal (the engine stores the canonical sparse half;
+   * identical multiset of contributions per output group, same
+   * (c·SUM)/(da·db) float association). */
+  private def simRankSql(iters: Int, c: Double = 0.8): String = {
+    val cv = """cv AS (SELECT n_nationkey AS id FROM nation),
+      |ce AS (SELECT DISTINCT src, dst FROM (
+      |    SELECT id AS src, (id + 7) % 25 AS dst FROM cv
+      |    UNION ALL
+      |    SELECT id, (3 * id + 1) % 25 FROM cv WHERE id % 3 = 0)
+      |  WHERE src <> dst),
+      |ind AS (SELECT dst AS v, COUNT(*) AS d FROM ce GROUP BY 1),
+      |s0 AS (SELECT id AS a, id AS b, 1.0 AS s FROM cv)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""s$k AS (
+         |  SELECT ea.dst AS a, eb.dst AS b,
+         |    ($c * SUM(p.s)) / (da.d * db.d) AS s
+         |  FROM s${k - 1} p
+         |  JOIN ce ea ON ea.src = p.a
+         |  JOIN ce eb ON eb.src = p.b
+         |  JOIN ind da ON da.v = ea.dst
+         |  JOIN ind db ON db.v = eb.dst
+         |  WHERE ea.dst <> eb.dst
+         |  GROUP BY ea.dst, eb.dst, da.d, db.d
+         |  UNION ALL
+         |  SELECT id, id, 1.0 FROM cv)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $cv,
+       |$rounds
+       |SELECT a, b, ROUND(s, 5) AS simrank FROM s$iters
+       |WHERE a < b AND s > 0""".stripMargin
+  }
 
   /** Brandes identity: btw(v) = Σ_{s≠v≠t} σ_sv · σ_vt / σ_st over pairs
    * with d(s,v) + d(v,t) = d(s,t). */
@@ -3087,6 +3133,8 @@ object SparkEntry {
     "g_random_walks_weighted" -> weightedWalksSql(3, 2, 42L),
     "g_node2vec" -> node2vecSql(3, 2, 42L, 0.5, 4.0),
     "g_coloring" -> coloringSql(6, 6, 42L),
+    "g_simrank" -> simRankSql(3),
+    "g_simrank_dist" -> simRankSql(3),
     "g_hash_embeddings" ->
       "SELECT CAST(n_nationkey AS VARCHAR) AS id, CAST(8 AS INT) AS dim FROM nation",
     "g_hash2vec" ->

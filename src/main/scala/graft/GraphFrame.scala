@@ -353,6 +353,8 @@ class GraphFrame private (
   def katz: lib.Katz = new lib.Katz(this)
 
   def simRank: lib.SimRank = new lib.SimRank(this)
+
+  def pprSweep: lib.PPRSweep = new lib.PPRSweep(this)
   /** Eigenvector centrality (engine extension). */
   def eigenvector: lib.Eigenvector = new lib.Eigenvector(this)
   /** Minimum spanning forest — Borůvka on the undirected weighted view

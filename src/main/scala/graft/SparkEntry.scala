@@ -486,6 +486,15 @@ object SparkEntry {
       communityGraph(s, dir).louvain.setGainMode("decimal")
         .setSmallGraphThreshold(0).run()
         .select(col(ID), col("community"))),
+    "g_ppr_sweep" -> ((s, dir) => // PageRank-Nibble local community: PPR
+      // from nation 0 on the undirected community graph, degree-normalized
+      // sweep order, exact integer cut/vol per prefix (one max-rank edge
+      // histogram — no per-prefix rescans); the oracle replays the 10 PPR
+      // rounds and the whole sweep
+      communityGraph(s, dir).pprSweep.source(0).maxIter(10).sweepK(15).run()
+        .select(col("rank"), col(ID), round(col("ppr"), 5).as("ppr"),
+          col("vol"), col("cut"),
+          round(col("conductance"), 6).as("conductance"), col("best"))),
     "g_modularity" -> ((s, dir) => { // one-row Q of the louvain partition;
       // integer numerator (4m·intra − Σtot²), the division is the only
       // float op — oracle computes the identical expression
@@ -1748,6 +1757,55 @@ object SparkEntry {
        |$rounds
        |SELECT a, b, ROUND(s, 5) AS simrank FROM s$iters
        |WHERE a < b AND s > 0""".stripMargin
+  }
+
+  /** PPR-sweep replay on the undirected community graph: `iters` unrolled
+   * single-lane personalized-PageRank rounds (same recurrence as
+   * [[ppprSql]], on the symmetrized edge list), then the full sweep —
+   * degree-normalized rank order, prefix degree sums, the
+   * max(rank_a, rank_b) internal-edge histogram, and the one float
+   * division per row in the engine's exact association. */
+  private def pprSweepSql(iters: Int, src: Int, k: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""pr$i AS (
+         |  SELECT v.id,
+         |    (CASE WHEN v.id = $src THEN 0.15 ELSE 0 END) + 0.85 * COALESCE(SUM(p.r / o.od), 0) AS r
+         |  FROM v LEFT JOIN sym e ON e.dst = v.id
+         |  LEFT JOIN pr${i - 1} p ON p.id = e.src
+         |  LEFT JOIN od o ON o.src = e.src
+         |  GROUP BY v.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH eu AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+       |    GREATEST(src, dst) AS b
+       |  FROM ($NE_COMM) WHERE src <> dst),
+       |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM eu
+       |  UNION ALL SELECT b, a FROM eu),
+       |od AS (SELECT src, COUNT(*) AS od FROM sym GROUP BY 1),
+       |v AS (SELECT n_nationkey AS id FROM nation),
+       |mm AS (SELECT COUNT(*) AS m FROM eu),
+       |pr0 AS (SELECT id, CAST(CASE WHEN id = $src THEN 1.0 ELSE 0.0 END AS DOUBLE) AS r FROM v),
+       |$steps,
+       |rk AS (SELECT * FROM (
+       |    SELECT p.id, p.r, o.od AS d,
+       |      ROW_NUMBER() OVER (ORDER BY ROUND(p.r / o.od, 12) DESC, p.id ASC) AS rank
+       |    FROM pr$iters p JOIN od o ON o.src = p.id WHERE p.r > 0)
+       |  WHERE rank <= $k),
+       |einat AS (SELECT GREATEST(x.rank, y.rank) AS rank, COUNT(*) AS c
+       |  FROM eu JOIN rk x ON x.id = eu.a JOIN rk y ON y.id = eu.b GROUP BY 1),
+       |sw AS (SELECT r.rank, r.id, r.r,
+       |    SUM(r.d) OVER (ORDER BY r.rank) AS vol,
+       |    SUM(COALESCE(e.c, 0)) OVER (ORDER BY r.rank) AS ein
+       |  FROM rk r LEFT JOIN einat e ON e.rank = r.rank),
+       |fin AS (SELECT rank, id, r, vol, vol - 2 * ein AS cut,
+       |    CASE WHEN LEAST(vol, 2 * (SELECT m FROM mm) - vol) > 0
+       |      THEN CAST(vol - 2 * ein AS DOUBLE)
+       |        / LEAST(vol, 2 * (SELECT m FROM mm) - vol) END AS cond
+       |  FROM sw)
+       |SELECT CAST(rank AS INT) AS rank, id, ROUND(r, 5) AS ppr,
+       |  CAST(vol AS BIGINT) AS vol, CAST(cut AS BIGINT) AS cut,
+       |  ROUND(cond, 6) AS conductance,
+       |  COALESCE(cond = MIN(cond) OVER (), FALSE) AS best
+       |FROM fin""".stripMargin
   }
 
   /** Brandes identity: btw(v) = Σ_{s≠v≠t} σ_sv · σ_vt / σ_st over pairs
@@ -3135,6 +3193,7 @@ object SparkEntry {
     "g_coloring" -> coloringSql(6, 6, 42L),
     "g_simrank" -> simRankSql(3),
     "g_simrank_dist" -> simRankSql(3),
+    "g_ppr_sweep" -> pprSweepSql(10, 0, 15),
     "g_hash_embeddings" ->
       "SELECT CAST(n_nationkey AS VARCHAR) AS id, CAST(8 AS INT) AS dim FROM nation",
     "g_hash2vec" ->

@@ -14,7 +14,7 @@ intentionally loose so it imports under either client's environment.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict, List, Optional
 
 
 class GraphFrameMethods:
@@ -247,6 +247,33 @@ class GraphFrameMethods:
         """One-row global transitivity: 3*triangles / wedges on the
         canonical undirected simple graph; null when wedge-free."""
         return self._call("transitivity")
+
+    def richClub(self, ks: List[int]):
+        """Rich-club coefficient sweep: per degree threshold k, the club
+        of vertices with undirected degree > k and its density
+        phi(k) = 2*E_k / (N_k*(N_k-1)); null phi below two members."""
+        return self._call("rich_club", ks=ks)
+
+    def simRank(self, maxIter: Optional[int] = None,
+                c: Optional[float] = None,
+                minSim: Optional[float] = None,
+                maxPairs: Optional[int] = None):
+        """SimRank structural similarity (Jeh-Widom): canonical vertex
+        pairs ``(a, b, simrank)`` after fixed synchronous rounds over a
+        sparse pair state. ``minSim`` prunes between rounds; ``maxPairs``
+        fail-louds when the state outgrows its budget."""
+        return self._call("simrank", maxIter=maxIter, c=c, minSim=minSim,
+                          maxPairs=maxPairs)
+
+    def pprSweep(self, source: Any, resetProb: Optional[float] = None,
+                 maxIter: Optional[int] = None,
+                 sweepK: Optional[int] = None):
+        """Local community detection by personalized-PageRank sweep cut
+        (PageRank-Nibble): one row per prefix rank with exact integer
+        vol/cut, per-row conductance, and ``best`` marking the argmin —
+        the seed's community is the ids with rank <= the best rank."""
+        return self._call("ppr_sweep", source=source, resetProb=resetProb,
+                          maxIter=maxIter, sweepK=sweepK)
 
     def sampleVertices(self, fraction: Optional[float] = None,
                        seed: Optional[int] = None,
@@ -517,6 +544,26 @@ class PipelineMethods:
         distinct values). Deterministic, no RNG state."""
         return self._call("pipe_approx_distinct", groupCol=groupCol,
                           valueCol=valueCol, k=k)
+
+    def weightedSample(self, idCol: str, weightCol: str, k: int,
+                       seed: Optional[int] = None,
+                       maxWeight: Optional[int] = None):
+        """Weighted sampling WITHOUT replacement, inclusion odds exactly
+        proportional to an integer weight column (min-of-md5-draws ticket
+        race — no pow/ln, replays bit-identically). Returns the winning
+        rows plus ``sample_rank``; weights must stay <= maxWeight."""
+        return self._call("pipe_weighted_sample", idCol=idCol,
+                          weightCol=weightCol, k=k, seed=seed,
+                          maxWeight=maxWeight)
+
+    def rateSpikes(self, lookback: Optional[int] = None,
+                   num: Optional[int] = None, den: Optional[int] = None):
+        """Rate-spike anomaly detection over an events-shaped table:
+        hourly per-type counts flagged when count > num/den x the mean of
+        the type's previous ``lookback`` observed windows — evaluated as
+        the exact integer cross-multiplication (no floats)."""
+        return self._call("pipe_rate_spikes", lookback=lookback, num=num,
+                          den=den)
 
     def cohortRetention(self):
         """Weekly cohort retention over an events-shaped table: users

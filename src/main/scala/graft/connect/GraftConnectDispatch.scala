@@ -65,6 +65,9 @@ object GraftConnectDispatch {
     "greedy_coloring" -> Set("maxColors", "maxIter", "seed", "hashMode"),
     "louvain" -> Set("maxIter", "levels", "gainMode"),
     "modularity" -> Set("maxIter"),
+    "rich_club" -> Set("ks"),
+    "simrank" -> Set("maxIter", "c", "minSim", "maxPairs"),
+    "ppr_sweep" -> Set("source", "resetProb", "maxIter", "sweepK"),
     "clustering_coefficient" -> Set.empty[String],
     "assortativity" -> Set.empty[String],
     "reciprocity" -> Set.empty[String],
@@ -126,6 +129,8 @@ object GraftConnectDispatch {
     "pipe_funnel" -> Set("steps", "windowMinutes"),
     "pipe_approx_distinct" -> Set("groupCol", "valueCol", "k"),
     "pipe_group_sample" -> Set("groupCol", "idCol", "k", "seed"),
+    "pipe_weighted_sample" -> Set("idCol", "weightCol", "k", "seed", "maxWeight"),
+    "pipe_rate_spikes" -> Set("lookback", "num", "den"),
     "pipe_pmi_bigrams" -> Set("idCol", "textCol", "minCount", "topK"),
     "pipe_cohort" -> Set.empty[String],
     "pipe_ann_ivf_hier" -> Set("idCol", "vecCol", "k", "nsuper", "nlistPer",
@@ -365,6 +370,21 @@ object GraftConnectDispatch {
             k = int("k").getOrElse(throw new IllegalArgumentException(
               "pipe_group_sample requires params_json key 'k'")),
             seed = int("seed").map(_.toLong).getOrElse(42L))
+        case "pipe_weighted_sample" =>
+          Sampling.weightedSample(t, id, required("weightCol"),
+            k = int("k").getOrElse(throw new IllegalArgumentException(
+              "pipe_weighted_sample requires params_json key 'k'")),
+            seed = int("seed").map(_.toLong).getOrElse(42L),
+            maxWeight = int("maxWeight").getOrElse(4096))
+        case "pipe_rate_spikes" =>
+          // batch twin of the streaming spike detector: hourly per-type
+          // counts + the exact-integer lag finisher
+          graft.streaming.EventStreams.rateSpikes(
+            graft.pipeline.Events.hourlyAgg(t)
+              .select(col("window_start"), col("event_type"), col("n_events")),
+            lookback = int("lookback").getOrElse(3),
+            num = int("num").map(_.toLong).getOrElse(3L),
+            den = int("den").map(_.toLong).getOrElse(2L))
         case "pipe_random_projection" =>
           Similarity.randomProjection(t, id, vec,
             dOut = int("dOut").getOrElse(throw new IllegalArgumentException(
@@ -572,6 +592,33 @@ object GraftConnectDispatch {
         val lv = g.louvain
         int("maxIter").foreach(lv.maxIter)
         g.modularity(lv.run().select(col(graft.GraphFrame.ID), col("community")))
+      case "rich_club" =>
+        val ks = params.get("ks") match {
+          case Some(JArray(vs)) => vs.map {
+            case JInt(i) if i.isValidInt => i.toInt
+            case other => throw new IllegalArgumentException(
+              s"ks entries must be 32-bit integers, got: $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "rich_club requires params_json key 'ks' (array of degree thresholds)")
+        }
+        g.richClub(ks)
+      case "simrank" =>
+        val sr = g.simRank
+        int("maxIter").foreach(sr.maxIter)
+        dbl("c").foreach(sr.setC)
+        dbl("minSim").foreach(sr.setMinSim)
+        int("maxPairs").foreach(n => sr.setMaxPairs(n.toLong))
+        sr.run()
+      case "ppr_sweep" =>
+        val sw = g.pprSweep
+        sw.source(idValue(params.getOrElse("source",
+          throw new IllegalArgumentException(
+            "ppr_sweep requires params_json key 'source' (seed vertex id)"))))
+        dbl("resetProb").foreach(sw.resetProbability)
+        int("maxIter").foreach(sw.maxIter)
+        int("sweepK").foreach(sw.sweepK)
+        sw.run()
       case "clustering_coefficient" => g.clusteringCoefficient.run()
       case "assortativity" => g.assortativity
       case "reciprocity" => g.reciprocity

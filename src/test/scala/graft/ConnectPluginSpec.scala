@@ -192,6 +192,46 @@ class ConnectPluginSpec extends TestBase {
     assert(as.getAs[Long]("m_edges") == 7L)
   }
 
+  test("dispatch covers rich_club, simrank, ppr_sweep, pipe_weighted_sample, pipe_rate_spikes") {
+    // K4 {1..4} + K4 {5..8} + bridge 4-5 (the PPRSweepSpec fixture)
+    val v = spark.sql(
+      "SELECT * FROM VALUES (1L),(2L),(3L),(4L),(5L),(6L),(7L),(8L) AS t(id)")
+    val cliqueEdges = (for (base <- Seq(1L, 5L); a <- base to base + 3;
+        b <- base to base + 3 if a < b) yield s"(${a}L, ${b}L)")
+    val e = spark.sql("SELECT * FROM VALUES " +
+      (cliqueEdges :+ "(4L,5L)").mkString(",") + " AS t(src, dst)")
+    val rc = GraftConnectDispatch.run(Some(v), e, "rich_club",
+        """{"ks": [2, 3]}""")
+      .collect().map(r => r.getAs[Int]("k") ->
+        (r.getAs[Long]("n_k"), r.getAs[Long]("e_k"))).toMap
+    assert(rc(2) == ((8L, 13L)) && rc(3) == ((2L, 1L))) // deg>3: {4,5}, bridge only
+    val sr = GraftConnectDispatch.run(Some(v), e, "simrank",
+        """{"maxIter": 2, "c": 0.8}""")
+    assert(sr.columns.toSeq == Seq("a", "b", "simrank") && sr.count() > 0)
+    val sw = GraftConnectDispatch.run(Some(v), e, "ppr_sweep",
+        """{"source": 1, "maxIter": 8, "sweepK": 8}""")
+      .orderBy(org.apache.spark.sql.functions.col("rank")).collect()
+    assert(sw.take(4).map(_.getAs[Long]("id")).toSet == Set(1L, 2L, 3L, 4L))
+    assert(sw.filter(_.getAs[Boolean]("best")).map(_.getAs[Int]("rank")).toSeq == Seq(4))
+    val missingSrc = intercept[IllegalArgumentException] {
+      GraftConnectDispatch.run(Some(v), e, "ppr_sweep", "{}")
+    }
+    assert(missingSrc.getMessage.contains("source"))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50).withColumn("w",
+        org.apache.spark.sql.functions.greatest(
+          org.apache.spark.sql.functions.lit(1L),
+          org.apache.spark.sql.functions.floor(
+            org.apache.spark.sql.functions.col("n_chars") / 64)))
+    val ws = GraftConnectDispatch.run(scala.None, docs, "pipe_weighted_sample",
+      """{"idCol": "doc_id", "weightCol": "w", "k": 7}""")
+    assert(ws.count() == 7 && ws.columns.contains("sample_rank"))
+    val ev0 = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val sp = GraftConnectDispatch.run(scala.None, ev0, "pipe_rate_spikes",
+      """{"lookback": 3}""")
+    assert(sp.columns.contains("spike") && sp.count() > 0)
+  }
+
   test("dispatch covers eigenvector, minimum_spanning_forest, pipe_knn_graph") {
     val v = spark.sql("SELECT * FROM VALUES (0L),(1L),(2L),(3L) AS t(id)")
     val e = spark.sql("""SELECT * FROM VALUES (0L,1L,1.0),(1L,2L,2.0),

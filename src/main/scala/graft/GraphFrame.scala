@@ -355,6 +355,8 @@ class GraphFrame private (
   def simRank: lib.SimRank = new lib.SimRank(this)
 
   def pprSweep: lib.PPRSweep = new lib.PPRSweep(this)
+
+  def triadCensus: lib.TriadCensus = new lib.TriadCensus(this)
   /** Eigenvector centrality (engine extension). */
   def eigenvector: lib.Eigenvector = new lib.Eigenvector(this)
   /** Minimum spanning forest — Borůvka on the undirected weighted view

@@ -518,6 +518,33 @@ object SparkEntry {
       graphB(s, dir).transitivity
         .select(round(col("transitivity"), 6).as("transitivity"),
           col("n_triangles"), col("n_wedges"))),
+    "g_triad_census" -> ((s, dir) => { // 16-class Holland–Leinhardt triad
+      // census on a mixed motif graph (asym ring + chords + mutual dyads
+      // + planted 030/120/210/300 motifs — every class nonzero); the
+      // engine enumerates only triples with >=2 connected pairs (wedge
+      // joins + exact BigInt subtraction for 012/102/003), the oracle
+      // brute-forces ALL C(25,3) triples with an independent CASE
+      // classifier
+      val n = load(s, dir, "nation")
+      val key = col("n_nationkey").cast("long")
+      val base = n.select(key.as(SRC), pmod(key + 1, lit(25)).as(DST))
+        .unionByName(n.filter(key % 2 === 0)
+          .select(key.as(SRC), pmod(key + 7, lit(25)).as(DST)))
+        .unionByName(n.filter(key % 5 < 2 && key < 20)
+          .select(key.as(SRC), (key + 5).as(DST)))
+        .unionByName(n.filter(key % 5 < 2 && key < 20)
+          .select((key + 5).as(SRC), key.as(DST)))
+      import s.implicits._
+      val extra = Seq((2L, 9L), (9L, 16L), (16L, 2L), (3L, 10L), (3L, 17L),
+        (10L, 17L), (4L, 11L), (11L, 4L), (4L, 18L), (18L, 4L), (11L, 18L),
+        (18L, 11L), (6L, 13L), (13L, 6L), (13L, 20L), (20L, 13L), (6L, 20L),
+        (8L, 21L), (21L, 8L), (14L, 8L), (14L, 21L), (1L, 12L), (12L, 1L),
+        (1L, 19L), (12L, 19L), (7L, 22L), (22L, 7L), (7L, 24L), (24L, 22L))
+        .toDF(SRC, DST)
+      val e = base.unionByName(extra).filter(col(SRC) =!= col(DST)).distinct()
+      GraphFrame(n.select(key.as(ID)), e).triadCensus.run()
+        .select(col("triad"), col("count").cast("long").as("count"))
+    }),
     "g_rich_club" -> ((s, dir) => // exact N_k/E_k club counts per degree
       // threshold; the one float division per row is the identical
       // nearest-double path the oracle takes
@@ -3235,6 +3262,72 @@ object SparkEntry {
          |SELECT ROUND(CAST(m_mutual AS DOUBLE) / CAST(m_edges AS DOUBLE), 6)
          |  AS reciprocity, CAST(m_mutual AS BIGINT) AS m_mutual,
          |  CAST(m_edges AS BIGINT) AS m_edges FROM m, mu""".stripMargin,
+    "g_triad_census" ->
+      // independent formulation: classify EVERY a<b<c triple directly
+      // from its six direction bits (the engine never enumerates 0/1-pair
+      // triples — it derives them by subtraction)
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |    SELECT n_nationkey AS src, (n_nationkey + 1) % 25 AS dst FROM nation
+         |    UNION ALL SELECT n_nationkey, (n_nationkey + 7) % 25 FROM nation
+         |      WHERE n_nationkey % 2 = 0
+         |    UNION ALL SELECT n_nationkey, n_nationkey + 5 FROM nation
+         |      WHERE n_nationkey % 5 < 2 AND n_nationkey < 20
+         |    UNION ALL SELECT n_nationkey + 5, n_nationkey FROM nation
+         |      WHERE n_nationkey % 5 < 2 AND n_nationkey < 20
+         |    UNION ALL SELECT * FROM (VALUES (2,9),(9,16),(16,2),(3,10),(3,17),
+         |      (10,17),(4,11),(11,4),(4,18),(18,4),(11,18),(18,11),(6,13),
+         |      (13,6),(13,20),(20,13),(6,20),(8,21),(21,8),(14,8),(14,21),
+         |      (1,12),(12,1),(1,19),(12,19),(7,22),(22,7),(7,24),(24,22))
+         |      t(src, dst)
+         |  ) WHERE src <> dst),
+         |v AS (SELECT n_nationkey AS id FROM nation),
+         |bits AS MATERIALIZED (SELECT
+         |    CAST(EXISTS(SELECT 1 FROM e WHERE src = x.id AND dst = y.id) AS INT) AS ab,
+         |    CAST(EXISTS(SELECT 1 FROM e WHERE src = y.id AND dst = x.id) AS INT) AS ba,
+         |    CAST(EXISTS(SELECT 1 FROM e WHERE src = x.id AND dst = z.id) AS INT) AS ac,
+         |    CAST(EXISTS(SELECT 1 FROM e WHERE src = z.id AND dst = x.id) AS INT) AS ca,
+         |    CAST(EXISTS(SELECT 1 FROM e WHERE src = y.id AND dst = z.id) AS INT) AS bc,
+         |    CAST(EXISTS(SELECT 1 FROM e WHERE src = z.id AND dst = y.id) AS INT) AS cb
+         |  FROM v x JOIN v y ON x.id < y.id JOIN v z ON y.id < z.id),
+         |st AS (SELECT *,
+         |    (CASE WHEN ab + ba = 2 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN ac + ca = 2 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN bc + cb = 2 THEN 1 ELSE 0 END) AS m,
+         |    (CASE WHEN ab + ba = 1 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN ac + ca = 1 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN bc + cb = 1 THEN 1 ELSE 0 END) AS a
+         |  FROM bits),
+         |cls AS (SELECT CASE
+         |    WHEN m = 0 AND a = 0 THEN '003'
+         |    WHEN m = 0 AND a = 1 THEN '012'
+         |    WHEN m = 1 AND a = 0 THEN '102'
+         |    WHEN m = 0 AND a = 2 THEN
+         |      CASE WHEN GREATEST(ab + ac, ba + bc, ca + cb) = 2 THEN '021D'
+         |           WHEN GREATEST(ba + ca, ab + cb, ac + bc) = 2 THEN '021U'
+         |           ELSE '021C' END
+         |    WHEN m = 1 AND a = 1 THEN
+         |      CASE WHEN ab + ba = 2 THEN CASE WHEN ca + cb = 1 THEN '111D' ELSE '111U' END
+         |           WHEN ac + ca = 2 THEN CASE WHEN ba + bc = 1 THEN '111D' ELSE '111U' END
+         |           ELSE CASE WHEN ab + ac = 1 THEN '111D' ELSE '111U' END END
+         |    WHEN m = 0 AND a = 3 THEN
+         |      CASE WHEN GREATEST(ab + ac, ba + bc, ca + cb) = 2 THEN '030T' ELSE '030C' END
+         |    WHEN m = 2 AND a = 0 THEN '201'
+         |    WHEN m = 1 AND a = 2 THEN
+         |      CASE WHEN ab + ba = 2 THEN
+         |             CASE ca + cb WHEN 2 THEN '120D' WHEN 0 THEN '120U' ELSE '120C' END
+         |           WHEN ac + ca = 2 THEN
+         |             CASE ba + bc WHEN 2 THEN '120D' WHEN 0 THEN '120U' ELSE '120C' END
+         |           ELSE
+         |             CASE ab + ac WHEN 2 THEN '120D' WHEN 0 THEN '120U' ELSE '120C' END END
+         |    WHEN m = 2 AND a = 1 THEN '210'
+         |    ELSE '300' END AS triad
+         |  FROM st),
+         |cnt AS (SELECT triad, COUNT(*) AS c FROM cls GROUP BY 1),
+         |names(triad) AS (VALUES ('003'),('012'),('102'),('021D'),('021U'),
+         |  ('021C'),('111D'),('111U'),('030T'),('030C'),('201'),('120D'),
+         |  ('120U'),('120C'),('210'),('300'))
+         |SELECT names.triad, CAST(COALESCE(c, 0) AS BIGINT) AS count
+         |FROM names LEFT JOIN cnt ON cnt.triad = names.triad""".stripMargin,
     "g_rich_club" ->
       s"""WITH e0 AS ($NE),
          |canon AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,

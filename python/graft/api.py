@@ -254,6 +254,12 @@ class GraphFrameMethods:
         phi(k) = 2*E_k / (N_k*(N_k-1)); null phi below two members."""
         return self._call("rich_club", ks=ks)
 
+    def triadCensus(self):
+        """Holland-Leinhardt triad census: 16 rows ``(triad, count)``
+        covering every directed-triad isomorphism class, counts as
+        DECIMAL(38,0) exact integers."""
+        return self._call("triad_census")
+
     def simRank(self, maxIter: Optional[int] = None,
                 c: Optional[float] = None,
                 minSim: Optional[float] = None,
@@ -544,6 +550,26 @@ class PipelineMethods:
         distinct values). Deterministic, no RNG state."""
         return self._call("pipe_approx_distinct", groupCol=groupCol,
                           valueCol=valueCol, k=k)
+
+    def contaminatedSpans(self, bench, idCol: str, textCol: str,
+                          seedTokens: Optional[int] = None,
+                          maxBucket: Optional[int] = None):
+        """Decontamination detection: exact maximal TRAIN spans (this
+        table) appearing verbatim in the BENCHMARK corpus ``bench`` —
+        rows ``(idCol, pos, len, span)``."""
+        return self._call2(bench, "pipe_contaminated_spans", idCol=idCol,
+                           textCol=textCol, seedTokens=seedTokens,
+                           maxBucket=maxBucket)
+
+    def cutContaminated(self, bench, idCol: str, textCol: str,
+                        seedTokens: Optional[int] = None,
+                        maxBucket: Optional[int] = None):
+        """Decontamination cut: the TRAIN corpus rebuilt with EVERY
+        benchmark-contaminated span occurrence removed (no keep-first
+        winner) — ``(idCol, clean_text, n_removed_tokens)``."""
+        return self._call2(bench, "pipe_cut_contaminated", idCol=idCol,
+                           textCol=textCol, seedTokens=seedTokens,
+                           maxBucket=maxBucket)
 
     def weightedSample(self, idCol: str, weightCol: str, k: int,
                        seed: Optional[int] = None,

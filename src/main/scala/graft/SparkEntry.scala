@@ -977,6 +977,24 @@ object SparkEntry {
       pipeline.Sampling.groupSample(load(s, dir, "documents"),
           "source", "doc_id", k = 5)
         .select(col("doc_id"), col("source"))),
+    "p_contaminated_spans" -> ((s, dir) => { // decontamination detection:
+      // exact maximal TRAIN spans appearing verbatim in the BENCH split
+      // (doc_id % 10 == 0); cross-corpus form of p_dup_spans_maximal
+      val docs = load(s, dir, "documents")
+      pipeline.Text.contaminatedSpans(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        seedTokens = 4)
+    }),
+    "p_cut_contaminated" -> ((s, dir) => { // the cut: every contaminated
+      // occurrence removed (no keep-first winner — contamination all
+      // goes), train corpus rebuilt in position order
+      val docs = load(s, dir, "documents")
+      pipeline.Text.cutContaminated(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        seedTokens = 4)
+    }),
     "p_weighted_sample" -> ((s, dir) => // 50 docs ∝ ⌊n_chars/16⌋ tickets,
       // min-of-draws race (no pow/ln anywhere) — the oracle replays every
       // ticket, the per-doc min and the (key, id) top-50
@@ -1530,6 +1548,46 @@ object SparkEntry {
        |SELECT t.doc_id, COALESCE(reb.clean_text, '') AS clean_text,
        |  CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_removed_tokens
        |FROM t LEFT JOIN reb ON reb.d = t.doc_id LEFT JOIN cnt ON cnt.d = t.doc_id""".stripMargin
+
+  /** Cross-corpus decontamination CTEs (mirrors Text.contaminatedSpans
+   * with train = doc_id % 10 <> 0, bench = doc_id % 10 = 0): two-sided
+   * seed windows, both-sides bucket rule, train×bench pairs, LCE,
+   * per-TRAIN-position max, predecessor maximality. */
+  private def contaminatedCtes(seedTokens: Int, maxBucket: Int): String = {
+    val n = seedTokens
+    s"""WITH tt AS MATERIALIZED (SELECT doc_id, $W AS w FROM documents
+       |  WHERE doc_id % 10 <> 0),
+       |tb AS MATERIALIZED (SELECT doc_id, $W AS w FROM documents
+       |  WHERE doc_id % 10 = 0),
+       |s0t AS (SELECT doc_id AS d, w, unnest(range(0, len(w) - ${n - 1})) AS pos
+       |  FROM tt WHERE len(w) >= $n),
+       |sdt AS MATERIALIZED (SELECT d, CAST(pos AS INT) AS pos,
+       |  md5(array_to_string(w[pos + 1 : pos + $n], ' ')) AS k FROM s0t),
+       |s0b AS (SELECT doc_id AS d, w, unnest(range(0, len(w) - ${n - 1})) AS pos
+       |  FROM tb WHERE len(w) >= $n),
+       |sdb AS MATERIALIZED (SELECT d, CAST(pos AS INT) AS pos,
+       |  md5(array_to_string(w[pos + 1 : pos + $n], ' ')) AS k FROM s0b),
+       |ok AS (SELECT k FROM (
+       |  SELECT k, SUM(t) AS nt, SUM(b) AS nb FROM (
+       |    SELECT k, 1 AS t, 0 AS b FROM sdt
+       |    UNION ALL SELECT k, 0, 1 FROM sdb) GROUP BY k)
+       |  WHERE nt >= 1 AND nb >= 1 AND nt + nb <= $maxBucket),
+       |px AS MATERIALIZED (SELECT x.d AS d1, x.pos AS p1, y.d AS d2, y.pos AS p2
+       |  FROM sdt x JOIN ok ON ok.k = x.k JOIN sdb y ON y.k = x.k),
+       |pw AS (SELECT px.*, a.w AS w1, b.w AS w2,
+       |    LEAST(len(a.w) - px.p1, len(b.w) - px.p2) AS lmax
+       |  FROM px JOIN tt a ON a.doc_id = px.d1 JOIN tb b ON b.doc_id = px.d2),
+       |pl AS MATERIALIZED (SELECT d1, p1,
+       |    CAST(CASE WHEN fm IS NULL OR fm = 0 THEN lmax ELSE fm - 1 END AS INT) AS len FROM (
+       |  SELECT *, list_position(list_transform(range(1, lmax + 1),
+       |      i -> w1[p1 + i] = w2[p2 + i]), false) AS fm
+       |  FROM pw)),
+       |pp AS MATERIALIZED (SELECT d1 AS d, p1 AS pos, MAX(len) AS len
+       |  FROM pl GROUP BY 1, 2),
+       |mx AS (SELECT c.d, c.pos, c.len FROM pp c
+       |  LEFT JOIN pp l ON l.d = c.d AND l.pos = c.pos - 1
+       |  WHERE l.len IS NULL OR l.len < c.len + 1)""".stripMargin
+  }
 
   private def dupSpansMaximalCtes(seedTokens: Int, maxBucket: Int): String = {
     val n = seedTokens
@@ -3570,6 +3628,26 @@ object SparkEntry {
          |FROM t""".stripMargin,
     "p_semantic_dedup" -> semanticDedupSql(0.4, 8, 1),
     "p_dup_spans_maximal" -> dupSpansMaximalSql(seedTokens = 4, maxBucket = 256),
+    "p_contaminated_spans" ->
+      s"""${contaminatedCtes(4, 256)}
+         |SELECT mx.d AS doc_id, CAST(mx.pos AS INT) AS pos,
+         |  CAST(mx.len AS INT) AS len,
+         |  array_to_string(t.w[mx.pos + 1 : mx.pos + mx.len], ' ') AS span
+         |FROM mx JOIN tt t ON t.doc_id = mx.d""".stripMargin,
+    "p_cut_contaminated" ->
+      s"""${contaminatedCtes(4, 256)},
+         |rem AS (SELECT DISTINCT d, unnest(range(pos, pos + len)) AS tp FROM mx),
+         |tok AS (SELECT doc_id AS d, unnest(range(0, len(w))) AS pos,
+         |  unnest(w) AS tk FROM tt),
+         |keep AS (SELECT tok.* FROM tok LEFT JOIN rem
+         |  ON rem.d = tok.d AND rem.tp = tok.pos WHERE rem.tp IS NULL),
+         |reb AS (SELECT d, string_agg(tk, ' ' ORDER BY pos) AS clean_text
+         |  FROM keep GROUP BY d),
+         |cnt AS (SELECT d, COUNT(*) AS n FROM rem GROUP BY d)
+         |SELECT tt.doc_id, COALESCE(reb.clean_text, '') AS clean_text,
+         |  CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_removed_tokens
+         |FROM tt LEFT JOIN reb ON reb.d = tt.doc_id
+         |LEFT JOIN cnt ON cnt.d = tt.doc_id""".stripMargin,
     "p_cut_dup_spans" -> cutDupSpansSql(seedTokens = 4, maxBucket = 256),
     "p_dup_spans" ->
       s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),

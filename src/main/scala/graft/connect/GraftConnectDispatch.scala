@@ -66,6 +66,7 @@ object GraftConnectDispatch {
     "louvain" -> Set("maxIter", "levels", "gainMode"),
     "modularity" -> Set("maxIter"),
     "rich_club" -> Set("ks"),
+    "triad_census" -> Set.empty[String],
     "simrank" -> Set("maxIter", "c", "minSim", "maxPairs"),
     "ppr_sweep" -> Set("source", "resetProb", "maxIter", "sweepK"),
     "clustering_coefficient" -> Set.empty[String],
@@ -140,10 +141,12 @@ object GraftConnectDispatch {
     "pipe_image_histogram" -> Set("idCol", "binCol", "bins"),
     "pipe_audio_decode" -> Set("idCol", "binCol"),
     "pipe_video_demux" -> Set("idCol", "binCol"),
-    // the ONE two-table pipeline op: left rides the vertices slot,
-    // right the edges slot
+    // two-table pipeline ops: left/train rides the vertices slot,
+    // right/bench the edges slot
     "pipe_asof_join" -> Set("on", "leftTs", "rightTs", "rightCols",
-      "prefix", "strict", "direction"))
+      "prefix", "strict", "direction"),
+    "pipe_contaminated_spans" -> Set("idCol", "textCol", "seedTokens", "maxBucket"),
+    "pipe_cut_contaminated" -> Set("idCol", "textCol", "seedTokens", "maxBucket"))
 
   /** Algorithm names accepted by [[run]], for error messages and clients. */
   val algorithms: Seq[String] = (acceptedParams.keys ++ pipelineParams.keys).toSeq.sorted
@@ -220,6 +223,19 @@ object GraftConnectDispatch {
           strict = typed("strict", "a boolean") { case JBool(b) => b }
             .getOrElse(false),
           direction = str("direction").getOrElse("backward"))
+      }
+      if (algorithm == "pipe_contaminated_spans" || algorithm == "pipe_cut_contaminated") {
+        // own-table-in-edges convention (same as pipe_asof_join): the
+        // TRAIN corpus rides the edges slot, the BENCHMARK corpus the
+        // vertices slot
+        val bench = vertices.getOrElse(throw new IllegalArgumentException(
+          s"$algorithm needs TWO tables: the TRAIN corpus in the edges " +
+            "slot, the BENCHMARK corpus in the vertices slot"))
+        val f = if (algorithm == "pipe_contaminated_spans")
+          graft.pipeline.Text.contaminatedSpans _
+        else graft.pipeline.Text.cutContaminated _
+        return f(edges, bench, required("idCol"), required("textCol"),
+          int("seedTokens").getOrElse(8), int("maxBucket").getOrElse(256))
       }
       if (vertices.nonEmpty) throw new IllegalArgumentException(
         s"$algorithm is a single-table pipeline operator: send the input " +
@@ -603,6 +619,7 @@ object GraftConnectDispatch {
             "rich_club requires params_json key 'ks' (array of degree thresholds)")
         }
         g.richClub(ks)
+      case "triad_census" => g.triadCensus.run()
       case "simrank" =>
         val sr = g.simRank
         int("maxIter").foreach(sr.maxIter)

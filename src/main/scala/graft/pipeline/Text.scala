@@ -376,6 +376,102 @@ object Text {
         .otherwise(col("n_removed_tokens")).as("n_removed_tokens"))
   }
 
+  /** Cross-corpus exact span detection — the DECONTAMINATION primitive:
+   * for every position of a TRAIN document, the longest token span
+   * starting there that appears verbatim in any BENCHMARK document,
+   * reported when maximal (same predecessor rule as [[dupSpansMaximal]])
+   * and ≥ `seedTokens` long. The construction is the cross-corpus form
+   * of [[dupSpansMaximal]]: seed windows hash on BOTH sides, a bucket
+   * qualifies when it holds ≥1 train AND ≥1 bench position (total
+   * occupancy ≤ `maxBucket` — an over-wide bucket is boilerplate, not
+   * contamination), candidate pairs are train×bench within a bucket,
+   * and the exact match length comes from one codegen
+   * longest-common-extension pass against the two token arrays.
+   * Returns (idCol, pos, len, span) over TRAIN documents only. */
+  def contaminatedSpans(train0: DataFrame, bench0: DataFrame, idCol: String,
+      textCol: String, seedTokens: Int = 8, maxBucket: Int = 256): DataFrame = {
+    require(seedTokens >= 1, s"seedTokens must be >= 1, got $seedTokens")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val train = ensureParallelism(train0)
+    val bench = ensureParallelism(bench0)
+    def seeds(df: DataFrame) = df.select(col(idCol).as("_d"),
+        posexplode(wordShingles(col(textCol), seedTokens)).as(Seq("pos", "_sh")))
+      .select(col("_d"), col("pos"), md5(col("_sh")).as("k"))
+    val st = seeds(train).persist()
+    val sb = seeds(bench).persist()
+    val okBuckets = st.select(col("k"), lit(1L).as("_t"), lit(0L).as("_b"))
+      .unionByName(sb.select(col("k"), lit(0L).as("_t"), lit(1L).as("_b")))
+      .groupBy("k")
+      .agg(sum(col("_t")).as("_nt"), sum(col("_b")).as("_nb"))
+      .filter(col("_nt") >= 1 && col("_nb") >= 1 &&
+        col("_nt") + col("_nb") <= maxBucket)
+      .select(col("k"))
+    val pairs = st.join(okBuckets, "k").as("x")
+      .join(sb.join(okBuckets, "k").as("y"), col("x.k") === col("y.k"))
+      .select(col("x._d").as("d1"), col("x.pos").as("p1"),
+        col("y._d").as("d2"), col("y.pos").as("p2"))
+    val trainArr = train.select(col(idCol).as("_d"), tokens(col(textCol)).as("_w"))
+    val benchArr = bench.select(col(idCol).as("_d"), tokens(col(textCol)).as("_w"))
+    val lCol = least(size(col("_w1")) - col("p1"), size(col("_w2")) - col("p2"))
+    val firstMismatch = array_position(
+      zip_with(slice(col("_w1"), col("p1") + 1, col("_L")),
+        slice(col("_w2"), col("p2") + 1, col("_L")),
+        (a, b) => a === b),
+      false)
+    val matched = pairs
+      .join(trainArr.select(col("_d").as("d1"), col("_w").as("_w1")), Seq("d1"))
+      .join(benchArr.select(col("_d").as("d2"), col("_w").as("_w2")), Seq("d2"))
+      .withColumn("_L", lCol)
+      .withColumn("_fm", firstMismatch)
+      .select(col("d1"), col("p1"),
+        when(col("_fm") === 0, col("_L"))
+          .otherwise(col("_fm") - 1).cast("int").as("len"))
+    // per-TRAIN-position max over bench partners + predecessor maximality
+    val perPos = matched.groupBy(col("d1").as("_d"), col("p1").as("pos"))
+      .agg(max(col("len")).as("len"))
+      .persist()
+    val maximal = perPos.as("c").join(perPos.as("l"),
+        col("c._d") === col("l._d") && col("l.pos") === col("c.pos") - 1, "left_outer")
+      .filter(col("l.len").isNull || col("l.len") < col("c.len") + 1)
+      .select(col("c._d").as("_d"), col("c.pos").as("pos"), col("c.len").as("len"))
+    val out = maximal.join(trainArr, Seq("_d"))
+      .select(col("_d").as(idCol), col("pos"), col("len"),
+        concat_ws(" ", slice(col("_w"), col("pos") + 1, col("len"))).as("span"))
+    out.cache()
+    out.count() // materialize before releasing the stage pins
+    st.unpersist(false); sb.unpersist(false); perPos.unpersist(false)
+    out
+  }
+
+  /** Decontamination cut: rebuild the TRAIN corpus with every
+   * benchmark-contaminated span occurrence removed — unlike
+   * [[cutDupSpans]] there is no keep-first winner: contamination all
+   * goes (Lee et al. / GPT-3-style span decontamination rather than
+   * dedup). Returns one row per train document:
+   * (idCol, clean_text — "" when everything was cut, n_removed_tokens).
+   * Overlapping removed ranges union naturally; work beyond detection is
+   * proportional to the removed token count plus one re-tokenization. */
+  def cutContaminated(train0: DataFrame, bench0: DataFrame, idCol: String,
+      textCol: String, seedTokens: Int = 8, maxBucket: Int = 256): DataFrame = {
+    val train = ensureParallelism(train0)
+    val spans = contaminatedSpans(train, bench0, idCol, textCol, seedTokens, maxBucket)
+    val remArr = spans
+      .select(col(idCol).as("_d"),
+        explode(sequence(col("pos"), col("pos") + col("len") - 1)).as("_tp"))
+      .groupBy(col("_d")).agg(collect_set(col("_tp")).as("_rm"))
+    val out = train.select(col(idCol).as("_d"), tokens(col(textCol)).as("_w"))
+      .join(remArr, Seq("_d"), "left_outer")
+      .select(col("_d").as(idCol),
+        when(col("_rm").isNull, concat_ws(" ", col("_w")))
+          .otherwise(concat_ws(" ",
+            filter(col("_w"), (t, i) => !array_contains(col("_rm"), i))))
+          .as("clean_text"),
+        coalesce(size(col("_rm")).cast("long"), lit(0L)).as("n_removed_tokens"))
+    out.select(col(idCol), col("clean_text"),
+      when(col("n_removed_tokens") < 0, lit(0L))
+        .otherwise(col("n_removed_tokens")).as("n_removed_tokens"))
+  }
+
   /** Corpus-wide top-`k` `n`-grams by occurrence (boilerplate mining):
    * (ngram, n_occ, n_docs, rank), rank 1 = most frequent, ties broken by
    * ngram ascending so the cut is deterministic. The heavy stage is one

@@ -208,6 +208,11 @@ class ConnectPluginSpec extends TestBase {
     val sr = GraftConnectDispatch.run(Some(v), e, "simrank",
         """{"maxIter": 2, "c": 0.8}""")
     assert(sr.columns.toSeq == Seq("a", "b", "simrank") && sr.count() > 0)
+    val tc = GraftConnectDispatch.run(Some(v), e, "triad_census", "{}")
+      .collect().map(r => r.getString(0) -> r.getDecimal(1).longValueExact()).toMap
+    // two K4 cliques (undirected = asym here? no — VALUES arcs are single
+    // direction, so cliques are 030T-saturated) + bridge; just pin totals
+    assert(tc.values.sum == 56L && tc("030T") == 8L) // C(8,3); 4 per K4
     val sw = GraftConnectDispatch.run(Some(v), e, "ppr_sweep",
         """{"source": 1, "maxIter": 8, "sweepK": 8}""")
       .orderBy(org.apache.spark.sql.functions.col("rank")).collect()
@@ -230,6 +235,15 @@ class ConnectPluginSpec extends TestBase {
     val sp = GraftConnectDispatch.run(scala.None, ev0, "pipe_rate_spikes",
       """{"lookback": 3}""")
     assert(sp.columns.contains("spike") && sp.count() > 0)
+    // two-table decontamination: train = edges slot, bench = vertices
+    val allDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cut = GraftConnectDispatch.run(
+      Some(allDocs.filter("doc_id % 10 = 0")),
+      allDocs.filter("doc_id % 10 <> 0"),
+      "pipe_cut_contaminated",
+      """{"idCol": "doc_id", "textCol": "text", "seedTokens": 4}""")
+    assert(cut.columns.toSeq == Seq("doc_id", "clean_text", "n_removed_tokens"))
+    assert(cut.filter("n_removed_tokens > 0").count() > 0)
   }
 
   test("dispatch covers eigenvector, minimum_spanning_forest, pipe_knn_graph") {

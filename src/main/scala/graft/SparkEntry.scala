@@ -551,6 +551,16 @@ object SparkEntry {
       graphB(s, dir).richClub(Seq(2, 8, 14, 20))
         .select(col("k"), col("n_k"), col("e_k"),
           round(col("phi"), 6).as("phi"))),
+    "g_butterfly" -> ((s, dir) => // bipartite 4-cycle (2x2 biclique)
+      // global count over the supplier-part incidence: B = sum C(c,2)
+      // over co-neighbor pairs — wedge join on the part pivot, no
+      // 4-cycle enumeration; all-Long arithmetic
+      lib.Butterflies.globalCounts(load(s, dir, "lineitem"),
+        "l_suppkey", "l_partkey")),
+    "g_butterfly_vertex" -> ((s, dir) => // per-supplier butterfly support
+      // b(v) = sum_{pairs containing v} C(c,2), zero-filled
+      lib.Butterflies.perVertex(load(s, dir, "lineitem"),
+        "l_suppkey", "l_partkey")),
     "g_triangle_count" -> ((s, dir) =>
       graphB(s, dir).triangleCount.run()
         .select(col(ID), col("count").as("tri_count"))),
@@ -3403,6 +3413,25 @@ object SparkEntry {
          |  CASE WHEN COALESCE(n_k, 0) >= 2
          |    THEN ROUND(2.0 * COALESCE(e_k, 0) / (n_k * (n_k - 1)), 6) END AS phi
          |FROM ks LEFT JOIN nk ON nk.k = ks.k LEFT JOIN ek ON ek.k = ks.k""".stripMargin,
+    // butterfly identity B = sum C(c,2) over left co-neighbor pair
+    // overlaps c — the oracle recomputes the pair overlaps from scratch
+    "g_butterfly" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS l, l_partkey AS r FROM lineitem),
+        |p AS (SELECT x.l AS a, y.l AS b, COUNT(*) AS c
+        |  FROM e x JOIN e y ON x.r = y.r AND x.l < y.l GROUP BY 1, 2)
+        |SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n_butterflies,
+        |  CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_wedges,
+        |  CAST(COALESCE(MAX(c), 0) AS BIGINT) AS max_copair
+        |FROM p""".stripMargin,
+    "g_butterfly_vertex" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS l, l_partkey AS r FROM lineitem),
+        |p AS (SELECT x.l AS a, y.l AS b, COUNT(*) AS c
+        |  FROM e x JOIN e y ON x.r = y.r AND x.l < y.l GROUP BY 1, 2),
+        |bf AS (SELECT id, SUM(c * (c - 1) // 2) AS b FROM (
+        |  SELECT a AS id, c FROM p UNION ALL SELECT b, c FROM p) GROUP BY 1)
+        |SELECT u.id, CAST(COALESCE(bf.b, 0) AS BIGINT) AS butterflies
+        |FROM (SELECT DISTINCT l AS id FROM e) u
+        |LEFT JOIN bf ON bf.id = u.id""".stripMargin,
     "g_transitivity" ->
       s"""WITH e0 AS ($NE),
          |canon AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e0),

@@ -961,6 +961,11 @@ object SparkEntry {
     "p_ngram_jaccard" -> ((s, dir) =>
       pipeline.Dedup.ngramJaccard(load(s, dir, "documents"), "doc_id", "text",
         n = 3, minShared = 3, maxDocFreq = 1000)),
+    "p_containment" -> ((s, dir) => // asymmetric small-in-large dedup:
+      // C(a->b) = |S(a) n S(b)| / |S(a)| — catches quoted/embedded docs
+      // whole-doc Jaccard misses; both orientations of each pair
+      pipeline.Dedup.containmentPairs(load(s, dir, "documents"), "doc_id", "text",
+        n = 3, minShared = 2, threshold = 0.4, maxDocFreq = 1000)),
 
     // --- pipeline: similarity ---
     "p_cosine_pairs" -> ((s, dir) =>
@@ -3628,6 +3633,27 @@ object SparkEntry {
          |SELECT a, b, shared,
          |  ROUND(shared / CAST(sa.n + sb.n - shared AS DOUBLE), 4) AS jaccard
          |FROM pr JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b""".stripMargin,
+    // containment is the same pair construction with the ASYMMETRIC
+    // normalizer |S(a)|; the `shared >= n * 0.4` float boundary is the
+    // identical IEEE compare the engine makes
+    "p_containment" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+         |s AS (SELECT doc_id, unnest($SH3) AS sh FROM t WHERE len(w) >= 3),
+         |d AS (SELECT DISTINCT doc_id, sh FROM s),
+         |sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
+         |rare AS (SELECT sh FROM d GROUP BY sh HAVING count(*) <= 1000),
+         |dc AS (SELECT d.doc_id, d.sh FROM d JOIN rare USING (sh)),
+         |pr AS (SELECT x.doc_id AS u, y.doc_id AS v, count(*) AS shared
+         |       FROM dc x JOIN dc y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |       GROUP BY 1, 2 HAVING count(*) >= 2),
+         |bo AS (SELECT u AS a, v AS b, shared, su.n AS na FROM pr
+         |         JOIN sz su ON su.doc_id = u
+         |       UNION ALL
+         |       SELECT v, u, shared, sv.n FROM pr
+         |         JOIN sz sv ON sv.doc_id = v)
+         |SELECT a, b, shared,
+         |  ROUND(shared / CAST(na AS DOUBLE), 4) AS containment
+         |FROM bo WHERE shared >= na * 0.4""".stripMargin,
     "p_length_stats" ->
       s"""WITH t AS (SELECT lang, CAST(len($W) AS DOUBLE) AS n FROM documents)
          |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

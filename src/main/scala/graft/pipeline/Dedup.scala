@@ -407,6 +407,59 @@ object Dedup {
   }
 
   /**
+   * Shingle-containment near-dup pairs: C(a → b) = |S(a) ∩ S(b)| / |S(a)|
+   * over distinct `n`-word shingles — the ASYMMETRIC companion to
+   * [[ngramJaccard]] (after Broder 1997's containment measure). Jaccard
+   * misses small-in-large duplication by construction (a page quoted
+   * inside a 100× larger page has Jaccard ≈ 1%, containment ≈ 100%), and
+   * quote/snippet inclusion is the dominant residual duplication in web
+   * training corpora after whole-doc dedup. Returns BOTH directions:
+   * (a, b, shared, containment) where `containment` is C(a → b) rounded
+   * to 4dp, emitted when ≥ `threshold` and `shared` ≥ `minShared`.
+   *
+   * Same plan shape as [[ngramJaccard]] — one shingle explode+distinct
+   * (persisted; it feeds sizes and both self-join sides), one inverted-
+   * index self-join bounded to co-occurring shingles, one hash-agg pair
+   * count, then a cheap two-orientation projection of the SAME pair frame
+   * (no second join pass). `maxDocFreq` is the identical stop-shingle cap
+   * (numerator-only → containment becomes a lower bound when set).
+   */
+  def containmentPairs(df0: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minShared: Int = 2, threshold: Double = 0.5,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val df = ensureParallelism(df0)
+    val sh = df.select(col(idCol).as("_d_id"),
+        explode(Text.wordShingles(col(textCol), n)).as("s"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy("_d_id").agg(count(lit(1)).as("n_sh"))
+    val shJ = if (maxDocFreq == Int.MaxValue) sh else {
+      val stop = sh.groupBy("s").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") > maxDocFreq)
+        .select("s")
+      sh.join(stop, Seq("s"), "left_anti")
+        .select("_d_id", "s")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val shared = shJ.as("x").join(shJ.as("y"),
+        col("x.s") === col("y.s") && col("x._d_id") < col("y._d_id"))
+      .groupBy(col("x._d_id").as("u"), col("y._d_id").as("v"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(sizes.select(col("_d_id").as("u"), col("n_sh").as("nu")), "u")
+      .join(sizes.select(col("_d_id").as("v"), col("n_sh").as("nv")), "v")
+    // both orientations from the one canonical pair frame; the division
+    // is the single float op and happens after the exact integer filter
+    shared.select(col("u").as("a"), col("v").as("b"), col("shared"),
+        col("nu").as("na"))
+      .unionByName(shared.select(col("v").as("a"), col("u").as("b"),
+        col("shared"), col("nv").as("na")))
+      .filter(col("shared") >= col("na") * threshold)
+      .select(col("a"), col("b"), col("shared"),
+        round(col("shared") / col("na").cast("double"), 4).as("containment"))
+  }
+
+  /**
    * CCNet-style segment-level dedup (Wenzek et al., arXiv:1911.00359 §3.1
    * deduplicates *paragraphs* across the corpus rather than whole
    * documents — the dominant cleanup for boilerplate lines like cookie

@@ -121,6 +121,26 @@ class PropertySpec extends TestBase {
     assert(capped == Set((1L, 2L)), s"got $capped")
   }
 
+  test("containmentPairs catches small-in-large duplication Jaccard misses") {
+    import org.apache.spark.sql.functions._
+    val small = "one two three four five"
+    val docs = Seq(
+      (1L, small), // 3 shingles, all inside doc 2
+      (2L, small + " " + (1 to 20).map(i => s"u$i").mkString(" ")), // 23 shingles
+      (3L, "totally different words here with zero overlap anywhere at all"))
+      .toDF("doc_id", "text")
+    val rows = pipeline.Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 3, minShared = 2, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("shared"), r.getAs[Double]("containment")))
+    // C(1->2) = 3/3 = 1.0 passes; C(2->1) = 3/23 and Jaccard = 3/23 fail
+    assert(rows.toSet == Set((1L, 2L, 3L, 1.0)), s"got ${rows.mkString(",")}")
+    // sanity: the symmetric operator would NOT have surfaced the pair at 0.5
+    val jac = pipeline.Dedup.ngramJaccard(docs, "doc_id", "text", minShared = 2)
+      .filter(col("jaccard") >= 0.5).count()
+    assert(jac == 0L)
+  }
+
   test("ngramJaccard hot-shingle guardrail warns only above threshold") {
     import org.apache.spark.sql.functions._
     // pure message path: the probe warns above the threshold, not at it

@@ -1289,6 +1289,10 @@ object SparkEntry {
     "e_cohort" -> ((s, dir) => // epoch-week cohort retention: exact
       // integer week math, no calendar dependency
       pipeline.Events.cohortRetention(load(s, dir, "events"))),
+    "e_paths" -> ((s, dir) => // top-12 session paths: first 5 event types
+      // per 30-min-gap session, '>'-joined; (count desc, path asc) cut
+      pipeline.Events.topPaths(load(s, dir, "events"), gapMinutes = 30,
+        maxSteps = 5, k = 12)),
     "e_stream_funnel" -> ((s, dir) => {
       // conversion tracking in a stream: 3-long state per user, emits a
       // row the moment the final step matches; equals the batch funnel's
@@ -4071,6 +4075,24 @@ object SparkEntry {
         |SELECT cw AS cohort_week, wk - cw AS week_offset,
         |  count(DISTINCT ev.user_id) AS n_users
         |FROM ev JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
+    // same sessionize rule as e_sessionize, path assembled by
+    // string_agg ORDER BY the in-session rank; (count desc, path asc)
+    // is a total order so the LIMIT cut is unambiguous on both sides
+    "e_paths" ->
+      """WITH x AS (SELECT user_id, event_id, ts, event_type,
+        |  CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) > 1800000 THEN 1 ELSE 0 END AS nsess
+        |  FROM events),
+        |y AS (SELECT user_id, event_type, ts, event_id, SUM(nsess) OVER
+        |  (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM x),
+        |z AS (SELECT user_id, sess, event_type, ROW_NUMBER() OVER
+        |  (PARTITION BY user_id, sess ORDER BY ts, event_id) AS rn FROM y),
+        |p AS (SELECT user_id, sess,
+        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM z WHERE rn <= 5 GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions FROM p
+        |GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 12""".stripMargin,
     "e_stream_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
         |s1 AS (SELECT user_id, MIN(ms) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),

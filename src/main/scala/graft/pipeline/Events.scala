@@ -181,4 +181,47 @@ object Events {
         (col("_wk") - col("_c")).as("week_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
+
+  /** Per-session event-type paths: gap-sessionize (same rule and
+   * (ts, event_id) total order as [[sessionize]]), keep each session's
+   * first `maxSteps` events, and render the ordered type sequence as a
+   * `>`-joined string. Returns (user_id, session_idx, path, n_steps).
+   *
+   * One shuffle on user_id drives both window passes (same partitioning,
+   * no re-exchange), then one hash aggregation per session assembles the
+   * path via `array_sort(collect_list(struct(rn, type)))` — the sort key
+   * rn is unique within the group, so the path is deterministic under
+   * any task ordering. Per-group state is bounded by `maxSteps`, never
+   * by session length. */
+  def sessionPaths(events: DataFrame, gapMinutes: Int = 30,
+      maxSteps: Int = 5): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ms = tsMillis(events)
+    val newSession = when(
+      ms - lag(ms, 1).over(byUser) > gapMinutes * 60L * 1000L, 1).otherwise(0)
+    val sess = events
+      .withColumn("_sess", sum(newSession).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bySess = Window.partitionBy(col("user_id"), col("_sess"))
+      .orderBy(col("ts"), col("event_id"))
+    sess.withColumn("_rn", row_number().over(bySess))
+      .filter(col("_rn") <= maxSteps)
+      .groupBy(col("user_id"), col("_sess").as("session_idx"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("_rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"),
+        count(lit(1)).as("n_steps"))
+  }
+
+  /** Top-k session paths by frequency — the clickstream "what do users
+   * do" sweep. Deterministic cut: (n_sessions desc, path asc) is a total
+   * order, executed as a distributed TakeOrdered (no global sort
+   * materialization). Returns (path, n_sessions). */
+  def topPaths(events: DataFrame, gapMinutes: Int = 30, maxSteps: Int = 5,
+      k: Int = 20): DataFrame =
+    sessionPaths(events, gapMinutes, maxSteps)
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(k)
 }

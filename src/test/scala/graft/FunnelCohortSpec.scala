@@ -65,4 +65,29 @@ class FunnelCohortSpec extends TestBase {
     assert(m((c0, 0L)) == 2L && m((c0, 1L)) == 1L && m((c0, 2L)) == 2L)
     assert(m((c0 + 1, 0L)) == 1L && m.size == 4)
   }
+
+  test("sessionPaths: gap splits sessions, maxSteps truncates, ties break on event_id") {
+    val rows = Seq(
+      // user 1, session 0: six events — path truncated to the first 5
+      (1L, "a", T0, 10L), (1L, "b", T0 + MIN, 11L), (1L, "c", T0 + 2 * MIN, 12L),
+      (1L, "d", T0 + 3 * MIN, 13L), (1L, "e", T0 + 4 * MIN, 14L),
+      (1L, "f", T0 + 5 * MIN, 15L),
+      // user 1, session 1 after a 31-min gap
+      (1L, "z", T0 + 36 * MIN, 16L),
+      // user 2: two same-timestamp events ordered by event_id
+      (2L, "y", T0, 21L), (2L, "x", T0, 20L))
+      .toDF("user_id", "event_type", "ms", "event_id")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        timestamp_millis(col("ms")).as("ts"))
+    val got = Events.sessionPaths(rows, gapMinutes = 30, maxSteps = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getString(2), r.getLong(3)))).toMap
+    assert(got((1L, 0L)) == ("a>b>c>d>e", 5L)) // f truncated
+    assert(got((1L, 1L)) == ("z", 1L))
+    assert(got((2L, 0L)) == ("x>y", 2L)) // event_id 20 before 21
+    val top = Events.topPaths(rows, 30, 5, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // counts all 1 -> path-asc decides: a>b>c>d>e, then x>y
+    assert(top.toSeq == Seq(("a>b>c>d>e", 1L), ("x>y", 1L)))
+  }
 }

@@ -1322,6 +1322,20 @@ object SparkEntry {
         .select(col("window_start"), col("event_type"), col("user_id"),
           col("n_events"), col("rank").cast("long").as("rank"))
     }),
+    "e_stream_latest" -> ((s, dir) => {
+      // CDC upsert view: keep-latest-per-user as one streaming
+      // max(struct) aggregation, run to completion; oracle is the
+      // batch argmax over (ts desc, event_id desc)
+      val stream = streaming.EventStreams.latestPerKeyStream(
+        streaming.EventStreams.readEvents(s, dir))
+      val q = stream.writeStream.format("memory")
+        .queryName("graft_stream_latest").outputMode("complete").start()
+      q.processAllAvailable(); q.stop()
+      s.table("graft_stream_latest")
+        .select(col("user_id"), col("last_ms"), col("last_event_id"),
+          col("last_event_type"), col("last_value")) // raw parquet double:
+          // both sides read the identical bits, no arithmetic — no rounding
+    }),
     "e_stream_anomaly" -> ((s, dir) => {
       // rate-spike detection: streaming hourly per-type counts run to
       // completion, then the exact-integer finisher flags windows whose
@@ -4106,6 +4120,16 @@ object SparkEntry {
         |    AND e.ms <= s2.t1 + 604800000 GROUP BY 1)
         |SELECT user_id, t1 AS anchor_ms, t3 AS converted_ms,
         |  t3 - t1 AS duration_ms FROM s3""".stripMargin,
+    // keep-latest upsert view: batch argmax per user over the full-
+    // precision (ts, event_id) order the stream's max(struct) follows
+    "e_stream_latest" ->
+      """WITH r AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type, value,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |SELECT user_id, CAST(ms AS BIGINT) AS last_ms,
+        |  event_id AS last_event_id, event_type AS last_event_type,
+        |  value AS last_value
+        |FROM r WHERE rn = 1""".stripMargin,
     "e_stream_anomaly" ->
       """WITH c AS (
         |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS window_start,

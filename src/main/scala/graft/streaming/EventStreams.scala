@@ -160,6 +160,38 @@ object EventStreams {
           lit(false)))
   }
 
+  /**
+   * Streaming keep-latest-per-key "upsert view" — the CDC materialization
+   * shape: for every key, the state of its most recent event so far
+   * (max by raw event time, `event_id` tie-break). Declarative Spark-first
+   * form: ONE streaming aggregation `max(struct(ts, event_id, payload...))`
+   * — struct ordering is lexicographic, so the payload rides along with
+   * the (ts, event_id) total order and state per key is a single struct,
+   * independent of stream length. Runs in update/complete mode (an
+   * aggregation without watermark keeps all keys live — the upsert-view
+   * contract; key cardinality bounds state, as in any CDC view).
+   *
+   * Ordering compares the RAW `ts` column (full source precision), not
+   * the ms-floored `ts_utc` — two sub-millisecond-apart events must not
+   * fall back to the id tie-break. Returns (key, last_ms, last_event_id,
+   * last_event_type, last_value).
+   */
+  def latestPerKeyStream(events: DataFrame, keyCol: String = "user_id"): DataFrame = {
+    val latest = events.groupBy(col(keyCol))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("_l"))
+    val ms = events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("_l.ts div 1000000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_millis(col("_l.ts").cast("timestamp"))
+      case _ => unix_millis(col("_l.ts"))
+    }
+    latest.select(col(keyCol), ms.as("last_ms"),
+      col("_l.event_id").as("last_event_id"),
+      col("_l.event_type").as("last_event_type"),
+      col("_l.value").as("last_value"))
+  }
+
   case class SegOut(doc_id: Long, pos: Int, segment: String, kept: Boolean)
 
   /**

@@ -357,6 +357,10 @@ class GraphFrame private (
   def pprSweep: lib.PPRSweep = new lib.PPRSweep(this)
 
   def triadCensus: lib.TriadCensus = new lib.TriadCensus(this)
+
+  /** Bridges / articulation points / 2-edge-connected components of the
+   * underlying simple undirected graph (engine extension). */
+  def twoConnectivity: lib.TwoConnectivity = new lib.TwoConnectivity(this)
   /** Eigenvector centrality (engine extension). */
   def eigenvector: lib.Eigenvector = new lib.Eigenvector(this)
   /** Minimum spanning forest — Borůvka on the undirected weighted view

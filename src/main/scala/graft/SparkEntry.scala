@@ -63,6 +63,21 @@ object SparkEntry {
     GraphFrame(v, e)
   }
 
+  /** Binary-tree-plus-chords graph over the 25 nations: tree edges
+   * id → id div 2 (so every edge is a bridge a priori) plus chord edges
+   * id → (5·id + 2) % 25 for id % 7 = 3 — the chords close cycles through
+   * tree paths AND create BFS cross edges, the shape that distinguishes
+   * bridges/articulation logic from a naive DFS-lowpoint port. Connected
+   * (the tree spans all 25), which the articulation oracle relies on. */
+  private def treeChordGraph(s: SparkSession, dir: String): GraphFrame = {
+    val v = load(s, dir, "nation").select(col("n_nationkey").cast("long").as(ID))
+    val tree = v.filter(col(ID) >= 1)
+      .select(col(ID).as(SRC), expr(s"$ID div 2").as(DST))
+    val chord = v.filter(pmod(col(ID), lit(7)) === 3)
+      .select(col(ID).as(SRC), pmod(col(ID) * 5 + 2, lit(25)).as(DST))
+    GraphFrame(v, tree.unionByName(chord))
+  }
+
   /** Planted-community graph over the 25 nations: the five regions form
    * 5-cliques (dense intra-community structure), plus the sparse
    * id → (id+7) % 25 chord ring crossing them — the shape community
@@ -561,6 +576,24 @@ object SparkEntry {
       // b(v) = sum_{pairs containing v} C(c,2), zero-filled
       lib.Butterflies.perVertex(load(s, dir, "lineitem"),
         "l_suppkey", "l_partkey")),
+    "g_bridges" -> ((s, dir) => // cut edges of the tree+chords graph
+      // (driver-tail Tarjan); oracle: per-edge removal reachability
+      treeChordGraph(s, dir).twoConnectivity.bridges()),
+    "g_bridges_dist" -> ((s, dir) => // the DISTRIBUTED BFS-forest +
+      // cover-marking path forced (threshold 0) on the SAME oracle —
+      // bridges are graph invariants, so the paths must agree exactly
+      treeChordGraph(s, dir).twoConnectivity
+        .setSmallGraphThreshold(0).bridges()),
+    "g_articulation" -> ((s, dir) => // cut vertices; oracle: per-vertex
+      // removal reachability (connected fixture)
+      treeChordGraph(s, dir).twoConnectivity.articulationPoints()),
+    "g_articulation_dist" -> ((s, dir) => // forced distributed: child
+      // grouping over sibling cross edges, not DFS lowpoints
+      treeChordGraph(s, dir).twoConnectivity
+        .setSmallGraphThreshold(0).articulationPoints()),
+    "g_2ecc" -> ((s, dir) => // 2-edge-connected components = CC minus
+      // bridges, min-id labels
+      treeChordGraph(s, dir).twoConnectivity.twoEdgeComponents()),
     "g_triangle_count" -> ((s, dir) =>
       graphB(s, dir).triangleCount.run()
         .select(col(ID), col("count").as("tri_count"))),
@@ -1841,6 +1874,46 @@ object SparkEntry {
       |  UNION SELECT w2.s, ce.dst, w2.d + ce.w FROM cwalk w2
       |    JOIN ce ON ce.src = w2.v WHERE w2.d < 130),
       |cdistw AS (SELECT s, v, MIN(d) AS d FROM cwalk GROUP BY s, v)""".stripMargin
+
+  /** Tree+chords fixture CTEs shared by the 2-connectivity oracles:
+   * vertices (tv), directed raw edges (te), canonical simple undirected
+   * edges (tce) and the both-ways adjacency (tadj). */
+  private val TREE_CHORD =
+    """tv AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation),
+      |te AS (SELECT id AS src, id // 2 AS dst FROM tv WHERE id >= 1
+      |  UNION ALL SELECT id, (id * 5 + 2) % 25 FROM tv WHERE id % 7 = 3),
+      |tce AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      |  FROM te WHERE src <> dst),
+      |tadj AS (SELECT a AS u, b AS v FROM tce UNION ALL SELECT b, a FROM tce)""".stripMargin
+
+  /** Per-edge-removal reachability: for every canonical edge (a,b), walk
+   * from a over every OTHER edge (the UNION dedups (edge, vertex) states,
+   * so the recursion is finite); the edge is a bridge iff b is never
+   * reached. `sel` renders the output row. */
+  private def bridgesSql(sel: String): String =
+    s"""WITH RECURSIVE $TREE_CHORD,
+       |reach AS (SELECT a AS ra, b AS rb, a AS v FROM tce
+       |  UNION
+       |  SELECT r.ra, r.rb, t.v FROM reach r JOIN tadj t ON t.u = r.v
+       |  WHERE NOT (LEAST(t.u, t.v) = r.ra AND GREATEST(t.u, t.v) = r.rb))
+       |SELECT $sel
+       |FROM tce t LEFT JOIN reach x
+       |  ON x.ra = t.a AND x.rb = t.b AND x.v = t.b""".stripMargin
+
+  /** Per-vertex-removal reachability on the CONNECTED fixture: walk from
+   * the minimum remaining vertex avoiding the removed one; articulation
+   * iff fewer than the other 24 vertices are reached. */
+  private val articulationSql =
+    s"""WITH RECURSIVE $TREE_CHORD,
+       |seeds AS (SELECT rv.id AS rem, MIN(o.id) AS v
+       |  FROM tv rv JOIN tv o ON o.id <> rv.id GROUP BY 1),
+       |areach AS (SELECT rem, v FROM seeds
+       |  UNION
+       |  SELECT r.rem, t.v FROM areach r JOIN tadj t ON t.u = r.v
+       |  WHERE t.v <> r.rem),
+       |cnt AS (SELECT rem, COUNT(DISTINCT v) AS n FROM areach GROUP BY 1)
+       |SELECT tv.id, (cnt.n < 24) AS is_articulation
+       |FROM tv JOIN cnt ON cnt.rem = tv.id""".stripMargin
 
   /** SimRank replay on the circulant graph: `iters` unrolled synchronous
    * rounds of s_k(a,b) = (c·Σ s_{k-1}(i,j)) / (|I(a)|·|I(b)|) over ordered
@@ -3455,6 +3528,30 @@ object SparkEntry {
         |SELECT u.id, CAST(COALESCE(bf.b, 0) AS BIGINT) AS butterflies
         |FROM (SELECT DISTINCT l AS id FROM e) u
         |LEFT JOIN bf ON bf.id = u.id""".stripMargin,
+    // removal-based connectivity oracles — deliberately NOT the engine's
+    // BFS-forest/Tarjan constructions: a bridge is an edge whose removal
+    // disconnects its endpoints, an articulation point a vertex whose
+    // removal strands part of its (connected) component, 2ECC labels the
+    // min id reachable over non-bridge edges
+    "g_bridges" -> bridgesSql("t.a AS src, t.b AS dst, (x.v IS NULL) AS is_bridge"),
+    "g_bridges_dist" -> bridgesSql("t.a AS src, t.b AS dst, (x.v IS NULL) AS is_bridge"),
+    "g_articulation" -> articulationSql,
+    "g_articulation_dist" -> articulationSql,
+    "g_2ecc" ->
+      s"""WITH RECURSIVE $TREE_CHORD,
+         |reach AS (SELECT a AS ra, b AS rb, a AS v FROM tce
+         |  UNION
+         |  SELECT r.ra, r.rb, t.v FROM reach r JOIN tadj t ON t.u = r.v
+         |  WHERE NOT (LEAST(t.u, t.v) = r.ra AND GREATEST(t.u, t.v) = r.rb)),
+         |br AS (SELECT t.a, t.b FROM tce t
+         |  LEFT JOIN reach x ON x.ra = t.a AND x.rb = t.b AND x.v = t.b
+         |  WHERE x.v IS NULL),
+         |nb AS (SELECT a, b FROM tce WHERE NOT EXISTS (
+         |  SELECT 1 FROM br WHERE br.a = tce.a AND br.b = tce.b)),
+         |nadj AS (SELECT a AS u, b AS v FROM nb UNION ALL SELECT b, a FROM nb),
+         |crel AS (SELECT id AS s, id AS v FROM tv
+         |  UNION SELECT c.s, n.v FROM crel c JOIN nadj n ON n.u = c.v)
+         |SELECT s AS id, MIN(v) AS component FROM crel GROUP BY 1""".stripMargin,
     "g_transitivity" ->
       s"""WITH e0 AS ($NE),
          |canon AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e0),

@@ -281,6 +281,38 @@ class GraphFrameMethods:
         return self._call("ppr_sweep", source=source, resetProb=resetProb,
                           maxIter=maxIter, sweepK=sweepK)
 
+    def bridges(self, smallGraphThreshold: Optional[int] = None,
+                maxAncestorRows: Optional[int] = None):
+        """Cut edges of the underlying simple undirected graph: one row
+        per canonical edge ``(src, dst, is_bridge)``. Driver-tail Tarjan
+        below the threshold, BFS-forest + cover marking distributed."""
+        return self._call("bridges", smallGraphThreshold=smallGraphThreshold,
+                          maxAncestorRows=maxAncestorRows)
+
+    def articulationPoints(self, smallGraphThreshold: Optional[int] = None,
+                           maxAncestorRows: Optional[int] = None):
+        """Cut vertices: every vertex + ``is_articulation`` (removal
+        splits its component)."""
+        return self._call("articulation_points",
+                          smallGraphThreshold=smallGraphThreshold,
+                          maxAncestorRows=maxAncestorRows)
+
+    def twoEdgeComponents(self, smallGraphThreshold: Optional[int] = None,
+                          maxAncestorRows: Optional[int] = None):
+        """2-edge-connected component labels (min member id): connectivity
+        surviving any single edge failure."""
+        return self._call("two_edge_components",
+                          smallGraphThreshold=smallGraphThreshold,
+                          maxAncestorRows=maxAncestorRows)
+
+    def butterfly(self, part: Optional[str] = None,
+                  maxPivotDegree: Optional[int] = None):
+        """Bipartite butterfly (4-cycle) counts reading the edge relation
+        as a (left=src, pivot=dst) incidence table: one global row by
+        default, per-left-vertex support when part="vertex"."""
+        return self._call("butterfly", part=part,
+                          maxPivotDegree=maxPivotDegree)
+
     def sampleVertices(self, fraction: Optional[float] = None,
                        seed: Optional[int] = None,
                        part: Optional[str] = None):
@@ -596,6 +628,27 @@ class PipelineMethods:
         bucketed by the epoch week of their first event; one row per
         (cohort_week, week_offset) with distinct active users."""
         return self._call("pipe_cohort")
+
+    def containmentPairs(self, idCol: str, textCol: str,
+                         shingle: Optional[int] = None,
+                         minShared: Optional[int] = None,
+                         threshold: Optional[float] = None,
+                         maxDocFreq: Optional[int] = None):
+        """Asymmetric shingle containment |S(a) n S(b)| / |S(a)| — the
+        small-in-large near-dup detector whole-doc Jaccard misses. Both
+        orientations ``(a, b, shared, containment)`` at-or-above the
+        threshold."""
+        return self._call("pipe_containment", idCol=idCol, textCol=textCol,
+                          shingle=shingle, minShared=minShared,
+                          threshold=threshold, maxDocFreq=maxDocFreq)
+
+    def topPaths(self, gapMinutes: Optional[int] = None,
+                 maxSteps: Optional[int] = None, k: Optional[int] = None):
+        """Top-k session paths over an events-shaped table: the first
+        ``maxSteps`` event types per gap-session, '>'-joined, counted,
+        cut by (count desc, path asc)."""
+        return self._call("pipe_top_paths", gapMinutes=gapMinutes,
+                          maxSteps=maxSteps, k=k)
 
     def importanceSample(self, idCol: str, weightCol: str,
                          targetFraction: float,

@@ -69,6 +69,10 @@ object GraftConnectDispatch {
     "triad_census" -> Set.empty[String],
     "simrank" -> Set("maxIter", "c", "minSim", "maxPairs"),
     "ppr_sweep" -> Set("source", "resetProb", "maxIter", "sweepK"),
+    "bridges" -> Set("smallGraphThreshold", "maxAncestorRows"),
+    "articulation_points" -> Set("smallGraphThreshold", "maxAncestorRows"),
+    "two_edge_components" -> Set("smallGraphThreshold", "maxAncestorRows"),
+    "butterfly" -> Set("part", "maxPivotDegree"),
     "clustering_coefficient" -> Set.empty[String],
     "assortativity" -> Set.empty[String],
     "reciprocity" -> Set.empty[String],
@@ -134,6 +138,9 @@ object GraftConnectDispatch {
     "pipe_rate_spikes" -> Set("lookback", "num", "den"),
     "pipe_pmi_bigrams" -> Set("idCol", "textCol", "minCount", "topK"),
     "pipe_cohort" -> Set.empty[String],
+    "pipe_containment" -> Set("idCol", "textCol", "shingle", "minShared",
+      "threshold", "maxDocFreq"),
+    "pipe_top_paths" -> Set("gapMinutes", "maxSteps", "k"),
     "pipe_ann_ivf_hier" -> Set("idCol", "vecCol", "k", "nsuper", "nlistPer",
       "wprobe", "nprobe"),
     "pipe_image_decode" -> Set("idCol", "binCol"),
@@ -372,6 +379,18 @@ object GraftConnectDispatch {
             windowMinutes = int("windowMinutes").getOrElse(60 * 24))
         case "pipe_cohort" =>
           graft.pipeline.Events.cohortRetention(t)
+        case "pipe_containment" =>
+          graft.pipeline.Dedup.containmentPairs(t,
+            str("idCol").getOrElse("doc_id"), str("textCol").getOrElse("text"),
+            n = int("shingle").getOrElse(3),
+            minShared = int("minShared").getOrElse(2),
+            threshold = dbl("threshold").getOrElse(0.5),
+            maxDocFreq = int("maxDocFreq").getOrElse(Int.MaxValue))
+        case "pipe_top_paths" =>
+          graft.pipeline.Events.topPaths(t,
+            gapMinutes = int("gapMinutes").getOrElse(30),
+            maxSteps = int("maxSteps").getOrElse(5),
+            k = int("k").getOrElse(20))
         case "pipe_approx_distinct" =>
           graft.pipeline.Sampling.approxDistinct(t,
             groupCol = required("groupCol"), valueCol = required("valueCol"),
@@ -636,6 +655,23 @@ object GraftConnectDispatch {
         int("maxIter").foreach(sw.maxIter)
         int("sweepK").foreach(sw.sweepK)
         sw.run()
+      case "bridges" | "articulation_points" | "two_edge_components" =>
+        val tc = g.twoConnectivity
+        int("smallGraphThreshold").foreach(n => tc.setSmallGraphThreshold(n.toLong))
+        int("maxAncestorRows").foreach(n => tc.setMaxAncestorRows(n.toLong))
+        algorithm match {
+          case "bridges" => tc.bridges()
+          case "articulation_points" => tc.articulationPoints()
+          case _ => tc.twoEdgeComponents()
+        }
+      // bipartite butterfly counts read the edge relation as the
+      // (left, right) incidence table — src = left, dst = pivot side
+      case "butterfly" =>
+        val cap = int("maxPivotDegree").getOrElse(Int.MaxValue)
+        if (str("part").contains("vertex"))
+          graft.lib.Butterflies.perVertex(g.edges, GraphFrame.SRC, GraphFrame.DST, cap)
+        else
+          graft.lib.Butterflies.globalCounts(g.edges, GraphFrame.SRC, GraphFrame.DST, cap)
       case "clustering_coefficient" => g.clusteringCoefficient.run()
       case "assortativity" => g.assortativity
       case "reciprocity" => g.reciprocity

@@ -246,6 +246,40 @@ class ConnectPluginSpec extends TestBase {
     assert(cut.filter("n_removed_tokens > 0").count() > 0)
   }
 
+  test("dispatch covers bridges, articulation_points, two_edge_components, butterfly, pipe_containment, pipe_top_paths") {
+    // triangles {0,1,2} and {3,4,5} joined by the bridge 2-3
+    val v = spark.sql("SELECT * FROM VALUES (0L),(1L),(2L),(3L),(4L),(5L) AS t(id)")
+    val e = spark.sql("""SELECT * FROM VALUES (0L,1L),(1L,2L),(0L,2L),
+      (3L,4L),(4L,5L),(3L,5L),(2L,3L) AS t(src, dst)""")
+    val br = GraftConnectDispatch.run(Some(v), e, "bridges", "{}")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+    assert(br((2L, 3L)) && br.count(_._2) == 1)
+    val ap = GraftConnectDispatch.run(Some(v), e, "articulation_points",
+        """{"smallGraphThreshold": 0}""") // forced distributed path
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(ap.filter(_._2).keySet == Set(2L, 3L))
+    val tec = GraftConnectDispatch.run(Some(v), e, "two_edge_components", "{}")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tec == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L, 5L -> 3L))
+    // butterfly reads (src=left, dst=pivot): K(2,2) = one butterfly
+    val be = spark.sql("""SELECT * FROM VALUES (1L,10L),(1L,11L),
+      (2L,10L),(2L,11L) AS t(src, dst)""")
+    val bf = GraftConnectDispatch.run(Some(v), be, "butterfly", "{}").head()
+    assert(bf.getAs[Long]("n_butterflies") == 1L)
+    val bfv = GraftConnectDispatch.run(Some(v), be, "butterfly",
+      """{"part": "vertex"}""")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("butterflies")).toMap
+    assert(bfv == Map(1L -> 1L, 2L -> 1L))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cp = GraftConnectDispatch.run(scala.None, docs, "pipe_containment",
+      """{"idCol": "doc_id", "textCol": "text", "threshold": 0.4, "maxDocFreq": 1000}""")
+    assert(cp.columns.toSeq == Seq("a", "b", "shared", "containment") && cp.count() > 0)
+    val ev1 = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val tp = GraftConnectDispatch.run(scala.None, ev1, "pipe_top_paths",
+      """{"maxSteps": 3, "k": 5}""")
+    assert(tp.columns.toSeq == Seq("path", "n_sessions") && tp.count() == 5)
+  }
+
   test("dispatch covers eigenvector, minimum_spanning_forest, pipe_knn_graph") {
     val v = spark.sql("SELECT * FROM VALUES (0L),(1L),(2L),(3L) AS t(id)")
     val e = spark.sql("""SELECT * FROM VALUES (0L,1L,1.0),(1L,2L,2.0),

@@ -612,6 +612,60 @@ class GraphFrame private (
       lit(r).cast("double").as("assortativity"), lit(m).as("m_edges"))
   }
 
+  /** Categorical attribute assortativity (engine extension; Newman 2003's
+   * mixing-by-discrete-characteristics coefficient) — homophily of a
+   * vertex attribute over the canonical undirected simple graph:
+   * r = (Σᵢeᵢᵢ − Σᵢaᵢ²)/(1 − Σᵢaᵢ²), where e is the category mixing
+   * matrix and aᵢ its marginals. 1 = perfectly assortative, 0 = random
+   * mixing, negative = disassortative (bipartite-like). Edges with a
+   * null attribute on either endpoint drop.
+   *
+   * Exact-integer form (both-orientation counts Dᵢⱼ, total 2m; category
+   * mass Sᵢ = ΣⱼDᵢⱼ): r = (2m·ΣDᵢᵢ − ΣSᵢ²)/((2m)² − ΣSᵢ²) — DECIMAL(38,0)
+   * sums, one nearest-double division at the end, so a SQL replay is
+   * bit-identical. Shape: two endpoint-attribute joins + one |categories|-
+   * keyed aggregation; nothing scales with more than the edge count.
+   * Returns (assortativity, m_edges, n_categories). */
+  def attributeAssortativity(attrCol: String): DataFrame = {
+    val attr = vertices
+      .select(col(ID), col(GraphFrame.quoteName(attrCol)).as("_cat"))
+      .filter(col("_cat").isNotNull)
+    val und = edges.select(col(SRC), col(DST))
+      .filter(col(SRC).isNotNull && col(DST).isNotNull && col(SRC) =!= col(DST))
+      .select(least(col(SRC), col(DST)).as("a"), greatest(col(SRC), col(DST)).as("b"))
+      .distinct()
+      .join(attr.select(col(ID).as("a"), col("_cat").as("ca")), Seq("a"))
+      .join(attr.select(col(ID).as("b"), col("_cat").as("cb")), Seq("b"))
+      .persist()
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    // both orientations: Dᵢⱼ symmetric with Σ = 2m
+    val orient = und.select(col("ca").as("ci"), col("cb").as("cj"))
+      .unionByName(und.select(col("cb").as("ci"), col("ca").as("cj")))
+    val row = orient.groupBy("ci")
+      .agg(count(lit(1)).cast(dec).as("s"),
+        sum(when(col("ci") === col("cj"), 1L).otherwise(0L)).cast(dec).as("dii"))
+      .agg(sum(col("s")).as("m2"), sum(col("dii")).as("diag"),
+        sum(col("s") * col("s")).as("ss"), count(lit(1)).as("ncat"))
+      .head()
+    und.unpersist(false)
+    val spark = vertices.sparkSession
+    if (row.isNullAt(0))
+      return spark.range(1).select(
+        lit(null).cast("double").as("assortativity"),
+        lit(0L).as("m_edges"), lit(0L).as("n_categories"))
+    val m2 = BigDecimal(row.getDecimal(0))
+    val diag = BigDecimal(row.getDecimal(1))
+    val ss = BigDecimal(row.getDecimal(2))
+    val num = m2 * diag - ss
+    val den = m2 * m2 - ss
+    val r = if (den == 0) null
+      else java.lang.Double.valueOf(num.toDouble / den.toDouble)
+    spark.range(1).select(
+      lit(r).cast("double").as("assortativity"),
+      lit((m2 / 2).toLongExact).as("m_edges"),
+      lit(row.getLong(3)).as("n_categories"))
+  }
+
   /** Rich-club coefficient sweep (engine extension): for each degree
    * threshold k in `ks`, the density of the subgraph induced by the
    * "club" of vertices with undirected simple degree > k —

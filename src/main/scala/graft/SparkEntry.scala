@@ -523,6 +523,16 @@ object SparkEntry {
       graphB(s, dir).assortativity
         .select(round(col("assortativity"), 6).as("assortativity"),
           col("m_edges"))),
+    "g_attr_assortativity" -> ((s, dir) => { // region homophily of the
+      // trade graph: Newman's categorical mixing coefficient, exact
+      // integer mixing counts, one double division
+      val v = load(s, dir, "nation")
+        .select(col("n_nationkey").as(ID), col("n_regionkey"))
+      GraphFrame(v, nationEdges(s, dir))
+        .attributeAssortativity("n_regionkey")
+        .select(round(col("assortativity"), 6).as("assortativity"),
+          col("m_edges"), col("n_categories"))
+    }),
     "g_reciprocity" -> ((s, dir) => // exact mutual/total counts; the
       // division is the only float op, identical in the oracle
       graphB(s, dir).reciprocity
@@ -1006,6 +1016,11 @@ object SparkEntry {
     "p_ann_topk" -> ((s, dir) =>
       pipeline.Similarity.topK(load(s, dir, "embeddings"), "vec_id", "embedding",
         k = 3, queryFilter = col("vec_id") < 20)),
+    "p_ann_mips" -> ((s, dir) => // max-inner-product retrieval: rank by
+      // RAW dot (norm carries signal); cosine indexes apply via the
+      // norm-augmentation reduction at scale
+      pipeline.Similarity.mipsTopK(load(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, queryFilter = col("vec_id") < 20)),
     "p_ann_lsh" -> ((s, dir) => // approximate by construction; oracle mirrors
       // the banded bucket candidates exactly (md5-derived plane weights)
       pipeline.Similarity.lshTopK(load(s, dir, "embeddings"), "vec_id", "embedding",
@@ -1326,6 +1341,13 @@ object SparkEntry {
       // per 30-min-gap session, '>'-joined; (count desc, path asc) cut
       pipeline.Events.topPaths(load(s, dir, "events"), gapMinutes = 30,
         maxSteps = 5, k = 12)),
+    "e_rfm" -> ((s, dir) => // RFM segmentation: exact integer metrics
+      // (epoch-day recency, count, cent sum), quintile scores, user_id
+      // tie-break — deterministic under any partitioning
+      pipeline.Events.rfm(load(s, dir, "events"), buckets = 5)
+        .select(col("user_id"), col("recency_day"), col("frequency"),
+          col("monetary_cents"), col("r").cast("long").as("r"),
+          col("f").cast("long").as("f"), col("m").cast("long").as("m"))),
     "e_stream_funnel" -> ((s, dir) => {
       // conversion tracking in a stream: 3-long state per user, emits a
       // row the moment the final step matches; equals the batch funnel's
@@ -3365,6 +3387,26 @@ object SparkEntry {
          |    ELSE ROUND(CAST(4 * m * sp - s1 * s1 AS DOUBLE)
          |      / CAST(2 * m * s2 - s1 * s1 AS DOUBLE), 6) END AS assortativity,
          |  CAST(m AS BIGINT) AS m_edges FROM t""".stripMargin,
+    // categorical mixing: both-orientation counts (sum 2m), category
+    // masses squared in exact HUGEINT, the same single double division
+    "g_attr_assortativity" ->
+      s"""WITH e0 AS ($NE),
+         |c AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM e0 WHERE src <> dst),
+         |lab AS (SELECT r1.n_regionkey AS ca, r2.n_regionkey AS cb FROM c
+         |  JOIN nation r1 ON r1.n_nationkey = c.a
+         |  JOIN nation r2 ON r2.n_nationkey = c.b),
+         |o AS (SELECT ca AS ci, cb AS cj FROM lab UNION ALL SELECT cb, ca FROM lab),
+         |g AS (SELECT ci, CAST(COUNT(*) AS HUGEINT) AS s,
+         |    CAST(SUM(CASE WHEN ci = cj THEN 1 ELSE 0 END) AS HUGEINT) AS dii
+         |  FROM o GROUP BY 1),
+         |t AS (SELECT SUM(s) AS m2, SUM(dii) AS diag, SUM(s * s) AS ss,
+         |  COUNT(*) AS ncat FROM g)
+         |SELECT CASE WHEN m2 * m2 - ss = 0 THEN NULL
+         |    ELSE ROUND(CAST(m2 * diag - ss AS DOUBLE)
+         |      / CAST(m2 * m2 - ss AS DOUBLE), 6) END AS assortativity,
+         |  CAST(m2 // 2 AS BIGINT) AS m_edges,
+         |  CAST(ncat AS BIGINT) AS n_categories FROM t""".stripMargin,
     "g_modularity" ->
       s"""${louvainCtes(4)},
          |intra AS MATERIALIZED (SELECT COUNT(*) AS x FROM c
@@ -3897,6 +3939,16 @@ object SparkEntry {
          |  SELECT query_id, neighbor_id,
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rnk
          |  FROM sc) WHERE rnk <= 3""".stripMargin,
+    "p_ann_mips" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT * FROM e WHERE vec_id < 20),
+         |sc AS (SELECT q.vec_id AS query_id, y.vec_id AS neighbor_id,
+         |   list_dot_product(q.v, y.v) AS d
+         |   FROM q JOIN e y ON y.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
+         |  SELECT query_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d DESC, neighbor_id ASC) AS rnk
+         |  FROM sc) WHERE rnk <= 3""".stripMargin,
     "p_knn_graph" -> knnGraphSql("SELECT src, dst FROM mu"),
     "p_knn_label_spread" -> knnGraphSql(labelSpreadTail(3)),
     "p_pmi_bigrams" ->
@@ -4186,6 +4238,19 @@ object SparkEntry {
         |SELECT cw AS cohort_week, wk - cw AS week_offset,
         |  count(DISTINCT ev.user_id) AS n_users
         |FROM ev JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
+    // integer RFM metrics (cent sums — no order-dependent float adds),
+    // ntile over the identical (metric desc, user_id) total order
+    "e_rfm" ->
+      """WITH a AS (SELECT user_id,
+        |    MAX(epoch_ms(ts)) // 86400000 AS recency_day,
+        |    COUNT(*) AS frequency,
+        |    SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS monetary_cents
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, recency_day, frequency, monetary_cents,
+        |  CAST(NTILE(5) OVER (ORDER BY recency_day DESC, user_id) AS BIGINT) AS r,
+        |  CAST(NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f,
+        |  CAST(NTILE(5) OVER (ORDER BY monetary_cents DESC, user_id) AS BIGINT) AS m
+        |FROM a""".stripMargin,
     // same sessionize rule as e_sessionize, path assembled by
     // string_agg ORDER BY the in-session rank; (count desc, path asc)
     // is a total order so the LIMIT cut is unambiguous on both sides

@@ -182,6 +182,35 @@ object Events {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** RFM user segmentation: per user, Recency (epoch day of the last
+   * event), Frequency (event count) and Monetary (exact cent sum —
+   * `floor(value·100)` per event, so the aggregate is an order-
+   * independent integer, never a float whose bits depend on partial-sum
+   * order), then `buckets`-quantile scores per dimension. Bucket 1 is
+   * BEST (most recent / most frequent / highest spend); ties break on
+   * user_id, a total order, so the segmentation is deterministic under
+   * any partitioning.
+   *
+   * Scale: the aggregation is one hash shuffle on user_id; each ntile is
+   * a global sort OF USER AGGREGATES (rows = users, not events) — the
+   * classic exact formulation. For billions of users swap the ntiles for
+   * approx-percentile cut points; exact quantile membership is the
+   * contract here. */
+  def rfm(events: DataFrame, buckets: Int = 5): DataFrame = {
+    require(buckets >= 2, s"rfm needs >= 2 buckets, got $buckets")
+    val agg = events
+      .withColumn("_ms", tsMillis(events))
+      .groupBy("user_id")
+      .agg(expr("max(_ms) div 86400000").as("recency_day"),
+        count(lit(1)).as("frequency"),
+        sum(floor(col("value") * 100).cast("long")).as("monetary_cents"))
+    def score(c: String) =
+      ntile(buckets).over(Window.orderBy(col(c).desc, col("user_id").asc))
+    agg.select(col("user_id"), col("recency_day"), col("frequency"),
+      col("monetary_cents"), score("recency_day").as("r"),
+      score("frequency").as("f"), score("monetary_cents").as("m"))
+  }
+
   /** Per-session event-type paths: gap-sessionize (same rule and
    * (ts, event_id) total order as [[sessionize]]), keep each session's
    * first `maxSteps` events, and render the ordered type sequence as a

@@ -74,6 +74,30 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 
+  /** Exact maximum-inner-product top-k (MIPS): like [[topK]] but ranked
+   * by the RAW dot product — the retrieval scoring for embeddings whose
+   * norm carries signal (e.g. popularity-weighted item vectors, where
+   * cosine's normalization throws the signal away). (query_id,
+   * neighbor_id, rnk), (dot desc, neighbor id asc) for determinism.
+   *
+   * Scale path: MIPS reduces to cosine by the norm-augmentation trick
+   * (append √(M² − ‖x‖²) to each candidate, 0 to each query, M = max
+   * norm), after which every cosine index here (LSH/IVF/IVF-PQ) applies
+   * unchanged — this exact form is the oracle anchor. */
+  def mipsTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      queryFilter: Column = lit(true)): DataFrame = {
+    val v = withNorm(df, idCol, vecCol)
+    val q = withNorm(df.filter(queryFilter), idCol, vecCol)
+      .select(col("_s_id").as("_q_id"), col("_s_v").as("_q_v"))
+    val scored = q.join(v, col("_q_id") =!= col("_s_id"))
+      .select(col("_q_id").as("query_id"), col("_s_id").as("neighbor_id"),
+        dotProduct(col("_q_v"), col("_s_v")).as("_dot"))
+    val w = Window.partitionBy("query_id").orderBy(col("_dot").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+
   /** kNN graph over an embedding table: each row's exact top-k cosine
    * neighbors become edges. `mutual = true` (the default) keeps the
    * canonical undirected edge `(src < dst)` only when EACH endpoint is in

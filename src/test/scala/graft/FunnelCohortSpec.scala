@@ -66,6 +66,28 @@ class FunnelCohortSpec extends TestBase {
     assert(m((c0 + 1, 0L)) == 1L && m.size == 4)
   }
 
+  test("rfm: exact integer metrics, bucket 1 is best, user_id tie-break") {
+    val DAY = 86400000L
+    val rows = Seq(
+      // user 1: 3 events, latest day 2, spend 10.50+0.25+1.00
+      (1L, "a", 2 * DAY, 1.00), (1L, "b", 2 * DAY + MIN, 10.50), (1L, "c", MIN, 0.25),
+      // user 2: 1 event day 0, spend 99.99
+      (2L, "a", 5L, 99.99),
+      // user 3: 2 events day 1, spend 0
+      (3L, "a", DAY, 0.0), (3L, "b", DAY + MIN, 0.0))
+      .toDF("user_id", "event_type", "ms", "value")
+      .withColumn("event_id", col("user_id") * 10)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"),
+        timestamp_millis(col("ms")).as("ts"))
+    val got = Events.rfm(rows, buckets = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getInt(6)))).toMap
+    // metrics: exact cents, epoch days
+    assert(got(1L) == ((2L, 3L, 1175L, 1, 1, 2)))
+    assert(got(2L) == ((0L, 1L, 9999L, 3, 3, 1)))
+    assert(got(3L) == ((1L, 2L, 0L, 2, 2, 3)))
+  }
+
   test("sessionPaths: gap splits sessions, maxSteps truncates, ties break on event_id") {
     val rows = Seq(
       // user 1, session 0: six events — path truncated to the first 5

@@ -79,4 +79,24 @@ class GraphMetricsSpec extends TestBase {
     val r = GraphFrame(v, e).reciprocity.head()
     assert(r.getAs[Long]("m_mutual") == 2L && r.getAs[Long]("m_edges") == 4L)
   }
+
+  test("attributeAssortativity: perfect homophily = 1, bipartite mixing < 0, null-attr edges drop") {
+    // two same-category cliques, no cross edges: r = 1 exactly
+    val v1 = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "y")).toDF("id", "cat")
+    val e1 = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    val r1 = GraphFrame(v1, e1).attributeAssortativity("cat").head()
+    assert(r1.getAs[Double]("assortativity") == 1.0)
+    assert(r1.getAs[Long]("m_edges") == 2L && r1.getAs[Long]("n_categories") == 2L)
+    // perfectly DISassortative: every edge crosses categories
+    // D = [[0,2],[2,0]], 2m=4, diag=0, S=(2,2): r = (0-8)/(16-8) = -1
+    val e2 = Seq((1L, 3L), (2L, 4L)).toDF("src", "dst")
+    val r2 = GraphFrame(v1, e2).attributeAssortativity("cat").head()
+    assert(r2.getAs[Double]("assortativity") == -1.0)
+    // a null attribute drops its edges; remaining single same-cat edge: r undefined
+    // (one category only -> den = 0 -> null)
+    val v3 = Seq((1L, "x"), (2L, "x"), (3L, null)).toDF("id", "cat")
+    val e3 = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r3 = GraphFrame(v3, e3).attributeAssortativity("cat").head()
+    assert(r3.isNullAt(0) && r3.getAs[Long]("m_edges") == 1L)
+  }
 }

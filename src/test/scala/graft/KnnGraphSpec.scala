@@ -52,4 +52,21 @@ class KnnGraphSpec extends TestBase {
     assert(cc(1L) == cc(2L) && cc(3L) == cc(4L) && cc(1L) != cc(3L))
     assert(cc(5L) != cc(1L) && cc(5L) != cc(3L))
   }
+
+  test("mipsTopK ranks by raw dot: a long vector beats a better-aligned short one") {
+    // query (1,0): cosine prefers (0.9, 0) [cos=1] over (2, 1) [cos~0.89],
+    // MIPS prefers (2, 1) [dot=2] over (0.9, 0) [dot=0.9]
+    val v = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.0f)),
+      (3L, Seq(2.0f, 1.0f))).toDF("vec_id", "embedding")
+    val mips = Similarity.mipsTopK(v, "vec_id", "embedding", k = 1,
+        queryFilter = col("vec_id") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(mips == Seq((1L, 3L)))
+    val cos = Similarity.topK(v, "vec_id", "embedding", k = 1,
+        queryFilter = col("vec_id") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(cos == Seq((1L, 2L)))
+  }
 }

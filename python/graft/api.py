@@ -135,6 +135,11 @@ class GraphFrameMethods:
         """HITS hubs/authorities (engine extension)."""
         return self._call("hits", maxIter=maxIter)
 
+    def salsa(self, maxIter: Optional[int] = None):
+        """SALSA stochastic hubs/authorities: HITS with per-edge
+        1/outdeg, 1/indeg weights (walk-normalized; L1 output)."""
+        return self._call("salsa", maxIter=maxIter)
+
     def katz(self, maxIter: Optional[int] = None,
              alpha: Optional[float] = None, beta: Optional[float] = None):
         """Katz centrality (engine extension)."""

@@ -354,6 +354,9 @@ class GraphFrame private (
 
   def simRank: lib.SimRank = new lib.SimRank(this)
 
+  /** SALSA stochastic hubs/authorities (engine extension). */
+  def salsa: lib.Salsa = new lib.Salsa(this)
+
   def pprSweep: lib.PPRSweep = new lib.PPRSweep(this)
 
   def triadCensus: lib.TriadCensus = new lib.TriadCensus(this)

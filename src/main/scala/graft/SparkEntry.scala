@@ -348,6 +348,11 @@ object SparkEntry {
       graphB(s, dir).hits.maxIter(5).run()
         .select(col(ID), round(col("hub"), 6).as("hub"),
           round(col("authority"), 6).as("authority"))),
+    "g_salsa" -> ((s, dir) => // SALSA: walk-normalized HITS (per-edge
+      // 1/outdeg, 1/indeg weights fixed once), 5 rounds, L1 output
+      graphB(s, dir).salsa.maxIter(5).run()
+        .select(col(ID), round(col("hub"), 6).as("hub"),
+          round(col("authority"), 6).as("authority"))),
     "g_shortest_paths_weighted" -> ((s, dir) => { // Bellman-Ford extension:
       // deterministic integer weights derived from the endpoint keys
       val g0 = graphB(s, dir)
@@ -1811,6 +1816,39 @@ object SparkEntry {
        |FROM h$iters, nz""".stripMargin
   }
 
+  /** Unrolled SALSA replay: HITS with per-edge 1/outdeg / 1/indeg weights
+   * computed once (the identical float products the engine reuses each
+   * round), L1-normalized at the end. */
+  private def salsaSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""a${k}r AS MATERIALIZED (SELECT ew.dst AS id, SUM(h${k - 1}.hub * ew.wout) AS a
+         |  FROM ew JOIN h${k - 1} ON h${k - 1}.id = ew.src GROUP BY 1),
+         |a$k AS MATERIALIZED (SELECT v.id, h${k - 1}.hub,
+         |    COALESCE(a${k}r.a, 0.0) AS auth
+         |  FROM v JOIN h${k - 1} ON h${k - 1}.id = v.id
+         |  LEFT JOIN a${k}r ON a${k}r.id = v.id),
+         |b${k}r AS MATERIALIZED (SELECT ew.src AS id, SUM(a$k.auth * ew.win) AS h
+         |  FROM ew JOIN a$k ON a$k.id = ew.dst GROUP BY 1),
+         |h$k AS MATERIALIZED (SELECT v.id, COALESCE(b${k}r.h, 0.0) AS hub, a$k.auth
+         |  FROM v JOIN a$k ON a$k.id = v.id
+         |  LEFT JOIN b${k}r ON b${k}r.id = v.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED ($NE),
+       |v AS MATERIALIZED (SELECT n_nationkey AS id FROM nation),
+       |od AS (SELECT src, COUNT(*) AS c FROM e GROUP BY 1),
+       |ig AS (SELECT dst, COUNT(*) AS c FROM e GROUP BY 1),
+       |ew AS MATERIALIZED (SELECT e.src, e.dst,
+       |    1.0 / od.c AS wout, 1.0 / ig.c AS win
+       |  FROM e JOIN od ON od.src = e.src JOIN ig ON ig.dst = e.dst),
+       |h0 AS (SELECT id, 1.0 AS hub FROM v),
+       |$steps,
+       |nz AS (SELECT SUM(hub) AS hn, SUM(auth) AS an FROM h$iters)
+       |SELECT id,
+       |  round(CASE WHEN hn > 0 THEN hub / hn ELSE 0.0 END, 6) AS hub,
+       |  round(CASE WHEN an > 0 THEN auth / an ELSE 0.0 END, 6) AS authority
+       |FROM h$iters, nz""".stripMargin
+  }
+
   /** Unrolled 3-merge word-level BPE replay (mirrors
    * graft.pipeline.Tokenizer: `⟨sym⟩` boundary encoding, greedy
    * left-to-right `replace`, count-desc/pair-asc tie-break). `finalSelect`
@@ -3173,6 +3211,7 @@ object SparkEntry {
         |SELECT e.a AS src, e.b AS dst, e.w AS weight FROM ek e
         |WHERE NOT EXISTS (SELECT 1 FROM reach r WHERE r.qk = e.k AND r.v = e.b)""".stripMargin,
     "g_hits" -> hitsSql(5),
+    "g_salsa" -> salsaSql(5),
     "g_shortest_paths_weighted" ->
       s"""WITH RECURSIVE e0 AS ($NE),
          |e AS (SELECT src, dst, (src * 7 + dst * 3) % 5 + 1 AS w FROM e0),

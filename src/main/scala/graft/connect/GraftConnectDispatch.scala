@@ -53,6 +53,7 @@ object GraftConnectDispatch {
     "triangle_count" -> Set("algorithm", "lgNomEntries"),
     "kcore" -> Set("maxIter"),
     "hits" -> Set("maxIter"),
+    "salsa" -> Set("maxIter"),
     "katz" -> Set("maxIter", "alpha", "beta"),
     "eigenvector" -> Set("maxIter", "weightCol"),
     "minimum_spanning_forest" -> Set("weightCol"),
@@ -582,6 +583,10 @@ object GraftConnectDispatch {
         val h = g.hits
         int("maxIter").foreach(h.maxIter)
         h.run()
+      case "salsa" =>
+        val sl = g.salsa
+        int("maxIter").foreach(sl.maxIter)
+        sl.run()
       case "katz" =>
         val kz = g.katz
         int("maxIter").foreach(kz.maxIter)

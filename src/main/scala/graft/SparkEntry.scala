@@ -466,6 +466,12 @@ object SparkEntry {
       // the sketch estimates are exact and the recursive-CTE pair counts
       // oracle applies (same contract as g_triangle_approx)
       circulantGraph(s, dir).neighborhoodFunction.run()),
+    "g_effective_diameter" -> ((s, dir) => // 0.9-quantile interpolated
+      // ANF readout over the exact-at-this-size neighborhood function
+      circulantGraph(s, dir).neighborhoodFunction.effectiveDiameterReport(0.9)
+        .select(round(col("effective_diameter"), 6).as("effective_diameter"),
+          col("effective_diameter_int").cast("long").as("effective_diameter_int"),
+          col("diameter").cast("long").as("diameter"), col("n_pairs_total"))),
     "g_link_prediction" -> ((s, dir) =>
       circulantGraph(s, dir).linkPrediction.run()
         .select(col(SRC), col(DST), col("cn"),
@@ -3351,6 +3357,24 @@ object SparkEntry {
          |nf AS (SELECT ds.d, CAST(COUNT(*) AS BIGINT) AS n_pairs
          |  FROM ds JOIN cdist c ON c.d <= ds.d GROUP BY ds.d)
          |SELECT CAST(d AS INT) AS d, n_pairs FROM nf""".stripMargin,
+    // same pair counts, then the interpolated ANF readout — identical
+    // float ops: tot*0.9 compare, one subtraction-ratio interpolation
+    "g_effective_diameter" ->
+      s"""WITH RECURSIVE $CIRC_DIST_SIGMA,
+         |ds AS (SELECT DISTINCT d FROM cdist),
+         |nf AS (SELECT ds.d, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |  FROM ds JOIN cdist c ON c.d <= ds.d GROUP BY ds.d),
+         |t AS (SELECT MAX(n_pairs) AS tot, MAX(d) AS diam FROM nf),
+         |x AS (SELECT d, n_pairs,
+         |    COALESCE(LAG(n_pairs) OVER (ORDER BY d), 0) AS prev
+         |  FROM nf),
+         |c0 AS (SELECT x.d, x.n_pairs, x.prev, t.tot, t.diam FROM x, t
+         |  WHERE x.n_pairs >= t.tot * 0.9 ORDER BY x.d LIMIT 1)
+         |SELECT ROUND((d - 1) + (tot * 0.9 - prev) / (n_pairs - prev), 6)
+         |    AS effective_diameter,
+         |  CAST(d AS BIGINT) AS effective_diameter_int,
+         |  CAST(diam AS BIGINT) AS diameter, tot AS n_pairs_total
+         |FROM c0""".stripMargin,
     "g_link_prediction" ->
       """WITH cv AS (SELECT n_nationkey AS id FROM nation),
         |ce AS (SELECT DISTINCT src, dst FROM (

@@ -97,4 +97,28 @@ class NeighborhoodFunction(g: GraphFrame) {
     val nMax = rows.last.getLong(1)
     rows.find(_.getLong(1) >= alpha * nMax).map(_.getInt(0).toDouble).get
   }
+
+  /** One-row effective-diameter report with the classic ANF linear
+   * interpolation (Palmer–Gibbons–Faloutsos): at the smallest d₀ with
+   * N(d₀) ≥ α·N(∞), `effective_diameter` = (d₀−1) + (α·N(∞) − N(d₀−1)) /
+   * (N(d₀) − N(d₀−1)); plus the integer readout, the hop diameter, and
+   * N(∞). Declarative finisher over the diameter-row [[run]] output (the
+   * global window orders ≤ diameter+1 rows by construction), so a SQL
+   * engine replays the identical float path. */
+  def effectiveDiameterReport(alpha: Double = 0.9): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha out of (0, 1]: $alpha")
+    val nf = run()
+    val tot = nf.agg(max(col("n_pairs")).as("_tot"), max(col("d")).as("_diam"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+    nf.crossJoin(tot)
+      .withColumn("_prev", coalesce(lag(col("n_pairs"), 1).over(w), lit(0L)))
+      .filter(col("n_pairs") >= col("_tot") * alpha)
+      .orderBy(col("d")).limit(1)
+      .select(
+        ((col("d") - 1) + (col("_tot") * alpha - col("_prev")) /
+          (col("n_pairs") - col("_prev"))).as("effective_diameter"),
+        col("d").as("effective_diameter_int"),
+        col("_diam").as("diameter"),
+        col("_tot").as("n_pairs_total"))
+  }
 }

@@ -59,4 +59,14 @@ class NeighborhoodFunctionSpec extends TestBase {
     intercept[IllegalArgumentException](
       chain(3).neighborhoodFunction.effectiveDiameter(0.0))
   }
+
+  test("interpolated effective diameter on the 5-chain, hand-computed") {
+    // directed chain 0->..->4: N(0)=5, N(1)=9, N(2)=12, N(3)=14, N(4)=15
+    // thr = 13.5 -> d0 = 3, eff = 2 + (13.5-12)/(14-12) = 2.75
+    val r = chain(5).neighborhoodFunction.effectiveDiameterReport(0.9).head()
+    assert(math.abs(r.getAs[Double]("effective_diameter") - 2.75) < 1e-12)
+    assert(r.getAs[Int]("effective_diameter_int") == 3)
+    assert(r.getAs[Int]("diameter") == 4)
+    assert(r.getAs[Long]("n_pairs_total") == 15L)
+  }
 }

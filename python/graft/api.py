@@ -699,6 +699,13 @@ class PipelineMethods:
     def imageDecode(self, idCol: str, binCol: str):
         return self._call("pipe_image_decode", idCol=idCol, binCol=binCol)
 
+    def imageAHash(self, idCol: str, binCol: str, grid: Optional[int] = None):
+        """Perceptual average-hash fingerprint of the decoded pixels:
+        grid x grid block-luma bits by exact integer cross-multiplication
+        (bit-exact; equal hashes = structural near-dups)."""
+        return self._call("pipe_image_ahash", idCol=idCol, binCol=binCol,
+                          grid=grid)
+
     def imageResize(self, idCol: str, binCol: str, width: int,
                     height: int):
         return self._call("pipe_image_resize", idCol=idCol, binCol=binCol,

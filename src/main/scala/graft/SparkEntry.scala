@@ -845,42 +845,28 @@ object SparkEntry {
     }),
     "m_image_decode" -> ((s, dir) => {
       // REAL codec round-trip: the fixture ENCODES a valid two-tone
-      // vertical-split PNG per doc (left ceil(w/2) columns tone A, rest
-      // tone B; dims and tones derived from doc_id) with the JDK's
+      // vertical-split PNG per doc (see twoTonePngs) with the JDK's
       // ImageIO, and decodeImageStats DECODES it back with the same real
       // codec. PNG is lossless, so the oracle predicts the exact integer
       // channel sums analytically without ever touching bytes — a fake
       // decode (or any pixel-addressing bug in encode or decode) breaks
       // the hash.
-      import s.implicits._
-      val ids = load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
-      val payloads = ids.mapPartitions { it =>
-        it.map { id =>
-          val w = (id % 24 + 8).toInt
-          val h = (id * 7 % 24 + 8).toInt
-          val wl = (w + 1) / 2
-          val (ra, ga, ba) = ((id % 256).toInt, (id * 3 % 256).toInt, (id * 7 % 256).toInt)
-          val (rb, gb, bb) = (255 - ra, 255 - ga, 255 - ba)
-          val img = new java.awt.image.BufferedImage(w, h,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val (r, g, b) = if (x < wl) (ra, ga, ba) else (rb, gb, bb)
-              img.setRGB(x, y, (r << 16) | (g << 8) | b)
-              x += 1
-            }
-            y += 1
-          }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
-          (id, bos.toByteArray)
-        }
-      }.toDF("doc_id", "payload")
-      multimodal.Multimodal.decodeImageStats(payloads, "doc_id", "payload")
+      multimodal.Multimodal.decodeImageStats(twoTonePngs(s, dir), "doc_id", "payload")
         .toDF().select(col("id").as("doc_id"), col("width"), col("height"),
           col("sum_r"), col("sum_g"), col("sum_b"))
+    }),
+    "m_image_ahash" -> ((s, dir) => // perceptual fingerprint of the REAL
+      // decoded pixels: 8x8 block-luma bits by exact integer cross-
+      // multiplication — the oracle predicts all 64 bits analytically
+      multimodal.Multimodal.imageAHash(twoTonePngs(s, dir), "doc_id", "payload")
+        .select(col("doc_id"), col("ahash"))),
+    "m_image_dedup" -> ((s, dir) => { // perceptual near-dup groups: docs
+      // sharing an aHash keep the minimum doc_id (aHash is deliberately
+      // coarse — structural copies collide; that is the dedup contract)
+      val h = multimodal.Multimodal.imageAHash(twoTonePngs(s, dir), "doc_id", "payload")
+        .select(col("doc_id"), col("ahash"))
+      h.join(h.groupBy("ahash").agg(min(col("doc_id")).as("keep_id")), "ahash")
+        .select(col("doc_id"), col("ahash"), col("keep_id"))
     }),
     "m_audio_decode" -> ((s, dir) => {
       // REAL audio round trip: the fixture writes a valid 16-bit mono PCM
@@ -1940,6 +1926,67 @@ object SparkEntry {
       |  UNION SELECT w2.s, ce.dst, w2.d + ce.w FROM cwalk w2
       |    JOIN ce ON ce.src = w2.v WHERE w2.d < 130),
       |cdistw AS (SELECT s, v, MIN(d) AS d FROM cwalk GROUP BY s, v)""".stripMargin
+
+  /** Two-tone vertical-split PNG per document, REAL-encoded with the
+   * JDK's ImageIO: width = id%24+8, height = id·7%24+8, left ⌈w/2⌉
+   * columns tone (id%256, id·3%256, id·7%256), right columns the
+   * 255-complement. Lossless, so decoded stats / block hashes are
+   * analytically predictable from doc_id alone. */
+  private def twoTonePngs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val w = (id % 24 + 8).toInt
+        val h = (id * 7 % 24 + 8).toInt
+        val wl = (w + 1) / 2
+        val (ra, ga, ba) = ((id % 256).toInt, (id * 3 % 256).toInt, (id * 7 % 256).toInt)
+        val (rb, gb, bb) = (255 - ra, 255 - ga, 255 - ba)
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val (r, g, b) = if (x < wl) (ra, ga, ba) else (rb, gb, bb)
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** Analytic aHash replay of the two-tone PNG fixture: every row of the
+   * image is identical, so block (by,bx) has luma sum
+   * (nA·lumaA + (nx−nA)·lumaB)·ny with nA the overlap of the block's
+   * x-range with the left tone region — the oracle evaluates the SAME
+   * integer cross-multiplication bit rule over all 64 blocks. */
+  private val AHASH_BITS =
+    """p AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    doc_id % 24 + 8 AS w, (doc_id * 7) % 24 + 8 AS h,
+      |    (doc_id % 24 + 9) // 2 AS wl,
+      |    (doc_id % 256) + ((doc_id * 3) % 256) + ((doc_id * 7) % 256) AS la
+      |  FROM documents),
+      |blk AS (SELECT doc_id, w, h, wl, la, 765 - la AS lb,
+      |    byy.i AS by, bxx.i AS bx,
+      |    (bxx.i * w) // 8 AS x0, ((bxx.i + 1) * w) // 8 AS x1,
+      |    (byy.i * h) // 8 AS y0, ((byy.i + 1) * h) // 8 AS y1
+      |  FROM p, range(0, 8) byy(i), range(0, 8) bxx(i)),
+      |bits AS (SELECT doc_id, by, bx,
+      |    CASE WHEN
+      |      ((GREATEST(0, LEAST(x1, wl) - x0) * la
+      |        + (x1 - x0 - GREATEST(0, LEAST(x1, wl) - x0)) * lb)
+      |       * (y1 - y0)) * (w * h)
+      |      > ((wl * la + (w - wl) * lb) * h) * ((x1 - x0) * (y1 - y0))
+      |    THEN '1' ELSE '0' END AS bit
+      |  FROM blk),
+      |hs AS (SELECT doc_id, string_agg(bit, '' ORDER BY by, bx) AS ahash
+      |  FROM bits GROUP BY 1)""".stripMargin
 
   /** Tree+chords fixture CTEs shared by the 2-connectivity oracles:
    * vertices (tv), directed raw edges (te), canonical simple undirected
@@ -3104,6 +3151,15 @@ object SparkEntry {
         |  CAST(h * (wl * ga + (w - wl) * (255 - ga)) AS BIGINT) AS sum_g,
         |  CAST(h * (wl * ba + (w - wl) * (255 - ba)) AS BIGINT) AS sum_b
         |FROM p""".stripMargin,
+    // all 64 aHash bits predicted analytically — the Spark side must run
+    // the REAL decode + block-luma integer rule to reproduce them
+    "m_image_ahash" ->
+      s"""WITH $AHASH_BITS
+         |SELECT doc_id, ahash FROM hs""".stripMargin,
+    "m_image_dedup" ->
+      s"""WITH $AHASH_BITS
+         |SELECT doc_id, ahash,
+         |  MIN(doc_id) OVER (PARTITION BY ahash) AS keep_id FROM hs""".stripMargin,
     "m_audio_decode" ->
       // predict the decoded PCM aggregates analytically: the Spark side
       // must run a REAL WAV write+parse round trip to reproduce them

@@ -145,6 +145,7 @@ object GraftConnectDispatch {
     "pipe_ann_ivf_hier" -> Set("idCol", "vecCol", "k", "nsuper", "nlistPer",
       "wprobe", "nprobe"),
     "pipe_image_decode" -> Set("idCol", "binCol"),
+    "pipe_image_ahash" -> Set("idCol", "binCol", "grid"),
     "pipe_image_resize" -> Set("idCol", "binCol", "width", "height"),
     "pipe_image_histogram" -> Set("idCol", "binCol", "bins"),
     "pipe_audio_decode" -> Set("idCol", "binCol"),
@@ -441,6 +442,9 @@ object GraftConnectDispatch {
             nprobe = int("nprobe").getOrElse(4))
         case "pipe_image_decode" =>
           graft.multimodal.Multimodal.decodeImageStats(t, id, required("binCol")).toDF()
+        case "pipe_image_ahash" =>
+          graft.multimodal.Multimodal.imageAHash(t, id, required("binCol"),
+            grid = int("grid").getOrElse(8))
         case "pipe_image_resize" =>
           graft.multimodal.Multimodal.resizeImage(t, id, required("binCol"),
             targetW = int("width").getOrElse(throw new IllegalArgumentException(

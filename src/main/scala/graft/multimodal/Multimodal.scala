@@ -231,6 +231,80 @@ object Multimodal {
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Average-hash (aHash) perceptual image fingerprint: REAL decode, then
+   * a `grid`×`grid` block partition (block (by,bx) covers pixel columns
+   * ⌊bx·w/grid⌋ until ⌊(bx+1)·w/grid⌋ — pure integer bounds, identical on
+   * every platform) and one bit per block: is the block's mean luma
+   * (r+g+b) above the image mean? The compare is the exact integer
+   * cross-multiplication `blockLuma·totalPix > totalLuma·blockPix` — NO
+   * float anywhere, so the fingerprint is bit-exact and an analytic SQL
+   * oracle replays it. Returns (id, ahash: grid²-char '0'/'1' string,
+   * decoded); undecodable payloads get a null hash.
+   *
+   * Semantics note (stated, not hidden): aHash is deliberately COARSE —
+   * structurally similar images collide, which is the point for near-dup
+   * sweeps of re-encoded/resized copies; follow with an exact-bytes or
+   * embedding pass when false merges matter. Images narrower than the
+   * grid leave the uncovered blocks at bit 0. */
+  def imageAHash(df: DataFrame, idCol: String, binCol: String,
+      grid: Int = 8): DataFrame = {
+    require(grid >= 2 && grid <= 64, s"aHash grid out of [2,64]: $grid")
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          readImage(bytes) match {
+            case None => (id, null: String, false)
+            case Some(img) =>
+              val w = img.getWidth.toLong
+              val h = img.getHeight.toLong
+              val sums = Array.ofDim[Long](grid * grid)
+              val npix = Array.ofDim[Long](grid * grid)
+              var totalLuma = 0L
+              var by = 0
+              while (by < grid) {
+                val y0 = (by * h / grid).toInt; val y1 = ((by + 1) * h / grid).toInt
+                var bx = 0
+                while (bx < grid) {
+                  val x0 = (bx * w / grid).toInt; val x1 = ((bx + 1) * w / grid).toInt
+                  var s = 0L
+                  var y = y0
+                  while (y < y1) {
+                    var x = x0
+                    while (x < x1) {
+                      val rgb = img.getRGB(x, y)
+                      s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  val j = by * grid + bx
+                  sums(j) = s
+                  npix(j) = (x1 - x0).toLong * (y1 - y0)
+                  totalLuma += s
+                  bx += 1
+                }
+                by += 1
+              }
+              val totalPix = w * h
+              // exact integer compare; BigInt only when the cross products
+              // could pass Long range (pixels > 2^28 — wall-size images)
+              val big = totalPix > (1L << 28)
+              val sb = new java.lang.StringBuilder(grid * grid)
+              var j = 0
+              while (j < grid * grid) {
+                val bit =
+                  if (big) BigInt(sums(j)) * totalPix > BigInt(totalLuma) * npix(j)
+                  else sums(j) * totalPix > totalLuma * npix(j)
+                sb.append(if (bit) '1' else '0')
+                j += 1
+              }
+              (id, sb.toString, true)
+          }
+        }
+      }.toDF(idCol, "ahash", "decoded")
+  }
+
   /** REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP —
    * no external codec library): (id, width, height, n_pixels, sum_r,
    * sum_g, sum_b, decoded). Channel sums are exact integers, so a

@@ -140,6 +140,14 @@ class GraphFrameMethods:
         1/outdeg, 1/indeg weights (walk-normalized; L1 output)."""
         return self._call("salsa", maxIter=maxIter)
 
+    def influenceMax(self, k: Optional[int] = None,
+                     mode: Optional[str] = None, p: Optional[float] = None):
+        """Degree-discount influence-maximization seeds: k sequential
+        argmax picks with selected-neighbor discounting (mode "degree" =
+        DegreeDiscountIC with probability p; "single" = exact-integer
+        SingleDiscount). Returns (id, round, score)."""
+        return self._call("influence_max", k=k, mode=mode, p=p)
+
     def katz(self, maxIter: Optional[int] = None,
              alpha: Optional[float] = None, beta: Optional[float] = None):
         """Katz centrality (engine extension)."""

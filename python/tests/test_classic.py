@@ -225,5 +225,36 @@ assert kg == {(0, 3), (0, 6), (3, 6), (1, 4), (1, 7), (4, 7),
               (2, 5), (2, 8), (5, 8)}, kg
 print("CLASSIC OK pipe_knn_graph")
 
+br = {(r["src"], r["dst"]): r["is_bridge"] for r in g.bridges().collect()}
+assert br[(2, 3)] and sum(br.values()) == 1, br  # only the barbell bridge
+ap = {r["id"]: r["is_articulation"] for r in g.articulationPoints().collect()}
+assert {v for v, a in ap.items() if a} == {2, 3}, ap
+tec = {r["id"]: r["component"] for r in g.twoEdgeComponents().collect()}
+assert tec[0] == tec[1] == tec[2] == 0 and tec[3] == tec[4] == tec[5] == 3, tec
+print("CLASSIC OK two_connectivity")
+
+sl = {r["id"]: (r["hub"], r["authority"]) for r in g.salsa(maxIter=3).collect()}
+assert abs(sum(h for h, _ in sl.values()) - 1.0) < 1e-12  # L1 hub mass
+assert abs(sum(a for _, a in sl.values()) - 1.0) < 1e-12
+print("CLASSIC OK salsa")
+
+bf_edges = spark.createDataFrame(
+    [(1, 10), (1, 11), (2, 10), (2, 11)], ["src", "dst"])
+bf_g = GraphFrame(spark.createDataFrame([(i,) for i in range(3)], ["id"]),
+                  bf_edges)
+bf = bf_g.butterfly().collect()[0]
+assert bf["n_butterflies"] == 1, bf  # K(2,2) is one butterfly
+print("CLASSIC OK butterfly")
+
+cont_docs = spark.createDataFrame(
+    [(1, "one two three four five"),
+     (2, "one two three four five " + " ".join(f"u{i}" for i in range(20)))],
+    ["doc_id", "text"])
+cp = {(r["a"], r["b"]): r["containment"]
+      for r in Pipeline(cont_docs).containmentPairs(
+          idCol="doc_id", textCol="text", threshold=0.5).collect()}
+assert cp == {(1, 2): 1.0}, cp  # small-in-large direction only
+print("CLASSIC OK pipe_containment")
+
 spark.stop()
 print("CLASSIC ALL OK")

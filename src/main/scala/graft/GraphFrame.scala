@@ -357,6 +357,10 @@ class GraphFrame private (
   /** SALSA stochastic hubs/authorities (engine extension). */
   def salsa: lib.Salsa = new lib.Salsa(this)
 
+  /** Degree-discount influence-maximization seed selection (engine
+   * extension). */
+  def influenceMax: lib.InfluenceMax = new lib.InfluenceMax(this)
+
   def pprSweep: lib.PPRSweep = new lib.PPRSweep(this)
 
   def triadCensus: lib.TriadCensus = new lib.TriadCensus(this)

@@ -353,6 +353,11 @@ object SparkEntry {
       graphB(s, dir).salsa.maxIter(5).run()
         .select(col(ID), round(col("hub"), 6).as("hub"),
           round(col("authority"), 6).as("authority"))),
+    "g_influence_seeds" -> ((s, dir) => // degree-discount influence max:
+      // 5 sequential argmax picks (raw-score order, id tie-break) with
+      // neighbor discounting; oracle unrolls every round
+      communityGraph(s, dir).influenceMax.k(5).mode("degree").p(0.1).run()
+        .select(col(ID), col("round"), round(col("score"), 6).as("score"))),
     "g_shortest_paths_weighted" -> ((s, dir) => { // Bellman-Ford extension:
       // deterministic integer weights derived from the endpoint keys
       val g0 = graphB(s, dir)
@@ -2373,6 +2378,36 @@ object SparkEntry {
       |UNION
       |SELECT n_nationkey, (n_nationkey + 7) % 25 FROM nation""".stripMargin
 
+  /** Unrolled degree-discount influence-max replay on the community
+   * graph: per seed round, argmax of d − 2t − (d−t)·t·p over unpicked
+   * vertices (RAW-score order, id tie-break), then t += 1 on the pick's
+   * neighbors — the identical float expression the engine evaluates. */
+  private def influenceSql(k: Int, p: Double): String = {
+    val rounds = (1 to k).map { r =>
+      s"""p$r AS (SELECT id, d - 2*t - (d - t)*t*$p AS s
+         |  FROM s${r - 1} WHERE NOT picked
+         |  ORDER BY d - 2*t - (d - t)*t*$p DESC, id LIMIT 1),
+         |s$r AS (SELECT x.id, x.d,
+         |    x.t + CASE WHEN n.v IS NOT NULL THEN 1 ELSE 0 END AS t,
+         |    x.picked OR x.id = (SELECT id FROM p$r) AS picked
+         |  FROM s${r - 1} x LEFT JOIN cadj n
+         |    ON n.u = (SELECT id FROM p$r) AND n.v = x.id)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map(r =>
+      s"SELECT id, CAST($r AS INT) AS round, ROUND(s, 6) AS score FROM p$r")
+      .mkString("\n UNION ALL ")
+    s"""WITH cce AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+       |    GREATEST(src, dst) AS b FROM ($NE_COMM) WHERE src <> dst),
+       |cadj AS MATERIALIZED (SELECT a AS u, b AS v FROM cce
+       |  UNION ALL SELECT b, a FROM cce),
+       |s0 AS (SELECT n_nationkey AS id, COALESCE(dg.c, 0) AS d, 0 AS t,
+       |    FALSE AS picked
+       |  FROM nation LEFT JOIN (SELECT u, COUNT(*) AS c FROM cadj GROUP BY 1) dg
+       |    ON dg.u = n_nationkey),
+       |$rounds
+       |$out""".stripMargin
+  }
+
   /** Synchronous Louvain local-moving on the community graph, `rounds`
    * unrolled rounds (mirrors lib/Louvain): canonical simple undirected
    * edges, every vertex starts in its own community, each round every
@@ -3274,6 +3309,7 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM reach r WHERE r.qk = e.k AND r.v = e.b)""".stripMargin,
     "g_hits" -> hitsSql(5),
     "g_salsa" -> salsaSql(5),
+    "g_influence_seeds" -> influenceSql(5, 0.1),
     "g_shortest_paths_weighted" ->
       s"""WITH RECURSIVE e0 AS ($NE),
          |e AS (SELECT src, dst, (src * 7 + dst * 3) % 5 + 1 AS w FROM e0),

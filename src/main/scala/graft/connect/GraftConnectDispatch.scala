@@ -54,6 +54,7 @@ object GraftConnectDispatch {
     "kcore" -> Set("maxIter"),
     "hits" -> Set("maxIter"),
     "salsa" -> Set("maxIter"),
+    "influence_max" -> Set("k", "mode", "p"),
     "katz" -> Set("maxIter", "alpha", "beta"),
     "eigenvector" -> Set("maxIter", "weightCol"),
     "minimum_spanning_forest" -> Set("weightCol"),
@@ -591,6 +592,12 @@ object GraftConnectDispatch {
         val sl = g.salsa
         int("maxIter").foreach(sl.maxIter)
         sl.run()
+      case "influence_max" =>
+        val im = g.influenceMax
+        int("k").foreach(im.k)
+        str("mode").foreach(im.mode)
+        dbl("p").foreach(im.p)
+        im.run()
       case "katz" =>
         val kz = g.katz
         int("maxIter").foreach(kz.maxIter)

@@ -218,7 +218,7 @@ class TwoConnectivity(g: GraphFrame) {
     // other's live state (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
     val mgrD = IterationManager.withReliableDir(spark, None)
     val mgr = IterationManager.withReliableDir(spark, None)
-    val adj = mgr.persistOnly(
+    val adj = mgr.persistLazy(
       und.select(col("ea").as("u"), col("eb").as("v"))
         .unionByName(und.select(col("eb").as("u"), col("ea").as("v"))))
 
@@ -245,12 +245,12 @@ class TwoConnectivity(g: GraphFrame) {
     }
 
     // 2. deterministic parent forest + tree/non-tree split
-    val parent = mgr.persistOnly(
+    val parent = mgr.persistLazy(
       adj.join(dist.select(col("bv").as("u"), col("bd").as("du")), "u")
         .join(dist.select(col("bv").as("v"), col("bd").as("dv")), "v")
         .filter(col("du") === col("dv") - 1)
         .groupBy(col("v")).agg(min(col("u")).as("p")))
-    val treeEdges = mgr.persistOnly(parent.select(
+    val treeEdges = mgr.persistLazy(parent.select(
       least(col("p"), col("v")).as("ea"), greatest(col("p"), col("v")).as("eb"),
       col("v").as("child"), col("p").as("par")))
     val nt = und.join(treeEdges.select("ea", "eb"), Seq("ea", "eb"), "left_anti")
@@ -270,7 +270,7 @@ class TwoConnectivity(g: GraphFrame) {
     // 2^k - 1 hops (self included), jump_k = the 2^k-th ancestor; the
     // unioned distance ranges are disjoint, so no dedup is needed
     var anc = mgr.cycle(dist.select(col("bv").as("av"), col("bv").as("aa")), 0)
-    var jump = mgr.persistOnly(parent.select(col("v").as("jv"), col("p").as("jj")))
+    var jump = mgr.persistLazy(parent.select(col("v").as("jv"), col("p").as("jj")))
     val rounds = if (maxDepth <= 0) 0 else
       (64 - java.lang.Long.numberOfLeadingZeros(maxDepth.toLong)).toInt
     for (k <- 1 to rounds) {
@@ -279,7 +279,7 @@ class TwoConnectivity(g: GraphFrame) {
           .select(col("jv").as("av"), col("aa")))
       anc = mgr.cycle(grown, k)
       if (k < rounds) {
-        jump = mgr.persistOnly(
+        jump = mgr.persistLazy(
           jump.as("x").join(jump.select(col("jv").as("yv"), col("jj").as("yj")),
             col("x.jj") === col("yv"))
           .select(col("x.jv").as("jv"), col("yj").as("jj")))
@@ -336,16 +336,23 @@ class TwoConnectivity(g: GraphFrame) {
           .select(col("ea"), col("eb"), col("aa").as("cw")).distinct()
         val auxE = bu.join(bw, Seq("ea", "eb"))
         // group children of each parent by sibling-connecting aux edges;
-        // aux vertex identity = (parent, child) struct
-        val auxV = treeEdges.select(struct(col("par"), col("child")).as(ID))
+        // aux vertex identity = md5(parent)·md5(child) — an injective
+        // STRING key, not a struct: CC's driver union-find tail needs a
+        // Spark-faithful ordering for the id type, and structs have none,
+        // so a struct key silently forced full star-contraction supersteps
+        // on a bounded-size aux graph (measured ~2x on the whole query)
+        def auxKey(p: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+          concat(md5(p.cast("string")), md5(c.cast("string")))
+        val auxV = treeEdges.select(auxKey(col("par"), col("child")).as(ID),
+          col("par"), col("child"))
         val auxEdges = auxE
           .join(treeEdges.select(col("child").as("cu"), col("par").as("pu")), "cu")
-          .select(struct(col("pu"), col("cu")).as(SRC),
-            struct(col("pu"), col("cw")).as(DST))
-        val gid = new ConnectedComponents(GraphFrame(auxV, auxEdges))
+          .select(auxKey(col("pu"), col("cu")).as(SRC),
+            auxKey(col("pu"), col("cw")).as(DST))
+        val gid = new ConnectedComponents(GraphFrame(auxV.select(col(ID)), auxEdges))
           .setUseLabelsAsComponents(false).run()
-          .select(col(ID).getField("par").as("p"),
-            col(ID).getField("child").as("child"), col("component").as("gid"))
+          .join(auxV, Seq(ID))
+          .select(col("par").as("p"), col("child"), col("component").as("gid"))
         val nodes = gid
           .join(minEsc, Seq("child"), "left_outer")
           .join(dist.select(col("bv").as("p"), col("bd").as("dp")), "p")

@@ -120,10 +120,50 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     val co = pipeline.Events.cohortRetention(evts)
       .as[(Long, Long, Long)].collect().toSet
 
+    // round-10 third-wave surfaces: the forced-distributed 2-connectivity
+    // paths (BFS forest + doubling + cover marking on STRING ids — the
+    // min-parent and least/greatest choices must not depend on partition
+    // order), butterfly counts, containment pairs, session paths, RFM
+    // ntiles, distributed SALSA (fixed per-edge weights), influence-max
+    // (p = 0.25 makes every float product EXACT in binary, so the argmax
+    // sequence is bit-determined), MIPS ranks and attribute assortativity
+    val br = g.twoConnectivity.setSmallGraphThreshold(0).bridges()
+      .as[(String, String, Boolean)].collect().toSet
+    val art = g.twoConnectivity.setSmallGraphThreshold(0).articulationPoints()
+      .as[(String, Boolean)].collect().toMap
+    val bf = lib.Butterflies.perVertex(e, "src", "dst")
+      .as[(String, Long)].collect().toMap
+    val cnt = pipeline.Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 2, minShared = 1, threshold = 0.3)
+      .select("a", "b", "shared").as[(Long, Long, Long)].collect().toSet
+    val evts2 = evts.withColumn("event_id", col("user_id") * 1000 +
+        (unix_millis(col("ts")) % 100000))
+      .withColumn("value", (col("user_id") % 7).cast("double") * 1.5)
+    val tp = pipeline.Events.topPaths(evts2, gapMinutes = 60, maxSteps = 4, k = 8)
+      .as[(String, Long)].collect().toSeq
+    val rf = pipeline.Events.rfm(evts2, buckets = 4)
+      .select("user_id", "r", "f", "m").as[(Long, Int, Int, Int)]
+      .collect().toSet
+    val sal = g.salsa.maxIter(4).setSmallGraphThreshold(0).run()
+      .select(col("id"), round(col("hub"), 9), round(col("authority"), 9))
+      .collect().map(r => r.getString(0) -> ((r.get(1), r.get(2)))).toMap
+    val inf = g.influenceMax.k(4).mode("degree").p(0.25).run()
+      .select("id", "round").as[(String, Int)].collect().toSeq
+    val mip = pipeline.Similarity.mipsTopK(emb, "vec_id", "embedding", k = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val asr = {
+      val vcat = v.withColumn("cat", length(col("id")) % 3)
+      GraphFrame(vcat, e).attributeAssortativity("cat")
+        .select(round(col("assortativity"), 9), col("m_edges"))
+        .collect().map(r => (r.get(0), r.getLong(1))).head
+    }
+
     Map("cc" -> cc, "pr" -> pr, "sp" -> sp, "kc" -> kc,
       "lsh" -> lsh, "seg" -> seg, "ww" -> ww, "cls" -> cls,
       "msf" -> msf, "ev" -> ev, "ebt" -> ebt, "kg" -> kg, "ls" -> ls,
-      "fn" -> fn, "co" -> co)
+      "fn" -> fn, "co" -> co,
+      "br" -> br, "art" -> art, "bf" -> bf, "cnt" -> cnt, "tp" -> tp,
+      "rf" -> rf, "sal" -> sal, "inf" -> inf, "mip" -> mip, "asr" -> asr)
   }
 
   test("cc/pagerank/shortest-paths/kcore/lsh/segment-dedup identical across partitionings") {

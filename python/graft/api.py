@@ -148,6 +148,12 @@ class GraphFrameMethods:
         SingleDiscount). Returns (id, round, score)."""
         return self._call("influence_max", k=k, mode=mode, p=p)
 
+    def toDot(self, name: Optional[str] = None):
+        """Graphviz DOT export as line rows (section, sort_key, line):
+        order by (section, sort_key) and write as text for a valid
+        digraph; ids are quote/backslash-escaped."""
+        return self._call("to_dot", name=name)
+
     def katz(self, maxIter: Optional[int] = None,
              alpha: Optional[float] = None, beta: Optional[float] = None):
         """Katz centrality (engine extension)."""
@@ -662,6 +668,21 @@ class PipelineMethods:
         cut by (count desc, path asc)."""
         return self._call("pipe_top_paths", gapMinutes=gapMinutes,
                           maxSteps=maxSteps, k=k)
+
+    def rfm(self, buckets: Optional[int] = None):
+        """RFM user segmentation over an events-shaped table: exact
+        integer Recency/Frequency/Monetary metrics + deterministic
+        quantile scores (bucket 1 best, user_id tie-break)."""
+        return self._call("pipe_rfm", buckets=buckets)
+
+    def linearAttribution(self, touchType: Optional[str] = None,
+                          convType: Optional[str] = None,
+                          windowMinutes: Optional[int] = None):
+        """Equal-split multi-touch attribution: each conversion spreads
+        one unit of credit over the user's in-window touches (boundary
+        inclusive). Returns credited touches with summed credit."""
+        return self._call("pipe_attribution_linear", touchType=touchType,
+                          convType=convType, windowMinutes=windowMinutes)
 
     def importanceSample(self, idCol: str, weightCol: str,
                          targetFraction: float,

@@ -386,6 +386,9 @@ object SparkEntry {
         .select(col(ID), coalesce(col("degree"), lit(0L)).as("degree"))
     }),
     "g_graph_stats" -> ((s, dir) => graphA(s, dir).stats),
+    "g_graph_dot" -> ((s, dir) => // Graphviz DOT export as line rows —
+      // pure projections; the oracle rebuilds every line string
+      sources.GraphLoader.toDotLines(graphB(s, dir), "trade")),
     "g_pagerank_weighted" -> ((s, dir) => {
       // mass distributed proportionally to a deterministic edge weight
       // (same synthesized weights as g_shortest_paths_weighted)
@@ -1343,6 +1346,11 @@ object SparkEntry {
       // per 30-min-gap session, '>'-joined; (count desc, path asc) cut
       pipeline.Events.topPaths(load(s, dir, "events"), gapMinutes = 30,
         maxSteps = 5, k = 12)),
+    "e_attribution_linear" -> ((s, dir) => // equal-split multi-touch:
+      // each purchase spreads 1 unit over the user's views in the prior
+      // 12 h (inclusive bounds, ms floor); credit = sum of 1/n shares
+      pipeline.Events.linearAttribution(load(s, dir, "events"),
+        touchType = "view", convType = "purchase", windowMinutes = 720)),
     "e_rfm" -> ((s, dir) => // RFM segmentation: exact integer metrics
       // (epoch-day recency, count, cent sum), quintile scores, user_id
       // tie-break — deterministic under any partitioning
@@ -3346,6 +3354,17 @@ object SparkEntry {
         |  ROUND((SELECT count(*) FROM e) * 1.0 /
         |    (SELECT count(*) FROM v), 5) AS avg_out_degree""".stripMargin,
     "g_pagerank_weighted" -> pagerankWeightedSql(10),
+    "g_graph_dot" ->
+      s"""WITH e AS ($NE)
+         |SELECT 0 AS section, '' AS sort_key, 'digraph trade {' AS line
+         |UNION ALL
+         |SELECT 1, CAST(n_nationkey AS VARCHAR),
+         |  '  "' || n_nationkey || '";' FROM nation
+         |UNION ALL
+         |SELECT 2, src || ' ' || dst,
+         |  '  "' || src || '" -> "' || dst || '";' FROM e
+         |UNION ALL
+         |SELECT 3, '', '}'""".stripMargin,
     "g_betweenness" -> betweennessSql,
     // Pair-counting edge betweenness: edge (u,v) lies on an s→t shortest
     // path iff d(s,u)+1+d(v,t) = d(s,t), contributing σ_su·σ_vt/σ_st —
@@ -4393,6 +4412,21 @@ object SparkEntry {
         |SELECT cw AS cohort_week, wk - cw AS week_offset,
         |  count(DISTINCT ev.user_id) AS n_users
         |FROM ev JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
+    // equal-split attribution: same join + 1/n share sum, 4dp
+    "e_attribution_linear" ->
+      """WITH t AS (SELECT event_id, user_id, epoch_ms(ts) AS tms
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (SELECT event_id AS cid, user_id, epoch_ms(ts) AS cms
+        |  FROM events WHERE event_type = 'purchase'),
+        |p AS (SELECT t.event_id, t.user_id, c.cid FROM t
+        |  JOIN c ON c.user_id = t.user_id
+        |  AND t.tms <= c.cms AND t.tms >= c.cms - 43200000),
+        |n AS (SELECT cid, COUNT(*) AS n FROM p GROUP BY 1)
+        |SELECT p.event_id, p.user_id,
+        |  COUNT(*) AS n_conversions,
+        |  ROUND(SUM(1.0 / n.n), 4) AS credit
+        |FROM p JOIN n ON n.cid = p.cid
+        |GROUP BY 1, 2""".stripMargin,
     // integer RFM metrics (cent sums — no order-dependent float adds),
     // ntile over the identical (metric desc, user_id) total order
     "e_rfm" ->

@@ -55,6 +55,7 @@ object GraftConnectDispatch {
     "hits" -> Set("maxIter"),
     "salsa" -> Set("maxIter"),
     "influence_max" -> Set("k", "mode", "p"),
+    "to_dot" -> Set("name"),
     "katz" -> Set("maxIter", "alpha", "beta"),
     "eigenvector" -> Set("maxIter", "weightCol"),
     "minimum_spanning_forest" -> Set("weightCol"),
@@ -143,6 +144,8 @@ object GraftConnectDispatch {
     "pipe_containment" -> Set("idCol", "textCol", "shingle", "minShared",
       "threshold", "maxDocFreq"),
     "pipe_top_paths" -> Set("gapMinutes", "maxSteps", "k"),
+    "pipe_rfm" -> Set("buckets"),
+    "pipe_attribution_linear" -> Set("touchType", "convType", "windowMinutes"),
     "pipe_ann_ivf_hier" -> Set("idCol", "vecCol", "k", "nsuper", "nlistPer",
       "wprobe", "nprobe"),
     "pipe_image_decode" -> Set("idCol", "binCol"),
@@ -394,6 +397,13 @@ object GraftConnectDispatch {
             gapMinutes = int("gapMinutes").getOrElse(30),
             maxSteps = int("maxSteps").getOrElse(5),
             k = int("k").getOrElse(20))
+        case "pipe_rfm" =>
+          graft.pipeline.Events.rfm(t, buckets = int("buckets").getOrElse(5))
+        case "pipe_attribution_linear" =>
+          graft.pipeline.Events.linearAttribution(t,
+            touchType = str("touchType").getOrElse("view"),
+            convType = str("convType").getOrElse("purchase"),
+            windowMinutes = int("windowMinutes").getOrElse(1440))
         case "pipe_approx_distinct" =>
           graft.pipeline.Sampling.approxDistinct(t,
             groupCol = required("groupCol"), valueCol = required("valueCol"),
@@ -598,6 +608,8 @@ object GraftConnectDispatch {
         str("mode").foreach(im.mode)
         dbl("p").foreach(im.p)
         im.run()
+      case "to_dot" =>
+        graft.sources.GraphLoader.toDotLines(g, str("name").getOrElse("g"))
       case "katz" =>
         val kz = g.katz
         int("maxIter").foreach(kz.maxIter)

@@ -182,6 +182,36 @@ object Events {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Linear multi-touch attribution: every `convType` event distributes
+   * ONE unit of credit equally across the same user's `touchType` events
+   * in the `windowMinutes` before it (boundary inclusive on both ends,
+   * millisecond floor — the [[tsMillis]] convention); a touch collects
+   * credit from every conversion whose window it falls in. Returns one
+   * row per credited touch: (event_id, user_id, n_conversions, credit)
+   * with credit = Σ 1/n_touches(conversion), rounded to 4dp.
+   *
+   * Shape: one equi-join on user_id with the range predicate riding it
+   * (per-user fan-out is bounded by activity × window — the funnel/as-of
+   * family's shape, never a cross join), one count per conversion, one
+   * sum per touch. First/last-touch variants are [[asofJoin]] with
+   * backward/forward direction; this is the equal-split spelling. */
+  def linearAttribution(events: DataFrame, touchType: String = "view",
+      convType: String = "purchase", windowMinutes: Int = 1440): DataFrame = {
+    val ms = tsMillis(events)
+    val touches = events.filter(col("event_type") === touchType)
+      .select(col("event_id"), col("user_id"), ms.as("_tms"))
+    val convs = events.filter(col("event_type") === convType)
+      .select(col("event_id").as("_cid"), col("user_id"), ms.as("_cms"))
+    val pairs = touches.join(convs, Seq("user_id"))
+      .filter(col("_tms") <= col("_cms") &&
+        col("_tms") >= col("_cms") - windowMinutes * 60000L)
+    val perConv = pairs.groupBy("_cid").agg(count(lit(1)).as("_n"))
+    pairs.join(perConv, "_cid")
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(sum(lit(1.0) / col("_n")), 4).as("credit"))
+  }
+
   /** RFM user segmentation: per user, Recency (epoch day of the last
    * event), Frequency (event count) and Monetary (exact cent sum —
    * `floor(value·100)` per event, so the aggregate is an order-

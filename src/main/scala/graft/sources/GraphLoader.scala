@@ -68,4 +68,32 @@ object GraphLoader {
     g.vertices.write.mode("overwrite").parquet(s"$dir/vertices")
     g.edges.write.mode("overwrite").parquet(s"$dir/edges")
   }
+
+  /** Graphviz DOT export as a DataFrame of lines: (section, sort_key,
+   * line) — `section` 0/1/2 for header/body/footer and `sort_key` a
+   * within-section order, so `orderBy(section, sort_key)` (or a sorted
+   * single-partition text write) emits a valid `digraph`. Ids are
+   * double-quoted with backslash/quote escaping; every vertex gets a
+   * node line (isolated vertices included), every edge an arrow line.
+   * A pure projection + union — lines are produced distributed and only
+   * ordered by the final writer. */
+  def toDotLines(g: GraphFrame, name: String = "g"): DataFrame = {
+    def quote(c: org.apache.spark.sql.Column) = concat(lit("\""),
+      regexp_replace(regexp_replace(c.cast("string"), "\\\\", "\\\\\\\\"),
+        "\"", "\\\\\""), lit("\""))
+    val header = g.vertices.sparkSession.range(1)
+      .select(lit(0).as("section"), lit("").as("sort_key"),
+        lit(s"digraph $name {").as("line"))
+    val nodes = g.vertices.select(lit(1).as("section"),
+      col(GraphFrame.ID).cast("string").as("sort_key"),
+      concat(lit("  "), quote(col(GraphFrame.ID)), lit(";")).as("line"))
+    val edges = g.edges.select(lit(2).as("section"),
+      concat_ws(" ", col(GraphFrame.SRC).cast("string"),
+        col(GraphFrame.DST).cast("string")).as("sort_key"),
+      concat(lit("  "), quote(col(GraphFrame.SRC)), lit(" -> "),
+        quote(col(GraphFrame.DST)), lit(";")).as("line"))
+    val footer = g.vertices.sparkSession.range(1)
+      .select(lit(3).as("section"), lit("").as("sort_key"), lit("}").as("line"))
+    header.unionByName(nodes).unionByName(edges).unionByName(footer)
+  }
 }

@@ -66,6 +66,27 @@ class FunnelCohortSpec extends TestBase {
     assert(m((c0 + 1, 0L)) == 1L && m.size == 4)
   }
 
+  test("linearAttribution: equal split per conversion, window-inclusive, multi-conversion sums") {
+    val rows = Seq(
+      // user 1: views at t0, t0+10m; purchases at t0+20m (sees both ->
+      // 1/2 each) and t0+70m (only the t0+10m view in a 60m window -> 1)
+      (10L, 1L, "view", T0), (11L, 1L, "view", T0 + 10 * MIN),
+      (12L, 1L, "purchase", T0 + 20 * MIN), (13L, 1L, "purchase", T0 + 70 * MIN),
+      // user 2: view exactly ON the window boundary (inclusive)
+      (20L, 2L, "view", T0), (21L, 2L, "purchase", T0 + 60 * MIN),
+      // user 3: view AFTER the purchase — no credit
+      (30L, 3L, "purchase", T0), (31L, 3L, "view", T0 + MIN))
+      .toDF("event_id", "user_id", "event_type", "ms")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_millis(col("ms")).as("ts"))
+    val got = Events.linearAttribution(rows, "view", "purchase", windowMinutes = 60)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(10L) == ((1L, 0.5)))
+    assert(got(11L) == ((2L, 1.5))) // 0.5 + 1.0 from the second purchase
+    assert(got(20L) == ((1L, 1.0))) // boundary inclusive
+    assert(!got.contains(31L))
+  }
+
   test("rfm: exact integer metrics, bucket 1 is best, user_id tie-break") {
     val DAY = 86400000L
     val rows = Seq(

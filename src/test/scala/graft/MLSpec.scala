@@ -138,4 +138,19 @@ class MLSpec extends TestBase {
     assert(rows(back.vertices) == rows(friends.vertices))
     assert(rows(back.edges) == rows(friends.edges))
   }
+
+  test("toDotLines renders a valid digraph with quote/backslash escaping") {
+    import spark.implicits._
+    val g = GraphFrame(
+      Seq("a", "b\"x", "c\\y").toDF("id"),
+      Seq(("a", "b\"x"), ("b\"x", "c\\y")).toDF("src", "dst"))
+    val lines = sources.GraphLoader.toDotLines(g, "t")
+      .orderBy("section", "sort_key")
+      .select("line").collect().map(_.getString(0)).toSeq
+    assert(lines.head == "digraph t {" && lines.last == "}")
+    assert(lines.contains("  \"b\\\"x\";"))
+    assert(lines.contains("  \"c\\\\y\";"))
+    assert(lines.contains("  \"a\" -> \"b\\\"x\";"))
+    assert(lines.length == 2 + 3 + 2)
+  }
 }

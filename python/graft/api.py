@@ -669,6 +669,12 @@ class PipelineMethods:
         return self._call("pipe_top_paths", gapMinutes=gapMinutes,
                           maxSteps=maxSteps, k=k)
 
+    def normalize(self, idCol: str, textCol: str):
+        """ASCII-safe text normalization: lowercase, control chars to
+        spaces, whitespace runs collapsed, ends trimmed. Returns
+        (id, norm_text, n_chars, n_chars_norm)."""
+        return self._call("pipe_normalize", idCol=idCol, textCol=textCol)
+
     def rfm(self, buckets: Optional[int] = None):
         """RFM user segmentation over an events-shaped table: exact
         integer Recency/Frequency/Monetary metrics + deterministic

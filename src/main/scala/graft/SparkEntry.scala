@@ -389,6 +389,10 @@ object SparkEntry {
     "g_graph_dot" -> ((s, dir) => // Graphviz DOT export as line rows —
       // pure projections; the oracle rebuilds every line string
       sources.GraphLoader.toDotLines(graphB(s, dir), "trade")),
+    "g_rmat" -> ((s, dir) => // deterministic R-MAT generator: md5 draws
+      // keyed (seed, edge, level), exact 60-bit integer thresholds —
+      // the oracle replays every quadrant decision
+      sources.GraphGenerators.rmat(s, scale = 6, numEdges = 200, seed = 7)),
     "g_pagerank_weighted" -> ((s, dir) => {
       // mass distributed proportionally to a deterministic edge weight
       // (same synthesized weights as g_shortest_paths_weighted)
@@ -968,6 +972,9 @@ object SparkEntry {
     "p_chunk" -> ((s, dir) => // RAG chunking: 32-word chunks, 8 overlap
       pipeline.Text.chunk(load(s, dir, "documents"), "doc_id", "text",
         chunkWords = 32, overlapWords = 8)),
+    "p_normalize" -> ((s, dir) => // ASCII-safe cleanup: lower, controls
+      // to spaces, whitespace collapsed, trimmed — pure projections
+      pipeline.Text.normalize(load(s, dir, "documents"), "doc_id", "text")),
     "p_segment_dedup" -> ((s, dir) => // CCNet-style paragraph dedup; the
       // word-soup fixture has no line structure, so segment = 4-word window
       pipeline.Dedup.segmentDedup(load(s, dir, "documents"), "doc_id", "text",
@@ -3354,6 +3361,19 @@ object SparkEntry {
         |  ROUND((SELECT count(*) FROM e) * 1.0 /
         |    (SELECT count(*) FROM v), 5) AS avg_out_degree""".stripMargin,
     "g_pagerank_weighted" -> pagerankWeightedSql(10),
+    "g_rmat" -> {
+      val (ta, tab, tabc) =
+        sources.GraphGenerators.rmatThresholds(0.57, 0.19, 0.19)
+      val h = duckHex15("md5('7|' || CAST(i AS VARCHAR) || '|' || CAST(l AS VARCHAR))")
+      s"""WITH lv AS (SELECT e.i, lv.l FROM range(0, 200) e(i), range(0, 6) lv(l)),
+         |d AS (SELECT i, l, CAST($h AS BIGINT) AS draw FROM lv)
+         |SELECT i AS edge_id,
+         |  SUM(CASE WHEN draw >= $tab THEN CAST(1 AS BIGINT) << (5 - l)
+         |    ELSE 0 END) AS src,
+         |  SUM(CASE WHEN (draw >= $ta AND draw < $tab) OR draw >= $tabc
+         |    THEN CAST(1 AS BIGINT) << (5 - l) ELSE 0 END) AS dst
+         |FROM d GROUP BY 1""".stripMargin
+    },
     "g_graph_dot" ->
       s"""WITH e AS ($NE)
          |SELECT 0 AS section, '' AS sort_key, 'digraph trade {' AS line
@@ -3835,6 +3855,17 @@ object SparkEntry {
     "p_dedup_exact" ->
       """SELECT doc_id, md5(text) AS fp,
         |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM documents""".stripMargin,
+    // same ASCII normalization pipeline; RE2's \x and \s classes match
+    // Java's on the ASCII fixture, 'g' for global
+    "p_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g'))) AS BIGINT)
+        |    AS n_chars_norm
+        |FROM documents""".stripMargin,
     "p_chunk" -> // stride 24 = 32 - 8; last start reaches the text end
       s"""WITH w AS (SELECT doc_id, $W AS ws FROM documents),
          |c AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,

@@ -145,6 +145,7 @@ object GraftConnectDispatch {
       "threshold", "maxDocFreq"),
     "pipe_top_paths" -> Set("gapMinutes", "maxSteps", "k"),
     "pipe_rfm" -> Set("buckets"),
+    "pipe_normalize" -> Set("idCol", "textCol"),
     "pipe_attribution_linear" -> Set("touchType", "convType", "windowMinutes"),
     "pipe_ann_ivf_hier" -> Set("idCol", "vecCol", "k", "nsuper", "nlistPer",
       "wprobe", "nprobe"),
@@ -399,6 +400,9 @@ object GraftConnectDispatch {
             k = int("k").getOrElse(20))
         case "pipe_rfm" =>
           graft.pipeline.Events.rfm(t, buckets = int("buckets").getOrElse(5))
+        case "pipe_normalize" =>
+          graft.pipeline.Text.normalize(t,
+            str("idCol").getOrElse("doc_id"), str("textCol").getOrElse("text"))
         case "pipe_attribution_linear" =>
           graft.pipeline.Events.linearAttribution(t,
             touchType = str("touchType").getOrElse("view"),

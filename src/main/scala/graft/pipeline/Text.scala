@@ -30,6 +30,22 @@ object Text {
   def tokenCount(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"))
 
+  /** ASCII-safe text normalization — the standard pre-dedup cleanup pass:
+   * lowercase, ASCII control chars (0x00-0x1f, 0x7f) to spaces,
+   * whitespace runs collapsed to one space, ends trimmed. Returns
+   * (id, norm_text, n_chars, n_chars_norm). Deliberately NOT Unicode
+   * NFC/case-folding: JVM and SQL engines ship different Unicode tables,
+   * so full folding is not portably replayable — ASCII rules are, and
+   * they cover the dominant web-corpus cleanup (stray controls, tab/NL
+   * soup, double spaces). Pure per-row codegen projections. */
+  def normalize(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cleaned = trim(regexp_replace(regexp_replace(
+      lower(col(textCol)), "[\\x00-\\x1f\\x7f]", " "), "\\s+", " "))
+    df.select(col(idCol), cleaned.as("norm_text"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      length(cleaned).cast("long").as("n_chars_norm"))
+  }
+
   /** BPE-ish subword token count: runs of letters, runs of digits, and
    * individual other non-space characters each count as one token (the
    * class-based approximation of byte-pair pretokenization; regex is

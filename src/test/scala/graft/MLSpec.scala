@@ -139,6 +139,31 @@ class MLSpec extends TestBase {
     assert(rows(back.edges) == rows(friends.edges))
   }
 
+  test("rmat: deterministic, vertex ids within 2^scale, hubby quadrant A") {
+    val a = sources.GraphGenerators.rmat(spark, scale = 5, numEdges = 120, seed = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = sources.GraphGenerators.rmat(spark, scale = 5, numEdges = 120, seed = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSeq == b.toSeq) // no RNG state: bit-identical re-run
+    assert(a.forall { case (_, s, d) => s >= 0 && s < 32 && d >= 0 && d < 32 })
+    // pA = 0.57 concentrates mass at low ids: vertex 0's degree beats the
+    // uniform expectation by a wide margin
+    val deg0 = a.count { case (_, s, d) => s == 0 || d == 0 }
+    assert(deg0 > 240 / 32, s"expected a hub at 0, got degree $deg0")
+    val c = sources.GraphGenerators.rmat(spark, scale = 5, numEdges = 120, seed = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(c.toSeq != a.toSeq) // the seed is real
+  }
+
+  test("Text.normalize: lowercase, controls to spaces, whitespace collapsed, trimmed") {
+    import spark.implicits._
+    val df = Seq((1L, "  Hello\tWORLD  x  "), (2L, "ok")).toDF("doc_id", "text")
+    val got = pipeline.Text.normalize(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("hello world x", 19L, 13L)))
+    assert(got(2L) == (("ok", 2L, 2L)))
+  }
+
   test("toDotLines renders a valid digraph with quote/backslash escaping") {
     import spark.implicits._
     val g = GraphFrame(

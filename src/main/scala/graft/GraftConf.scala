@@ -31,6 +31,7 @@ object GraftConf {
   val LinkAnalysisSmallGraphThresholdKey = "spark.graft.linkAnalysis.smallgraphthreshold"
   val CentralityRequireSampledAboveKey = "spark.graft.centrality.requiresampledabove"
   val SimRankMaxPairsKey = "spark.graft.simrank.maxpairs"
+  val DupSpansMaxDocTokensKey = "spark.graft.dupspans.maxdoctokens"
 
   private def get(key: String): Option[String] =
     SparkSession.getActiveSession.flatMap(s => Option(s.conf.get(key, null)))
@@ -86,4 +87,13 @@ object GraftConf {
    * names the fix (minSim pruning or top-k similarity) instead of
    * melting the cluster. 0 disables (docs/THRESHOLDS.md). */
   def simRankMaxPairs: Option[Long] = get(SimRankMaxPairsKey).map(_.toLong)
+
+  /** Fail-loud cap on per-document token count for the exact LCE span
+   * dedup ([[graft.pipeline.Text.dupSpansMaximal]]): per-pair extension
+   * cost is bounded by document length, so one 10⁸-token document inside
+   * an otherwise bounded corpus would melt single tasks; the guard names
+   * the fixes (split the document, or the shelved prefix-doubling
+   * construction). 0 disables (docs/THRESHOLDS.md). */
+  def dupSpansMaxDocTokens: Option[Long] =
+    get(DupSpansMaxDocTokensKey).map(_.toLong)
 }

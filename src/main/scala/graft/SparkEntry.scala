@@ -63,6 +63,28 @@ object SparkEntry {
     GraphFrame(v, e)
   }
 
+  /** Memoized circulant-graph ANF table: g_neighborhood and
+   * g_effective_diameter both consume the SAME HyperANF run, so a gate
+   * sweep pays the superstep loop once, not per readout (the driver-run
+   * delta between the two rows was pure duplicated work). run() already
+   * collects the ≤ diameter+1 (d, n_pairs) rows to the driver, so the
+   * cache holds a tiny local Seq, never an executor-side plan. */
+  @volatile private var nfCache: (String, Seq[(Int, Long)]) = null
+  private def circulantNf(s: SparkSession, dir: String): DataFrame = {
+    val cached = nfCache
+    val rows =
+      if (cached != null && cached._1 == dir) cached._2
+      else {
+        val r = circulantGraph(s, dir).neighborhoodFunction.run()
+          .orderBy("d").collect()
+          .map(x => (x.getInt(0), x.getLong(1))).toSeq
+        nfCache = (dir, r)
+        r
+      }
+    import s.implicits._
+    rows.toDF("d", "n_pairs")
+  }
+
   /** Binary-tree-plus-chords graph over the 25 nations: tree edges
    * id → id div 2 (so every edge is a bridge a priori) plus chord edges
    * id → (5·id + 2) % 25 for id % 7 = 3 — the chords close cycles through
@@ -477,10 +499,12 @@ object SparkEntry {
       // ANF: 25-vertex balls stay far below the 2^12 nominal entries, so
       // the sketch estimates are exact and the recursive-CTE pair counts
       // oracle applies (same contract as g_triangle_approx)
-      circulantGraph(s, dir).neighborhoodFunction.run()),
+      circulantNf(s, dir)),
     "g_effective_diameter" -> ((s, dir) => // 0.9-quantile interpolated
-      // ANF readout over the exact-at-this-size neighborhood function
-      circulantGraph(s, dir).neighborhoodFunction.effectiveDiameterReport(0.9)
+      // ANF readout over the exact-at-this-size neighborhood function,
+      // shared with g_neighborhood via the memoized nf table
+      circulantGraph(s, dir).neighborhoodFunction
+        .effectiveDiameterReport(circulantNf(s, dir), 0.9)
         .select(round(col("effective_diameter"), 6).as("effective_diameter"),
           col("effective_diameter_int").cast("long").as("effective_diameter_int"),
           col("diameter").cast("long").as("diameter"), col("n_pairs_total"))),
@@ -3368,10 +3392,10 @@ object SparkEntry {
       s"""WITH lv AS (SELECT e.i, lv.l FROM range(0, 200) e(i), range(0, 6) lv(l)),
          |d AS (SELECT i, l, CAST($h AS BIGINT) AS draw FROM lv)
          |SELECT i AS edge_id,
-         |  SUM(CASE WHEN draw >= $tab THEN CAST(1 AS BIGINT) << (5 - l)
-         |    ELSE 0 END) AS src,
-         |  SUM(CASE WHEN (draw >= $ta AND draw < $tab) OR draw >= $tabc
-         |    THEN CAST(1 AS BIGINT) << (5 - l) ELSE 0 END) AS dst
+         |  CAST(SUM(CASE WHEN draw >= $tab THEN CAST(1 AS BIGINT) << (5 - l)
+         |    ELSE 0 END) AS BIGINT) AS src,
+         |  CAST(SUM(CASE WHEN (draw >= $ta AND draw < $tab) OR draw >= $tabc
+         |    THEN CAST(1 AS BIGINT) << (5 - l) ELSE 0 END) AS BIGINT) AS dst
          |FROM d GROUP BY 1""".stripMargin
     },
     "g_graph_dot" ->
@@ -4464,7 +4488,7 @@ object SparkEntry {
       """WITH a AS (SELECT user_id,
         |    MAX(epoch_ms(ts)) // 86400000 AS recency_day,
         |    COUNT(*) AS frequency,
-        |    SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS monetary_cents
+        |    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
         |  FROM events GROUP BY 1)
         |SELECT user_id, recency_day, frequency, monetary_cents,
         |  CAST(NTILE(5) OVER (ORDER BY recency_day DESC, user_id) AS BIGINT) AS r,

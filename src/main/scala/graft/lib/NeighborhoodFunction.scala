@@ -105,9 +105,17 @@ class NeighborhoodFunction(g: GraphFrame) {
    * N(∞). Declarative finisher over the diameter-row [[run]] output (the
    * global window orders ≤ diameter+1 rows by construction), so a SQL
    * engine replays the identical float path. */
-  def effectiveDiameterReport(alpha: Double = 0.9): DataFrame = {
+  def effectiveDiameterReport(alpha: Double = 0.9): DataFrame =
+    effectiveDiameterReport(run(), alpha)
+
+  /** Same readout over a PRECOMPUTED [[run]] table, so composed callers
+   * (e.g. a neighborhood query plus a diameter readout in one report)
+   * pay the HyperANF superstep loop once, not per readout. The
+   * interpolated value is clamped at 0: when the d=0 row already
+   * satisfies N(0) ≥ α·N(∞) (edgeless graph), the raw formula yields
+   * (0−1)+α — negative — where the classic ANF readout floors at 0. */
+  def effectiveDiameterReport(nf: DataFrame, alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha out of (0, 1]: $alpha")
-    val nf = run()
     val tot = nf.agg(max(col("n_pairs")).as("_tot"), max(col("d")).as("_diam"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
     nf.crossJoin(tot)
@@ -115,7 +123,7 @@ class NeighborhoodFunction(g: GraphFrame) {
       .filter(col("n_pairs") >= col("_tot") * alpha)
       .orderBy(col("d")).limit(1)
       .select(
-        ((col("d") - 1) + (col("_tot") * alpha - col("_prev")) /
+        greatest(lit(0.0), (col("d") - 1) + (col("_tot") * alpha - col("_prev")) /
           (col("n_pairs") - col("_prev"))).as("effective_diameter"),
         col("d").as("effective_diameter_int"),
         col("_diam").as("diameter"),

@@ -288,8 +288,19 @@ object Multimodal {
               }
               val totalPix = w * h
               // exact integer compare; BigInt only when the cross products
-              // could pass Long range (pixels > 2^28 — wall-size images)
-              val big = totalPix > (1L << 28)
+              // could pass Long range. The bound must include the block
+              // size: sums(j) ≤ 765·blockPix and totalLuma ≤ 765·totalPix,
+              // so both products are ≤ 765·totalPix·maxBlockPix — a fixed
+              // totalPix cutoff under-guards small grids (grid=2 overflows
+              // from ~2.2e8 pixels, below 2^28). Conservative double
+              // compare against 9e18 (< Long.MaxValue) so rounding can only
+              // send borderline images down the exact BigInt path.
+              var maxBlockPix = 0L
+              var jj = 0
+              while (jj < grid * grid) {
+                if (npix(jj) > maxBlockPix) maxBlockPix = npix(jj); jj += 1
+              }
+              val big = 765.0 * totalPix * maxBlockPix > 9.0e18
               val sb = new java.lang.StringBuilder(grid * grid)
               var j = 0
               while (j < grid * grid) {
@@ -303,6 +314,87 @@ object Multimodal {
           }
         }
       }.toDF(idCol, "ahash", "decoded")
+  }
+
+  /** Difference-hash (dHash) perceptual image fingerprint — the GRADIENT
+   * sibling of [[imageAHash]]: REAL decode, a `grid`×`(grid+1)` block
+   * partition (same pure-integer bounds: column bx covers
+   * ⌊bx·w/(grid+1)⌋ until ⌊(bx+1)·w/(grid+1)⌋), and one bit per ADJACENT
+   * column pair: is block (by,bx)'s mean luma above block (by,bx+1)'s?
+   * The compare is the exact integer cross-multiplication
+   * `luma(bx)·npix(bx+1) > luma(bx+1)·npix(bx)` — no float anywhere, so
+   * the hash is bit-exact and an analytic SQL oracle replays it. dHash
+   * is robust where aHash is weakest (global brightness/contrast shifts
+   * cancel out of the adjacent-block compare). Returns (id, dhash:
+   * grid²-char '0'/'1' string row-major by (by,bx), decoded); empty
+   * blocks (images narrower than grid+1 columns) compare 0>0 = bit 0. */
+  def imageDHash(df: DataFrame, idCol: String, binCol: String,
+      grid: Int = 8): DataFrame = {
+    require(grid >= 2 && grid <= 64, s"dHash grid out of [2,64]: $grid")
+    import df.sparkSession.implicits._
+    val cols = grid + 1
+    df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          readImage(bytes) match {
+            case None => (id, null: String, false)
+            case Some(img) =>
+              val w = img.getWidth.toLong
+              val h = img.getHeight.toLong
+              val sums = Array.ofDim[Long](grid * cols)
+              val npix = Array.ofDim[Long](grid * cols)
+              var by = 0
+              while (by < grid) {
+                val y0 = (by * h / grid).toInt; val y1 = ((by + 1) * h / grid).toInt
+                var bx = 0
+                while (bx < cols) {
+                  val x0 = (bx * w / cols).toInt; val x1 = ((bx + 1) * w / cols).toInt
+                  var s = 0L
+                  var y = y0
+                  while (y < y1) {
+                    var x = x0
+                    while (x < x1) {
+                      val rgb = img.getRGB(x, y)
+                      s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  val j = by * cols + bx
+                  sums(j) = s
+                  npix(j) = (x1 - x0).toLong * (y1 - y0)
+                  bx += 1
+                }
+                by += 1
+              }
+              // same overflow stance as aHash: sums ≤ 765·blockPix, so the
+              // cross products are ≤ 765·maxBlockPix² — conservative double
+              // compare routes borderline images to exact BigInt
+              var maxBlockPix = 0L
+              var jj = 0
+              while (jj < grid * cols) {
+                if (npix(jj) > maxBlockPix) maxBlockPix = npix(jj); jj += 1
+              }
+              val big = 765.0 * maxBlockPix * maxBlockPix > 9.0e18
+              val sb = new java.lang.StringBuilder(grid * grid)
+              by = 0
+              while (by < grid) {
+                var bx = 0
+                while (bx < grid) {
+                  val a = by * cols + bx
+                  val b = a + 1
+                  val bit =
+                    if (big) BigInt(sums(a)) * npix(b) > BigInt(sums(b)) * npix(a)
+                    else sums(a) * npix(b) > sums(b) * npix(a)
+                  sb.append(if (bit) '1' else '0')
+                  bx += 1
+                }
+                by += 1
+              }
+              (id, sb.toString, true)
+          }
+        }
+      }.toDF(idCol, "dhash", "decoded")
   }
 
   /** REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP —

@@ -85,8 +85,28 @@ object Sampling {
   def packShards(df: DataFrame, idCol: String, sizeCol: String,
       budget: Long, numPartitions: Int = 0): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
+    exclusivePrefixSum(df, idCol, sizeCol, numPartitions, "packShards")
+      .select(col(idCol), col(sizeCol),
+        floor(col("_off_excl") / budget).as("shard_id"))
+  }
+
+  /** DISTRIBUTED exclusive prefix sum of `sizeCol` in `idCol` order —
+   * the shared engine under [[packShards]] and [[packContextWindows]]:
+   * (idCol, sizeCol, _off_excl). Bucket bounds come from ONE
+   * approx-quantile job and are embedded as literals, so every row's
+   * bucket is a pure deterministic function of its id — immune to
+   * recomputation (unlike `repartitionByRange`, whose boundary sampling
+   * is seeded per plan execution and can assign boundary rows
+   * differently across the two passes). Within-bucket window cumsum + a
+   * driver-side prefix of the per-bucket totals (one tiny collect,
+   * broadcast back) completes the sum. No single-partition global window
+   * anywhere, so it holds at any corpus size, and the output depends
+   * only on the data — bound PLACEMENT only affects balance, never the
+   * result. */
+  private[graft] def exclusivePrefixSum(df: DataFrame, idCol: String,
+      sizeCol: String, numPartitions: Int, op: String): DataFrame = {
     require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"packShards orders by a numeric id column; got ${df.schema(idCol).dataType}")
+      s"$op orders by a numeric id column; got ${df.schema(idCol).dataType}")
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     val parts =
@@ -108,7 +128,7 @@ object Sampling {
       .agg(sum(col(sizeCol).cast("long")).as("_tot"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     if (totals.isEmpty)
-      return df.select(col(idCol), col(sizeCol), lit(0L).as("shard_id")).limit(0)
+      return df.select(col(idCol), col(sizeCol), lit(0L).as("_off_excl")).limit(0)
     val offsets = totals.scanLeft((Int.MinValue, 0L)) { case ((_, acc), (b, tot)) =>
       (b, acc + tot)
     }.sliding(2).collect { case Array((_, off), (b, _)) => (b, off) }.toSeq
@@ -118,7 +138,38 @@ object Sampling {
     bucketed.withColumn("_cum", within)
       .join(offDF, "_b")
       .select(col(idCol), col(sizeCol),
-        floor((col("_off") + col("_cum") - col(sizeCol)) / budget).as("shard_id"))
+        (col("_off") + col("_cum") - col(sizeCol)).as("_off_excl"))
+  }
+
+  /** GPT-style concat-and-chunk CONTEXT-WINDOW PACKING: lay every
+   * document's tokens end-to-end in `idCol` order (numeric, unique ids)
+   * and cut the stream into fixed `window`-token training sequences —
+   * documents crossing a boundary are SPLIT, so every window is exactly
+   * full except the last (the standard pretraining packing; contrast
+   * [[packShards]], which keeps documents whole and packs to ~budget).
+   * Returns one row per (document × window it touches):
+   * (idCol, sizeCol, window_id, start_tok — 0-based offset INSIDE the
+   * document, n_tok), with Σ n_tok = sizeCol per document and
+   * Σ n_tok = window (except the final window) per window_id.
+   *
+   * Scale: the global token offset is the same distributed prefix sum
+   * as [[packShards]] (quantile buckets + broadcast bucket offsets — no
+   * global-order window); the crossing rows come from one `sequence` +
+   * `explode` whose fan-out per document is ⌈size/window⌉+1, i.e.
+   * proportional to the OUTPUT. Zero-token documents emit nothing. */
+  def packContextWindows(df: DataFrame, idCol: String, sizeCol: String,
+      window: Long, numPartitions: Int = 0): DataFrame = {
+    require(window > 0, s"window must be positive: $window")
+    exclusivePrefixSum(df, idCol, sizeCol, numPartitions, "packContextWindows")
+      .filter(col(sizeCol) > 0)
+      .withColumn("window_id",
+        explode(sequence(floor(col("_off_excl") / window),
+          floor((col("_off_excl") + col(sizeCol) - 1) / window))))
+      .select(col(idCol), col(sizeCol), col("window_id"),
+        (greatest(col("window_id") * window, col("_off_excl"))
+          - col("_off_excl")).as("start_tok"),
+        (least((col("window_id") + 1) * window, col("_off_excl") + col(sizeCol))
+          - greatest(col("window_id") * window, col("_off_excl"))).as("n_tok"))
   }
 
   /** Importance resampling (the DSIR recipe, Xie et al. arXiv:2302.03169:

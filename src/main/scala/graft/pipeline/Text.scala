@@ -17,6 +17,30 @@ object Text {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => length(t) > 0)
 
+  /** Fail-loud in-plan guard on per-document token count for the exact
+   * LCE span operators: their per-pair extension cost (and the
+   * single-task shingle fan-out) is bounded by document LENGTH, so one
+   * 10⁸-token document melts an executor while the rest of the corpus is
+   * fine. The guard rides the existing scan as a codegen `when(...,
+   * raise_error)` — no extra pass, no driver action — and names the
+   * fixes. `spark.graft.dupspans.maxdoctokens` tunes it; 0 disables
+   * (docs/THRESHOLDS.md). */
+  private def guardDocTokens(df: DataFrame, idCol: String, textCol: String,
+      op: String): DataFrame = {
+    val cap = graft.GraftConf.dupSpansMaxDocTokens.getOrElse(1L << 22)
+    if (cap <= 0) df
+    else df.withColumn(textCol,
+      when(size(tokens(col(textCol))) > cap,
+        raise_error(concat(
+          lit(s"$op: document "), col(idCol).cast("string"),
+          lit(s" exceeds $cap tokens — per-pair LCE cost is bounded by " +
+            "document length, so a giant document melts single tasks. " +
+            "Split the document, or raise/disable " +
+            s"${graft.GraftConf.DupSpansMaxDocTokensKey} (0 disables) " +
+            "if your executors are sized for it."))))
+        .otherwise(col(textCol)))
+  }
+
   /** n-word shingles of the token array (empty array when too short). */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
@@ -292,7 +316,8 @@ object Text {
       seedTokens: Int = 8, maxBucket: Int = 256): DataFrame = {
     require(seedTokens >= 1, s"seedTokens must be >= 1, got $seedTokens")
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
-    val df = ensureParallelism(df0)
+    val df = guardDocTokens(ensureParallelism(df0), idCol, textCol,
+      "dupSpansMaximal")
     val seed = df.select(col(idCol).as("_d"),
         posexplode(wordShingles(col(textCol), seedTokens)).as(Seq("pos", "_sh")))
       .select(col("_d"), col("pos"), md5(col("_sh")).as("k"))
@@ -408,8 +433,10 @@ object Text {
       textCol: String, seedTokens: Int = 8, maxBucket: Int = 256): DataFrame = {
     require(seedTokens >= 1, s"seedTokens must be >= 1, got $seedTokens")
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
-    val train = ensureParallelism(train0)
-    val bench = ensureParallelism(bench0)
+    val train = guardDocTokens(ensureParallelism(train0), idCol, textCol,
+      "contaminatedSpans")
+    val bench = guardDocTokens(ensureParallelism(bench0), idCol, textCol,
+      "contaminatedSpans")
     def seeds(df: DataFrame) = df.select(col(idCol).as("_d"),
         posexplode(wordShingles(col(textCol), seedTokens)).as(Seq("pos", "_sh")))
       .select(col("_d"), col("pos"), md5(col("_sh")).as("k"))

@@ -70,7 +70,7 @@ object GraphLoader {
   }
 
   /** Graphviz DOT export as a DataFrame of lines: (section, sort_key,
-   * line) — `section` 0/1/2 for header/body/footer and `sort_key` a
+   * line) — `section` 0=header, 1=nodes, 2=edges, 3=footer and `sort_key` a
    * within-section order, so `orderBy(section, sort_key)` (or a sorted
    * single-partition text write) emits a valid `digraph`. Ids are
    * double-quoted with backslash/quote escaping; every vertex gets a
@@ -94,6 +94,40 @@ object GraphLoader {
         quote(col(GraphFrame.DST)), lit(";")).as("line"))
     val footer = g.vertices.sparkSession.range(1)
       .select(lit(3).as("section"), lit("").as("sort_key"), lit("}").as("line"))
+    header.unionByName(nodes).unionByName(edges).unionByName(footer)
+  }
+
+  /** GraphML export as a DataFrame of lines (same line-row contract as
+   * [[toDotLines]]): (section, sort_key, line) with `section` 0=header,
+   * 1=nodes, 2=edges, 3=footer — `orderBy(section, sort_key)` emits a
+   * valid GraphML document (graphml.graphdrawing.org/primer; yEd/
+   * NetworkX/igraph all read it). Ids are XML-escaped (& < > " ') and
+   * every vertex gets a `<node>`, every edge an `<edge>`; `directed`
+   * picks the `edgedefault`. Pure projection + union, produced
+   * distributed and only ordered by the final writer. */
+  def toGraphMLLines(g: GraphFrame, directed: Boolean = true): DataFrame = {
+    def esc(c: org.apache.spark.sql.Column) =
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(c.cast("string"), "&", "&amp;"),
+        "<", "&lt;"), ">", "&gt;"), "\"", "&quot;"), "'", "&apos;")
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    val edgedefault = if (directed) "directed" else "undirected"
+    val header = Seq(
+      ("0", """<?xml version="1.0" encoding="UTF-8"?>"""),
+      ("1", """<graphml xmlns="http://graphml.graphdrawing.org/xmlns">"""),
+      ("2", s"""  <graph id="G" edgedefault="$edgedefault">"""))
+      .toDF("sort_key", "line").select(lit(0).as("section"), col("sort_key"), col("line"))
+    val nodes = g.vertices.select(lit(1).as("section"),
+      col(GraphFrame.ID).cast("string").as("sort_key"),
+      concat(lit("    <node id=\""), esc(col(GraphFrame.ID)), lit("\"/>")).as("line"))
+    val edges = g.edges.select(lit(2).as("section"),
+      concat_ws(" ", col(GraphFrame.SRC).cast("string"),
+        col(GraphFrame.DST).cast("string")).as("sort_key"),
+      concat(lit("    <edge source=\""), esc(col(GraphFrame.SRC)),
+        lit("\" target=\""), esc(col(GraphFrame.DST)), lit("\"/>")).as("line"))
+    val footer = Seq(("0", "  </graph>"), ("1", "</graphml>"))
+      .toDF("sort_key", "line").select(lit(3).as("section"), col("sort_key"), col("line"))
     header.unionByName(nodes).unionByName(edges).unionByName(footer)
   }
 }

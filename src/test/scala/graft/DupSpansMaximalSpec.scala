@@ -104,4 +104,30 @@ class DupSpansMaximalSpec extends TestBase {
     intercept[IllegalArgumentException](
       pipeline.Text.dupSpansMaximal(df, "doc_id", "text", maxBucket = 1))
   }
+
+  test("a document over the token cap fails loudly, naming the knob") {
+    // per-pair LCE cost is bounded by document length: a giant single
+    // document must hit the fail-loud guard (THRESHOLDS row 14), not
+    // melt a task. Lower the cap so the fixture stays tiny.
+    spark.conf.set(GraftConf.DupSpansMaxDocTokensKey, "8")
+    try {
+      val docs = Seq(
+        (1L, (1 to 20).map(i => s"t$i").mkString(" ")),
+        (2L, "a b c d e")).toDF("doc_id", "text")
+      val ex = intercept[Exception] {
+        pipeline.Text.dupSpansMaximal(docs, "doc_id", "text").collect()
+      }
+      val msg = ex.toString + Option(ex.getCause).map(_.toString).getOrElse("")
+      assert(msg.contains("maxdoctokens") || msg.contains("exceeds 8 tokens"),
+        msg)
+      // contamination path carries the same guard on BOTH corpora
+      val bench = Seq((9L, "a b c d e")).toDF("doc_id", "text")
+      intercept[Exception] {
+        pipeline.Text.contaminatedSpans(docs, bench, "doc_id", "text").collect()
+      }
+      // 0 disables: the same oversized corpus runs clean
+      spark.conf.set(GraftConf.DupSpansMaxDocTokensKey, "0")
+      pipeline.Text.dupSpansMaximal(docs, "doc_id", "text").collect()
+    } finally spark.conf.unset(GraftConf.DupSpansMaxDocTokensKey)
+  }
 }

@@ -178,4 +178,30 @@ class MLSpec extends TestBase {
     assert(lines.contains("  \"a\" -> \"b\\\"x\";"))
     assert(lines.length == 2 + 3 + 2)
   }
+
+  test("toGraphMLLines renders valid GraphML with XML escaping") {
+    import spark.implicits._
+    val g = GraphFrame(
+      Seq("a", "b<&>", "c\"d'").toDF("id"),
+      Seq(("a", "b<&>"), ("b<&>", "c\"d'")).toDF("src", "dst"))
+    val lines = sources.GraphLoader.toGraphMLLines(g)
+      .orderBy("section", "sort_key")
+      .select("line").collect().map(_.getString(0)).toSeq
+    assert(lines.head.startsWith("<?xml") && lines.last == "</graphml>")
+    assert(lines(2) == "  <graph id=\"G\" edgedefault=\"directed\">")
+    assert(lines.contains("    <node id=\"b&lt;&amp;&gt;\"/>"))
+    assert(lines.contains("    <node id=\"c&quot;d&apos;\"/>"))
+    assert(lines.contains(
+      "    <edge source=\"a\" target=\"b&lt;&amp;&gt;\"/>"))
+    assert(lines.length == 3 + 3 + 2 + 2)
+    // the document parses as XML once assembled
+    val doc = lines.mkString("\n")
+    val parsed = scala.xml.XML.loadString(doc.replaceFirst("<\\?xml[^>]*\\?>\n", ""))
+    assert((parsed \\ "node").length == 3 && (parsed \\ "edge").length == 2)
+    // undirected flag flips edgedefault
+    val u = sources.GraphLoader.toGraphMLLines(g, directed = false)
+      .orderBy("section", "sort_key").select("line")
+      .collect().map(_.getString(0))
+    assert(u(2).contains("edgedefault=\"undirected\""))
+  }
 }

@@ -69,4 +69,24 @@ class NeighborhoodFunctionSpec extends TestBase {
     assert(r.getAs[Int]("diameter") == 4)
     assert(r.getAs[Long]("n_pairs_total") == 15L)
   }
+
+  test("edgeless graph: interpolated readout clamps at 0, never negative") {
+    // d=0 already satisfies N(0) >= alpha*N(inf); the raw interpolation
+    // formula would yield (0-1) + alpha = -0.1 — the classic ANF readout
+    // floors at 0
+    val v = Seq("a", "b", "c").toDF("id")
+    val e = Seq.empty[(String, String)].toDF("src", "dst")
+    val r = GraphFrame(v, e).neighborhoodFunction
+      .effectiveDiameterReport(0.9).head()
+    assert(r.getAs[Double]("effective_diameter") == 0.0)
+    assert(r.getAs[Int]("effective_diameter_int") == 0)
+  }
+
+  test("precomputed-nf overload matches the self-running readout") {
+    val anf = chain(5).neighborhoodFunction
+    val nfTable = anf.run()
+    val a = anf.effectiveDiameterReport(0.9).head()
+    val b = anf.effectiveDiameterReport(nfTable, 0.9).head()
+    assert(a == b)
+  }
 }

@@ -273,6 +273,36 @@ class PropertySpec extends TestBase {
     assert(a.map(_._3).sliding(2).forall(p => p.head <= p.last))
   }
 
+  test("packContextWindows: exact chunking, full windows, partition invariance") {
+    // sizes 3,7,2,9,5 with window 8: the token stream is cut at 8,16,24 —
+    // doc 2 (offset 3, size 7) spans windows 0 and 1, doc 4 spans 1 and 2
+    val docs = Seq((1L, 3L), (2L, 7L), (3L, 2L), (4L, 9L), (5L, 5L))
+      .toDF("doc_id", "sz")
+    def run(parts: Int) = pipeline.Sampling.packContextWindows(
+        docs, "doc_id", "sz", window = 8L, numPartitions = parts)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._3)).toSeq
+    val a = run(3)
+    assert(a == Seq(
+      (1L, 3L, 0L, 0L, 3L),
+      (2L, 7L, 0L, 0L, 5L), (2L, 7L, 1L, 5L, 2L),
+      (3L, 2L, 1L, 0L, 2L),
+      (4L, 9L, 1L, 0L, 4L), (4L, 9L, 2L, 4L, 5L),
+      (5L, 5L, 2L, 0L, 3L), (5L, 5L, 3L, 3L, 2L)), a.toString)
+    // every window except the last is exactly full; per-doc pieces sum to sz
+    val byWin = a.groupBy(_._3).view.mapValues(_.map(_._5).sum).toMap
+    assert(byWin == Map(0L -> 8L, 1L -> 8L, 2L -> 8L, 3L -> 2L))
+    assert(a.groupBy(_._1).forall { case (d, rs) => rs.map(_._5).sum == rs.head._2 })
+    assert(run(1) == a && run(8) == a)
+    // zero-token documents emit nothing; empty input stays empty
+    val z = pipeline.Sampling.packContextWindows(
+      Seq((1L, 0L), (2L, 4L)).toDF("doc_id", "sz"), "doc_id", "sz", 8L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(z == Seq((2L, 4L, 0L, 0L, 4L)))
+    intercept[IllegalArgumentException](
+      pipeline.Sampling.packContextWindows(docs, "doc_id", "sz", 0L))
+  }
+
   test("tfidfTopTerms ranks rarer terms above common ones") {
     val docs = Seq(
       (1L, "common common rareword"),

@@ -49,6 +49,35 @@ for name in sorted(oracle):
     if sorted(scols) != sorted(ocols):
         bad.append((name, f"SCHEMA: spark={scols} oracle={ocols}"))
         continue
+    # --- driver-rendering parity checks (r10 lesson: HUGEINT) ---
+    # 1) DuckDB widens SUM(BIGINT) to HUGEINT; the driver renders that
+    #    through pandas as float64 ("568560.0") while Spark emits a long
+    #    ("568560") -> hash-red at the driver even when values match.
+    #    Fail loudly on any HUGEINT oracle column, and on DECIMAL unless
+    #    the Spark side is also decimal.
+    # (DECIMAL is fine: duckdb renders it float64, same as DOUBLE — an
+    # int-rendered Spark side against it is caught by the dtype-kind
+    # check below. HUGEINT is always an accidental SUM(BIGINT) widening.)
+    otypes = {c: str(t).upper() for c, t in zip(ocols, o.types)}
+    typebad = []
+    for c in ocols:
+        if "HUGEINT" in otypes[c]:
+            typebad.append(f"{c}: oracle HUGEINT (wrap with CAST(... AS BIGINT))")
+    if typebad:
+        bad.append((name, f"ORACLE TYPE: {typebad}"))
+        continue
+    # 2) Compare pandas dtype *kinds* per column — the driver hashes a
+    #    pandas rendering, so an int-vs-float kind split means a hash
+    #    mismatch even with identical values.
+    odf, sdf = o.df(), s.df()
+    kindbad = []
+    for c in ocols:
+        ok_, sk_ = odf[c].dtype.kind, sdf[c].dtype.kind
+        if ok_ != sk_ and {ok_, sk_} <= {"i", "u", "f"}:
+            kindbad.append(f"{c}: spark~{sdf[c].dtype} oracle~{odf[c].dtype}")
+    if kindbad:
+        bad.append((name, f"RENDER DTYPE: {kindbad}"))
+        continue
     a, b = norm(srows, scols), norm(orows, ocols)
     if a == b:
         ok.append((name, len(a)))

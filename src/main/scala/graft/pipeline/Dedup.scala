@@ -55,6 +55,33 @@ object Dedup {
       .withColumn("keep_id", min(col(idCol)).over(Window.partitionBy("fp")))
   }
 
+  /** Blocked fuzzy duplicate pairs — the classic record-linkage /
+   * entity-resolution shape (Fellegi–Sunter blocking + exact verify):
+   * rows sharing a `blockKey` value become candidate pairs; candidates
+   * are verified with an exact Levenshtein edit distance ≤ `maxDist`
+   * over `textCol` (Spark's codegen'd `levenshtein`, replayed
+   * identically by any SQL engine). Blocking is what makes this scale:
+   * the quadratic verify is confined to within-block pairs, and blocks
+   * wider than `maxBlock` rows are dropped entirely — an over-coarse
+   * block key (everything in one bucket) fails VISIBLY as dropped
+   * blocks instead of melting an executor with an accidental
+   * cross-join. Returns (id_a, id_b, dist) with id_a < id_b. */
+  def fuzzyPairs(df: DataFrame, idCol: String, textCol: String,
+      blockKey: Column, maxDist: Int, maxBlock: Int = 10000): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    require(maxBlock >= 2, s"maxBlock must be >= 2: $maxBlock")
+    val t = df.select(col(idCol).as("_id"), col(textCol).as("_t"),
+      blockKey.as("_blk"))
+    val keptBlocks = t.groupBy("_blk").agg(count(lit(1)).as("_w"))
+      .filter(col("_w") <= maxBlock).select("_blk")
+    val kept = t.join(keptBlocks, "_blk")
+    kept.as("a").join(kept.as("b"), "_blk")
+      .filter(col("a._id") < col("b._id"))
+      .filter(levenshtein(col("a._t"), col("b._t")) <= maxDist)
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        levenshtein(col("a._t"), col("b._t")).cast("int").as("dist"))
+  }
+
   /** Let-binding for Column expressions: evaluates `value` exactly once
    * per row and hands it to `body` as a higher-order-function lambda
    * variable. An aliased intermediate column is NOT a safe way to share an

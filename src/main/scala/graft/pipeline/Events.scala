@@ -277,6 +277,37 @@ object Events {
    * do" sweep. Deterministic cut: (n_sessions desc, path asc) is a total
    * order, executed as a distributed TakeOrdered (no global sort
    * materialization). Returns (path, n_sessions). */
+  /** First-order Markov transition matrix over session event sequences:
+   * within each gap-session (same rule as [[sessionize]]), count every
+   * consecutive event-type pair, then normalize per source type.
+   * Returns (src_type, dst_type, n, n_src, p) with p = n / n_src rounded
+   * to 6 — counts are exact integers, so the only float is one division.
+   * Plan: ONE user-keyed window pass (sessionize + lead ride the same
+   * exchange) into a hash aggregation whose key space is event-type² —
+   * tiny regardless of corpus size; the per-source totals re-aggregate
+   * the pair counts, never the events. */
+  def transitionMatrix(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ms = tsMillis(events)
+    val newSession = when(
+      ms - lag(ms, 1).over(byUser) > gapMinutes * 60L * 1000L, 1).otherwise(0)
+    val pairs = events
+      .withColumn("_sess", sum(newSession).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // lead over the SAME user-keyed window (one exchange + sort total);
+      // a next row in a different session is not a transition
+      .withColumn("_next",
+        when(lead(col("_sess"), 1).over(byUser) === col("_sess"),
+          lead(col("event_type"), 1).over(byUser)))
+      .filter(col("_next").isNotNull)
+      .groupBy(col("event_type").as("src_type"), col("_next").as("dst_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("src_type").agg(sum(col("n")).as("n_src"))
+    pairs.join(broadcast(totals), "src_type")
+      .select(col("src_type"), col("dst_type"), col("n"), col("n_src"),
+        round(col("n") / col("n_src"), 6).as("p"))
+  }
+
   def topPaths(events: DataFrame, gapMinutes: Int = 30, maxSteps: Int = 5,
       k: Int = 20): DataFrame =
     sessionPaths(events, gapMinutes, maxSteps)

@@ -41,6 +41,34 @@ object Text {
         .otherwise(col(textCol)))
   }
 
+  /** Sliding-window token chunking with overlap — the standard RAG /
+   * retrieval indexing cut: chunks of `chunk` tokens starting every
+   * `stride` tokens (stride < chunk ⇒ consecutive chunks overlap by
+   * chunk − stride tokens, so a passage straddling one boundary is
+   * intact in the next chunk). Start offsets are the multiples of
+   * `stride` below the document's token count, so the final chunk may be
+   * short; empty documents emit nothing. Returns (idCol, chunk_id,
+   * start_tok, n_tok, chunk_text) — one pure per-row explode over the
+   * token array, no shuffle, and Σ chunks per doc is ⌈n/stride⌉ so the
+   * fan-out is linear in corpus size, never quadratic. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      chunk: Int, stride: Int): DataFrame = {
+    require(chunk >= 1, s"chunk must be >= 1: $chunk")
+    require(stride >= 1 && stride <= chunk,
+      s"stride must be in [1, chunk]: stride=$stride chunk=$chunk")
+    df.select(col(idCol), tokens(col(textCol)).as("_w"))
+      .withColumn("_n", size(col("_w")).cast("long"))
+      .filter(col("_n") > 0)
+      .withColumn("chunk_id", // exact integer div — last start is the
+        // largest multiple of stride strictly below n
+        explode(sequence(lit(0L), expr(s"(_n - 1) div $stride"))))
+      .select(col(idCol), col("chunk_id"),
+        (col("chunk_id") * stride).as("start_tok"),
+        least(lit(chunk.toLong), col("_n") - col("chunk_id") * stride).as("n_tok"),
+        concat_ws(" ", slice(col("_w"),
+          (col("chunk_id") * stride + 1).cast("int"), lit(chunk))).as("chunk_text"))
+  }
+
   /** n-word shingles of the token array (empty array when too short). */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = tokens(text)

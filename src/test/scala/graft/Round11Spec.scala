@@ -1,0 +1,242 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 operators: negative sampling, dHash, overlap chunking,
+ * Markov transitions, co-purchase recommendations, blocked fuzzy ER,
+ * Count-Min Sketch, clique listing, and the DSv2 R-MAT source. */
+class Round11Spec extends TestBase {
+  import spark.implicits._
+
+  // ---------------- NegativeSampling ----------------
+
+  test("negativeSamples returns only non-edges, k per vertex, deterministic") {
+    val g = chain(8) // 0->1->...->7
+    val out = new embeddings.NegativeSampling(g).setK(2).setSeed(7L).run()
+      .select(col("src").cast("long"), col("dst").cast("long"), col("draw"))
+      .as[(Long, Long, Int)].collect()
+    val edges = (0L until 7L).flatMap(i => Seq((i, i + 1), (i + 1, i))).toSet
+    assert(out.nonEmpty)
+    out.foreach { case (s, d, _) =>
+      assert(s != d)
+      assert(!edges.contains((s, d)), s"sampled a true edge: $s -> $d")
+    }
+    assert(out.groupBy(_._1).values.forall(_.length <= 2))
+    val again = new embeddings.NegativeSampling(g).setK(2).setSeed(7L).run()
+      .select(col("src").cast("long"), col("dst").cast("long"), col("draw"))
+      .as[(Long, Long, Int)].collect()
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("negativeSamples directed mode rejects only the existing direction") {
+    val g = chain(3) // edges 0->1, 1->2
+    val out = new embeddings.NegativeSampling(g).setK(5).setCandidates(40)
+      .setUndirected(false).setSeed(1L).run()
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(!out.contains((0L, 1L)) && !out.contains((1L, 2L)))
+    // reverse directions are legal negatives in directed mode
+    assert(out.contains((1L, 0L)) || out.contains((2L, 1L)) || out.contains((2L, 0L)))
+  }
+
+  test("negativeSamples requires numeric ids") {
+    intercept[IllegalArgumentException] {
+      new embeddings.NegativeSampling(friends).run()
+    }
+  }
+
+  // ---------------- imageDHash ----------------
+
+  private def png(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("imageDHash: uniform image is all zeros; gradient is all ones; " +
+      "brightness shift cancels") {
+    val flat = png(18, 18)((_, _) => 0x808080)
+    val grad = png(18, 18)((x, _) => { val v = 250 - x * 10; (v << 16) | (v << 8) | v })
+    val gradDim = png(18, 18)((x, _) => { val v = 150 - x * 5; (v << 16) | (v << 8) | v })
+    val df = Seq((1L, flat), (2L, grad), (3L, gradDim)).toDF("id", "img")
+    val got = multimodal.Multimodal.imageDHash(df, "id", "img")
+      .select(col("id"), col("dhash")).as[(Long, String)].collect().toMap
+    assert(got(1L) == "0" * 64)
+    assert(got(2L) == "1" * 64) // strictly decreasing left->right
+    assert(got(3L) == "1" * 64) // same gradient sign at half brightness
+  }
+
+  test("imageDHash: undecodable payload yields null hash, decoded=false") {
+    val df = Seq((9L, Array[Byte](1, 2, 3))).toDF("id", "img")
+    val r = multimodal.Multimodal.imageDHash(df, "id", "img").collect()(0)
+    assert(r.isNullAt(1) && !r.getBoolean(2))
+  }
+
+  // ---------------- chunkTokens ----------------
+
+  test("chunkTokens: overlapping windows, short tail, empty doc skipped") {
+    val docs = Seq((1L, "a b c d e f g"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
+    val got = pipeline.Text.chunkTokens(docs, "doc_id", "text", chunk = 4, stride = 2)
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"), col("n_tok"),
+        col("chunk_text"))
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, 0L, 4L, "a b c d"),
+      (1L, 1L, 2L, 4L, "c d e f"),
+      (1L, 2L, 4L, 3L, "e f g"),
+      (1L, 3L, 6L, 1L, "g"),
+      (3L, 0L, 0L, 1L, "x")), got.toString)
+  }
+
+  test("chunkTokens: stride == chunk gives an exact partition of tokens") {
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val got = pipeline.Text.chunkTokens(docs, "doc_id", "text", 4, 4)
+      .select(col("start_tok"), col("n_tok")).as[(Long, Long)].collect().sorted
+    assert(got.toSeq == Seq((0L, 4L), (4L, 4L), (8L, 2L)))
+    intercept[IllegalArgumentException] {
+      pipeline.Text.chunkTokens(docs, "doc_id", "text", 4, 5)
+    }
+  }
+
+  // ---------------- transitionMatrix ----------------
+
+  test("transitionMatrix counts within-session transitions only") {
+    val h = 3600L * 1000000000L // ns per hour
+    val ev = Seq(
+      // user 1, one session: a -> b -> a
+      (1L, 1L * h, 1L, "a"), (2L, 1L * h + 1, 1L, "b"), (3L, 1L * h + 2, 1L, "a"),
+      // user 1, second session (2h gap): b -> b
+      (4L, 3L * h, 1L, "b"), (5L, 3L * h + 1, 1L, "b"),
+      // user 2: a -> b
+      (6L, 1L * h, 2L, "a"), (7L, 1L * h + 1, 2L, "b"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = pipeline.Events.transitionMatrix(ev, gapMinutes = 30)
+      .select(col("src_type"), col("dst_type"), col("n"), col("n_src"), col("p"))
+      .as[(String, String, Long, Long, Double)].collect().toSet
+    // a->b twice, b->a once, b->b once; NO b->b from session boundary of user 1
+    assert(got == Set(
+      ("a", "b", 2L, 2L, 1.0),
+      ("b", "a", 1L, 2L, 0.5),
+      ("b", "b", 1L, 2L, 0.5)), got.toString)
+  }
+
+  // ---------------- Recommend ----------------
+
+  test("coOccurrence + alsoBought: canonical counts, basket cap, top-k ties") {
+    val lines = Seq(
+      (10L, "a"), (10L, "b"), (10L, "c"), (10L, "a"), // dup line counts once
+      (11L, "a"), (11L, "b"),
+      (12L, "a"), (12L, "b"),
+      (13L, "a"), (13L, "b"), (13L, "c"), (13L, "d")) // dropped at maxBasket=3
+      .toDF("order_id", "item")
+    val pairs = pipeline.Recommend.coOccurrence(lines, "order_id", "item",
+      maxBasket = 3)
+      .as[(String, String, Long)].collect().toSet
+    assert(pairs == Set(("a", "b", 3L), ("a", "c", 1L), ("b", "c", 1L)), pairs.toString)
+    val top = pipeline.Recommend.alsoBought(
+        pipeline.Recommend.coOccurrence(lines, "order_id", "item", 3), k = 1)
+      .select(col("item"), col("also_bought"), col("n_baskets"), col("rank"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(top == Set(
+      ("a", "b", 3L, 1L), ("b", "a", 3L, 1L), ("c", "a", 1L, 1L)), top.toString)
+  }
+
+  // ---------------- fuzzyPairs ----------------
+
+  test("fuzzyPairs verifies within blocks and drops oversized blocks") {
+    val rows = Seq(
+      (1L, "Customer#01"), (2L, "Customer#02"), (3L, "Customer#11"),
+      (4L, "Supplier#01"), (5L, "Supplier#01"),
+      // block "X" has 3 rows -> dropped at maxBlock=2
+      (6L, "X1"), (7L, "X2"), (8L, "X3")).toDF("id", "name")
+    val blk = substring(col("name"), 1, 1)
+    val got = pipeline.Dedup.fuzzyPairs(rows, "id", "name", blk,
+        maxDist = 1, maxBlock = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    // C-block has 3 rows (> 2) too -> dropped; S-block pair dist 0
+    assert(got == Set((4L, 5L, 0)), got.toString)
+    val loose = pipeline.Dedup.fuzzyPairs(rows, "id", "name", blk,
+        maxDist = 1, maxBlock = 10)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(loose == Set((1L, 2L, 1), (1L, 3L, 1), (4L, 5L, 0), (6L, 7L, 1),
+      (6L, 8L, 1), (7L, 8L, 1)), loose.toString)
+  }
+
+  // ---------------- Count-Min Sketch ----------------
+
+  test("cmsTopK: wide sketch is exact; narrow sketch only overestimates") {
+    val data = (Seq.fill(5)("x") ++ Seq.fill(3)("y") ++ Seq.fill(2)("z") ++
+      Seq("w")).zipWithIndex.map { case (k, i) => (i.toLong, k) }
+      .toDF("id", "key")
+    val top = pipeline.Sketches.cmsTopK(data, "key", k = 3, depth = 4,
+        width = 4096)
+      .select(col("key"), col("est"), col("rank"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(top == Seq(("x", 5L, 1L), ("y", 3L, 2L), ("z", 2L, 3L)), top.toString)
+    val exact = Map("x" -> 5L, "y" -> 3L, "z" -> 2L, "w" -> 1L)
+    val narrow = pipeline.Sketches
+      .cmsEstimate(pipeline.Sketches.cmsCounters(data, "key", 2, 2),
+        data.select("key"), "key", 2, 2)
+      .as[(String, Long)].collect()
+    narrow.foreach { case (k, est) =>
+      assert(est >= exact(k), s"CMS underestimated $k: $est < ${exact(k)}")
+    }
+  }
+
+  test("cms counter table is bounded by depth x width") {
+    val data = (1 to 500).map(i => (i.toLong, s"k$i")).toDF("id", "key")
+    val n = pipeline.Sketches.cmsCounters(data, "key", depth = 3, width = 8).count()
+    assert(n <= 24, s"counter table has $n rows")
+  }
+
+  // ---------------- Cliques ----------------
+
+  test("triangles and cliques4 on two bridged K4s") {
+    val g = twoBlobs(4)
+    val tri = lib.Cliques.triangles(g)
+      .as[(Long, Long, Long)].collect().toSet
+    val expectTri = (for {
+      base <- Seq(0L, 4L)
+      c <- Seq(0L, 1L, 2L, 3L).combinations(3)
+    } yield (c(0) + base, c(1) + base, c(2) + base)).toSet
+    assert(tri == expectTri, tri.toString)
+    val quads = lib.Cliques.cliques4(g)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(quads == Set((0L, 1L, 2L, 3L), (4L, 5L, 6L, 7L)), quads.toString)
+  }
+
+  test("cliques4 finds nothing on a triangle-free graph") {
+    assert(lib.Cliques.cliques4(chain(6)).count() == 0)
+    assert(lib.Cliques.triangles(star(5)).count() == 0)
+  }
+
+  // ---------------- DSv2 R-MAT source ----------------
+
+  test("graft.rmat DSv2 source matches GraphGenerators.rmat row for row") {
+    val viaSource = spark.read.format("graft.rmat")
+      .option("scale", 6).option("numEdges", 200).option("seed", 7)
+      .option("numPartitions", 5).load()
+    val viaExpr = sources.GraphGenerators.rmat(spark, scale = 6,
+      numEdges = 200, seed = 7)
+    assert(viaSource.schema == viaExpr.schema)
+    val a = viaSource.as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val b = viaExpr.as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+    assert(viaSource.rdd.getNumPartitions == 5)
+  }
+
+  test("graft.rmat prunes columns and validates options") {
+    val src = spark.read.format("graft.rmat")
+      .option("scale", 4).option("numEdges", 10).load()
+    assert(src.count() == 10)
+    assert(src.select("edge_id").as[Long].collect().sorted.toSeq == (0L until 10L))
+    val plan = src.select("edge_id").queryExecution.executedPlan.toString
+    assert(plan.contains("cols=edge_id"), plan)
+    intercept[Exception] {
+      spark.read.format("graft.rmat").option("scale", 99).load().collect()
+    }
+  }
+}

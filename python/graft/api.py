@@ -154,6 +154,43 @@ class GraphFrameMethods:
         digraph; ids are quote/backslash-escaped."""
         return self._call("to_dot", name=name)
 
+    def toGraphML(self, directed: Optional[bool] = None):
+        """GraphML export as line rows (section, sort_key, line), same
+        contract as ``toDot``: order by (section, sort_key) and write as
+        text for a valid GraphML document; ids are XML-escaped."""
+        return self._call("to_graphml", directed=directed)
+
+    def triangles(self):
+        """Every triangle listed exactly once via (degree, id)-ordered
+        edge orientation: rows (v1, v2, v3) ascending by id."""
+        return self._call("triangles")
+
+    def cliques4(self):
+        """Every 4-clique listed exactly once (ordered extension of the
+        oriented triangles): rows (v1, v2, v3, v4) ascending by id."""
+        return self._call("cliques4")
+
+    def negativeSamples(self, k: Optional[int] = None,
+                        candidates: Optional[int] = None,
+                        seed: Optional[int] = None,
+                        undirected: Optional[bool] = None):
+        """Uniform NON-edge samples per vertex for embedding training
+        (md5-keyed rank probes, anti-joined against the edge set):
+        rows (src, dst, draw). Requires numeric vertex ids."""
+        return self._call("negative_samples", k=k, candidates=candidates,
+                          seed=seed, undirected=undirected)
+
+    def temporalReachability(self, source, startTime: Optional[float] = None,
+                             timeCol: Optional[str] = None,
+                             durationCol: Optional[str] = None,
+                             maxIter: Optional[int] = None):
+        """Earliest-arrival over a temporal graph (edge traversable only
+        when its time >= arrival at its source): rows (id, arrival),
+        null arrival = not time-respecting-reachable."""
+        return self._call("temporal_reachability", source=source,
+                          startTime=startTime, timeCol=timeCol,
+                          durationCol=durationCol, maxIter=maxIter)
+
     def katz(self, maxIter: Optional[int] = None,
              alpha: Optional[float] = None, beta: Optional[float] = None):
         """Katz centrality (engine extension)."""
@@ -570,6 +607,21 @@ class PipelineMethods:
                            rightTs=rightTs, rightCols=rightCols,
                            prefix=prefix, strict=strict, direction=direction)
 
+    def rangeJoin(self, points, on: list, leftTs: str, rightStart: str,
+                  rightEnd: str, rightCols: list,
+                  prefix: Optional[str] = None,
+                  bucketMs: Optional[int] = None,
+                  maxBucketsPerInterval: Optional[int] = None):
+        """Bucketized point-in-interval join: this Pipeline's table is the
+        INTERVAL side; ``points`` (a DataFrame) rides the vertices slot.
+        Matches rightStart <= pointTs < rightEnd sharing the ``on`` keys —
+        an equi-join on (keys, time bucket), never a nested loop."""
+        return self._call2(points, "pipe_range_join", on=on, leftTs=leftTs,
+                           rightStart=rightStart, rightEnd=rightEnd,
+                           rightCols=rightCols, prefix=prefix,
+                           bucketMs=bucketMs,
+                           maxBucketsPerInterval=maxBucketsPerInterval)
+
     def funnel(self, steps: list, windowMinutes: Optional[int] = None):
         """Ordered conversion funnel over an events-shaped table
         (user_id, event_type, ts): step k matches at the earliest event
@@ -674,6 +726,47 @@ class PipelineMethods:
         spaces, whitespace runs collapsed, ends trimmed. Returns
         (id, norm_text, n_chars, n_chars_norm)."""
         return self._call("pipe_normalize", idCol=idCol, textCol=textCol)
+
+    def transitionMatrix(self, gapMinutes: Optional[int] = None):
+        """First-order Markov transition matrix over gap-session event
+        sequences: (src_type, dst_type, n, n_src, p) with exact integer
+        counts and p = n / n_src."""
+        return self._call("pipe_transition_matrix", gapMinutes=gapMinutes)
+
+    def cmsTopK(self, keyCol: str, k: int, depth: Optional[int] = None,
+                width: Optional[int] = None, seed: Optional[int] = None):
+        """Count-Min Sketch heavy hitters: depth x width md5-keyed
+        counters built in one aggregation, top-k keys by estimate
+        (est >= true count; deterministic)."""
+        return self._call("pipe_cms_topk", keyCol=keyCol, k=k, depth=depth,
+                          width=width, seed=seed)
+
+    def fuzzyPairs(self, idCol: str, textCol: str, blockExpr: str,
+                   maxDist: Optional[int] = None,
+                   maxBlock: Optional[int] = None):
+        """Blocked fuzzy entity resolution: rows sharing ``blockExpr``
+        (a SQL expression, e.g. ``"substr(name, 1, 4)"``) are verified
+        with exact Levenshtein <= maxDist; blocks wider than maxBlock
+        are dropped loudly. Rows (id_a, id_b, dist), id_a < id_b."""
+        return self._call("pipe_fuzzy_pairs", idCol=idCol, textCol=textCol,
+                          blockExpr=blockExpr, maxDist=maxDist,
+                          maxBlock=maxBlock)
+
+    def coOccurrence(self, basketCol: str, itemCol: str,
+                     maxBasket: Optional[int] = None):
+        """Basket co-occurrence pair counts (canonical item_a < item_b;
+        per-basket dedup; baskets wider than maxBasket dropped):
+        (item_a, item_b, n_baskets)."""
+        return self._call("pipe_co_occurrence", basketCol=basketCol,
+                          itemCol=itemCol, maxBasket=maxBasket)
+
+    def alsoBought(self, basketCol: str, itemCol: str, k: Optional[int] = None,
+                   maxBasket: Optional[int] = None):
+        """Top-k "also bought" neighbors per item from basket
+        co-occurrence: (item, also_bought, n_baskets, rank), ranked
+        (count desc, item asc)."""
+        return self._call("pipe_also_bought", basketCol=basketCol,
+                          itemCol=itemCol, k=k, maxBasket=maxBasket)
 
     def rfm(self, buckets: Optional[int] = None):
         """RFM user segmentation over an events-shaped table: exact

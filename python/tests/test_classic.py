@@ -256,5 +256,38 @@ cp = {(r["a"], r["b"]): r["containment"]
 assert cp == {(1, 2): 1.0}, cp  # small-in-large direction only
 print("CLASSIC OK pipe_containment")
 
+tri = {(r["v1"], r["v2"], r["v3"]) for r in g.triangles().collect()}
+assert tri == {(0, 1, 2), (3, 4, 5)}, tri  # one triangle per barbell end
+assert g.cliques4().count() == 0  # no K4 anywhere in the barbell
+print("CLASSIC OK triangles_cliques")
+
+neg = [(r["src"], r["dst"]) for r in g.negativeSamples(k=2, seed=5).collect()]
+eset = {(r["src"], r["dst"]) for r in g.edges.collect()}
+assert neg and all((s, d) not in eset and (d, s) not in eset for s, d in neg), neg
+print("CLASSIC OK negative_samples")
+
+cms_df = spark.createDataFrame(
+    [(i, "hot" if i % 2 == 0 else f"k{i}") for i in range(20)], ["id", "key"])
+cms = Pipeline(cms_df).cmsTopK(keyCol="key", k=1, width=4096).collect()
+assert cms[0]["key"] == "hot" and cms[0]["est"] == 10, cms
+print("CLASSIC OK pipe_cms_topk")
+
+basket_df = spark.createDataFrame(
+    [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (2, "c")], ["order_id", "item"])
+ab = {(r["item"], r["also_bought"]): r["n_baskets"]
+      for r in Pipeline(basket_df).alsoBought(
+          basketCol="order_id", itemCol="item", k=1).collect()}
+assert ab == {("a", "b"): 2, ("b", "a"): 2, ("c", "a"): 1}, ab
+print("CLASSIC OK pipe_also_bought")
+
+er_df = spark.createDataFrame(
+    [(1, "acme corp"), (2, "acme c0rp"), (3, "zzz inc")], ["id", "name"])
+er = [(r["id_a"], r["id_b"], r["dist"])
+      for r in Pipeline(er_df).fuzzyPairs(
+          idCol="id", textCol="name",
+          blockExpr="substr(name, 1, 4)", maxDist=1).collect()]
+assert er == [(1, 2, 1)], er
+print("CLASSIC OK pipe_fuzzy_pairs")
+
 spark.stop()
 print("CLASSIC ALL OK")

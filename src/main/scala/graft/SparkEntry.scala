@@ -411,10 +411,39 @@ object SparkEntry {
     "g_graph_dot" -> ((s, dir) => // Graphviz DOT export as line rows —
       // pure projections; the oracle rebuilds every line string
       sources.GraphLoader.toDotLines(graphB(s, dir), "trade")),
+    "g_graphml" -> ((s, dir) => // GraphML export, same line-row contract
+      // as DOT — XML-escaped ids, header/nodes/edges/footer sections
+      sources.GraphLoader.toGraphMLLines(graphB(s, dir))),
+    "g_neg_sampling" -> ((s, dir) => // uniform non-edge draws for
+      // embedding training: md5-keyed rank probes against the dense-rank
+      // vertex table, anti-joined vs both edge directions; the oracle
+      // replays every draw and the keep-first-k cut
+      new embeddings.NegativeSampling(circulantGraph(s, dir))
+        .setK(3).setSeed(42L).run()),
     "g_rmat" -> ((s, dir) => // deterministic R-MAT generator: md5 draws
       // keyed (seed, edge, level), exact 60-bit integer thresholds —
       // the oracle replays every quadrant decision
       sources.GraphGenerators.rmat(s, scale = 6, numEdges = 200, seed = 7)),
+    "g_rmat_source" -> ((s, dir) => // the SAME graph through the DSv2
+      // table provider (range-sliced planInputPartitions, JVM-side md5
+      // replay) — one oracle pins both generation paths to each other
+      s.read.format("graft.rmat").option("scale", 6).option("numEdges", 200)
+        .option("seed", 7).option("numPartitions", 4).load()),
+    "g_triangle_list" -> ((s, dir) => // every triangle ONCE via
+      // (degree, id)-ordered edge orientation — listing, not counting
+      lib.Cliques.triangles(graphB(s, dir))),
+    "g_cliques4" -> ((s, dir) => // 4-clique listing by ordered extension
+      // of the oriented triangles; output id-sorted tuples
+      lib.Cliques.cliques4(graphB(s, dir))),
+    "g_temporal_bfs" -> ((s, dir) => { // earliest-arrival over temporal
+      // edges (t >= arrival to traverse): plain BFS would overstate
+      // reachability; the oracle walks the (vertex, time) state space
+      val g0 = circulantGraph(s, dir)
+      val e = g0.edges.withColumn("time",
+        (pmod(col(SRC) * 7 + col(DST) * 3, lit(5)) + 1).cast("double"))
+      new lib.TemporalReachability(GraphFrame(g0.vertices, e))
+        .source(0).startTime(0.0).timeCol("time").run()
+    }),
     "g_pagerank_weighted" -> ((s, dir) => {
       // mass distributed proportionally to a deterministic edge weight
       // (same synthesized weights as g_shortest_paths_weighted)
@@ -896,6 +925,11 @@ object SparkEntry {
       // multiplication — the oracle predicts all 64 bits analytically
       multimodal.Multimodal.imageAHash(twoTonePngs(s, dir), "doc_id", "payload")
         .select(col("doc_id"), col("ahash"))),
+    "m_image_dhash" -> ((s, dir) => // gradient fingerprint of the REAL
+      // decoded pixels: 8x9 adjacent-block luma compares, exact integer
+      // cross-multiplication — the oracle predicts all 64 bits
+      multimodal.Multimodal.imageDHash(twoTonePngs(s, dir), "doc_id", "payload")
+        .select(col("doc_id"), col("dhash"))),
     "m_image_dedup" -> ((s, dir) => { // perceptual near-dup groups: docs
       // sharing an aHash keep the minimum doc_id (aHash is deliberately
       // coarse — structural copies collide; that is the dedup contract)
@@ -1262,6 +1296,35 @@ object SparkEntry {
       pipeline.Sampling.packShards(
         pipeline.Text.tokenCount(load(s, dir, "documents"), "doc_id", "text"),
         "doc_id", "n_tokens", budget = 2000L)),
+    "p_entity_resolution" -> ((s, dir) =>
+      // blocked fuzzy matching: 16-char name-prefix blocks, exact
+      // Levenshtein <= 1 verify inside each block
+      pipeline.Dedup.fuzzyPairs(load(s, dir, "customer"), "c_custkey",
+        "c_name", substring(col("c_name"), 1, 16), maxDist = 1,
+        maxBlock = 1000)),
+    "p_ngram_novelty" -> ((s, dir) =>
+      // boilerplate-vs-original quality cut: share of each doc's distinct
+      // 3-shingles appearing in no other document
+      pipeline.Text.ngramNovelty(load(s, dir, "documents"), "doc_id", "text")),
+    "p_tf_cosine" -> ((s, dir) =>
+      // sparse bag-of-words similarity join: exact-integer dot/norms,
+      // one cosine per surviving pair, stop terms cut at df > 200
+      pipeline.Text.tfCosinePairs(load(s, dir, "documents"), "doc_id", "text",
+        minCosine = 0.8, maxDocFreq = 200)),
+    "p_cms_topk" -> ((s, dir) =>
+      // Count-Min heavy hitters over the corpus vocabulary: 4x512
+      // sketch, top-20 terms by estimate (collisions overestimate
+      // deterministically; the oracle replays every counter)
+      pipeline.Sketches.cmsTopK(
+        load(s, dir, "documents")
+          .select(explode(pipeline.Text.tokens(col("text"))).as("term")),
+        "term", k = 20, depth = 4, width = 512)),
+    "p_pack_windows" -> ((s, dir) =>
+      // GPT-style concat-and-chunk packing: documents split across fixed
+      // 512-token training windows via the same distributed prefix sum
+      pipeline.Sampling.packContextWindows(
+        pipeline.Text.tokenCount(load(s, dir, "documents"), "doc_id", "text"),
+        "doc_id", "n_tokens", window = 512L)),
     "p_sample_stratified" -> ((s, dir) =>
       pipeline.Sampling.stratifiedHashSample(load(s, dir, "documents"), "doc_id", "lang",
         fraction = 0.5)
@@ -1353,6 +1416,22 @@ object SparkEntry {
     // --- streaming (run to completion through a memory sink: the driver
     // gate then hash-checks streaming output against the BATCH oracle,
     // turning the unit-level batch-parity claim into an oracled row) ---
+    "e_stream_cms" -> ((s, dir) => {
+      // streaming heavy hitters with BOUNDED state: the Count-Min counter
+      // table is the streaming aggregate (state <= depth x width cells
+      // FOREVER, however many distinct keys flow past — the sketch
+      // contract), run to completion; the deterministic batch finisher
+      // reads estimates for the observed key set
+      val counters = pipeline.Sketches.cmsCounters(
+        streaming.EventStreams.readEvents(s, dir).select(col("event_type")),
+        "event_type", depth = 4, width = 64)
+      val q = counters.writeStream.format("memory").queryName("graft_stream_cms")
+        .outputMode("complete").start()
+      q.processAllAvailable(); q.stop()
+      pipeline.Sketches.cmsEstimate(s.table("graft_stream_cms"),
+        load(s, dir, "events").select(col("event_type")), "event_type",
+        depth = 4, width = 64)
+    }),
     "e_stream_window" -> ((s, dir) => {
       val stream = streaming.EventStreams.hourlyAggStream(
         streaming.EventStreams.readEvents(s, dir),
@@ -1389,6 +1468,31 @@ object SparkEntry {
         .select(col("user_id"), col("recency_day"), col("frequency"),
           col("monetary_cents"), col("r").cast("long").as("r"),
           col("f").cast("long").as("f"), col("m").cast("long").as("m"))),
+    "e_markov" -> ((s, dir) => // first-order Markov transition matrix over
+      // 30-min gap sessions: exact integer counts, one division per row
+      pipeline.Events.transitionMatrix(load(s, dir, "events"), gapMinutes = 30)),
+    "e_copurchase" -> ((s, dir) => // item-item collaborative filtering:
+      // top-3 "also bought" per part from order-basket co-occurrence
+      pipeline.Recommend.alsoBought(
+        pipeline.Recommend.coOccurrence(load(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", maxBasket = 100), k = 3)),
+    "e_range_join" -> ((s, dir) => { // bucketized point-in-interval join:
+      // purchases inside each user's 10-min error windows — an EQUI-join
+      // on (user, hour-bucket) with the range predicate as residual,
+      // never a nested loop
+      val ev = load(s, dir, "events")
+      val pts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val startMs = pipeline.Events.tsMillis(ev)
+      val iv = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"),
+          timestamp_millis(startMs).as("w_start"),
+          timestamp_millis(startMs + 1800000L).as("w_end"))
+      pipeline.Events.rangeJoin(pts, iv, Seq("user_id"), "ts",
+          "w_start", "w_end", rightCols = Seq("event_id"), prefix = "err_")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("err_event_id").as("error_id"))
+    }),
     "e_stream_funnel" -> ((s, dir) => {
       // conversion tracking in a stream: 3-long state per user, emits a
       // row the moment the final step matches; equals the batch funnel's
@@ -1506,9 +1610,13 @@ object SparkEntry {
       val index = pipeline.Dedup.minhashIndex(
         docs.filter(col("doc_id") < 400), "doc_id", "text").persist()
       val schemaDocs = s.read.parquet(s"$dir/documents.parquet").schema
+      // the gate row pins a FIXED-SIZE ingest batch (≤1000 docs, like
+      // incdedup_grow's 100-doc staging) — a production stream sizes its
+      // micro-batches the same way; the FULL ≥400 corpus path stays
+      // covered by the batch twin p_incremental_dedup at every SF
       val stream = s.readStream.schema(schemaDocs)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
-        .filter(col("doc_id") >= 400)
+        .filter(col("doc_id") >= 400 && col("doc_id") < 1400)
       val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
       var outSchema: org.apache.spark.sql.types.StructType = null
       // the per-micro-batch LSH chain runs half a dozen joins over a few
@@ -1625,7 +1733,13 @@ object SparkEntry {
   /** Incremental near-dup oracle (new batch doc_id >= 400 vs the
    * doc_id < 400 corpus index, plus within-batch pairs) — shared by the
    * batch query and its single-micro-batch streaming twin. */
-  private lazy val incrementalDedupSql: String =
+  private lazy val incrementalDedupSql: String = incrementalDedupSqlTo(None)
+
+  /** `hi` bounds the new-batch slice (the streaming gate row pins a
+   * fixed-size ingest batch; None = the full ≥400 corpus). */
+  private def incrementalDedupSqlTo(hi: Option[Long]): String = {
+    val nbFilter = hi.map(h => s"doc_id >= 400 AND doc_id < $h")
+      .getOrElse("doc_id >= 400")
     s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
        |s AS (SELECT doc_id, $SH3 AS sh FROM t WHERE len(w) >= 3),
        |sig AS MATERIALIZED (SELECT doc_id, list_transform(range(0, 16), h ->
@@ -1634,7 +1748,7 @@ object SparkEntry {
        |bands AS MATERIALIZED (SELECT doc_id, r.b AS band,
        |   md5(array_to_string(mh[2 * r.b + 1:2 * r.b + 2], '|')) AS bh
        |   FROM sig, range(0, 8) r(b)),
-       |nb AS (SELECT * FROM bands WHERE doc_id >= 400),
+       |nb AS (SELECT * FROM bands WHERE $nbFilter),
        |cb AS (SELECT * FROM bands WHERE doc_id < 400),
        |p AS (SELECT DISTINCT nb.doc_id AS id, cb.doc_id AS mid
        |   FROM nb JOIN cb ON nb.band = cb.band AND nb.bh = cb.bh
@@ -1646,6 +1760,7 @@ object SparkEntry {
        |  ROUND(CAST(len(list_filter(range(1, 17), i -> a.mh[i] = b.mh[i])) AS DOUBLE) / 16,
        |    4) AS est_jaccard
        |FROM p JOIN sig a ON a.doc_id = p.id JOIN sig b ON b.doc_id = p.mid""".stripMargin
+  }
 
   /** Exact maximal duplicated spans replay (mirrors Text.dupSpansMaximal):
    * md5'd `seedTokens`-token windows, capped cross-doc seed buckets,
@@ -2030,6 +2145,34 @@ object SparkEntry {
       |    THEN '1' ELSE '0' END AS bit
       |  FROM blk),
       |hs AS (SELECT doc_id, string_agg(bit, '' ORDER BY by, bx) AS ahash
+      |  FROM bits GROUP BY 1)""".stripMargin
+
+  /** Analytic dHash replay of the same fixture: 8 rows × 9 columns of
+   * blocks, bit (by,bx) = mean(block bx) > mean(block bx+1) by the exact
+   * integer cross-multiplication the engine uses (rows are identical, so
+   * each block's luma sum is closed-form). */
+  private val DHASH_BITS =
+    """p AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    doc_id % 24 + 8 AS w, (doc_id * 7) % 24 + 8 AS h,
+      |    (doc_id % 24 + 9) // 2 AS wl,
+      |    (doc_id % 256) + ((doc_id * 3) % 256) + ((doc_id * 7) % 256) AS la
+      |  FROM documents),
+      |dblk AS (SELECT doc_id, w, h, wl, la, 765 - la AS lb,
+      |    byy.i AS by, bxx.i AS bx,
+      |    (bxx.i * w) // 9 AS x0, ((bxx.i + 1) * w) // 9 AS x1,
+      |    (byy.i * h) // 8 AS y0, ((byy.i + 1) * h) // 8 AS y1
+      |  FROM p, range(0, 8) byy(i), range(0, 9) bxx(i)),
+      |dsum AS (SELECT doc_id, by, bx,
+      |    (GREATEST(0, LEAST(x1, wl) - x0) * la
+      |      + (x1 - x0 - GREATEST(0, LEAST(x1, wl) - x0)) * lb) * (y1 - y0) AS sm,
+      |    (x1 - x0) * (y1 - y0) AS np
+      |  FROM dblk),
+      |bits AS (SELECT a.doc_id, a.by, a.bx,
+      |    CASE WHEN a.sm * b.np > b.sm * a.np THEN '1' ELSE '0' END AS bit
+      |  FROM dsum a JOIN dsum b
+      |    ON b.doc_id = a.doc_id AND b.by = a.by AND b.bx = a.bx + 1
+      |  WHERE a.bx < 8),
+      |hs AS (SELECT doc_id, string_agg(bit, '' ORDER BY by, bx) AS dhash
       |  FROM bits GROUP BY 1)""".stripMargin
 
   /** Tree+chords fixture CTEs shared by the 2-connectivity oracles:
@@ -3007,6 +3150,23 @@ object SparkEntry {
        |SELECT vec_id, COALESCE(m.keep, vec_id) AS keep_id
        |FROM embeddings LEFT JOIN m ON m.id = vec_id""".stripMargin
 
+  /** R-MAT replay shared by g_rmat (expression generator) and
+   * g_rmat_source (DSv2 provider): every quadrant decision from its
+   * md5 draw, exact 60-bit thresholds. */
+  private lazy val rmatSql: String = {
+    val (ta, tab, tabc) =
+      sources.GraphGenerators.rmatThresholds(0.57, 0.19, 0.19)
+    val h = duckHex15("md5('7|' || CAST(i AS VARCHAR) || '|' || CAST(l AS VARCHAR))")
+    s"""WITH lv AS (SELECT e.i, lv.l FROM range(0, 200) e(i), range(0, 6) lv(l)),
+       |d AS (SELECT i, l, CAST($h AS BIGINT) AS draw FROM lv)
+       |SELECT i AS edge_id,
+       |  CAST(SUM(CASE WHEN draw >= $tab THEN CAST(1 AS BIGINT) << (5 - l)
+       |    ELSE 0 END) AS BIGINT) AS src,
+       |  CAST(SUM(CASE WHEN (draw >= $ta AND draw < $tab) OR draw >= $tabc
+       |    THEN CAST(1 AS BIGINT) << (5 - l) ELSE 0 END) AS BIGINT) AS dst
+       |FROM d GROUP BY 1""".stripMargin
+  }
+
   /** First 16 bits of an md5 hex string as an integer, nibble by nibble
    * (DuckDB has no hex→int conv; mirrors Spark `conv(substr(md5,1,4),16,10)`). */
   private def duckHex4(md5expr: String): String =
@@ -3230,6 +3390,9 @@ object SparkEntry {
     "m_image_ahash" ->
       s"""WITH $AHASH_BITS
          |SELECT doc_id, ahash FROM hs""".stripMargin,
+    "m_image_dhash" ->
+      s"""WITH $DHASH_BITS
+         |SELECT doc_id, dhash FROM hs""".stripMargin,
     "m_image_dedup" ->
       s"""WITH $AHASH_BITS
          |SELECT doc_id, ahash,
@@ -3385,19 +3548,30 @@ object SparkEntry {
         |  ROUND((SELECT count(*) FROM e) * 1.0 /
         |    (SELECT count(*) FROM v), 5) AS avg_out_degree""".stripMargin,
     "g_pagerank_weighted" -> pagerankWeightedSql(10),
-    "g_rmat" -> {
-      val (ta, tab, tabc) =
-        sources.GraphGenerators.rmatThresholds(0.57, 0.19, 0.19)
-      val h = duckHex15("md5('7|' || CAST(i AS VARCHAR) || '|' || CAST(l AS VARCHAR))")
-      s"""WITH lv AS (SELECT e.i, lv.l FROM range(0, 200) e(i), range(0, 6) lv(l)),
-         |d AS (SELECT i, l, CAST($h AS BIGINT) AS draw FROM lv)
-         |SELECT i AS edge_id,
-         |  CAST(SUM(CASE WHEN draw >= $tab THEN CAST(1 AS BIGINT) << (5 - l)
-         |    ELSE 0 END) AS BIGINT) AS src,
-         |  CAST(SUM(CASE WHEN (draw >= $ta AND draw < $tab) OR draw >= $tabc
-         |    THEN CAST(1 AS BIGINT) << (5 - l) ELSE 0 END) AS BIGINT) AS dst
-         |FROM d GROUP BY 1""".stripMargin
-    },
+    "g_rmat" -> rmatSql,
+    // same oracle: the DSv2 provider must produce the identical graph
+    "g_rmat_source" -> rmatSql,
+    // naive id-ordered enumeration over the canonical undirected trade
+    // edges — deliberately NOT the engine's degree-ordered orientation
+    "g_triangle_list" ->
+      s"""WITH e AS ($NE),
+         |ue AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM e WHERE src <> dst)
+         |SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+         |FROM ue e1
+         |JOIN ue e2 ON e2.a = e1.a AND e2.b > e1.b
+         |JOIN ue e12 ON e12.a = e1.b AND e12.b = e2.b""".stripMargin,
+    "g_cliques4" ->
+      s"""WITH e AS ($NE),
+         |ue AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM e WHERE src <> dst)
+         |SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3, e3.b AS v4
+         |FROM ue e1
+         |JOIN ue e2 ON e2.a = e1.a AND e2.b > e1.b
+         |JOIN ue e12 ON e12.a = e1.b AND e12.b = e2.b
+         |JOIN ue e3 ON e3.a = e1.a AND e3.b > e2.b
+         |JOIN ue e13 ON e13.a = e1.b AND e13.b = e3.b
+         |JOIN ue e23 ON e23.a = e2.b AND e23.b = e3.b""".stripMargin,
     "g_graph_dot" ->
       s"""WITH e AS ($NE)
          |SELECT 0 AS section, '' AS sort_key, 'digraph trade {' AS line
@@ -3409,6 +3583,72 @@ object SparkEntry {
          |  '  "' || src || '" -> "' || dst || '";' FROM e
          |UNION ALL
          |SELECT 3, '', '}'""".stripMargin,
+    "g_graphml" ->
+      s"""WITH e AS ($NE)
+         |SELECT 0 AS section, '0' AS sort_key,
+         |  '<?xml version="1.0" encoding="UTF-8"?>' AS line
+         |UNION ALL
+         |SELECT 0, '1', '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">'
+         |UNION ALL
+         |SELECT 0, '2', '  <graph id="G" edgedefault="directed">'
+         |UNION ALL
+         |SELECT 1, CAST(n_nationkey AS VARCHAR),
+         |  '    <node id="' || n_nationkey || '"/>' FROM nation
+         |UNION ALL
+         |SELECT 2, src || ' ' || dst,
+         |  '    <edge source="' || src || '" target="' || dst || '"/>' FROM e
+         |UNION ALL
+         |SELECT 3, '0', '  </graph>'
+         |UNION ALL
+         |SELECT 3, '1', '</graphml>'""".stripMargin,
+    "g_neg_sampling" -> {
+      val h = duckHex15("md5('42|' || CAST(r.id AS VARCHAR) || '|' || CAST(j.i AS VARCHAR))")
+      s"""WITH cv AS (SELECT n_nationkey AS id FROM nation),
+         |ce AS (SELECT DISTINCT src, dst FROM (
+         |    SELECT id AS src, (id + 7) % 25 AS dst FROM cv
+         |    UNION ALL
+         |    SELECT id, (3 * id + 1) % 25 FROM cv WHERE id % 3 = 0)
+         |  WHERE src <> dst),
+         |r AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS rnk FROM cv),
+         |tot AS (SELECT COUNT(*) AS n FROM cv),
+         |probes AS (SELECT r.id AS src, j.i AS draw,
+         |    ($h) % tot.n AS cr
+         |  FROM r CROSS JOIN tot CROSS JOIN range(1, 11) j(i)),
+         |cand AS (SELECT p.src, p.draw, r2.id AS dst
+         |  FROM probes p JOIN r r2 ON r2.rnk = p.cr WHERE r2.id <> p.src),
+         |rej AS (SELECT src, dst FROM ce UNION SELECT dst, src FROM ce),
+         |ne AS (SELECT c.src, c.dst, MIN(c.draw) AS draw FROM cand c
+         |  LEFT JOIN rej ON rej.src = c.src AND rej.dst = c.dst
+         |  WHERE rej.src IS NULL GROUP BY 1, 2)
+         |SELECT src, dst, CAST(draw AS INT) AS draw FROM (
+         |  SELECT src, dst, draw,
+         |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY draw, dst) AS rn FROM ne)
+         |WHERE rn <= 3""".stripMargin
+    },
+    // (vertex, time) state walk — UNION dedups, edge times are 1..5 so
+    // the recursion is finite; arrival = min over time-respecting paths
+    "g_temporal_bfs" ->
+      """WITH RECURSIVE cv AS (SELECT n_nationkey AS id FROM nation),
+        |ce AS (SELECT src, dst, CAST((src * 7 + dst * 3) % 5 + 1 AS DOUBLE) AS t
+        |  FROM (SELECT DISTINCT src, dst FROM (
+        |      SELECT id AS src, (id + 7) % 25 AS dst FROM cv
+        |      UNION ALL
+        |      SELECT id, (3 * id + 1) % 25 FROM cv WHERE id % 3 = 0)
+        |    WHERE src <> dst)),
+        |reach AS (SELECT 0 AS v, CAST(0 AS DOUBLE) AS t
+        |  UNION SELECT ce.dst, ce.t FROM reach r
+        |    JOIN ce ON ce.src = r.v AND ce.t >= r.t)
+        |SELECT cv.id, m.t AS arrival
+        |FROM cv LEFT JOIN (SELECT v, MIN(t) AS t FROM reach GROUP BY v) m
+        |  ON m.v = cv.id""".stripMargin,
+    "e_range_join" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+        |  WHERE event_type = 'purchase'),
+        |er AS (SELECT user_id, event_id, epoch_ms(ts) AS s FROM events
+        |  WHERE event_type = 'error')
+        |SELECT p.user_id, p.event_id AS purchase_id, er.event_id AS error_id
+        |FROM p JOIN er ON er.user_id = p.user_id
+        |  AND p.ms >= er.s AND p.ms < er.s + 1800000""".stripMargin,
     "g_betweenness" -> betweennessSql,
     // Pair-counting edge betweenness: edge (u,v) lies on an s→t shortest
     // path iff d(s,u)+1+d(v,t) = d(s,t), contributing σ_su·σ_vt/σ_st —
@@ -3911,9 +4151,9 @@ object SparkEntry {
         |FROM k GROUP BY doc_id""".stripMargin,
     "p_incremental_dedup" -> incrementalDedupSql,
     // single-file replay = one micro-batch, and the foreachBatch body IS
-    // the batch operator — so the streamed output equals the batch
-    // incremental dedup row-for-row and shares its oracle verbatim
-    "e_stream_incremental_dedup" -> incrementalDedupSql,
+    // the batch operator — same oracle family, bounded to the gate row's
+    // fixed-size ingest slice [400, 1400)
+    "e_stream_incremental_dedup" -> incrementalDedupSqlTo(Some(1400L)),
     "e_stream_incdedup_grow" -> incrementalDedupGrowSql,
     "p_minhash_lsh" ->
       s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
@@ -4067,6 +4307,131 @@ object SparkEntry {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 1.0) / 2000
          |    ) AS BIGINT) AS shard_id
          |FROM t""".stripMargin,
+    "p_entity_resolution" ->
+      """WITH t AS (SELECT c_custkey AS id, c_name AS nm,
+        |    substr(c_name, 1, 16) AS blk FROM customer),
+        |kept AS (SELECT blk FROM t GROUP BY blk HAVING COUNT(*) <= 1000)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+        |FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
+        |JOIN kept k ON k.blk = a.blk
+        |WHERE levenshtein(a.nm, b.nm) <= 1""".stripMargin,
+    "p_cms_topk" -> {
+      def bucket(key: String, row: String) = "(" + duckHex15(
+        s"md5('42|' || CAST($row AS VARCHAR) || '|' || $key)") + ") % 512"
+      s"""WITH occ AS (SELECT unnest($W) AS k FROM documents),
+         |cells AS (SELECT r.i AS row, ${bucket("k", "r.i")} AS bucket,
+         |    COUNT(*) AS cnt
+         |  FROM occ, range(0, 4) r(i) GROUP BY 1, 2),
+         |keys AS (SELECT DISTINCT k FROM occ),
+         |kc AS (SELECT keys.k, r.i AS row, ${bucket("keys.k", "r.i")} AS bucket
+         |  FROM keys, range(0, 4) r(i)),
+         |est AS (SELECT kc.k, MIN(COALESCE(cells.cnt, 0)) AS est
+         |  FROM kc LEFT JOIN cells
+         |    ON cells.row = kc.row AND cells.bucket = kc.bucket
+         |  GROUP BY 1)
+         |SELECT k AS key, CAST(est AS BIGINT) AS est, CAST(rn AS BIGINT) AS rank
+         |FROM (SELECT k, est,
+         |    ROW_NUMBER() OVER (ORDER BY est DESC, k ASC) AS rn FROM est)
+         |WHERE rn <= 20""".stripMargin
+    },
+    "p_ngram_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+         |s0 AS (SELECT doc_id, $SH3 AS sh FROM t WHERE len(w) >= 3),
+         |shg AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM s0),
+         |dfq AS (SELECT g, COUNT(*) AS dfc FROM shg GROUP BY 1),
+         |per AS (SELECT shg.doc_id, COUNT(*) AS n_shingles,
+         |    CAST(SUM(CASE WHEN dfq.dfc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_unique
+         |  FROM shg JOIN dfq ON dfq.g = shg.g GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+         |  CAST(COALESCE(per.n_unique, 0) AS BIGINT) AS n_unique,
+         |  ROUND(per.n_unique / per.n_shingles, 6) AS novelty
+         |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id""".stripMargin,
+    "p_tf_cosine" ->
+      s"""WITH tf AS (SELECT doc_id AS id, tok, COUNT(*) AS c
+         |  FROM (SELECT doc_id, unnest($W) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         |hot AS (SELECT tok FROM tf GROUP BY tok HAVING COUNT(*) > 200),
+         |kept AS (SELECT tf.* FROM tf LEFT JOIN hot ON hot.tok = tf.tok
+         |  WHERE hot.tok IS NULL),
+         |norms AS (SELECT id, CAST(SUM(c * c) AS BIGINT) AS n2 FROM kept
+         |  GROUP BY 1),
+         |dots AS (SELECT a.id AS id_a, b.id AS id_b,
+         |    CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+         |  FROM kept a JOIN kept b ON a.tok = b.tok AND a.id < b.id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, dot, ROUND(cos, 6) AS cosine FROM (
+         |  SELECT d.id_a, d.id_b, d.dot,
+         |    d.dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cos
+         |  FROM dots d JOIN norms na ON na.id = d.id_a
+         |  JOIN norms nb ON nb.id = d.id_b)
+         |WHERE cos >= 0.8""".stripMargin,
+    "e_stream_cms" -> {
+      def bucket(key: String, row: String) = "(" + duckHex15(
+        s"md5('42|' || CAST($row AS VARCHAR) || '|' || $key)") + ") % 64"
+      s"""WITH occ AS (SELECT event_type AS k FROM events
+         |  WHERE event_type IS NOT NULL),
+         |cells AS (SELECT r.i AS row, ${bucket("k", "r.i")} AS bucket,
+         |    COUNT(*) AS cnt
+         |  FROM occ, range(0, 4) r(i) GROUP BY 1, 2),
+         |keys AS (SELECT DISTINCT k FROM occ),
+         |kc AS (SELECT keys.k, r.i AS row, ${bucket("keys.k", "r.i")} AS bucket
+         |  FROM keys, range(0, 4) r(i)),
+         |est AS (SELECT kc.k, MIN(COALESCE(cells.cnt, 0)) AS est
+         |  FROM kc LEFT JOIN cells
+         |    ON cells.row = kc.row AND cells.bucket = kc.bucket
+         |  GROUP BY 1)
+         |SELECT k AS key, CAST(est AS BIGINT) AS est FROM est""".stripMargin
+    },
+    "e_markov" ->
+      """WITH x AS (SELECT user_id, event_id, ts, event_type,
+        |  CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+        |    THEN 1 ELSE 0 END AS nsess
+        |  FROM events),
+        |y AS (SELECT user_id, event_id, ts, event_type, SUM(nsess) OVER
+        |  (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        |  AS sess FROM x),
+        |pr AS (SELECT event_type AS src_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id, sess
+        |      ORDER BY ts, event_id) AS dst_type
+        |  FROM y),
+        |cnt AS (SELECT src_type, dst_type, COUNT(*) AS n FROM pr
+        |  WHERE dst_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT src_type, CAST(SUM(n) AS BIGINT) AS n_src FROM cnt
+        |  GROUP BY 1)
+        |SELECT cnt.src_type, cnt.dst_type, cnt.n, tot.n_src,
+        |  ROUND(cnt.n / tot.n_src, 6) AS p
+        |FROM cnt JOIN tot ON tot.src_type = cnt.src_type""".stripMargin,
+    "e_copurchase" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |kept AS (SELECT b FROM it GROUP BY b HAVING COUNT(*) <= 100),
+        |pr AS (SELECT x.i AS item_a, y.i AS item_b, COUNT(*) AS n
+        |  FROM it x JOIN it y ON x.b = y.b AND x.i < y.i
+        |  JOIN kept k ON k.b = x.b GROUP BY 1, 2),
+        |bo AS (SELECT item_a AS item, item_b AS also_bought, n FROM pr
+        |  UNION ALL SELECT item_b, item_a, n FROM pr)
+        |SELECT item, also_bought, n AS n_baskets, CAST(rn AS BIGINT) AS rank
+        |FROM (SELECT item, also_bought, n,
+        |    ROW_NUMBER() OVER (PARTITION BY item
+        |      ORDER BY n DESC, also_bought ASC) AS rn FROM bo)
+        |WHERE rn <= 3""".stripMargin,
+    "p_pack_windows" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($W) AS BIGINT) AS n_tokens FROM documents),
+         |o AS (SELECT doc_id, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+         |  FROM t WHERE n_tokens > 0),
+         |x AS (SELECT doc_id, n_tokens, off,
+         |    unnest(range(off // 512, (off + n_tokens - 1) // 512 + 1)) AS wid
+         |  FROM o)
+         |SELECT doc_id, n_tokens, CAST(wid AS BIGINT) AS window_id,
+         |  CAST(GREATEST(wid * 512, off) - off AS BIGINT) AS start_tok,
+         |  CAST(LEAST((wid + 1) * 512, off + n_tokens)
+         |    - GREATEST(wid * 512, off) AS BIGINT) AS n_tok
+         |FROM x""".stripMargin,
     "p_semantic_dedup" -> semanticDedupSql(0.4, 8, 1),
     "p_dup_spans_maximal" -> dupSpansMaximalSql(seedTokens = 4, maxBucket = 256),
     "p_contaminated_spans" ->

@@ -56,6 +56,12 @@ object GraftConnectDispatch {
     "salsa" -> Set("maxIter"),
     "influence_max" -> Set("k", "mode", "p"),
     "to_dot" -> Set("name"),
+    "to_graphml" -> Set("directed"),
+    "triangles" -> Set.empty[String],
+    "cliques4" -> Set.empty[String],
+    "negative_samples" -> Set("k", "candidates", "seed", "undirected"),
+    "temporal_reachability" -> Set("source", "startTime", "timeCol",
+      "durationCol", "maxIter"),
     "katz" -> Set("maxIter", "alpha", "beta"),
     "eigenvector" -> Set("maxIter", "weightCol"),
     "minimum_spanning_forest" -> Set("weightCol"),
@@ -160,7 +166,15 @@ object GraftConnectDispatch {
     "pipe_asof_join" -> Set("on", "leftTs", "rightTs", "rightCols",
       "prefix", "strict", "direction"),
     "pipe_contaminated_spans" -> Set("idCol", "textCol", "seedTokens", "maxBucket"),
-    "pipe_cut_contaminated" -> Set("idCol", "textCol", "seedTokens", "maxBucket"))
+    "pipe_cut_contaminated" -> Set("idCol", "textCol", "seedTokens", "maxBucket"),
+    "pipe_cms_topk" -> Set("keyCol", "k", "depth", "width", "seed"),
+    "pipe_fuzzy_pairs" -> Set("idCol", "textCol", "blockExpr", "maxDist", "maxBlock"),
+    "pipe_co_occurrence" -> Set("basketCol", "itemCol", "maxBasket"),
+    "pipe_also_bought" -> Set("basketCol", "itemCol", "maxBasket", "k"),
+    "pipe_transition_matrix" -> Set("gapMinutes"),
+    // two-table: points ride the vertices slot, intervals the edges slot
+    "pipe_range_join" -> Set("on", "leftTs", "rightStart", "rightEnd",
+      "rightCols", "prefix", "bucketMs", "maxBucketsPerInterval"))
 
   /** Algorithm names accepted by [[run]], for error messages and clients. */
   val algorithms: Seq[String] = (acceptedParams.keys ++ pipelineParams.keys).toSeq.sorted
@@ -237,6 +251,27 @@ object GraftConnectDispatch {
           strict = typed("strict", "a boolean") { case JBool(b) => b }
             .getOrElse(false),
           direction = str("direction").getOrElse("backward"))
+      }
+      if (algorithm == "pipe_range_join") {
+        val leftT = vertices.getOrElse(throw new IllegalArgumentException(
+          "pipe_range_join needs TWO tables: points in the vertices slot, " +
+            "intervals in the edges slot"))
+        def strList(k: String): Seq[String] = params.get(k) match {
+          case Some(JArray(vs)) => vs.map {
+            case JString(x) => x
+            case other => throw new IllegalArgumentException(
+              s"$k entries must be strings, got: $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            s"pipe_range_join requires params_json key '$k' (array of column names)")
+        }
+        return graft.pipeline.Events.rangeJoin(leftT, edges,
+          on = strList("on"), leftTs = required("leftTs"),
+          rightStart = required("rightStart"), rightEnd = required("rightEnd"),
+          rightCols = strList("rightCols"),
+          prefix = str("prefix").getOrElse("r_"),
+          bucketMs = int("bucketMs").map(_.toLong).getOrElse(3600000L),
+          maxBucketsPerInterval = int("maxBucketsPerInterval").getOrElse(1024))
       }
       if (algorithm == "pipe_contaminated_spans" || algorithm == "pipe_cut_contaminated") {
         // own-table-in-edges convention (same as pipe_asof_join): the
@@ -400,6 +435,33 @@ object GraftConnectDispatch {
             k = int("k").getOrElse(20))
         case "pipe_rfm" =>
           graft.pipeline.Events.rfm(t, buckets = int("buckets").getOrElse(5))
+        case "pipe_transition_matrix" =>
+          graft.pipeline.Events.transitionMatrix(t,
+            gapMinutes = int("gapMinutes").getOrElse(30))
+        case "pipe_cms_topk" =>
+          graft.pipeline.Sketches.cmsTopK(t, required("keyCol"),
+            k = int("k").getOrElse(throw new IllegalArgumentException(
+              "pipe_cms_topk requires params_json key 'k'")),
+            depth = int("depth").getOrElse(4),
+            width = int("width").getOrElse(1024),
+            seed = int("seed").map(_.toLong).getOrElse(42L))
+        case "pipe_fuzzy_pairs" =>
+          Dedup.fuzzyPairs(t, id, text,
+            blockKey = org.apache.spark.sql.functions.expr(
+              str("blockExpr").getOrElse(throw new IllegalArgumentException(
+                "pipe_fuzzy_pairs requires params_json key 'blockExpr' " +
+                  "(a SQL expression over the input columns, e.g. " +
+                  "\"substr(name, 1, 4)\")"))),
+            maxDist = int("maxDist").getOrElse(1),
+            maxBlock = int("maxBlock").getOrElse(10000))
+        case "pipe_co_occurrence" =>
+          graft.pipeline.Recommend.coOccurrence(t, required("basketCol"),
+            required("itemCol"), maxBasket = int("maxBasket").getOrElse(1000))
+        case "pipe_also_bought" =>
+          graft.pipeline.Recommend.alsoBought(
+            graft.pipeline.Recommend.coOccurrence(t, required("basketCol"),
+              required("itemCol"), maxBasket = int("maxBasket").getOrElse(1000)),
+            k = int("k").getOrElse(10))
         case "pipe_normalize" =>
           graft.pipeline.Text.normalize(t,
             str("idCol").getOrElse("doc_id"), str("textCol").getOrElse("text"))
@@ -614,6 +676,34 @@ object GraftConnectDispatch {
         im.run()
       case "to_dot" =>
         graft.sources.GraphLoader.toDotLines(g, str("name").getOrElse("g"))
+      case "to_graphml" =>
+        graft.sources.GraphLoader.toGraphMLLines(g,
+          directed = typed("directed", "a boolean") { case JBool(b) => b }
+            .getOrElse(true))
+      case "temporal_reachability" =>
+        val tr = new graft.lib.TemporalReachability(g)
+        params.get("source").foreach {
+          case JString(s) => tr.source(s)
+          case JInt(i) => tr.source(i.toLong)
+          case JLong(l) => tr.source(l)
+          case other => throw new IllegalArgumentException(
+            s"source must be a string or integer id, got: $other")
+        }
+        dbl("startTime").foreach(tr.startTime)
+        str("timeCol").foreach(tr.timeCol)
+        str("durationCol").foreach(tr.durationCol)
+        int("maxIter").foreach(tr.maxIter)
+        tr.run()
+      case "triangles" => graft.lib.Cliques.triangles(g)
+      case "cliques4" => graft.lib.Cliques.cliques4(g)
+      case "negative_samples" =>
+        val ns = new graft.embeddings.NegativeSampling(g)
+        int("k").foreach(ns.setK)
+        int("candidates").foreach(ns.setCandidates)
+        int("seed").foreach(s => ns.setSeed(s.toLong))
+        typed("undirected", "a boolean") { case JBool(b) => b }
+          .foreach(ns.setUndirected)
+        ns.run()
       case "katz" =>
         val kz = g.katz
         int("maxIter").foreach(kz.maxIter)

@@ -1,0 +1,95 @@
+package graft.lib
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.GraphFrame
+
+/**
+ * Time-respecting reachability / earliest-arrival over a TEMPORAL graph
+ * (edges carry an availability time; a path is valid only if edge times
+ * are non-decreasing along it) — the foremost-journey semantics of
+ * temporal-network analysis (Xuan–Ferreira–Jarry IJFCS'03; Wu et al.
+ * VLDB'14 one-pass earliest-arrival): an edge (u → v, t) is traversable
+ * only when t ≥ arrival(u), and taking it puts you at v at time
+ * t + duration. Plain BFS over the same edges OVERSTATES reachability —
+ * a morning flight cannot follow an evening one.
+ *
+ * Spark-first plan: label-correcting rounds on a (vertex, arrival)
+ * state frame — candidates = one edges ⋈ state equi-join with the
+ * time-window predicate riding it, min-agg per destination, least-merge
+ * into the state (all hash joins/aggs, no windows). Earliest arrival is
+ * MONOTONE (a smaller arrival at u never disables an edge a larger one
+ * allowed, since the constraint is t ≥ arrival), so keeping only the
+ * per-vertex minimum is exact, and rounds are bounded by the longest
+ * foremost journey's hop count. Lineage is cut per round by the shared
+ * [[IterationManager]]; convergence is one improved-count action per
+ * round.
+ *
+ * Returns (id, arrival): earliest arrival time per vertex, null when
+ * unreachable within `maxIter` hops; the source arrives at `startTime`.
+ */
+class TemporalReachability(g: GraphFrame) {
+  import GraphFrame.{ID, SRC, DST}
+
+  private var sourceV: Any = _
+  private var startTimeV: Double = 0.0
+  private var timeColV: String = "time"
+  private var durationColV: Option[String] = None
+  private var maxIterV: Int = 50
+
+  /** Source vertex id (required). */
+  def source(id: Any): this.type = { sourceV = id; this }
+  /** Departure time at the source (default 0). */
+  def startTime(t: Double): this.type = { startTimeV = t; this }
+  /** Edge column holding the availability time (default "time"). */
+  def timeCol(c: String): this.type = { timeColV = c; this }
+  /** Optional edge column holding a traversal duration (arrival =
+   * time + duration); absent = instantaneous edges. */
+  def durationCol(c: String): this.type = { durationColV = Some(c); this }
+  def maxIter(n: Int): this.type = {
+    require(n >= 1, s"maxIter must be >= 1: $n"); maxIterV = n; this
+  }
+
+  def run(): DataFrame = {
+    require(sourceV != null, "temporalReachability requires source(id)")
+    require(g.edges.columns.contains(timeColV),
+      s"edges have no time column '$timeColV' — set timeCol(...)")
+    val dur = durationColV.map(c => col(c).cast("double")).getOrElse(lit(0.0))
+    val e = g.edges.select(col(SRC), col(DST),
+        col(timeColV).cast("double").as("_t"),
+        (col(timeColV).cast("double") + dur).as("_arr"))
+      .filter(col("_t").isNotNull)
+      .persist()
+    val mgr = new IterationManager(2)
+    var state = mgr.cycle(g.vertices.select(col(ID),
+      when(col(ID) === lit(sourceV), lit(startTimeV))
+        .otherwise(lit(null).cast("double")).as("arrival")), 0)
+    var round = 0
+    var improved = 1L
+    while (round < maxIterV && improved > 0) {
+      round += 1
+      // edges usable this round: departure no earlier than the current
+      // arrival at src — the predicate rides the equi-join
+      val cand = e.join(
+          state.filter(col("arrival").isNotNull)
+            .select(col(ID).as(SRC), col("arrival").as("_a")), SRC)
+        .filter(col("_t") >= col("_a"))
+        .groupBy(col(DST).as(ID)).agg(min(col("_arr")).as("_new"))
+      // the improved flag is CARRIED in the cycled frame so the
+      // convergence count reads the round's cache, not a recomputed join
+      val next = mgr.cycle(state.join(cand, Seq(ID), "left_outer")
+        .select(col(ID),
+          when(col("arrival").isNull, col("_new"))
+            .when(col("_new").isNull, col("arrival"))
+            .otherwise(least(col("arrival"), col("_new"))).as("arrival"),
+          (col("_new").isNotNull &&
+            (col("arrival").isNull || col("_new") < col("arrival")))
+            .as("_improved")), round)
+      improved = next.filter(col("_improved")).count()
+      state = next
+    }
+    val result = mgr.finish(state.select(col(ID), col("arrival")))
+    e.unpersist(false)
+    result
+  }
+}

@@ -277,6 +277,71 @@ object Events {
    * do" sweep. Deterministic cut: (n_sessions desc, path asc) is a total
    * order, executed as a distributed TakeOrdered (no global sort
    * materialization). Returns (path, n_sessions). */
+  /** Epoch-ms column for an arbitrary timestamp-ish column (the
+   * [[tsMillis]] rule generalized beyond the literal "ts" column). */
+  private def msOf(df: DataFrame, c: String): org.apache.spark.sql.Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType => expr(s"$c div 1000000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_millis(col(c).cast("timestamp"))
+      case _ => unix_millis(col(c))
+    }
+
+  /**
+   * Range join: match every LEFT (point) row to the RIGHT (interval)
+   * rows satisfying `rightStart ≤ leftTs < rightEnd` and sharing the
+   * `on` keys — point-in-interval lookup ("which incident windows was
+   * this purchase inside", "which campaign was live at click time").
+   *
+   * Spark-first plan — the standard bucketized range join (the shape
+   * Databricks' range-join hints and Flink's interval joins compile to),
+   * NOT a broadcast-nested-loop: time is cut into fixed `bucketMs`
+   * buckets; each point keys to ITS bucket, each interval explodes to
+   * every bucket it spans, and the match becomes one EQUI-join on
+   * (keys…, bucket) with the exact range predicate riding it as a
+   * residual filter. Each (point, interval) pair meets in exactly one
+   * bucket — the point's — so no dedup pass is needed. The interval
+   * fan-out is span/bucketMs rows; intervals spanning more than
+   * `maxBucketsPerInterval` buckets FAIL LOUDLY in-plan (size bucketMs
+   * to your typical interval — one unbounded interval would otherwise
+   * replicate across the whole timeline). Empty/negative intervals
+   * match nothing and are dropped.
+   *
+   * Returns every left column plus each of `rightCols` as
+   * `prefix + name`. Inner join; `on` may be empty (pure range join —
+   * the bucket is then the only equi key, so partition-level parallelism
+   * comes from time itself).
+   */
+  def rangeJoin(left: DataFrame, right: DataFrame, on: Seq[String],
+      leftTs: String, rightStart: String, rightEnd: String,
+      rightCols: Seq[String], prefix: String = "r_",
+      bucketMs: Long = 3600000L, maxBucketsPerInterval: Int = 1024): DataFrame = {
+    require(bucketMs >= 1, s"bucketMs must be >= 1: $bucketMs")
+    require(maxBucketsPerInterval >= 1,
+      s"maxBucketsPerInterval must be >= 1: $maxBucketsPerInterval")
+    require(rightCols.nonEmpty, "rangeJoin needs rightCols to return")
+    val l = left.withColumn("_lms", msOf(left, leftTs))
+      .withColumn("_b", expr(s"_lms div $bucketMs"))
+    val span = expr(s"(_re - 1) div $bucketMs") - expr(s"_rs div $bucketMs") + 1
+    val r = right
+      .select((on.map(col) ++ rightCols.map(c => col(c).as(prefix + c))) :+
+        msOf(right, rightStart).as("_rs") :+ msOf(right, rightEnd).as("_re"): _*)
+      .filter(col("_re") > col("_rs")) // empty intervals match nothing
+      .withColumn("_b", explode(sequence(
+        when(span > maxBucketsPerInterval, raise_error(concat(
+          lit(s"rangeJoin: an interval spans more than " +
+            s"$maxBucketsPerInterval buckets of $bucketMs ms (start="),
+          col("_rs").cast("string"), lit(", end="), col("_re").cast("string"),
+          lit(") — raise bucketMs or maxBucketsPerInterval, or cap the " +
+            "interval; an unbounded interval would replicate across the " +
+            "whole timeline"))))
+          .otherwise(expr(s"_rs div $bucketMs")),
+        expr(s"(_re - 1) div $bucketMs"))))
+    l.join(r, on :+ "_b")
+      .filter(col("_lms") >= col("_rs") && col("_lms") < col("_re"))
+      .select(left.columns.map(col) ++ rightCols.map(c => col(prefix + c)): _*)
+  }
+
   /** First-order Markov transition matrix over session event sequences:
    * within each gap-session (same rule as [[sessionize]]), count every
    * consecutive event-type pair, then normalize per source type.

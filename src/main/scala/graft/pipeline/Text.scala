@@ -41,32 +41,71 @@ object Text {
         .otherwise(col(textCol)))
   }
 
-  /** Sliding-window token chunking with overlap — the standard RAG /
-   * retrieval indexing cut: chunks of `chunk` tokens starting every
-   * `stride` tokens (stride < chunk ⇒ consecutive chunks overlap by
-   * chunk − stride tokens, so a passage straddling one boundary is
-   * intact in the next chunk). Start offsets are the multiples of
-   * `stride` below the document's token count, so the final chunk may be
-   * short; empty documents emit nothing. Returns (idCol, chunk_id,
-   * start_tok, n_tok, chunk_text) — one pure per-row explode over the
-   * token array, no shuffle, and Σ chunks per doc is ⌈n/stride⌉ so the
-   * fan-out is linear in corpus size, never quadratic. */
-  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
-      chunk: Int, stride: Int): DataFrame = {
-    require(chunk >= 1, s"chunk must be >= 1: $chunk")
-    require(stride >= 1 && stride <= chunk,
-      s"stride must be in [1, chunk]: stride=$stride chunk=$chunk")
-    df.select(col(idCol), tokens(col(textCol)).as("_w"))
-      .withColumn("_n", size(col("_w")).cast("long"))
-      .filter(col("_n") > 0)
-      .withColumn("chunk_id", // exact integer div — last start is the
-        // largest multiple of stride strictly below n
-        explode(sequence(lit(0L), expr(s"(_n - 1) div $stride"))))
-      .select(col(idCol), col("chunk_id"),
-        (col("chunk_id") * stride).as("start_tok"),
-        least(lit(chunk.toLong), col("_n") - col("chunk_id") * stride).as("n_tok"),
-        concat_ws(" ", slice(col("_w"),
-          (col("chunk_id") * stride + 1).cast("int"), lit(chunk))).as("chunk_text"))
+  /** Per-document n-gram novelty — the share of a document's distinct
+   * n-gram shingles that appear in NO other document. A classic
+   * training-data quality cut: boilerplate-heavy or templated documents
+   * score near 0, original text near 1 (complements the duplication
+   * family, which finds the COPIES; this scores the remainder).
+   * Returns (idCol, n_shingles, n_unique, novelty) — novelty is null
+   * for documents too short to shingle. Exact integer counts (one
+   * distinct-explode + one document-frequency aggregation + one join
+   * back); the only float is one division per document. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    val sh = df.select(col(idCol).as("_id"),
+        explode(wordShingles(col(textCol), n)).as("_sh"))
+      .distinct()
+    val dfreq = sh.groupBy("_sh").agg(count(lit(1)).as("_df"))
+    val per = sh.join(dfreq, "_sh")
+      .groupBy("_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_df") === 1, 1L).otherwise(0L)).as("n_unique"))
+    df.select(col(idCol))
+      .join(per.withColumnRenamed("_id", idCol), Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        round(col("n_unique") / col("n_shingles"), 6).as("novelty"))
+  }
+
+  /** Sparse TF-cosine document similarity pairs — the classic
+   * bag-of-words near-neighbor join, built so EVERY aggregate is an
+   * exact integer (bit-identical under any partitioning, unlike a
+   * float-weighted TF-IDF dot whose partial-sum order varies):
+   * dot(a,b) = Σ_t tf_a(t)·tf_b(t) and the squared norms Σ_t tf(t)²
+   * are integer sums; cosine = dot / (√na·√nb) is computed ONCE per
+   * surviving pair. Terms in more than `maxDocFreq` documents are cut
+   * first — stop terms carry ~0 cosine signal and are exactly the
+   * inverted-index hot keys, so the cap bounds the self-join fan-out
+   * (the ngramJaccard/containment stop-shingle discipline). Returns
+   * (id_a, id_b, dot, cosine) with id_a < id_b and cosine ≥ minCosine,
+   * cosine over the capped vocabulary (stated contract). */
+  def tfCosinePairs(df: DataFrame, idCol: String, textCol: String,
+      minCosine: Double = 0.5, maxDocFreq: Int = 1000): DataFrame = {
+    require(minCosine > 0.0, // = 0 would emit every co-term pair
+      s"minCosine must be > 0: $minCosine")
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1: $maxDocFreq")
+    val tf = df.select(col(idCol).as("_id"),
+        explode(tokens(col(textCol))).as("_t"))
+      .groupBy("_id", "_t").agg(count(lit(1)).as("_tf"))
+    val hot = tf.groupBy("_t").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDocFreq).select("_t")
+    val kept = tf.join(broadcast(hot), Seq("_t"), "left_anti")
+    val norms = kept.groupBy("_id").agg(sum(col("_tf") * col("_tf")).as("_n2"))
+    val dots = kept.as("a").join(kept.as("b"), "_t")
+      .filter(col("a._id") < col("b._id"))
+      .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .agg(sum(col("a._tf") * col("b._tf")).as("dot"))
+    dots
+      .join(norms.select(col("_id").as("id_a"), col("_n2").as("_na")), "id_a")
+      .join(norms.select(col("_id").as("id_b"), col("_n2").as("_nb")), "id_b")
+      // √na·√nb, NOT √(na·nb): the product of two ~corpus-scale integer
+      // norms can exceed Long range; two sqrts cannot
+      .withColumn("cosine", col("dot") / (sqrt(col("_na")) * sqrt(col("_nb"))))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("dot"),
+        round(col("cosine"), 6).as("cosine"))
   }
 
   /** n-word shingles of the token array (empty array when too short). */

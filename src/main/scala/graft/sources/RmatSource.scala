@@ -87,22 +87,62 @@ private[sources] class RmatTable(options: CaseInsensitiveStringMap)
 
 private[sources] class RmatScanBuilder(scale: Int, numEdges: Long, seed: Int,
     ta: Long, tab: Long, tabc: Long, numPartitions: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
   private var required: StructType = RmatSource.SCHEMA
+  // edge_id range narrowed by pushed predicates: [lo, hi)
+  private var lo = 0L
+  private var hi = numEdges
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** edge_id IS the row index, so range predicates on it prune the
+   * GENERATION itself — `edge_id < 10` plans 10 rows, not numEdges
+   * filtered down. Every filter is also returned as residual (Spark
+   * re-applies it — pruning here is a performance contract only, so an
+   * unhandled comparison shape can never produce wrong rows). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def asLong(v: Any): Option[Long] = v match {
+      case n: java.lang.Number => Some(n.longValue())
+      case _ => None
+    }
+    val consumed = filters.filter {
+      case GreaterThan("edge_id", v) =>
+        asLong(v).exists { x => lo = math.max(lo, x + 1); true }
+      case GreaterThanOrEqual("edge_id", v) =>
+        asLong(v).exists { x => lo = math.max(lo, x); true }
+      case LessThan("edge_id", v) =>
+        asLong(v).exists { x => hi = math.min(hi, x); true }
+      case LessThanOrEqual("edge_id", v) =>
+        asLong(v).exists { x => hi = math.min(hi, x + 1); true }
+      case EqualTo("edge_id", v) =>
+        asLong(v).exists { x => lo = math.max(lo, x); hi = math.min(hi, x + 1); true }
+      case _ => false
+    }
+    pushed = consumed
+    filters // all residual: Spark re-applies, pruning stays safe
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan = new Scan with Batch {
+    private val first = math.max(0L, lo)
+    private val bound = math.max(first, math.min(hi, numEdges))
     override def readSchema(): StructType = required
     override def description(): String =
-      s"graft.rmat scale=$scale numEdges=$numEdges cols=${required.fieldNames.mkString(",")}"
+      s"graft.rmat scale=$scale numEdges=$numEdges range=[$first,$bound) " +
+        s"cols=${required.fieldNames.mkString(",")}"
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] = {
-      val n = math.min(numPartitions.toLong, numEdges).toInt
+      val total = bound - first
+      if (total <= 0) return Array.empty
+      val n = math.min(numPartitions.toLong, total).toInt
       (0 until n).map { i =>
-        // contiguous slices of the edge-id range; each reader replays
-        // only its own ids — no coordination, no shuffle
-        val start = numEdges * i / n
-        val end = numEdges * (i + 1) / n
+        // contiguous slices of the (pruned) edge-id range; each reader
+        // replays only its own ids — no coordination, no shuffle
+        val start = first + total * i / n
+        val end = first + total * (i + 1) / n
         RmatPartition(start, end): InputPartition
       }.toArray
     }

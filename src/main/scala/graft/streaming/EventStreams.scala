@@ -275,10 +275,20 @@ object EventStreams {
           newIdx, idCol, live, matchNewPairs, numHashes, minEstJaccard), batchId)
         if (indexSink != null) indexSink(newIdx, batchId)
         live = live.unionByName(newIdx)
-      } else
-        sink(graft.pipeline.Dedup.incrementalNearDups(
-          batch, idCol, textCol, index, matchNewPairs, n, bands, rowsPerBand,
-          minEstJaccard, validateIndexWidth = false), batchId)
+      } else {
+        // same computed-once discipline as grow mode: the batch frame is
+        // a PLAN over the micro-batch's files, and the match consumes the
+        // fingerprints in four places (corpus join, self-join both sides,
+        // estimate signatures) — without the checkpoint every consumer
+        // re-reads the source and re-hashes the batch, which is where the
+        // r10 driver-run inflation on this row lived (63.9 s vs the 1.6 s
+        // batch twin over identical data)
+        val newIdx = graft.pipeline.Dedup
+          .minhashIndex(batch, idCol, textCol, n, bands, rowsPerBand)
+          .localCheckpoint(true)
+        sink(graft.pipeline.Dedup.incrementalNearDupsIndexed(
+          newIdx, idCol, index, matchNewPairs, numHashes, minEstJaccard), batchId)
+      }
     }
   }
 

@@ -42,7 +42,9 @@ class ClassicPythonSpec extends AnyFunSuite {
       "betweenness", "ktruss", "greedy_coloring", "neighborhood_function",
       "node2vec_walks", "closeness_sampled", "eccentricity_sampled",
       "pipe_asof_forward", "louvain_modularity", "pipe_nb_classifier",
-      "eigenvector", "minimum_spanning_forest", "pipe_knn_graph")
+      "eigenvector", "minimum_spanning_forest", "pipe_knn_graph",
+      "triangles_cliques", "negative_samples", "pipe_cms_topk",
+      "pipe_also_bought", "pipe_fuzzy_pairs")
       .foreach(c => assert(out.exists(l => l.contains("CLASSIC OK") && l.contains(c)),
         s"check $c missing"))
   }

@@ -551,6 +551,50 @@ class ConnectPluginSpec extends TestBase {
       adec.getAs[Long]("sum_abs") == 0x10L + 0x20L)
   }
 
+  test("dispatch covers round-11 ops: cliques, negative_samples, graphml, " +
+      "cms, fuzzy pairs, co-occurrence, transitions") {
+    val v = spark.sql("SELECT * FROM VALUES (0L),(1L),(2L),(3L) AS t(id)")
+    val e = spark.sql("""SELECT * FROM VALUES (0L,1L),(1L,2L),(2L,0L),
+      (0L,2L),(2L,3L) AS t(src, dst)""")
+    val tri = GraftConnectDispatch.run(Some(v), e, "triangles", "{}")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tri == Set((0L, 1L, 2L)))
+    assert(GraftConnectDispatch.run(Some(v), e, "cliques4", "{}").count() == 0)
+    val gml = GraftConnectDispatch.run(Some(v), e, "to_graphml",
+      """{"directed": true}""").collect().map(_.getString(2))
+    assert(gml.exists(_.contains("<graphml")) &&
+      gml.count(_.contains("<node")) == 4 && gml.count(_.contains("<edge")) == 5)
+    val neg = GraftConnectDispatch.run(Some(v), e, "negative_samples",
+      """{"k": 2, "seed": 3}""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val eset = Set((0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L), (2L, 3L))
+    assert(neg.nonEmpty && neg.forall(p =>
+      !eset.contains(p) && !eset.contains(p.swap)))
+    val docs = spark.sql(docSql)
+    val cms = GraftConnectDispatch.run(scala.None, docs, "pipe_cms_topk",
+      """{"keyCol": "text", "k": 1, "width": 4096}""").head()
+    assert(cms.getAs[Long]("est") == 2L) // the duplicated document text
+    val fz = GraftConnectDispatch.run(scala.None, docs, "pipe_fuzzy_pairs",
+      """{"idCol": "doc_id", "textCol": "text",
+         |"blockExpr": "substr(text, 1, 3)", "maxDist": 0}""".stripMargin)
+    assert(fz.columns.toSeq == Seq("id_a", "id_b", "dist") && fz.count() >= 1)
+    val basket = spark.sql(
+      "SELECT * FROM VALUES (1, 'a'), (1, 'b'), (2, 'a'), (2, 'b') AS t(o, i)")
+    val co = GraftConnectDispatch.run(scala.None, basket, "pipe_co_occurrence",
+      """{"basketCol": "o", "itemCol": "i"}""").head()
+    assert(co.getString(0) == "a" && co.getString(1) == "b" && co.getLong(2) == 2L)
+    assert(GraftConnectDispatch.run(scala.None, basket, "pipe_also_bought",
+      """{"basketCol": "o", "itemCol": "i", "k": 1}""").count() == 2)
+    val ev2 = spark.sql(
+      """SELECT * FROM VALUES (1L, TIMESTAMP '2024-01-01 00:00:00', 7L, 'a', 0.0, ''),
+        |(2L, TIMESTAMP '2024-01-01 00:01:00', 7L, 'b', 0.0, '')
+        |AS t(event_id, ts, user_id, event_type, value, props)""".stripMargin)
+    val tm = GraftConnectDispatch.run(scala.None, ev2, "pipe_transition_matrix",
+      """{"gapMinutes": 30}""").head()
+    assert(tm.getString(0) == "a" && tm.getString(1) == "b" &&
+      tm.getAs[Double]("p") == 1.0)
+  }
+
   test("pipeline op with a vertices relation fails loudly") {
     val docs = spark.sql(docSql)
     val err = intercept[IllegalArgumentException] {

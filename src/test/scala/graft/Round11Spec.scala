@@ -75,30 +75,32 @@ class Round11Spec extends TestBase {
     assert(r.isNullAt(1) && !r.getBoolean(2))
   }
 
-  // ---------------- chunkTokens ----------------
+  // ---------------- ngramNovelty ----------------
 
-  test("chunkTokens: overlapping windows, short tail, empty doc skipped") {
-    val docs = Seq((1L, "a b c d e f g"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
-    val got = pipeline.Text.chunkTokens(docs, "doc_id", "text", chunk = 4, stride = 2)
-      .select(col("doc_id"), col("chunk_id"), col("start_tok"), col("n_tok"),
-        col("chunk_text"))
-      .as[(Long, Long, Long, Long, String)].collect().toSet
-    assert(got == Set(
-      (1L, 0L, 0L, 4L, "a b c d"),
-      (1L, 1L, 2L, 4L, "c d e f"),
-      (1L, 2L, 4L, 3L, "e f g"),
-      (1L, 3L, 6L, 1L, "g"),
-      (3L, 0L, 0L, 1L, "x")), got.toString)
+  test("ngramNovelty: unique-shingle share, short docs get null novelty") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c x"), (3L, "q"))
+      .toDF("doc_id", "text")
+    val got = pipeline.Text.ngramNovelty(docs, "doc_id", "text", n = 3)
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"), col("novelty"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSet
+    // "a b c" is shared; "b c d" / "b c x" are unique to their docs
+    assert(got == Set((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5),
+      (3L, 0L, 0L, -1.0)), got.toString)
   }
 
-  test("chunkTokens: stride == chunk gives an exact partition of tokens") {
-    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
-    val got = pipeline.Text.chunkTokens(docs, "doc_id", "text", 4, 4)
-      .select(col("start_tok"), col("n_tok")).as[(Long, Long)].collect().sorted
-    assert(got.toSeq == Seq((0L, 4L), (4L, 4L), (8L, 2L)))
-    intercept[IllegalArgumentException] {
-      pipeline.Text.chunkTokens(docs, "doc_id", "text", 4, 5)
-    }
+  // ---------------- tfCosinePairs ----------------
+
+  test("tfCosinePairs: exact integer dot/norms, stop-term cap") {
+    val docs = Seq((1L, "a a b"), (2L, "a a b"), (3L, "z z z"))
+      .toDF("doc_id", "text")
+    val got = pipeline.Text.tfCosinePairs(docs, "doc_id", "text",
+        minCosine = 0.9, maxDocFreq = 1000)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 5L, 1.0)), got.toString) // dot 2·2+1·1, cos 1
+    // df("a") = df("b") = 2 > maxDocFreq=1 -> cut as stop terms, no pairs
+    assert(pipeline.Text.tfCosinePairs(docs, "doc_id", "text",
+      minCosine = 0.1, maxDocFreq = 1).count() == 0)
   }
 
   // ---------------- transitionMatrix ----------------
@@ -213,7 +215,78 @@ class Round11Spec extends TestBase {
     assert(lib.Cliques.triangles(star(5)).count() == 0)
   }
 
+  // ---------------- TemporalReachability ----------------
+
+  test("temporal reachability respects non-decreasing edge times") {
+    val v = (0L to 3L).toDF("id")
+    val e = Seq((0L, 1L, 5.0), (1L, 2L, 3.0), (1L, 2L, 7.0), (0L, 3L, 1.0))
+      .toDF("src", "dst", "time")
+    val got = new lib.TemporalReachability(GraphFrame(v, e))
+      .source(0L).startTime(0.0).timeCol("time").run()
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1.0 else r.getDouble(1))).toMap
+    // arrive at 1 at t=5; the t=3 edge to 2 already departed -> t=7 wins
+    assert(got == Map(0L -> 0.0, 1L -> 5.0, 2L -> 7.0, 3L -> 1.0), got.toString)
+  }
+
+  test("temporal reachability: durations shift arrivals; late start strands") {
+    val v = (0L to 2L).toDF("id")
+    val e = Seq((0L, 1L, 5.0, 2.0), (1L, 2L, 6.0, 1.0))
+      .toDF("src", "dst", "time", "dur")
+    val got = new lib.TemporalReachability(GraphFrame(v, e))
+      .source(0L).startTime(0.0).timeCol("time").durationCol("dur").run()
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1.0 else r.getDouble(1))).toMap
+    // arrive 1 at 5+2=7 > 6, so the onward edge already departed
+    assert(got == Map(0L -> 0.0, 1L -> 7.0, 2L -> -1.0), got.toString)
+    val late = new lib.TemporalReachability(GraphFrame(v, e))
+      .source(0L).startTime(9.0).timeCol("time").durationCol("dur").run()
+      .filter(col("arrival").isNotNull).count()
+    assert(late == 1) // only the source itself
+  }
+
+  // ---------------- rangeJoin ----------------
+
+  test("rangeJoin: inclusive start, exclusive end, keys, bucket spans") {
+    val pts = Seq((1L, 1000L * 1000000, 10L), (1L, 5000L * 1000000, 11L),
+      (2L, 1000L * 1000000, 12L)).toDF("user_id", "ts", "event_id")
+    // nanos Longs (the testdata convention under nanosAsLong)
+    val iv = Seq((1L, 1000L * 1000000, 5000L * 1000000, 100L),
+      (2L, 2000L * 1000000, 1000L * 1000000, 200L)) // empty interval
+      .toDF("user_id", "s", "e", "iv_id")
+    val got = pipeline.Events.rangeJoin(pts, iv, Seq("user_id"), "ts",
+        "s", "e", Seq("iv_id"), bucketMs = 700L)
+      .select(col("event_id"), col("r_iv_id"))
+      .as[(Long, Long)].collect().toSet
+    // pt 10 at 1000ms: 1000 <= 1000 < 5000 -> match; pt 11 at 5000ms:
+    // exclusive end -> no; pt 12: its user's interval is empty -> no
+    assert(got == Set((10L, 100L)), got.toString)
+  }
+
+  test("rangeJoin fails loudly on an interval spanning too many buckets") {
+    val pts = Seq((1L, 0L, 1L)).toDF("user_id", "ts", "event_id")
+    val iv = Seq((1L, 0L, 3600L * 1000000000L, 9L)).toDF("user_id", "s", "e", "iv_id")
+    val ex = intercept[Exception] {
+      pipeline.Events.rangeJoin(pts, iv, Seq("user_id"), "ts", "s", "e",
+        Seq("iv_id"), bucketMs = 10L, maxBucketsPerInterval = 4).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("rangeJoin"),
+      String.valueOf(ex.getMessage))
+  }
+
   // ---------------- DSv2 R-MAT source ----------------
+
+  test("graft.rmat pushes edge_id range filters into generation") {
+    val src = spark.read.format("graft.rmat")
+      .option("scale", 4).option("numEdges", 1000000)
+      .option("numPartitions", 4).load()
+    val pruned = src.filter(col("edge_id") >= 10 && col("edge_id") < 20)
+    assert(pruned.count() == 10)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("range=[10,20)"), plan) // generation itself pruned
+    assert(src.filter(col("edge_id") === 5).count() == 1)
+  }
+
 
   test("graft.rmat DSv2 source matches GraphGenerators.rmat row for row") {
     val viaSource = spark.read.format("graft.rmat")

@@ -282,6 +282,12 @@ class GraphFrameMethods:
         """One-row graph profile (engine extension)."""
         return self._call("graph_stats")
 
+    def conductance(self, attrCol: str):
+        """Per-community conductance cut/min(vol, 2m-vol) over a vertex
+        community column: (community, volume, cut_edges, internal_edges,
+        conductance) — low = well-separated."""
+        return self._call("conductance", attrCol=attrCol)
+
     def assortativity(self):
         """One-row degree assortativity coefficient (Newman 2002) over
         the simple undirected canonicalization; null for degree-regular

@@ -673,6 +673,55 @@ class GraphFrame private (
       lit(row.getLong(3)).as("n_categories"))
   }
 
+  /** Community conductance (engine extension; the standard community-
+   * quality score, Shi–Malik / Kannan–Vempala–Vetta): for each value of
+   * a vertex attribute (a community assignment — Louvain labels, CC
+   * components, a region column), over the canonical undirected simple
+   * graph: φ(c) = cut(c) / min(vol(c), 2m − vol(c)), where cut counts
+   * edges with exactly one endpoint in c and vol sums member degrees.
+   * Low φ = well-separated community. Edges touching a null-attribute
+   * vertex drop (same contract as [[attributeAssortativity]]).
+   *
+   * Shape: two endpoint-attribute joins, then ONE per-community
+   * aggregation over both edge orientations (volume = row count, cut =
+   * cross-community rows, internal = same-community rows / 2 — all
+   * exact integers); the corpus total 2m rides a broadcast one-row
+   * frame, and the single float division per community makes a SQL
+   * replay bit-identical. Returns (community, volume, cut_edges,
+   * internal_edges, conductance) — null φ when min(vol, 2m−vol) = 0. */
+  def conductance(attrCol: String): DataFrame = {
+    val attr = vertices
+      .select(col(ID), col(GraphFrame.quoteName(attrCol)).as("_cat"))
+      .filter(col("_cat").isNotNull)
+    val und = edges.select(col(SRC), col(DST))
+      .filter(col(SRC).isNotNull && col(DST).isNotNull && col(SRC) =!= col(DST))
+      .select(least(col(SRC), col(DST)).as("a"), greatest(col(SRC), col(DST)).as("b"))
+      .distinct()
+      .join(attr.select(col(ID).as("a"), col("_cat").as("ca")), Seq("a"))
+      .join(attr.select(col(ID).as("b"), col("_cat").as("cb")), Seq("b"))
+    // both orientations via one explode (one pass over the joined edges,
+    // not a self-union that recomputes the joins)
+    val orient = und.select(explode(array(
+        struct(col("ca").as("ci"), col("cb").as("cj")),
+        struct(col("cb").as("ci"), col("ca").as("cj")))).as("_o"))
+      .select(col("_o.ci").as("ci"), col("_o.cj").as("cj"))
+      .persist() // feeds the per-community agg AND (via it) the 2m total
+    val per = orient.groupBy(col("ci").as("community"))
+      .agg(count(lit(1)).as("volume"),
+        sum(when(col("ci") =!= col("cj"), 1L).otherwise(0L)).as("cut_edges"),
+        (sum(when(col("ci") === col("cj"), 1L).otherwise(0L)) / 2)
+          .cast("long").as("internal_edges"))
+    val total = per.agg(sum(col("volume")).as("_m2"))
+    per.crossJoin(broadcast(total))
+      .select(col("community"), col("volume"), col("cut_edges"),
+        col("internal_edges"),
+        when(least(col("volume"), col("_m2") - col("volume")) === 0,
+          lit(null).cast("double"))
+          .otherwise(round(col("cut_edges") /
+            least(col("volume"), col("_m2") - col("volume")), 6))
+          .as("conductance"))
+  }
+
   /** Rich-club coefficient sweep (engine extension): for each degree
    * threshold k in `ks`, the density of the subgraph induced by the
    * "club" of vertices with undirected simple degree > k —

@@ -599,6 +599,13 @@ object SparkEntry {
       graphB(s, dir).assortativity
         .select(round(col("assortativity"), 6).as("assortativity"),
           col("m_edges"))),
+    "g_conductance" -> ((s, dir) => { // community quality of the region
+      // partition of the trade graph: cut / min(vol, 2m - vol), exact
+      // integer cut/volume counts, one division per community
+      val v = load(s, dir, "nation")
+        .select(col("n_nationkey").as(ID), col("n_regionkey"))
+      GraphFrame(v, nationEdges(s, dir)).conductance("n_regionkey")
+    }),
     "g_attr_assortativity" -> ((s, dir) => { // region homophily of the
       // trade graph: Newman's categorical mixing coefficient, exact
       // integer mixing counts, one double division
@@ -1416,6 +1423,29 @@ object SparkEntry {
     // --- streaming (run to completion through a memory sink: the driver
     // gate then hash-checks streaming output against the BATCH oracle,
     // turning the unit-level batch-parity claim into an oracled row) ---
+    "e_stream_range_join" -> ((s, dir) => {
+      // the SAME rangeJoin operator composed with a STREAMING points
+      // side: stream-static inner equi-join on (user, bucket) — stateless
+      // (no watermark, no join buffer), so the finite replay equals the
+      // batch row and shares its oracle
+      val ev = load(s, dir, "events")
+      val startMs = pipeline.Events.tsMillis(ev)
+      val iv = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"),
+          timestamp_millis(startMs).as("w_start"),
+          timestamp_millis(startMs + 1800000L).as("w_end"))
+      val pts = streaming.EventStreams.readEvents(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val out = pipeline.Events.rangeJoin(pts, iv, Seq("user_id"), "ts",
+          "w_start", "w_end", rightCols = Seq("event_id"), prefix = "err_")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("err_event_id").as("error_id"))
+      val q = out.writeStream.format("memory")
+        .queryName("graft_stream_rangejoin").outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      s.table("graft_stream_rangejoin")
+    }),
     "e_stream_cms" -> ((s, dir) => {
       // streaming heavy hitters with BOUNDED state: the Count-Min counter
       // table is the streaming aggregate (state <= depth x width cells
@@ -3167,6 +3197,18 @@ object SparkEntry {
        |FROM d GROUP BY 1""".stripMargin
   }
 
+  /** Point-in-interval replay shared by the batch range join and its
+   * stateless stream-static twin: purchases inside each user's 30-min
+   * error window, [start, end) bounds. */
+  private val rangeJoinSql: String =
+    """WITH p AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+      |  WHERE event_type = 'purchase'),
+      |er AS (SELECT user_id, event_id, epoch_ms(ts) AS s FROM events
+      |  WHERE event_type = 'error')
+      |SELECT p.user_id, p.event_id AS purchase_id, er.event_id AS error_id
+      |FROM p JOIN er ON er.user_id = p.user_id
+      |  AND p.ms >= er.s AND p.ms < er.s + 1800000""".stripMargin
+
   /** First 16 bits of an md5 hex string as an integer, nibble by nibble
    * (DuckDB has no hex→int conv; mirrors Spark `conv(substr(md5,1,4),16,10)`). */
   private def duckHex4(md5expr: String): String =
@@ -3641,14 +3683,9 @@ object SparkEntry {
         |SELECT cv.id, m.t AS arrival
         |FROM cv LEFT JOIN (SELECT v, MIN(t) AS t FROM reach GROUP BY v) m
         |  ON m.v = cv.id""".stripMargin,
-    "e_range_join" ->
-      """WITH p AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
-        |  WHERE event_type = 'purchase'),
-        |er AS (SELECT user_id, event_id, epoch_ms(ts) AS s FROM events
-        |  WHERE event_type = 'error')
-        |SELECT p.user_id, p.event_id AS purchase_id, er.event_id AS error_id
-        |FROM p JOIN er ON er.user_id = p.user_id
-        |  AND p.ms >= er.s AND p.ms < er.s + 1800000""".stripMargin,
+    // stateless stream-static join: finite replay == the batch rangeJoin
+    "e_stream_range_join" -> rangeJoinSql,
+    "e_range_join" -> rangeJoinSql,
     "g_betweenness" -> betweennessSql,
     // Pair-counting edge betweenness: edge (u,v) lies on an s→t shortest
     // path iff d(s,u)+1+d(v,t) = d(s,t), contributing σ_su·σ_vt/σ_st —
@@ -3847,6 +3884,25 @@ object SparkEntry {
          |  CAST(m AS BIGINT) AS m_edges FROM t""".stripMargin,
     // categorical mixing: both-orientation counts (sum 2m), category
     // masses squared in exact HUGEINT, the same single double division
+    "g_conductance" ->
+      s"""WITH e0 AS ($NE),
+         |c AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM e0 WHERE src <> dst),
+         |lab AS (SELECT r1.n_regionkey AS ca, r2.n_regionkey AS cb FROM c
+         |  JOIN nation r1 ON r1.n_nationkey = c.a
+         |  JOIN nation r2 ON r2.n_nationkey = c.b),
+         |o AS (SELECT ca AS ci, cb AS cj FROM lab UNION ALL SELECT cb, ca FROM lab),
+         |g AS (SELECT ci AS community, COUNT(*) AS volume,
+         |    CAST(SUM(CASE WHEN ci <> cj THEN 1 ELSE 0 END) AS BIGINT) AS cut_edges,
+         |    CAST(SUM(CASE WHEN ci = cj THEN 1 ELSE 0 END) // 2 AS BIGINT)
+         |      AS internal_edges
+         |  FROM o GROUP BY 1),
+         |t AS (SELECT CAST(SUM(volume) AS BIGINT) AS m2 FROM g)
+         |SELECT community, volume, cut_edges, internal_edges,
+         |  CASE WHEN LEAST(volume, t.m2 - volume) = 0 THEN NULL
+         |    ELSE ROUND(cut_edges / LEAST(volume, t.m2 - volume), 6) END
+         |    AS conductance
+         |FROM g CROSS JOIN t""".stripMargin,
     "g_attr_assortativity" ->
       s"""WITH e0 AS ($NE),
          |c AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b

@@ -84,6 +84,7 @@ object GraftConnectDispatch {
     "butterfly" -> Set("part", "maxPivotDegree"),
     "clustering_coefficient" -> Set.empty[String],
     "assortativity" -> Set.empty[String],
+    "conductance" -> Set("attrCol"),
     "reciprocity" -> Set.empty[String],
     "edge_betweenness" -> Set("sampleK"),
     "transitivity" -> Set.empty[String],
@@ -796,6 +797,9 @@ object GraftConnectDispatch {
           graft.lib.Butterflies.globalCounts(g.edges, GraphFrame.SRC, GraphFrame.DST, cap)
       case "clustering_coefficient" => g.clusteringCoefficient.run()
       case "assortativity" => g.assortativity
+      case "conductance" =>
+        g.conductance(str("attrCol").getOrElse(throw new IllegalArgumentException(
+          "conductance requires params_json key 'attrCol' (the community column)")))
       case "reciprocity" => g.reciprocity
       case "edge_betweenness" =>
         val ebc = g.betweenness

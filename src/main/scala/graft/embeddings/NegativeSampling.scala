@@ -72,10 +72,13 @@ class NegativeSampling(g: GraphFrame) {
         "by id); mint surrogate Long ids first for string-id graphs")
     val m = if (candidatesV > 0) candidatesV else 2 * kV + 4
     // dense rank 0..V-1 in id order — distributed prefix sum of 1s
+    // consumed by the total-count action, the probe fan-out AND the
+    // rank→candidate join — persist so the prefix sum runs once
     val ranked = graft.pipeline.Sampling.exclusivePrefixSum(
       g.vertices.select(col(ID), lit(1L).as("_one")),
       ID, "_one", 0, "negativeSamples")
       .select(col(ID), col("_off_excl").as("_rank"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = ranked.agg(coalesce(max(col("_rank")), lit(-1L)))
       .head().getLong(0) + 1L
     if (total <= 1L)

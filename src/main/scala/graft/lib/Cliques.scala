@@ -63,7 +63,12 @@ object Cliques {
 
   /** All triangles, one row each: (v1, v2, v3) ascending by id. */
   def triangles(g: GraphFrame): DataFrame = {
-    val t = orderedTriangles(oriented(canonical(g)))
+    // the oriented edge frame feeds three consumers (wedge sides +
+    // membership check) — persist it, matching the engine's shared-frame
+    // discipline (exchange reuse across aliases is not guaranteed)
+    val e = oriented(canonical(g))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t = orderedTriangles(e)
     val s = array_sort(array(col("u"), col("v"), col("w")))
     t.select(s.getItem(0).as("v1"), s.getItem(1).as("v2"), s.getItem(2).as("v3"))
   }
@@ -73,7 +78,10 @@ object Cliques {
    * ord(w) < ord(z) from u's out-neighborhood, verified against (v,z)
    * and (w,z) membership — two more equi-joins, no dedup pass. */
   def cliques4(g: GraphFrame): DataFrame = {
+    // five consumers of the oriented frame (wedges ×2, three membership
+    // checks) — persist once
     val e = oriented(canonical(g))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tri = orderedTriangles(e)
     val cand = tri.join(e.select(col("u"), col("v").as("z"), col("dv").as("dz")), "u")
       .filter(struct(col("dw"), col("w")) < struct(col("dz"), col("z")))

@@ -74,7 +74,10 @@ object Dedup {
       blockKey.as("_blk"))
     val keptBlocks = t.groupBy("_blk").agg(count(lit(1)).as("_w"))
       .filter(col("_w") <= maxBlock).select("_blk")
+    // both self-join sides read the block-filtered frame — persist it
+    // (the ngramJaccard shared-frame discipline)
     val kept = t.join(keptBlocks, "_blk")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     kept.as("a").join(kept.as("b"), "_blk")
       .filter(col("a._id") < col("b._id"))
       .filter(levenshtein(col("a._t"), col("b._t")) <= maxDist)

@@ -35,7 +35,11 @@ object Recommend {
     val items = df.select(col(basketCol).as("_b"), col(itemCol).as("_i")).distinct()
     val keptBaskets = items.groupBy("_b").agg(count(lit(1)).as("_w"))
       .filter(col("_w") <= maxBasket).select("_b")
+    // the deduped item frame feeds the width filter and BOTH self-join
+    // sides — exchange reuse across aliases is not guaranteed, so persist
+    // (MEMORY_AND_DISK: narrow rows, spills rather than OOMs at scale)
     val kept = items.join(keptBaskets, "_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     kept.as("x").join(kept.as("y"), "_b")
       .filter(col("x._i") < col("y._i"))
       .groupBy(col("x._i").as("item_a"), col("y._i").as("item_b"))
@@ -48,10 +52,14 @@ object Recommend {
    * (item, also_bought, n_baskets, rank). */
   def alsoBought(pairs: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    val both = pairs.select(col("item_a").as("item"),
-        col("item_b").as("also_bought"), col("n_baskets"))
-      .unionByName(pairs.select(col("item_b").as("item"),
-        col("item_a").as("also_bought"), col("n_baskets")))
+    // both orientations via ONE explode, not a self-union — a union
+    // consumes the pair subtree twice, and at scale the co-occurrence
+    // join is the expensive part of the plan
+    val both = pairs.select(explode(array(
+        struct(col("item_a").as("item"), col("item_b").as("also_bought")),
+        struct(col("item_b").as("item"), col("item_a").as("also_bought"))))
+        .as("_p"), col("n_baskets"))
+      .select(col("_p.item"), col("_p.also_bought"), col("n_baskets"))
     val w = Window.partitionBy("item")
       .orderBy(col("n_baskets").desc, col("also_bought").asc)
     both.withColumn("rank", row_number().over(w))

@@ -91,7 +91,10 @@ object Text {
       .groupBy("_id", "_t").agg(count(lit(1)).as("_tf"))
     val hot = tf.groupBy("_t").agg(count(lit(1)).as("_df"))
       .filter(col("_df") > maxDocFreq).select("_t")
+    // the capped TF frame feeds the norms and BOTH self-join sides —
+    // persist (same shared-frame discipline as ngramJaccard's shingles)
     val kept = tf.join(broadcast(hot), Seq("_t"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val norms = kept.groupBy("_id").agg(sum(col("_tf") * col("_tf")).as("_n2"))
     val dots = kept.as("a").join(kept.as("b"), "_t")
       .filter(col("a._id") < col("b._id"))

@@ -158,12 +158,71 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(r => (r.get(0), r.getLong(1))).head
     }
 
+    // round-11 surfaces: md5 negative sampling over the distributed
+    // prefix sum (numeric-id graph), degree-tie clique orientation, CMS
+    // counters (md5 buckets), basket top-k ties, Levenshtein block pairs,
+    // Markov windows, temporal label-correcting rounds, bucketized range
+    // join, exact-integer TF cosine, unique-shingle novelty, conductance
+    val gNum = GraphFrame(
+      v.select(expr("CAST(substr(id, 2) AS LONG)").as("id")),
+      e.select(expr("CAST(substr(src, 2) AS LONG)").as("src"),
+        expr("CAST(substr(dst, 2) AS LONG)").as("dst")))
+    val neg = new embeddings.NegativeSampling(gNum).setK(2).setSeed(13L).run()
+      .as[(Long, Long, Int)].collect().toSet
+    val clq = lib.Cliques.triangles(g)
+      .as[(String, String, String)].collect().toSet
+    val cms = pipeline.Sketches.cmsTopK(
+        docs.select(explode(pipeline.Text.tokens(col("text"))).as("t")),
+        "t", k = 6, depth = 3, width = 32)
+      .as[(String, Long, Long)].collect().toSeq
+    val ab = pipeline.Recommend.alsoBought(
+        pipeline.Recommend.coOccurrence(
+          evts2.select(col("user_id"), col("event_type")), "user_id",
+          "event_type", maxBasket = 10), k = 2)
+      .as[(String, String, Long, Long)].collect().toSet
+    val fzp = pipeline.Dedup.fuzzyPairs(docs, "doc_id", "text",
+        substring(col("text"), 1, 6), maxDist = 2, maxBlock = 100)
+      .as[(Long, Long, Int)].collect().toSet
+    val tmx = pipeline.Events.transitionMatrix(evts2, gapMinutes = 60)
+      .as[(String, String, Long, Long, Double)].collect().toSet
+    val tmpArr = {
+      val et = gNum.edges.withColumn("t",
+        (pmod(col("src") * 3 + col("dst"), lit(4)) + 1).cast("double"))
+      new lib.TemporalReachability(GraphFrame(gNum.vertices, et))
+        .source(0L).timeCol("t").maxIter(20).run()
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) -1.0 else r.getDouble(1))).toMap
+    }
+    val rj = pipeline.Events.rangeJoin(
+        evts2.select(col("user_id"), col("ts"), col("event_id")),
+        evts2.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("iv_id"),
+            col("ts").as("s"),
+            timestamp_millis(unix_millis(col("ts")) + 120000).as("en")),
+        Seq("user_id"), "ts", "s", "en", Seq("iv_id"), bucketMs = 60000L)
+      .select(col("event_id"), col("r_iv_id"))
+      .as[(Long, Long)].collect().toSet
+    val tfc = pipeline.Text.tfCosinePairs(docs, "doc_id", "text",
+        minCosine = 0.3, maxDocFreq = 100)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val nov = pipeline.Text.ngramNovelty(docs, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    val cdt = {
+      val vcat = v.withColumn("cat", length(col("id")) % 3)
+      GraphFrame(vcat, e).conductance("cat")
+        .as[(Int, Long, Long, Long, Double)].collect().toSet
+    }
+
     Map("cc" -> cc, "pr" -> pr, "sp" -> sp, "kc" -> kc,
       "lsh" -> lsh, "seg" -> seg, "ww" -> ww, "cls" -> cls,
       "msf" -> msf, "ev" -> ev, "ebt" -> ebt, "kg" -> kg, "ls" -> ls,
       "fn" -> fn, "co" -> co,
       "br" -> br, "art" -> art, "bf" -> bf, "cnt" -> cnt, "tp" -> tp,
-      "rf" -> rf, "sal" -> sal, "inf" -> inf, "mip" -> mip, "asr" -> asr)
+      "rf" -> rf, "sal" -> sal, "inf" -> inf, "mip" -> mip, "asr" -> asr,
+      "neg" -> neg, "clq" -> clq, "cms" -> cms, "ab" -> ab, "fzp" -> fzp,
+      "tmx" -> tmx, "tmp" -> tmpArr, "rj" -> rj, "tfc" -> tfc,
+      "nov" -> nov, "cdt" -> cdt)
   }
 
   test("cc/pagerank/shortest-paths/kcore/lsh/segment-dedup identical across partitionings") {

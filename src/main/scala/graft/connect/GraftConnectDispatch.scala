@@ -61,7 +61,7 @@ object GraftConnectDispatch {
     "cliques4" -> Set.empty[String],
     "negative_samples" -> Set("k", "candidates", "seed", "undirected"),
     "temporal_reachability" -> Set("source", "startTime", "timeCol",
-      "durationCol", "maxIter"),
+      "durationCol", "maxIter", "smallGraphThreshold"),
     "katz" -> Set("maxIter", "alpha", "beta"),
     "eigenvector" -> Set("maxIter", "weightCol"),
     "minimum_spanning_forest" -> Set("weightCol"),
@@ -694,6 +694,7 @@ object GraftConnectDispatch {
         str("timeCol").foreach(tr.timeCol)
         str("durationCol").foreach(tr.durationCol)
         int("maxIter").foreach(tr.maxIter)
+        int("smallGraphThreshold").foreach(n => tr.setSmallGraphThreshold(n.toLong))
         tr.run()
       case "triangles" => graft.lib.Cliques.triangles(g)
       case "cliques4" => graft.lib.Cliques.cliques4(g)

@@ -36,6 +36,8 @@ class TemporalReachability(g: GraphFrame) {
   private var timeColV: String = "time"
   private var durationColV: Option[String] = None
   private var maxIterV: Int = 50
+  private var smallGraphThresholdV: Long =
+    graft.GraftConf.linkAnalysisSmallGraphThreshold.getOrElse(100000L)
 
   /** Source vertex id (required). */
   def source(id: Any): this.type = { sourceV = id; this }
@@ -49,6 +51,13 @@ class TemporalReachability(g: GraphFrame) {
   def maxIter(n: Int): this.type = {
     require(n >= 1, s"maxIter must be >= 1: $n"); maxIterV = n; this
   }
+  /** EDGE-count threshold below which the label-correcting loop runs as
+   * one bounded driver pass (the link-analysis family tail; 0 disables).
+   * Earliest arrival is the UNIQUE monotone fixpoint, so the tail and
+   * the distributed rounds agree exactly whatever the relaxation order. */
+  def setSmallGraphThreshold(n: Long): this.type = {
+    smallGraphThresholdV = n; this
+  }
 
   def run(): DataFrame = {
     require(sourceV != null, "temporalReachability requires source(id)")
@@ -60,6 +69,11 @@ class TemporalReachability(g: GraphFrame) {
         (col(timeColV).cast("double") + dur).as("_arr"))
       .filter(col("_t").isNotNull)
       .persist()
+    if (smallGraphThresholdV > 0 && e.count() <= smallGraphThresholdV) {
+      val r = runLocal(e)
+      e.unpersist(false)
+      return r
+    }
     val mgr = new IterationManager(2)
     var state = mgr.cycle(g.vertices.select(col(ID),
       when(col(ID) === lit(sourceV), lit(startTimeV))
@@ -91,5 +105,39 @@ class TemporalReachability(g: GraphFrame) {
     val result = mgr.finish(state.select(col(ID), col("arrival")))
     e.unpersist(false)
     result
+  }
+
+  /** Driver tail: Bellman-Ford-style relaxation to the fixpoint over the
+   * collected edge list. Earliest arrival is the unique monotone
+   * fixpoint, so relaxation order cannot change the result — the tail
+   * matches the distributed rounds exactly (no Spark-faithful-ordering
+   * requirement, unlike the tie-breaking tails). */
+  private def runLocal(e: DataFrame): DataFrame = {
+    val rows = e.collect().map(r => (r.get(0), r.get(1), r.getDouble(3), r.getDouble(2)))
+    val arrival = scala.collection.mutable.HashMap[Any, Double](sourceV -> startTimeV)
+    var changed = true
+    var rounds = 0
+    while (changed && rounds < maxIterV) {
+      changed = false
+      rounds += 1
+      rows.foreach { case (u, v, arr, t) =>
+        arrival.get(u) match {
+          case Some(au) if t >= au &&
+              arrival.get(v).forall(arr < _) =>
+            arrival(v) = arr; changed = true
+          case _ => ()
+        }
+      }
+    }
+    // ship the tiny arrival map back as a broadcast local frame
+    val spark = g.vertices.sparkSession
+    val arrDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        arrival.toSeq.map { case (k, a) => org.apache.spark.sql.Row(k, a) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        g.vertices.schema(ID).copy(name = ID),
+        org.apache.spark.sql.types.StructField("arrival",
+          org.apache.spark.sql.types.DoubleType))))
+    g.vertices.select(col(ID)).join(broadcast(arrDf), Seq(ID), "left_outer")
   }
 }

@@ -189,7 +189,8 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
       val et = gNum.edges.withColumn("t",
         (pmod(col("src") * 3 + col("dst"), lit(4)) + 1).cast("double"))
       new lib.TemporalReachability(GraphFrame(gNum.vertices, et))
-        .source(0L).timeCol("t").maxIter(20).run()
+        .source(0L).timeCol("t").maxIter(20)
+        .setSmallGraphThreshold(0).run() // force the distributed rounds
         .collect().map(r => r.getLong(0) ->
           (if (r.isNullAt(1)) -1.0 else r.getDouble(1))).toMap
     }

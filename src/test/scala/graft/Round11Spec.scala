@@ -248,6 +248,20 @@ class Round11Spec extends TestBase {
     assert(got == Map(0L -> 0.0, 1L -> 5.0, 2L -> 7.0, 3L -> 1.0), got.toString)
   }
 
+  test("temporal reachability: driver tail equals the distributed rounds") {
+    val v = (0L to 5L).toDF("id")
+    val e = Seq((0L, 1L, 2.0), (1L, 2L, 1.0), (1L, 3L, 4.0), (3L, 4L, 4.0),
+      (4L, 5L, 3.0), (0L, 4L, 9.0)).toDF("src", "dst", "time")
+    def arr(threshold: Long) = new lib.TemporalReachability(GraphFrame(v, e))
+      .source(0L).startTime(0.0).timeCol("time")
+      .setSmallGraphThreshold(threshold).run()
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1.0 else r.getDouble(1))).toMap
+    assert(arr(0) == arr(1000000), s"${arr(0)} vs ${arr(1000000)}")
+    assert(arr(0) == Map(0L -> 0.0, 1L -> 2.0, 2L -> -1.0, 3L -> 4.0,
+      4L -> 4.0, 5L -> -1.0), arr(0).toString)
+  }
+
   test("temporal reachability: durations shift arrivals; late start strands") {
     val v = (0L to 2L).toDF("id")
     val e = Seq((0L, 1L, 5.0, 2.0), (1L, 2L, 6.0, 1.0))

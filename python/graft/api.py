@@ -180,6 +180,16 @@ class GraphFrameMethods:
         return self._call("negative_samples", k=k, candidates=candidates,
                           seed=seed, undirected=undirected)
 
+    def independentCascade(self, seeds: list, p: Optional[float] = None,
+                           hashSeed: Optional[int] = None,
+                           maxIter: Optional[int] = None):
+        """Deterministic Independent-Cascade spread (live-edge
+        formulation, one md5 coin per edge): rows (id, round) —
+        activation round, 0 = seed, null = never. Vary hashSeed for
+        Monte-Carlo repeats; each run replays bit-identically."""
+        return self._call("independent_cascade", seeds=seeds, p=p,
+                          hashSeed=hashSeed, maxIter=maxIter)
+
     def temporalReachability(self, source, startTime: Optional[float] = None,
                              timeCol: Optional[str] = None,
                              durationCol: Optional[str] = None,

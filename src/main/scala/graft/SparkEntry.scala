@@ -435,6 +435,11 @@ object SparkEntry {
     "g_cliques4" -> ((s, dir) => // 4-clique listing by ordered extension
       // of the oriented triangles; output id-sorted tuples
       lib.Cliques.cliques4(graphB(s, dir))),
+    "g_ic_spread" -> ((s, dir) => // deterministic Independent-Cascade
+      // spread: md5 live-edge coins (dyadic p = exact threshold), BFS
+      // levels over the live subgraph; the oracle replays every coin
+      new lib.IndependentCascade(circulantGraph(s, dir))
+        .p(0.5).hashSeed(9L).run(Seq(0, 12))),
     "g_temporal_bfs" -> ((s, dir) => { // earliest-arrival over temporal
       // edges (t >= arrival to traverse): plain BFS would overstate
       // reachability; the oracle walks the (vertex, time) state space
@@ -3666,6 +3671,26 @@ object SparkEntry {
          |  SELECT src, dst, draw,
          |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY draw, dst) AS rn FROM ne)
          |WHERE rn <= 3""".stripMargin
+    },
+    // live-edge replay: coin < p·2^60 per edge, then BFS min level from
+    // the seed set over the surviving edges
+    "g_ic_spread" -> {
+      val h = duckHex15(
+        "md5('9|' || CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR))")
+      val thr = (0.5 * (1L << 60).toDouble).toLong
+      s"""WITH RECURSIVE cv AS (SELECT n_nationkey AS id FROM nation),
+         |ce AS (SELECT DISTINCT src, dst FROM (
+         |    SELECT id AS src, (id + 7) % 25 AS dst FROM cv
+         |    UNION ALL
+         |    SELECT id, (3 * id + 1) % 25 FROM cv WHERE id % 3 = 0)
+         |  WHERE src <> dst),
+         |live AS (SELECT src, dst FROM ce WHERE ($h) < $thr),
+         |walk AS (SELECT unnest([0, 12]) AS v, 0 AS r
+         |  UNION SELECT live.dst, walk.r + 1 FROM walk
+         |    JOIN live ON live.src = walk.v WHERE walk.r < 30),
+         |m AS (SELECT v, MIN(r) AS r FROM walk GROUP BY v)
+         |SELECT cv.id, CAST(m.r AS INT) AS round
+         |FROM cv LEFT JOIN m ON m.v = cv.id""".stripMargin
     },
     // (vertex, time) state walk — UNION dedups, edge times are 1..5 so
     // the recursion is finite; arrival = min over time-respecting paths

@@ -55,6 +55,8 @@ object GraftConnectDispatch {
     "hits" -> Set("maxIter"),
     "salsa" -> Set("maxIter"),
     "influence_max" -> Set("k", "mode", "p"),
+    "independent_cascade" -> Set("seeds", "p", "hashSeed", "maxIter",
+      "smallGraphThreshold"),
     "to_dot" -> Set("name"),
     "to_graphml" -> Set("directed"),
     "triangles" -> Set.empty[String],
@@ -675,6 +677,18 @@ object GraftConnectDispatch {
         str("mode").foreach(im.mode)
         dbl("p").foreach(im.p)
         im.run()
+      case "independent_cascade" =>
+        val ic = new graft.lib.IndependentCascade(g)
+        dbl("p").foreach(ic.p)
+        int("hashSeed").foreach(s => ic.hashSeed(s.toLong))
+        int("maxIter").foreach(ic.maxIter)
+        int("smallGraphThreshold").foreach(n => ic.setSmallGraphThreshold(n.toLong))
+        val icSeeds = params.get("seeds") match {
+          case Some(JArray(vs)) => vs.map(idValue)
+          case _ => throw new IllegalArgumentException(
+            "independent_cascade requires params_json key 'seeds' (array of ids)")
+        }
+        ic.run(icSeeds)
       case "to_dot" =>
         graft.sources.GraphLoader.toDotLines(g, str("name").getOrElse("g"))
       case "to_graphml" =>

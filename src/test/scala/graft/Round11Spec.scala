@@ -278,6 +278,35 @@ class Round11Spec extends TestBase {
     assert(late == 1) // only the source itself
   }
 
+  // ---------------- IndependentCascade ----------------
+
+  test("independent cascade: p=1 is plain BFS; tail equals distributed") {
+    val g = chain(5)
+    def run(threshold: Long) = new lib.IndependentCascade(g)
+      .p(1.0).hashSeed(3L).setSmallGraphThreshold(threshold).run(Seq(0L))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    val tail = run(1000000)
+    assert(tail == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4), tail.toString)
+    assert(tail == run(0))
+  }
+
+  test("independent cascade: coins gate edges deterministically") {
+    val g = star(6)
+    val a = new lib.IndependentCascade(g).p(0.5).hashSeed(7L).run(Seq(0L))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    val b = new lib.IndependentCascade(g).p(0.5).hashSeed(7L).run(Seq(0L))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(a == b) // same hash seed -> same cascade
+    val reached = a.count(_._2 >= 1)
+    assert(reached >= 1 && reached < 6, a.toString) // p=.5 gates SOME leaves
+    intercept[IllegalArgumentException] {
+      new lib.IndependentCascade(g).run(Nil)
+    }
+  }
+
   // ---------------- rangeJoin ----------------
 
   test("rangeJoin: inclusive start, exclusive end, keys, bucket spans") {

@@ -170,6 +170,20 @@ class GraphFrameMethods:
         oriented triangles): rows (v1, v2, v3, v4) ascending by id."""
         return self._call("cliques4")
 
+    def maximalMatching(self, maxIter: Optional[int] = None,
+                        seed: Optional[int] = None):
+        """Maximal matching by locally-minimum md5 edge priorities (the
+        edge-centric Luby sibling of maximalIndependentSet): rows
+        (src, dst, round) with src < dst; deterministic per seed."""
+        return self._call("maximal_matching", maxIter=maxIter, seed=seed)
+
+    def voronoi(self, seeds: list):
+        """Closest-seed (Voronoi) partition: every vertex assigned to the
+        seed with minimum hop distance along directed edges, ties to the
+        smaller seed; rows (id, seed, dist), nulls when no seed is
+        reachable."""
+        return self._call("voronoi", seeds=seeds)
+
     def negativeSamples(self, k: Optional[int] = None,
                         candidates: Optional[int] = None,
                         seed: Optional[int] = None,
@@ -757,16 +771,40 @@ class PipelineMethods:
         return self._call("pipe_cms_topk", keyCol=keyCol, k=k, depth=depth,
                           width=width, seed=seed)
 
-    def fuzzyPairs(self, idCol: str, textCol: str, blockExpr: str,
+    def fuzzyPairs(self, idCol: str, textCol: str, blockExpr=None,
                    maxDist: Optional[int] = None,
-                   maxBlock: Optional[int] = None):
+                   maxBlock: Optional[int] = None,
+                   blockExprs: Optional[list] = None):
         """Blocked fuzzy entity resolution: rows sharing ``blockExpr``
         (a SQL expression, e.g. ``"substr(name, 1, 4)"``) are verified
         with exact Levenshtein <= maxDist; blocks wider than maxBlock
-        are dropped loudly. Rows (id_a, id_b, dist), id_a < id_b."""
+        are dropped loudly. Rows (id_a, id_b, dist), id_a < id_b.
+        ``blockExprs`` (a list of SQL expressions) switches to multi-PASS
+        blocking: a pair is a candidate when ANY key matches, deduped
+        before the single verify per pair."""
         return self._call("pipe_fuzzy_pairs", idCol=idCol, textCol=textCol,
-                          blockExpr=blockExpr, maxDist=maxDist,
-                          maxBlock=maxBlock)
+                          blockExpr=blockExpr, blockExprs=blockExprs,
+                          maxDist=maxDist, maxBlock=maxBlock)
+
+    def dsirWeights(self, idCol: str, textCol: str, targetExpr: str,
+                    buckets: Optional[int] = None,
+                    alpha: Optional[float] = None):
+        """DSIR importance weights (hashed-bigram target-vs-raw
+        log-likelihood ratio; Xie et al. 2023): rows (id, n_bigrams,
+        log_weight). ``targetExpr`` is a boolean SQL expression marking
+        the in-domain rows, e.g. ``"lang = 'en'"``."""
+        return self._call("pipe_dsir", idCol=idCol, textCol=textCol,
+                          targetExpr=targetExpr, buckets=buckets, alpha=alpha)
+
+    def budgetSelect(self, idCol: str, groupCol: str, tokenCol: str,
+                     budget: int, scoreCol: Optional[str] = None):
+        """Per-group token-budget prefix selection: rank by
+        (score desc, id asc) within each group and keep rows while the
+        running token sum stays within ``budget``. Rows
+        (id, group, tokens, rank, cum_tokens)."""
+        return self._call("pipe_budget_select", idCol=idCol,
+                          groupCol=groupCol, tokenCol=tokenCol,
+                          scoreCol=scoreCol, budget=budget)
 
     def coOccurrence(self, basketCol: str, itemCol: str,
                      maxBasket: Optional[int] = None):

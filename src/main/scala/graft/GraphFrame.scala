@@ -332,6 +332,26 @@ class GraphFrame private (
     new lib.ParallelPersonalizedPageRank(this)
   def svdPlusPlus: lib.SVDPlusPlus = new lib.SVDPlusPlus(this)
   def shortestPaths: lib.ShortestPaths = new lib.ShortestPaths(this)
+
+  /** Closest-seed (Voronoi) partition of the graph (engine extension):
+   * every vertex is assigned to the seed with the minimum hop distance
+   * along directed edges, ties to the smaller seed id. One multi-source
+   * BFS ([[shortestPaths]] — all seeds propagate in the same superstep
+   * loop, not one BFS per seed) plus a struct-min argmin aggregation;
+   * vertices reaching no seed keep (null, null). Returns
+   * (id, seed, dist). */
+  def voronoi(seeds: Seq[Any]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sp = shortestPaths.landmarks(seeds).run()
+    sp.select(col(GraphFrame.ID),
+        explode_outer(col("distances")).as(Seq("_seed", "_d")))
+      .groupBy(col(GraphFrame.ID))
+      .agg(min(when(col("_d").isNotNull,
+        struct(col("_d"), col("_seed")))).as("_m"))
+      .select(col(GraphFrame.ID), col("_m._seed").as("seed"),
+        col("_m._d").as("dist"))
+  }
+
   def triangleCount: lib.TriangleCount = new lib.TriangleCount(this)
   def kCore: lib.KCore = new lib.KCore(this)
   /** K-truss decomposition (engine extension). */
@@ -383,6 +403,10 @@ class GraphFrame private (
   def eccentricity: lib.Eccentricity = new lib.Eccentricity(this)
   def detectingCycles: lib.DetectingCycles = new lib.DetectingCycles(this)
   def maximalIndependentSet: lib.MaximalIndependentSet = new lib.MaximalIndependentSet(this)
+
+  /** Maximal matching by locally-minimum md5 edge priorities (the
+   * edge-centric Luby sibling of [[maximalIndependentSet]]). */
+  def maximalMatching: lib.MaximalMatching = new lib.MaximalMatching(this)
   /** Greedy graph coloring by iterated Luby MIS (engine extension). */
   def greedyColoring: lib.GreedyColoring = new lib.GreedyColoring(this)
   /** Synchronous Louvain-style modularity local moving (engine

@@ -29,8 +29,14 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val result = fn(spark, sfDir)
+        result.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // free operator-internal persists the result's plan pinned — a
+        // 200+-query sweep in one session must not accumulate one pinned
+        // frame per operator call in the storage pool
+        pipeline.releaseShared(result)
+      }
       catch { case e: Throwable =>
         failures(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

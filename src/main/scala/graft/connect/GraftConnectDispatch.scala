@@ -94,6 +94,8 @@ object GraftConnectDispatch {
     "sample_vertices" -> Set("fraction", "seed", "part"),
     "sample_edges" -> Set("fraction", "seed", "part"),
     "maximal_independent_set" -> Set("maxIter", "hashMode"),
+    "maximal_matching" -> Set("maxIter", "seed", "smallGraphThreshold"),
+    "voronoi" -> Set("seeds"),
     "detecting_cycles" -> Set("maxIter"),
     "random_walks" -> Set("walkLength", "walksPerVertex", "restartProb",
       "seed", "hashMode", "returnParam", "inOutParam", "weightCol"),
@@ -171,7 +173,11 @@ object GraftConnectDispatch {
     "pipe_contaminated_spans" -> Set("idCol", "textCol", "seedTokens", "maxBucket"),
     "pipe_cut_contaminated" -> Set("idCol", "textCol", "seedTokens", "maxBucket"),
     "pipe_cms_topk" -> Set("keyCol", "k", "depth", "width", "seed"),
-    "pipe_fuzzy_pairs" -> Set("idCol", "textCol", "blockExpr", "maxDist", "maxBlock"),
+    "pipe_fuzzy_pairs" -> Set("idCol", "textCol", "blockExpr", "blockExprs",
+      "maxDist", "maxBlock"),
+    "pipe_dsir" -> Set("idCol", "textCol", "targetExpr", "buckets", "alpha"),
+    "pipe_budget_select" -> Set("idCol", "groupCol", "tokenCol", "scoreCol",
+      "budget"),
     "pipe_co_occurrence" -> Set("basketCol", "itemCol", "maxBasket"),
     "pipe_also_bought" -> Set("basketCol", "itemCol", "maxBasket", "k"),
     "pipe_transition_matrix" -> Set("gapMinutes"),
@@ -449,14 +455,46 @@ object GraftConnectDispatch {
             width = int("width").getOrElse(1024),
             seed = int("seed").map(_.toLong).getOrElse(42L))
         case "pipe_fuzzy_pairs" =>
-          Dedup.fuzzyPairs(t, id, text,
-            blockKey = org.apache.spark.sql.functions.expr(
-              str("blockExpr").getOrElse(throw new IllegalArgumentException(
-                "pipe_fuzzy_pairs requires params_json key 'blockExpr' " +
-                  "(a SQL expression over the input columns, e.g. " +
-                  "\"substr(name, 1, 4)\")"))),
-            maxDist = int("maxDist").getOrElse(1),
-            maxBlock = int("maxBlock").getOrElse(10000))
+          // 'blockExprs' (array) takes the multi-pass blocking overload;
+          // 'blockExpr' keeps the single-key path
+          params.get("blockExprs") match {
+            case Some(JArray(es)) =>
+              val keys = es.map {
+                case JString(e) => org.apache.spark.sql.functions.expr(e)
+                case other => throw new IllegalArgumentException(
+                  s"blockExprs entries must be SQL expression strings, got: $other")
+              }
+              Dedup.fuzzyPairs(t, id, text, keys,
+                maxDist = int("maxDist").getOrElse(1),
+                maxBlock = int("maxBlock").getOrElse(10000))
+            case _ =>
+              Dedup.fuzzyPairs(t, id, text,
+                blockKey = org.apache.spark.sql.functions.expr(
+                  str("blockExpr").getOrElse(throw new IllegalArgumentException(
+                    "pipe_fuzzy_pairs requires params_json key 'blockExpr' " +
+                      "(a SQL expression over the input columns, e.g. " +
+                      "\"substr(name, 1, 4)\") or 'blockExprs' (array of them)"))),
+                maxDist = int("maxDist").getOrElse(1),
+                maxBlock = int("maxBlock").getOrElse(10000))
+          }
+        case "pipe_dsir" =>
+          Text.dsirWeights(t, id, text,
+            targetPred = org.apache.spark.sql.functions.expr(
+              str("targetExpr").getOrElse(throw new IllegalArgumentException(
+                "pipe_dsir requires params_json key 'targetExpr' (a boolean " +
+                  "SQL expression marking the target rows, e.g. \"lang = 'en'\")")),
+            ),
+            buckets = int("buckets").getOrElse(1024),
+            alpha = dbl("alpha").getOrElse(0.5))
+        case "pipe_budget_select" =>
+          val budget = params.get("budget").collect {
+            case JInt(i) => i.toLong
+            case JLong(l) => l
+          }.getOrElse(throw new IllegalArgumentException(
+            "pipe_budget_select requires params_json key 'budget' (tokens per group)"))
+          val tokenCol = required("tokenCol")
+          Sampling.budgetSelect(t, id, required("groupCol"), tokenCol,
+            str("scoreCol").getOrElse(tokenCol), budgetPerGroup = budget)
         case "pipe_co_occurrence" =>
           graft.pipeline.Recommend.coOccurrence(t, required("basketCol"),
             required("itemCol"), maxBasket = int("maxBasket").getOrElse(1000))
@@ -712,6 +750,19 @@ object GraftConnectDispatch {
         tr.run()
       case "triangles" => graft.lib.Cliques.triangles(g)
       case "cliques4" => graft.lib.Cliques.cliques4(g)
+      case "maximal_matching" =>
+        val mm = g.maximalMatching
+        int("maxIter").foreach(mm.maxIter)
+        int("seed").foreach(s => mm.seed(s.toLong))
+        int("smallGraphThreshold").foreach(n => mm.setSmallGraphThreshold(n.toLong))
+        mm.run()
+      case "voronoi" =>
+        val vseeds = params.get("seeds") match {
+          case Some(JArray(vs)) => vs.map(idValue)
+          case _ => throw new IllegalArgumentException(
+            "voronoi requires params_json key 'seeds' (array of ids)")
+        }
+        g.voronoi(vseeds)
       case "negative_samples" =>
         val ns = new graft.embeddings.NegativeSampling(g)
         int("k").foreach(ns.setK)

@@ -49,6 +49,34 @@ private class KMinSamplingString(k: Int) extends KMinSampling[String](k) {
   override def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder[Seq[String]]()
 }
 
+/** The k smallest DISTINCT Long values — the duplicate-insensitive KMV
+ * buffer streaming aggregations need: a pre-aggregation `distinct()` is
+ * a second stateful operator there, while this buffer dedups internally.
+ * Eviction is safe: `trim` keeps the k smallest distinct values seen, and
+ * any evicted value v has k distinct values below it, so v can never be
+ * among the k smallest distinct values of the full input. O(k) state per
+ * group however many rows arrive. */
+private class KMinDistinctLong(k: Int)
+    extends Aggregator[Long, mutable.ArrayBuffer[Long], Seq[Long]] {
+  override def zero: mutable.ArrayBuffer[Long] = mutable.ArrayBuffer.empty
+  private def trim(b: mutable.ArrayBuffer[Long]): mutable.ArrayBuffer[Long] = {
+    val kept = b.distinct.sorted.take(k)
+    b.clear(); b ++= kept
+    b
+  }
+  override def reduce(b: mutable.ArrayBuffer[Long], a: Long): mutable.ArrayBuffer[Long] = {
+    b += a; if (b.size > 2 * k) trim(b) else b
+  }
+  override def merge(x: mutable.ArrayBuffer[Long], y: mutable.ArrayBuffer[Long]): mutable.ArrayBuffer[Long] = {
+    x ++= y; if (x.size > 2 * k) trim(x) else x
+  }
+  override def finish(b: mutable.ArrayBuffer[Long]): Seq[Long] =
+    b.distinct.sorted.take(k).toSeq
+  override def bufferEncoder: Encoder[mutable.ArrayBuffer[Long]] =
+    Encoders.kryo[mutable.ArrayBuffer[Long]]
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+}
+
 object KMinSampling {
   /** k-min sample of Long values: usage `sampleLong(k)(weightCol, valueCol)`. */
   def sampleLong(k: Int): (Column, Column) => Column = {
@@ -59,5 +87,12 @@ object KMinSampling {
   def sampleString(k: Int): (Column, Column) => Column = {
     val agg = udaf(new KMinSamplingString(k))
     (w, v) => agg(w, v)
+  }
+  /** k smallest DISTINCT Long values (KMV sketch buffer): usage
+   * `distinctLong(k)(valueCol)`. Safe inside streaming aggregations —
+   * one stateful operator, O(k) state per group. */
+  def distinctLong(k: Int): Column => Column = {
+    val agg = udaf(new KMinDistinctLong(k))
+    v => agg(v)
   }
 }

@@ -65,7 +65,8 @@ object Cliques {
   def triangles(g: GraphFrame): DataFrame = {
     // the oriented edge frame feeds three consumers (wedge sides +
     // membership check) — persist it, matching the engine's shared-frame
-    // discipline (exchange reuse across aliases is not guaranteed)
+    // discipline (exchange reuse across aliases is not guaranteed);
+    // release after consuming via [[graft.pipeline.releaseShared]]
     val e = oriented(canonical(g))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val t = orderedTriangles(e)

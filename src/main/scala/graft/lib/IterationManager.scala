@@ -218,8 +218,14 @@ private[graft] class IterationManager(
    * The result's blocks live outside the CacheManager; `Dataset.unpersist`
    * on it is a no-op. They are reclaimed when the frame is GC'd
    * (ContextCleaner), or eagerly via [[IterationManager.release]]. */
-  def finish(df: DataFrame): DataFrame = {
-    val r =
+  def finish(df: DataFrame): DataFrame = finishAll(Seq(df)).head
+
+  /** [[finish]] for callers with SEVERAL results over the same iteration
+   * state (e.g. bridges + articulation points from one BFS forest): every
+   * frame is cut/materialized BEFORE the single close, so no result's
+   * lineage can reach into blocks the close frees. */
+  def finishAll(dfs: Seq[DataFrame]): Seq[DataFrame] = {
+    val rs = dfs.map { df =>
       if (useLocalCheckpoint) df.localCheckpoint(true)
       else {
         val p = df.persist(storageLevel)
@@ -227,8 +233,9 @@ private[graft] class IterationManager(
         p.unpersist(false)
         x
       }
+    }
     close()
-    r
+    rs
   }
 
   /** Drop every cache still held, including the RDD blocks behind lineage

@@ -1,0 +1,143 @@
+package graft.lib
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.GraphFrame
+
+/**
+ * Maximal matching via locally-minimum edges (the edge-centric sibling of
+ * [[MaximalIndependentSet]]; engine extension — the reference ships MIS
+ * but no matching, cf. reference lib/MaximalIndependentSet.scala:36).
+ *
+ * Per round every remaining edge draws a deterministic priority
+ * `md5(a|b|seed|round)`; an edge joins the matching when its priority is
+ * the minimum among remaining edges at BOTH endpoints (md5 strings over
+ * distinct canonical pairs are distinct, so the per-vertex minimum is a
+ * strict winner); matched vertices leave the graph with every incident
+ * edge. The globally minimum remaining edge always wins, so rounds make
+ * progress; expected O(log m) rounds to empty (Israeli–Itai-style
+ * symmetry breaking with hash coins instead of coin flips — deterministic
+ * under task retries and safe with AQE, same rationale as MIS).
+ *
+ * Spark shape per round: one union + hash agg for the per-vertex minima,
+ * two equi-joins to test the winner rule, two anti-joins to drop matched
+ * endpoints — all shuffle-partitioned on vertex id, no driver state.
+ * Lineage is cut per round by the shared [[IterationManager]].
+ *
+ * Returns the matched edges `(src, dst, round)` with src < dst under the
+ * canonical ordering and `round` the 0-based round the edge won. With
+ * enough rounds to reach the fixpoint the result is a maximal matching:
+ * every unmatched edge has a matched endpoint.
+ */
+class MaximalMatching(g: GraphFrame) {
+  import GraphFrame.{ID, SRC, DST}
+
+  private var maxIterV: Int = 100
+  private var seedV: Long = 42L
+  private var smallGraphThresholdV: Long =
+    graft.GraftConf.linkAnalysisSmallGraphThreshold.getOrElse(100000L)
+
+  def maxIter(n: Int): this.type = {
+    require(n >= 1, s"maxIter must be >= 1: $n"); maxIterV = n; this
+  }
+  def seed(s: Long): this.type = { seedV = s; this }
+  /** EDGE-count threshold for the bounded driver tail (0 disables). The
+   * tail replays the identical md5 rounds, so the paths agree exactly. */
+  def setSmallGraphThreshold(n: Long): this.type = { smallGraphThresholdV = n; this }
+
+  def run(): DataFrame = {
+    val und = g.edges.filter(col(SRC) =!= col(DST))
+      .select(least(col(SRC), col(DST)).as("ea"),
+        greatest(col(SRC), col(DST)).as("eb"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (smallGraphThresholdV > 0 && und.count() <= smallGraphThresholdV) {
+      val r = runLocal(und)
+      und.unpersist(false)
+      return r
+    }
+    val mgr = IterationManager.withReliableDir(g.spark, None)
+    var er = mgr.cycle(und, 0)
+    var matched: Option[DataFrame] = None
+    var round = 0
+    var done = false
+    while (round < maxIterV && !done) {
+      val pri = md5(concat_ws("|", col("ea").cast("string"),
+        col("eb").cast("string"), lit(seedV), lit(round)))
+      val ep = er.select(col("ea"), col("eb"), pri.as("p"))
+      val vmin = ep.select(col("ea").as("v"), col("p"))
+        .unionAll(ep.select(col("eb").as("v"), col("p")))
+        .groupBy(col("v")).agg(min(col("p")).as("m"))
+      val winners = mgr.persistOnly(
+        ep.join(vmin.select(col("v").as("ea"), col("m").as("ma")), "ea")
+          .join(vmin.select(col("v").as("eb"), col("m").as("mb")), "eb")
+          .filter(col("p") === col("ma") && col("p") === col("mb"))
+          .select(col("ea"), col("eb"), lit(round).as("round")))
+      matched = Some(matched.map(_.unionAll(winners)).getOrElse(winners))
+      val mv = winners.select(col("ea").as("v"))
+        .unionAll(winners.select(col("eb").as("v"))).distinct()
+      er = mgr.cycle(
+        er.join(mv.select(col("v").as("ea")), Seq("ea"), "left_anti")
+          .join(mv.select(col("v").as("eb")), Seq("eb"), "left_anti"),
+        round + 1)
+      // one action per round: an empty remainder ends the loop (the
+      // winner frame is persisted, so the union result reads its cache)
+      done = er.isEmpty
+      round += 1
+    }
+    val out = mgr.finish(matched
+      .map(_.select(col("ea").as(SRC), col("eb").as(DST),
+        col("round").cast("int").as("round")))
+      .getOrElse(und.limit(0).select(col("ea").as(SRC), col("eb").as(DST),
+        lit(0).cast("int").as("round"))))
+    und.unpersist(false)
+    out
+  }
+
+  /** Driver tail: identical level-synchronous md5 rounds — md5 hex
+   * strings order the same way Spark's string min orders them, so the
+   * tail, the distributed rounds and the SQL oracle agree exactly. */
+  private def runLocal(und: DataFrame): DataFrame = {
+    import scala.collection.mutable
+    val edges = und.collect().iterator
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => (r.get(0), r.get(1))).toArray
+      .sortBy { case (a, b) => (String.valueOf(a), String.valueOf(b)) }
+    def h(a: Any, b: Any, round: Int): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${String.valueOf(a)}|${String.valueOf(b)}|$seedV|$round"
+          .getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val remaining = mutable.LinkedHashSet(edges.toSeq: _*)
+    val won = mutable.ArrayBuffer.empty[(Any, Any, Int)]
+    var round = 0
+    while (round < maxIterV && remaining.nonEmpty) {
+      val hs = remaining.iterator.map(e => e -> h(e._1, e._2, round)).toMap
+      val vmin = mutable.HashMap.empty[Any, String]
+      remaining.foreach { case e @ (a, b) =>
+        val p = hs(e)
+        Seq(a, b).foreach { v =>
+          if (!vmin.get(v).exists(_ <= p)) vmin(v) = p
+        }
+      }
+      val winners = remaining.toSeq.filter { case e @ (a, b) =>
+        hs(e) == vmin(a) && hs(e) == vmin(b)
+      }
+      winners.foreach { case (a, b) => won += ((a, b, round)) }
+      val mv = winners.iterator.flatMap { case (a, b) => Seq(a, b) }.toSet
+      remaining.filterInPlace { case (a, b) => !mv(a) && !mv(b) }
+      round += 1
+    }
+    val idType = g.vertices.schema(ID).dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(SRC, idType, nullable = true),
+      org.apache.spark.sql.types.StructField(DST, idType, nullable = true),
+      org.apache.spark.sql.types.StructField("round",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    g.spark.createDataFrame(
+      java.util.Arrays.asList(won.sortBy(t =>
+        (String.valueOf(t._1), String.valueOf(t._2)))
+        .map(t => org.apache.spark.sql.Row(t._1, t._2, t._3)).toSeq: _*),
+      schema)
+  }
+}

@@ -53,8 +53,12 @@ class TemporalReachability(g: GraphFrame) {
   }
   /** EDGE-count threshold below which the label-correcting loop runs as
    * one bounded driver pass (the link-analysis family tail; 0 disables).
-   * Earliest arrival is the UNIQUE monotone fixpoint, so the tail and
-   * the distributed rounds agree exactly whatever the relaxation order. */
+   * The tail is LEVEL-SYNCHRONOUS (each sweep reads only the previous
+   * sweep's arrivals), so it agrees with the distributed rounds exactly
+   * even when `maxIter` binds before the fixpoint — round k holds the
+   * best ≤ k-hop journey on both paths. (At the fixpoint any relaxation
+   * order agrees anyway: earliest arrival is the unique monotone
+   * fixpoint.) */
   def setSmallGraphThreshold(n: Long): this.type = {
     smallGraphThresholdV = n; this
   }
@@ -107,27 +111,30 @@ class TemporalReachability(g: GraphFrame) {
     result
   }
 
-  /** Driver tail: Bellman-Ford-style relaxation to the fixpoint over the
-   * collected edge list. Earliest arrival is the unique monotone
-   * fixpoint, so relaxation order cannot change the result — the tail
-   * matches the distributed rounds exactly (no Spark-faithful-ordering
-   * requirement, unlike the tie-breaking tails). */
+  /** Driver tail: LEVEL-SYNCHRONOUS relaxation over the collected edge
+   * list — each sweep reads arrivals only from the PREVIOUS sweep's map
+   * (double buffer), exactly one hop per sweep, like one distributed
+   * round. A single in-place sweep can propagate many hops depending on
+   * edge order, which would diverge from the distributed path whenever
+   * `maxIter` binds before the fixpoint. */
   private def runLocal(e: DataFrame): DataFrame = {
     val rows = e.collect().map(r => (r.get(0), r.get(1), r.getDouble(3), r.getDouble(2)))
-    val arrival = scala.collection.mutable.HashMap[Any, Double](sourceV -> startTimeV)
+    var arrival = scala.collection.mutable.HashMap[Any, Double](sourceV -> startTimeV)
     var changed = true
     var rounds = 0
     while (changed && rounds < maxIterV) {
       changed = false
       rounds += 1
+      val next = arrival.clone()
       rows.foreach { case (u, v, arr, t) =>
         arrival.get(u) match {
           case Some(au) if t >= au &&
-              arrival.get(v).forall(arr < _) =>
-            arrival(v) = arr; changed = true
+              next.get(v).forall(arr < _) =>
+            next(v) = arr; changed = true
           case _ => ()
         }
       }
+      arrival = next
     }
     // ship the tiny arrival map back as a broadcast local frame
     val spark = g.vertices.sparkSession

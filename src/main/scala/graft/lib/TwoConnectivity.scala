@@ -90,19 +90,34 @@ class TwoConnectivity(g: GraphFrame) {
    * are their own). */
   def twoEdgeComponents(): DataFrame = runFor(Mode.TwoEcc)
 
+  /** Both readouts from ONE pipeline — for callers that need the bridges
+   * AND the articulation points of the same graph. The expensive shared
+   * state (components, BFS forest, ancestor sets, non-tree cover marks)
+   * is computed once; the two readouts are cheap projections of it. A
+   * separate `bridges()` + `articulationPoints()` pair pays the whole
+   * superstep loop twice for identical intermediate frames. */
+  def bridgesAndArticulationPoints(): (DataFrame, DataFrame) = {
+    val r = runModes(Set(Mode.Bridges, Mode.Articulation))
+    (r(Mode.Bridges), r(Mode.Articulation))
+  }
+
   private object Mode extends Enumeration { val Bridges, Articulation, TwoEcc = Value }
 
-  private def runFor(mode: Mode.Value): DataFrame = {
+  private def runFor(mode: Mode.Value): DataFrame = runModes(Set(mode))(mode)
+
+  private def runModes(modes: Set[Mode.Value]): Map[Mode.Value, DataFrame] = {
     val und = canonical.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val result =
+    val results =
       if (smallGraphThresholdV > 0 && und.count() <= smallGraphThresholdV) {
-        val r = runLocal(und, mode)
+        val r = modes.iterator.map(m => m -> runLocal(und, m)).toMap
         und.unpersist(false)
         r
-      } else runDistributed(und, mode)
-    if (mode == Mode.Bridges)
-      result.select(col("ea").as(SRC), col("eb").as(DST), col("is_bridge"))
-    else result
+      } else runDistributed(und, modes)
+    results.map { case (m, result) =>
+      m -> (if (m == Mode.Bridges)
+        result.select(col("ea").as(SRC), col("eb").as(DST), col("is_bridge"))
+      else result)
+    }
   }
 
   // ---------------------------------------------------------------- local
@@ -211,7 +226,8 @@ class TwoConnectivity(g: GraphFrame) {
 
   // ---------------------------------------------------------- distributed
 
-  private def runDistributed(und: DataFrame, mode: Mode.Value): DataFrame = {
+  private def runDistributed(und: DataFrame,
+      modes: Set[Mode.Value]): Map[Mode.Value, DataFrame] = {
     val spark = g.vertices.sparkSession
     // one manager PER evolving frame: a cycle() frees the manager's older
     // frames, so dist and anc cycling through one queue would free each
@@ -307,27 +323,19 @@ class TwoConnectivity(g: GraphFrame) {
     val bridgeEdges = treeEdges.join(covered, Seq("child"), "left_anti")
       .select(col("ea"), col("eb"), lit(true).as("is_bridge"))
 
-    def finishAndClose(df: DataFrame): DataFrame = {
-      val r = mgr.finish(df) // materializes self-contained, closes mgr
-      mgrD.close()
-      und.unpersist(false)
-      r
-    }
-
-    mode match {
-      case Mode.Bridges =>
-        finishAndClose(und.join(bridgeEdges, Seq("ea", "eb"), "left_outer")
+    val readouts: Map[Mode.Value, DataFrame] = modes.iterator.map {
+      case Mode.Bridges => Mode.Bridges ->
+        und.join(bridgeEdges, Seq("ea", "eb"), "left_outer")
           .select(col("ea"), col("eb"),
-            coalesce(col("is_bridge"), lit(false)).as("is_bridge")))
+            coalesce(col("is_bridge"), lit(false)).as("is_bridge"))
 
       case Mode.TwoEcc =>
         val nonBridge = und.join(bridgeEdges.select("ea", "eb"),
           Seq("ea", "eb"), "left_anti")
-        val ecc = new ConnectedComponents(GraphFrame(g.vertices.select(col(ID)),
+        Mode.TwoEcc -> new ConnectedComponents(GraphFrame(g.vertices.select(col(ID)),
             nonBridge.select(col("ea").as(SRC), col("eb").as(DST))))
           .setUseLabelsAsComponents(true).run()
           .select(col(ID), col("component"))
-        finishAndClose(ecc)
 
       case Mode.Articulation =>
         // child c escapes above its parent iff some crossing non-tree
@@ -371,9 +379,17 @@ class TwoConnectivity(g: GraphFrame) {
           .select(col("p").as(ID),
             when(col("dp") > 0, col("n_trapped") > 0)
               .otherwise(col("n_groups") >= 2).as("art"))
-        finishAndClose(g.vertices.select(col(ID))
+        Mode.Articulation -> g.vertices.select(col(ID))
           .join(perParent, Seq(ID), "left_outer")
-          .select(col(ID), coalesce(col("art"), lit(false)).as("is_articulation")))
-    }
+          .select(col(ID), coalesce(col("art"), lit(false)).as("is_articulation"))
+    }.toMap
+
+    // every readout is cut/materialized self-contained BEFORE the shared
+    // state is freed — finishAll closes mgr after the last cut
+    val keys = readouts.keys.toSeq
+    val cut = mgr.finishAll(keys.map(readouts))
+    mgrD.close()
+    und.unpersist(false)
+    keys.zip(cut).toMap
   }
 }

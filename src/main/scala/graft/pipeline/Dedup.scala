@@ -75,14 +75,59 @@ object Dedup {
     val keptBlocks = t.groupBy("_blk").agg(count(lit(1)).as("_w"))
       .filter(col("_w") <= maxBlock).select("_blk")
     // both self-join sides read the block-filtered frame — persist it
-    // (the ngramJaccard shared-frame discipline)
+    // (the ngramJaccard shared-frame discipline); release after consuming
+    // via [[graft.pipeline.releaseShared]]
     val kept = t.join(keptBlocks, "_blk")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the O(len²) verify runs ONCE per candidate pair: the distance is
+    // computed inside a single explode(filter(array(...))) expression
+    // whose empty array drops rejected pairs — a `withColumn` + Filter
+    // spelling evaluates levenshtein TWICE, because predicate pushdown
+    // inlines the alias into the filter condition and Filter/Project are
+    // separate operators (codegen CSE never spans them; see [[bindOnce]])
     kept.as("a").join(kept.as("b"), "_blk")
       .filter(col("a._id") < col("b._id"))
-      .filter(levenshtein(col("a._t"), col("b._t")) <= maxDist)
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
-        levenshtein(col("a._t"), col("b._t")).cast("int").as("dist"))
+        explode(filter(array(levenshtein(col("a._t"), col("b._t")).cast("int")),
+          d => d <= maxDist)).as("dist"))
+  }
+
+  /** Multi-key blocking overload — the standard multi-PASS blocking of
+   * record linkage: a pair becomes a candidate when the two rows share
+   * the value of ANY of the `blockKeys` (union of per-key blocks), which
+   * rescues recall when a single key is brittle (a typo in the prefix
+   * hides a dup the phonetic key still catches). Null key values never
+   * block. Scale shape: candidates are DEDUPED across keys BEFORE the
+   * verify, so the O(len²) distance runs once per distinct pair however
+   * many keys propose it; each key's blocks respect `maxBlock`
+   * independently (over-wide blocks drop loudly, as in the single-key
+   * path). Returns (id_a, id_b, dist) with id_a < id_b. */
+  def fuzzyPairs(df: DataFrame, idCol: String, textCol: String,
+      blockKeys: Seq[Column], maxDist: Int, maxBlock: Int): DataFrame = {
+    require(blockKeys.nonEmpty, "blockKeys must be non-empty")
+    require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    require(maxBlock >= 2, s"maxBlock must be >= 2: $maxBlock")
+    val base = df.select(col(idCol).as("_id"), col(textCol).as("_t"))
+    // (key-index, key-value) pairs: the index keeps key spaces disjoint,
+    // so identical values under DIFFERENT keys never merge into one block
+    val keyed = df.select(col(idCol).as("_id"),
+        posexplode(array(blockKeys.map(_.cast("string")): _*))
+          .as(Seq("_ki", "_blk")))
+      .filter(col("_blk").isNotNull)
+    val keptBlocks = keyed.groupBy("_ki", "_blk").agg(count(lit(1)).as("_w"))
+      .filter(col("_w") <= maxBlock).select("_ki", "_blk")
+    val kept = keyed.join(keptBlocks, Seq("_ki", "_blk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = kept.as("a").join(kept.as("b"), Seq("_ki", "_blk"))
+      .filter(col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("_id").as("id_a"), col("_t").as("_ta")), "id_a")
+      .join(base.select(col("_id").as("id_b"), col("_t").as("_tb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        explode(filter(array(levenshtein(col("_ta"), col("_tb")).cast("int")),
+          d => d <= maxDist)).as("dist"))
   }
 
   /** Let-binding for Column expressions: evaluates `value` exactly once

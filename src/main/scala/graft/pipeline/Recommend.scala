@@ -37,7 +37,8 @@ object Recommend {
       .filter(col("_w") <= maxBasket).select("_b")
     // the deduped item frame feeds the width filter and BOTH self-join
     // sides — exchange reuse across aliases is not guaranteed, so persist
-    // (MEMORY_AND_DISK: narrow rows, spills rather than OOMs at scale)
+    // (MEMORY_AND_DISK: narrow rows, spills rather than OOMs at scale);
+    // release after consuming via [[graft.pipeline.releaseShared]]
     val kept = items.join(keptBaskets, "_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     kept.as("x").join(kept.as("y"), "_b")

@@ -221,6 +221,42 @@ object Sampling {
    * partitioning. One shuffle on the group key + an in-partition
    * row_number; no global sort. Fractions vary by group size — for a
    * fixed RATE per stratum use [[stratifiedHashSample]] instead. */
+  /** Token-budget corpus selection — the data-mixing cut after scoring:
+   * within each group (language / domain), rank rows by
+   * (`scoreCol` desc, `idCol` asc) and keep the PREFIX whose cumulative
+   * `tokenCol` stays within `budgetPerGroup` (the running sum includes
+   * the current row, so the first over-budget row and everything ranked
+   * below it are cut). Prefix-cut, not skip-and-continue: the sequential
+   * knapsack variant that skips a too-big document and keeps filling is
+   * inherently serial, while the prefix rule is one window pass and is
+   * the standard large-scale approximation. Returns the kept rows as
+   * (idCol, groupCol, tokenCol, rank, cum_tokens).
+   *
+   * Scale shape: one window partitioned by group — groups are languages
+   * or domains (dozens to thousands), and each group's rows sort within
+   * one partition; for a group too hot to sort in one task, sub-bucket
+   * upstream or raise executor memory (same envelope as [[groupSample]]).
+   */
+  def budgetSelect(df: DataFrame, idCol: String, groupCol: String,
+      tokenCol: String, scoreCol: String, budgetPerGroup: Long): DataFrame = {
+    require(budgetPerGroup >= 1,
+      s"budgetSelect needs budgetPerGroup >= 1, got $budgetPerGroup")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("_score").desc, col(idCol).asc)
+    // the score rides under an internal alias so scoreCol == tokenCol
+    // (rank big-docs-first) needs no special case
+    df.select(col(idCol), col(groupCol), col(tokenCol), col(scoreCol).as("_score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      // ROWS, not the default RANGE frame: identical under a unique id
+      // tie-break, but explicit is replayable in any engine
+      .withColumn("cum_tokens", sum(col(tokenCol).cast("long")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .filter(col("cum_tokens") <= budgetPerGroup)
+      .select(col(idCol), col(groupCol), col(tokenCol), col("rank"), col("cum_tokens"))
+  }
+
   def groupSample(df: DataFrame, groupCol: String, idCol: String, k: Int,
       seed: Long = 42L): DataFrame = {
     require(k >= 1, s"groupSample needs k >= 1, got $k")

@@ -57,7 +57,11 @@ object Sketches {
   def cmsEstimate(counters: DataFrame, keys: DataFrame, keyCol: String,
       depth: Int, width: Int, seed: Long = 42L): DataFrame = {
     checkDims(depth, width)
+    // drop null candidate keys, mirroring cmsCounters: a null key would
+    // survive distinct(), hash as the bare "seed|row" prefix (concat_ws
+    // skips nulls) and emit a spurious (null, est) row
     val cells = keys.select(col(keyCol).cast("string").as("key")).distinct()
+      .filter(col("key").isNotNull)
       .withColumn("row", explode(sequence(lit(0), lit(depth - 1))))
       .withColumn("bucket", bucket(seed, col("row"), col("key"), width))
     cells.join(broadcast(counters), Seq("row", "bucket"), "left")

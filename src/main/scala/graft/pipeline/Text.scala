@@ -92,7 +92,9 @@ object Text {
     val hot = tf.groupBy("_t").agg(count(lit(1)).as("_df"))
       .filter(col("_df") > maxDocFreq).select("_t")
     // the capped TF frame feeds the norms and BOTH self-join sides —
-    // persist (same shared-frame discipline as ngramJaccard's shingles)
+    // persist (same shared-frame discipline as ngramJaccard's shingles);
+    // the pin outlives this call — release it after consuming the result
+    // via [[graft.pipeline.releaseShared]]
     val kept = tf.join(broadcast(hot), Seq("_t"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val norms = kept.groupBy("_id").agg(sum(col("_tf") * col("_tf")).as("_n2"))
@@ -666,6 +668,57 @@ object Text {
     df.select(col(idCol)).join(scored.withColumnRenamed("_d_id", idCol), Seq(idCol), "left_outer")
       .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         round(coalesce(col("_s"), lit(0.0)), 4).as("lm_score"))
+  }
+
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+   * Language Models via Importance Resampling", NeurIPS 2023): score each
+   * document by how target-like its HASHED BIGRAM distribution is. Every
+   * bigram hashes to one of `buckets` cells (60-bit md5 fraction mod B,
+   * replayable in any engine); the per-doc log importance weight is
+   * Σ_b n_d(b) · (log p̂_tgt(b) − log p̂_raw(b)) with add-`alpha` smoothed
+   * bucket unigram estimates — p̂(b) = (c(b) + α) / (N + α·B). `targetPred`
+   * marks the in-domain rows (the target sample); the raw distribution is
+   * the whole input. Returns (idCol, n_bigrams, log_weight 6dp); docs
+   * with < 2 tokens weigh 0. Rank/resample on log_weight downstream.
+   *
+   * Scale shape: the two histograms are GLOBAL B-cell aggregates (B ≤ 2^20
+   * — a fixed-size side table at any corpus size) joined back to the
+   * per-doc bucket counts via broadcast; one corpus scan feeds both
+   * histograms and the doc counts, and nothing ever shuffles the raw
+   * token stream — only (doc, bucket, n) rows. */
+  def dsirWeights(df0: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 1024, alpha: Double = 0.5): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets out of [2, ${1 << 20}]: $buckets — the histograms are broadcast")
+    require(alpha > 0, s"alpha must be > 0: $alpha")
+    val df = ensureParallelism(df0)
+    val b = pmod(conv(substring(md5(col("_bg")), 1, 15), 16, 10).cast("long"),
+      lit(buckets.toLong))
+    val docB = df.select(col(idCol).as("_d_id"), targetPred.as("_tgt"),
+        explode(wordShingles(col(textCol), 2)).as("_bg"))
+      .select(col("_d_id"), col("_tgt"), b.as("_b"))
+      .groupBy("_d_id", "_tgt", "_b").agg(count(lit(1)).as("_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both histograms fold the already-aggregated (doc, bucket, n) frame —
+    // the raw token stream is aggregated exactly once
+    val hist = docB.groupBy("_b").agg(
+      sum(when(col("_tgt"), col("_n")).otherwise(lit(0L))).as("_ct"),
+      sum(col("_n")).as("_cr"))
+    val totals = hist.agg(sum(col("_ct")).cast("double").as("_nt"),
+      sum(col("_cr")).cast("double").as("_nr"))
+    val aB = lit(alpha * buckets)
+    val scored = docB
+      .join(broadcast(hist), Seq("_b"))
+      .crossJoin(broadcast(totals))
+      .select(col("_d_id"), col("_n"),
+        (col("_n") * (log((col("_ct") + lit(alpha)) / (col("_nt") + aB)) -
+          log((col("_cr") + lit(alpha)) / (col("_nr") + aB)))).as("_lw"))
+      .groupBy("_d_id")
+      .agg(sum(col("_n")).as("n_bigrams"), sum(col("_lw")).as("_s"))
+    df.select(col(idCol)).join(scored.withColumnRenamed("_d_id", idCol),
+        Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(coalesce(col("_s"), lit(0.0)), 6).as("log_weight"))
   }
 
   /** Frequency vocabulary + out-of-vocabulary rate — the tokenizer-prep

@@ -13,6 +13,21 @@ package object pipeline {
    * `files.maxPartitionBytes` into plenty of tasks; adding a round-robin
    * shuffle there would only move data for nothing).
    */
+  /**
+   * Release hook for operator-internal shared-frame pins. Some operators
+   * `persist` an internal frame their lazy result reads more than once
+   * ([[Dedup.fuzzyPairs]]' block-filtered side, [[Recommend]]'s basket
+   * pairs, [[Text.tfCosinePairs]]' normalized vectors,
+   * [[graft.lib.Cliques]]' oriented edges) — the operator cannot
+   * unpersist before the caller materializes, so call this AFTER the
+   * result is consumed (written / collected): it uncaches exactly the
+   * cached frames the result's plan references, non-cascading. A
+   * long-lived session that never releases keeps one pinned frame per
+   * operator call in the storage pool until LRU eviction.
+   */
+  def releaseShared(result: DataFrame): Unit =
+    org.apache.spark.sql.graftshim.GraftShims.uncacheReferenced(result)
+
   private[pipeline] def ensureParallelism(df: DataFrame): DataFrame = {
     // streaming frames have no static partitioning to probe (and .rdd is
     // illegal on them); micro-batch parallelism comes from the source

@@ -119,6 +119,36 @@ object EventStreams {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH").as("window_start"),
         col("event_type"), col("user_id"), col("n_events"))
 
+  /** Streaming approximate-distinct users per (hour window, event type) —
+   * a KMV (k-minimum-values) sketch as ONE streaming aggregation: the
+   * state per group is the k smallest DISTINCT 60-bit md5 fractions of
+   * the user ids ([[graft.expressions.KMinSampling.distinctLong]] — the
+   * buffer dedups internally, so no second stateful `distinct` operator
+   * is needed), merged across micro-batches by the aggregator's partial
+   * merge. O(k) state per group however many users stream by; the
+   * estimate (k-1)/h_k (exact count below k) replays bit-identically in
+   * any engine from the same hashes. Matches the batch
+   * [[graft.pipeline.Sampling.approxDistinct]] estimator exactly. */
+  def kmvDistinctStream(events: DataFrame, k: Int = 16,
+      watermark: String = "2 hours", complete: Boolean = false): DataFrame = {
+    require(k >= 3, s"kmvDistinctStream needs k >= 3 (got $k)")
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val kmin = graft.expressions.KMinSampling.distinctLong(k)
+    (if (complete) events else events.withWatermark("ts_utc", watermark))
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(window(col("ts_utc"), "1 hour").as("w"), col("event_type"), h.as("_h"))
+      .groupBy(col("w"), col("event_type"))
+      .agg(kmin(col("_h")).as("_mins"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH").as("window_start"),
+        col("event_type"),
+        when(size(col("_mins")) < k, size(col("_mins")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (element_at(col("_mins"), k).cast("double") /
+              lit(1152921504606846976.0 /* 2^60 */)))
+          .as("approx_distinct"))
+  }
+
   /** Streaming heavy hitters, stage 2 (batch finisher): top-k users per
    * (window, type) by count — ties broken by user_id ascending, so the
    * cut is deterministic. One shuffle on the group key, an in-partition
@@ -288,6 +318,11 @@ object EventStreams {
           .localCheckpoint(true)
         sink(graft.pipeline.Dedup.incrementalNearDupsIndexed(
           newIdx, idCol, index, matchNewPairs, numHashes, minEstJaccard), batchId)
+        // unlike grow mode (whose checkpointed frames ARE the live
+        // index), this batch's cut is dead once the sink consumed it —
+        // release its blocks, or a long-running stream accumulates one
+        // checkpointed RDD per micro-batch without bound
+        graft.lib.IterationManager.release(newIdx)
       }
     }
   }

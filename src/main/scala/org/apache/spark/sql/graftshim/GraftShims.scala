@@ -57,4 +57,27 @@ object GraftShims {
       .queryExecution.analyzed.collect {
         case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
       }
+
+  /** Uncache (non-cascading) every CacheManager entry whose cached plan
+   * appears as a subtree of this frame's analyzed plan — the release hook
+   * for operators that `persist` an internal shared frame their lazy
+   * result consumes more than once (fuzzyPairs' block-filtered side,
+   * Cliques' oriented edges, Recommend's basket pairs, tfCosine's
+   * normalized vectors): the operator cannot unpersist before the caller
+   * materializes, so the caller calls this AFTER consuming the result.
+   * Non-cascading: a cached frame built ON TOP of a released one keeps
+   * its own materialized blocks. */
+  def uncacheReferenced(df: DataFrame): Unit = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val spark = ds.sparkSession
+    val cm = spark.sharedState.cacheManager
+    // distinct cached subtrees first (uncaching while walking would
+    // re-run sameResult checks against a shrinking cache mid-traversal)
+    val hits = scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
+    ds.queryExecution.analyzed.foreach { sub =>
+      if (cm.lookupCachedData(spark, sub).isDefined &&
+          !hits.exists(_.sameResult(sub))) hits += sub
+    }
+    hits.foreach(p => cm.uncacheQuery(spark, p, cascade = false))
+  }
 }

@@ -171,11 +171,16 @@ class GraphFrameMethods:
         return self._call("cliques4")
 
     def maximalMatching(self, maxIter: Optional[int] = None,
-                        seed: Optional[int] = None):
+                        seed: Optional[int] = None,
+                        weightCol: Optional[str] = None):
         """Maximal matching by locally-minimum md5 edge priorities (the
         edge-centric Luby sibling of maximalIndependentSet): rows
-        (src, dst, round) with src < dst; deterministic per seed."""
-        return self._call("maximal_matching", maxIter=maxIter, seed=seed)
+        (src, dst, round) with src < dst; deterministic per seed.
+        ``weightCol`` switches to locally-DOMINANT edges (weight desc,
+        md5 tie-break) — the Preis greedy 1/2-approximation of maximum
+        weight matching; rows gain a ``weight`` column."""
+        return self._call("maximal_matching", maxIter=maxIter, seed=seed,
+                          weightCol=weightCol)
 
     def voronoi(self, seeds: list):
         """Closest-seed (Voronoi) partition: every vertex assigned to the
@@ -785,6 +790,15 @@ class PipelineMethods:
         return self._call("pipe_fuzzy_pairs", idCol=idCol, textCol=textCol,
                           blockExpr=blockExpr, blockExprs=blockExprs,
                           maxDist=maxDist, maxBlock=maxBlock)
+
+    def hashSplit(self, idCol: str, fractions: dict,
+                  seed: Optional[int] = None):
+        """Deterministic train/val/test split: 16-bit md5 fraction of
+        (seed, id) against cumulative name-order thresholds; fractions
+        must sum to 1. Adds a ``split`` column; stable under corpus
+        growth."""
+        return self._call("pipe_hash_split", idCol=idCol,
+                          fractions=fractions, seed=seed)
 
     def dsirWeights(self, idCol: str, textCol: str, targetExpr: str,
                     buckets: Optional[int] = None,

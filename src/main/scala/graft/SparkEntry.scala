@@ -770,6 +770,14 @@ object SparkEntry {
       // agg/join rounds forced (threshold 0) on the SAME replay oracle
       graphB(s, dir).maximalMatching.seed(42L)
         .setSmallGraphThreshold(0).run()),
+    "g_matching_weighted" -> ((s, dir) => { // locally-DOMINANT edges
+      // (weight desc, md5 asc): Preis greedy 1/2-approx max-weight
+      // matching; canonical pairs take the MAX over directed duplicates
+      val e = nationEdges(s, dir).withColumn("w",
+        (pmod(col(SRC) * 7 + col(DST) * 3, lit(5)) + 1).cast("double"))
+      GraphFrame(load(s, dir, "nation").select(col("n_nationkey").as(ID)), e)
+        .maximalMatching.seed(42L).weightCol("w").run()
+    }),
     "g_cycles" -> ((s, dir) =>
       // array columns break the driver's pandas canonicalizer: ship the
       // cycle as a joined string (oracle uses array_to_string likewise)
@@ -1424,6 +1432,12 @@ object SparkEntry {
       // rank/resample on log_weight downstream
       pipeline.Text.dsirWeights(load(s, dir, "documents"), "doc_id", "text",
         col("lang") === "en", buckets = 1024, alpha = 0.5)),
+    "p_hash_split" -> ((s, dir) => // deterministic train/val/test split:
+      // 16-bit md5 fraction of (seed, id) against cumulative thresholds
+      // (name order) — stable under corpus growth, unlike modulo splits
+      pipeline.Sampling.hashSplit(load(s, dir, "documents"), "doc_id",
+        Map("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))),
     "p_budget_select" -> ((s, dir) => // per-language token-budget prefix
       // cut: rank by (n_chars desc, doc_id), keep while the running sum
       // stays within 20k chars — the data-mixing selection step
@@ -2858,6 +2872,40 @@ object SparkEntry {
        |SELECT src, dst, round FROM ($wins)""".stripMargin
   }
 
+  /** Weighted (locally-dominant) matching replay: winner rule
+   * (weight desc, md5 asc) per endpoint via ROW_NUMBER; canonical pairs
+   * take MAX weight over directed duplicates. */
+  private def weightedMatchingSql(rounds: Int, seed: Long): String = {
+    def p(k: Int) =
+      s"md5(CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR) || '|$seed|$k')"
+    val steps = (0 until rounds).map { k =>
+      s"""p$k AS MATERIALIZED (SELECT a, b, w, ${p(k)} AS p FROM e$k),
+         |x$k AS MATERIALIZED (SELECT a AS v, a, b, w, p FROM p$k
+         |  UNION ALL SELECT b, a, b, w, p FROM p$k),
+         |r$k AS MATERIALIZED (SELECT *, ROW_NUMBER() OVER (PARTITION BY v
+         |  ORDER BY w DESC, p ASC) AS rn FROM x$k),
+         |w$k AS MATERIALIZED (SELECT r1.a, r1.b, r1.w FROM r$k r1
+         |  JOIN r$k r2 ON r1.a = r2.a AND r1.b = r2.b
+         |    AND r1.v = r1.a AND r2.v = r2.b
+         |  WHERE r1.rn = 1 AND r2.rn = 1),
+         |mv$k AS MATERIALIZED (SELECT a AS v FROM w$k UNION SELECT b FROM w$k),
+         |e${k + 1} AS MATERIALIZED (SELECT a, b, w FROM e$k
+         |  WHERE a NOT IN (SELECT v FROM mv$k)
+         |  AND b NOT IN (SELECT v FROM mv$k))""".stripMargin
+    }.mkString(",\n")
+    val wins = (0 until rounds)
+      .map(k => s"SELECT a AS src, b AS dst, w AS weight, " +
+        s"CAST($k AS INT) AS round FROM w$k")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS MATERIALIZED ($NE),
+       |e0 AS MATERIALIZED (SELECT LEAST(src, dst) AS a,
+       |  GREATEST(src, dst) AS b,
+       |  MAX(CAST((src * 7 + dst * 3) % 5 + 1 AS DOUBLE)) AS w
+       |  FROM e GROUP BY 1, 2),
+       |$steps
+       |SELECT src, dst, weight, round FROM ($wins)""".stripMargin
+  }
+
   private def misSql(rounds: Int, seed: Long): String = {
     def p(x: String, r: Int) = s"md5(CAST($x AS VARCHAR) || '|$seed|$r')"
     val steps = (0 until rounds).map { k =>
@@ -4109,6 +4157,7 @@ object SparkEntry {
     // post-fixpoint rounds are empty no-ops — never undershoots
     "g_matching" -> matchingSql(14, 42L),
     "g_matching_dist" -> matchingSql(14, 42L),
+    "g_matching_weighted" -> weightedMatchingSql(14, 42L),
     "g_random_walks" -> randomWalksSql(4, 2, 42L),
     "g_random_walks_weighted" -> weightedWalksSql(3, 2, 42L),
     "g_node2vec" -> node2vecSql(3, 2, 42L, 0.5, 4.0),
@@ -5022,6 +5071,16 @@ object SparkEntry {
          |  ROUND(COALESCE(sc.s, 0.0), 6) AS log_weight
          |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
     },
+    // 16-bit md5 split draw vs cumulative name-order thresholds:
+    // test 6554, train 6554+52429=58983, val absorbs the tail
+    "p_hash_split" ->
+      s"""SELECT doc_id, CASE
+         |  WHEN (${duckHex4("md5('42|' || CAST(doc_id AS VARCHAR))")}) < 6554
+         |    THEN 'test'
+         |  WHEN (${duckHex4("md5('42|' || CAST(doc_id AS VARCHAR))")}) < 58983
+         |    THEN 'train'
+         |  ELSE 'val' END AS split
+         |FROM documents""".stripMargin,
     // prefix-cut budget selection: biggest docs first, running sum caps
     // each language at 20k chars
     "p_budget_select" ->

@@ -17,6 +17,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // match Bench (and production): AQE coalesces the 32-partition
+      // shuffles of the tiny fixture graphs — every query result is
+      // value-deterministic by design, so runtime re-planning is safe
+      .config("spark.sql.adaptive.enabled", "true")
       // driver testdata writes TIMESTAMP(NANOS) parquet, unsupported by
       // Spark's reader — surface it as Long nanos instead
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -94,7 +94,8 @@ object GraftConnectDispatch {
     "sample_vertices" -> Set("fraction", "seed", "part"),
     "sample_edges" -> Set("fraction", "seed", "part"),
     "maximal_independent_set" -> Set("maxIter", "hashMode"),
-    "maximal_matching" -> Set("maxIter", "seed", "smallGraphThreshold"),
+    "maximal_matching" -> Set("maxIter", "seed", "weightCol",
+      "smallGraphThreshold"),
     "voronoi" -> Set("seeds"),
     "detecting_cycles" -> Set("maxIter"),
     "random_walks" -> Set("walkLength", "walksPerVertex", "restartProb",
@@ -133,6 +134,7 @@ object GraftConnectDispatch {
     "pipe_redact_pii" -> Set("idCol", "textCol"),
     "pipe_hash_sample" -> Set("idCol", "fraction", "seed"),
     "pipe_mixture_sample" -> Set("idCol", "strataCol", "fractions", "seed"),
+    "pipe_hash_split" -> Set("idCol", "fractions", "seed"),
     "pipe_importance_sample" -> Set("idCol", "weightCol", "targetFraction", "seed"),
     "pipe_bigram_lm" -> Set("idCol", "textCol", "alpha"),
     "pipe_nb_classifier" -> Set("idCol", "textCol", "labelCol",
@@ -391,6 +393,23 @@ object GraftConnectDispatch {
                 "(object of stratum -> fraction)")
           }
           Sampling.mixtureSample(t, id, required("strataCol"), fractions,
+            seed = params.get("seed").collect {
+              case JInt(i) => i.toLong
+              case JLong(l) => l
+            }.getOrElse(42L))
+        case "pipe_hash_split" =>
+          val fractions = params.get("fractions") match {
+            case Some(JObject(kvs)) => kvs.map {
+              case (k, JDouble(d)) => k -> d
+              case (k, JInt(i)) => k -> i.toDouble
+              case (k, other) => throw new IllegalArgumentException(
+                s"fractions['$k'] must be numeric, got: $other")
+            }.toMap
+            case _ => throw new IllegalArgumentException(
+              "pipe_hash_split requires params_json key 'fractions' " +
+                "(object of split -> fraction, summing to 1)")
+          }
+          Sampling.hashSplit(t, id, fractions,
             seed = params.get("seed").collect {
               case JInt(i) => i.toLong
               case JLong(l) => l
@@ -754,6 +773,7 @@ object GraftConnectDispatch {
         val mm = g.maximalMatching
         int("maxIter").foreach(mm.maxIter)
         int("seed").foreach(s => mm.seed(s.toLong))
+        str("weightCol").foreach(mm.weightCol)
         int("smallGraphThreshold").foreach(n => mm.setSmallGraphThreshold(n.toLong))
         mm.run()
       case "voronoi" =>

@@ -28,12 +28,22 @@ import graft.GraphFrame
  * canonical ordering and `round` the 0-based round the edge won. With
  * enough rounds to reach the fixpoint the result is a maximal matching:
  * every unmatched edge has a matched endpoint.
+ *
+ * With [[weightCol]] the winner rule becomes LOCALLY DOMINANT instead of
+ * locally minimum: an edge wins when it is the heaviest remaining edge at
+ * both endpoints (weight desc, md5 asc tie-break — a total order, so the
+ * per-vertex best is unique). That is the Preis / Manne–Bisseling greedy
+ * scheme: the result is maximal AND a 1/2-approximation of the maximum
+ * weight matching (every dominant edge outweighs each edge it blocks).
+ * Parallel/antiparallel duplicates collapse to the canonical pair with
+ * their MAX weight; `(src, dst, weight, round)` is returned.
  */
 class MaximalMatching(g: GraphFrame) {
   import GraphFrame.{ID, SRC, DST}
 
   private var maxIterV: Int = 100
   private var seedV: Long = 42L
+  private var weightColV: Option[String] = None
   private var smallGraphThresholdV: Long =
     graft.GraftConf.linkAnalysisSmallGraphThreshold.getOrElse(100000L)
 
@@ -41,15 +51,31 @@ class MaximalMatching(g: GraphFrame) {
     require(n >= 1, s"maxIter must be >= 1: $n"); maxIterV = n; this
   }
   def seed(s: Long): this.type = { seedV = s; this }
+  /** Edge weight column → locally-dominant (maximum-weight greedy)
+   * matching, the Preis 1/2-approximation. Weights must be non-null. */
+  def weightCol(c: String): this.type = {
+    require(g.edges.columns.contains(c), s"edges have no column '$c'")
+    weightColV = Some(c); this
+  }
   /** EDGE-count threshold for the bounded driver tail (0 disables). The
    * tail replays the identical md5 rounds, so the paths agree exactly. */
   def setSmallGraphThreshold(n: Long): this.type = { smallGraphThresholdV = n; this }
 
   def run(): DataFrame = {
+    // canonical simple undirected edges; parallel/antiparallel duplicates
+    // collapse with their MAX weight (deterministic, favors the dominant
+    // rule); unweighted mode rides the same shape at constant weight 0
+    val wExpr = weightColV.map(c =>
+      col(GraphFrame.quoteName(c)).cast("double")).getOrElse(lit(0.0))
+    weightColV.foreach { c =>
+      val wc = col(GraphFrame.quoteName(c))
+      require(g.edges.filter(wc.isNull).isEmpty,
+        s"maximalMatching: null weights in '$c'")
+    }
     val und = g.edges.filter(col(SRC) =!= col(DST))
       .select(least(col(SRC), col(DST)).as("ea"),
-        greatest(col(SRC), col(DST)).as("eb"))
-      .distinct()
+        greatest(col(SRC), col(DST)).as("eb"), wExpr.as("_w"))
+      .groupBy("ea", "eb").agg(max(col("_w")).as("_w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (smallGraphThresholdV > 0 && und.count() <= smallGraphThresholdV) {
       val r = runLocal(und)
@@ -64,15 +90,19 @@ class MaximalMatching(g: GraphFrame) {
     while (round < maxIterV && !done) {
       val pri = md5(concat_ws("|", col("ea").cast("string"),
         col("eb").cast("string"), lit(seedV), lit(round)))
-      val ep = er.select(col("ea"), col("eb"), pri.as("p"))
-      val vmin = ep.select(col("ea").as("v"), col("p"))
-        .unionAll(ep.select(col("eb").as("v"), col("p")))
-        .groupBy(col("v")).agg(min(col("p")).as("m"))
+      // composite priority (weight desc, md5 asc) as an orderable struct —
+      // md5 strings over distinct pairs are distinct, so the per-vertex
+      // minimum is a strict winner; unweighted mode degenerates to md5
+      val ep = er.select(col("ea"), col("eb"), col("_w"),
+        struct((-col("_w")).as("_nw"), pri.as("_p")).as("s"))
+      val vmin = ep.select(col("ea").as("v"), col("s"))
+        .unionAll(ep.select(col("eb").as("v"), col("s")))
+        .groupBy(col("v")).agg(min(col("s")).as("m"))
       val winners = mgr.persistOnly(
         ep.join(vmin.select(col("v").as("ea"), col("m").as("ma")), "ea")
           .join(vmin.select(col("v").as("eb"), col("m").as("mb")), "eb")
-          .filter(col("p") === col("ma") && col("p") === col("mb"))
-          .select(col("ea"), col("eb"), lit(round).as("round")))
+          .filter(col("s") === col("ma") && col("s") === col("mb"))
+          .select(col("ea"), col("eb"), col("_w"), lit(round).as("round")))
       matched = Some(matched.map(_.unionAll(winners)).getOrElse(winners))
       val mv = winners.select(col("ea").as("v"))
         .unionAll(winners.select(col("eb").as("v"))).distinct()
@@ -85,59 +115,68 @@ class MaximalMatching(g: GraphFrame) {
       done = er.isEmpty
       round += 1
     }
-    val out = mgr.finish(matched
-      .map(_.select(col("ea").as(SRC), col("eb").as(DST),
-        col("round").cast("int").as("round")))
-      .getOrElse(und.limit(0).select(col("ea").as(SRC), col("eb").as(DST),
-        lit(0).cast("int").as("round"))))
+    val cols = Seq(col("ea").as(SRC), col("eb").as(DST)) ++
+      (if (weightColV.isDefined) Seq(col("_w").as("weight")) else Nil) ++
+      Seq(col("round").cast("int").as("round"))
+    val out = mgr.finish(matched.map(_.select(cols: _*))
+      .getOrElse(und.limit(0).withColumn("round", lit(0)).select(cols: _*)))
     und.unpersist(false)
     out
   }
 
-  /** Driver tail: identical level-synchronous md5 rounds — md5 hex
-   * strings order the same way Spark's string min orders them, so the
-   * tail, the distributed rounds and the SQL oracle agree exactly. */
+  /** Driver tail: identical level-synchronous rounds — md5 hex strings
+   * order the same way Spark's string min orders them and the composite
+   * (-weight, md5) mirrors the distributed struct min, so the tail, the
+   * distributed rounds and the SQL oracle agree exactly. */
   private def runLocal(und: DataFrame): DataFrame = {
     import scala.collection.mutable
     val edges = und.collect().iterator
       .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
-      .map(r => (r.get(0), r.get(1))).toArray
-      .sortBy { case (a, b) => (String.valueOf(a), String.valueOf(b)) }
+      .map(r => (r.get(0), r.get(1), r.getDouble(2))).toArray
+      .sortBy { case (a, b, _) => (String.valueOf(a), String.valueOf(b)) }
     def h(a: Any, b: Any, round: Int): String =
       java.security.MessageDigest.getInstance("MD5")
         .digest(s"${String.valueOf(a)}|${String.valueOf(b)}|$seedV|$round"
           .getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
     val remaining = mutable.LinkedHashSet(edges.toSeq: _*)
-    val won = mutable.ArrayBuffer.empty[(Any, Any, Int)]
+    val won = mutable.ArrayBuffer.empty[(Any, Any, Double, Int)]
     var round = 0
     while (round < maxIterV && remaining.nonEmpty) {
-      val hs = remaining.iterator.map(e => e -> h(e._1, e._2, round)).toMap
-      val vmin = mutable.HashMap.empty[Any, String]
-      remaining.foreach { case e @ (a, b) =>
+      val hs = remaining.iterator
+        .map(e => e -> ((-e._3, h(e._1, e._2, round)))).toMap
+      implicit val ord: Ordering[(Double, String)] =
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.String)
+      val vmin = mutable.HashMap.empty[Any, (Double, String)]
+      remaining.foreach { case e @ (a, b, _) =>
         val p = hs(e)
         Seq(a, b).foreach { v =>
-          if (!vmin.get(v).exists(_ <= p)) vmin(v) = p
+          if (!vmin.get(v).exists(m => ord.lteq(m, p))) vmin(v) = p
         }
       }
-      val winners = remaining.toSeq.filter { case e @ (a, b) =>
+      val winners = remaining.toSeq.filter { case e @ (a, b, _) =>
         hs(e) == vmin(a) && hs(e) == vmin(b)
       }
-      winners.foreach { case (a, b) => won += ((a, b, round)) }
-      val mv = winners.iterator.flatMap { case (a, b) => Seq(a, b) }.toSet
-      remaining.filterInPlace { case (a, b) => !mv(a) && !mv(b) }
+      winners.foreach { case (a, b, w) => won += ((a, b, w, round)) }
+      val mv = winners.iterator.flatMap { case (a, b, _) => Seq(a, b) }.toSet
+      remaining.filterInPlace { case (a, b, _) => !mv(a) && !mv(b) }
       round += 1
     }
     val idType = g.vertices.schema(ID).dataType
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField(SRC, idType, nullable = true),
-      org.apache.spark.sql.types.StructField(DST, idType, nullable = true),
-      org.apache.spark.sql.types.StructField("round",
+    def f(name: String) = org.apache.spark.sql.types.StructField(name, idType,
+      nullable = true)
+    val weighted = weightColV.isDefined
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq(f(SRC), f(DST)) ++
+      (if (weighted) Seq(org.apache.spark.sql.types.StructField("weight",
+        org.apache.spark.sql.types.DoubleType, nullable = true)) else Nil) ++
+      Seq(org.apache.spark.sql.types.StructField("round",
         org.apache.spark.sql.types.IntegerType, nullable = false)))
     g.spark.createDataFrame(
       java.util.Arrays.asList(won.sortBy(t =>
         (String.valueOf(t._1), String.valueOf(t._2)))
-        .map(t => org.apache.spark.sql.Row(t._1, t._2, t._3)).toSeq: _*),
+        .map(t => if (weighted) org.apache.spark.sql.Row(t._1, t._2, t._3, t._4)
+          else org.apache.spark.sql.Row(t._1, t._2, t._4)).toSeq: _*),
       schema)
   }
 }

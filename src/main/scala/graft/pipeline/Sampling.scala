@@ -66,6 +66,36 @@ object Sampling {
         < thr)
   }
 
+  /** Deterministic train/val/test split assignment: each row draws the
+   * 16-bit md5 fraction of (seed, id) and lands in the split whose
+   * cumulative threshold range covers it. The assignment is a pure
+   * function of (seed, id) — stable across runs, engines, partitionings
+   * AND corpus growth (adding rows never moves an existing row between
+   * splits, the property date-ordered or modulo-count splits lack).
+   * Fractions must sum to 1; cumulative ranges are taken in split-NAME
+   * order and the last range absorbs the ≤ #splits rounding ulps of the
+   * 2^16 grid. Returns the input plus a `split` column. */
+  def hashSplit(df: DataFrame, idCol: String, fractions: Map[String, Double],
+      seed: Long = 42L): DataFrame = {
+    require(fractions.nonEmpty, "hashSplit: empty fraction map")
+    fractions.foreach { case (k, f) =>
+      require(f >= 0 && f <= 1, s"fraction for '$k' must be in [0,1]: $f") }
+    val total = fractions.values.sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"hashSplit fractions must sum to 1 (a SPLIT covers every row — " +
+        s"use hashSample/mixtureSample to subsample): $total")
+    val cum = fractions.toSeq.sortBy(_._1)
+      .scanLeft(("", 0L)) { case ((_, acc), (k, f)) =>
+        (k, acc + math.round(f * 65536.0)) }.drop(1)
+    val d = draw16(lit(seed), col(idCol).cast("string"))
+    val lastKey = cum.last._1
+    val splitCol = cum.init.foldLeft(Option.empty[Column]) {
+      case (acc, (k, c)) =>
+        Some(acc.map(_.when(d < c, lit(k))).getOrElse(when(d < c, lit(k))))
+    }.map(_.otherwise(lit(lastKey))).getOrElse(lit(lastKey))
+    df.withColumn("split", splitCol)
+  }
+
   /** Pack documents into training shards of ~`budget` units (tokens,
    * bytes) by contiguous fill in `idCol` order (numeric, unique ids):
    * `shard_id = floor(prefix_sum_exclusive(size) / budget)`. Returns

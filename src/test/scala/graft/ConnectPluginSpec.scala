@@ -595,6 +595,39 @@ class ConnectPluginSpec extends TestBase {
       tm.getAs[Double]("p") == 1.0)
   }
 
+  test("dispatch covers round-12 ops: maximal_matching, voronoi, " +
+      "multi-key fuzzy pairs, dsir, budget_select") {
+    val v = spark.sql("SELECT * FROM VALUES (0L),(1L),(2L),(3L) AS t(id)")
+    val e = spark.sql("""SELECT * FROM VALUES (0L,1L),(1L,2L),(2L,3L)
+      AS t(src, dst)""")
+    val mm = GraftConnectDispatch.run(Some(v), e, "maximal_matching",
+      """{"seed": 5}""").collect()
+    val mv = mm.flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+    assert(mv.distinct.length == mv.length && mm.nonEmpty)
+    val vor = GraftConnectDispatch.run(Some(v), e, "voronoi",
+      """{"seeds": [3]}""").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) -1 else r.getInt(2))).toMap
+    assert(vor == Map(0L -> 3, 1L -> 2, 2L -> 1, 3L -> 0), vor.toString)
+    val docs = spark.sql(docSql)
+    val fzm = GraftConnectDispatch.run(scala.None, docs, "pipe_fuzzy_pairs",
+      """{"idCol": "doc_id", "textCol": "text",
+         |"blockExprs": ["substr(text, 1, 3)", "length(text)"],
+         |"maxDist": 0}""".stripMargin)
+    assert(fzm.columns.toSeq == Seq("id_a", "id_b", "dist") && fzm.count() >= 1)
+    val ds = GraftConnectDispatch.run(scala.None, docs, "pipe_dsir",
+      """{"idCol": "doc_id", "textCol": "text",
+         |"targetExpr": "doc_id < 2", "buckets": 64}""".stripMargin)
+    assert(ds.columns.toSeq == Seq("doc_id", "n_bigrams", "log_weight") &&
+      ds.count() == docs.count())
+    val docsN = docs.selectExpr("doc_id", "text", "length(text) AS n")
+    val bs = GraftConnectDispatch.run(scala.None, docsN, "pipe_budget_select",
+      """{"idCol": "doc_id", "groupCol": "text", "tokenCol": "n",
+         |"budget": 1000000}""".stripMargin)
+    assert(bs.columns.toSeq ==
+      Seq("doc_id", "text", "n", "rank", "cum_tokens") &&
+      bs.count() == docs.count())
+  }
+
   test("pipeline op with a vertices relation fails loudly") {
     val docs = spark.sql(docSql)
     val err = intercept[IllegalArgumentException] {

@@ -177,6 +177,21 @@ class Round12Spec extends TestBase {
       }
   }
 
+  test("weighted maximalMatching picks locally dominant edges") {
+    val v = (0L to 2L).toDF("id")
+    val e = Seq((0L, 1L, 1.0), (1L, 2L, 5.0), (0L, 2L, 1.0))
+      .toDF("src", "dst", "w")
+    val g = GraphFrame(v, e)
+    def run(th: Long) = g.maximalMatching.weightCol("w")
+      .setSmallGraphThreshold(th).run()
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // the heaviest edge (1,2) dominates both its endpoints in round 0 and
+    // blocks the rest of the triangle — the Preis greedy pick
+    val tail = run(1000000)
+    assert(tail == Set((1L, 2L, 5.0, 0)), tail.toString)
+    assert(run(0) == tail, "weighted tail != distributed")
+  }
+
   test("maximalMatching on a single edge matches it in round 0") {
     val g = GraphFrame((0L to 1L).toDF("id"), Seq((0L, 1L)).toDF("src", "dst"))
     val got = g.maximalMatching.run().as[(Long, Long, Int)].collect().toSeq
@@ -212,6 +227,25 @@ class Round12Spec extends TestBase {
       got.toString)
   }
 
+  // ---------------- hashSplit ----------------
+
+  test("hashSplit covers every row and is stable under corpus growth") {
+    val fr = Map("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val s1 = pipeline.Sampling.hashSplit((1L to 200L).toDF("id"), "id", fr)
+      .as[(Long, String)].collect().toMap
+    assert(s1.size == 200 &&
+      s1.values.toSet.subsetOf(Set("train", "val", "test")))
+    val s2 = pipeline.Sampling.hashSplit((1L to 400L).toDF("id"), "id", fr)
+      .as[(Long, String)].collect().toMap
+    // doubling the corpus must not move any existing row between splits
+    assert((1L to 200L).forall(i => s2(i) == s1(i)), "growth moved rows")
+    val train = s2.values.count(_ == "train")
+    assert(train > 400 * 0.7 && train < 400 * 0.9, s"train=$train")
+    intercept[IllegalArgumentException] {
+      pipeline.Sampling.hashSplit((1L to 5L).toDF("id"), "id", Map("a" -> 0.5))
+    }
+  }
+
   // ---------------- DSIR weights ----------------
 
   test("dsirWeights scores target-like docs above off-target docs") {
@@ -231,6 +265,34 @@ class Round12Spec extends TestBase {
       s"target-like doc should outweigh off-target: $got")
     assert(got(5L) == 0.0, got.toString)
     assert(got(1L) > 0.0 && got(4L) < 0.0, got.toString)
+  }
+
+  // ---------------- streaming KMV across micro-batches ----------------
+
+  test("kmvDistinctStream merges KMV state across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1700000000000L - (1700000000000L % 3600000L)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)]
+    val ev = in.toDF().toDF("user_id", "event_type", "ms")
+      .withColumn("ts_utc", timestamp_millis(col("ms")))
+    val out = streaming.EventStreams.kmvDistinctStream(ev, k = 16,
+      complete = true)
+    val sink = s"kmv_sink_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
+    try {
+      // 10 distinct users in batch 1, 5 overlapping + 5 new in batch 2:
+      // 15 distinct < k = 16, so the estimate is the EXACT distinct count
+      in.addData((1L to 10L).map(u => (u, "click", t0 + u)))
+      q.processAllAvailable()
+      in.addData((6L to 15L).map(u => (u, "click", t0 + 100 + u)))
+      q.processAllAvailable()
+      val est = spark.table(sink)
+        .select("event_type", "approx_distinct")
+        .as[(String, Double)].collect().toMap
+      assert(est == Map("click" -> 15.0), est.toString)
+    } finally q.stop()
   }
 
   // ---------------- KMV distinct aggregator ----------------

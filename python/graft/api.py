@@ -800,6 +800,14 @@ class PipelineMethods:
         return self._call("pipe_hash_split", idCol=idCol,
                           fractions=fractions, seed=seed)
 
+    def shuffleShards(self, idCol: str, numShards: int,
+                      seed: Optional[int] = None):
+        """Deterministic pre-training corpus shuffle: shard = 60-bit md5
+        draw mod numShards, pos = (draw, id) rank within the shard — no
+        global sort, no RNG state. Rows (id, shard, pos)."""
+        return self._call("pipe_shuffle_shards", idCol=idCol,
+                          numShards=numShards, seed=seed)
+
     def dsirWeights(self, idCol: str, textCol: str, targetExpr: str,
                     buckets: Optional[int] = None,
                     alpha: Optional[float] = None):

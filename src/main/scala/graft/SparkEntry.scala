@@ -585,6 +585,22 @@ object SparkEntry {
       // the sketch estimates are exact and the recursive-CTE pair counts
       // oracle applies (same contract as g_triangle_approx)
       circulantNf(s, dir)),
+    "g_avg_distance" -> ((s, dir) => { // mean shortest-path length over
+      // connected ordered pairs (self-pairs excluded) — ONE MORE readout
+      // of the SAME memoized ANF run as g_neighborhood/
+      // g_effective_diameter: Σ d·Δnf(d) / (nf_max − nf(0)), computed on
+      // the diameter-row driver table (exact at this sketch width)
+      val nf = circulantNf(s, dir)
+      val w = Window.orderBy(col("d"))
+      nf.withColumn("delta",
+          col("n_pairs") - coalesce(lag(col("n_pairs"), 1).over(w), lit(0L)))
+        .agg(sum(col("d") * col("delta")).as("num"),
+          (max(col("n_pairs")) -
+            sum(when(col("d") === 0, col("n_pairs")).otherwise(lit(0L)))).as("den"))
+        .select(round(col("num").cast("double") / col("den").cast("double"), 6)
+            .as("avg_distance"),
+          col("den").cast("long").as("n_pairs_connected"))
+    }),
     "g_effective_diameter" -> ((s, dir) => // 0.9-quantile interpolated
       // ANF readout over the exact-at-this-size neighborhood function,
       // shared with g_neighborhood via the memoized nf table
@@ -1432,6 +1448,11 @@ object SparkEntry {
       // rank/resample on log_weight downstream
       pipeline.Text.dsirWeights(load(s, dir, "documents"), "doc_id", "text",
         col("lang") === "en", buckets = 1024, alpha = 0.5)),
+    "p_shuffle" -> ((s, dir) => // deterministic pre-training shuffle:
+      // shard = 60-bit md5 draw mod 8, pos = (draw, id) rank in shard —
+      // no global sort, no RNG state; the draw IS the shuffle order
+      pipeline.Sampling.shuffleShards(load(s, dir, "documents"), "doc_id",
+        numShards = 8)),
     "p_hash_split" -> ((s, dir) => // deterministic train/val/test split:
       // 16-bit md5 fraction of (seed, id) against cumulative thresholds
       // (name order) — stable under corpus growth, unlike modulo splits
@@ -4008,6 +4029,14 @@ object SparkEntry {
          |nf AS (SELECT ds.d, CAST(COUNT(*) AS BIGINT) AS n_pairs
          |  FROM ds JOIN cdist c ON c.d <= ds.d GROUP BY ds.d)
          |SELECT CAST(d AS INT) AS d, n_pairs FROM nf""".stripMargin,
+    // mean distance over connected ordered pairs, straight off the
+    // pair-distance table (Σd·Δnf/den == ΣD over pairs, identically)
+    "g_avg_distance" ->
+      s"""WITH RECURSIVE $CIRC_DIST_SIGMA
+         |SELECT ROUND(CAST(SUM(d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         |    AS avg_distance,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs_connected
+         |FROM cdist WHERE d >= 1""".stripMargin,
     // same pair counts, then the interpolated ANF readout — identical
     // float ops: tot*0.9 compare, one subtraction-ratio interpolation
     "g_effective_diameter" ->
@@ -5070,6 +5099,15 @@ object SparkEntry {
          |SELECT d.doc_id, CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
          |  ROUND(COALESCE(sc.s, 0.0), 6) AS log_weight
          |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
+    },
+    // 60-bit md5 draw: shard = draw % 8, pos = (draw, id) rank per shard
+    "p_shuffle" -> {
+      val h = duckHex15("md5('42|' || CAST(doc_id AS VARCHAR))")
+      s"""WITH h AS (SELECT doc_id, ($h) AS hv FROM documents)
+         |SELECT doc_id, CAST(hv % 8 AS INT) AS shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY hv % 8
+         |    ORDER BY hv, doc_id) - 1 AS BIGINT) AS pos
+         |FROM h""".stripMargin
     },
     // 16-bit md5 split draw vs cumulative name-order thresholds:
     // test 6554, train 6554+52429=58983, val absorbs the tail

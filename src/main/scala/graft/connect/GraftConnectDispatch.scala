@@ -135,6 +135,7 @@ object GraftConnectDispatch {
     "pipe_hash_sample" -> Set("idCol", "fraction", "seed"),
     "pipe_mixture_sample" -> Set("idCol", "strataCol", "fractions", "seed"),
     "pipe_hash_split" -> Set("idCol", "fractions", "seed"),
+    "pipe_shuffle_shards" -> Set("idCol", "numShards", "seed"),
     "pipe_importance_sample" -> Set("idCol", "weightCol", "targetFraction", "seed"),
     "pipe_bigram_lm" -> Set("idCol", "textCol", "alpha"),
     "pipe_nb_classifier" -> Set("idCol", "textCol", "labelCol",
@@ -410,6 +411,15 @@ object GraftConnectDispatch {
                 "(object of split -> fraction, summing to 1)")
           }
           Sampling.hashSplit(t, id, fractions,
+            seed = params.get("seed").collect {
+              case JInt(i) => i.toLong
+              case JLong(l) => l
+            }.getOrElse(42L))
+        case "pipe_shuffle_shards" =>
+          Sampling.shuffleShards(t, id,
+            numShards = int("numShards").getOrElse(throw
+              new IllegalArgumentException(
+                "pipe_shuffle_shards requires params_json key 'numShards'")),
             seed = params.get("seed").collect {
               case JInt(i) => i.toLong
               case JLong(l) => l

@@ -96,6 +96,30 @@ object Sampling {
     df.withColumn("split", splitCol)
   }
 
+  /** Deterministic corpus shuffle into training shards — the global
+   * pre-training shuffle without a global sort: `shard` = 60-bit
+   * md5(seed|id) fraction mod `numShards`, `pos` = rank within the shard
+   * by (draw, id). A pure function of (seed, id): re-runs, engines and
+   * partitionings agree bit-for-bit (the draw IS the shuffle order, so
+   * there is no RNG state to replay). Shard sizes concentrate at
+   * N/numShards by the hash, so the per-shard window sort is the bounded
+   * unit of work at any corpus size — `numShards` is the parallelism
+   * knob (size it so a shard's rows sort in one task, the same envelope
+   * as [[budgetSelect]]'s groups). Returns (idCol, shard, pos). */
+  def shuffleShards(df: DataFrame, idCol: String, numShards: Int,
+      seed: Long = 42L): DataFrame = {
+    require(numShards >= 1 && numShards <= (1 << 20),
+      s"numShards out of [1, ${1 << 20}]: $numShards")
+    val h = conv(substring(md5(concat_ws("|", lit(seed),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("_h"), col(idCol))
+    df.select(col(idCol), h.as("_h"))
+      .withColumn("shard", pmod(col("_h"), lit(numShards.toLong)).cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("_h")
+  }
+
   /** Pack documents into training shards of ~`budget` units (tokens,
    * bytes) by contiguous fill in `idCol` order (numeric, unique ids):
    * `shard_id = floor(prefix_sum_exclusive(size) / budget)`. Returns

@@ -246,6 +246,27 @@ class Round12Spec extends TestBase {
     }
   }
 
+  // ---------------- shuffleShards ----------------
+
+  test("shuffleShards is a complete, deterministic permutation per shard") {
+    val ids = (1L to 100L).toDF("id")
+    val s1 = pipeline.Sampling.shuffleShards(ids, "id", numShards = 4)
+      .as[(Long, Int, Long)].collect()
+    assert(s1.length == 100 && s1.map(_._1).distinct.length == 100)
+    // per shard: positions are exactly 0..size-1
+    s1.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq,
+        s"shard $shard positions not contiguous")
+    }
+    // deterministic across runs; different seed permutes differently
+    val s2 = pipeline.Sampling.shuffleShards(ids, "id", numShards = 4)
+      .as[(Long, Int, Long)].collect()
+    assert(s1.sortBy(_._1).toSeq == s2.sortBy(_._1).toSeq)
+    val s3 = pipeline.Sampling.shuffleShards(ids, "id", numShards = 4, seed = 7L)
+      .as[(Long, Int, Long)].collect()
+    assert(s3.sortBy(_._1).toSeq != s1.sortBy(_._1).toSeq)
+  }
+
   // ---------------- DSIR weights ----------------
 
   test("dsirWeights scores target-like docs above off-target docs") {

@@ -289,5 +289,52 @@ er = [(r["id_a"], r["id_b"], r["dist"])
 assert er == [(1, 2, 1)], er
 print("CLASSIC OK pipe_fuzzy_pairs")
 
+mm = [(r["src"], r["dst"]) for r in g.maximalMatching(seed=7).collect()]
+mv = [v for e in mm for v in e]
+assert mm and len(set(mv)) == len(mv), mm  # a matching: no shared vertex
+barbell = {(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)}
+matched = set(mv)
+assert all(a in matched or b in matched for a, b in barbell), mm  # maximal
+print("CLASSIC OK maximal_matching")
+
+wedges = spark.createDataFrame(
+    [(0, 1, 1.0), (1, 2, 5.0), (0, 2, 1.0)], ["src", "dst", "w"])
+wg = GraphFrame(spark.createDataFrame([(i,) for i in range(3)], ["id"]),
+                wedges)
+wm = [(r["src"], r["dst"], r["weight"])
+      for r in wg.maximalMatching(weightCol="w").collect()]
+assert wm == [(1, 2, 5.0)], wm  # the dominant edge blocks the triangle
+print("CLASSIC OK maximal_matching_weighted")
+
+vor = {r["id"]: r["seed"] for r in g.voronoi(seeds=[0, 3]).collect()}
+assert vor[4] == 3 and vor[5] == 3, vor  # right triangle drains to seed 3
+print("CLASSIC OK voronoi")
+
+split_df = spark.createDataFrame([(i,) for i in range(50)], ["doc_id"])
+sp = {r["split"] for r in Pipeline(split_df).hashSplit(
+    idCol="doc_id", fractions={"train": 0.8, "val": 0.1, "test": 0.1})
+    .collect()}
+assert sp.issubset({"train", "val", "test"}) and "train" in sp, sp
+print("CLASSIC OK pipe_hash_split")
+
+sh = [(r["shard"], r["pos"]) for r in Pipeline(split_df).shuffleShards(
+    idCol="doc_id", numShards=4).collect()]
+assert len(sh) == 50 and {s for s, _ in sh}.issubset(set(range(4))), sh[:5]
+print("CLASSIC OK pipe_shuffle_shards")
+
+erm = [(r["id_a"], r["id_b"]) for r in Pipeline(er_df).fuzzyPairs(
+    idCol="id", textCol="name",
+    blockExprs=["substr(name, 1, 4)", "length(name)"], maxDist=1).collect()]
+assert erm == [(1, 2)], erm  # both keys propose it; ONE deduped row
+print("CLASSIC OK pipe_fuzzy_pairs_multi")
+
+dsir_df = spark.createDataFrame(
+    [(1, "alpha beta " * 20, True), (2, "alpha beta " * 10, False),
+     (3, "gamma delta " * 20, False)], ["doc_id", "text", "tgt"])
+dw = {r["doc_id"]: r["log_weight"] for r in Pipeline(dsir_df).dsirWeights(
+    idCol="doc_id", textCol="text", targetExpr="tgt", buckets=64).collect()}
+assert dw[2] > dw[3], dw  # target-like raw doc outweighs off-target
+print("CLASSIC OK pipe_dsir")
+
 spark.stop()
 print("CLASSIC ALL OK")

@@ -44,7 +44,10 @@ class ClassicPythonSpec extends AnyFunSuite {
       "pipe_asof_forward", "louvain_modularity", "pipe_nb_classifier",
       "eigenvector", "minimum_spanning_forest", "pipe_knn_graph",
       "triangles_cliques", "negative_samples", "pipe_cms_topk",
-      "pipe_also_bought", "pipe_fuzzy_pairs")
+      "pipe_also_bought", "pipe_fuzzy_pairs",
+      "maximal_matching", "maximal_matching_weighted", "voronoi",
+      "pipe_hash_split", "pipe_shuffle_shards", "pipe_fuzzy_pairs_multi",
+      "pipe_dsir")
       .foreach(c => assert(out.exists(l => l.contains("CLASSIC OK") && l.contains(c)),
         s"check $c missing"))
   }

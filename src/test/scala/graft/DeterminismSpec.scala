@@ -215,6 +215,41 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
         .as[(Int, Long, Long, Long, Double)].collect().toSet
     }
 
+    // round-12 surfaces: forced-distributed matching rounds (md5 minima
+    // and weighted struct minima must not depend on partition order),
+    // voronoi struct-min argmin, multi-key blocked ER dedup, DSIR
+    // hashed-bigram sums, budget-select window cut, hash split + shard
+    // shuffle draws
+    val mmd = g.maximalMatching.seed(3L).setSmallGraphThreshold(0).run()
+      .as[(String, String, Int)].collect().toSet
+    val mmw = gw.maximalMatching.weightCol("w").setSmallGraphThreshold(0).run()
+      .as[(String, String, Double, Int)].collect().toSet
+    val vor = g.voronoi(Seq[Any]("v0", "v3"))
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.get(1)), Option(r.get(2))))).toMap
+    val fzm = pipeline.Dedup.fuzzyPairs(docs, "doc_id", "text",
+        Seq(substring(col("text"), 1, 6), length(col("text")).cast("string")),
+        maxDist = 2, maxBlock = 100)
+      .as[(Long, Long, Int)].collect().toSet
+    val dsw = pipeline.Text.dsirWeights(docs, "doc_id", "text",
+        col("doc_id") % 3 === 0, buckets = 64)
+      .as[(Long, Long, Double)].collect().toSet
+    val bsel = pipeline.Sampling.budgetSelect(
+        docs.withColumn("grpx", (length(col("text")) % 3).cast("int"))
+          .withColumn("n", length(col("text"))),
+        "doc_id", "grpx", "n", "n", budgetPerGroup = 200L)
+      .as[(Long, Int, Int, Long, Long)].collect().toSet
+    val hsp = pipeline.Sampling.hashSplit(docs, "doc_id",
+        Map("a" -> 0.5, "b" -> 0.5), seed = 9L)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val shs = pipeline.Sampling.shuffleShards(docs, "doc_id", 4, seed = 9L)
+      .as[(Long, Int, Long)].collect().toSet
+    // forced-distributed MIS (md5 mode) — the same accumulate-winners
+    // round shape as matching, pinned here after the matching cascade fix
+    val misd = g.maximalIndependentSet.setHashMode("md5")
+      .setSmallGraphThreshold(0).run()
+      .select("id").as[String].collect().toSet
+
     Map("cc" -> cc, "pr" -> pr, "sp" -> sp, "kc" -> kc,
       "lsh" -> lsh, "seg" -> seg, "ww" -> ww, "cls" -> cls,
       "msf" -> msf, "ev" -> ev, "ebt" -> ebt, "kg" -> kg, "ls" -> ls,
@@ -223,7 +258,10 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
       "rf" -> rf, "sal" -> sal, "inf" -> inf, "mip" -> mip, "asr" -> asr,
       "neg" -> neg, "clq" -> clq, "cms" -> cms, "ab" -> ab, "fzp" -> fzp,
       "tmx" -> tmx, "tmp" -> tmpArr, "rj" -> rj, "tfc" -> tfc,
-      "nov" -> nov, "cdt" -> cdt)
+      "nov" -> nov, "cdt" -> cdt,
+      "mmd" -> mmd, "mmw" -> mmw, "vor" -> vor, "fzm" -> fzm,
+      "dsw" -> dsw, "bsel" -> bsel, "hsp" -> hsp, "shs" -> shs,
+      "misd" -> misd)
   }
 
   test("cc/pagerank/shortest-paths/kcore/lsh/segment-dedup identical across partitionings") {

@@ -28,6 +28,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // hypervisor steal bookkeeping: co-tenant load inflated whole sweeps
+    // 2-7x in rounds 11-12 — recording (steal jiffies / wall) makes a
+    // noisy artifact self-describing instead of a mystery regression
+    def stealJiffies(): Long = try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get.trim.split("\\s+")
+      cpu(8).toLong // field 8 = steal
+    } catch { case _: Throwable => -1L }
+    val steal0 = stealJiffies()
+    val wall0 = System.nanoTime()
+
     // warmup: one cheap scan+shuffle+codegen pass so the first timed query
     // doesn't absorb JVM startup
     import org.apache.spark.sql.functions._
@@ -71,6 +82,12 @@ object Bench {
     val failed = results.filterNot(_._3).map(_._1)
     val flaky = results.filter(_._4).map(_._1)
     val total = results.filter(_._3).map(_._2).sum
+    // average co-tenant steal during the sweep, in CPU-cores (jiffies are
+    // 10 ms): 0 on a quiet host; >0.5 means the totals are inflated
+    val steal1 = stealJiffies()
+    val stealCores =
+      if (steal0 < 0 || steal1 < 0) -1.0
+      else (steal1 - steal0) * 0.01 / ((System.nanoTime() - wall0) / 1e9)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flakyJson = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Side-by-side vs the reference engine, BOTH halves re-measured in
@@ -96,7 +113,7 @@ object Bench {
       val sf = if (compact) sfDir.split('/').last else sfDir
       s"""{"metric":"total","value":${round(total, 1)},"unit":"sec","queries":$qs,"failed":$failedJson$flakyPart""" +
         (if (withRatio) ""","recorded_baseline_ratio":0.68""" else "") +
-        s""","sf":"$sf"}"""
+        s""","steal_cores":${round(stealCores, 2)},"sf":"$sf"}"""
     }
     // The driver keeps only a ~2000-char TAIL of stdout and parses the
     // LITERAL last line as JSON. With 118+ queries even a 1-decimal
@@ -109,6 +126,7 @@ object Bench {
     val summary =
       s"""{"metric":"total","value":${round(total, 1)},"unit":"sec","n_queries":${results.size},""" +
         s""""failed":$failedJson,"flaky":$flakyJson,"recorded_baseline_ratio":0.68,""" +
+        s""""steal_cores":${round(stealCores, 2)},""" +
         s""""queries_file":"tools/bench_last_run.json","sf":"${sfDir.split('/').last}"}"""
     println(summary)
     // full-precision artifact, immune to the stdout tail bound

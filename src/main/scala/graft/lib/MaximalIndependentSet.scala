@@ -85,7 +85,13 @@ class MaximalIndependentSet(g: GraphFrame) {
       val cand = remaining.join(nbrMin, Seq(ID), "left_outer")
         .filter(col("nbrMin").isNull || prio(col(ID)) < col("nbrMin"))
         .select(ID)
-      val candP = mgr.persistOnly(cand)
+      // winners are CUT self-contained, not persisted: their plan reads
+      // the evolving `remaining` frame, and a later cycle's
+      // Dataset.unpersist of a lazy round entry re-compiles dependent
+      // CacheManager entries — a persisted winner frame would drop its
+      // built data and rebuild at finish() through freed cut blocks
+      // (the MaximalMatching round-12 crash class; ≥ 3-round graphs)
+      val candP = cand.localCheckpoint(true)
       roundWinners += candP
       mis = Some(mis.map(_.unionAll(candP)).getOrElse(candP))
       val nbrOfCand = er.join(candP.select(col(ID).as(SRC)), Seq(SRC), "left_semi")
@@ -101,7 +107,10 @@ class MaximalIndependentSet(g: GraphFrame) {
     val out = mgr.finish(mis.map(m => g.vertices.join(m, Seq(ID), "left_semi"))
       .getOrElse(g.vertices.limit(0)))
     undP.unpersist(false)
-    roundWinners.foreach(_.unpersist(false))
+    // the finish cut copied the winner rows — release the per-round cuts'
+    // RDD blocks (each cut's plan is only its own LogicalRDD, so release
+    // cannot touch live manager state)
+    roundWinners.foreach(IterationManager.release)
     out
   }
 

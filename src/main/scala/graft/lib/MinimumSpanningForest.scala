@@ -102,9 +102,15 @@ class MinimumSpanningForest(g: GraphFrame) {
             .union(cand.select(col("cb").as("c"), k.as("k")))
             .groupBy("c").agg(min("k").as("k")))
         cand.unpersist(false)
-        forest = forest :+ mgr.persistOnly(
-          chosen.select(col("k.a").as(SRC), col("k.b").as(DST),
-            col("k.w").as("weight")).distinct())
+        // the round's forest slice is CUT self-contained, not persisted:
+        // the mid-round chosen.unpersist below re-compiles dependent
+        // CacheManager entries, so a persisted slice would drop its built
+        // data and rebuild at finish() through comp cuts the interval-1
+        // manager already freed (the MaximalMatching round-12 crash
+        // class); a localCheckpoint lives outside the CacheManager
+        forest = forest :+ chosen.select(col("k.a").as(SRC),
+            col("k.b").as(DST), col("k.w").as("weight")).distinct()
+          .localCheckpoint(true)
         // hooking graph c → partner(c); the minimum-keyed edge inside any
         // hooking component is chosen by BOTH its endpoint components, so
         // every pointer cycle is a mutual pair — root it at the smaller id
@@ -146,8 +152,11 @@ class MinimumSpanningForest(g: GraphFrame) {
           StructType(Seq(StructField(SRC, idType), StructField(DST, idType),
             StructField("weight", DoubleType))))
       else forest.reduce(_ unionByName _)
-    val out = mgr.finish(result) // finish() self-contains, then frees the
-    e.unpersist(false)           // tracked side frames (incl. forest rounds)
+    val out = mgr.finish(result) // finish() self-contains and closes mgr
+    // the finish cut copied the forest rows — release the per-round cuts'
+    // RDD blocks (each cut's plan is only its own LogicalRDD)
+    forest.foreach(IterationManager.release)
+    e.unpersist(false)
     out
   }
 

@@ -31,11 +31,12 @@ object Bench {
     // hypervisor steal bookkeeping: co-tenant load inflated whole sweeps
     // 2-7x in rounds 11-12 — recording (steal jiffies / wall) makes a
     // noisy artifact self-describing instead of a mystery regression
-    def stealJiffies(): Long = try {
-      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
-        .find(_.startsWith("cpu ")).get.trim.split("\\s+")
-      cpu(8).toLong // field 8 = steal
-    } catch { case _: Throwable => -1L }
+    def stealJiffies(): Long =
+      scala.util.Using(scala.io.Source.fromFile("/proc/stat")) { src =>
+        val cpu = src.getLines().find(_.startsWith("cpu ")).get
+          .trim.split("\\s+")
+        cpu(8).toLong // field 8 = steal (USER_HZ jiffies; 100 Hz on linux)
+      }.getOrElse(-1L)
     val steal0 = stealJiffies()
     val wall0 = System.nanoTime()
 

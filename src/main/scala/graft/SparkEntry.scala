@@ -91,6 +91,21 @@ object SparkEntry {
    * tree paths AND create BFS cross edges, the shape that distinguishes
    * bridges/articulation logic from a naive DFS-lowpoint port. Connected
    * (the tree spans all 25), which the articulation oracle relies on. */
+  /** Run `body` (which must EXECUTE its heavy work, e.g. an eager
+   * iterative `run()`) under a reduced shuffle-partition count, restoring
+   * the session value after. The forced-distributed proof rows iterate
+   * dozens of per-round jobs over 25-vertex fixtures: at 32 shuffle
+   * partitions each tiny job pays ~32 empty-task schedulings per stage,
+   * which WAS the whole cost of those rows (same class as the streaming
+   * rows' resize and the r12 2-connectivity fix). Output-invariant: the
+   * operators are deterministic under any partitioning (md5 priorities /
+   * monotone fixpoints); a production job sizes this to its data. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val old = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
   private def treeChordGraph(s: SparkSession, dir: String): GraphFrame = {
     val v = load(s, dir, "nation").select(col("n_nationkey").cast("long").as(ID))
     val tree = v.filter(col(ID) >= 1)
@@ -110,11 +125,14 @@ object SparkEntry {
    * plan. */
   @volatile private var twoConnCache:
     (String, Seq[(Long, Long, Boolean)], Seq[(Long, Boolean)]) = null
+  private val twoConnLock = new Object
   private def treeChordTwoConnDist(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val cached = twoConnCache
-    val (b, a) =
-      if (cached != null && cached._1 == dir) (cached._2, cached._3)
-      else {
+    // double-checked: the miss path runs the expensive 2-connectivity
+    // pipeline, so two concurrent gate queries (g_bridges_dist +
+    // g_articulation_dist) must not both miss and pay it twice
+    def hit = Option(twoConnCache).filter(_._1 == dir)
+    val (b, a) = hit.map(c => (c._2, c._3)).getOrElse(twoConnLock.synchronized {
+      hit.map(c => (c._2, c._3)).getOrElse {
         val (bf, af) = treeChordGraph(s, dir).twoConnectivity
           .setSmallGraphThreshold(0).bridgesAndArticulationPoints()
         val bs = bf.collect().iterator
@@ -126,6 +144,7 @@ object SparkEntry {
         twoConnCache = (dir, bs, as)
         (bs, as)
       }
+    })
     import s.implicits._
     (b.toDF(SRC, DST, "is_bridge"), a.toDF(ID, "is_articulation"))
   }
@@ -477,28 +496,39 @@ object SparkEntry {
     "g_ic_spread_dist" -> ((s, dir) => // the DISTRIBUTED live-edge BFS
       // rounds forced (threshold 0) on the SAME coin-replay oracle — the
       // spread is a deterministic function of the coins, so the driver
-      // tail and the distributed path must agree exactly
-      new lib.IndependentCascade(circulantGraph(s, dir))
-        .p(0.5).hashSeed(9L).setSmallGraphThreshold(0).run(Seq(0, 12))),
+      // tail and the distributed path must agree exactly; 2 partitions:
+      // the fixture is 25 vertices, the cost is pure task scheduling
+      withShufflePartitions(s, 2) {
+        new lib.IndependentCascade(circulantGraph(s, dir))
+          .p(0.5).hashSeed(9L).setSmallGraphThreshold(0)
+          .hopsPerCycle(2).run(Seq(0, 12))
+      }),
     "g_temporal_bfs" -> ((s, dir) => { // earliest-arrival over temporal
       // edges (t >= arrival to traverse): plain BFS would overstate
-      // reachability; the oracle walks the (vertex, time) state space
+      // reachability; the oracle walks the (vertex, time) state space.
+      // Time formula (2·src + dst) % 7 + 1 (r13): leaves 15 of the 25
+      // BFS-reachable vertices temporally UNREACHABLE — the old
+      // (7·src + 3·dst) % 5 + 1 fixture reached everything, proving
+      // nothing plain BFS wouldn't — and converges in 6 sweeps, not 25
       val g0 = circulantGraph(s, dir)
       val e = g0.edges.withColumn("time",
-        (pmod(col(SRC) * 7 + col(DST) * 3, lit(5)) + 1).cast("double"))
+        (pmod(col(SRC) * 2 + col(DST), lit(7)) + 1).cast("double"))
       new lib.TemporalReachability(GraphFrame(g0.vertices, e))
         .source(0).startTime(0.0).timeCol("time").run()
     }),
     "g_temporal_bfs_dist" -> ((s, dir) => { // the label-correcting
       // DISTRIBUTED rounds forced (threshold 0) on the SAME oracle —
       // earliest arrival is the unique monotone fixpoint, and the tail is
-      // level-synchronous, so the paths agree even under a maxIter bound
+      // level-synchronous, so the paths agree even under a maxIter bound;
+      // 2 partitions: 25-vertex fixture, the cost is task scheduling
       val g0 = circulantGraph(s, dir)
       val e = g0.edges.withColumn("time",
-        (pmod(col(SRC) * 7 + col(DST) * 3, lit(5)) + 1).cast("double"))
-      new lib.TemporalReachability(GraphFrame(g0.vertices, e))
-        .source(0).startTime(0.0).timeCol("time")
-        .setSmallGraphThreshold(0).run()
+        (pmod(col(SRC) * 2 + col(DST), lit(7)) + 1).cast("double"))
+      withShufflePartitions(s, 2) {
+        new lib.TemporalReachability(GraphFrame(g0.vertices, e))
+          .source(0).startTime(0.0).timeCol("time")
+          .setSmallGraphThreshold(0).hopsPerCycle(2).run()
+      }
     }),
     "g_pagerank_weighted" -> ((s, dir) => {
       // mass distributed proportionally to a deterministic edge weight
@@ -783,9 +813,12 @@ object SparkEntry {
       // edge priorities (edge-centric Luby); the oracle replays each round
       graphB(s, dir).maximalMatching.seed(42L).run()),
     "g_matching_dist" -> ((s, dir) => // the distributed per-round
-      // agg/join rounds forced (threshold 0) on the SAME replay oracle
-      graphB(s, dir).maximalMatching.seed(42L)
-        .setSmallGraphThreshold(0).run()),
+      // agg/join rounds forced (threshold 0) on the SAME replay oracle;
+      // 2 partitions: 25-vertex fixture, the cost is task scheduling
+      withShufflePartitions(s, 2) {
+        graphB(s, dir).maximalMatching.seed(42L)
+          .setSmallGraphThreshold(0).run()
+      }),
     "g_matching_weighted" -> ((s, dir) => { // locally-DOMINANT edges
       // (weight desc, md5 asc): Preis greedy 1/2-approx max-weight
       // matching; canonical pairs take the MAX over directed duplicates
@@ -3443,7 +3476,7 @@ object SparkEntry {
    * and forced-distributed rows). */
   private lazy val temporalBfsSql: String =
     """WITH RECURSIVE cv AS (SELECT n_nationkey AS id FROM nation),
-      |ce AS (SELECT src, dst, CAST((src * 7 + dst * 3) % 5 + 1 AS DOUBLE) AS t
+      |ce AS (SELECT src, dst, CAST((src * 2 + dst) % 7 + 1 AS DOUBLE) AS t
       |  FROM (SELECT DISTINCT src, dst FROM (
       |      SELECT id AS src, (id + 7) % 25 AS dst FROM cv
       |      UNION ALL

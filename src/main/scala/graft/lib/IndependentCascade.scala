@@ -52,6 +52,20 @@ class IndependentCascade(g: GraphFrame) {
     smallGraphThresholdV = n; this
   }
 
+  /** BFS levels CHAINED LAZILY per materialized round (default 1). The
+   * activation round of a vertex is the unique live-edge BFS level — a
+   * pure function of the coins — so k frontier expansions compose into
+   * one plan; each cycle then pays ONE job + compile for k levels. Tree
+   * growth is bounded per cycle (2^k copies of the previous CUT's
+   * constant-size leaf; see TemporalReachability.hopsPerCycle for the
+   * full rationale and the round-8 counter-experiment). Keep small (≤ 8);
+   * the 25-vertex gate fixtures use 4. */
+  def hopsPerCycle(k: Int): this.type = {
+    require(k >= 1 && k <= 8, s"hopsPerCycle out of [1, 8]: $k")
+    hopsPerCycleV = k; this
+  }
+  private var hopsPerCycleV: Int = 1
+
   /** 60-bit threshold: coin fires iff draw < p·2⁶⁰ (exact for dyadic p). */
   private def threshold: Long = (pV * (1L << 60).toDouble).toLong
 
@@ -70,25 +84,37 @@ class IndependentCascade(g: GraphFrame) {
       live.unpersist(false)
       return r
     }
-    val mgr = new IterationManager(2)
+    // interval 1: every cycle cuts, with the growth count fused into the
+    // cut's own job via cycleCounted — no separate limit/count action
+    val mgr = new IterationManager(1)
     var state = mgr.cycle(g.vertices.select(col(ID),
       when(col(ID).isInCollection(seeds), lit(0))
         .otherwise(lit(null).cast("int")).as("round")), 0)
     var round = 0
     var grew = true
+    var cycleIdx = 0
     while (round < maxIterV && grew) {
-      round += 1
-      val frontier = state.filter(col("round") === (round - 1))
-        .select(col(ID).as(SRC))
-      val reached = live.join(frontier, SRC)
-        .select(col(DST).as(ID)).distinct()
-      val next = mgr.cycle(state.join(reached.withColumn("_hit", lit(true)),
-          Seq(ID), "left_outer")
-        .select(col(ID),
-          when(col("round").isNotNull, col("round"))
-            .when(col("_hit"), lit(round))
-            .otherwise(lit(null).cast("int")).as("round")), round)
-      grew = next.filter(col("round") === round).limit(1).count() > 0
+      cycleIdx += 1
+      val k = math.min(hopsPerCycleV, maxIterV - round)
+      var cur = state
+      for (_ <- 1 to k) {
+        round += 1
+        val frontier = cur.filter(col("round") === (round - 1))
+          .select(col(ID).as(SRC))
+        val reached = live.join(frontier, SRC)
+          .select(col(DST).as(ID)).distinct()
+        cur = cur.join(reached.withColumn("_hit", lit(true)),
+            Seq(ID), "left_outer")
+          .select(col(ID),
+            when(col("round").isNotNull, col("round"))
+              .when(col("_hit"), lit(round))
+              .otherwise(lit(null).cast("int")).as("round"))
+      }
+      // an empty LAST level means every later frontier is empty too —
+      // intermediate levels of the batch may still have grown
+      val (next, lastLevel) = mgr.cycleCounted(cur, cycleIdx,
+        count(when(col("round") === round, lit(1))))
+      grew = lastLevel > 0
       state = next
     }
     val result = mgr.finish(state)

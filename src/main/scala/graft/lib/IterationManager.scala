@@ -140,8 +140,38 @@ private[graft] class IterationManager(
    * computes through (and caches) them, so each `checkpointInterval`
    * window costs ONE job instead of one per round. Older caches are only
    * dropped once a newer frame has actually been materialized. */
-  def cycle(df: DataFrame, round: Int): DataFrame = {
-    val doCheckpoint = checkpointInterval > 0 && round % checkpointInterval == 0
+  /** [[cycle]] with a convergence metric FUSED into the materializing job:
+   * observes `metric` (an aggregate over the frame's rows, e.g.
+   * `count(when(improved, 1))`) via `Dataset.observe` so the cut's own
+   * action reports it — the caller's follow-up `count()`/`isEmpty` job,
+   * historically HALF the per-round job count of the small iterative
+   * operators, disappears. Always cuts (the metric must be backed by a
+   * completed action or `Observation.get` blocks), so callers pass
+   * `checkpointInterval = 1` and drop their separate convergence action.
+   * Eager `localCheckpoint`/`checkpoint` run through `Dataset.withAction`,
+   * which fires the SQL-execution events observations listen on — probed
+   * on Spark 4.1 before relying on it here. */
+  def cycleCounted(df: DataFrame, round: Int,
+      metric: org.apache.spark.sql.Column): (DataFrame, Long) = {
+    val obs = org.apache.spark.sql.Observation(s"graft_cycle_${round}_" +
+      java.util.UUID.randomUUID().toString)
+    val observed = df.observe(obs, metric.as("_m"))
+    val c = cycleAt(observed, round, force = true)
+    val m = obs.get("_m") match {
+      case null => 0L
+      case n: java.lang.Number => n.longValue()
+      case other => throw new IllegalStateException(
+        s"cycleCounted metric must be numeric, got $other")
+    }
+    (c, m)
+  }
+
+  def cycle(df: DataFrame, round: Int): DataFrame =
+    cycleAt(df, round, force = false)
+
+  private def cycleAt(df: DataFrame, round: Int, force: Boolean): DataFrame = {
+    val doCheckpoint = force ||
+      (checkpointInterval > 0 && round % checkpointInterval == 0)
     if (doCheckpoint) {
       // localCheckpoint(eager=true) truncates lineage into executor block
       // storage; `reliable` checkpoint needs a checkpoint dir and spills

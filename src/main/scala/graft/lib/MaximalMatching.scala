@@ -69,12 +69,18 @@ class MaximalMatching(g: GraphFrame) {
       col(GraphFrame.quoteName(c)).cast("double")).getOrElse(lit(0.0))
     weightColV.foreach { c =>
       val wc = col(GraphFrame.quoteName(c))
-      require(g.edges.filter(wc.isNull).isEmpty,
-        s"maximalMatching: null weights in '$c'")
+      require(g.edges.filter(wc.isNull || isnan(wc.cast("double"))).isEmpty,
+        s"maximalMatching: null or NaN weights in '$c' — the dominant-edge " +
+          "rule needs a total order on weights")
     }
+    // `+ 0.0` collapses -0.0 to 0.0 BEFORE any ordering: Spark SQL struct
+    // comparison treats -0.0 == 0.0 while the driver tail's TotalOrdering
+    // puts -0.0 < 0.0 — normalizing once at the source keeps the
+    // distributed rounds, the tail replay and the SQL oracle byte-equal
+    // on weight columns that mix the two zeros
     val und = g.edges.filter(col(SRC) =!= col(DST))
       .select(least(col(SRC), col(DST)).as("ea"),
-        greatest(col(SRC), col(DST)).as("eb"), wExpr.as("_w"))
+        greatest(col(SRC), col(DST)).as("eb"), (wExpr + lit(0.0)).as("_w"))
       .groupBy("ea", "eb").agg(max(col("_w")).as("_w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (smallGraphThresholdV > 0 && und.count() <= smallGraphThresholdV) {
@@ -118,13 +124,15 @@ class MaximalMatching(g: GraphFrame) {
       matched = Some(matched.map(_.unionAll(winners)).getOrElse(winners))
       val mv = winners.select(col("ea").as("v"))
         .unionAll(winners.select(col("eb").as("v"))).distinct()
-      er = mgr.cycle(
+      // the remaining-edge count is FUSED into the cut's own job
+      // (cycleCounted observes it), so the round pays two jobs — winners
+      // cut + remainder cut — with no separate isEmpty action
+      val (erNext, remaining) = mgr.cycleCounted(
         er.join(mv.select(col("v").as("ea")), Seq("ea"), "left_anti")
           .join(mv.select(col("v").as("eb")), Seq("eb"), "left_anti"),
-        round + 1)
-      // one action per round: an empty remainder ends the loop (the
-      // winner frame is persisted, so the union result reads its cache)
-      done = er.isEmpty
+        round + 1, count(lit(1)))
+      er = erNext
+      done = remaining == 0L
       round += 1
     }
     val cols = Seq(col("ea").as(SRC), col("eb").as(DST)) ++

@@ -63,6 +63,24 @@ class TemporalReachability(g: GraphFrame) {
     smallGraphThresholdV = n; this
   }
 
+  /** Relaxation hops CHAINED LAZILY per materialized round (default 1 —
+   * one hop per lineage cut). Earliest arrival is a monotone fixpoint, so
+   * k level-synchronous sweeps compose into one plan with the per-vertex
+   * min-merge between hops (no path explosion); each cycle then pays ONE
+   * job + plan compile for k hops instead of k. The state frame is
+   * referenced twice per hop, so the logical tree holds 2^k copies of the
+   * PREVIOUS CUT's constant-size `LogicalRDD` leaf — bounded per cycle,
+   * unlike the round-8 lazy-persist experiment whose tree grew with the
+   * whole iteration (IterationManager.scala cadence note); identical
+   * shuffle subtrees collapse via exchange reuse. Keep small (≤ 8); the
+   * 25-vertex gate fixtures use 4, where per-round scheduling WAS the
+   * whole cost. */
+  def hopsPerCycle(k: Int): this.type = {
+    require(k >= 1 && k <= 8, s"hopsPerCycle out of [1, 8]: $k")
+    hopsPerCycleV = k; this
+  }
+  private var hopsPerCycleV: Int = 1
+
   def run(): DataFrame = {
     require(sourceV != null, "temporalReachability requires source(id)")
     require(g.edges.columns.contains(timeColV),
@@ -78,32 +96,46 @@ class TemporalReachability(g: GraphFrame) {
       e.unpersist(false)
       return r
     }
-    val mgr = new IterationManager(2)
+    // interval 1: every cycle cuts, and cycleCounted fuses the
+    // convergence count into the cut's own job — no separate action
+    val mgr = new IterationManager(1)
     var state = mgr.cycle(g.vertices.select(col(ID),
       when(col(ID) === lit(sourceV), lit(startTimeV))
         .otherwise(lit(null).cast("double")).as("arrival")), 0)
-    var round = 0
+    var hops = 0
     var improved = 1L
-    while (round < maxIterV && improved > 0) {
-      round += 1
-      // edges usable this round: departure no earlier than the current
-      // arrival at src — the predicate rides the equi-join
-      val cand = e.join(
-          state.filter(col("arrival").isNotNull)
-            .select(col(ID).as(SRC), col("arrival").as("_a")), SRC)
-        .filter(col("_t") >= col("_a"))
-        .groupBy(col(DST).as(ID)).agg(min(col("_arr")).as("_new"))
-      // the improved flag is CARRIED in the cycled frame so the
-      // convergence count reads the round's cache, not a recomputed join
-      val next = mgr.cycle(state.join(cand, Seq(ID), "left_outer")
-        .select(col(ID),
-          when(col("arrival").isNull, col("_new"))
-            .when(col("_new").isNull, col("arrival"))
-            .otherwise(least(col("arrival"), col("_new"))).as("arrival"),
-          (col("_new").isNotNull &&
-            (col("arrival").isNull || col("_new") < col("arrival")))
-            .as("_improved")), round)
-      improved = next.filter(col("_improved")).count()
+    var cycleIdx = 0
+    while (hops < maxIterV && improved > 0) {
+      cycleIdx += 1
+      // never exceed maxIter TOTAL hops, so a binding maxIter means
+      // exactly maxIter level-synchronous sweeps — same as the tail
+      val k = math.min(hopsPerCycleV, maxIterV - hops)
+      var cur = state
+      for (h <- 1 to k) {
+        // edges usable this hop: departure no earlier than the current
+        // arrival at src — the predicate rides the equi-join
+        val cand = e.join(
+            cur.filter(col("arrival").isNotNull)
+              .select(col(ID).as(SRC), col("arrival").as("_a")), SRC)
+          .filter(col("_t") >= col("_a"))
+          .groupBy(col(DST).as(ID)).agg(min(col("_arr")).as("_new"))
+        val merged = cur.join(cand, Seq(ID), "left_outer")
+          .select(col(ID),
+            when(col("arrival").isNull, col("_new"))
+              .when(col("_new").isNull, col("arrival"))
+              .otherwise(least(col("arrival"), col("_new"))).as("arrival"),
+            (col("_new").isNotNull &&
+              (col("arrival").isNull || col("_new") < col("arrival")))
+              .as("_improved"))
+        // only the LAST hop's improvement flag decides convergence: the
+        // sweep is a deterministic monotone map, so one application with
+        // zero change IS the fixpoint, whatever earlier hops did
+        cur = if (h == k) merged else merged.select(col(ID), col("arrival"))
+      }
+      hops += k
+      val (next, imp) = mgr.cycleCounted(cur, cycleIdx,
+        count(when(col("_improved"), lit(1))))
+      improved = imp
       state = next
     }
     val result = mgr.finish(state.select(col(ID), col("arrival")))

@@ -298,9 +298,20 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(col("_score").desc, col(idCol).asc)
+    // fail-loud in-plan guard (no extra pass, same shape as
+    // Text.guardDocTokens): one NULL token would make the running window
+    // sum NULL from that rank onward and SILENTLY drop every later row in
+    // the group, and a NULL score sorts by engine default — neither is a
+    // selection a user meant to make
+    def nonNull(c: String) = when(col(c).isNull,
+      raise_error(concat(lit(s"budgetSelect: NULL $c for "), col(idCol)
+        .cast("string"), lit(" — a NULL token count silently truncates " +
+          "its group's selection; filter or coalesce upstream"))))
+      .otherwise(col(c))
     // the score rides under an internal alias so scoreCol == tokenCol
     // (rank big-docs-first) needs no special case
-    df.select(col(idCol), col(groupCol), col(tokenCol), col(scoreCol).as("_score"))
+    df.select(col(idCol), col(groupCol), nonNull(tokenCol).as(tokenCol),
+        nonNull(scoreCol).as("_score"))
       .withColumn("rank", row_number().over(w).cast("long"))
       // ROWS, not the default RANGE frame: identical under a unique id
       // tie-break, but explicit is replayable in any engine

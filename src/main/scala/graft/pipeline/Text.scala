@@ -685,7 +685,12 @@ object Text {
    * — a fixed-size side table at any corpus size) joined back to the
    * per-doc bucket counts via broadcast; one corpus scan feeds both
    * histograms and the doc counts, and nothing ever shuffles the raw
-   * token stream — only (doc, bucket, n) rows. */
+   * token stream — only (doc, bucket, n) rows. The (doc, bucket, n)
+   * frame stays persisted after the call (both histograms and the scores
+   * read it): call [[graft.pipeline.releaseShared]] on the result when
+   * done, or repeated calls in a long-lived session pin one frame each
+   * until LRU eviction — same contract as [[tfCosinePairs]] and the
+   * Dedup/Recommend shared-frame ops. */
   def dsirWeights(df0: DataFrame, idCol: String, textCol: String,
       targetPred: Column, buckets: Int = 1024, alpha: Double = 0.5): DataFrame = {
     require(buckets >= 2 && buckets <= (1 << 20),

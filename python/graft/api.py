@@ -828,6 +828,19 @@ class PipelineMethods:
                           groupCol=groupCol, tokenCol=tokenCol,
                           scoreCol=scoreCol, budget=budget)
 
+    def stripMarkup(self, idCol: str = "doc_id", htmlCol: str = "html"):
+        """HTML/markup boilerplate strip to visible text: script/style
+        bodies, comments and tags removed, common entities decoded,
+        whitespace collapsed. Rows (id, text, n_tags)."""
+        return self._call("pipe_strip_markup", idCol=idCol, htmlCol=htmlCol)
+
+    def urlCanonical(self, idCol: str = "doc_id", urlCol: str = "url"):
+        """URL canonicalization + dedup keys: scheme/host lowercased,
+        default ports/fragment/tracking params dropped, remaining query
+        params sorted, trailing slash trimmed. Rows
+        (id, url_canon, host, url_key); non-URLs get null outputs."""
+        return self._call("pipe_url_canonical", idCol=idCol, urlCol=urlCol)
+
     def coOccurrence(self, basketCol: str, itemCol: str,
                      maxBasket: Optional[int] = None):
         """Basket co-occurrence pair counts (canonical item_a < item_b;

@@ -336,5 +336,20 @@ dw = {r["doc_id"]: r["log_weight"] for r in Pipeline(dsir_df).dsirWeights(
 assert dw[2] > dw[3], dw  # target-like raw doc outweighs off-target
 print("CLASSIC OK pipe_dsir")
 
+web_df = spark.createDataFrame(
+    [(1, "<p>a &amp; b</p><script>x</script>",
+      "HTTP://WWW.Ex.COM:80/a/?utm_source=s&b=2#f"),
+     (2, "plain", "not a url")], ["doc_id", "html", "url"])
+sm = {r["doc_id"]: (r["text"], r["n_tags"])
+      for r in Pipeline(web_df).stripMarkup().collect()}
+assert sm[1] == ("a & b", 4) and sm[2] == ("plain", 0), sm
+print("CLASSIC OK pipe_strip_markup")
+
+uc = {r["doc_id"]: (r["url_canon"], r["host"], r["url_key"])
+      for r in Pipeline(web_df).urlCanonical().collect()}
+assert uc[1] == ("http://www.ex.com/a?b=2", "ex.com", "ex.com/a?b=2"), uc
+assert uc[2] == (None, None, None), uc
+print("CLASSIC OK pipe_url_canonical")
+
 spark.stop()
 print("CLASSIC ALL OK")

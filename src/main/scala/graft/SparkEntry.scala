@@ -1160,6 +1160,35 @@ object SparkEntry {
     "p_normalize" -> ((s, dir) => // ASCII-safe cleanup: lower, controls
       // to spaces, whitespace collapsed, trimmed — pure projections
       pipeline.Text.normalize(load(s, dir, "documents"), "doc_id", "text")),
+    "p_strip_markup" -> ((s, dir) => { // HTML boilerplate strip (CCNet/
+      // RefinedWeb front step): the fixture wraps each document in a
+      // page skeleton with script/style bodies, a comment, and the
+      // seven decoded entities — everything the extractor must remove
+      val page = concat(
+        lit("<html><head><STYLE type=\"text/css\">p{color:red}</STYLE>" +
+          "<script>var x = 1 < 2;</script></head>\n<body><h1>Title</h1><p>"),
+        col("text"),
+        lit("</p><!-- nav\nboilerplate --><p>tail &amp;amp; &lt;x&gt; " +
+          "&quot;q&quot; &#39;a&#39;&nbsp;end</p></body></html>"))
+      pipeline.Web.stripMarkup(load(s, dir, "documents")
+        .select(col("doc_id"), page.as("html")), "doc_id", "html")
+    }),
+    "p_url_canonical" -> ((s, dir) => { // URL canonicalization + dedup
+      // keys: three deterministic URL shapes per corpus (http with www +
+      // default port + tracking params + fragment; https with sorted-out
+      // param order; a schemeless non-URL that must produce nulls)
+      val m = pmod(col("doc_id"), lit(3))
+      val url = when(m === 0, concat(
+          lit("HTTP://WWW.Site"), pmod(col("doc_id"), lit(7)),
+          lit(".COM:80/Dir/Page/?utm_source=feed&b="),
+          pmod(col("doc_id"), lit(5)), lit("&a=1&gclid=g#frag")))
+        .when(m === 1, concat(
+          lit("https://user:pw@Sub.site"), pmod(col("doc_id"), lit(7)),
+          lit(".com:443/p"), pmod(col("doc_id"), lit(11)), lit("?z=2&a=3")))
+        .otherwise(concat(lit("doc "), col("doc_id").cast("string")))
+      pipeline.Web.urlCanonical(load(s, dir, "documents")
+        .select(col("doc_id"), url.as("url")), "doc_id", "url")
+    }),
     "p_segment_dedup" -> ((s, dir) => // CCNet-style paragraph dedup; the
       // word-soup fixture has no line structure, so segment = 4-word window
       pipeline.Dedup.segmentDedup(load(s, dir, "documents"), "doc_id", "text",
@@ -1430,11 +1459,16 @@ object SparkEntry {
         "c_name", substring(col("c_name"), 1, 16), maxDist = 1,
         maxBlock = 1000)),
     "p_entity_resolution_multi" -> ((s, dir) =>
-      // multi-PASS blocking: candidates from the name-prefix key UNION
-      // the (nation, name-length) key, deduped before ONE verify per pair
+      // multi-PASS blocking: candidates from the name-prefix key UNION a
+      // (nation, name-SUFFIX) key, deduped before ONE verify per pair.
+      // The suffix key rescues pairs whose single edit falls inside the
+      // 16-char prefix (verified: the same rescued-pair set as the
+      // r12 (nation, length) key at every SF — names share one length,
+      // so that key degenerated to nation-wide blocks and 6.6x the
+      // verify fan-out for identical recall)
       pipeline.Dedup.fuzzyPairs(load(s, dir, "customer"), "c_custkey",
         "c_name", Seq(substring(col("c_name"), 1, 16),
-          concat_ws("|", col("c_nationkey"), length(col("c_name")))),
+          concat_ws("|", col("c_nationkey"), substring(col("c_name"), -2, 2))),
         maxDist = 1, maxBlock = 1000)),
     "p_ngram_novelty" -> ((s, dir) =>
       // boilerplate-vs-original quality cut: share of each doc's distinct
@@ -4472,6 +4506,75 @@ object SparkEntry {
         |    '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g'))) AS BIGINT)
         |    AS n_chars_norm
         |FROM documents""".stripMargin,
+    // same extraction pipeline: spans, comments, tags, entities (amp
+    // LAST), whitespace collapse; RE2 non-greedy + inline (?is) match
+    // Java's here, 'g' for global; fixture newlines spelled chr(10)
+    "p_strip_markup" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><STYLE type="text/css">p{color:red}</STYLE>' ||
+        |  '<script>var x = 1 < 2;</script></head>' || chr(10) ||
+        |  '<body><h1>Title</h1><p>' || text || '</p><!-- nav' || chr(10) ||
+        |  'boilerplate --><p>tail &amp;amp; &lt;x&gt; &quot;q&quot; ' ||
+        |  '&#39;a&#39;&nbsp;end</p></body></html>' AS html FROM documents),
+        |s AS (SELECT doc_id, html,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |    '(?s)<!--.*?-->', ' ', 'g'),
+        |    '(?s)<[^>]*>', ' ', 'g') AS t FROM h)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(replace(t,
+        |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
+        |    '[ \t\n\r]+', ' ', 'g')) AS text,
+        |  CAST(len(regexp_extract_all(html, '(?s)<[^>]*>')) AS BIGINT)
+        |    AS n_tags
+        |FROM s""".stripMargin,
+    // same parse + rules: lowercase scheme/host, drop userinfo / default
+    // port / fragment / tracking params, sort surviving params, trim
+    // trailing slashes; non-URLs (no scheme://) produce null outputs
+    "p_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'HTTP://WWW.Site' ||
+        |      CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.COM:80/Dir/Page/?utm_source=feed&b=' ||
+        |      CAST(doc_id % 5 AS VARCHAR) || '&a=1&gclid=g#frag'
+        |    WHEN doc_id % 3 = 1 THEN 'https://user:pw@Sub.site' ||
+        |      CAST(doc_id % 7 AS VARCHAR) || '.com:443/p' ||
+        |      CAST(doc_id % 11 AS VARCHAR) || '?z=2&a=3'
+        |    ELSE 'doc ' || CAST(doc_id AS VARCHAR) END AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+        |    AS scheme,
+        |  regexp_replace(lower(regexp_extract(url,
+        |    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)), '^[^@]*@', '')
+        |    AS nouser,
+        |  regexp_extract(url,
+        |    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+        |  regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS q0 FROM u),
+        |p2 AS (SELECT doc_id, scheme,
+        |  CASE WHEN scheme = 'http' THEN regexp_replace(nouser, ':80$', '')
+        |    WHEN scheme = 'https' THEN regexp_replace(nouser, ':443$', '')
+        |    ELSE nouser END AS host,
+        |  CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+        |    ELSE regexp_replace(path0, '/+$', '') END AS path,
+        |  array_to_string(list_sort(list_filter(string_split(q0, '&'),
+        |    x -> len(x) > 0 AND NOT regexp_matches(x,
+        |      '^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|igshid)(=.*)?$'))),
+        |    '&') AS query
+        |  FROM p),
+        |p3 AS (SELECT doc_id, scheme, host,
+        |  len(scheme) > 0 AND len(host) > 0 AS ok,
+        |  path || CASE WHEN len(query) > 0 THEN '?' || query ELSE '' END
+        |    AS tail FROM p2)
+        |SELECT doc_id,
+        |  CASE WHEN ok THEN scheme || '://' || host || tail END AS url_canon,
+        |  CASE WHEN ok THEN regexp_replace(host, '^www\.', '') END AS host,
+        |  CASE WHEN ok THEN regexp_replace(host, '^www\.', '') || tail END
+        |    AS url_key
+        |FROM p3""".stripMargin,
     "p_chunk" -> // stride 24 = 32 - 8; last start reaches the text end
       s"""WITH w AS (SELECT doc_id, $W AS ws FROM documents),
          |c AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
@@ -4662,7 +4765,7 @@ object SparkEntry {
       """WITH t AS (SELECT c_custkey AS id, c_name AS nm,
         |    substr(c_name, 1, 16) AS k0,
         |    CAST(c_nationkey AS VARCHAR) || '|' ||
-        |      CAST(length(c_name) AS VARCHAR) AS k1
+        |      substr(c_name, length(c_name) - 1, 2) AS k1
         |  FROM customer),
         |e AS (SELECT id, 0 AS ki, k0 AS blk FROM t WHERE k0 IS NOT NULL
         |  UNION ALL SELECT id, 1, k1 FROM t WHERE k1 IS NOT NULL),

@@ -181,6 +181,8 @@ object GraftConnectDispatch {
     "pipe_dsir" -> Set("idCol", "textCol", "targetExpr", "buckets", "alpha"),
     "pipe_budget_select" -> Set("idCol", "groupCol", "tokenCol", "scoreCol",
       "budget"),
+    "pipe_strip_markup" -> Set("idCol", "htmlCol"),
+    "pipe_url_canonical" -> Set("idCol", "urlCol"),
     "pipe_co_occurrence" -> Set("basketCol", "itemCol", "maxBasket"),
     "pipe_also_bought" -> Set("basketCol", "itemCol", "maxBasket", "k"),
     "pipe_transition_matrix" -> Set("gapMinutes"),
@@ -535,6 +537,12 @@ object GraftConnectDispatch {
         case "pipe_normalize" =>
           graft.pipeline.Text.normalize(t,
             str("idCol").getOrElse("doc_id"), str("textCol").getOrElse("text"))
+        case "pipe_strip_markup" =>
+          graft.pipeline.Web.stripMarkup(t,
+            str("idCol").getOrElse("doc_id"), str("htmlCol").getOrElse("html"))
+        case "pipe_url_canonical" =>
+          graft.pipeline.Web.urlCanonical(t,
+            str("idCol").getOrElse("doc_id"), str("urlCol").getOrElse("url"))
         case "pipe_attribution_linear" =>
           graft.pipeline.Events.linearAttribution(t,
             touchType = str("touchType").getOrElse("view"),

@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Web-corpus preparation: the two normalization passes every
+ * CommonCrawl-derived training corpus runs BEFORE any dedup or quality
+ * scoring (CCNet, Wenzek et al. LREC'20; RefinedWeb, Penedo et al.
+ * NeurIPS'23 §3.1 — engine extension, no reference counterpart):
+ * markup-to-text extraction and URL canonicalization. Both are pure
+ * per-row codegen projections — no shuffle, no state, trivially safe at
+ * any corpus size — and every regex is written to the RE2-compatible
+ * subset (no lookaround, no backreferences) so a SQL oracle replays
+ * them byte-for-byte.
+ */
+object Web {
+
+  /** Markup boilerplate strip — HTML/XML to visible text: `<script>` and
+   * `<style>` element BODIES removed (their text is code, not content),
+   * comments removed, every remaining tag replaced by a space (so
+   * `a<br>b` keeps its word boundary), the common named/numeric entities
+   * decoded (exact `replace`, no regex), whitespace runs collapsed and
+   * ends trimmed. Returns (idCol, text, n_tags) with `n_tags` the count
+   * of stripped tags — a cheap page-complexity diagnostic and a guard
+   * signal (n_tags = 0 on already-plain text, so the pass is idempotent).
+   *
+   * Deliberately NOT a full HTML5 parser: an UNTERMINATED script/style
+   * element leaks its body as text (the span regex requires the closing
+   * tag), and only the seven dominant entities are decoded —
+   * stated bounds, same portability rationale as [[Text.normalize]]'s
+   * ASCII-only folding. Scale shape: one codegen Project. */
+  def stripMarkup(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val h = col(htmlCol)
+    // spans first (their bodies must not survive tag-stripping), then
+    // comments, then tags; (?is) = case-insensitive + dot-matches-newline
+    val noScript = regexp_replace(h, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    // &amp; decodes LAST or "&amp;lt;" would double-decode
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    val collapsed = trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " "))
+    df.select(col(idCol), collapsed.as("text"),
+      size(regexp_extract_all(h, lit("(?s)<[^>]*>"), lit(0)))
+        .cast("long").as("n_tags"))
+  }
+
+  /** Tracking query parameters dropped by [[urlCanonical]]: the
+   * click/campaign identifiers that make one page look like many
+   * distinct URLs (the first-pass dedup noise in any crawl). */
+  val trackingParams = "^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|igshid)(=.*)?$"
+
+  /** URL canonicalization + dedup keys — the first-pass exact dedup
+   * BEFORE content hashing (a crawl sees the same page under http/https,
+   * with/without `www.`, trailing slash, and campaign parameters).
+   * Rules: scheme and host lowercased, userinfo dropped, default ports
+   * (`:80` http, `:443` https) dropped, fragment dropped, trailing
+   * slashes on a non-root path dropped, tracking parameters
+   * ([[trackingParams]]) dropped and the surviving query parameters
+   * SORTED (param order is not content). Returns
+   * (idCol, url_canon, host, url_key):
+   *  - `url_canon` — the cleaned URL (scheme preserved);
+   *  - `host` — lowercased host without a leading `www.`;
+   *  - `url_key` — scheme-less `host + path + ?query`, the exact-dup
+   *    grouping key (http/https/www variants of one page collide).
+   * Rows whose value has no `scheme://` prefix get null outputs (loud in
+   * any downstream groupBy, instead of a silently-wrong key).
+   * Scale shape: one codegen Project — split/filter/sort run on the
+   * handful of params per URL, never across rows. */
+  def urlCanonical(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val u = col(urlCol)
+    val scheme = lower(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val auth0 = lower(regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    val noUser = regexp_replace(auth0, "^[^@]*@", "")
+    val host = when(scheme === "http", regexp_replace(noUser, ":80$", ""))
+      .when(scheme === "https", regexp_replace(noUser, ":443$", ""))
+      .otherwise(noUser)
+    val path0 = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(regexp_replace(path0, "/+$", "") === "", lit("/"))
+      .otherwise(regexp_replace(path0, "/+$", ""))
+    val q0 = regexp_extract(u, "^[^#?]*\\?([^#]*)", 1)
+    val params = array_sort(filter(split(q0, "&"),
+      p => length(p) > 0 && !p.rlike(trackingParams)))
+    val query = array_join(params, "&")
+    val tail = concat(path, when(length(query) > 0, concat(lit("?"), query))
+      .otherwise(lit("")))
+    val ok = length(scheme) > 0 && length(host) > 0
+    val hostKey = regexp_replace(host, "^www\\.", "")
+    df.select(col(idCol),
+      when(ok, concat(scheme, lit("://"), host, tail)).as("url_canon"),
+      when(ok, hostKey).as("host"),
+      when(ok, concat(hostKey, tail)).as("url_key"))
+  }
+}

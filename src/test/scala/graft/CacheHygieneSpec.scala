@@ -78,4 +78,84 @@ class CacheHygieneSpec extends TestBase {
   test("finish: no-op-projection result survives close (last round = lazy persist)") {
     finishSurvives(5)
   }
+
+  // Round-13 (verdict ask): EVERY shared-frame pipeline op must leave
+  // zero residual persistent RDDs after compute + releaseShared — a user
+  // session looping these ops otherwise accretes one pinned frame per
+  // call until LRU eviction (the scaladoc contract, now asserted per op).
+  private def assertReleaseShared(name: String)(
+      run: => org.apache.spark.sql.DataFrame): Unit = {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    spark.catalog.clearCache()
+    val before = leftoverIds()
+    val result = run
+    result.count()
+    pipeline.releaseShared(result)
+    val after = leftoverIds() -- before
+    assert(after.isEmpty,
+      s"$name leaked pinned frames after releaseShared: ${after.toSeq.sorted}")
+  }
+
+  private lazy val hygieneDocs = {
+    val rows = (0 until 40).map(i =>
+      (i.toLong, s"alpha beta gamma delta token$i epsilon zeta " * 3))
+    spark.createDataFrame(rows).toDF("doc_id", "text")
+  }
+
+  test("fuzzyPairs (single key) releases its shared block frame") {
+    assertReleaseShared("fuzzyPairs") {
+      pipeline.Dedup.fuzzyPairs(hygieneDocs, "doc_id", "text",
+        substring(col("text"), 1, 10), maxDist = 2, maxBlock = 100)
+    }
+  }
+
+  test("fuzzyPairs (multi key) releases its shared block frame") {
+    assertReleaseShared("fuzzyPairs-multi") {
+      pipeline.Dedup.fuzzyPairs(hygieneDocs, "doc_id", "text",
+        Seq(substring(col("text"), 1, 10), length(col("text")).cast("string")),
+        maxDist = 2, maxBlock = 100)
+    }
+  }
+
+  test("ngramJaccard releases its shared shingle frame") {
+    assertReleaseShared("ngramJaccard") {
+      pipeline.Dedup.ngramJaccard(hygieneDocs, "doc_id", "text",
+        n = 3, minShared = 2)
+    }
+  }
+
+  test("containmentPairs releases its shared shingle frame") {
+    assertReleaseShared("containmentPairs") {
+      pipeline.Dedup.containmentPairs(hygieneDocs, "doc_id", "text",
+        n = 3, minShared = 2, threshold = 0.1)
+    }
+  }
+
+  test("tfCosinePairs releases its shared term frame") {
+    assertReleaseShared("tfCosinePairs") {
+      pipeline.Text.tfCosinePairs(hygieneDocs, "doc_id", "text",
+        minCosine = 0.5, maxDocFreq = 100)
+    }
+  }
+
+  test("dsirWeights releases its shared (doc,bucket,n) frame") {
+    assertReleaseShared("dsirWeights") {
+      pipeline.Text.dsirWeights(hygieneDocs, "doc_id", "text",
+        col("doc_id") < 10, buckets = 64)
+    }
+  }
+
+  test("coOccurrence releases its shared basket frame") {
+    assertReleaseShared("coOccurrence") {
+      pipeline.Recommend.coOccurrence(
+        hygieneDocs.selectExpr("doc_id % 5 AS basket", "doc_id AS item"),
+        "basket", "item", maxBasket = 100)
+    }
+  }
+
+  test("cliques4 releases its shared oriented-edge frames") {
+    assertReleaseShared("cliques4") {
+      lib.Cliques.cliques4(friends)
+    }
+  }
 }

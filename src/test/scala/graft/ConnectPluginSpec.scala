@@ -626,6 +626,17 @@ class ConnectPluginSpec extends TestBase {
     assert(bs.columns.toSeq ==
       Seq("doc_id", "text", "n", "rank", "cum_tokens") &&
       bs.count() == docs.count())
+    val web = docs.selectExpr("doc_id",
+      "concat('<p>', text, '</p><!-- c -->') AS html",
+      "concat('HTTPS://A.B:443/x/?utm_source=s&k=', doc_id) AS url")
+    val sm = GraftConnectDispatch.run(scala.None, web, "pipe_strip_markup",
+      """{"idCol": "doc_id", "htmlCol": "html"}""")
+    assert(sm.columns.toSeq == Seq("doc_id", "text", "n_tags") &&
+      sm.filter("n_tags != 3").isEmpty) // <p>, </p>, and the comment
+    val uc = GraftConnectDispatch.run(scala.None, web, "pipe_url_canonical",
+      """{"idCol": "doc_id", "urlCol": "url"}""")
+    assert(uc.columns.toSeq == Seq("doc_id", "url_canon", "host", "url_key") &&
+      uc.filter("url_canon NOT LIKE 'https://a.b/x?k=%'").isEmpty)
   }
 
   test("pipeline op with a vertices relation fails loudly") {

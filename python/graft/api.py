@@ -841,6 +841,20 @@ class PipelineMethods:
         (id, url_canon, host, url_key); non-URLs get null outputs."""
         return self._call("pipe_url_canonical", idCol=idCol, urlCol=urlCol)
 
+    def hostStats(self, idCol: str = "doc_id", urlCol: str = "url"):
+        """Domain-level crawl stats over canonical hosts: rows, distinct
+        canonical pages, within-host exact-dup ratio. Rows
+        (host, n_docs, n_pages, dup_ratio); unparseable URLs drop."""
+        return self._call("pipe_host_stats", idCol=idCol, urlCol=urlCol)
+
+    def corpusDiff(self, old, idCol: str = "doc_id", textCol: str = "text"):
+        """Snapshot diff: this Pipeline's table is the NEW snapshot;
+        ``old`` (a DataFrame) rides the vertices slot. Rows (id, status)
+        with status in added/removed/changed/unchanged (md5 content
+        compare)."""
+        return self._call2(old, "pipe_corpus_diff", idCol=idCol,
+                           textCol=textCol)
+
     def coOccurrence(self, basketCol: str, itemCol: str,
                      maxBasket: Optional[int] = None):
         """Basket co-occurrence pair counts (canonical item_a < item_b;

@@ -351,5 +351,19 @@ assert uc[1] == ("http://www.ex.com/a?b=2", "ex.com", "ex.com/a?b=2"), uc
 assert uc[2] == (None, None, None), uc
 print("CLASSIC OK pipe_url_canonical")
 
+hs = {r["host"]: (r["n_docs"], r["n_pages"]) for r in Pipeline(
+    web_df).hostStats().collect()}
+assert hs == {"ex.com": (1, 1)}, hs  # the non-URL row drops
+print("CLASSIC OK pipe_host_stats")
+
+new_df = spark.createDataFrame(
+    [(1, "same"), (2, "edited"), (4, "brand new")], ["doc_id", "text"])
+old_df = spark.createDataFrame(
+    [(1, "same"), (2, "original"), (3, "gone")], ["doc_id", "text"])
+cd = {r["doc_id"]: r["status"]
+      for r in Pipeline(new_df).corpusDiff(old_df).collect()}
+assert cd == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}, cd
+print("CLASSIC OK pipe_corpus_diff")
+
 spark.stop()
 print("CLASSIC ALL OK")

@@ -106,6 +106,24 @@ object SparkEntry {
     try body finally s.conf.set("spark.sql.shuffle.partitions", old)
   }
 
+  /** Deterministic URL fixture over `documents` (no table carries URLs):
+   * doc_id % 3 picks http-with-www-port-tracking-fragment, https-with-
+   * userinfo-and-unsorted-params, or a schemeless non-URL (null-output
+   * case). Shared by p_url_canonical and p_host_stats; the oracle
+   * replays the same CASE. */
+  private def urlFixture(s: SparkSession, dir: String): DataFrame = {
+    val m = pmod(col("doc_id"), lit(3))
+    val url = when(m === 0, concat(
+        lit("HTTP://WWW.Site"), pmod(col("doc_id"), lit(7)),
+        lit(".COM:80/Dir/Page/?utm_source=feed&b="),
+        pmod(col("doc_id"), lit(5)), lit("&a=1&gclid=g#frag")))
+      .when(m === 1, concat(
+        lit("https://user:pw@Sub.site"), pmod(col("doc_id"), lit(7)),
+        lit(".com:443/p"), pmod(col("doc_id"), lit(11)), lit("?z=2&a=3")))
+      .otherwise(concat(lit("doc "), col("doc_id").cast("string")))
+    load(s, dir, "documents").select(col("doc_id"), url.as("url"))
+  }
+
   private def treeChordGraph(s: SparkSession, dir: String): GraphFrame = {
     val v = load(s, dir, "nation").select(col("n_nationkey").cast("long").as(ID))
     val tree = v.filter(col(ID) >= 1)
@@ -1173,21 +1191,28 @@ object SparkEntry {
       pipeline.Web.stripMarkup(load(s, dir, "documents")
         .select(col("doc_id"), page.as("html")), "doc_id", "html")
     }),
-    "p_url_canonical" -> ((s, dir) => { // URL canonicalization + dedup
+    "p_url_canonical" -> ((s, dir) => // URL canonicalization + dedup
       // keys: three deterministic URL shapes per corpus (http with www +
       // default port + tracking params + fragment; https with sorted-out
       // param order; a schemeless non-URL that must produce nulls)
-      val m = pmod(col("doc_id"), lit(3))
-      val url = when(m === 0, concat(
-          lit("HTTP://WWW.Site"), pmod(col("doc_id"), lit(7)),
-          lit(".COM:80/Dir/Page/?utm_source=feed&b="),
-          pmod(col("doc_id"), lit(5)), lit("&a=1&gclid=g#frag")))
-        .when(m === 1, concat(
-          lit("https://user:pw@Sub.site"), pmod(col("doc_id"), lit(7)),
-          lit(".com:443/p"), pmod(col("doc_id"), lit(11)), lit("?z=2&a=3")))
-        .otherwise(concat(lit("doc "), col("doc_id").cast("string")))
-      pipeline.Web.urlCanonical(load(s, dir, "documents")
-        .select(col("doc_id"), url.as("url")), "doc_id", "url")
+      pipeline.Web.urlCanonical(urlFixture(s, dir), "doc_id", "url")),
+    "p_host_stats" -> ((s, dir) => // domain-level crawl stats over the
+      // SAME URL fixture: per canonical host, rows vs distinct pages and
+      // the within-host exact-dup ratio (the blocklist-prep table);
+      // non-URL rows drop, the http shape dups heavily (5 query values
+      // per host), the https shape is near-unique (11 paths x 2 params)
+      pipeline.Web.hostStats(urlFixture(s, dir), "doc_id", "url")),
+    "p_corpus_diff" -> ((s, dir) => { // incremental-crawl snapshot diff:
+      // old = doc_id < 400, new = doc_id >= 100 with every doc_id%10==3
+      // re-crawled (text + ' v2') — exercises all four statuses
+      val docs = load(s, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") < 400)
+        .select(col("doc_id"), col("text"))
+      val newSnap = docs.filter(col("doc_id") >= 100)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(10)) === 3,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+      pipeline.Dedup.corpusDiff(oldSnap, newSnap, "doc_id", "text")
     }),
     "p_segment_dedup" -> ((s, dir) => // CCNet-style paragraph dedup; the
       // word-soup fixture has no line structure, so segment = 4-word window
@@ -3508,6 +3533,46 @@ object SparkEntry {
 
   /** Earliest-arrival (vertex, time) state walk (shared by the driver-tail
    * and forced-distributed rows). */
+  /** Shared DuckDB CTE chain replaying [[pipeline.Web.urlCanonical]] over
+   * the [[urlFixture]] URLs — p3 exposes (doc_id, scheme, host, ok, tail)
+   * for the p_url_canonical and p_host_stats oracles. Plain (non-
+   * interpolated) string: the regexes anchor with `$`. */
+  private lazy val urlCanonCtes: String =
+    """WITH u AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'HTTP://WWW.Site' ||
+      |      CAST(doc_id % 7 AS VARCHAR) ||
+      |      '.COM:80/Dir/Page/?utm_source=feed&b=' ||
+      |      CAST(doc_id % 5 AS VARCHAR) || '&a=1&gclid=g#frag'
+      |    WHEN doc_id % 3 = 1 THEN 'https://user:pw@Sub.site' ||
+      |      CAST(doc_id % 7 AS VARCHAR) || '.com:443/p' ||
+      |      CAST(doc_id % 11 AS VARCHAR) || '?z=2&a=3'
+      |    ELSE 'doc ' || CAST(doc_id AS VARCHAR) END AS url
+      |  FROM documents),
+      |p AS (SELECT doc_id,
+      |  lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+      |    AS scheme,
+      |  regexp_replace(lower(regexp_extract(url,
+      |    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)), '^[^@]*@', '')
+      |    AS nouser,
+      |  regexp_extract(url,
+      |    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+      |  regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS q0 FROM u),
+      |p2 AS (SELECT doc_id, scheme,
+      |  CASE WHEN scheme = 'http' THEN regexp_replace(nouser, ':80$', '')
+      |    WHEN scheme = 'https' THEN regexp_replace(nouser, ':443$', '')
+      |    ELSE nouser END AS host,
+      |  CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+      |    ELSE regexp_replace(path0, '/+$', '') END AS path,
+      |  array_to_string(list_sort(list_filter(string_split(q0, '&'),
+      |    x -> len(x) > 0 AND NOT regexp_matches(x,
+      |      '^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|igshid)(=.*)?$'))),
+      |    '&') AS query
+      |  FROM p),
+      |p3 AS (SELECT doc_id, scheme, host,
+      |  len(scheme) > 0 AND len(host) > 0 AS ok,
+      |  path || CASE WHEN len(query) > 0 THEN '?' || query ELSE '' END
+      |    AS tail FROM p2)""".stripMargin
+
   private lazy val temporalBfsSql: String =
     """WITH RECURSIVE cv AS (SELECT n_nationkey AS id FROM nation),
       |ce AS (SELECT src, dst, CAST((src * 2 + dst) % 7 + 1 AS DOUBLE) AS t
@@ -4535,46 +4600,37 @@ object SparkEntry {
     // port / fragment / tracking params, sort surviving params, trim
     // trailing slashes; non-URLs (no scheme://) produce null outputs
     "p_url_canonical" ->
-      """WITH u AS (SELECT doc_id,
-        |  CASE WHEN doc_id % 3 = 0 THEN 'HTTP://WWW.Site' ||
-        |      CAST(doc_id % 7 AS VARCHAR) ||
-        |      '.COM:80/Dir/Page/?utm_source=feed&b=' ||
-        |      CAST(doc_id % 5 AS VARCHAR) || '&a=1&gclid=g#frag'
-        |    WHEN doc_id % 3 = 1 THEN 'https://user:pw@Sub.site' ||
-        |      CAST(doc_id % 7 AS VARCHAR) || '.com:443/p' ||
-        |      CAST(doc_id % 11 AS VARCHAR) || '?z=2&a=3'
-        |    ELSE 'doc ' || CAST(doc_id AS VARCHAR) END AS url
-        |  FROM documents),
-        |p AS (SELECT doc_id,
-        |  lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
-        |    AS scheme,
-        |  regexp_replace(lower(regexp_extract(url,
-        |    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)), '^[^@]*@', '')
-        |    AS nouser,
-        |  regexp_extract(url,
-        |    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
-        |  regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS q0 FROM u),
-        |p2 AS (SELECT doc_id, scheme,
-        |  CASE WHEN scheme = 'http' THEN regexp_replace(nouser, ':80$', '')
-        |    WHEN scheme = 'https' THEN regexp_replace(nouser, ':443$', '')
-        |    ELSE nouser END AS host,
-        |  CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
-        |    ELSE regexp_replace(path0, '/+$', '') END AS path,
-        |  array_to_string(list_sort(list_filter(string_split(q0, '&'),
-        |    x -> len(x) > 0 AND NOT regexp_matches(x,
-        |      '^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|igshid)(=.*)?$'))),
-        |    '&') AS query
-        |  FROM p),
-        |p3 AS (SELECT doc_id, scheme, host,
-        |  len(scheme) > 0 AND len(host) > 0 AS ok,
-        |  path || CASE WHEN len(query) > 0 THEN '?' || query ELSE '' END
-        |    AS tail FROM p2)
+      s"""$urlCanonCtes
         |SELECT doc_id,
         |  CASE WHEN ok THEN scheme || '://' || host || tail END AS url_canon,
-        |  CASE WHEN ok THEN regexp_replace(host, '^www\.', '') END AS host,
-        |  CASE WHEN ok THEN regexp_replace(host, '^www\.', '') || tail END
+        |  CASE WHEN ok THEN regexp_replace(host, '^www\\.', '') END AS host,
+        |  CASE WHEN ok THEN regexp_replace(host, '^www\\.', '') || tail END
         |    AS url_key
         |FROM p3""".stripMargin,
+    // hosts aggregated over the same canonicalization CTEs
+    "p_host_stats" ->
+      s"""$urlCanonCtes
+        |SELECT regexp_replace(host, '^www\\.', '') AS host,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT regexp_replace(host, '^www\\.', '') || tail)
+        |    AS BIGINT) AS n_pages,
+        |  ROUND(1.0 - COUNT(DISTINCT regexp_replace(host, '^www\\.', '')
+        |    || tail) / CAST(COUNT(*) AS DOUBLE), 4) AS dup_ratio
+        |FROM p3 WHERE ok GROUP BY 1""".stripMargin,
+    // same presence-flag full-outer diff; md5 hex matches Spark's
+    "p_corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS h, TRUE AS p
+        |  FROM documents WHERE doc_id < 400),
+        |n AS (SELECT doc_id,
+        |  md5(CASE WHEN doc_id % 10 = 3 THEN text || ' v2' ELSE text END)
+        |    AS h, TRUE AS p
+        |  FROM documents WHERE doc_id >= 100)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.p IS NULL THEN 'added'
+        |    WHEN n.p IS NULL THEN 'removed'
+        |    WHEN o.h = n.h THEN 'unchanged'
+        |    ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
     "p_chunk" -> // stride 24 = 32 - 8; last start reaches the text end
       s"""WITH w AS (SELECT doc_id, $W AS ws FROM documents),
          |c AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,

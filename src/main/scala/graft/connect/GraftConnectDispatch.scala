@@ -183,6 +183,9 @@ object GraftConnectDispatch {
       "budget"),
     "pipe_strip_markup" -> Set("idCol", "htmlCol"),
     "pipe_url_canonical" -> Set("idCol", "urlCol"),
+    "pipe_host_stats" -> Set("idCol", "urlCol"),
+    // two-table: OLD snapshot rides the vertices slot, NEW the edges slot
+    "pipe_corpus_diff" -> Set("idCol", "textCol"),
     "pipe_co_occurrence" -> Set("basketCol", "itemCol", "maxBasket"),
     "pipe_also_bought" -> Set("basketCol", "itemCol", "maxBasket", "k"),
     "pipe_transition_matrix" -> Set("gapMinutes"),
@@ -286,6 +289,15 @@ object GraftConnectDispatch {
           prefix = str("prefix").getOrElse("r_"),
           bucketMs = int("bucketMs").map(_.toLong).getOrElse(3600000L),
           maxBucketsPerInterval = int("maxBucketsPerInterval").getOrElse(1024))
+      }
+      if (algorithm == "pipe_corpus_diff") {
+        // own-table-in-edges convention: the NEW snapshot is the edges
+        // slot (the Pipeline's table), the OLD snapshot the vertices slot
+        val oldSnap = vertices.getOrElse(throw new IllegalArgumentException(
+          "pipe_corpus_diff needs TWO tables: the OLD snapshot in the " +
+            "vertices slot, the NEW snapshot in the edges slot"))
+        return graft.pipeline.Dedup.corpusDiff(oldSnap, edges,
+          str("idCol").getOrElse("doc_id"), str("textCol").getOrElse("text"))
       }
       if (algorithm == "pipe_contaminated_spans" || algorithm == "pipe_cut_contaminated") {
         // own-table-in-edges convention (same as pipe_asof_join): the
@@ -542,6 +554,9 @@ object GraftConnectDispatch {
             str("idCol").getOrElse("doc_id"), str("htmlCol").getOrElse("html"))
         case "pipe_url_canonical" =>
           graft.pipeline.Web.urlCanonical(t,
+            str("idCol").getOrElse("doc_id"), str("urlCol").getOrElse("url"))
+        case "pipe_host_stats" =>
+          graft.pipeline.Web.hostStats(t,
             str("idCol").getOrElse("doc_id"), str("urlCol").getOrElse("url"))
         case "pipe_attribution_linear" =>
           graft.pipeline.Events.linearAttribution(t,

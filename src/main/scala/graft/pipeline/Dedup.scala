@@ -645,4 +645,32 @@ object Dedup {
           .otherwise(round(col("n_hit") / col("n_cand").cast("double"), 4))
           .as("precision"))
   }
+
+  /** Corpus snapshot diff — the incremental-crawl bookkeeping step:
+   * classify every document id across two snapshots as `added` (new
+   * only), `removed` (old only), `changed` (both, content hash differs)
+   * or `unchanged`. Content is compared by md5 so the join ships one
+   * 32-char hash per row, never the documents; null text hashes equal
+   * null text (null-safe compare), and presence is tracked by explicit
+   * flags so a null-text document is never misread as absent. Expects
+   * one row per id per snapshot (duplicate ids diff per-pair and the
+   * result then has one row per pair — dedup upstream if ids repeat).
+   * Returns (idCol, status).
+   *
+   * Scale shape: one full-outer hash join keyed on the id — both sides
+   * pre-projected to (id, hash), so the shuffle is two narrow columns
+   * however wide the corpus rows are. */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol), md5(col(textCol)).as("_ho"),
+      lit(true).as("_po"))
+    val n = newDf.select(col(idCol), md5(col(textCol)).as("_hn"),
+      lit(true).as("_pn"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_po").isNull, lit("added"))
+          .when(col("_pn").isNull, lit("removed"))
+          .when(col("_ho") <=> col("_hn"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }

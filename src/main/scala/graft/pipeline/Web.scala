@@ -94,4 +94,28 @@ object Web {
       when(ok, hostKey).as("host"),
       when(ok, concat(hostKey, tail)).as("url_key"))
   }
+
+  /** Domain-level crawl statistics — the table behind host blocklists and
+   * per-domain sampling caps (RefinedWeb §3.1 removes whole domains
+   * before any content pass): per [[urlCanonical]] host, the crawl row
+   * count, the distinct canonical pages, and the within-host exact-dup
+   * ratio (1 − pages/rows — high values mean session-id/tracking churn
+   * or crawler traps). Rows with no parseable host are dropped (they
+   * carry no domain signal; [[urlCanonical]] itself reports them as
+   * nulls). Returns (host, n_docs, n_pages, dup_ratio 4dp).
+   *
+   * Scale shape: one exact distinct-count aggregation — Spark plans it
+   * as a (host, url_key) pre-aggregation then a per-host count, so a
+   * mega-host's pages still spread over the cluster in phase one and
+   * only its per-page singletons meet at one reducer. */
+  def hostStats(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val c = urlCanonical(df, idCol, urlCol)
+    c.filter(col("host").isNotNull)
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url_key")).as("n_pages"),
+        round(lit(1.0) -
+          countDistinct(col("url_key")) / count(lit(1)).cast("double"), 4)
+          .as("dup_ratio"))
+  }
 }

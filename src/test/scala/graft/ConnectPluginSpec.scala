@@ -637,6 +637,19 @@ class ConnectPluginSpec extends TestBase {
       """{"idCol": "doc_id", "urlCol": "url"}""")
     assert(uc.columns.toSeq == Seq("doc_id", "url_canon", "host", "url_key") &&
       uc.filter("url_canon NOT LIKE 'https://a.b/x?k=%'").isEmpty)
+    val hs = GraftConnectDispatch.run(scala.None, web, "pipe_host_stats",
+      """{"idCol": "doc_id", "urlCol": "url"}""").collect()
+    assert(hs.length == 1 && hs.head.getString(0) == "a.b" &&
+      hs.head.getLong(1) == docs.count(), hs.mkString(","))
+    val oldSnap = docs.limit(2)
+    val cd = GraftConnectDispatch.run(Some(oldSnap), docs, "pipe_corpus_diff",
+      """{"idCol": "doc_id", "textCol": "text"}""")
+    assert(cd.filter("status = 'unchanged'").count() == 2 &&
+      cd.filter("status = 'added'").count() == docs.count() - 2)
+    intercept[IllegalArgumentException] {
+      GraftConnectDispatch.run(scala.None, docs, "pipe_corpus_diff",
+        """{"idCol": "doc_id", "textCol": "text"}""")
+    }
   }
 
   test("pipeline op with a vertices relation fails loudly") {

@@ -97,6 +97,32 @@ class Round13Spec extends TestBase {
     assert(ks.distinct == Seq("ex.com/p?a=1"), ks.toString)
   }
 
+  test("hostStats: per-host rows, distinct pages, dup ratio; non-URLs drop") {
+    val rows = Seq(
+      (1, "http://a.com/x?utm_s=1"), (2, "https://WWW.A.com/x"),
+      (3, "http://a.com/y"), (4, "http://b.org/"), (5, "nope"))
+      .toDF("id", "url")
+    val got = pipeline.Web.hostStats(rows, "id", "url").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // a.com: 3 rows, 2 canonical pages (the www/https/utm variants of /x
+    // collide on url_key), dup ratio 1 - 2/3
+    assert(got == Map("a.com" -> ((3L, 2L, 0.3333)),
+      "b.org" -> ((1L, 1L, 0.0))), got.toString)
+  }
+
+  test("corpusDiff classifies added/removed/changed/unchanged; null-safe") {
+    val oldSnap = Seq((1, "same"), (2, "orig"), (3, "gone"),
+      (5, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val newSnap = Seq((1, "same"), (2, "edited"), (4, "new"),
+      (5, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = pipeline.Dedup.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    // null text is PRESENT (unchanged vs null), never misread as absent
+    assert(got == Map(1 -> "unchanged", 2 -> "changed", 3 -> "removed",
+      4 -> "added", 5 -> "unchanged"), got.toString)
+  }
+
   // ---------------- hop-batched iterative paths ----------------
 
   test("temporal reachability: hopsPerCycle never changes the fixpoint") {

@@ -855,6 +855,20 @@ class PipelineMethods:
         return self._call2(old, "pipe_corpus_diff", idCol=idCol,
                            textCol=textCol)
 
+    def groupQuantiles(self, groupCol: str, valueCol: str, qs: list):
+        """Exact per-group quantiles (value at rank ceil(q*n), ascending;
+        always a value that occurs — replayable, unlike approx sketches).
+        Rows (group, q, value, n)."""
+        return self._call("pipe_group_quantiles", groupCol=groupCol,
+                          valueCol=valueCol, qs=qs)
+
+    def keepBest(self, clusterCol: str, idCol: str, scoreCol: str):
+        """Best-of-cluster dedup keep: one row per cluster by
+        (score desc nulls-last, id asc). Rows
+        (cluster, id, score, n_members)."""
+        return self._call("pipe_keep_best", clusterCol=clusterCol,
+                          idCol=idCol, scoreCol=scoreCol)
+
     def coOccurrence(self, basketCol: str, itemCol: str,
                      maxBasket: Optional[int] = None):
         """Basket co-occurrence pair counts (canonical item_a < item_b;

@@ -365,5 +365,19 @@ cd = {r["doc_id"]: r["status"]
 assert cd == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}, cd
 print("CLASSIC OK pipe_corpus_diff")
 
+qdf = spark.createDataFrame(
+    [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0)], ["grp", "v"])
+gq = {r["q"]: r["value"] for r in Pipeline(qdf).groupQuantiles(
+    groupCol="grp", valueCol="v", qs=[0.5, 1.0]).collect()}
+assert gq == {0.5: 2.0, 1.0: 4.0}, gq
+print("CLASSIC OK pipe_group_quantiles")
+
+kdf = spark.createDataFrame(
+    [(1, 10, 0.2), (1, 11, 0.8), (2, 20, 0.5)], ["cl", "id", "sc"])
+kb = {r["cl"]: (r["id"], r["n_members"]) for r in Pipeline(kdf).keepBest(
+    clusterCol="cl", idCol="id", scoreCol="sc").collect()}
+assert kb == {1: (11, 2), 2: (20, 1)}, kb
+print("CLASSIC OK pipe_keep_best")
+
 spark.stop()
 print("CLASSIC ALL OK")

@@ -1202,6 +1202,19 @@ object SparkEntry {
       // non-URL rows drop, the http shape dups heavily (5 query values
       // per host), the https shape is near-unique (11 paths x 2 params)
       pipeline.Web.hostStats(urlFixture(s, dir), "doc_id", "url")),
+    "p_quality_quantiles" -> ((s, dir) => // per-language EXACT quantile
+      // thresholds (rank ceil(q*n), a value that occurs — approx sketches
+      // are engine-specific and these thresholds gate permanent cuts)
+      pipeline.Sampling.groupQuantiles(load(s, dir, "documents")
+          .select(col("lang"), col("n_chars").cast("double").as("score")),
+        "lang", "score", Seq(0.1, 0.5, 0.9))),
+    "p_keep_best" -> ((s, dir) => // best-of-cluster dedup keep: one row
+      // per cluster by (score desc, id asc) — the near-dup finisher that
+      // keeps the best-quality member instead of an arbitrary one
+      pipeline.Dedup.keepBest(load(s, dir, "documents")
+          .select(pmod(col("doc_id"), lit(40)).as("cluster"), col("doc_id"),
+            col("n_chars").cast("double").as("score")),
+        "cluster", "doc_id", "score")),
     "p_corpus_diff" -> ((s, dir) => { // incremental-crawl snapshot diff:
       // old = doc_id < 400, new = doc_id >= 100 with every doc_id%10==3
       // re-crawled (text + ' v2') — exercises all four statuses
@@ -4617,6 +4630,29 @@ object SparkEntry {
         |  ROUND(1.0 - COUNT(DISTINCT regexp_replace(host, '^www\\.', '')
         |    || tail) / CAST(COUNT(*) AS DOUBLE), 4) AS dup_ratio
         |FROM p3 WHERE ok GROUP BY 1""".stripMargin,
+    // same rank arithmetic: value at ceil(q*n), 1-indexed ascending;
+    // q literals cast to DOUBLE (a bare 0.1 is DECIMAL in DuckDB)
+    "p_quality_quantiles" ->
+      """WITH r AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+        |  ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY CAST(n_chars AS DOUBLE) ASC) AS rk,
+        |  COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT lang, q, v AS value, CAST(n AS BIGINT) AS n
+        |FROM r, (SELECT unnest([CAST(0.1 AS DOUBLE), CAST(0.5 AS DOUBLE),
+        |  CAST(0.9 AS DOUBLE)]) AS q) qs
+        |WHERE rk = greatest(CAST(ceil(q * n) AS BIGINT), 1)""".stripMargin,
+    // same (score desc NULLS LAST, id asc) keep — DuckDB's DESC defaults
+    // to nulls-first, so the order is spelled out on both sides
+    "p_keep_best" ->
+      """WITH c AS (SELECT doc_id % 40 AS cluster, doc_id,
+        |    CAST(n_chars AS DOUBLE) AS score FROM documents),
+        |r AS (SELECT cluster, doc_id, score,
+        |  ROW_NUMBER() OVER (PARTITION BY cluster
+        |    ORDER BY score DESC NULLS LAST, doc_id ASC) AS rk,
+        |  COUNT(*) OVER (PARTITION BY cluster) AS n_members FROM c)
+        |SELECT cluster, doc_id, score, CAST(n_members AS BIGINT) AS n_members
+        |FROM r WHERE rk = 1""".stripMargin,
     // same presence-flag full-outer diff; md5 hex matches Spark's
     "p_corpus_diff" ->
       """WITH o AS (SELECT doc_id, md5(text) AS h, TRUE AS p

@@ -184,6 +184,8 @@ object GraftConnectDispatch {
     "pipe_strip_markup" -> Set("idCol", "htmlCol"),
     "pipe_url_canonical" -> Set("idCol", "urlCol"),
     "pipe_host_stats" -> Set("idCol", "urlCol"),
+    "pipe_group_quantiles" -> Set("groupCol", "valueCol", "qs"),
+    "pipe_keep_best" -> Set("clusterCol", "idCol", "scoreCol"),
     // two-table: OLD snapshot rides the vertices slot, NEW the edges slot
     "pipe_corpus_diff" -> Set("idCol", "textCol"),
     "pipe_co_occurrence" -> Set("basketCol", "itemCol", "maxBasket"),
@@ -558,6 +560,24 @@ object GraftConnectDispatch {
         case "pipe_host_stats" =>
           graft.pipeline.Web.hostStats(t,
             str("idCol").getOrElse("doc_id"), str("urlCol").getOrElse("url"))
+        case "pipe_group_quantiles" =>
+          val qs = params.get("qs") match {
+            case Some(JArray(vs)) => vs.map {
+              case JDouble(d) => d
+              case JInt(i) => i.toDouble
+              case JLong(l) => l.toDouble
+              case other => throw new IllegalArgumentException(
+                s"qs entries must be numbers, got: $other")
+            }
+            case _ => throw new IllegalArgumentException(
+              "pipe_group_quantiles requires params_json key 'qs' " +
+                "(array of quantiles in [0,1])")
+          }
+          Sampling.groupQuantiles(t, required("groupCol"),
+            required("valueCol"), qs)
+        case "pipe_keep_best" =>
+          Dedup.keepBest(t, required("clusterCol"), required("idCol"),
+            required("scoreCol"))
         case "pipe_attribution_linear" =>
           graft.pipeline.Events.linearAttribution(t,
             touchType = str("touchType").getOrElse("view"),

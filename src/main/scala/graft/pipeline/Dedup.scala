@@ -646,6 +646,35 @@ object Dedup {
           .as("precision"))
   }
 
+  /** Best-of-cluster representative selection — the finisher AFTER
+   * near-dup clustering (exact hashes, [[minhashLsh]] + connected
+   * components, SemDeDup buckets…): keep, per cluster, the single member
+   * with the best quality score (score desc, id asc — a total order, so
+   * the keep is deterministic and any SQL engine replays it; `max_by`
+   * style argmax breaks ties arbitrarily and is avoided for exactly that
+   * reason). Singleton clusters keep their only member. Returns one row
+   * per cluster: (clusterCol, idCol, scoreCol, n_members).
+   *
+   * Scale shape: one window pass partitioned by cluster — near-dup
+   * clusters are small by construction (they are sets of mutual
+   * near-duplicates), so per-partition sorts are tiny however large the
+   * corpus. */
+  def keepBest(df: DataFrame, clusterCol: String, idCol: String,
+      scoreCol: String): DataFrame = {
+    // desc_nulls_last EXPLICITLY: Spark's desc defaults to nulls-last but
+    // DuckDB's DESC defaults to nulls-FIRST — a null score must never
+    // become the keep
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(clusterCol))
+      .orderBy(col(scoreCol).desc_nulls_last, col(idCol).asc)
+    df.select(col(clusterCol), col(idCol), col(scoreCol))
+      .withColumn("_rk", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(clusterCol))))
+      .filter(col("_rk") === 1)
+      .select(col(clusterCol), col(idCol), col(scoreCol), col("n_members"))
+  }
+
   /** Corpus snapshot diff — the incremental-crawl bookkeeping step:
    * classify every document id across two snapshots as `added` (new
    * only), `removed` (old only), `changed` (both, content hash differs)

@@ -322,6 +322,43 @@ object Sampling {
       .select(col(idCol), col(groupCol), col(tokenCol), col("rank"), col("cum_tokens"))
   }
 
+  /** Exact per-group quantiles — the quality-filter THRESHOLD table
+   * (keep the top 20% per language = cut at the 0.8 quantile of the
+   * score distribution, per group): for each group and each q in `qs`,
+   * the value at rank ⌈q·n⌉ of the group's values sorted ascending (the
+   * lower empirical quantile — a value that OCCURS, never an
+   * interpolation, so it replays bit-identically in any engine; the
+   * value at a rank is well-defined under ties whatever row the rank
+   * lands on). NULL values are excluded (they have no rank); q = 0 maps
+   * to rank 1 (the minimum). Returns (groupCol, q, value, n) with `n`
+   * the group's non-null count.
+   *
+   * Exact beats approximate here deliberately: `approx_percentile`'s
+   * sketch is engine- and merge-order-specific, so a filter threshold
+   * from it is not reproducible — and thresholds gate PERMANENT corpus
+   * cuts. Scale shape: one window pass per group (groups are languages
+   * or domains, same envelope as [[groupSample]]/[[budgetSelect]]);
+   * `qs` is a handful of literals exploded per row AFTER ranking, so
+   * the sort is paid once. */
+  def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "groupQuantiles needs at least one quantile")
+    qs.foreach(q => require(q >= 0.0 && q <= 1.0, s"quantile out of [0,1]: $q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("_v").asc)
+    val ranked = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).as("_v"))
+      .withColumn("_rk", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))))
+    val qArr = array(qs.map(lit): _*)
+    ranked
+      .withColumn("q", explode(qArr))
+      .filter(col("_rk") === greatest(ceil(col("q") * col("_n")), lit(1L)))
+      .select(col(groupCol), col("q"), col("_v").as("value"),
+        col("_n").as("n"))
+  }
+
   def groupSample(df: DataFrame, groupCol: String, idCol: String, k: Int,
       seed: Long = 42L): DataFrame = {
     require(k >= 1, s"groupSample needs k >= 1, got $k")

@@ -48,7 +48,8 @@ class ClassicPythonSpec extends AnyFunSuite {
       "maximal_matching", "maximal_matching_weighted", "voronoi",
       "pipe_hash_split", "pipe_shuffle_shards", "pipe_fuzzy_pairs_multi",
       "pipe_dsir", "pipe_strip_markup", "pipe_url_canonical",
-      "pipe_host_stats", "pipe_corpus_diff")
+      "pipe_host_stats", "pipe_corpus_diff", "pipe_group_quantiles",
+      "pipe_keep_best")
       .foreach(c => assert(out.exists(l => l.contains("CLASSIC OK") && l.contains(c)),
         s"check $c missing"))
   }

@@ -650,6 +650,18 @@ class ConnectPluginSpec extends TestBase {
       GraftConnectDispatch.run(scala.None, docs, "pipe_corpus_diff",
         """{"idCol": "doc_id", "textCol": "text"}""")
     }
+    val gq = GraftConnectDispatch.run(scala.None,
+      docs.selectExpr("doc_id % 2 AS grp", "length(text) AS v"),
+      "pipe_group_quantiles", """{"groupCol": "grp", "valueCol": "v",
+        |"qs": [0.5, 1.0]}""".stripMargin)
+    assert(gq.columns.toSeq == Seq("grp", "q", "value", "n") &&
+      gq.count() == 4) // 2 groups x 2 quantiles
+    val kb = GraftConnectDispatch.run(scala.None,
+      docs.selectExpr("doc_id % 2 AS cl", "doc_id", "length(text) AS sc"),
+      "pipe_keep_best",
+      """{"clusterCol": "cl", "idCol": "doc_id", "scoreCol": "sc"}""")
+    assert(kb.columns.toSeq == Seq("cl", "doc_id", "sc", "n_members") &&
+      kb.count() == 2)
   }
 
   test("pipeline op with a vertices relation fails loudly") {

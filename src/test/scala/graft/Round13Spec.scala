@@ -123,6 +123,37 @@ class Round13Spec extends TestBase {
       4 -> "added", 5 -> "unchanged"), got.toString)
   }
 
+  test("groupQuantiles: exact rank arithmetic, ties, q=0/1, null values") {
+    val rows = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(2.0)),
+      ("a", Some(10.0)), ("b", Some(5.0)), ("b", Option.empty[Double]))
+      .toDF("grp", "v")
+    val got = pipeline.Sampling.groupQuantiles(rows, "grp", "v",
+        Seq(0.0, 0.5, 0.75, 1.0)).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    // a: sorted [1,2,2,10], n=4 — q0 -> rank1=1, q.5 -> rank2=2,
+    // q.75 -> rank3=2 (the tie value), q1 -> rank4=10
+    assert(got(("a", 0.0)) == ((1.0, 4L)) && got(("a", 0.5)) == ((2.0, 4L)) &&
+      got(("a", 0.75)) == ((2.0, 4L)) && got(("a", 1.0)) == ((10.0, 4L)))
+    // b: null excluded, n=1, every q lands on the single value
+    assert(got(("b", 0.5)) == ((5.0, 1L)) && got(("b", 1.0)) == ((5.0, 1L)))
+  }
+
+  test("keepBest keeps (score desc, id asc); null score never wins") {
+    val rows = Seq((1, 10, 0.5), (1, 11, 0.9), (1, 12, 0.9),
+      (2, 20, 0.1), (3, 30, Double.NaN))
+      .toDF("cl", "id", "sc")
+      .unionByName(Seq((3, 31)).toDF("cl", "id")
+        .withColumn("sc", lit(null).cast("double")))
+    val got = pipeline.Dedup.keepBest(rows, "cl", "id", "sc").collect()
+      .map(r => r.getInt(0) -> (r.getInt(1), r.getLong(3))).toMap
+    // cluster 1: score tie 0.9/0.9 -> smaller id 11; cluster 3: the null
+    // row loses to ANY score (even NaN, which Spark/DuckDB sort as
+    // largest double — fixture uses it only to pin nulls-last)
+    assert(got == Map(1 -> ((11, 3L)), 2 -> ((20, 1L)), 3 -> ((30, 2L))),
+      got.toString)
+  }
+
   // ---------------- hop-batched iterative paths ----------------
 
   test("temporal reachability: hopsPerCycle never changes the fixpoint") {

@@ -2,10 +2,12 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Scratch: time one named query N times at a given SF dir. */
+/** Scratch: time one named query (or a comma-separated sequence, timed
+ * in order within ONE JVM — for cross-query interference probes) N times
+ * at a given SF dir. */
 object TimeOne {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(",")
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val n = if (args.length > 2) args(2).toInt else 3
     val spark = SparkSession.builder()
@@ -21,7 +23,7 @@ object TimeOne {
     import org.apache.spark.sql.functions._
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").agg(count(md5(concat_ws("", col("l_orderkey"))))).count()
-    for (i <- 1 to n) {
+    for (i <- 1 to n; name <- names) {
       // match Bench's cold-cache, warm-JVM protocol
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))

@@ -855,6 +855,20 @@ class PipelineMethods:
         return self._call2(old, "pipe_corpus_diff", idCol=idCol,
                            textCol=textCol)
 
+    def extractLinks(self, idCol: str = "doc_id", htmlCol: str = "html"):
+        """Raw href extraction (double-/single-quoted, case-insensitive),
+        one row per link occurrence: (id, link)."""
+        return self._call("pipe_extract_links", idCol=idCol, htmlCol=htmlCol)
+
+    def linkGraph(self, idCol: str = "doc_id", urlCol: str = "url",
+                  htmlCol: str = "html"):
+        """Host-level web graph from a crawl: absolute links by canonical
+        host key, site-relative links to the source host, fragments
+        dropped. Rows (src_host, dst_host, n_links) — feed into
+        GraphFrame.fromEdges after renaming."""
+        return self._call("pipe_link_graph", idCol=idCol, urlCol=urlCol,
+                          htmlCol=htmlCol)
+
     def groupQuantiles(self, groupCol: str, valueCol: str, qs: list):
         """Exact per-group quantiles (value at rank ceil(q*n), ascending;
         always a value that occurs — replayable, unlike approx sketches).

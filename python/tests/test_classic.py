@@ -379,5 +379,17 @@ kb = {r["cl"]: (r["id"], r["n_members"]) for r in Pipeline(kdf).keepBest(
 assert kb == {1: (11, 2), 2: (20, 1)}, kb
 print("CLASSIC OK pipe_keep_best")
 
+lg_df = spark.createDataFrame(
+    [(1, "http://s.com/p", '<a href="https://D.com/x">1</a><a href="/r">2</a>')],
+    ["doc_id", "url", "html"])
+el = sorted(r["link"] for r in Pipeline(lg_df).extractLinks().collect())
+assert el == ["/r", "https://D.com/x"], el
+print("CLASSIC OK pipe_extract_links")
+
+lg = {(r["src_host"], r["dst_host"]): r["n_links"]
+      for r in Pipeline(lg_df).linkGraph().collect()}
+assert lg == {("s.com", "d.com"): 1, ("s.com", "s.com"): 1}, lg
+print("CLASSIC OK pipe_link_graph")
+
 spark.stop()
 print("CLASSIC ALL OK")

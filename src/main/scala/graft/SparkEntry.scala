@@ -124,6 +124,25 @@ object SparkEntry {
     load(s, dir, "documents").select(col("doc_id"), url.as("url"))
   }
 
+  /** Deterministic crawl-page fixture over `documents`: each page links
+   * to the next two hosts on the 5-host ring (one double-quoted
+   * uppercase-host href, one single-quoted www+default-port href), plus
+   * a site-relative link and a fragment link; the page's own URL is
+   * http://h{doc_id%5}.com/p{doc_id}. Shared by p_extract_links and
+   * p_host_graph; the oracles replay the same construction. */
+  private def pageFixture(s: SparkSession, dir: String): DataFrame = {
+    val page = concat(
+      lit("<p><a href=\"http://H"), pmod(col("doc_id") + 1, lit(5)),
+      lit(".com/a\">x</a> <A HREF='https://www.h"),
+      pmod(col("doc_id") + 2, lit(5)),
+      lit(".com:443/b'>y</A> <a href=\"/local/page\">z</a> " +
+        "<a href=\"#s\">w</a></p>"))
+    val url = concat(lit("http://h"), pmod(col("doc_id"), lit(5)),
+      lit(".com/p"), col("doc_id"))
+    load(s, dir, "documents")
+      .select(col("doc_id"), url.as("url"), page.as("html"))
+  }
+
   private def treeChordGraph(s: SparkSession, dir: String): GraphFrame = {
     val v = load(s, dir, "nation").select(col("n_nationkey").cast("long").as(ID))
     val tree = v.filter(col(ID) >= 1)
@@ -1202,6 +1221,15 @@ object SparkEntry {
       // non-URL rows drop, the http shape dups heavily (5 query values
       // per host), the https shape is near-unique (11 paths x 2 params)
       pipeline.Web.hostStats(urlFixture(s, dir), "doc_id", "url")),
+    "p_extract_links" -> ((s, dir) => // raw href extraction (double- AND
+      // single-quoted, case-insensitive): absolute, site-relative and
+      // fragment links all surface — resolution is linkGraph's job
+      pipeline.Web.extractLinks(pageFixture(s, dir), "doc_id", "html")),
+    "p_host_graph" -> ((s, dir) => // host-level web graph: absolute
+      // links by canonical host key (uppercase H, www., :443 all
+      // normalize), site-relative links to the source host, fragments
+      // dropped — (src_host, dst_host, n_links) ready for fromEdges
+      pipeline.Web.linkGraph(pageFixture(s, dir), "doc_id", "url", "html")),
     "p_quality_quantiles" -> ((s, dir) => // per-language EXACT quantile
       // thresholds (rank ceil(q*n), a value that occurs — approx sketches
       // are engine-specific and these thresholds gate permanent cuts)
@@ -3586,6 +3614,33 @@ object SparkEntry {
       |  path || CASE WHEN len(query) > 0 THEN '?' || query ELSE '' END
       |    AS tail FROM p2)""".stripMargin
 
+  /** DuckDB replay of [[pageFixture]] as CTE `pg0(doc_id, url, html)`. */
+  private lazy val pageFixtureCte: String =
+    """WITH pg0 AS (SELECT doc_id,
+      |  'http://h' || CAST(doc_id % 5 AS VARCHAR) || '.com/p' ||
+      |    CAST(doc_id AS VARCHAR) AS url,
+      |  '<p><a href="http://H' || CAST((doc_id + 1) % 5 AS VARCHAR) ||
+      |  '.com/a">x</a> <A HREF=''https://www.h' ||
+      |  CAST((doc_id + 2) % 5 AS VARCHAR) ||
+      |  '.com:443/b''>y</A> <a href="/local/page">z</a> ' ||
+      |  '<a href="#s">w</a></p>' AS html
+      |  FROM documents)""".stripMargin
+
+  /** DuckDB scalar replaying [[pipeline.Web.urlHostKey]] over column
+   * `c`: lowercased host, userinfo/default-port dropped, www. stripped,
+   * NULL when there is no scheme://host. */
+  private def hostKeySql(c: String): String = {
+    val scheme = s"lower(regexp_extract($c, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
+    val noUser = s"regexp_replace(lower(regexp_extract($c, " +
+      s"'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)), '^[^@]*@', '')"
+    val host = s"(CASE WHEN $scheme = 'http' " +
+      s"THEN regexp_replace($noUser, ':80$$', '') " +
+      s"WHEN $scheme = 'https' THEN regexp_replace($noUser, ':443$$', '') " +
+      s"ELSE $noUser END)"
+    s"(CASE WHEN len($scheme) > 0 AND len($host) > 0 " +
+      s"THEN regexp_replace($host, '^www\\.', '') END)"
+  }
+
   private lazy val temporalBfsSql: String =
     """WITH RECURSIVE cv AS (SELECT n_nationkey AS id FROM nation),
       |ce AS (SELECT src, dst, CAST((src * 2 + dst) % 7 + 1 AS DOUBLE) AS t
@@ -4630,6 +4685,30 @@ object SparkEntry {
         |  ROUND(1.0 - COUNT(DISTINCT regexp_replace(host, '^www\\.', '')
         |    || tail) / CAST(COUNT(*) AS DOUBLE), 4) AS dup_ratio
         |FROM p3 WHERE ok GROUP BY 1""".stripMargin,
+    // same two-pattern extraction (double- then single-quoted hrefs),
+    // same empty-link filter; fixture replayed inline
+    "p_extract_links" ->
+      s"""$pageFixtureCte
+        |SELECT doc_id, link FROM (SELECT doc_id, unnest(list_concat(
+        |    regexp_extract_all(html, '(?is)href\\s*=\\s*"([^"]*)"', 1),
+        |    regexp_extract_all(html, '(?is)href\\s*=\\s*''([^'']*)''', 1)))
+        |  AS link FROM pg0)
+        |WHERE len(link) > 0""".stripMargin,
+    // same host-key rules as p_url_canonical applied to source url and
+    // each link; site-relative links resolve to the source host
+    "p_host_graph" ->
+      s"""$pageFixtureCte,
+        |l AS (SELECT url, link FROM (SELECT url, unnest(list_concat(
+        |    regexp_extract_all(html, '(?is)href\\s*=\\s*"([^"]*)"', 1),
+        |    regexp_extract_all(html, '(?is)href\\s*=\\s*''([^'']*)''', 1)))
+        |  AS link FROM pg0) WHERE len(link) > 0),
+        |d AS (SELECT ${hostKeySql("url")} AS src_host,
+        |  CASE WHEN link LIKE '/%' AND link NOT LIKE '//%'
+        |    THEN ${hostKeySql("url")}
+        |    ELSE ${hostKeySql("link")} END AS dst_host FROM l)
+        |SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+        |FROM d WHERE src_host IS NOT NULL AND dst_host IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
     // same rank arithmetic: value at ceil(q*n), 1-indexed ascending;
     // q literals cast to DOUBLE (a bare 0.1 is DECIMAL in DuckDB)
     "p_quality_quantiles" ->

@@ -184,6 +184,8 @@ object GraftConnectDispatch {
     "pipe_strip_markup" -> Set("idCol", "htmlCol"),
     "pipe_url_canonical" -> Set("idCol", "urlCol"),
     "pipe_host_stats" -> Set("idCol", "urlCol"),
+    "pipe_extract_links" -> Set("idCol", "htmlCol"),
+    "pipe_link_graph" -> Set("idCol", "urlCol", "htmlCol"),
     "pipe_group_quantiles" -> Set("groupCol", "valueCol", "qs"),
     "pipe_keep_best" -> Set("clusterCol", "idCol", "scoreCol"),
     // two-table: OLD snapshot rides the vertices slot, NEW the edges slot
@@ -560,6 +562,13 @@ object GraftConnectDispatch {
         case "pipe_host_stats" =>
           graft.pipeline.Web.hostStats(t,
             str("idCol").getOrElse("doc_id"), str("urlCol").getOrElse("url"))
+        case "pipe_extract_links" =>
+          graft.pipeline.Web.extractLinks(t,
+            str("idCol").getOrElse("doc_id"), str("htmlCol").getOrElse("html"))
+        case "pipe_link_graph" =>
+          graft.pipeline.Web.linkGraph(t,
+            str("idCol").getOrElse("doc_id"), str("urlCol").getOrElse("url"),
+            str("htmlCol").getOrElse("html"))
         case "pipe_group_quantiles" =>
           val qs = params.get("qs") match {
             case Some(JArray(vs)) => vs.map {

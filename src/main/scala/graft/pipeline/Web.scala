@@ -95,6 +95,70 @@ object Web {
       when(ok, concat(hostKey, tail)).as("url_key"))
   }
 
+  /** Outgoing-link extraction — every `href` attribute value (double- or
+   * single-quoted, any tag, case-insensitive), one output row per link
+   * occurrence: (idCol, link). The raw values are crawl-shaped: absolute
+   * URLs, site-relative paths (`/a/b`), fragments — feed them through
+   * [[urlCanonical]] / [[linkGraph]] for keys. Unquoted href values
+   * (legal pre-HTML5, rare in crawls) are not matched — stated bound,
+   * same RE2-safe-subset rationale as [[stripMarkup]]. Scale shape: one
+   * projection + explode (fan-out = links per page, bounded by page
+   * size), no shuffle. */
+  def extractLinks(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val h = col(htmlCol)
+    val dq = regexp_extract_all(h, lit("(?is)href\\s*=\\s*\"([^\"]*)\""), lit(1))
+    val sq = regexp_extract_all(h, lit("(?is)href\\s*=\\s*'([^']*)'"), lit(1))
+    df.select(col(idCol), explode(concat(dq, sq)).as("link"))
+      .filter(length(col("link")) > 0)
+  }
+
+  /** Host-level web graph from a crawl — the edge list PageRank/HITS/
+   * community detection run on at web scale (host granularity is what
+   * makes a 100 TB crawl's graph tractable): extract every page's links
+   * ([[extractLinks]]), resolve each to a destination host — absolute
+   * links through [[urlCanonical]]'s host rules, site-relative links
+   * (`/…`) to the SOURCE host, anything else (fragments, mailto,
+   * protocol-relative under a null source) dropped — and aggregate to
+   * (src_host, dst_host, n_links). Self-edges (intra-host links) are
+   * kept; filter them for a cross-host graph. Feed straight into
+   * `GraphFrame.fromEdges` after renaming to src/dst.
+   *
+   * Scale shape: link extraction is a projection; host resolution is
+   * per-row; the only shuffle is the final (src_host, dst_host) count
+   * aggregation — partial-aggregated map-side, so hub hosts combine
+   * before the exchange. */
+  def linkGraph(df: DataFrame, idCol: String, urlCol: String,
+      htmlCol: String): DataFrame = {
+    val h = col(htmlCol)
+    val dq = regexp_extract_all(h, lit("(?is)href\\s*=\\s*\"([^\"]*)\""), lit(1))
+    val sq = regexp_extract_all(h, lit("(?is)href\\s*=\\s*'([^']*)'"), lit(1))
+    // the source host rides the explode — zero joins, one agg
+    df.select(urlHostKey(col(urlCol)).as("src_host"),
+        explode(concat(dq, sq)).as("link"))
+      .filter(length(col("link")) > 0)
+      .withColumn("dst_host",
+        when(col("link").startsWith("/") && !col("link").startsWith("//"),
+          col("src_host"))
+          .otherwise(urlHostKey(col("link"))))
+      .filter(col("src_host").isNotNull && col("dst_host").isNotNull)
+      .groupBy("src_host", "dst_host")
+      .agg(count(lit(1)).as("n_links"))
+  }
+
+  /** The [[urlCanonical]] host key (lowercased, userinfo and default
+   * port dropped, `www.` stripped) of a single URL Column — null when
+   * the value has no `scheme://host`. */
+  private[pipeline] def urlHostKey(u: Column): Column = {
+    val scheme = lower(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val auth0 = lower(regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    val noUser = regexp_replace(auth0, "^[^@]*@", "")
+    val host = when(scheme === "http", regexp_replace(noUser, ":80$", ""))
+      .when(scheme === "https", regexp_replace(noUser, ":443$", ""))
+      .otherwise(noUser)
+    when(length(scheme) > 0 && length(host) > 0,
+      regexp_replace(host, "^www\\.", ""))
+  }
+
   /** Domain-level crawl statistics — the table behind host blocklists and
    * per-domain sampling caps (RefinedWeb §3.1 removes whole domains
    * before any content pass): per [[urlCanonical]] host, the crawl row

@@ -662,6 +662,20 @@ class ConnectPluginSpec extends TestBase {
       """{"clusterCol": "cl", "idCol": "doc_id", "scoreCol": "sc"}""")
     assert(kb.columns.toSeq == Seq("cl", "doc_id", "sc", "n_members") &&
       kb.count() == 2)
+    val pages = docs.selectExpr("doc_id",
+      "concat('http://h', doc_id % 2, '.com/p') AS url",
+      "concat('<a href=\"http://T.com/', doc_id, '\">t</a>" +
+        "<a href=\"/rel\">r</a>') AS html")
+    val el = GraftConnectDispatch.run(scala.None, pages, "pipe_extract_links",
+      """{"idCol": "doc_id", "htmlCol": "html"}""")
+    assert(el.columns.toSeq == Seq("doc_id", "link") &&
+      el.count() == docs.count() * 2)
+    val lg = GraftConnectDispatch.run(scala.None, pages, "pipe_link_graph",
+      """{"idCol": "doc_id", "urlCol": "url", "htmlCol": "html"}""")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // each of the two source hosts links to t.com and (via /rel) itself
+    assert(lg.size == 4 && lg.keys.count(_._2 == "t.com") == 2 &&
+      lg.contains(("h0.com", "h0.com")), lg.toString)
   }
 
   test("pipeline op with a vertices relation fails loudly") {

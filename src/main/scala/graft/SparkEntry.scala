@@ -100,11 +100,20 @@ object SparkEntry {
    * rows' resize and the r12 2-connectivity fix). Output-invariant: the
    * operators are deterministic under any partitioning (md5 priorities /
    * monotone fixpoints); a production job sizes this to its data. */
-  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
-    val old = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", old)
-  }
+  private val shufflePartLock = new Object
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T =
+    // serialized: the save/set/restore of a SESSION-GLOBAL conf is not
+    // atomic, and two interleaved wrappers would strand the session at
+    // n partitions (B saves A's temporary value and restores it last)
+    // while replanning every concurrent query at n. The proof rows are
+    // the only users; serializing them costs nothing (they'd contend on
+    // the scheduler anyway) and keeps the rest of the map safe to run
+    // concurrently.
+    shufflePartLock.synchronized {
+      val old = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", n.toString)
+      try body finally s.conf.set("spark.sql.shuffle.partitions", old)
+    }
 
   /** Deterministic URL fixture over `documents` (no table carries URLs):
    * doc_id % 3 picks http-with-www-port-tracking-fragment, https-with-
@@ -4743,7 +4752,7 @@ object SparkEntry {
         |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
         |  CASE WHEN o.p IS NULL THEN 'added'
         |    WHEN n.p IS NULL THEN 'removed'
-        |    WHEN o.h = n.h THEN 'unchanged'
+        |    WHEN o.h IS NOT DISTINCT FROM n.h THEN 'unchanged'
         |    ELSE 'changed' END AS status
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
     "p_chunk" -> // stride 24 = 32 - 8; last start reaches the text end

@@ -52,8 +52,8 @@ object GraftConnectDispatch {
     "label_propagation" -> Set("maxIter", "algorithm", "isDirected"),
     "triangle_count" -> Set("algorithm", "lgNomEntries"),
     "kcore" -> Set("maxIter"),
-    "hits" -> Set("maxIter"),
-    "salsa" -> Set("maxIter"),
+    "hits" -> Set("maxIter", "roundsPerCycle"),
+    "salsa" -> Set("maxIter", "roundsPerCycle"),
     "influence_max" -> Set("k", "mode", "p"),
     "independent_cascade" -> Set("seeds", "p", "hashSeed", "maxIter",
       "smallGraphThreshold"),
@@ -64,8 +64,8 @@ object GraftConnectDispatch {
     "negative_samples" -> Set("k", "candidates", "seed", "undirected"),
     "temporal_reachability" -> Set("source", "startTime", "timeCol",
       "durationCol", "maxIter", "smallGraphThreshold"),
-    "katz" -> Set("maxIter", "alpha", "beta"),
-    "eigenvector" -> Set("maxIter", "weightCol"),
+    "katz" -> Set("maxIter", "alpha", "beta", "roundsPerCycle"),
+    "eigenvector" -> Set("maxIter", "weightCol", "roundsPerCycle"),
     "minimum_spanning_forest" -> Set("weightCol"),
     "betweenness" -> Set("sampleK", "normalized", "weightCol"),
     "closeness" -> Set("sampleK", "weightCol"),
@@ -785,10 +785,12 @@ object GraftConnectDispatch {
       case "hits" =>
         val h = g.hits
         int("maxIter").foreach(h.maxIter)
+        int("roundsPerCycle").foreach(h.roundsPerCycle)
         h.run()
       case "salsa" =>
         val sl = g.salsa
         int("maxIter").foreach(sl.maxIter)
+        int("roundsPerCycle").foreach(sl.roundsPerCycle)
         sl.run()
       case "influence_max" =>
         val im = g.influenceMax
@@ -858,11 +860,13 @@ object GraftConnectDispatch {
         int("maxIter").foreach(kz.maxIter)
         dbl("alpha").foreach(kz.alpha)
         dbl("beta").foreach(kz.beta)
+        int("roundsPerCycle").foreach(kz.roundsPerCycle)
         kz.run()
       case "eigenvector" =>
         val ev = g.eigenvector
         int("maxIter").foreach(ev.maxIter)
         str("weightCol").foreach(ev.weightCol)
+        int("roundsPerCycle").foreach(ev.roundsPerCycle)
         ev.run()
       case "minimum_spanning_forest" =>
         val msf = g.minimumSpanningForest

@@ -33,6 +33,15 @@ class Hits(g: GraphFrame) {
     graft.GraftConf.linkAnalysisSmallGraphThreshold.getOrElse(100000L)
 
   def maxIter(n: Int): this.type = { maxIterV = n; this }
+  /** Rounds chained lazily per lineage cut (default 2; ≤ 8) — see
+   * [[Eigenvector.roundsPerCycle]] for the cost model. Chunks clamp at
+   * the every-8th-round overflow-guard boundary, so the guard cadence
+   * (and local==distributed float parity) is unchanged at any k. */
+  def roundsPerCycle(k: Int): this.type = {
+    require(k >= 1 && k <= 8, s"roundsPerCycle out of [1, 8]: $k")
+    roundsPerCycleV = k; this
+  }
+  private var roundsPerCycleV: Int = 2
   /** EDGE-count threshold below which the power iteration finishes in one
    * bounded driver loop instead of per-round distributed supersteps (same
    * pattern as ConnectedComponents' union-find tail; 0 disables). Driver
@@ -57,54 +66,80 @@ class Hits(g: GraphFrame) {
       e.unpersist(false)
       return r
     }
-    val mgr = new IterationManager(2)
+    // interval 1: each chunk of roundsPerCycle lazily-chained rounds is
+    // one cut, with the guard maxes and the final L2 norms fused into the
+    // cut's own job via cycleObserved — zero separate loop actions
+    val mgr = new IterationManager(1)
     var state = mgr.cycle(
       g.vertices.select(col(ID), lit(1.0).as("hub"), lit(1.0).as("authority")), 0)
 
-    for (round <- 1 to maxIterV) {
-      // authority(v) = Σ hub(u) over edges u→v (0 for no inlinks)
-      val authRaw = e.join(state.select(col(ID).as(SRC), col("hub")), SRC)
-        .groupBy(col(DST).as(ID)).agg(sum("hub").as("_a"))
-      val authed = state.select(col(ID), col("hub"))
-        .join(authRaw, Seq(ID), "left_outer")
-        .select(col(ID), col("hub"),
-          coalesce(col("_a"), lit(0.0)).as("authority"))
-      // hub(u) = Σ authority(v) over edges u→v, against the NEW authority
-      val hubRaw = e.join(authed.select(col(ID).as(DST), col("authority")), DST)
-        .groupBy(col(SRC).as(ID)).agg(sum("authority").as("_h"))
-      state = mgr.cycle(authed.select(col(ID), col("authority"))
-        .join(hubRaw, Seq(ID), "left_outer")
-        .select(col(ID), coalesce(col("_h"), lit(0.0)).as("hub"),
-          col("authority")), round)
-      // Overflow guard: raw sums grow like (spectral radius)^round, and
-      // maxIter is user-settable (Connect/Python) with no bound — e.g. a
-      // 1e8-degree hub at maxIter 40 would hit Infinity and turn the final
-      // normalization into all-NaN. Every 8 rounds (round 8 is a cut round
-      // for any interval dividing 8, so the agg reads the fresh cache), if
-      // magnitudes left the comfortable range, divide both columns by
-      // their max — a pure projection the next cycle persists,
-      // direction-preserving, so the final normalization is unchanged.
-      // Between checks a jump from 1e100 to 1e308 would need a per-round
-      // growth factor above 1e26 ~ degree^2, i.e. a 1e13-degree vertex —
-      // beyond any real edge count.
-      if (round % 8 == 0 && round < maxIterV) {
-        val m = state.agg(max(abs(col("hub"))).as("h"),
-          max(abs(col("authority"))).as("a")).head()
-        if (!m.isNullAt(0) && !m.isNullAt(1)) {
-          val (mh, ma) = (m.getDouble(0), m.getDouble(1))
+    var round = 0
+    var cycleIdx = 0
+    var finalNorms: Option[(Double, Double)] = None
+    def dbl(a: Any): Double = a match {
+      case d: java.lang.Double => d.doubleValue()
+      case _ => 0.0
+    }
+    while (round < maxIterV) {
+      cycleIdx += 1
+      // clamp at the guard boundary — the every-8th-round check must read
+      // a materialized frame and its timing is part of the float contract
+      val k = math.min(roundsPerCycleV,
+        math.min(maxIterV, ((round / 8) + 1) * 8) - round)
+      var cur = state
+      for (_ <- 1 to k) {
+        // authority(v) = Σ hub(u) over edges u→v (0 for no inlinks)
+        val authRaw = e.join(cur.select(col(ID).as(SRC), col("hub")), SRC)
+          .groupBy(col(DST).as(ID)).agg(sum("hub").as("_a"))
+        val authed = cur.select(col(ID), col("hub"))
+          .join(authRaw, Seq(ID), "left_outer")
+          .select(col(ID), col("hub"),
+            coalesce(col("_a"), lit(0.0)).as("authority"))
+        // hub(u) = Σ authority(v) over edges u→v, against the NEW authority
+        val hubRaw = e.join(authed.select(col(ID).as(DST), col("authority")), DST)
+          .groupBy(col(SRC).as(ID)).agg(sum("authority").as("_h"))
+        cur = authed.select(col(ID), col("authority"))
+          .join(hubRaw, Seq(ID), "left_outer")
+          .select(col(ID), coalesce(col("_h"), lit(0.0)).as("hub"),
+            col("authority"))
+      }
+      round += k
+      if (round >= maxIterV) {
+        // last chunk: fuse the L2 norms the output normalization needs
+        val (next, obs) = mgr.cycleObserved(cur, cycleIdx, Seq(
+          sum(col("hub") * col("hub")), sum(col("authority") * col("authority"))))
+        state = next
+        finalNorms = Some((math.sqrt(dbl(obs(0))), math.sqrt(dbl(obs(1)))))
+      } else if (round % 8 == 0) {
+        // Overflow guard: raw sums grow like (spectral radius)^round, and
+        // maxIter is user-settable (Connect/Python) with no bound — e.g. a
+        // 1e8-degree hub at maxIter 40 would hit Infinity and turn the
+        // final normalization into all-NaN. Every 8 rounds, if magnitudes
+        // left the comfortable range, divide both columns by their max — a
+        // pure projection the next chunk builds on, direction-preserving,
+        // so the final normalization is unchanged. Between checks a jump
+        // from 1e100 to 1e308 would need a per-round growth factor above
+        // 1e26 ~ degree^2, i.e. a 1e13-degree vertex — beyond any real
+        // edge count. The maxes ride the chunk cut's own job (observe).
+        val (next, obs) = mgr.cycleObserved(cur, cycleIdx, Seq(
+          max(abs(col("hub"))), max(abs(col("authority")))))
+        val (mh, ma) = (dbl(obs(0)), dbl(obs(1)))
+        state =
           if (mh > 1e100 || ma > 1e100)
-            state = state.select(col(ID),
+            next.select(col(ID),
               (col("hub") / lit(math.max(mh, 1.0))).as("hub"),
               (col("authority") / lit(math.max(ma, 1.0))).as("authority"))
-        }
-      }
+          else next
+      } else state = mgr.cycle(cur, cycleIdx)
     }
 
-    val norms = state.agg(
-      sum(col("hub") * col("hub")).as("h2"),
-      sum(col("authority") * col("authority")).as("a2")).head()
-    val hNorm = math.sqrt(norms.getDouble(0))
-    val aNorm = math.sqrt(norms.getDouble(1))
+    // maxIter = 0 skips the loop: normalize the all-ones init directly
+    val (hNorm, aNorm) = finalNorms.getOrElse {
+      val norms = state.agg(
+        sum(col("hub") * col("hub")).as("h2"),
+        sum(col("authority") * col("authority")).as("a2")).head()
+      (math.sqrt(norms.getDouble(0)), math.sqrt(norms.getDouble(1)))
+    }
     val result = mgr.finish(g.vertices.join(
       state.select(col(ID),
         (if (hNorm > 0) col("hub") / hNorm else lit(0.0)).as("hub"),

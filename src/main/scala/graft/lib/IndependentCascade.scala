@@ -59,7 +59,9 @@ class IndependentCascade(g: GraphFrame) {
    * growth is bounded per cycle (2^k copies of the previous CUT's
    * constant-size leaf; see TemporalReachability.hopsPerCycle for the
    * full rationale and the round-8 counter-experiment). Keep small (≤ 8);
-   * the 25-vertex gate fixtures use 4. */
+   * the 25-vertex gate fixtures use 2 — k=4 MEASURED WORSE there (AQE
+   * schedules extra stage-jobs and plan compile grows with the 2^k
+   * tree; bench notes r13 §1). */
   def hopsPerCycle(k: Int): this.type = {
     require(k >= 1 && k <= 8, s"hopsPerCycle out of [1, 8]: $k")
     hopsPerCycleV = k; this

@@ -166,6 +166,25 @@ private[graft] class IterationManager(
     (c, m)
   }
 
+  /** [[cycleCounted]] generalized to SEVERAL metrics of any numeric type:
+   * observes each aggregate on the cut's own materializing job and
+   * returns their values in order (null where the frame was empty). The
+   * power-iteration family fuses its overflow-guard maxes and its final
+   * normalization statistics (L2/L1 norms, sup-norm) into the chunk cut
+   * this way — zero separate driver actions per loop beyond the cuts
+   * themselves. Always cuts, like [[cycleCounted]]. */
+  def cycleObserved(df: DataFrame, round: Int,
+      metrics: Seq[org.apache.spark.sql.Column]): (DataFrame, Seq[Any]) = {
+    require(metrics.nonEmpty, "cycleObserved needs at least one metric")
+    val obs = org.apache.spark.sql.Observation(s"graft_cycle_${round}_" +
+      java.util.UUID.randomUUID().toString)
+    val named = metrics.zipWithIndex.map { case (m, i) => m.as(s"_m$i") }
+    val c = cycleAt(df.observe(obs, named.head, named.tail: _*), round,
+      force = true)
+    val got = obs.get
+    (c, metrics.indices.map(i => got(s"_m$i")))
+  }
+
   def cycle(df: DataFrame, round: Int): DataFrame =
     cycleAt(df, round, force = false)
 

@@ -28,6 +28,14 @@ class Katz(g: GraphFrame) {
   def alpha(a: Double): this.type = { alphaV = a; this }
   def beta(b: Double): this.type = { betaV = b; this }
   def maxIter(n: Int): this.type = { maxIterV = n; this }
+  /** Rounds chained lazily per lineage cut (default 2; ≤ 8) — see
+   * [[Eigenvector.roundsPerCycle]] for the cost model (identical: one
+   * job + plan compile per k rounds, 2^k-leaf bounded tree). */
+  def roundsPerCycle(k: Int): this.type = {
+    require(k >= 1 && k <= 8, s"roundsPerCycle out of [1, 8]: $k")
+    roundsPerCycleV = k; this
+  }
+  private var roundsPerCycleV: Int = 2
   /** EDGE-count threshold for the bounded driver-side tail (0 disables);
    * see [[Hits.setSmallGraphThreshold]] for the cost math — identical.
    * Full bounded-path matrix: docs/THRESHOLDS.md. */
@@ -42,17 +50,28 @@ class Katz(g: GraphFrame) {
       e.unpersist(false)
       return r
     }
-    val mgr = new IterationManager(2)
+    // interval 1: each chunk of roundsPerCycle lazily-chained rounds is
+    // one cut/job (no convergence probe, no overflow guard — the series
+    // is geometrically damped for sensible α)
+    val mgr = new IterationManager(1)
     var state = mgr.cycle(
       g.vertices.select(col(ID), lit(betaV).as("katz")), 0)
-    for (round <- 1 to maxIterV) {
-      val in = e.join(state.select(col(ID).as(SRC), col("katz")), SRC)
-        .groupBy(col(DST).as(ID)).agg(sum("katz").as("_k"))
-      state = mgr.cycle(state.select(col(ID))
-        .join(in, Seq(ID), "left_outer")
-        .select(col(ID),
-          (lit(betaV) + lit(alphaV) * coalesce(col("_k"), lit(0.0))).as("katz")),
-        round)
+    var round = 0
+    var cycleIdx = 0
+    while (round < maxIterV) {
+      cycleIdx += 1
+      val k = math.min(roundsPerCycleV, maxIterV - round)
+      var cur = state
+      for (_ <- 1 to k) {
+        val in = e.join(cur.select(col(ID).as(SRC), col("katz")), SRC)
+          .groupBy(col(DST).as(ID)).agg(sum("katz").as("_k"))
+        cur = cur.select(col(ID))
+          .join(in, Seq(ID), "left_outer")
+          .select(col(ID),
+            (lit(betaV) + lit(alphaV) * coalesce(col("_k"), lit(0.0))).as("katz"))
+      }
+      round += k
+      state = mgr.cycle(cur, cycleIdx)
     }
     val result = mgr.finish(g.vertices.join(state, Seq(ID), "left_outer"))
     e.unpersist(false)

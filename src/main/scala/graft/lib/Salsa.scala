@@ -46,6 +46,14 @@ class Salsa(g: GraphFrame) {
   }
   /** EDGE-count threshold for the bounded driver tail (0 disables). */
   def setSmallGraphThreshold(n: Long): this.type = { smallGraphThresholdV = n; this }
+  /** Rounds chained lazily per lineage cut (default 2; ≤ 8) — see
+   * [[Eigenvector.roundsPerCycle]] for the cost model. No overflow guard
+   * to clamp to: the walk normalization keeps scores bounded. */
+  def roundsPerCycle(k: Int): this.type = {
+    require(k >= 1 && k <= 8, s"roundsPerCycle out of [1, 8]: $k")
+    roundsPerCycleV = k; this
+  }
+  private var roundsPerCycleV: Int = 2
 
   /** Returns vertices + `hub: double`, `authority: double` (each column
    * L1-normalized over all vertices; 0 when the column sums to 0). */
@@ -67,24 +75,44 @@ class Salsa(g: GraphFrame) {
       e.unpersist(false)
       return r
     }
-    val mgr = new IterationManager(2)
+    // interval 1: each chunk of roundsPerCycle lazily-chained rounds is
+    // one cut, with the final L1 sums fused into the last chunk's job
+    val mgr = new IterationManager(1)
     var state = mgr.cycle(
       g.vertices.select(col(ID), lit(1.0).as("hub"), lit(0.0).as("authority")), 0)
-    for (round <- 1 to maxIterV) {
-      val aRaw = e.join(state.select(col(ID).as(SRC), col("hub")), SRC)
-        .groupBy(col(DST).as(ID)).agg(sum(col("hub") * col("_wout")).as("_a"))
-      val authed = state.select(col(ID), col("hub"))
-        .join(aRaw, Seq(ID), "left_outer")
-        .select(col(ID), col("hub"), coalesce(col("_a"), lit(0.0)).as("authority"))
-      val hRaw = e.join(authed.select(col(ID).as(DST), col("authority")), DST)
-        .groupBy(col(SRC).as(ID)).agg(sum(col("authority") * col("_win")).as("_h"))
-      state = mgr.cycle(authed.select(col(ID), col("authority"))
-        .join(hRaw, Seq(ID), "left_outer")
-        .select(col(ID), coalesce(col("_h"), lit(0.0)).as("hub"),
-          col("authority")), round)
+    var round = 0
+    var cycleIdx = 0
+    var sh = 0.0
+    var sa = 0.0
+    while (round < maxIterV) {
+      cycleIdx += 1
+      val k = math.min(roundsPerCycleV, maxIterV - round)
+      var cur = state
+      for (_ <- 1 to k) {
+        val aRaw = e.join(cur.select(col(ID).as(SRC), col("hub")), SRC)
+          .groupBy(col(DST).as(ID)).agg(sum(col("hub") * col("_wout")).as("_a"))
+        val authed = cur.select(col(ID), col("hub"))
+          .join(aRaw, Seq(ID), "left_outer")
+          .select(col(ID), col("hub"), coalesce(col("_a"), lit(0.0)).as("authority"))
+        val hRaw = e.join(authed.select(col(ID).as(DST), col("authority")), DST)
+          .groupBy(col(SRC).as(ID)).agg(sum(col("authority") * col("_win")).as("_h"))
+        cur = authed.select(col(ID), col("authority"))
+          .join(hRaw, Seq(ID), "left_outer")
+          .select(col(ID), coalesce(col("_h"), lit(0.0)).as("hub"),
+            col("authority"))
+      }
+      round += k
+      if (round >= maxIterV) {
+        val (next, obs) = mgr.cycleObserved(cur, cycleIdx,
+          Seq(sum("hub"), sum("authority")))
+        state = next
+        def dbl(a: Any): Double = a match {
+          case d: java.lang.Double => d.doubleValue()
+          case _ => 0.0
+        }
+        sh = dbl(obs(0)); sa = dbl(obs(1))
+      } else state = mgr.cycle(cur, cycleIdx)
     }
-    val sums = state.agg(sum("hub").as("sh"), sum("authority").as("sa")).head()
-    val (sh, sa) = (sums.getDouble(0), sums.getDouble(1))
     val result = mgr.finish(g.vertices.join(
       state.select(col(ID),
         (if (sh > 0) col("hub") / sh else lit(0.0)).as("hub"),

@@ -73,8 +73,10 @@ class TemporalReachability(g: GraphFrame) {
    * unlike the round-8 lazy-persist experiment whose tree grew with the
    * whole iteration (IterationManager.scala cadence note); identical
    * shuffle subtrees collapse via exchange reuse. Keep small (≤ 8); the
-   * 25-vertex gate fixtures use 4, where per-round scheduling WAS the
-   * whole cost. */
+   * 25-vertex gate fixtures use 2, where per-round scheduling WAS the
+   * whole cost — k=4 MEASURED WORSE there (AQE schedules extra
+   * stage-jobs and plan compile grows with the 2^k tree; bench notes
+   * r13 §1). */
   def hopsPerCycle(k: Int): this.type = {
     require(k >= 1 && k <= 8, s"hopsPerCycle out of [1, 8]: $k")
     hopsPerCycleV = k; this

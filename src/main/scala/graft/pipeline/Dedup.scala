@@ -655,6 +655,14 @@ object Dedup {
    * reason). Singleton clusters keep their only member. Returns one row
    * per cluster: (clusterCol, idCol, scoreCol, n_members).
    *
+   * NaN policy: a NaN quality score sorts WITH THE NULLS (last), never
+   * as the greatest value — both Spark and DuckDB order NaN above every
+   * real number under `DESC`, which would silently crown a failed
+   * quality computation the cluster representative. The ordering key
+   * maps NaN → null before the sort; the returned scoreCol keeps the
+   * raw value so the caller can still see the NaN on the (rare) kept
+   * row of an all-NaN/null cluster.
+   *
    * Scale shape: one window pass partitioned by cluster — near-dup
    * clusters are small by construction (they are sets of mutual
    * near-duplicates), so per-partition sorts are tiny however large the
@@ -663,10 +671,18 @@ object Dedup {
       scoreCol: String): DataFrame = {
     // desc_nulls_last EXPLICITLY: Spark's desc defaults to nulls-last but
     // DuckDB's DESC defaults to nulls-FIRST — a null score must never
-    // become the keep
+    // become the keep; NaN is demoted to null in the KEY ONLY (see
+    // scaladoc). isNaN only applies to fractional types — integer scores
+    // can't be NaN and skip the guard.
+    val scoreT = df.select(col(scoreCol)).schema.head.dataType
+    val isFrac = scoreT == org.apache.spark.sql.types.DoubleType ||
+      scoreT == org.apache.spark.sql.types.FloatType
+    val orderKey =
+      if (isFrac) when(col(scoreCol).isNaN, lit(null)).otherwise(col(scoreCol))
+      else col(scoreCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(clusterCol))
-      .orderBy(col(scoreCol).desc_nulls_last, col(idCol).asc)
+      .orderBy(orderKey.desc_nulls_last, col(idCol).asc)
     df.select(col(clusterCol), col(idCol), col(scoreCol))
       .withColumn("_rk", row_number().over(w))
       .withColumn("n_members", count(lit(1)).over(

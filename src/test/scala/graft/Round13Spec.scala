@@ -167,19 +167,26 @@ class Round13Spec extends TestBase {
     assert(got(("b", 0.5)) == ((5.0, 1L)) && got(("b", 1.0)) == ((5.0, 1L)))
   }
 
-  test("keepBest keeps (score desc, id asc); null score never wins") {
+  test("keepBest keeps (score desc, id asc); null and NaN scores never win") {
     val rows = Seq((1, 10, 0.5), (1, 11, 0.9), (1, 12, 0.9),
-      (2, 20, 0.1), (3, 30, Double.NaN))
+      (2, 20, 0.1), (3, 30, Double.NaN), (4, 40, Double.NaN), (4, 41, 0.2))
       .toDF("cl", "id", "sc")
       .unionByName(Seq((3, 31)).toDF("cl", "id")
         .withColumn("sc", lit(null).cast("double")))
     val got = pipeline.Dedup.keepBest(rows, "cl", "id", "sc").collect()
       .map(r => r.getInt(0) -> (r.getInt(1), r.getLong(3))).toMap
-    // cluster 1: score tie 0.9/0.9 -> smaller id 11; cluster 3: the null
-    // row loses to ANY score (even NaN, which Spark/DuckDB sort as
-    // largest double — fixture uses it only to pin nulls-last)
-    assert(got == Map(1 -> ((11, 3L)), 2 -> ((20, 1L)), 3 -> ((30, 2L))),
-      got.toString)
+    // cluster 1: score tie 0.9/0.9 -> smaller id 11; cluster 3 is
+    // all-NaN/null — both demote to null in the key, id asc keeps 30;
+    // cluster 4: NaN loses to a REAL score (Spark/DuckDB would sort NaN
+    // as the largest double — keepBest maps it to null in the order key
+    // so a failed quality computation never becomes the representative)
+    assert(got == Map(1 -> ((11, 3L)), 2 -> ((20, 1L)), 3 -> ((30, 2L)),
+      4 -> ((41, 2L))), got.toString)
+    // integer scores skip the isNaN guard but keep the same ordering
+    val ints = pipeline.Dedup.keepBest(
+      Seq((1, 10, 5), (1, 11, 7)).toDF("cl", "id", "sc"), "cl", "id", "sc")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(ints == Map(1 -> 11), ints.toString)
   }
 
   // ---------------- hop-batched iterative paths ----------------

@@ -1,14 +1,19 @@
 #!/bin/bash
 # Exclusive fresh-JVM bench sweep at sf0.1 (the driver's protocol:
-# local[32], best-of-2 per query) with a STEAL GATE: co-tenant load
-# inflated whole sweeps 2-7x in rounds 11-12 and left three different
-# totals describing the same code. Bench self-reports `steal_cores`
-# (avg hypervisor steal over the sweep, in cores); this wrapper runs up
-# to $SPARK_GRAFT_BENCH_ATTEMPTS (default 3) sweeps, keeps the one with
-# the LOWEST steal_cores as tools/bench_last_run.json, stops early when
-# a sweep comes in at or below $GRAFT_BENCH_MAX_STEAL (default 0.2
-# cores), and EXITS NONZERO if no attempt clears the gate — so a
-# polluted sweep can only be committed with GRAFT_BENCH_ALLOW_STEAL=1.
+# local[32], adaptive best-of-N per query) with a STEAL GATE: co-tenant
+# load inflated whole sweeps 2-7x in rounds 11-12 and left three
+# different totals describing the same code. Bench self-reports
+# `steal_cores` (avg hypervisor steal over the sweep, in cores); this
+# wrapper runs up to $SPARK_GRAFT_BENCH_ATTEMPTS (default 3) sweeps,
+# PROMOTES the one with the LOWEST steal_cores to
+# tools/bench_last_run.json only if it clears $GRAFT_BENCH_MAX_STEAL
+# (default 0.2 cores), and EXITS NONZERO otherwise — the polluted best
+# attempt is then parked at tools/bench_quarantine.json, NEVER at the
+# committed artifact path (round-13 lesson: the refusal used to leave
+# the polluted sweep at bench_last_run.json, one blanket `git add` away
+# from committing exactly what the gate exists to block). Bench itself
+# writes only tools/bench_scratch.json; this wrapper is the sole writer
+# of the committed path.
 set -u
 ADDOPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
@@ -35,7 +40,7 @@ for i in $(seq 1 "$ATTEMPTS"); do
   echo "== bench attempt $i/$ATTEMPTS ==" >&2
   java $ADDOPENS -Xmx100g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Bench || exit 1
-  cp tools/bench_last_run.json "tools/bench_attempt_$i.json"
+  mv tools/bench_scratch.json "tools/bench_attempt_$i.json"
   s=$(steal_of "tools/bench_attempt_$i.json"); s=${s:--1}
   echo "== attempt $i: total=$(total_of "tools/bench_attempt_$i.json")s steal_cores=$s ==" >&2
   if [ -z "$best" ] || awk -v a="$s" -v b="$best_steal" 'BEGIN{exit !(a>=0 && (b<0 || a<b))}'; then
@@ -48,17 +53,21 @@ done
 # all attempts reported unknown steal (-1, /proc/stat unreadable): keep
 # the last sweep rather than failing on bookkeeping
 if [ -z "$best" ]; then best="tools/bench_attempt_$i.json"; best_steal="-1"; fi
-cp "$best" tools/bench_last_run.json
-rm -f tools/bench_attempt_*.json
-echo "== kept sweep: steal_cores=$best_steal total=$(total_of tools/bench_last_run.json)s ==" >&2
 # refuse only a MEASURED pollution (steal -1 = /proc/stat unreadable —
-# nothing to gate on)
+# nothing to gate on); a refused sweep goes to quarantine, the committed
+# artifact path stays untouched
 if ! awk -v a="$best_steal" -v m="$MAX_STEAL" 'BEGIN{exit !(a<0 || a<=m)}'; then
   if [ "${GRAFT_BENCH_ALLOW_STEAL:-0}" = "1" ]; then
     echo "== WARNING: steal_cores=$best_steal > $MAX_STEAL recorded under GRAFT_BENCH_ALLOW_STEAL=1 ==" >&2
   else
+    cp "$best" tools/bench_quarantine.json
+    rm -f tools/bench_attempt_*.json
     echo "== REFUSING to record: lowest steal_cores=$best_steal > $MAX_STEAL after $ATTEMPTS attempts." >&2
+    echo "   Best attempt parked at tools/bench_quarantine.json (bench_last_run.json untouched)." >&2
     echo "   Re-run on a quieter window, or override with GRAFT_BENCH_ALLOW_STEAL=1. ==" >&2
     exit 2
   fi
 fi
+cp "$best" tools/bench_last_run.json
+rm -f tools/bench_attempt_*.json
+echo "== kept sweep: steal_cores=$best_steal total=$(total_of tools/bench_last_run.json)s ==" >&2

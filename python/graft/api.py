@@ -855,19 +855,37 @@ class PipelineMethods:
         return self._call2(old, "pipe_corpus_diff", idCol=idCol,
                            textCol=textCol)
 
-    def extractLinks(self, idCol: str = "doc_id", htmlCol: str = "html"):
+    def extractLinks(self, idCol: str = "doc_id", htmlCol: str = "html",
+                     maxLinksPerPage: Optional[int] = None):
         """Raw href extraction (double-/single-quoted, case-insensitive),
-        one row per link occurrence: (id, link)."""
-        return self._call("pipe_extract_links", idCol=idCol, htmlCol=htmlCol)
+        one row per link occurrence: (id, link). With maxLinksPerPage set
+        (crawler-trap guard) only each page's first n non-empty links
+        survive and the rows gain n_links_dropped."""
+        return self._call("pipe_extract_links", idCol=idCol, htmlCol=htmlCol,
+                          maxLinksPerPage=maxLinksPerPage)
 
     def linkGraph(self, idCol: str = "doc_id", urlCol: str = "url",
-                  htmlCol: str = "html"):
+                  htmlCol: str = "html",
+                  maxLinksPerPage: Optional[int] = None):
         """Host-level web graph from a crawl: absolute links by canonical
         host key, site-relative links to the source host, fragments
         dropped. Rows (src_host, dst_host, n_links) — feed into
-        GraphFrame.fromEdges after renaming."""
+        GraphFrame.fromEdges after renaming. maxLinksPerPage bounds the
+        per-page fan-out (crawler-trap guard)."""
         return self._call("pipe_link_graph", idCol=idCol, urlCol=urlCol,
-                          htmlCol=htmlCol)
+                          htmlCol=htmlCol, maxLinksPerPage=maxLinksPerPage)
+
+    def hostRank(self, idCol: str = "doc_id", urlCol: str = "url",
+                 htmlCol: str = "html", maxIter: Optional[int] = None,
+                 resetProbability: Optional[float] = None,
+                 maxLinksPerPage: Optional[int] = None):
+        """Crawl -> rank in one call: linkGraph edges through
+        GraphFrame.fromEdges into n_links-weighted PageRank. Rows
+        (host, pagerank)."""
+        return self._call("pipe_host_rank", idCol=idCol, urlCol=urlCol,
+                          htmlCol=htmlCol, maxIter=maxIter,
+                          resetProbability=resetProbability,
+                          maxLinksPerPage=maxLinksPerPage)
 
     def groupQuantiles(self, groupCol: str, valueCol: str, qs: list):
         """Exact per-group quantiles (value at rank ceil(q*n), ascending;
@@ -875,6 +893,13 @@ class PipelineMethods:
         Rows (group, q, value, n)."""
         return self._call("pipe_group_quantiles", groupCol=groupCol,
                           valueCol=valueCol, qs=qs)
+
+    def quantileCut(self, groupCol: str, scoreCol: str, q: float):
+        """Quantile-gated cut: keep rows with score >= the group's exact
+        q-quantile (groupQuantiles threshold table, broadcast join).
+        Null scores/groups drop. Returns the surviving input rows."""
+        return self._call("pipe_quantile_cut", groupCol=groupCol,
+                          scoreCol=scoreCol, q=q)
 
     def keepBest(self, clusterCol: str, idCol: str, scoreCol: str):
         """Best-of-cluster dedup keep: one row per cluster by

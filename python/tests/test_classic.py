@@ -379,6 +379,11 @@ kb = {r["cl"]: (r["id"], r["n_members"]) for r in Pipeline(kdf).keepBest(
 assert kb == {1: (11, 2), 2: (20, 1)}, kb
 print("CLASSIC OK pipe_keep_best")
 
+qc = sorted(r["id"] for r in Pipeline(kdf).quantileCut(
+    groupCol="cl", scoreCol="sc", q=1.0).collect())
+assert qc == [11, 20], qc
+print("CLASSIC OK pipe_quantile_cut")
+
 lg_df = spark.createDataFrame(
     [(1, "http://s.com/p", '<a href="https://D.com/x">1</a><a href="/r">2</a>')],
     ["doc_id", "url", "html"])
@@ -390,6 +395,17 @@ lg = {(r["src_host"], r["dst_host"]): r["n_links"]
       for r in Pipeline(lg_df).linkGraph().collect()}
 assert lg == {("s.com", "d.com"): 1, ("s.com", "s.com"): 1}, lg
 print("CLASSIC OK pipe_link_graph")
+
+# two links out to d.com vs one self-link: d.com must strictly outrank
+hr_df = spark.createDataFrame(
+    [(1, "http://s.com/p",
+      '<a href="https://d.com/x">1</a><a href="https://d.com/y">2</a>'
+      '<a href="/r">3</a>')],
+    ["doc_id", "url", "html"])
+hr = {r["host"]: r["pagerank"]
+     for r in Pipeline(hr_df).hostRank(maxIter=5).collect()}
+assert set(hr) == {"s.com", "d.com"} and hr["d.com"] > hr["s.com"], hr
+print("CLASSIC OK pipe_host_rank")
 
 spark.stop()
 print("CLASSIC ALL OK")

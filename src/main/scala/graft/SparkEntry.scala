@@ -1239,12 +1239,35 @@ object SparkEntry {
       // normalize), site-relative links to the source host, fragments
       // dropped — (src_host, dst_host, n_links) ready for fromEdges
       pipeline.Web.linkGraph(pageFixture(s, dir), "doc_id", "url", "html")),
+    "p_extract_links_capped" -> ((s, dir) => // crawler-trap guard: first
+      // 2 non-empty links per page in document order, truncation COUNTED
+      // in n_links_dropped (the fixture has 4 links/page → 2 dropped)
+      pipeline.Web.extractLinks(pageFixture(s, dir), "doc_id", "html",
+        maxLinksPerPage = 2)),
+    "p_host_graph_capped" -> ((s, dir) => // the same cap bounding the
+      // link-graph explode: only each page's first 2 links feed the
+      // (src_host, dst_host) aggregation
+      pipeline.Web.linkGraph(pageFixture(s, dir), "doc_id", "url", "html",
+        maxLinksPerPage = 2)),
+    "p_host_rank" -> ((s, dir) => // the crawl→rank composition gate:
+      // linkGraph → fromEdges → n_links-weighted PageRank, the oracle
+      // unrolls the full weighted trajectory over the replayed host graph
+      pipeline.Web.hostRank(pageFixture(s, dir), "doc_id", "url", "html")
+        .select(col("host"), round(col("pagerank"), 5).as("pagerank"))),
     "p_quality_quantiles" -> ((s, dir) => // per-language EXACT quantile
       // thresholds (rank ceil(q*n), a value that occurs — approx sketches
       // are engine-specific and these thresholds gate permanent cuts)
       pipeline.Sampling.groupQuantiles(load(s, dir, "documents")
           .select(col("lang"), col("n_chars").cast("double").as("score")),
         "lang", "score", Seq(0.1, 0.5, 0.9))),
+    "p_quality_cut" -> ((s, dir) => // the threshold-table workflow
+      // end-to-end: per-language 0.8-quantile of the score, broadcast
+      // the tiny threshold table, keep rows at or above — the permanent
+      // cut p_quality_quantiles' thresholds exist to gate
+      pipeline.Sampling.quantileCut(load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            col("n_chars").cast("double").as("score")),
+        "lang", "score", 0.8)),
     "p_keep_best" -> ((s, dir) => // best-of-cluster dedup keep: one row
       // per cluster by (score desc, id asc) — the near-dup finisher that
       // keeps the best-quality member instead of an arbitrary one
@@ -4718,6 +4741,63 @@ object SparkEntry {
         |SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
         |FROM d WHERE src_host IS NOT NULL AND dst_host IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+    // same list in document order, non-empties first-2 sliced; dropped =
+    // count beyond the cap
+    "p_extract_links_capped" ->
+      s"""$pageFixtureCte,
+        |cl AS (SELECT doc_id, list_filter(list_concat(
+        |    regexp_extract_all(html, '(?is)href\\s*=\\s*"([^"]*)"', 1),
+        |    regexp_extract_all(html, '(?is)href\\s*=\\s*''([^'']*)''', 1)),
+        |  x -> len(x) > 0) AS l FROM pg0)
+        |SELECT doc_id, unnest(l[1:2]) AS link,
+        |  CAST(greatest(len(l) - 2, 0) AS BIGINT) AS n_links_dropped
+        |FROM cl""".stripMargin,
+    "p_host_graph_capped" ->
+      s"""$pageFixtureCte,
+        |cl AS (SELECT url, list_filter(list_concat(
+        |    regexp_extract_all(html, '(?is)href\\s*=\\s*"([^"]*)"', 1),
+        |    regexp_extract_all(html, '(?is)href\\s*=\\s*''([^'']*)''', 1)),
+        |  x -> len(x) > 0) AS l FROM pg0),
+        |ll AS (SELECT url, unnest(l[1:2]) AS link FROM cl),
+        |dd AS (SELECT ${hostKeySql("url")} AS src_host,
+        |  CASE WHEN link LIKE '/%' AND link NOT LIKE '//%'
+        |    THEN ${hostKeySql("url")}
+        |    ELSE ${hostKeySql("link")} END AS dst_host FROM ll)
+        |SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+        |FROM dd WHERE src_host IS NOT NULL AND dst_host IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
+    // the crawl→rank composition: the p_host_graph edge replay feeds the
+    // same unrolled weighted-PageRank trajectory as g_pagerank_weighted
+    // (mass ∝ n_links/wsum, damping 0.15 + 0.85·Σ, 10 rounds from r=1)
+    "p_host_rank" -> {
+      val steps = (1 to 10).map { k =>
+        s"""hw$k AS MATERIALIZED (
+           |  SELECT hv.id, 0.15 + 0.85 * COALESCE(SUM(p.r * he.w / o.wsum), 0) AS r
+           |  FROM hv LEFT JOIN he ON he.dst = hv.id
+           |  LEFT JOIN hw${k - 1} p ON p.id = he.src
+           |  LEFT JOIN how o ON o.src = he.src
+           |  GROUP BY hv.id)""".stripMargin
+      }.mkString(",\n")
+      s"""$pageFixtureCte,
+        |hl AS (SELECT url, link FROM (SELECT url, unnest(list_concat(
+        |    regexp_extract_all(html, '(?is)href\\s*=\\s*"([^"]*)"', 1),
+        |    regexp_extract_all(html, '(?is)href\\s*=\\s*''([^'']*)''', 1)))
+        |  AS link FROM pg0) WHERE len(link) > 0),
+        |hd AS (SELECT ${hostKeySql("url")} AS src_host,
+        |  CASE WHEN link LIKE '/%' AND link NOT LIKE '//%'
+        |    THEN ${hostKeySql("url")}
+        |    ELSE ${hostKeySql("link")} END AS dst_host FROM hl),
+        |he AS (SELECT src_host AS src, dst_host AS dst,
+        |    CAST(COUNT(*) AS DOUBLE) AS w
+        |  FROM hd WHERE src_host IS NOT NULL AND dst_host IS NOT NULL
+        |  GROUP BY 1, 2),
+        |hv AS (SELECT DISTINCT h AS id FROM
+        |  (SELECT src AS h FROM he UNION ALL SELECT dst FROM he)),
+        |how AS (SELECT src, SUM(w) AS wsum FROM he GROUP BY src),
+        |hw0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS r FROM hv),
+        |$steps
+        |SELECT id AS host, ROUND(r, 5) AS pagerank FROM hw10""".stripMargin
+    },
     // same rank arithmetic: value at ceil(q*n), 1-indexed ascending;
     // q literals cast to DOUBLE (a bare 0.1 is DECIMAL in DuckDB)
     "p_quality_quantiles" ->
@@ -4730,6 +4810,19 @@ object SparkEntry {
         |FROM r, (SELECT unnest([CAST(0.1 AS DOUBLE), CAST(0.5 AS DOUBLE),
         |  CAST(0.9 AS DOUBLE)]) AS q) qs
         |WHERE rk = greatest(CAST(ceil(q * n) AS BIGINT), 1)""".stripMargin,
+    // same rank-⌈q·n⌉ threshold, then the gate: score >= threshold per
+    // language (null scores/langs drop through the join on both sides)
+    "p_quality_cut" ->
+      """WITH r AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+        |  ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY CAST(n_chars AS DOUBLE) ASC) AS rk,
+        |  COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |t AS (SELECT lang, v AS thr FROM r
+        |  WHERE rk = greatest(CAST(ceil(CAST(0.8 AS DOUBLE) * n) AS BIGINT), 1))
+        |SELECT d.doc_id, d.lang, CAST(d.n_chars AS DOUBLE) AS score
+        |FROM documents d JOIN t ON d.lang = t.lang
+        |WHERE CAST(d.n_chars AS DOUBLE) >= t.thr""".stripMargin,
     // same (score desc NULLS LAST, id asc) keep — DuckDB's DESC defaults
     // to nulls-first, so the order is spelled out on both sides
     "p_keep_best" ->

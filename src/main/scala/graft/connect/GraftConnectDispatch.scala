@@ -184,9 +184,12 @@ object GraftConnectDispatch {
     "pipe_strip_markup" -> Set("idCol", "htmlCol"),
     "pipe_url_canonical" -> Set("idCol", "urlCol"),
     "pipe_host_stats" -> Set("idCol", "urlCol"),
-    "pipe_extract_links" -> Set("idCol", "htmlCol"),
-    "pipe_link_graph" -> Set("idCol", "urlCol", "htmlCol"),
+    "pipe_extract_links" -> Set("idCol", "htmlCol", "maxLinksPerPage"),
+    "pipe_link_graph" -> Set("idCol", "urlCol", "htmlCol", "maxLinksPerPage"),
+    "pipe_host_rank" -> Set("idCol", "urlCol", "htmlCol", "maxIter",
+      "resetProbability", "maxLinksPerPage"),
     "pipe_group_quantiles" -> Set("groupCol", "valueCol", "qs"),
+    "pipe_quantile_cut" -> Set("groupCol", "scoreCol", "q"),
     "pipe_keep_best" -> Set("clusterCol", "idCol", "scoreCol"),
     // two-table: OLD snapshot rides the vertices slot, NEW the edges slot
     "pipe_corpus_diff" -> Set("idCol", "textCol"),
@@ -564,11 +567,20 @@ object GraftConnectDispatch {
             str("idCol").getOrElse("doc_id"), str("urlCol").getOrElse("url"))
         case "pipe_extract_links" =>
           graft.pipeline.Web.extractLinks(t,
-            str("idCol").getOrElse("doc_id"), str("htmlCol").getOrElse("html"))
+            str("idCol").getOrElse("doc_id"), str("htmlCol").getOrElse("html"),
+            maxLinksPerPage = int("maxLinksPerPage").getOrElse(0))
         case "pipe_link_graph" =>
           graft.pipeline.Web.linkGraph(t,
             str("idCol").getOrElse("doc_id"), str("urlCol").getOrElse("url"),
-            str("htmlCol").getOrElse("html"))
+            str("htmlCol").getOrElse("html"),
+            maxLinksPerPage = int("maxLinksPerPage").getOrElse(0))
+        case "pipe_host_rank" =>
+          graft.pipeline.Web.hostRank(t,
+            str("idCol").getOrElse("doc_id"), str("urlCol").getOrElse("url"),
+            str("htmlCol").getOrElse("html"),
+            maxIter = int("maxIter").getOrElse(10),
+            resetProbability = dbl("resetProbability").getOrElse(0.15),
+            maxLinksPerPage = int("maxLinksPerPage").getOrElse(0))
         case "pipe_group_quantiles" =>
           val qs = params.get("qs") match {
             case Some(JArray(vs)) => vs.map {
@@ -587,6 +599,10 @@ object GraftConnectDispatch {
         case "pipe_keep_best" =>
           Dedup.keepBest(t, required("clusterCol"), required("idCol"),
             required("scoreCol"))
+        case "pipe_quantile_cut" =>
+          Sampling.quantileCut(t, required("groupCol"), required("scoreCol"),
+            dbl("q").getOrElse(throw new IllegalArgumentException(
+              "pipe_quantile_cut requires params_json key 'q' (in [0,1])")))
         case "pipe_attribution_linear" =>
           graft.pipeline.Events.linearAttribution(t,
             touchType = str("touchType").getOrElse("view"),

@@ -359,6 +359,33 @@ object Sampling {
         col("_n").as("n"))
   }
 
+  /** Quantile-gated corpus cut — [[groupQuantiles]] composed into the
+   * filter it exists for (keep the top (1−q) of every language/domain by
+   * quality score): compute the per-group q-threshold, broadcast the
+   * tiny threshold table (one row per group — languages/domains number
+   * thousands, never billions), and keep rows with
+   * `score >= threshold`. Returns the input rows that survive, original
+   * schema.
+   *
+   * Null semantics, spelled out because this gates PERMANENT cuts: rows
+   * with a null score are dropped (no rank, no comparison); groups whose
+   * scores are ALL null have no threshold and drop entirely; a null
+   * group key never equi-joins a threshold row and drops. The threshold
+   * itself is the exact rank-⌈q·n⌉ value ([[groupQuantiles]]), so the
+   * kept set replays bit-identically in any engine.
+   *
+   * Scale shape: one window pass to build the threshold table, then ONE
+   * broadcast hash join — the corpus-side scan never shuffles. */
+  def quantileCut(df: DataFrame, groupCol: String, scoreCol: String,
+      q: Double): DataFrame = {
+    val thr = groupQuantiles(df.select(col(groupCol), col(scoreCol)),
+        groupCol, scoreCol, Seq(q))
+      .select(col(groupCol), col("value").as("_thr"))
+    df.join(broadcast(thr), Seq(groupCol))
+      .filter(col(scoreCol) >= col("_thr"))
+      .select(df.columns.map(c => col(graft.GraphFrame.quoteName(c))): _*)
+  }
+
   def groupSample(df: DataFrame, groupCol: String, idCol: String, k: Int,
       seed: Long = 42L): DataFrame = {
     require(k >= 1, s"groupSample needs k >= 1, got $k")

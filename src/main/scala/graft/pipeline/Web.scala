@@ -103,13 +103,32 @@ object Web {
    * (legal pre-HTML5, rare in crawls) are not matched — stated bound,
    * same RE2-safe-subset rationale as [[stripMarkup]]. Scale shape: one
    * projection + explode (fan-out = links per page, bounded by page
-   * size), no shuffle. */
-  def extractLinks(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+   * size), no shuffle.
+   *
+   * `maxLinksPerPage` (0 = uncapped) keeps only each page's FIRST n
+   * non-empty links in document order — the crawler-trap guard: a single
+   * generated page with 10⁵ hrefs is exactly the row that skews the one
+   * shuffle [[linkGraph]] has (THRESHOLDS.md row 23). Truncation is
+   * COUNTED, not silent: the capped output adds `n_links_dropped`
+   * (per surviving row, the page's links beyond the cap — the
+   * ngramJaccard stop-shingle rule of visible caps). */
+  def extractLinks(df: DataFrame, idCol: String, htmlCol: String,
+      maxLinksPerPage: Int = 0): DataFrame = {
+    require(maxLinksPerPage >= 0,
+      s"maxLinksPerPage must be >= 0 (0 = uncapped), got $maxLinksPerPage")
     val h = col(htmlCol)
     val dq = regexp_extract_all(h, lit("(?is)href\\s*=\\s*\"([^\"]*)\""), lit(1))
     val sq = regexp_extract_all(h, lit("(?is)href\\s*=\\s*'([^']*)'"), lit(1))
-    df.select(col(idCol), explode(concat(dq, sq)).as("link"))
-      .filter(length(col("link")) > 0)
+    if (maxLinksPerPage == 0)
+      df.select(col(idCol), explode(concat(dq, sq)).as("link"))
+        .filter(length(col("link")) > 0)
+    else
+      df.select(col(idCol),
+          filter(concat(dq, sq), x => length(x) > 0).as("_l"))
+        .select(col(idCol),
+          explode(slice(col("_l"), 1, maxLinksPerPage)).as("link"),
+          greatest(size(col("_l")) - maxLinksPerPage, lit(0))
+            .cast("long").as("n_links_dropped"))
   }
 
   /** Host-level web graph from a crawl — the edge list PageRank/HITS/
@@ -126,15 +145,26 @@ object Web {
    * Scale shape: link extraction is a projection; host resolution is
    * per-row; the only shuffle is the final (src_host, dst_host) count
    * aggregation — partial-aggregated map-side, so hub hosts combine
-   * before the exchange. */
+   * before the exchange. `maxLinksPerPage` (0 = uncapped) bounds the
+   * explode fan-out per page (first n non-empty links in document
+   * order, THRESHOLDS.md row 23) — the crawler-trap page with 10⁵
+   * hrefs otherwise skews exactly this aggregation's hot keys; measure
+   * what a cap drops with [[extractLinks]]' `n_links_dropped` column
+   * before committing to one. */
   def linkGraph(df: DataFrame, idCol: String, urlCol: String,
-      htmlCol: String): DataFrame = {
+      htmlCol: String, maxLinksPerPage: Int = 0): DataFrame = {
+    require(maxLinksPerPage >= 0,
+      s"maxLinksPerPage must be >= 0 (0 = uncapped), got $maxLinksPerPage")
     val h = col(htmlCol)
     val dq = regexp_extract_all(h, lit("(?is)href\\s*=\\s*\"([^\"]*)\""), lit(1))
     val sq = regexp_extract_all(h, lit("(?is)href\\s*=\\s*'([^']*)'"), lit(1))
+    val links =
+      if (maxLinksPerPage == 0) concat(dq, sq)
+      else slice(filter(concat(dq, sq), x => length(x) > 0),
+        1, maxLinksPerPage)
     // the source host rides the explode — zero joins, one agg
     df.select(urlHostKey(col(urlCol)).as("src_host"),
-        explode(concat(dq, sq)).as("link"))
+        explode(links).as("link"))
       .filter(length(col("link")) > 0)
       .withColumn("dst_host",
         when(col("link").startsWith("/") && !col("link").startsWith("//"),
@@ -143,6 +173,34 @@ object Web {
       .filter(col("src_host").isNotNull && col("dst_host").isNotNull)
       .groupBy("src_host", "dst_host")
       .agg(count(lit(1)).as("n_links"))
+  }
+
+  /** Crawl → rank in one call: [[linkGraph]]'s (src_host, dst_host,
+   * n_links) edges fed through `GraphFrame.fromEdges` into PageRank
+   * weighted by the link count — the composition the host graph exists
+   * for (rank hosts by where the web's links actually point, then gate
+   * crawling/sampling budgets on the rank). Returns (host, pagerank).
+   *
+   * Self-edges (intra-host links) are kept, matching [[linkGraph]]:
+   * a host that mostly links to itself holds its own mass, which is the
+   * honest random-surfer semantics for session-heavy sites.
+   *
+   * Scale shape: [[linkGraph]]'s one aggregation, then PageRank over a
+   * HOST-granularity graph — millions of vertices for a full crawl, not
+   * billions of pages; the iteration state is (host, rank) and each
+   * round is one hash-aggregated join, exactly the weighted-PageRank
+   * plan the engine already ships. */
+  def hostRank(df: DataFrame, idCol: String, urlCol: String,
+      htmlCol: String, maxIter: Int = 10, resetProbability: Double = 0.15,
+      maxLinksPerPage: Int = 0): DataFrame = {
+    val edges = linkGraph(df, idCol, urlCol, htmlCol, maxLinksPerPage)
+      .select(col("src_host").as(graft.GraphFrame.SRC),
+        col("dst_host").as(graft.GraphFrame.DST),
+        col("n_links").cast("double").as("_w"))
+    graft.GraphFrame.fromEdges(edges).pageRank
+      .resetProbability(resetProbability).maxIter(maxIter).weightCol("_w")
+      .run().vertices
+      .select(col(graft.GraphFrame.ID).as("host"), col("pagerank"))
   }
 
   /** The [[urlCanonical]] host key (lowercased, userinfo and default

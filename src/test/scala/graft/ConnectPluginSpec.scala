@@ -662,6 +662,15 @@ class ConnectPluginSpec extends TestBase {
       """{"clusterCol": "cl", "idCol": "doc_id", "scoreCol": "sc"}""")
     assert(kb.columns.toSeq == Seq("cl", "doc_id", "sc", "n_members") &&
       kb.count() == 2)
+    val qc = GraftConnectDispatch.run(scala.None,
+      docs.selectExpr("doc_id % 2 AS grp", "doc_id",
+        "CAST(doc_id AS DOUBLE) AS sc"),
+      "pipe_quantile_cut",
+      """{"groupCol": "grp", "scoreCol": "sc", "q": 1.0}""")
+    // q=1 gates at each group's max — exactly one (distinct-score) keep
+    // per group, schema unchanged
+    assert(qc.columns.toSeq == Seq("grp", "doc_id", "sc") &&
+      qc.count() == 2, qc.count().toString)
     val pages = docs.selectExpr("doc_id",
       "concat('http://h', doc_id % 2, '.com/p') AS url",
       "concat('<a href=\"http://T.com/', doc_id, '\">t</a>" +
@@ -676,6 +685,13 @@ class ConnectPluginSpec extends TestBase {
     // each of the two source hosts links to t.com and (via /rel) itself
     assert(lg.size == 4 && lg.keys.count(_._2 == "t.com") == 2 &&
       lg.contains(("h0.com", "h0.com")), lg.toString)
+    val hr = GraftConnectDispatch.run(scala.None, pages, "pipe_host_rank",
+      """{"idCol": "doc_id", "urlCol": "url", "htmlCol": "html",
+        |"maxIter": 5}""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // t.com is a pure sink fed by both source hosts: it must outrank them
+    assert(hr.size == 3 && hr("t.com") > hr("h0.com") &&
+      hr("t.com") > hr("h1.com"), hr.toString)
   }
 
   test("pipeline op with a vertices relation fails loudly") {

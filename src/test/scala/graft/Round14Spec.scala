@@ -100,6 +100,56 @@ class Round14Spec extends TestBase {
     intercept[IllegalArgumentException] { g.salsa.roundsPerCycle(9) }
   }
 
+  // ---------------- maxLinksPerPage + quantileCut ----------------
+
+  test("extractLinks cap keeps first n non-empty links and counts the rest") {
+    val rows = Seq(
+      (1, "<a href=\"u1\">a</a><a href=''>e</a><a href='u2'>b</a>" +
+        "<a href=\"u3\">c</a>"),
+      (2, "<a href=\"only\">x</a>"),
+      (3, "no links here")).toDF("id", "html")
+    // NOTE: double-quoted matches extract before single-quoted ones, so
+    // document order within each quote style — u1, u3 then u2
+    val capped = pipeline.Web.extractLinks(rows, "id", "html",
+      maxLinksPerPage = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(capped.toSet == Set((1, "u1", 1L), (1, "u3", 1L), (2, "only", 0L)),
+      capped.mkString(", "))
+    // uncapped output is the original (id, link) shape — no new column
+    assert(pipeline.Web.extractLinks(rows, "id", "html")
+      .columns.toSeq == Seq("id", "link"))
+    intercept[IllegalArgumentException] {
+      pipeline.Web.extractLinks(rows, "id", "html", maxLinksPerPage = -1)
+    }
+  }
+
+  test("linkGraph cap bounds the per-page fan-out before aggregation") {
+    val rows = Seq((1, "http://s.com/p",
+      "<a href=\"http://a.com/1\">1</a><a href=\"http://b.com/2\">2</a>" +
+        "<a href=\"http://c.com/3\">3</a>")).toDF("id", "url", "html")
+    val capped = pipeline.Web.linkGraph(rows, "id", "url", "html",
+      maxLinksPerPage = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(capped == Map(("s.com", "a.com") -> 1L, ("s.com", "b.com") -> 1L),
+      capped.toString)
+  }
+
+  test("quantileCut keeps score >= the group's exact q-threshold; nulls drop") {
+    val rows = Seq((1, "en", 1.0), (2, "en", 2.0), (3, "en", 3.0),
+      (4, "en", 4.0), (5, "de", 10.0))
+      .toDF("id", "lang", "sc")
+      .unionByName(Seq((6, "en")).toDF("id", "lang")
+        .withColumn("sc", lit(null).cast("double")))
+    val kept = pipeline.Sampling.quantileCut(rows, "lang", "sc", 0.5)
+      .collect().map(_.getInt(0)).sorted.toSeq
+    // en: n=4, rank ceil(0.5*4)=2 → threshold 2.0 → keep 2,3,4; de: its
+    // only value is its own threshold → keep 5; the null-score row drops
+    assert(kept == Seq(2, 3, 4, 5), kept.toString)
+    // schema preserved
+    assert(pipeline.Sampling.quantileCut(rows, "lang", "sc", 0.5)
+      .columns.toSeq == Seq("id", "lang", "sc"))
+  }
+
   test("hits maxIter=0 still normalizes the all-ones init (no loop, no observation)") {
     val m = fixture.hits.maxIter(0).setSmallGraphThreshold(0).run().collect()
       .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap

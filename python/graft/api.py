@@ -894,6 +894,31 @@ class PipelineMethods:
         return self._call("pipe_group_quantiles", groupCol=groupCol,
                           valueCol=valueCol, qs=qs)
 
+    def unigramTrain(self, textCol: str = "text",
+                     vocabSize: Optional[int] = None,
+                     maxPieceLen: Optional[int] = None,
+                     iterations: Optional[int] = None,
+                     maxWordLen: Optional[int] = None):
+        """SentencePiece-style unigram LM, deterministic hard-EM: seed
+        vocab (all chars + top-K substrings), Viterbi-count/re-estimate
+        rounds with fixed-point micro-nat costs. Rows
+        (piece, count, cost_micro_nats)."""
+        return self._call("pipe_unigram_train", textCol=textCol,
+                          vocabSize=vocabSize, maxPieceLen=maxPieceLen,
+                          iterations=iterations, maxWordLen=maxWordLen)
+
+    def unigramEncode(self, vocab, idCol: str = "doc_id",
+                      textCol: str = "text",
+                      maxPieceLen: Optional[int] = None,
+                      maxWordLen: Optional[int] = None):
+        """Viterbi-encode documents against a trained unigram vocab
+        (a DataFrame with piece, cost_micro_nats — rides the vertices
+        slot). Rows (id, n_words, n_tokens_unigram, cost_micro_nats,
+        n_words_skipped)."""
+        return self._call2(vocab, "pipe_unigram_encode", idCol=idCol,
+                           textCol=textCol, maxPieceLen=maxPieceLen,
+                           maxWordLen=maxWordLen)
+
     def quantileCut(self, groupCol: str, scoreCol: str, q: float):
         """Quantile-gated cut: keep rows with score >= the group's exact
         q-quantile (groupQuantiles threshold table, broadcast join).

@@ -384,6 +384,18 @@ qc = sorted(r["id"] for r in Pipeline(kdf).quantileCut(
 assert qc == [11, 20], qc
 print("CLASSIC OK pipe_quantile_cut")
 
+ut_df = spark.createDataFrame([(1, "ab ab b")], ["doc_id", "text"])
+uv = Pipeline(ut_df).unigramTrain(vocabSize=2, maxPieceLen=2, iterations=2)
+vm = {r["piece"]: (r["count"], r["cost_micro_nats"]) for r in uv.collect()}
+assert vm == {"ab": (2, 693147), "a": (0, 1791759), "b": (1, 1098612)}, vm
+print("CLASSIC OK pipe_unigram_train")
+
+ue = [(r["doc_id"], r["n_words"], r["n_tokens_unigram"],
+       r["cost_micro_nats"], r["n_words_skipped"])
+      for r in Pipeline(ut_df).unigramEncode(uv, maxPieceLen=2).collect()]
+assert ue == [(1, 3, 3, 2484906, 0)], ue
+print("CLASSIC OK pipe_unigram_encode")
+
 lg_df = spark.createDataFrame(
     [(1, "http://s.com/p", '<a href="https://D.com/x">1</a><a href="/r">2</a>')],
     ["doc_id", "url", "html"])

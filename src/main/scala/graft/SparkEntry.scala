@@ -1501,6 +1501,17 @@ object SparkEntry {
     "p_bpe_encode" -> ((s, dir) => // re-tokenize with the learned merges
       pipeline.Tokenizer.bpeTrainEncode(
         load(s, dir, "documents"), "doc_id", "text", 3)._2),
+    "p_unigram_train" -> ((s, dir) => // SentencePiece-style unigram LM,
+      // deterministic hard-EM: seed = chars + top-40 substrings, 2
+      // Viterbi-count/re-estimate rounds, fixed-point micro-nat costs
+      pipeline.Tokenizer.unigramTrain(load(s, dir, "documents"), "text",
+        vocabSize = 40, maxPieceLen = 4, iterations = 2)),
+    "p_unigram_encode" -> ((s, dir) => // Viterbi segmentation of every
+      // doc under the trained vocab: exact integer path costs, skipped
+      // (unsegmentable/over-long) words counted, never silently costed
+      pipeline.Tokenizer.unigramTrainEncode(load(s, dir, "documents"),
+        "doc_id", "text", vocabSize = 40, maxPieceLen = 4,
+        iterations = 2)._2),
     "p_embedding_dedup" -> ((s, dir) =>
       pipeline.Dedup.embeddingDupClusters(load(s, dir, "embeddings"), "vec_id",
         "embedding", threshold = 0.4)),
@@ -2051,6 +2062,105 @@ object SparkEntry {
 
   /** DuckDB word-token list (mirrors graft.pipeline.Text.tokens). */
   private val W = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
+
+  /** DuckDB replay of the unigram-LM tokenizer
+   * (pipeline/Tokenizer.scala unigram family): seed vocab = all single
+   * chars + top-K multi-char substrings; per hard-EM iteration, the
+   * Viterbi DP is UNROLLED BY TOKEN COUNT (f_t(pos) = min cost to reach
+   * pos with t pieces — words are bounded, so maxTok CTEs cover every
+   * path), best(pos) = lexicographic min (cost, t), backpointers via the
+   * same (cost+edge, t+1, start) argmin, and the segmentation walk is
+   * unrolled too (one CTE per step). Counts re-estimate with the same
+   * +1-smoothed fixed-point micro-nat costs. `train` emits the final
+   * vocab; `!train` adds one more DP block under the final costs and
+   * aggregates per document. */
+  private def unigramSql(train: Boolean, vocabSize: Int = 40,
+      maxPieceLen: Int = 4, iterations: Int = 2, maxWordLen: Int = 32,
+      maxTok: Int = 12): String = {
+    val cost = (cnt: String, si: String) =>
+      s"CAST(-round(ln(CAST($cnt + 1 AS DOUBLE) / $si.den) * 1e6, 0) AS BIGINT)"
+    // one DP block under costs c$i: candidates, token-count-unrolled
+    // minima, per-position best, backpointers
+    def dp(i: Int): String = {
+      val fs = (1 to maxTok).map { t =>
+        s"""f${i}_$t AS MATERIALIZED (SELECT f.word, c.en AS pos, MIN(f.cost + c.cost) AS cost
+           |  FROM f${i}_${t - 1} f JOIN cd$i c ON c.word = f.word AND c.st = f.pos
+           |  GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      val af = (0 to maxTok).map(t =>
+        s"SELECT word, pos, cost, $t AS nt FROM f${i}_$t").mkString("\n  UNION ALL ")
+      s"""cd$i AS MATERIALIZED (SELECT w.word, s - 1 AS st, s - 1 + l AS en, c.cost
+         |  FROM w, range(1, ${maxWordLen + 1}) rs(s), range(1, ${maxPieceLen + 1}) rl(l), c$i c
+         |  WHERE s + l - 1 <= len(w.word) AND substr(w.word, s, l) = c.piece),
+         |f${i}_0 AS MATERIALIZED (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost FROM w),
+         |$fs,
+         |af$i AS MATERIALIZED ($af),
+         |b$i AS MATERIALIZED (SELECT word, pos, cost, nt FROM (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY word, pos ORDER BY cost, nt) AS rn
+         |  FROM af$i) WHERE rn = 1),
+         |bp$i AS MATERIALIZED (SELECT word, pos, st FROM (SELECT b.word, c.en AS pos, c.st,
+         |    ROW_NUMBER() OVER (PARTITION BY b.word, c.en
+         |      ORDER BY b.cost + c.cost, b.nt + 1, c.st) AS rn
+         |  FROM b$i b JOIN cd$i c ON c.word = b.word AND c.st = b.pos)
+         |  WHERE rn = 1)""".stripMargin
+    }
+    // the unrolled backpointer walk + piece counting of one E-step
+    def walk(i: Int): String = {
+      val wks = (2 to maxTok).map { j =>
+        s"""wk${i}_$j AS MATERIALIZED (SELECT p.word, p.startp AS endp, bp.st AS startp
+           |  FROM wk${i}_${j - 1} p JOIN bp$i bp
+           |    ON bp.word = p.word AND bp.pos = p.startp WHERE p.startp > 0)""".stripMargin
+      }.mkString(",\n")
+      val pc = (1 to maxTok).map(j =>
+        s"SELECT word, substr(word, startp + 1, endp - startp) AS piece FROM wk${i}_$j")
+        .mkString("\n  UNION ALL ")
+      s"""wk${i}_1 AS MATERIALIZED (SELECT b.word, b.pos AS endp, bp.st AS startp
+         |  FROM b$i b JOIN bp$i bp ON bp.word = b.word AND bp.pos = b.pos
+         |  JOIN w ON w.word = b.word AND b.pos = len(w.word)),
+         |$wks,
+         |pc$i AS MATERIALIZED ($pc),
+         |u$i AS MATERIALIZED (SELECT piece, CAST(SUM(freq) AS BIGINT) AS used
+         |  FROM pc$i JOIN w USING (word) GROUP BY piece),
+         |v$i AS MATERIALIZED (SELECT v.piece, CAST(COALESCE(u.used, 0) AS BIGINT) AS cnt
+         |  FROM v${i - 1} v LEFT JOIN u$i u ON u.piece = v.piece)""".stripMargin
+    }
+    def costs(i: Int): String =
+      s"""s$i AS MATERIALIZED (SELECT CAST(SUM(cnt) + COUNT(*) AS DOUBLE) AS den FROM v${i - 1}),
+         |c$i AS MATERIALIZED (SELECT piece, ${cost("cnt", s"s$i")} AS cost FROM v${i - 1}, s$i)""".stripMargin
+    val emBlocks = (1 to iterations)
+      .map(i => s"${costs(i)},\n${dp(i)},\n${walk(i)}").mkString(",\n")
+    val fin = iterations + 1
+    val prefix =
+      s"""WITH w AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest($W) AS word FROM documents)
+         |  WHERE len(word) <= $maxWordLen GROUP BY word),
+         |sp AS MATERIALIZED (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT substr(word, s, l) AS piece, freq
+         |    FROM w, range(1, ${maxWordLen + 1}) rs(s), range(1, ${maxPieceLen + 1}) rl(l)
+         |    WHERE s + l - 1 <= len(word)) GROUP BY piece),
+         |v0 AS MATERIALIZED (SELECT piece, cnt FROM (SELECT piece, cnt FROM sp
+         |    WHERE len(piece) > 1 ORDER BY cnt DESC, piece LIMIT $vocabSize)
+         |  UNION ALL SELECT piece, cnt FROM sp WHERE len(piece) = 1),
+         |$emBlocks""".stripMargin
+    if (train)
+      s"""$prefix,
+         |s$fin AS MATERIALIZED (SELECT CAST(SUM(cnt) + COUNT(*) AS DOUBLE) AS den FROM v$iterations)
+         |SELECT piece, cnt AS count, ${cost("cnt", s"s$fin")} AS cost_micro_nats
+         |FROM v$iterations, s$fin""".stripMargin
+    else
+      s"""$prefix,
+         |${costs(fin)},
+         |${dp(fin)},
+         |bb AS MATERIALIZED (SELECT b.word, b.cost, b.nt FROM b$fin b
+         |  JOIN w ON w.word = b.word AND b.pos = len(w.word)),
+         |dw AS MATERIALIZED (SELECT doc_id, unnest($W) AS word FROM documents)
+         |SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(COALESCE(SUM(bb.nt), 0) AS BIGINT) AS n_tokens_unigram,
+         |  CAST(COALESCE(SUM(bb.cost), 0) AS BIGINT) AS cost_micro_nats,
+         |  CAST(COUNT(*) - COUNT(bb.nt) AS BIGINT) AS n_words_skipped
+         |FROM dw LEFT JOIN bb ON bb.word = dw.word
+         |GROUP BY dw.doc_id""".stripMargin
+  }
   /** 3-word shingles over w (mirrors Text.wordShingles(n=3)). */
   private val SH3 = "[array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]"
 
@@ -5361,6 +5471,8 @@ object SparkEntry {
     "p_bpe_tokens" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT)
         |  AS n_bpe_tokens FROM documents""".stripMargin,
+    "p_unigram_train" -> unigramSql(train = true),
+    "p_unigram_encode" -> unigramSql(train = false),
     "p_embedding_dedup" ->
       s"""WITH RECURSIVE e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |bk AS MATERIALIZED (${duckBandRows(8, 4, 64)}),

@@ -190,6 +190,12 @@ object GraftConnectDispatch {
       "resetProbability", "maxLinksPerPage"),
     "pipe_group_quantiles" -> Set("groupCol", "valueCol", "qs"),
     "pipe_quantile_cut" -> Set("groupCol", "scoreCol", "q"),
+    "pipe_unigram_train" -> Set("textCol", "vocabSize", "maxPieceLen",
+      "iterations", "maxWordLen"),
+    // two-table: the trained vocab (piece, cost_micro_nats) rides the
+    // vertices slot, the documents the edges slot
+    "pipe_unigram_encode" -> Set("idCol", "textCol", "maxPieceLen",
+      "maxWordLen"),
     "pipe_keep_best" -> Set("clusterCol", "idCol", "scoreCol"),
     // two-table: OLD snapshot rides the vertices slot, NEW the edges slot
     "pipe_corpus_diff" -> Set("idCol", "textCol"),
@@ -305,6 +311,18 @@ object GraftConnectDispatch {
             "vertices slot, the NEW snapshot in the edges slot"))
         return graft.pipeline.Dedup.corpusDiff(oldSnap, edges,
           str("idCol").getOrElse("doc_id"), str("textCol").getOrElse("text"))
+      }
+      if (algorithm == "pipe_unigram_encode") {
+        // own-table-in-edges convention: the documents are the edges
+        // slot, the trained vocab (piece, cost_micro_nats) the vertices
+        val vocab = vertices.getOrElse(throw new IllegalArgumentException(
+          "pipe_unigram_encode needs TWO tables: the trained vocab " +
+            "(piece, cost_micro_nats) in the vertices slot, the " +
+            "documents in the edges slot"))
+        return graft.pipeline.Tokenizer.unigramEncode(edges,
+          str("idCol").getOrElse("doc_id"), str("textCol").getOrElse("text"),
+          vocab, maxPieceLen = int("maxPieceLen").getOrElse(4),
+          maxWordLen = int("maxWordLen").getOrElse(32))
       }
       if (algorithm == "pipe_contaminated_spans" || algorithm == "pipe_cut_contaminated") {
         // own-table-in-edges convention (same as pipe_asof_join): the
@@ -603,6 +621,12 @@ object GraftConnectDispatch {
           Sampling.quantileCut(t, required("groupCol"), required("scoreCol"),
             dbl("q").getOrElse(throw new IllegalArgumentException(
               "pipe_quantile_cut requires params_json key 'q' (in [0,1])")))
+        case "pipe_unigram_train" =>
+          Tokenizer.unigramTrain(t, str("textCol").getOrElse("text"),
+            vocabSize = int("vocabSize").getOrElse(200),
+            maxPieceLen = int("maxPieceLen").getOrElse(4),
+            iterations = int("iterations").getOrElse(2),
+            maxWordLen = int("maxWordLen").getOrElse(32))
         case "pipe_attribution_linear" =>
           graft.pipeline.Events.linearAttribution(t,
             touchType = str("touchType").getOrElse("view"),

@@ -114,4 +114,211 @@ object Tokenizer {
       .map(r => (r.getString(1), r.getString(2))).toSeq
     (m, bpeEncode(df0, idCol, textCol, list))
   }
+
+  // ------------------------------------------------------------------
+  // Unigram LM (SentencePiece-style), deterministic hard-EM variant
+  // ------------------------------------------------------------------
+  //
+  // Kudo 2018 (arXiv:1804.10959) trains a unigram language model over
+  // subword pieces with EM and segments by Viterbi. This implementation
+  // keeps the model and the segmentation but makes every number exactly
+  // replayable by an independent engine:
+  //  * piece costs are FIXED-POINT micro-nats (the Classify.fpLog rule:
+  //    round(ln(p)·1e6) as a 64-bit integer), so per-word path costs are
+  //    exact integer sums — order-independent under any shuffle plan;
+  //  * the E-step is HARD (Viterbi counts, not forward-backward
+  //    expectations): the optimal segmentation under integer costs is a
+  //    pure function of (word, vocab), so usage counts replay exactly;
+  //  * ties break lexicographically on (cost, token count, backpointer
+  //    start) — a total order, stated here because the oracle replays it.
+  //
+  // Scale shape: the seed and every E-step are ONE hash aggregation over
+  // DISTINCT words (the corpus's word frequency table — Zipf makes this
+  // tiny relative to the corpus) plus one broadcast join of candidate
+  // substrings against the ≤ vocabSize+alphabet vocab; the Viterbi DP
+  // runs inside a single `aggregate` higher-order expression per word —
+  // no per-position joins, no driver loops over words. The M-step
+  // re-estimate is a 1-row aggregate + a projection.
+
+  /** Sentinel: any real path costs far less (≤ maxWordLen · ~35e6). */
+  private val UNSEG = Long.MaxValue / 4
+
+  /** Fixed-point micro-nats of ln(p) — same rule as Classify.fpLog. */
+  private def fpLog(p: Column): Column =
+    round(log(p) * lit(1e6), 0).cast("long")
+
+  /** Distinct words + occurrence counts; words longer than `maxWordLen`
+   * are dropped (crawler garbage — a 1 MB "word" would make the DP
+   * array that long; the encode path REPORTS such words per doc). */
+  private def wordTable(df: DataFrame, textCol: String,
+      maxWordLen: Int): DataFrame =
+    df.select(explode(Text.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) <= maxWordLen)
+      .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
+
+  /** All (start, end, piece) substrings of `word` with 1 ≤ len ≤ cap —
+   * the Viterbi lattice edges before the vocab join. 0-based positions,
+   * end exclusive. */
+  private def pieceCands(maxPieceLen: Int): Column = {
+    val w = col("word")
+    flatten(transform(sequence(lit(0), length(w) - 1), s =>
+      transform(sequence(lit(1), least(lit(maxPieceLen), length(w) - s)),
+        l => struct((s + l).as("e"), s.as("s"),
+          w.substr(s + 1, l).as("piece")))))
+  }
+
+  /** Seed vocabulary: ALL single characters plus the `vocabSize` most
+   * frequent multi-character substrings (length ≤ maxPieceLen) by
+   * occurrence count weighted by word frequency; ties on count break to
+   * the lexicographically smaller piece. Returns (piece, count). */
+  def unigramSeedVocab(df: DataFrame, textCol: String, vocabSize: Int = 200,
+      maxPieceLen: Int = 4, maxWordLen: Int = 32): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    val sp = wordTable(df, textCol, maxWordLen)
+      .select(explode(pieceCands(maxPieceLen)).as("c"), col("freq"))
+      .groupBy(col("c.piece").as("piece"))
+      .agg(sum("freq").as("count"))
+    sp.filter(length(col("piece")) > 1)
+      .orderBy(desc("count"), asc("piece")).limit(vocabSize)
+      .unionByName(sp.filter(length(col("piece")) === 1))
+  }
+
+  /** Laplace-smoothed fixed-point costs over a (piece, count) vocab:
+   * cost(t) = −round(ln((c_t+1)/(C+|V|))·1e6). The +1 keeps pieces the
+   * last E-step never used alive (EM may re-activate them), and makes
+   * iteration 0 (raw substring counts) and every later iteration share
+   * one formula. ONE 1-row action for (C, |V|). */
+  private def withCosts(vocab: DataFrame): DataFrame = {
+    val r = vocab.agg(sum("count"), count(lit(1))).head()
+    val denom = (if (r.isNullAt(0)) 0L else r.getLong(0)) + r.getLong(1)
+    require(denom > 0, "unigram vocabulary is empty")
+    vocab.select(col("piece"), col("count"),
+      (-fpLog((col("count") + lit(1)).cast("double") /
+        lit(denom.toDouble))).as("cost"))
+  }
+
+  /** Viterbi segmentation of every word in `words` (word, freq) against
+   * `vocab` (piece, cost): returns (word, freq, n_tokens, cost, pieces),
+   * nulls when the word cannot be segmented from the vocab. The DP is
+   * one `aggregate` over the word's vocab-joined lattice edges sorted by
+   * (end, start): best[end] = min (cost, ntok, start) over edges, each
+   * extending the already-final best[start] — exactly the textbook DAG
+   * relaxation, in one codegen-able expression. */
+  private def viterbi(words: DataFrame, vocab: DataFrame,
+      maxPieceLen: Int): DataFrame = {
+    val cand = words
+      .select(col("word"), col("freq"), explode(pieceCands(maxPieceLen)).as("c"))
+      .select(col("word"), col("freq"), col("c.e").as("e"), col("c.s").as("s"),
+        col("c.piece").as("piece"))
+      .join(broadcast(vocab.select(col("piece"), col("cost"))), Seq("piece"))
+    val edged = cand.groupBy(col("word"), col("freq"))
+      .agg(sort_array(collect_list(
+        struct(col("e"), col("s"), col("cost")))).as("edges"))
+    val wlen = length(col("word"))
+    val init = transform(sequence(lit(0), wlen), i =>
+      struct(when(i === 0, lit(0L)).otherwise(lit(UNSEG)).as("cost"),
+        lit(0).as("ntok"), lit(-1).as("bp")))
+    val dpExpr = aggregate(col("edges"), init, (acc, ed) => {
+      val pre = element_at(acc, ed("s") + 1)
+      val cCost = pre("cost") + ed("cost")
+      val cNtok = pre("ntok") + 1
+      transform(acc, (v, i) =>
+        when(i === ed("e") && pre("cost") < lit(UNSEG) &&
+          (cCost < v("cost") ||
+            (cCost === v("cost") && (cNtok < v("ntok") ||
+              (cNtok === v("ntok") && ed("s") < v("bp"))))),
+          struct(cCost.as("cost"), cNtok.as("ntok"), ed("s").as("bp")))
+          .otherwise(v))
+    })
+    val withDp = words.join(edged, Seq("word", "freq"), "left_outer")
+      .withColumn("_dp", dpExpr)
+    val best = element_at(col("_dp"), wlen + 1)
+    val ok = col("_dp").isNotNull && best("cost") < lit(UNSEG)
+    // backpointer walk: ≤ len steps, prepending the piece each step —
+    // yields the exact segmentation the DP chose (unused when the caller
+    // only reads counts; Catalyst prunes it)
+    val walk = aggregate(sequence(lit(1), wlen),
+      struct(wlen.cast("int").as("pos"), array().cast("array<string>").as("ps")),
+      (acc, _) => {
+        val bp = element_at(col("_dp"), acc("pos") + 1)("bp")
+        when(acc("pos") > 0,
+          struct(bp.as("pos"),
+            concat(array(col("word").substr(bp + 1, acc("pos") - bp)),
+              acc("ps")).as("ps")))
+          .otherwise(acc)
+      })
+    withDp.select(col("word"), col("freq"),
+      when(ok, best("ntok").cast("long")).as("n_tokens"),
+      when(ok, best("cost")).as("cost"),
+      when(ok, walk("ps")).as("pieces"))
+  }
+
+  /** Train the unigram LM: seed vocabulary ([[unigramSeedVocab]]), then
+   * `iterations` hard-EM rounds — Viterbi-segment every distinct word
+   * under the current smoothed costs, recount piece usage weighted by
+   * word frequency, re-estimate. The vocab SET is fixed at the seed
+   * (+1 smoothing keeps unused pieces re-activatable); counts move.
+   * Returns (piece, count, cost_micro_nats) — count from the final
+   * E-step (the seed substring counts when iterations = 0). */
+  def unigramTrain(df: DataFrame, textCol: String, vocabSize: Int = 200,
+      maxPieceLen: Int = 4, iterations: Int = 2,
+      maxWordLen: Int = 32): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val words = wordTable(df, textCol, maxWordLen).localCheckpoint(true)
+    var vocab = unigramSeedVocab(df, textCol, vocabSize, maxPieceLen,
+      maxWordLen).localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val used = viterbi(words, withCosts(vocab), maxPieceLen)
+        .filter(col("pieces").isNotNull)
+        .select(explode(col("pieces")).as("piece"), col("freq"))
+        .groupBy("piece").agg(sum("freq").as("used"))
+      val next = vocab.select("piece")
+        .join(used, Seq("piece"), "left_outer")
+        .select(col("piece"), coalesce(col("used"), lit(0L)).as("count"))
+        .localCheckpoint(true)
+      graft.lib.IterationManager.release(vocab)
+      vocab = next
+    }
+    val out = withCosts(vocab)
+      .select(col("piece"), col("count"), col("cost").as("cost_micro_nats"))
+      .localCheckpoint(true)
+    graft.lib.IterationManager.release(words)
+    graft.lib.IterationManager.release(vocab)
+    out
+  }
+
+  /** Viterbi-encode every document against a trained vocab
+   * (piece, cost_micro_nats): per document, the word count, the total
+   * optimal token count, the exact integer path cost, and the number of
+   * words that could NOT be encoded (longer than `maxWordLen`, or not
+   * segmentable from the vocab) — skipped words are REPORTED, never
+   * silently costed. Documents with no words are absent (nothing to
+   * encode). Segmentation runs once per DISTINCT word and joins back. */
+  def unigramEncode(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, maxPieceLen: Int = 4,
+      maxWordLen: Int = 32): DataFrame = {
+    val docW = df.select(col(idCol), explode(Text.tokens(col(textCol))).as("word"))
+    val words = docW.filter(length(col("word")) <= maxWordLen)
+      .groupBy("word").agg(lit(1L).as("freq"))
+    val res = viterbi(words,
+      vocab.select(col("piece"), col("cost_micro_nats").as("cost")),
+      maxPieceLen)
+      .select(col("word"), col("n_tokens"), col("cost"))
+    docW.join(res, Seq("word"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        coalesce(sum("n_tokens"), lit(0L)).as("n_tokens_unigram"),
+        coalesce(sum("cost"), lit(0L)).as("cost_micro_nats"),
+        count(when(col("n_tokens").isNull, 1)).as("n_words_skipped"))
+  }
+
+  /** Train-then-encode convenience used by the driver queries. */
+  def unigramTrainEncode(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 200, maxPieceLen: Int = 4, iterations: Int = 2,
+      maxWordLen: Int = 32): (DataFrame, DataFrame) = {
+    val v = unigramTrain(df, textCol, vocabSize, maxPieceLen, iterations,
+      maxWordLen)
+    (v, unigramEncode(df, idCol, textCol, v, maxPieceLen, maxWordLen))
+  }
 }

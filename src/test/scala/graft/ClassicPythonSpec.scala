@@ -50,7 +50,8 @@ class ClassicPythonSpec extends AnyFunSuite {
       "pipe_dsir", "pipe_strip_markup", "pipe_url_canonical",
       "pipe_host_stats", "pipe_corpus_diff", "pipe_group_quantiles",
       "pipe_keep_best", "pipe_extract_links", "pipe_link_graph",
-      "pipe_host_rank", "pipe_quantile_cut")
+      "pipe_host_rank", "pipe_quantile_cut", "pipe_unigram_train",
+      "pipe_unigram_encode")
       .foreach(c => assert(out.exists(l => l.contains("CLASSIC OK") && l.contains(c)),
         s"check $c missing"))
   }

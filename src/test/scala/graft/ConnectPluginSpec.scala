@@ -685,6 +685,16 @@ class ConnectPluginSpec extends TestBase {
     // each of the two source hosts links to t.com and (via /rel) itself
     assert(lg.size == 4 && lg.keys.count(_._2 == "t.com") == 2 &&
       lg.contains(("h0.com", "h0.com")), lg.toString)
+    val uv = GraftConnectDispatch.run(scala.None, docs, "pipe_unigram_train",
+      """{"textCol": "text", "vocabSize": 5, "maxPieceLen": 3,
+        |"iterations": 1}""".stripMargin)
+    assert(uv.columns.toSeq == Seq("piece", "count", "cost_micro_nats") &&
+      uv.count() >= 5, uv.count().toString)
+    val ue = GraftConnectDispatch.run(Some(uv), docs, "pipe_unigram_encode",
+      """{"idCol": "doc_id", "textCol": "text", "maxPieceLen": 3}""")
+    assert(ue.columns.toSeq == Seq("doc_id", "n_words", "n_tokens_unigram",
+      "cost_micro_nats", "n_words_skipped") && ue.count() == 4 &&
+      ue.filter("n_words_skipped > 0").count() == 0, ue.count().toString)
     val hr = GraftConnectDispatch.run(scala.None, pages, "pipe_host_rank",
       """{"idCol": "doc_id", "urlCol": "url", "htmlCol": "html",
         |"maxIter": 5}""".stripMargin)

@@ -150,6 +150,51 @@ class Round14Spec extends TestBase {
       .columns.toSeq == Seq("id", "lang", "sc"))
   }
 
+  // ---------------- unigram LM tokenizer ----------------
+
+  test("unigram hard-EM train + viterbi encode on a hand-computed fixture") {
+    val docs = Seq((1, "ab ab b")).toDF("id", "text")
+    val (v, e) = pipeline.Tokenizer.unigramTrainEncode(docs, "id", "text",
+      vocabSize = 2, maxPieceLen = 2, iterations = 2)
+    val vm = v.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // seed: ab=2, a=2, b=3 (C=7, V=3). EM segments "ab"->[ab], "b"->[b]
+    // both rounds -> counts ab=2, b=1, a=0; final smoothed costs over
+    // denom 3+3=6: ab -round(ln(3/6)e6)=693147, a ln(1/6)->1791759,
+    // b ln(2/6)->1098612
+    assert(vm == Map("ab" -> ((2L, 693147L)), "a" -> ((0L, 1791759L)),
+      "b" -> ((1L, 1098612L))), vm.toString)
+    val em = e.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // 3 words -> 3 tokens, cost 2*693147 + 1098612
+    assert(em.toSeq == Seq((1, 3L, 3L, 2484906L, 0L)), em.mkString(", "))
+  }
+
+  test("unigram viterbi tie-break: equal (cost, ntok) prefers the smaller backpointer") {
+    val docs = Seq((1, "abc")).toDF("id", "text")
+    val v = pipeline.Tokenizer.unigramTrain(docs, "text",
+      vocabSize = 4, maxPieceLen = 2, iterations = 1)
+    val counts = v.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // all seed pieces count 1 -> equal costs; [a,bc] and [ab,c] tie on
+    // (cost, ntok); bp at pos 3 takes the smaller start (1, piece "bc")
+    assert(counts == Map("a" -> 1L, "bc" -> 1L, "ab" -> 0L, "b" -> 0L,
+      "c" -> 0L), counts.toString)
+  }
+
+  test("unigram encode reports unsegmentable and over-long words, never costs them") {
+    val docs = Seq((1, "ab xy"), (2, "toolong ab")).toDF("id", "text")
+    import spark.implicits._
+    val vocab = Seq(("ab", 100L)).toDF("piece", "cost_micro_nats")
+    val got = pipeline.Tokenizer.unigramEncode(docs, "id", "text", vocab,
+      maxPieceLen = 2, maxWordLen = 4).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc 1: "xy" shares no vocab piece -> skipped; doc 2: "toolong" is
+    // over maxWordLen -> skipped; "ab" encodes in both
+    assert(got == Map(1 -> ((2L, 1L, 100L, 1L)), 2 -> ((2L, 1L, 100L, 1L))),
+      got.toString)
+  }
+
   test("hits maxIter=0 still normalizes the all-ones init (no loop, no observation)") {
     val m = fixture.hits.maxIter(0).setSmallGraphThreshold(0).run().collect()
       .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap

@@ -139,7 +139,7 @@ object SparkEntry {
    * a site-relative link and a fragment link; the page's own URL is
    * http://h{doc_id%5}.com/p{doc_id}. Shared by p_extract_links and
    * p_host_graph; the oracles replay the same construction. */
-  private def pageFixture(s: SparkSession, dir: String): DataFrame = {
+  private def pageFixtureCols(docs: DataFrame): DataFrame = {
     val page = concat(
       lit("<p><a href=\"http://H"), pmod(col("doc_id") + 1, lit(5)),
       lit(".com/a\">x</a> <A HREF='https://www.h"),
@@ -148,9 +148,11 @@ object SparkEntry {
         "<a href=\"#s\">w</a></p>"))
     val url = concat(lit("http://h"), pmod(col("doc_id"), lit(5)),
       lit(".com/p"), col("doc_id"))
-    load(s, dir, "documents")
-      .select(col("doc_id"), url.as("url"), page.as("html"))
+    docs.select(col("doc_id"), url.as("url"), page.as("html"))
   }
+
+  private def pageFixture(s: SparkSession, dir: String): DataFrame =
+    pageFixtureCols(load(s, dir, "documents"))
 
   private def treeChordGraph(s: SparkSession, dir: String): GraphFrame = {
     val v = load(s, dir, "nation").select(col("n_nationkey").cast("long").as(ID))
@@ -1933,6 +1935,26 @@ object SparkEntry {
       q.processAllAvailable(); q.stop()
       s.table("graft_stream_segdedup")
         .select(col("doc_id"), col("pos"), col("segment"), col("kept"))
+    }),
+    "e_stream_link_graph" -> ((s, dir) => {
+      // the crawl→graph bridge on an UNBOUNDED page stream: linkGraph's
+      // projection + explode are stateless, so the ONLY streaming state
+      // is the running (src_host, dst_host) count table — bounded by
+      // host-pair cardinality, never by pages crawled. Identical code to
+      // the batch path (Web.linkGraph builds on a streaming frame
+      // unchanged); a one-file replay is one micro-batch and complete
+      // mode re-emits the table → equals p_host_graph row-for-row,
+      // same oracle
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val out = pipeline.Web.linkGraph(pageFixtureCols(stream),
+        "doc_id", "url", "html")
+      val q = out.writeStream.format("memory").queryName("graft_stream_linkgraph")
+        .outputMode("complete").start()
+      q.processAllAvailable(); q.stop()
+      s.table("graft_stream_linkgraph")
+        .select(col("src_host"), col("dst_host"), col("n_links"))
     }),
     "e_stream_incremental_dedup" -> ((s, dir) => {
       // steady-state streaming ingest: the corpus index (doc_id < 400) is
@@ -5862,6 +5884,22 @@ object SparkEntry {
         |SELECT doc_id, pos, segment,
         |  row_number() OVER (PARTITION BY segment ORDER BY doc_id, pos) <= 2 AS kept
         |FROM seg""".stripMargin,
+    // same computation as p_host_graph — the streaming row replays the
+    // one-file corpus as a single micro-batch, so complete-mode output
+    // equals the batch host graph row-for-row
+    "e_stream_link_graph" ->
+      s"""$pageFixtureCte,
+        |l AS (SELECT url, link FROM (SELECT url, unnest(list_concat(
+        |    regexp_extract_all(html, '(?is)href\\s*=\\s*"([^"]*)"', 1),
+        |    regexp_extract_all(html, '(?is)href\\s*=\\s*''([^'']*)''', 1)))
+        |  AS link FROM pg0) WHERE len(link) > 0),
+        |d AS (SELECT ${hostKeySql("url")} AS src_host,
+        |  CASE WHEN link LIKE '/%' AND link NOT LIKE '//%'
+        |    THEN ${hostKeySql("url")}
+        |    ELSE ${hostKeySql("link")} END AS dst_host FROM l)
+        |SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+        |FROM d WHERE src_host IS NOT NULL AND dst_host IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
     "e_stream_sessionize" ->
       """WITH x AS (SELECT user_id, event_id, ts, epoch_ms(ts) AS ms,
         |  CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER

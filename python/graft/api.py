@@ -919,6 +919,53 @@ class PipelineMethods:
                            textCol=textCol, maxPieceLen=maxPieceLen,
                            maxWordLen=maxWordLen)
 
+    def wordpieceVocab(self, textCol: str = "text",
+                       vocabSize: Optional[int] = None,
+                       maxPieceLen: Optional[int] = None,
+                       maxWordLen: Optional[int] = None):
+        """BERT-style WordPiece vocabulary by frequency: all single
+        characters (word-initial and ## continuation forms) plus the
+        top-vocabSize longer pieces. Rows (piece, count)."""
+        return self._call("pipe_wordpiece_vocab", textCol=textCol,
+                          vocabSize=vocabSize, maxPieceLen=maxPieceLen,
+                          maxWordLen=maxWordLen)
+
+    def wordpieceEncode(self, vocab, idCol: str = "doc_id",
+                        textCol: str = "text",
+                        maxPieceLen: Optional[int] = None,
+                        maxWordLen: Optional[int] = None):
+        """Greedy longest-match-first WordPiece segmentation against a
+        vocab DataFrame (piece column — rides the vertices slot). Rows
+        (id, n_words, n_tokens_wordpiece, n_words_unk) — [UNK] words are
+        counted, never silently costed."""
+        return self._call2(vocab, "pipe_wordpiece_encode", idCol=idCol,
+                           textCol=textCol, maxPieceLen=maxPieceLen,
+                           maxWordLen=maxWordLen)
+
+    def gopherRules(self, idCol: str = "doc_id", textCol: str = "text",
+                    minWords: Optional[int] = None,
+                    maxWords: Optional[int] = None,
+                    minAvgWordLen: Optional[int] = None,
+                    maxAvgWordLen: Optional[int] = None,
+                    maxSymbolPct: Optional[int] = None,
+                    maxBulletPct: Optional[int] = None,
+                    maxEllipsisPct: Optional[int] = None,
+                    minAlphaPct: Optional[int] = None,
+                    minStopwords: Optional[int] = None,
+                    stopwords: Optional[list] = None):
+        """Gopher-style composite quality rules: raw counts, the seven
+        flags and keep = AND of all; every ratio test is an exact
+        integer cross-multiplication (thresholds are percentages)."""
+        return self._call("pipe_gopher_rules", idCol=idCol, textCol=textCol,
+                          minWords=minWords, maxWords=maxWords,
+                          minAvgWordLen=minAvgWordLen,
+                          maxAvgWordLen=maxAvgWordLen,
+                          maxSymbolPct=maxSymbolPct,
+                          maxBulletPct=maxBulletPct,
+                          maxEllipsisPct=maxEllipsisPct,
+                          minAlphaPct=minAlphaPct,
+                          minStopwords=minStopwords, stopwords=stopwords)
+
     def quantileCut(self, groupCol: str, scoreCol: str, q: float):
         """Quantile-gated cut: keep rows with score >= the group's exact
         q-quantile (groupQuantiles threshold table, broadcast join).

@@ -396,6 +396,27 @@ ue = [(r["doc_id"], r["n_words"], r["n_tokens_unigram"],
 assert ue == [(1, 3, 3, 2484906, 0)], ue
 print("CLASSIC OK pipe_unigram_encode")
 
+wp_df = spark.createDataFrame([(1, "abab ab cd")], ["doc_id", "text"])
+wv = Pipeline(wp_df).wordpieceVocab(vocabSize=2, maxPieceLen=2, maxWordLen=8)
+wvm = {r["piece"]: r["count"] for r in wv.collect()}
+assert wvm == {"ab": 2, "##ab": 1, "a": 2, "c": 1,
+               "##a": 1, "##b": 3, "##d": 1}, wvm
+print("CLASSIC OK pipe_wordpiece_vocab")
+
+we = [(r["doc_id"], r["n_words"], r["n_tokens_wordpiece"], r["n_words_unk"])
+      for r in Pipeline(wp_df).wordpieceEncode(
+          wv, maxPieceLen=2, maxWordLen=8).collect()]
+assert we == [(1, 3, 5, 0)], we
+print("CLASSIC OK pipe_wordpiece_encode")
+
+gr_df = spark.createDataFrame(
+    [(1, "the cat sat with the mat here now yes we"), (2, "a b")],
+    ["doc_id", "text"])
+gr = {r["doc_id"]: (r["n_words"], r["keep"]) for r in Pipeline(gr_df)
+      .gopherRules(minWords=5, maxWords=100, minStopwords=2).collect()}
+assert gr == {1: (10, True), 2: (2, False)}, gr
+print("CLASSIC OK pipe_gopher_rules")
+
 lg_df = spark.createDataFrame(
     [(1, "http://s.com/p", '<a href="https://D.com/x">1</a><a href="/r">2</a>')],
     ["doc_id", "url", "html"])

@@ -1514,6 +1514,34 @@ object SparkEntry {
       pipeline.Tokenizer.unigramTrainEncode(load(s, dir, "documents"),
         "doc_id", "text", vocabSize = 40, maxPieceLen = 4,
         iterations = 2)._2),
+    "p_wordpiece_vocab" -> ((s, dir) => // BERT-style WordPiece vocab by
+      // frequency: all single chars (initial + ## continuation forms) +
+      // top-30 longer pieces, ties to the smaller piece
+      pipeline.Tokenizer.wordpieceVocab(load(s, dir, "documents"), "text",
+        vocabSize = 30, maxPieceLen = 3, maxWordLen = 16)),
+    "p_wordpiece_encode" -> ((s, dir) => // greedy longest-match-first
+      // segmentation of every doc; [UNK] words counted, never silently
+      // costed as one token
+      pipeline.Tokenizer.wordpieceVocabEncode(load(s, dir, "documents"),
+        "doc_id", "text", vocabSize = 30, maxPieceLen = 3,
+        maxWordLen = 16)._2),
+    "p_gopher_rules" -> ((s, dir) => { // Gopher-composite quality rules on
+      // a fixture with injected bullet/ellipsis lines and symbol runs
+      // (doc_id % 5 / % 7 / % 11) so every flag fires both ways; all
+      // ratio tests are exact integer cross-multiplications
+      val t2 = concat(col("text"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit(" \n• promo one \n• promo two \n• promo three"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          lit(" \nto be continued...")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          lit(" ## ## ## ## ## ## ##")).otherwise(lit("")))
+      pipeline.Text.gopherRules(
+        load(s, dir, "documents").select(col("doc_id"), t2.as("text")),
+        "doc_id", "text", minWords = 40, maxWords = 80,
+        maxBulletPct = 50, minStopwords = 1)
+    }),
     "p_embedding_dedup" -> ((s, dir) =>
       pipeline.Dedup.embeddingDupClusters(load(s, dir, "embeddings"), "vec_id",
         "embedding", threshold = 0.4)),
@@ -2183,6 +2211,50 @@ object SparkEntry {
          |FROM dw LEFT JOIN bb ON bb.word = dw.word
          |GROUP BY dw.doc_id""".stripMargin
   }
+  /** WordPiece replay: vocab = all content-length-1 pieces (initial +
+   * `##` continuation forms) UNION the top-`vocabSize` longer pieces by
+   * word-frequency-weighted substring counts; encode = the greedy
+   * longest-match walk unrolled `maxWordLen` steps (each step consumes
+   * ≥ 1 character, and a finished/stuck word drops out of the join). */
+  private def wordpieceSql(encode: Boolean, vocabSize: Int = 30,
+      maxPieceLen: Int = 3, maxWordLen: Int = 16): String = {
+    val clen = "CASE WHEN piece LIKE '##%' THEN len(piece) - 2 ELSE len(piece) END"
+    val gs = (1 to maxWordLen).map { j =>
+      s"""g$j AS MATERIALIZED (SELECT g.word, be.en AS pos, g.nt + 1 AS nt
+         |  FROM g${j - 1} g JOIN be ON be.word = g.word AND be.st = g.pos)""".stripMargin
+    }.mkString(",\n")
+    val gu = (1 to maxWordLen).map(j => s"SELECT * FROM g$j").mkString("\n  UNION ALL ")
+    val prefix =
+      s"""WITH wf AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest($W) AS word FROM documents)
+         |  WHERE len(word) <= $maxWordLen GROUP BY word),
+         |cand AS MATERIALIZED (SELECT word, freq, s - 1 AS st, s - 1 + l AS en,
+         |    CASE WHEN s = 1 THEN substr(word, s, l)
+         |         ELSE '##' || substr(word, s, l) END AS piece
+         |  FROM wf, range(1, ${maxWordLen + 1}) rs(s), range(1, ${maxPieceLen + 1}) rl(l)
+         |  WHERE s + l - 1 <= len(word)),
+         |vc AS MATERIALIZED (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM cand GROUP BY piece),
+         |v AS MATERIALIZED (
+         |  SELECT piece, cnt FROM (SELECT piece, cnt FROM vc WHERE $clen > 1
+         |    ORDER BY cnt DESC, piece LIMIT $vocabSize)
+         |  UNION ALL SELECT piece, cnt FROM vc WHERE $clen = 1)""".stripMargin
+    if (!encode) s"$prefix\nSELECT piece, cnt AS count FROM v"
+    else
+      s"""$prefix,
+         |be AS MATERIALIZED (SELECT c.word, c.st, MAX(c.en) AS en
+         |  FROM cand c JOIN v ON v.piece = c.piece GROUP BY 1, 2),
+         |g0 AS (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS nt FROM wf),
+         |$gs,
+         |fin AS MATERIALIZED (SELECT word, nt FROM ($gu) WHERE pos = len(word)),
+         |dw AS (SELECT doc_id, unnest($W) AS word FROM documents)
+         |SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(COALESCE(SUM(f.nt), 0) AS BIGINT) AS n_tokens_wordpiece,
+         |  CAST(COUNT(*) - COUNT(f.nt) AS BIGINT) AS n_words_unk
+         |FROM dw LEFT JOIN fin f ON f.word = dw.word
+         |GROUP BY dw.doc_id""".stripMargin
+  }
+
   /** 3-word shingles over w (mirrors Text.wordShingles(n=3)). */
   private val SH3 = "[array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]"
 
@@ -5495,6 +5567,58 @@ object SparkEntry {
         |  AS n_bpe_tokens FROM documents""".stripMargin,
     "p_unigram_train" -> unigramSql(train = true),
     "p_unigram_encode" -> unigramSql(train = false),
+    "p_wordpiece_vocab" -> wordpieceSql(encode = false),
+    "p_wordpiece_encode" -> wordpieceSql(encode = true),
+    // same injected fixture as the query (bullet block % 5, ellipsis
+    // line % 7, symbol run % 11); every ratio flag is the identical
+    // integer cross-multiplication
+    "p_gopher_rules" ->
+      """WITH d0 AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' ' || chr(10) || '• promo one ' ||
+        |      chr(10) || '• promo two ' || chr(10) || '• promo three' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' ' || chr(10) || 'to be continued...' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' ## ## ## ## ## ## ##' ELSE '' END AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id, t,
+        |    list_filter(string_split(t, ' '), x -> len(x) > 0) AS w,
+        |    string_split(t, chr(10)) AS ln FROM d0),
+        |m AS (SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_words,
+        |  CAST(COALESCE(list_sum(list_transform(w, x -> len(x))), 0) AS BIGINT) AS n_word_chars,
+        |  CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+        |  CAST((len(t) - len(replace(t, '#', ''))) +
+        |       ((len(t) - len(replace(t, '...', ''))) // 3) AS BIGINT) AS n_symbols,
+        |  CAST(len(ln) AS BIGINT) AS n_lines,
+        |  CAST(len(list_filter(ln, l -> starts_with(ltrim(l), '•') OR
+        |    starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* '))) AS BIGINT) AS n_bullet_lines,
+        |  CAST(len(list_filter(ln, l -> ends_with(rtrim(l), '...') OR
+        |    ends_with(rtrim(l), '…'))) AS BIGINT) AS n_ellipsis_lines,
+        |  CAST((CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END) +
+        |       (CASE WHEN list_contains(w, 'be') THEN 1 ELSE 0 END) +
+        |       (CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END) +
+        |       (CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END) +
+        |       (CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END) +
+        |       (CASE WHEN list_contains(w, 'that') THEN 1 ELSE 0 END) +
+        |       (CASE WHEN list_contains(w, 'have') THEN 1 ELSE 0 END) +
+        |       (CASE WHEN list_contains(w, 'with') THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords_found
+        |FROM c)
+        |SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_symbols, n_lines,
+        |  n_bullet_lines, n_ellipsis_lines, n_stopwords_found,
+        |  (n_words >= 40 AND n_words <= 80) AS ok_word_count,
+        |  (n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words) AS ok_word_length,
+        |  (100 * n_symbols <= 10 * n_words) AS ok_symbol_ratio,
+        |  (100 * n_bullet_lines <= 50 * n_lines) AS ok_bullets,
+        |  (100 * n_ellipsis_lines <= 30 * n_lines) AS ok_ellipsis,
+        |  (100 * n_alpha_words >= 80 * n_words) AS ok_alpha_words,
+        |  (n_stopwords_found >= 1) AS ok_stopwords,
+        |  ((n_words >= 40 AND n_words <= 80) AND
+        |   (n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words) AND
+        |   (100 * n_symbols <= 10 * n_words) AND
+        |   (100 * n_bullet_lines <= 50 * n_lines) AND
+        |   (100 * n_ellipsis_lines <= 30 * n_lines) AND
+        |   (100 * n_alpha_words >= 80 * n_words) AND
+        |   (n_stopwords_found >= 1)) AS keep
+        |FROM m""".stripMargin,
     "p_embedding_dedup" ->
       s"""WITH RECURSIVE e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |bk AS MATERIALIZED (${duckBandRows(8, 4, 64)}),

@@ -196,6 +196,15 @@ object GraftConnectDispatch {
     // vertices slot, the documents the edges slot
     "pipe_unigram_encode" -> Set("idCol", "textCol", "maxPieceLen",
       "maxWordLen"),
+    "pipe_wordpiece_vocab" -> Set("textCol", "vocabSize", "maxPieceLen",
+      "maxWordLen"),
+    // two-table: the vocab (piece, ...) rides the vertices slot, the
+    // documents the edges slot
+    "pipe_wordpiece_encode" -> Set("idCol", "textCol", "maxPieceLen",
+      "maxWordLen"),
+    "pipe_gopher_rules" -> Set("idCol", "textCol", "minWords", "maxWords",
+      "minAvgWordLen", "maxAvgWordLen", "maxSymbolPct", "maxBulletPct",
+      "maxEllipsisPct", "minAlphaPct", "minStopwords", "stopwords"),
     "pipe_keep_best" -> Set("clusterCol", "idCol", "scoreCol"),
     // two-table: OLD snapshot rides the vertices slot, NEW the edges slot
     "pipe_corpus_diff" -> Set("idCol", "textCol"),
@@ -320,6 +329,17 @@ object GraftConnectDispatch {
             "(piece, cost_micro_nats) in the vertices slot, the " +
             "documents in the edges slot"))
         return graft.pipeline.Tokenizer.unigramEncode(edges,
+          str("idCol").getOrElse("doc_id"), str("textCol").getOrElse("text"),
+          vocab, maxPieceLen = int("maxPieceLen").getOrElse(4),
+          maxWordLen = int("maxWordLen").getOrElse(32))
+      }
+      if (algorithm == "pipe_wordpiece_encode") {
+        // own-table-in-edges convention: the documents are the edges
+        // slot, the WordPiece vocab (piece) the vertices slot
+        val vocab = vertices.getOrElse(throw new IllegalArgumentException(
+          "pipe_wordpiece_encode needs TWO tables: the vocab (piece) in " +
+            "the vertices slot, the documents in the edges slot"))
+        return graft.pipeline.Tokenizer.wordpieceEncode(edges,
           str("idCol").getOrElse("doc_id"), str("textCol").getOrElse("text"),
           vocab, maxPieceLen = int("maxPieceLen").getOrElse(4),
           maxWordLen = int("maxWordLen").getOrElse(32))
@@ -627,6 +647,34 @@ object GraftConnectDispatch {
             maxPieceLen = int("maxPieceLen").getOrElse(4),
             iterations = int("iterations").getOrElse(2),
             maxWordLen = int("maxWordLen").getOrElse(32))
+        case "pipe_wordpiece_vocab" =>
+          Tokenizer.wordpieceVocab(t, str("textCol").getOrElse("text"),
+            vocabSize = int("vocabSize").getOrElse(200),
+            maxPieceLen = int("maxPieceLen").getOrElse(4),
+            maxWordLen = int("maxWordLen").getOrElse(32))
+        case "pipe_gopher_rules" =>
+          val sw = params.get("stopwords") match {
+            case Some(JArray(vs)) => vs.map {
+              case JString(x) => x
+              case other => throw new IllegalArgumentException(
+                s"stopwords entries must be strings, got: $other")
+            }
+            case Some(other) => throw new IllegalArgumentException(
+              s"stopwords must be an array of strings, got: $other")
+            case None => Seq("the", "be", "to", "of", "and", "that",
+              "have", "with")
+          }
+          Text.gopherRules(t, id, text,
+            minWords = int("minWords").getOrElse(50),
+            maxWords = int("maxWords").getOrElse(100000),
+            minAvgWordLen = int("minAvgWordLen").getOrElse(3),
+            maxAvgWordLen = int("maxAvgWordLen").getOrElse(10),
+            maxSymbolPct = int("maxSymbolPct").getOrElse(10),
+            maxBulletPct = int("maxBulletPct").getOrElse(90),
+            maxEllipsisPct = int("maxEllipsisPct").getOrElse(30),
+            minAlphaPct = int("minAlphaPct").getOrElse(80),
+            minStopwords = int("minStopwords").getOrElse(2),
+            stopwords = sw)
         case "pipe_attribution_linear" =>
           graft.pipeline.Events.linearAttribution(t,
             touchType = str("touchType").getOrElse("view"),

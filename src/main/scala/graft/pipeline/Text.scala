@@ -824,4 +824,72 @@ object Text {
     bg.unpersist(false); uni.unpersist(false)
     materialized
   }
+
+  /** Gopher-style composite document quality rules (Rae et al. 2021,
+   * arXiv:2112.11446 §A1.1): word-count bounds, mean-word-length bounds,
+   * symbol-to-word ratio (`#` and `...`), bullet-line and ellipsis-line
+   * fractions, alphabetic-word fraction, required-stopword presence.
+   * Every ratio test is an exact integer CROSS-MULTIPLICATION (e.g.
+   * `100·n_bullet ≤ maxBulletPct·n_lines`) — no division anywhere, so
+   * every flag replays bit-identically in any engine, and the thresholds
+   * are honest percentages, not floats. Returns one row per document:
+   * the raw counts (auditable — a cut gated on `keep` can be explained
+   * from the same row), the seven flags, and `keep` = AND of all.
+   * Null text scores as empty (keep = false via the word-count rule).
+   *
+   * Scale: ONE codegen Project over the corpus scan — no shuffle, no
+   * joins; the stopword list fans out as `array_contains` literals
+   * (keep it a word list, not a dictionary). */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minAvgWordLen: Int = 3, maxAvgWordLen: Int = 10,
+      maxSymbolPct: Int = 10, maxBulletPct: Int = 90,
+      maxEllipsisPct: Int = 30, minAlphaPct: Int = 80,
+      minStopwords: Int = 2,
+      stopwords: Seq[String] = Seq("the", "be", "to", "of", "and",
+        "that", "have", "with")): DataFrame = {
+    require(minWords >= 0 && maxWords >= minWords,
+      s"need 0 <= minWords <= maxWords, got $minWords..$maxWords")
+    require(minAvgWordLen >= 0 && maxAvgWordLen >= minAvgWordLen,
+      s"need 0 <= minAvgWordLen <= maxAvgWordLen, got $minAvgWordLen..$maxAvgWordLen")
+    require(stopwords.nonEmpty, "stopwords must be non-empty")
+    val t = coalesce(col(textCol), lit(""))
+    val base = df.select(col(idCol), t.as("_t"),
+      tokens(t).as("_w"), split(t, "\n").as("_ln"))
+    val nW = size(col("_w")).cast("long")
+    val nChars = aggregate(col("_w"), lit(0L), (acc, w) => acc + length(w))
+    val nAlpha = size(filter(col("_w"), w => w.rlike("[A-Za-z]"))).cast("long")
+    val nSym = (countOccurrences(col("_t"), "#") +
+      countOccurrences(col("_t"), "...")).cast("long")
+    val nLines = size(col("_ln")).cast("long")
+    val bullets = Seq("•", "- ", "* ")
+    val nBullet = size(filter(col("_ln"), l =>
+      bullets.map(b => ltrim(l).startsWith(b)).reduce(_ || _))).cast("long")
+    val nEll = size(filter(col("_ln"), l =>
+      rtrim(l).endsWith("...") || rtrim(l).endsWith("…"))).cast("long")
+    val nStop = stopwords.map(w =>
+      when(array_contains(col("_w"), w), 1L).otherwise(0L)).reduce(_ + _)
+    val counted = base.select(col(idCol),
+      nW.as("n_words"), nChars.as("n_word_chars"), nAlpha.as("n_alpha_words"),
+      nSym.as("n_symbols"), nLines.as("n_lines"),
+      nBullet.as("n_bullet_lines"), nEll.as("n_ellipsis_lines"),
+      nStop.as("n_stopwords_found"))
+    val okWords = col("n_words") >= minWords && col("n_words") <= maxWords
+    val okLen = col("n_word_chars") >= lit(minAvgWordLen.toLong) * col("n_words") &&
+      col("n_word_chars") <= lit(maxAvgWordLen.toLong) * col("n_words")
+    val okSym = lit(100L) * col("n_symbols") <= lit(maxSymbolPct.toLong) * col("n_words")
+    val okBul = lit(100L) * col("n_bullet_lines") <= lit(maxBulletPct.toLong) * col("n_lines")
+    val okEll = lit(100L) * col("n_ellipsis_lines") <= lit(maxEllipsisPct.toLong) * col("n_lines")
+    val okAlpha = lit(100L) * col("n_alpha_words") >= lit(minAlphaPct.toLong) * col("n_words")
+    val okStop = col("n_stopwords_found") >= minStopwords
+    counted.select(col(idCol), col("n_words"), col("n_word_chars"),
+      col("n_alpha_words"), col("n_symbols"), col("n_lines"),
+      col("n_bullet_lines"), col("n_ellipsis_lines"), col("n_stopwords_found"),
+      okWords.as("ok_word_count"), okLen.as("ok_word_length"),
+      okSym.as("ok_symbol_ratio"), okBul.as("ok_bullets"),
+      okEll.as("ok_ellipsis"), okAlpha.as("ok_alpha_words"),
+      okStop.as("ok_stopwords"),
+      (okWords && okLen && okSym && okBul && okEll && okAlpha && okStop)
+        .as("keep"))
+  }
 }

@@ -321,4 +321,110 @@ object Tokenizer {
       maxWordLen)
     (v, unigramEncode(df, idCol, textCol, v, maxPieceLen, maxWordLen))
   }
+
+  // ------------------------------------------------------------------
+  // WordPiece (BERT-style) greedy longest-match-first encoder
+  // ------------------------------------------------------------------
+  //
+  // Wu et al. 2016 (arXiv:1609.08144) / Devlin et al. 2018: a word is
+  // segmented left-to-right, each step taking the LONGEST vocabulary
+  // piece that prefixes the remainder; non-initial pieces carry the
+  // `##` continuation marker; a word with no match at any position is
+  // unknown ([UNK]) as a whole. The segmentation is a pure function of
+  // (word, vocab) — no model numbers at all — so every count replays
+  // exactly in any engine.
+  //
+  // Scale shape (the unigram template): segmentation runs once per
+  // DISTINCT word — candidate (start, end, piece) lattice edges joined
+  // against the broadcast vocab, then the greedy walk runs inside ONE
+  // `aggregate` higher-order expression per word (≤ len steps, each a
+  // filter + array_max over that word's edges) — no per-position joins,
+  // no driver loops.
+
+  /** Candidate lattice edges of `word` with the WordPiece continuation
+   * convention: position-0 pieces raw, later pieces `##`-prefixed.
+   * 0-based (s, e), e exclusive. A literal `##` in the data can collide
+   * with the marker (exactly as in BERT vocabularies). */
+  private def wpCands(maxPieceLen: Int): Column = {
+    val w = col("word")
+    flatten(transform(sequence(lit(0), length(w) - 1), s =>
+      transform(sequence(lit(1), least(lit(maxPieceLen), length(w) - s)),
+        l => struct(s.as("s"), (s + l).as("e"),
+          when(s === 0, w.substr(lit(1), l))
+            .otherwise(concat(lit("##"), w.substr(s + 1, l))).as("piece")))))
+  }
+
+  /** WordPiece vocabulary by frequency: ALL content-length-1 pieces (both
+   * the word-initial `c` and continuation `##c` form of every character —
+   * the closure that keeps any short word segmentable) plus the
+   * `vocabSize` most frequent longer pieces, counts weighted by word
+   * frequency; ties break to the lexicographically smaller piece.
+   * Returns (piece, count). */
+  def wordpieceVocab(df: DataFrame, textCol: String, vocabSize: Int = 200,
+      maxPieceLen: Int = 4, maxWordLen: Int = 32): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    val sp = wordTable(df, textCol, maxWordLen)
+      .select(explode(wpCands(maxPieceLen)).as("c"), col("freq"))
+      .groupBy(col("c.piece").as("piece"))
+      .agg(sum("freq").as("count"))
+    def contentLen = when(col("piece").startsWith("##"),
+      length(col("piece")) - 2).otherwise(length(col("piece")))
+    sp.filter(contentLen > 1)
+      .orderBy(desc("count"), asc("piece")).limit(vocabSize)
+      .unionByName(sp.filter(contentLen === 1))
+  }
+
+  /** Greedy-encode every document against a WordPiece vocab (piece —
+   * further columns ignored; pieces must be unique): per document the
+   * word count, total WordPiece token count over encodable words, and
+   * the number of [UNK] words (longer than `maxWordLen`, or stuck at a
+   * position no vocab piece prefixes) — [UNK]s are REPORTED, never
+   * silently counted as one token. Documents with no words are absent.
+   * Segmentation runs once per DISTINCT word and joins back. */
+  def wordpieceEncode(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, maxPieceLen: Int = 4,
+      maxWordLen: Int = 32): DataFrame = {
+    val docW = df.select(col(idCol), explode(Text.tokens(col(textCol))).as("word"))
+    val words = docW.filter(length(col("word")) <= maxWordLen)
+      .select("word").distinct()
+    val cand = words.select(col("word"), explode(wpCands(maxPieceLen)).as("c"))
+      .select(col("word"), col("c.s").as("s"), col("c.e").as("e"),
+        col("c.piece").as("piece"))
+      .join(broadcast(vocab.select("piece")), Seq("piece"))
+    val edged = cand.groupBy("word")
+      .agg(collect_list(struct(col("s"), col("e"))).as("edges"))
+    val wlen = length(col("word"))
+    // greedy walk: ≤ len steps (every step consumes ≥ 1 char); pos −1
+    // marks a stuck word; longest match = array_max over this word's
+    // edges starting at pos (filter + max over a tiny array — the edge
+    // list is bounded by len·maxPieceLen)
+    val walk = aggregate(sequence(lit(1), wlen),
+      struct(lit(0).as("pos"), lit(0L).as("ntok")),
+      (acc, _) => {
+        val maxe = array_max(transform(
+          filter(col("edges"), ed => ed("s") === acc("pos")), ed => ed("e")))
+        when(acc("pos") < 0 || acc("pos") >= wlen, acc)
+          .otherwise(when(maxe.isNull,
+            struct(lit(-1).as("pos"), acc("ntok").as("ntok")))
+            .otherwise(struct(maxe.as("pos"), (acc("ntok") + 1).as("ntok"))))
+      })
+    val res = words.join(edged, Seq("word"), "left_outer")
+      .withColumn("_g", walk)
+      .select(col("word"),
+        when(col("_g")("pos") === wlen, col("_g")("ntok")).as("n_tokens"))
+    docW.join(res, Seq("word"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        coalesce(sum("n_tokens"), lit(0L)).as("n_tokens_wordpiece"),
+        count(when(col("n_tokens").isNull, 1)).as("n_words_unk"))
+  }
+
+  /** Vocab-then-encode convenience used by the driver query. */
+  def wordpieceVocabEncode(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 200, maxPieceLen: Int = 4,
+      maxWordLen: Int = 32): (DataFrame, DataFrame) = {
+    val v = wordpieceVocab(df, textCol, vocabSize, maxPieceLen, maxWordLen)
+    (v, wordpieceEncode(df, idCol, textCol, v, maxPieceLen, maxWordLen))
+  }
 }

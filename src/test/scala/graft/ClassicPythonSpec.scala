@@ -51,7 +51,8 @@ class ClassicPythonSpec extends AnyFunSuite {
       "pipe_host_stats", "pipe_corpus_diff", "pipe_group_quantiles",
       "pipe_keep_best", "pipe_extract_links", "pipe_link_graph",
       "pipe_host_rank", "pipe_quantile_cut", "pipe_unigram_train",
-      "pipe_unigram_encode")
+      "pipe_unigram_encode", "pipe_wordpiece_vocab", "pipe_wordpiece_encode",
+      "pipe_gopher_rules")
       .foreach(c => assert(out.exists(l => l.contains("CLASSIC OK") && l.contains(c)),
         s"check $c missing"))
   }

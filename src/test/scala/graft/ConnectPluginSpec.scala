@@ -702,6 +702,21 @@ class ConnectPluginSpec extends TestBase {
     // t.com is a pure sink fed by both source hosts: it must outrank them
     assert(hr.size == 3 && hr("t.com") > hr("h0.com") &&
       hr("t.com") > hr("h1.com"), hr.toString)
+    val wv = GraftConnectDispatch.run(scala.None, docs, "pipe_wordpiece_vocab",
+      """{"textCol": "text", "vocabSize": 5, "maxPieceLen": 3}""")
+    assert(wv.columns.toSeq == Seq("piece", "count") && wv.count() >= 5,
+      wv.count().toString)
+    val we = GraftConnectDispatch.run(Some(wv), docs, "pipe_wordpiece_encode",
+      """{"idCol": "doc_id", "textCol": "text", "maxPieceLen": 3}""")
+    // all single chars are in the vocab → every word segments, zero UNK
+    assert(we.columns.toSeq == Seq("doc_id", "n_words", "n_tokens_wordpiece",
+      "n_words_unk") && we.count() == 4 &&
+      we.filter("n_words_unk > 0").count() == 0, we.count().toString)
+    val gr = GraftConnectDispatch.run(scala.None, docs, "pipe_gopher_rules",
+      """{"idCol": "doc_id", "textCol": "text", "minWords": 1,
+        |"minStopwords": 0, "stopwords": ["the"]}""".stripMargin)
+    assert(gr.columns.contains("keep") && gr.count() == 4 &&
+      gr.filter("n_words >= 1").count() == 4, gr.count().toString)
   }
 
   test("pipeline op with a vertices relation fails loudly") {

@@ -202,4 +202,63 @@ class Round14Spec extends TestBase {
     assert(m.size == 25 && m.values.forall { case (h, a) =>
       math.abs(h - 0.2) < 1e-15 && math.abs(a - 0.2) < 1e-15 }, m.toString)
   }
+
+  // ---------------- WordPiece tokenizer ----------------
+
+  test("wordpiece vocab + greedy longest-match encode on a hand-computed fixture") {
+    val docs = Seq((1, "abab ab cd")).toDF("id", "text")
+    val (v, e) = pipeline.Tokenizer.wordpieceVocabEncode(docs, "id", "text",
+      vocabSize = 2, maxPieceLen = 2, maxWordLen = 8)
+    val vm = v.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // multi-char counts: ab=2, ##ba=1, ##ab=1, cd=1 → top-2 = ab, ##ab
+    // ('#' < 'c'); singles: a=2, c=1, ##a=1, ##b=3, ##d=1
+    assert(vm == Map("ab" -> 2L, "##ab" -> 1L, "a" -> 2L, "c" -> 1L,
+      "##a" -> 1L, "##b" -> 3L, "##d" -> 1L), vm.toString)
+    val em = e.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // abab → [ab, ##ab] (longest-first, NOT a+##b+...); ab → [ab];
+    // cd → [c, ##d] (cd lost the top-2 race) → 5 tokens, 0 UNK
+    assert(em.toSeq == Seq((1, 3L, 5L, 0L)), em.mkString(", "))
+  }
+
+  test("wordpiece encode reports stuck and over-long words as UNK, never costs them") {
+    val docs = Seq((1, "ab aq abq toolong")).toDF("id", "text")
+    val vocab = Seq("ab", "##b", "x").toDF("piece")
+    val got = pipeline.Tokenizer.wordpieceEncode(docs, "id", "text", vocab,
+      maxPieceLen = 2, maxWordLen = 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // "aq" stuck at pos 0, "abq" stuck at pos 2 (no ##q), "toolong" over
+    // maxWordLen → 3 UNK; only "ab" encodes (1 token)
+    assert(got.toSeq == Seq((1, 4L, 1L, 3L)), got.mkString(", "))
+  }
+
+  // ---------------- Gopher composite quality rules ----------------
+
+  test("gopher rules: each flag fires on its own hand-built document") {
+    val docs = Seq(
+      (1, "the cat sat with the mat here now yes we"), // clean → keep
+      (2, "a b"),                                      // too short, avg len 1
+      (3, "x\n• one\n• two\n• three\n• four"),         // 4/5 bullet lines
+      (4, "see more here ok fine stuff...\nand more too..."), // ellipsis + symbols
+      (5, null.asInstanceOf[String]))                  // null text → empty
+      .toDF("id", "text")
+    val got = pipeline.Text.gopherRules(docs, "id", "text",
+      minWords = 5, maxWords = 100, maxBulletPct = 50, minStopwords = 2)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    def flag(id: Int, name: String): Boolean =
+      got(id).getBoolean(got(id).fieldIndex(name))
+    assert(flag(1, "keep"), got(1).toString)
+    assert(!flag(2, "ok_word_count") && !flag(2, "ok_word_length") &&
+      !flag(2, "keep"), got(2).toString)
+    assert(!flag(3, "ok_bullets"), got(3).toString)
+    assert(!flag(4, "ok_ellipsis") && !flag(4, "ok_symbol_ratio"),
+      got(4).toString)
+    assert(got(5).getLong(got(5).fieldIndex("n_words")) == 0L &&
+      !flag(5, "keep"), got(5).toString)
+    // exact count audit on the clean doc: 10 words, 31 chars, 2 stopwords
+    assert(got(1).getLong(got(1).fieldIndex("n_words")) == 10L &&
+      got(1).getLong(got(1).fieldIndex("n_word_chars")) == 31L &&
+      got(1).getLong(got(1).fieldIndex("n_stopwords_found")) == 2L,
+      got(1).toString)
+  }
 }

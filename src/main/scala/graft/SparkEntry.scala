@@ -2057,6 +2057,44 @@ object SparkEntry {
       index.unpersist(false)
       s.createDataFrame(s.sparkContext.parallelize(buf.toSeq, 1), outSchema)
     }),
+    "e_stream_ann_ingest" -> ((s, dir) => {
+      // streaming ANN index ingest: two micro-batches of new vectors
+      // (400-449, then 450-499; 400-419 re-ingests over the corpus
+      // index) coded against the FROZEN model and appended to the live
+      // index — newest row wins, so the grown index equals the
+      // from-scratch index over corpus ∪ batches EXACTLY, and searching
+      // it replays the p_ann_incremental oracle row-for-row
+      import s.implicits._
+      val emb = load(s, dir, "embeddings")
+      val model = pipeline.Similarity.ivfPqModel(emb, "vec_id", "embedding",
+        nlist = 16, m = 8, ksub = 16)
+      val corpusIdx = pipeline.Similarity.ivfPqIndex(
+        emb.filter(col("vec_id") < 420), "vec_id", "embedding", model)
+        .localCheckpoint(true)
+      // bounded driver staging: exactly the 100 vectors with id >= 400
+      // (fixed regardless of SF), fed as two MemoryStream batches
+      val staged = emb.filter(col("vec_id") >= 400)
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().sortBy(_._1)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+      var live: DataFrame = null
+      val old = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = streaming.EventStreams.annIngestStream(
+            in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+            model, corpusIdx, (idx, _) => live = idx)
+          .queryName("graft_stream_ann_ingest").start()
+        val (b1, b2) = staged.partition(_._1 < 450)
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+        q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", old)
+      pipeline.Similarity.ivfPqSearchIndexed(
+        emb.filter(col("vec_id") % 25 === 5), "vec_id", "embedding",
+        model, live, k = 3, nprobe = 4, refineWith = Some(emb), refine = 10)
+    }),
     "e_stream_enrich" -> ((s, dir) => {
       // stream-static broadcast enrichment (stateless — no watermark, no
       // join buffer) feeding a running per-nation aggregate in complete
@@ -5646,6 +5684,11 @@ object SparkEntry {
     // append ≡ from-scratch (same frozen model): replay the full index
     "p_ann_incremental" -> annIvfPqSql(3, 16, 4, m = 8, ksub = 16, refine = 10,
       queryWhere = " AND vec_id % 25 = 5"),
+    // streaming ingest ≡ batch append ≡ from-scratch: the two-micro-batch
+    // grown index serves identical results, so the oracle is the same
+    // full-index replay
+    "e_stream_ann_ingest" -> annIvfPqSql(3, 16, 4, m = 8, ksub = 16,
+      refine = 10, queryWhere = " AND vec_id % 25 = 5"),
     "p_ann_recall_pq" -> annRecallPqSql(3, 16, 4, m = 8, ksub = 16, refine = 10),
     "p_ann_recall" ->
       s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -327,6 +327,46 @@ object EventStreams {
     }
   }
 
+  /** Streaming ANN index ingest — the embedding-index twin of grow-mode
+   * [[incrementalNearDupStream]]: per micro-batch the new vectors are
+   * coded against the FROZEN persisted [[graft.pipeline.Similarity
+   * .ivfPqModel]] (cell assignment + PQ codes, one broadcast-model map
+   * stage — the vectors themselves are never kept) and appended to the
+   * live index with the [[graft.pipeline.Similarity.ivfPqIndexAppend]]
+   * contract: re-ingested ids keep the NEWEST row, so replaying a batch
+   * is idempotent. Because coding is per-row against the same frozen
+   * model, the grown index equals `ivfPqIndex(corpus ∪ batches, model)`
+   * EXACTLY at every point — streaming ingest never degrades search vs
+   * a from-scratch rebuild, which is what the gate row proves by
+   * replaying the batch oracle.
+   *
+   * `sink` receives the LIVE (grown) index after each batch — serve
+   * queries from it via [[graft.pipeline.Similarity.ivfPqSearchIndexed]].
+   * State: O(streamed vectors) compact (id, cell, m codes) rows
+   * localCheckpointed into THIS query's block storage; like grow-mode
+   * dedup, a production restart rebuilds the live index from rows
+   * durably appended via `indexSink` (each batch's coded frame — the
+   * same rows `ivfPqIndex` wrote for the corpus). The anti-join/union
+   * chain deepens by one per batch; steady-state deployments snapshot
+   * through `indexSink` and restart from the persisted index, exactly
+   * the minhash incremental contract. */
+  def annIngestStream(vecs: DataFrame, idCol: String, vecCol: String,
+      model: DataFrame, index: DataFrame, sink: (DataFrame, Long) => Unit,
+      indexSink: (DataFrame, Long) => Unit = null)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var live = index
+    vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      // code the batch ONCE, detached from the streaming source, so the
+      // rows live in the index beyond this callback
+      val newIdx = graft.pipeline.Similarity
+        .ivfPqIndex(batch, idCol, vecCol, model).localCheckpoint(true)
+      live = live.join(newIdx.select(col(idCol)), Seq(idCol), "left_anti")
+        .unionByName(newIdx)
+      sink(live, batchId)
+      if (indexSink != null) indexSink(newIdx, batchId)
+    }
+  }
+
   def segmentDedupStream(docs: DataFrame, idCol: String, textCol: String,
       sep: String = "\n", windowWords: Int = 0,
       maxDupCount: Long = 1, lowercase: Boolean = false): Dataset[SegOut] = {

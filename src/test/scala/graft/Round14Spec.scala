@@ -232,6 +232,38 @@ class Round14Spec extends TestBase {
     assert(got.toSeq == Seq((1, 4L, 1L, 3L)), got.mkString(", "))
   }
 
+  // ---------------- streaming ANN index ingest ----------------
+
+  test("streaming ANN ingest: grown index equals the from-scratch index (re-ingest idempotent)") {
+    val dim = 8
+    def vec(id: Long): Seq[Float] =
+      (0 until dim).map(j => ((id * 31 + j * 7) % 13).toFloat - 6f)
+    val all = (0L until 30L).map(id => (id, vec(id)))
+    val df = all.toDF("vec_id", "embedding")
+    val model = pipeline.Similarity.ivfPqModel(df, "vec_id", "embedding",
+      nlist = 4, m = 4, ksub = 4)
+    val corpusIdx = pipeline.Similarity.ivfPqIndex(
+      all.filter(_._1 < 14).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", model).localCheckpoint(true)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    var live: org.apache.spark.sql.DataFrame = null
+    val q = streaming.EventStreams.annIngestStream(
+        in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        model, corpusIdx, (idx, _) => live = idx)
+      .queryName("r14_ann_ingest").start()
+    // batch 1 re-ingests 10-13 over the corpus index; batch 2 is novel
+    in.addData(all.filter(x => x._1 >= 10 && x._1 < 20)); q.processAllAvailable()
+    in.addData(all.filter(_._1 >= 20)); q.processAllAvailable()
+    q.stop()
+    val scratch = pipeline.Similarity.ivfPqIndex(df, "vec_id", "embedding", model)
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Any](2).toList))
+    val (l, s0) = (rows(live), rows(scratch))
+    assert(l.length == s0.length && l.toSet == s0.toSet,
+      s"live ${l.length} vs scratch ${s0.length}")
+  }
+
   // ---------------- Gopher composite quality rules ----------------
 
   test("gopher rules: each flag fires on its own hand-built document") {

@@ -35,7 +35,15 @@ object SparkEntry {
     GraphFrame(v, e)
   }
 
-  /** Distinct nation→nation trade edges (customer nation → supplier nation). */
+  /** Distinct nation→nation trade edges (customer nation → supplier nation).
+   * PERSISTED (r14 optimization): ~50 graph queries build on this edge
+   * list, and the iterative/local-tail algorithms they feed run SEVERAL
+   * actions over it (threshold probes, edge collects, vertex joins, the
+   * final readout) — unpersisted, every action re-paid the 4-table
+   * lineitem join (~0.3-0.5 s at sf0.1, × 2-6 actions per query). The
+   * post-distinct frame is ≤ n_nations² rows, so the cache is a few KB;
+   * the first action in each query still pays the join once (nothing is
+   * precomputed across bench reps — Bench clears the cache per attempt). */
   private def nationEdges(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "lineitem")
       .join(load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
@@ -44,6 +52,7 @@ object SparkEntry {
       .select(col("c_nationkey").as(SRC), col("s_nationkey").as(DST))
       .filter(col(SRC) =!= col(DST))
       .distinct()
+      .persist()
 
   private def graphB(s: SparkSession, dir: String): GraphFrame =
     GraphFrame(
@@ -209,8 +218,12 @@ object SparkEntry {
           col(s"x.$ID") < col(s"y.$ID"))
       .select(col(s"x.$ID").as(SRC), col(s"y.$ID").as(DST))
     val chord = n.select(col(ID).as(SRC), pmod(col(ID) + 7, lit(25)).as(DST))
+    // persisted for the same reason as nationEdges: community algorithms
+    // run multiple actions (round loops, modularity readouts) over these
+    // ≤ 25·24 edges, each otherwise re-paying the region self-join
     GraphFrame(n.select(col(ID)),
-      same.unionByName(chord).filter(col(SRC) =!= col(DST)).distinct())
+      same.unionByName(chord).filter(col(SRC) =!= col(DST)).distinct()
+        .persist())
   }
 
   /** Event-type transition graph: edge t1→t2 when some user's consecutive
@@ -222,6 +235,9 @@ object SparkEntry {
         lead(col("event_type"), 1).over(w).as(DST))
       .filter(col(DST).isNotNull)
       .distinct()
+      // persisted: fromEdges re-derives vertices from edges, so even a
+      // single-pass consumer pays the events window twice unpersisted
+      .persist()
     GraphFrame.fromEdges(e)
   }
 
@@ -1108,8 +1124,11 @@ object SparkEntry {
     "m_image_dedup" -> ((s, dir) => { // perceptual near-dup groups: docs
       // sharing an aHash keep the minimum doc_id (aHash is deliberately
       // coarse — structural copies collide; that is the dedup contract)
+      // persist the hashes (r14): h feeds both the probe side and the
+      // groupBy — unpersisted, the REAL PNG encode+decode ran twice per doc
       val h = multimodal.Multimodal.imageAHash(twoTonePngs(s, dir), "doc_id", "payload")
         .select(col("doc_id"), col("ahash"))
+        .persist()
       h.join(h.groupBy("ahash").agg(min(col("doc_id")).as("keep_id")), "ahash")
         .select(col("doc_id"), col("ahash"), col("keep_id"))
     }),
@@ -1434,8 +1453,13 @@ object SparkEntry {
       // only by the refine shortlist join; same oracle replay as ivfpq
       // restricted to the query batch
       val emb = load(s, dir, "embeddings")
+      // persist the 1-row model (r14): it is consumed once by modelParams'
+      // head(), once broadcast into the index build and once into the
+      // search — unpersisted, each consumer re-ran the centroid+codebook
+      // aggregations over the corpus (a production pipeline reads the
+      // SAVED model parquet, which this stands in for)
       val model = pipeline.Similarity.ivfPqModel(emb, "vec_id", "embedding",
-        nlist = 16, m = 8, ksub = 16)
+        nlist = 16, m = 8, ksub = 16).persist()
       val index = pipeline.Similarity.ivfPqIndex(emb, "vec_id", "embedding", model)
       pipeline.Similarity.ivfPqSearchIndexed(
         emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
@@ -1448,8 +1472,10 @@ object SparkEntry {
       // oracle is the full-index replay with this query filter — any
       // duplicate or dropped index row breaks the hash
       val emb = load(s, dir, "embeddings")
+      // persisted 1-row model — see p_ann_pq_index (here it feeds FOUR
+      // consumers: corpus index, append coding, modelParams, search)
       val model = pipeline.Similarity.ivfPqModel(emb, "vec_id", "embedding",
-        nlist = 16, m = 8, ksub = 16)
+        nlist = 16, m = 8, ksub = 16).persist()
       val corpusIdx = pipeline.Similarity.ivfPqIndex(
         emb.filter(col("vec_id") < 420), "vec_id", "embedding", model)
       val appended = pipeline.Similarity.ivfPqIndexAppend(
@@ -1762,9 +1788,15 @@ object SparkEntry {
           "w_start", "w_end", rightCols = Seq("event_id"), prefix = "err_")
         .select(col("user_id"), col("event_id").as("purchase_id"),
           col("err_event_id").as("error_id"))
-      val q = out.writeStream.format("memory")
-        .queryName("graft_stream_rangejoin").outputMode("append").start()
-      q.processAllAvailable(); q.stop()
+      // 8 shuffle partitions for the stream lifecycle (the e_stream_join
+      // resize rationale, applied family-wide in r14: per-micro-batch
+      // task/state-store setup at 32 partitions dominates a 2 MB replay;
+      // join/aggregation outputs are partition-count invariant)
+      withShufflePartitions(s, 8) {
+        val q = out.writeStream.format("memory")
+          .queryName("graft_stream_rangejoin").outputMode("append").start()
+        q.processAllAvailable(); q.stop()
+      }
       s.table("graft_stream_rangejoin")
     }),
     "e_stream_cms" -> ((s, dir) => {
@@ -1776,9 +1808,12 @@ object SparkEntry {
       val counters = pipeline.Sketches.cmsCounters(
         streaming.EventStreams.readEvents(s, dir).select(col("event_type")),
         "event_type", depth = 4, width = 64)
-      val q = counters.writeStream.format("memory").queryName("graft_stream_cms")
-        .outputMode("complete").start()
-      q.processAllAvailable(); q.stop()
+      // family-wide r14 stream resize — see e_stream_topk
+      withShufflePartitions(s, 8) {
+        val q = counters.writeStream.format("memory").queryName("graft_stream_cms")
+          .outputMode("complete").start()
+        q.processAllAvailable(); q.stop()
+      }
       pipeline.Sketches.cmsEstimate(s.table("graft_stream_cms"),
         load(s, dir, "events").select(col("event_type")), "event_type",
         depth = 4, width = 64)
@@ -1787,9 +1822,12 @@ object SparkEntry {
       val stream = streaming.EventStreams.hourlyAggStream(
         streaming.EventStreams.readEvents(s, dir),
         watermark = "0 seconds", complete = true)
-      val q = stream.writeStream.format("memory").queryName("graft_stream_window")
-        .outputMode("complete").start()
-      q.processAllAvailable(); q.stop()
+      // family-wide r14 stream resize — see e_stream_topk
+      withShufflePartitions(s, 8) {
+        val q = stream.writeStream.format("memory").queryName("graft_stream_window")
+          .outputMode("complete").start()
+        q.processAllAvailable(); q.stop()
+      }
       s.table("graft_stream_window")
         .select(col("event_type"), col("window_start"), col("n_events"), col("sum_value"))
     }),
@@ -1849,13 +1887,16 @@ object SparkEntry {
       // row the moment the final step matches; equals the batch funnel's
       // converted users under in-order arrival (one file = one in-order
       // batch here; the oracle is the batch s1→s2→s3 chain)
-      val q = streaming.EventStreams.funnelStream(
-          streaming.EventStreams.readEvents(s, dir),
-          Seq("view", "click", "purchase"), windowMinutes = 10080)
-        .toDF()
-        .writeStream.format("memory").queryName("graft_stream_funnel")
-        .outputMode("append").start()
-      q.processAllAvailable(); q.stop()
+      // family-wide r14 stream resize — see e_stream_topk
+      withShufflePartitions(s, 8) {
+        val q = streaming.EventStreams.funnelStream(
+            streaming.EventStreams.readEvents(s, dir),
+            Seq("view", "click", "purchase"), windowMinutes = 10080)
+          .toDF()
+          .writeStream.format("memory").queryName("graft_stream_funnel")
+          .outputMode("append").start()
+        q.processAllAvailable(); q.stop()
+      }
       s.table("graft_stream_funnel")
         .select(col("user_id"), col("anchor_ms"), col("converted_ms"),
           col("duration_ms"))
@@ -1863,12 +1904,20 @@ object SparkEntry {
     "e_stream_topk" -> ((s, dir) => {
       // windowed heavy hitters: streaming per-hour (type, user) counts run
       // to completion, then the deterministic batch finisher cuts top-3
-      // per (window, type) — count desc, user_id asc tie-break
-      val stream = streaming.EventStreams.userCountsStream(
-        streaming.EventStreams.readEvents(s, dir), complete = true)
-      val q = stream.writeStream.format("memory").queryName("graft_stream_topk")
-        .outputMode("complete").start()
-      q.processAllAvailable(); q.stop()
+      // per (window, type) — count desc, user_id asc tie-break.
+      // 8 shuffle partitions for the stream lifecycle: a stateful
+      // micro-batch materializes one state store PER PARTITION, so 32
+      // partitions pay 32 store inits + commits for a 2 MB replay (the
+      // e_stream_join / incdedup resize rationale; aggregation results
+      // are partition-count invariant, a production stream sizes this to
+      // its batch volume)
+      withShufflePartitions(s, 8) {
+        val stream = streaming.EventStreams.userCountsStream(
+          streaming.EventStreams.readEvents(s, dir), complete = true)
+        val q = stream.writeStream.format("memory").queryName("graft_stream_topk")
+          .outputMode("complete").start()
+        q.processAllAvailable(); q.stop()
+      }
       streaming.EventStreams.topK(s.table("graft_stream_topk"), 3)
         .select(col("window_start"), col("event_type"), col("user_id"),
           col("n_events"), col("rank").cast("long").as("rank"))
@@ -1880,9 +1929,12 @@ object SparkEntry {
       // estimate replays bit-identically from the md5 hashes
       val stream = streaming.EventStreams.kmvDistinctStream(
         streaming.EventStreams.readEvents(s, dir), k = 16, complete = true)
-      val q = stream.writeStream.format("memory")
-        .queryName("graft_stream_kmv").outputMode("complete").start()
-      q.processAllAvailable(); q.stop()
+      // family-wide r14 stream resize — see e_stream_topk
+      withShufflePartitions(s, 8) {
+        val q = stream.writeStream.format("memory")
+          .queryName("graft_stream_kmv").outputMode("complete").start()
+        q.processAllAvailable(); q.stop()
+      }
       s.table("graft_stream_kmv")
         .select(col("window_start"), col("event_type"),
           round(col("approx_distinct"), 4).as("approx_distinct"))
@@ -1893,9 +1945,12 @@ object SparkEntry {
       // batch argmax over (ts desc, event_id desc)
       val stream = streaming.EventStreams.latestPerKeyStream(
         streaming.EventStreams.readEvents(s, dir))
-      val q = stream.writeStream.format("memory")
-        .queryName("graft_stream_latest").outputMode("complete").start()
-      q.processAllAvailable(); q.stop()
+      // family-wide r14 stream resize — see e_stream_topk
+      withShufflePartitions(s, 8) {
+        val q = stream.writeStream.format("memory")
+          .queryName("graft_stream_latest").outputMode("complete").start()
+        q.processAllAvailable(); q.stop()
+      }
       s.table("graft_stream_latest")
         .select(col("user_id"), col("last_ms"), col("last_event_id"),
           col("last_event_type"), col("last_value")) // raw parquet double:
@@ -1908,9 +1963,12 @@ object SparkEntry {
       // windows — n·3·2 > 3·Σprev, no float anywhere
       val stream = streaming.EventStreams.hourlyAggStream(
         streaming.EventStreams.readEvents(s, dir), complete = true)
-      val q = stream.writeStream.format("memory")
-        .queryName("graft_stream_anomaly").outputMode("complete").start()
-      q.processAllAvailable(); q.stop()
+      // family-wide r14 stream resize — see e_stream_topk
+      withShufflePartitions(s, 8) {
+        val q = stream.writeStream.format("memory")
+          .queryName("graft_stream_anomaly").outputMode("complete").start()
+        q.processAllAvailable(); q.stop()
+      }
       streaming.EventStreams.rateSpikes(s.table("graft_stream_anomaly"),
           lookback = 3, num = 3L, den = 2L)
         .select(col("window_start"), col("event_type"), col("n_events"),
@@ -1921,12 +1979,15 @@ object SparkEntry {
       // by a later event emits; each user's final session stays open in
       // state forever — so the deterministic output is the batch result
       // minus each user's last session, which the oracle states directly
-      val q = streaming.EventStreams.sessionizeStream(
-          streaming.EventStreams.readEvents(s, dir), gapMinutes = 30,
-          timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
-        .writeStream.format("memory").queryName("graft_stream_sessionize")
-        .outputMode("append").start()
-      q.processAllAvailable(); q.stop()
+      // family-wide r14 stream resize — see e_stream_topk
+      withShufflePartitions(s, 8) {
+        val q = streaming.EventStreams.sessionizeStream(
+            streaming.EventStreams.readEvents(s, dir), gapMinutes = 30,
+            timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+          .writeStream.format("memory").queryName("graft_stream_sessionize")
+          .outputMode("append").start()
+        q.processAllAvailable(); q.stop()
+      }
       s.table("graft_stream_sessionize")
         .select(col("user_id"), col("session_start_ms"),
           col("n_events"), col("duration_ms"))
@@ -1943,9 +2004,12 @@ object SparkEntry {
       val dd = streaming.EventStreams.dedupStream(ev,
         Seq("user_id", "event_type"), watermark = "365 days")
         .select(col("user_id"), col("event_type"))
-      val q = dd.writeStream.format("memory").queryName("graft_stream_dedup")
-        .outputMode("append").start()
-      q.processAllAvailable(); q.stop()
+      // family-wide r14 stream resize — see e_stream_topk
+      withShufflePartitions(s, 8) {
+        val q = dd.writeStream.format("memory").queryName("graft_stream_dedup")
+          .outputMode("append").start()
+        q.processAllAvailable(); q.stop()
+      }
       s.table("graft_stream_dedup")
     }),
     "e_stream_segment_dedup" -> ((s, dir) => {
@@ -1958,9 +2022,12 @@ object SparkEntry {
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
       val out = streaming.EventStreams.segmentDedupStream(
         stream, "doc_id", "text", windowWords = 4, maxDupCount = 2)
-      val q = out.writeStream.format("memory").queryName("graft_stream_segdedup")
-        .outputMode("append").start()
-      q.processAllAvailable(); q.stop()
+      // family-wide r14 stream resize — see e_stream_topk
+      withShufflePartitions(s, 8) {
+        val q = out.writeStream.format("memory").queryName("graft_stream_segdedup")
+          .outputMode("append").start()
+        q.processAllAvailable(); q.stop()
+      }
       s.table("graft_stream_segdedup")
         .select(col("doc_id"), col("pos"), col("segment"), col("kept"))
     }),
@@ -1978,9 +2045,12 @@ object SparkEntry {
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
       val out = pipeline.Web.linkGraph(pageFixtureCols(stream),
         "doc_id", "url", "html")
-      val q = out.writeStream.format("memory").queryName("graft_stream_linkgraph")
-        .outputMode("complete").start()
-      q.processAllAvailable(); q.stop()
+      // family-wide r14 stream resize — see e_stream_topk
+      withShufflePartitions(s, 8) {
+        val q = out.writeStream.format("memory").queryName("graft_stream_linkgraph")
+          .outputMode("complete").start()
+        q.processAllAvailable(); q.stop()
+      }
       s.table("graft_stream_linkgraph")
         .select(col("src_host"), col("dst_host"), col("n_links"))
     }),
@@ -2066,8 +2136,12 @@ object SparkEntry {
       // it replays the p_ann_incremental oracle row-for-row
       import s.implicits._
       val emb = load(s, dir, "embeddings")
+      // persisted 1-row model — see p_ann_pq_index (here it feeds the
+      // corpus index, EVERY micro-batch's coding, modelParams and the
+      // final search; unpersisted it re-ran the centroid+codebook aggs
+      // per consumer)
       val model = pipeline.Similarity.ivfPqModel(emb, "vec_id", "embedding",
-        nlist = 16, m = 8, ksub = 16)
+        nlist = 16, m = 8, ksub = 16).persist()
       val corpusIdx = pipeline.Similarity.ivfPqIndex(
         emb.filter(col("vec_id") < 420), "vec_id", "embedding", model)
         .localCheckpoint(true)
@@ -2106,9 +2180,12 @@ object SparkEntry {
         streaming.EventStreams.readEvents(s, dir), dim, "user_id", "c_custkey")
       val agg = enriched.groupBy(col("c_nationkey").as("nation_key"))
         .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
-      val q = agg.writeStream.format("memory").queryName("graft_stream_enrich")
-        .outputMode("complete").start()
-      q.processAllAvailable(); q.stop()
+      // family-wide r14 stream resize — see e_stream_topk
+      withShufflePartitions(s, 8) {
+        val q = agg.writeStream.format("memory").queryName("graft_stream_enrich")
+          .outputMode("complete").start()
+        q.processAllAvailable(); q.stop()
+      }
       s.table("graft_stream_enrich")
     }),
     "e_stream_join" -> ((s, dir) => {

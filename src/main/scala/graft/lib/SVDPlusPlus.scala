@@ -97,9 +97,18 @@ class SVDPlusPlus(g: GraphFrame) {
         hvec("q", col("i")).as("q"), hvec("y", col("i")).as("y"))
       .persist()
     def edgeErr(us: DataFrame, it: DataFrame): DataFrame = {
-      val su = vecSum(e.join(it.select(col("i"), col("y")), "i"), "u", "y")
-        .withColumnRenamed("y", "su")
-      e.join(us, "u").join(it, "i").join(su, "u")
+      // r14 join restructure: the edge frame is the only corpus-sized
+      // side, so shuffle IT as few times as possible. ONE e⋈items
+      // subtree feeds both the s_u aggregation and the error rows (the
+      // two occurrences are plan-identical, so the by-i exchange is
+      // REUSED), and users⋈su pre-joins the two per-user frames (tiny,
+      // one row per user each) before meeting the edges — the edge frame
+      // crosses an exchange twice (by i, by u) where the old
+      // e⋈users⋈items⋈su spelling paid three (by u, by i, by u again).
+      // Pure inner-join reordering: every per-row operand is unchanged.
+      val ei = e.join(it, "i")
+      val su = vecSum(ei, "u", "y").withColumnRenamed("y", "su")
+      ei.join(us.join(su, "u"), "u")
         .withColumn("z", zip_with(col("p"), col("su"), (p, s) => p + col("nu") * s))
         .withColumn("pred", least(greatest(
           lit(mu) + col("bu") + col("bi") +
@@ -109,7 +118,13 @@ class SVDPlusPlus(g: GraphFrame) {
         .withColumn("err", col("r") - col("pred"))
     }
     for (_ <- 1 to maxIterV) {
-      val t = edgeErr(users, items).persist()
+      // r14: persist only the columns the two gradient aggregations read
+      // (u, i, err, q, z, nu) — the full edgeErr row also carries r, p,
+      // su, pred and both bias columns, which doubled the cached bytes
+      // and the scan feeding each epoch's two shuffles for no consumer
+      val t = edgeErr(users, items)
+        .select(col("u"), col("i"), col("err"), col("q"), col("z"), col("nu"))
+        .persist()
       // ONE hash aggregation per vertex side: the scalar Σerr and every
       // per-lane vector sum ride the same shuffle as sibling sum columns
       // (this replaces one scalar agg + one/two vecSum aggs per side — five
@@ -142,9 +157,19 @@ class SVDPlusPlus(g: GraphFrame) {
       // eager localCheckpoint BOTH truncates the lineage (the epoch plan
       // tree otherwise compounds ~10x per epoch — a 5-epoch run OOMs the
       // driver on plan nodes alone) and materializes, so the epoch inputs
-      // can be dropped immediately
-      val cu = newUsers.localCheckpoint(true)
-      val ci = newItems.localCheckpoint(true)
+      // can be dropped immediately. r14: the two checkpoints are
+      // INDEPENDENT given the persisted t — materialize them as two
+      // concurrent jobs (guide-§2.6 overlap: the item job back-fills the
+      // user job's straggler tail instead of waiting it out; results are
+      // value-deterministic, so overlap cannot change them)
+      val (cu, ci) = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fu = Future(newUsers.localCheckpoint(true))
+        val fi = Future(newItems.localCheckpoint(true))
+        (Await.result(fu, Duration.Inf), Await.result(fi, Duration.Inf))
+      }
       users.unpersist(false); items.unpersist(false); t.unpersist(false)
       // superseded epochs' checkpoint BLOCKS live outside the CacheManager
       // (Dataset.unpersist can't free them) — release them eagerly or the

@@ -79,17 +79,23 @@ object Dedup {
     // via [[graft.pipeline.releaseShared]]
     val kept = t.join(keptBlocks, "_blk")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the O(len²) verify runs ONCE per candidate pair: the distance is
+    // the verify runs ONCE per candidate pair: the distance is
     // computed inside a single explode(filter(array(...))) expression
     // whose empty array drops rejected pairs — a `withColumn` + Filter
     // spelling evaluates levenshtein TWICE, because predicate pushdown
     // inlines the alias into the filter condition and Filter/Project are
-    // separate operators (codegen CSE never spans them; see [[bindOnce]])
+    // separate operators (codegen CSE never spans them; see [[bindOnce]]).
+    // r14: the THRESHOLDED levenshtein (Spark 3.5+) runs the banded DP —
+    // O(len·maxDist) per pair instead of O(len²) — returning the EXACT
+    // distance when ≤ maxDist and -1 past the band, so `d >= 0` keeps
+    // precisely the rows the full distance kept (identical output, the
+    // per-pair verify cost drops ~len/maxDist-fold)
     kept.as("a").join(kept.as("b"), "_blk")
       .filter(col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
-        explode(filter(array(levenshtein(col("a._t"), col("b._t")).cast("int")),
-          d => d <= maxDist)).as("dist"))
+        explode(filter(array(
+          levenshtein(col("a._t"), col("b._t"), maxDist).cast("int")),
+          d => d >= 0)).as("dist"))
   }
 
   /** Multi-key blocking overload — the standard multi-PASS blocking of
@@ -126,8 +132,10 @@ object Dedup {
       .join(base.select(col("_id").as("id_a"), col("_t").as("_ta")), "id_a")
       .join(base.select(col("_id").as("id_b"), col("_t").as("_tb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        explode(filter(array(levenshtein(col("_ta"), col("_tb")).cast("int")),
-          d => d <= maxDist)).as("dist"))
+        // banded thresholded levenshtein — see the single-key overload
+        explode(filter(array(
+          levenshtein(col("_ta"), col("_tb"), maxDist).cast("int")),
+          d => d >= 0)).as("dist"))
   }
 
   /** Let-binding for Column expressions: evaluates `value` exactly once

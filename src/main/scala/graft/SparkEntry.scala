@@ -1140,7 +1140,9 @@ object SparkEntry {
       // lossless, so the oracle predicts the exact integer |sample| sum
       // and peak analytically.
       import s.implicits._
+      // repartitioned before the codec mapPartitions — see twoTonePngs
       val ids = load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
       val payloads = ids.mapPartitions { it =>
         it.map { id =>
           val n = (id % 100 + 50).toInt
@@ -1173,7 +1175,9 @@ object SparkEntry {
       // the actual chunk structure back out, and the oracle predicts
       // each frame's length and exact byte sum analytically.
       import s.implicits._
+      // repartitioned before the codec mapPartitions — see twoTonePngs
       val ids = load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
       val payloads = ids.mapPartitions { it =>
         it.map { id =>
           val nf = (id % 5 + 2).toInt
@@ -2736,7 +2740,14 @@ object SparkEntry {
    * analytically predictable from doc_id alone. */
   private def twoTonePngs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // repartition BEFORE the codec mapPartitions (r14): the testdata
+    // parquet is one row group → a 1-partition scan, so the real
+    // ImageIO encode (and every decode downstream, which inherits this
+    // partitioning narrowly) ran single-threaded however many cores the
+    // session has. The JDK-codec seam is exactly the per-row work that
+    // should spread; one tiny (id)-only shuffle buys codec parallelism.
     val ids = load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
     ids.mapPartitions { it =>
       it.map { id =>
         val w = (id % 24 + 8).toInt

@@ -531,6 +531,11 @@ object Dedup {
       .filter(col("shared") >= minShared)
       .join(sizes.select(col("_d_id").as("u"), col("n_sh").as("nu")), "u")
       .join(sizes.select(col("_d_id").as("v"), col("n_sh").as("nv")), "v")
+      // persisted (r14): BOTH orientations below read this frame, which
+      // embeds the quadratic bucket self-join — unpersisted, the whole
+      // pair pipeline legally executed twice (released with the other
+      // pins via [[graft.pipeline.releaseShared]] / session cache clear)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // both orientations from the one canonical pair frame; the division
     // is the single float op and happens after the exact integer filter
     shared.select(col("u").as("a"), col("v").as("b"), col("shared"),

@@ -406,7 +406,11 @@ object Text {
     // longest common extension: L = min remaining lengths; first aligned
     // mismatch bounds the exact match length (array_position is 0 when
     // the slices agree end-to-end)
+    // persisted (r14): consumed THREE times (both sides of the pair→doc
+    // join and the final span-text slice) — unpersisted, the corpus was
+    // re-scanned and re-tokenized per consumer
     val docArr = df.select(col(idCol).as("_d"), tokens(col(textCol)).as("_w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lCol = least(size(col("_w1")) - col("p1"), size(col("_w2")) - col("p2"))
     val firstMismatch = array_position(
       zip_with(slice(col("_w1"), col("p1") + 1, col("_L")),
@@ -435,7 +439,7 @@ object Text {
         concat_ws(" ", slice(col("_w"), col("pos") + 1, col("len"))).as("span"))
     out.cache() // materialize before releasing the stage pins below
     out.count()
-    seed.unpersist(false); perPos.unpersist(false)
+    seed.unpersist(false); perPos.unpersist(false); docArr.unpersist(false)
     out
   }
 
@@ -525,7 +529,10 @@ object Text {
       .join(sb.join(okBuckets, "k").as("y"), col("x.k") === col("y.k"))
       .select(col("x._d").as("d1"), col("x.pos").as("p1"),
         col("y._d").as("d2"), col("y.pos").as("p2"))
+    // trainArr persisted (r14): consumed twice (pair→doc join + final
+    // span-text slice); benchArr has a single consumer and stays lazy
     val trainArr = train.select(col(idCol).as("_d"), tokens(col(textCol)).as("_w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val benchArr = bench.select(col(idCol).as("_d"), tokens(col(textCol)).as("_w"))
     val lCol = least(size(col("_w1")) - col("p1"), size(col("_w2")) - col("p2"))
     val firstMismatch = array_position(
@@ -555,6 +562,7 @@ object Text {
     out.cache()
     out.count() // materialize before releasing the stage pins
     st.unpersist(false); sb.unpersist(false); perPos.unpersist(false)
+    trainArr.unpersist(false)
     out
   }
 

@@ -11,6 +11,30 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// r15 (verdict ask #1): the suite is ~1500 s of mostly tiny iterative-
+// algorithm tests run SEQUENTIALLY in one forked JVM — 37 min wall, past
+// the driver's verify window (VERIFY_r14 tests_ok:false was the window
+// expiring mid-suite, not a red test). Shard the suites across parallel
+// forked JVMs: each JVM gets its own SparkSession (TestBase.session is
+// per-process), so no shared-session races, and wall time drops to the
+// slowest shard. Suites are dealt round-robin over sorted names so the
+// heavy ones (AlgorithmsSpec, ExtendedSpec, TwoConnectivitySpec, …)
+// spread out. GRAFT_TEST_SHARDS=1 restores the old single-JVM run.
+val testShards = sys.env.getOrElse("GRAFT_TEST_SHARDS", "6").toInt
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / javaOptions).value
+  tests.sortBy(_.name).zipWithIndex
+    .groupBy(_._2 % testShards).toSeq.sortBy(_._1)
+    .map { case (i, group) =>
+      Tests.Group(s"shard$i", group.map(_._1),
+        Tests.SubProcess(ForkOptions().withRunJVMOptions(opts.toVector)))
+    }
+}
+// sbt caps concurrent forked test groups at 1 by default
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, testShards),
+  Tags.limitAll(math.max(testShards, 4)))
 // Pass the forked JVM's stdout straight through (no "[info] " logger
 // prefix) so the one-line JSON contract of graft.Bench / graft.Verify
 // stays machine-parseable from sbt's stdout.

@@ -93,7 +93,9 @@ object Hash2Vec {
     // xxhash evaluations; the window generator below just slices this
     // array in lockstep with the sequence. (Round-9 profile: the md5s
     // were ~60% of the query's time at contextSize 2.)
-    val pre = df.select(seq0.as("_seq"),
+    // ensureParallelism (r15): a one-row-group parquet source otherwise
+    // runs the whole hash+window pipeline below on a single core
+    val pre = graft.pipeline.ensureParallelism(df).select(seq0.as("_seq"),
       transform(seq0, w => struct(laneExpr(w, dim, hashMode, seed).as("i"),
         signExpr(w, hashMode, seed).as("s"))).as("_ls"))
     val s = col("_seq")

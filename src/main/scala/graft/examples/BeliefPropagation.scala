@@ -58,9 +58,20 @@ object BeliefPropagation {
 
     val vi = v.select(col(ID).as("i"), col("a"))
     val vj = v.select(col(ID).as("j"), col("color").as("_colorJ"))
+    // Deterministic float summation (r15): a plain sum("lam") adds the
+    // incoming messages in whatever order the partials arrive, so two
+    // runs of the same model could differ in the last ULP (the flaky
+    // exact-equality determinism assertion in RefSuitePortSpec — the
+    // r14 driver's red test gate). Fold the per-vertex inbox in sender-id
+    // order instead: same O(degree) work, bit-identical on every run.
+    def inboxSum(df: DataFrame, recvAs: String): DataFrame =
+      df.groupBy(col("j").as(recvAs))
+        .agg(aggregate(
+          sort_array(collect_list(struct(col("i"), col("lam")))),
+          lit(0.0), (acc, x) => acc + x("lam")).as("_inbox"))
     for (_ <- 1 to sweeps; c <- colors) {
       // Σ of current messages INTO each vertex (as sender i of the update)
-      val s = msgs.groupBy(col("j").as("i")).agg(sum("lam").as("_si"))
+      val s = inboxSum(msgs, "i").withColumnRenamed("_inbox", "_si")
       // the reverse message λ_{j→i}, excluded from sender i's product
       val rev = msgs.select(col("j").as("i"), col("i").as("j"),
         col("lam").as("_lamRev"))
@@ -77,7 +88,7 @@ object BeliefPropagation {
       msgs = mgr.cycle(msgs, round)
       round += 1
     }
-    val sFinal = msgs.groupBy(col("j").as(ID)).agg(sum("lam").as("_s"))
+    val sFinal = inboxSum(msgs, ID).withColumnRenamed("_inbox", "_s")
     mgr.finish(v.join(sFinal, Seq(ID), "left_outer")
       .withColumn("belief", lit(1.0) /
         (lit(1.0) + exp(lit(-2.0) * (col("a") + coalesce(col("_s"), lit(0.0))))))

@@ -168,7 +168,23 @@ class SVDPlusPlus(g: GraphFrame) {
         import scala.concurrent.ExecutionContext.Implicits.global
         val fu = Future(newUsers.localCheckpoint(true))
         val fi = Future(newItems.localCheckpoint(true))
-        (Await.result(fu, Duration.Inf), Await.result(fi, Duration.Inf))
+        // await BOTH before propagating any failure (r15, ADVICE item):
+        // rethrowing on the first Await left the sibling job running
+        // unsupervised — its checkpoint blocks were never released and the
+        // epoch inputs stayed persisted on the error path
+        val ru = scala.util.Try(Await.result(fu, Duration.Inf))
+        val ri = scala.util.Try(Await.result(fi, Duration.Inf))
+        (ru, ri) match {
+          case (scala.util.Success(u), scala.util.Success(i)) => (u, i)
+          case _ =>
+            // reap whichever side DID materialize, drop the epoch inputs,
+            // then rethrow the first failure
+            ru.foreach(IterationManager.release(_))
+            ri.foreach(IterationManager.release(_))
+            users.unpersist(false); items.unpersist(false); t.unpersist(false)
+            IterationManager.release(users); IterationManager.release(items)
+            throw ru.failed.toOption.orElse(ri.failed.toOption).get
+        }
       }
       users.unpersist(false); items.unpersist(false); t.unpersist(false)
       // superseded epochs' checkpoint BLOCKS live outside the CacheManager

@@ -247,6 +247,8 @@ class TwoConnectivity(g: GraphFrame) {
       .select(col(ID).as("bv"), lit(0).as("bd")), 0)
     var round = 0
     var frontierEmpty = false
+    var maxDepth = 0
+    var ancRows = 0L
     while (!frontierEmpty) {
       round += 1
       // frontier expand + distinct + anti-join + union: a one-shuffle
@@ -259,9 +261,17 @@ class TwoConnectivity(g: GraphFrame) {
         .select(col("v").as("bv")).distinct()
         .join(dist, Seq("bv"), "left_anti")
         .select(col("bv"), lit(round).as("bd"))
-      val next = mgrD.cycle(dist.unionByName(cand), round)
-      // one action per round: the frontier size IS the growth
-      frontierEmpty = next.filter(col("bd") === round).isEmpty
+      // frontier growth, max depth and the ancestor-row budget all FUSED
+      // into the cut's own materializing job (r15, cycleObserved): the old
+      // spelling paid a separate isEmpty action per round plus a one-row
+      // stats job after the loop — half the BFS phase's driver jobs
+      val (next, obs) = mgrD.cycleObserved(dist.unionByName(cand), round, Seq(
+        count(when(col("bd") === round, 1)),
+        coalesce(max(col("bd")), lit(0)),
+        coalesce(sum(col("bd").cast("long")), lit(0L)) + count(lit(1))))
+      frontierEmpty = obs(0).asInstanceOf[Number].longValue() == 0L
+      maxDepth = obs(1).asInstanceOf[Number].intValue()
+      ancRows = obs(2).asInstanceOf[Number].longValue()
       dist = next
     }
 
@@ -276,11 +286,8 @@ class TwoConnectivity(g: GraphFrame) {
       col("v").as("child"), col("p").as("par")))
     val nt = und.join(treeEdges.select("ea", "eb"), Seq("ea", "eb"), "left_anti")
 
-    // ancestor-row budget: Σ(depth+1), exact, one action
-    val stats = dist.agg(coalesce(max(col("bd")), lit(0)).as("md"),
-      (coalesce(sum(col("bd").cast("long")), lit(0L)) + count(lit(1))).as("rows")).head()
-    val maxDepth = stats.getInt(0)
-    val ancRows = stats.getLong(1)
+    // ancestor-row budget: Σ(depth+1), exact — observed on the last BFS
+    // cut above, no separate action
     require(maxAncestorRowsV == 0L || ancRows <= maxAncestorRowsV,
       s"TwoConnectivity ancestor state needs $ancRows rows (Σ depth+1) — above the " +
         s"$maxAncestorRowsV budget. The BFS-forest construction is sized for " +
@@ -308,17 +315,33 @@ class TwoConnectivity(g: GraphFrame) {
     }
     val ancD = anc.join(dist.select(col("bv").as("aa"), col("bd").as("da")), "aa")
 
-    // 4. per-non-tree-edge LCA + covered marks
+    // 4. per-non-tree-edge LCA + covered marks.
+    // LINEAGE CUT on the unioned per-side ancestor rows (r15): downstream,
+    // this frame is referenced by the LCA join (both sides), the covered
+    // marks, the aux CC's probe/collects and the readout cuts — left lazy,
+    // every one of those actions re-ANALYZED a tree holding multiple
+    // copies of the whole ancestor pipeline even with the data cached
+    // (CacheManager substitutes plans only after analysis). Measured:
+    // 15-18 s of pure planning on the forced-distributed articulation row
+    // collapsed to <1 s once the tree became one LogicalRDD leaf. Cycling
+    // through mgr also frees the anc cut, whose only consumer this is.
     val sideU = nt.join(ancD, col("av") === col("ea"))
       .select(col("ea"), col("eb"), col("aa"), col("da"), lit("u").as("side"))
     val sideW = nt.join(ancD, col("av") === col("eb"))
       .select(col("ea"), col("eb"), col("aa"), col("da"), lit("w").as("side"))
-    val lca = sideU.select("ea", "eb", "aa", "da")
-      .join(sideW.select(col("ea"), col("eb"), col("aa")), Seq("ea", "eb", "aa"))
+    val sides = mgr.cycle(sideU.unionByName(sideW),
+      // even round number => cycleAt's interval-2 cadence ALWAYS cuts here
+      2 * (rounds + 1))
+    // LCA from the CUT sides: common ancestors of the two endpoints carry
+    // the same depth on both sides (da is a function of aa), so joining
+    // the u-rows to the w-rows on (ea, eb, aa) and maxing da over the
+    // matches is exactly the old sideU⋈sideW spelling
+    val lca = sides.filter(col("side") === "u").select("ea", "eb", "aa", "da")
+      .join(sides.filter(col("side") === "w").select(col("ea"), col("eb"), col("aa")),
+        Seq("ea", "eb", "aa"))
       .groupBy("ea", "eb").agg(max(col("da")).as("ld"))
     val marked = mgr.persistLazy(
-      sideU.unionByName(sideW).join(lca, Seq("ea", "eb"))
-        .filter(col("da") > col("ld")))
+      sides.join(lca, Seq("ea", "eb")).filter(col("da") > col("ld")))
     val covered = marked.select(col("aa").as("child")).distinct()
     val bridgeEdges = treeEdges.join(covered, Seq("child"), "left_anti")
       .select(col("ea"), col("eb"), lit(true).as("is_bridge"))
@@ -348,20 +371,22 @@ class TwoConnectivity(g: GraphFrame) {
         val bw = marked.filter(col("side") === "w" && col("da") === col("ld") + 1)
           .select(col("ea"), col("eb"), col("aa").as("cw")).distinct()
         val auxE = bu.join(bw, Seq("ea", "eb"))
-        // group children of each parent by sibling-connecting aux edges;
-        // aux vertex identity = md5(parent)·md5(child) — an injective
-        // STRING key, not a struct: CC's driver union-find tail needs a
-        // Spark-faithful ordering for the id type, and structs have none,
-        // so a struct key silently forced full star-contraction supersteps
-        // on a bounded-size aux graph (measured ~2x on the whole query)
-        def auxKey(p: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
-          concat(md5(p.cast("string")), md5(c.cast("string")))
-        val auxV = treeEdges.select(auxKey(col("par"), col("child")).as(ID),
+        // group children of each parent by sibling-connecting aux edges.
+        // Aux vertex identity = the CHILD id itself (r15): a child has
+        // exactly ONE parent in the BFS forest, so (parent, child) ≡
+        // child, and an aux edge only ever connects two branch children
+        // of the SAME LCA — groups cannot leak across parents. Keying by
+        // the original id replaces the old md5(parent)·md5(child) string
+        // key, which forced CC through its non-integral surrogate-mint
+        // path (a global row_number window + two edge-translation joins,
+        // re-planned per CC-internal action — measured ~10 s of the
+        // forced-distributed articulation row's 17 s). persistLazy: the
+        // aux CC runs several actions (threshold probe, union-find
+        // collects) over this ≤V-row frame.
+        val auxV = treeEdges.select(col("child").as(ID),
           col("par"), col("child"))
-        val auxEdges = auxE
-          .join(treeEdges.select(col("child").as("cu"), col("par").as("pu")), "cu")
-          .select(auxKey(col("pu"), col("cu")).as(SRC),
-            auxKey(col("pu"), col("cw")).as(DST))
+        val auxEdges = mgr.persistLazy(
+          auxE.select(col("cu").as(SRC), col("cw").as(DST)))
         val gid = new ConnectedComponents(GraphFrame(auxV.select(col(ID)), auxEdges))
           .setUseLabelsAsComponents(false).run()
           .join(auxV, Seq(ID))

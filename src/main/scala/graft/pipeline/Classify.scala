@@ -65,16 +65,31 @@ object Classify {
     val test = df.filter(!isTrain)
       .select(col(idCol).as("_d"), col(textCol).as("_t"))
 
-    // (token, class) occurrence counts over the train split
+    // (token, class) occurrence counts over the train split — persisted
+    // (r15): consumed by the vocab count, the per-class totals (which
+    // feed priors) and the model rows; unpersisted, the train tokenize +
+    // aggregation legally re-ran per consumer (4 extra corpus scans in
+    // the gate plan). Released via [[graft.pipeline.releaseShared]] /
+    // session cache clear.
     val tokTrain = train.select(col("_c"),
       explode(Text.tokens(col("_t"))).as("_tok"))
     val tc = tokTrain.groupBy(col("_tok"), col("_c")).agg(count(lit(1)).as("_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-class occurrence totals, vocab size, doc priors: tiny frames
     val classTot = tc.groupBy("_c").agg(sum("_n").as("_tot"))
     val vocab = tc.select("_tok").distinct().count()
-    val nTrainDocs = train.count()
+    // per-class train-doc counts, persisted: nTrainDocs is their one-job
+    // sum and the prior projection reuses the cached rows instead of
+    // re-scanning the train split (r15 — replaces the separate
+    // train.count() action + per-consumer rescans)
+    val dcs = train.groupBy("_c").agg(count(lit(1)).as("_dc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTrainDocs = dcs.agg(sum("_dc")).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
     require(nTrainDocs > 0, "naiveBayes: empty train split")
-    val priors = train.groupBy("_c").agg(count(lit(1)).as("_dc"))
+    val priors = dcs
       .join(classTot, Seq("_c"), "inner") // classes with zero train tokens carry no model
       .select(col("_c"),
         fpLog(col("_dc").cast("double") / lit(nTrainDocs.toDouble)).as("_fp_prior"),

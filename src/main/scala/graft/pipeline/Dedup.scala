@@ -235,9 +235,16 @@ object Dedup {
     // eager: validate EVERY row's width in one probe job (a single-row
     // check would pass an index accidentally built with mixed parameters)
     if (validateIndexWidth) validateIndexWidths(index, bands * rowsPerBand)
+    // computed-once discipline, matching the streaming path (r15): the
+    // match consumes the batch's fingerprints in four places (corpus
+    // bucket join, self-join both sides, estimate signatures) — without a
+    // pin every consumer legally re-shingles and re-hashes the new batch
+    // (the plan showed 14 scans of the corpus for the gate row). Released
+    // via [[graft.pipeline.releaseShared]] / session cache clear.
+    val newIdx = minhashIndex(newDf, idCol, textCol, n, bands, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     incrementalNearDupsIndexed(
-      minhashIndex(newDf, idCol, textCol, n, bands, rowsPerBand),
-      idCol, index, matchNewPairs, bands * rowsPerBand, minEstJaccard)
+      newIdx, idCol, index, matchNewPairs, bands * rowsPerBand, minEstJaccard)
   }
 
   private[graft] def validateIndexWidths(index: DataFrame, numHashes: Int): Unit =

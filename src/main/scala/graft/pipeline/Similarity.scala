@@ -116,11 +116,20 @@ object Similarity {
     if (!mutual)
       t.select(col("query_id").as("src"), col("neighbor_id").as("dst"), col("rnk"))
     else
-      t.as("f").join(t.as("r"),
-          col("f.query_id") === col("r.neighbor_id") &&
-            col("f.neighbor_id") === col("r.query_id"))
-        .filter(col("f.query_id") < col("f.neighbor_id"))
-        .select(col("f.query_id").as("src"), col("f.neighbor_id").as("dst"))
+      // mutuality via ONE aggregation on the unordered pair instead of a
+      // self-join on the reversed pair (r15): the directed top-k rows are
+      // distinct per (query, neighbor), so the canonical pair (a < b)
+      // appears once or twice, and twice ⇔ both directions exist ⇔ the
+      // old join's output. The self-join spelling exchanged two
+      // DIFFERENTLY-KEYED copies of the whole O(n²) scoring subtree
+      // (hashpartitioning(query,neighbor) vs (neighbor,query) — no
+      // exchange reuse), so the scan+dot-product+window pipeline ran
+      // twice; this runs it once and shuffles only the id pairs.
+      t.groupBy(least(col("query_id"), col("neighbor_id")).as("src"),
+          greatest(col("query_id"), col("neighbor_id")).as("dst"))
+        .agg(count(lit(1)).as("_n"))
+        .filter(col("_n") === 2)
+        .select(col("src"), col("dst"))
   }
 
   /** Johnson–Lindenstrauss random projection (engine extension): output
@@ -171,11 +180,24 @@ object Similarity {
     }
     val isSeed = conv(substring(md5(concat_ws("|", lit(seed),
       col(idCol).cast("string"))), 1, 4), 16, 10).cast("int") < lit(t)
-    val mgr = new graft.lib.IterationManager(1)
+    val mgr = new graft.lib.IterationManager(2)
     val undP = mgr.persistOnly(und)
-    var state = mgr.cycle(df.select(col(idCol).as("_id"),
+    // r15 round restructure: seeds keep their INITIAL label and non-seeds
+    // are recomputed from scratch each round (not sticky), so the new
+    // state joins the votes back to the fixed `base` frame — the previous
+    // round's state is referenced exactly ONCE per round (the vote join).
+    // That makes lazy round-chaining linear in plan size (the old
+    // state.join(win) spelling referenced state twice, doubling the tree
+    // per un-cut round — the round-8 HITS counter-experiment), so the
+    // IterationManager can run its normal interval-2 cadence (one
+    // materializing job per two rounds) instead of the old force-cut
+    // every round. Output is identical by construction: base._lab equals
+    // the old state._lab on seeds (never overwritten) and is unread on
+    // non-seeds.
+    val base = mgr.persistLazy(df.select(col(idCol).as("_id"),
       when(isSeed, col(labelCol)).otherwise(lit(null)).as("_lab"),
-      isSeed.as("is_seed")), 0)
+      isSeed.as("is_seed")))
+    var state = base
     for (r <- 1 to rounds) {
       val votes = undP.join(state.select(col("_id").as("_u"), col("_lab")), "_u")
         .filter(col("_lab").isNotNull)
@@ -184,7 +206,7 @@ object Similarity {
         .orderBy(col("_n").desc, col("_lab").asc)
       val win = votes.withColumn("_rk", row_number().over(w))
         .filter(col("_rk") === 1).select(col("_id"), col("_lab").as("_new"))
-      state = mgr.cycle(state.join(win, Seq("_id"), "left_outer")
+      state = mgr.cycle(base.join(win, Seq("_id"), "left_outer")
         .select(col("_id"),
           when(col("is_seed"), col("_lab")).otherwise(col("_new")).as("_lab"),
           col("is_seed")), r)

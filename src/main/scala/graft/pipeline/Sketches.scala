@@ -78,9 +78,28 @@ object Sketches {
   def cmsTopK(df: DataFrame, keyCol: String, k: Int, depth: Int = 4,
       width: Int = 1024, seed: Long = 42L): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    val counters = cmsCounters(df, keyCol, depth, width, seed)
-    val est = cmsEstimate(counters, df.select(col(keyCol)), keyCol,
-      depth, width, seed)
+    checkDims(depth, width)
+    // ONE pass over the occurrences (r15): the exact per-key counts feed
+    // BOTH the counter table (a bucket's sum of key counts ≡ its count of
+    // occurrences) and the candidate key set. The old spelling scanned the
+    // corpus twice (counter build + distinct candidate keys) and paid the
+    // md5 bucket draw per depth·OCCURRENCE; this pays one hash aggregation
+    // per occurrence and the md5 work per depth·DISTINCT key. Estimates are
+    // bit-identical: min over rows of the same bucket sums.
+    val cells = ensureParallelism(df)
+      .select(col(keyCol).cast("string").as("key"))
+      .filter(col("key").isNotNull)
+      .groupBy("key").agg(count(lit(1)).as("_kn"))
+      .withColumn("row", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("bucket", bucket(seed, col("row"), col("key"), width))
+      // consumed twice (counter aggregation + estimate join) — persisted so
+      // the corpus aggregation and the 4·|keys| md5 draws run once;
+      // released via [[graft.pipeline.releaseShared]] / session cache clear
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counters = cells.groupBy("row", "bucket").agg(sum("_kn").as("cnt"))
+    val est = cells.join(broadcast(counters), Seq("row", "bucket"), "left")
+      .groupBy("key")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
     est.orderBy(col("est").desc, col("key").asc).limit(k)
       .select(col("key"), col("est"),
         row_number().over(org.apache.spark.sql.expressions.Window

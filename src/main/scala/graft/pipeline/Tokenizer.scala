@@ -57,9 +57,21 @@ object Tokenizer {
     require(df0.filter(col(textCol).contains(L) || col(textCol).contains(R)).isEmpty,
       s"bpeTrain: text must not contain the boundary characters $L $R")
 
-    var corpus = df0.select(encoded(col(textCol)).as("s"))
-      .filter(col("s").isNotNull)
+    // r15: ONE driver job per merge instead of two. The corpus is
+    // checkpointed once (repartitioned first — a one-row-group parquet
+    // scan otherwise leaves every per-merge aggregation on a single
+    // core), and each round's merges are chained as LAZY literal
+    // `replace`s onto it: the argmax job re-applies the ≤cutEvery cheap
+    // per-row replaces instead of paying a separate materializing
+    // localCheckpoint per merge. The chain is re-rooted every `cutEvery`
+    // merges so the plan depth stays bounded for production-sized merge
+    // counts. Same merges by construction: replace is deterministic, so
+    // the lazily-rewritten corpus equals the old eagerly-written one.
+    val cutEvery = 8
+    var corpus = ensureParallelism(
+        df0.select(encoded(col(textCol)).as("s")).filter(col("s").isNotNull))
       .localCheckpoint(true)
+    var pendingSinceCut = 0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
     var exhausted = false
@@ -75,11 +87,15 @@ object Tokenizer {
         val row = top.head
         val (l, r, n) = (row.getString(0), row.getString(1), row.getLong(2))
         merges += ((rank, l, r, n))
-        val next = corpus.select(
+        corpus = corpus.select(
           replace(col("s"), lit(s"$L$l$R$L$r$R"), lit(s"$L$l $r$R")).as("s"))
-          .localCheckpoint(true)
-        graft.lib.IterationManager.release(corpus)
-        corpus = next
+        pendingSinceCut += 1
+        if (pendingSinceCut >= cutEvery && rank < numMerges) {
+          val next = corpus.localCheckpoint(true)
+          graft.lib.IterationManager.release(corpus)
+          corpus = next
+          pendingSinceCut = 0
+        }
         rank += 1
       }
     }
@@ -152,7 +168,10 @@ object Tokenizer {
    * array that long; the encode path REPORTS such words per doc). */
   private def wordTable(df: DataFrame, textCol: String,
       maxWordLen: Int): DataFrame =
-    df.select(explode(Text.tokens(col(textCol))).as("word"))
+    // ensureParallelism: a one-row-group parquet scan otherwise runs the
+    // regex tokenize + explode feeding the aggregation on a single core
+    ensureParallelism(df)
+      .select(explode(Text.tokens(col(textCol))).as("word"))
       .filter(length(col("word")) <= maxWordLen)
       .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
 
@@ -172,10 +191,17 @@ object Tokenizer {
    * occurrence count weighted by word frequency; ties on count break to
    * the lexicographically smaller piece. Returns (piece, count). */
   def unigramSeedVocab(df: DataFrame, textCol: String, vocabSize: Int = 200,
-      maxPieceLen: Int = 4, maxWordLen: Int = 32): DataFrame = {
+      maxPieceLen: Int = 4, maxWordLen: Int = 32): DataFrame =
+    seedFromWords(wordTable(df, textCol, maxWordLen), vocabSize, maxPieceLen)
+
+  /** [[unigramSeedVocab]] over an already-computed word table — the train
+   * loop shares ONE word-frequency aggregation between the seed and the
+   * E-steps instead of re-tokenizing the corpus for each (r15). */
+  private def seedFromWords(words: DataFrame, vocabSize: Int,
+      maxPieceLen: Int): DataFrame = {
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
-    val sp = wordTable(df, textCol, maxWordLen)
+    val sp = words
       .select(explode(pieceCands(maxPieceLen)).as("c"), col("freq"))
       .groupBy(col("c.piece").as("piece"))
       .agg(sum("freq").as("count"))
@@ -189,13 +215,32 @@ object Tokenizer {
    * last E-step never used alive (EM may re-activate them), and makes
    * iteration 0 (raw substring counts) and every later iteration share
    * one formula. ONE 1-row action for (C, |V|). */
-  private def withCosts(vocab: DataFrame): DataFrame = {
-    val r = vocab.agg(sum("count"), count(lit(1))).head()
-    val denom = (if (r.isNullAt(0)) 0L else r.getLong(0)) + r.getLong(1)
+  private def withCosts(vocab: DataFrame, denom: Long): DataFrame = {
     require(denom > 0, "unigram vocabulary is empty")
     vocab.select(col("piece"), col("count"),
       (-fpLog((col("count") + lit(1)).cast("double") /
         lit(denom.toDouble))).as("cost"))
+  }
+
+  /** Eager lineage cut of a (piece, count) vocab with the Laplace
+   * denominator (ΣC + |V|) OBSERVED on the cut's own materializing job
+   * (the [[graft.lib.IterationManager.cycleCounted]] pattern) — each EM
+   * round pays one driver job instead of a cut plus a separate 1-row
+   * aggregate action (r15). */
+  private def cutVocabWithDenom(vocab: DataFrame): (DataFrame, Long) = {
+    val obs = org.apache.spark.sql.Observation(
+      "graft_unigram_" + java.util.UUID.randomUUID().toString)
+    val cut = vocab
+      .observe(obs, sum(col("count")).as("_s"), count(lit(1)).as("_c"))
+      .localCheckpoint(true)
+    def asLong(v: Any): Long = v match {
+      case null => 0L
+      case n: java.lang.Number => n.longValue()
+      case other => throw new IllegalStateException(
+        s"unigram denominator metric must be numeric, got $other")
+    }
+    val got = obs.get
+    (cut, asLong(got("_s")) + asLong(got("_c")))
   }
 
   /** Viterbi segmentation of every word in `words` (word, freq) against
@@ -266,21 +311,25 @@ object Tokenizer {
       maxWordLen: Int = 32): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     val words = wordTable(df, textCol, maxWordLen).localCheckpoint(true)
-    var vocab = unigramSeedVocab(df, textCol, vocabSize, maxPieceLen,
-      maxWordLen).localCheckpoint(true)
+    // seed from the SAME word table the E-steps read (one corpus
+    // tokenize), and observe each cut's Laplace denominator on the cut's
+    // own job — iterations+1 separate 1-row actions disappear (r15)
+    var (vocab, denom) = cutVocabWithDenom(
+      seedFromWords(words, vocabSize, maxPieceLen))
     for (_ <- 1 to iterations) {
-      val used = viterbi(words, withCosts(vocab), maxPieceLen)
+      val used = viterbi(words, withCosts(vocab, denom), maxPieceLen)
         .filter(col("pieces").isNotNull)
         .select(explode(col("pieces")).as("piece"), col("freq"))
         .groupBy("piece").agg(sum("freq").as("used"))
       val next = vocab.select("piece")
         .join(used, Seq("piece"), "left_outer")
         .select(col("piece"), coalesce(col("used"), lit(0L)).as("count"))
-        .localCheckpoint(true)
+      val (nextCut, nextDenom) = cutVocabWithDenom(next)
       graft.lib.IterationManager.release(vocab)
-      vocab = next
+      vocab = nextCut
+      denom = nextDenom
     }
-    val out = withCosts(vocab)
+    val out = withCosts(vocab, denom)
       .select(col("piece"), col("count"), col("cost").as("cost_micro_nats"))
       .localCheckpoint(true)
     graft.lib.IterationManager.release(words)
@@ -298,7 +347,8 @@ object Tokenizer {
   def unigramEncode(df: DataFrame, idCol: String, textCol: String,
       vocab: DataFrame, maxPieceLen: Int = 4,
       maxWordLen: Int = 32): DataFrame = {
-    val docW = df.select(col(idCol), explode(Text.tokens(col(textCol))).as("word"))
+    val docW = ensureParallelism(df)
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("word"))
     val words = docW.filter(length(col("word")) <= maxWordLen)
       .groupBy("word").agg(lit(1L).as("freq"))
     val res = viterbi(words,
@@ -385,7 +435,8 @@ object Tokenizer {
   def wordpieceEncode(df: DataFrame, idCol: String, textCol: String,
       vocab: DataFrame, maxPieceLen: Int = 4,
       maxWordLen: Int = 32): DataFrame = {
-    val docW = df.select(col(idCol), explode(Text.tokens(col(textCol))).as("word"))
+    val docW = ensureParallelism(df)
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("word"))
     val words = docW.filter(length(col("word")) <= maxWordLen)
       .select("word").distinct()
     val cand = words.select(col("word"), explode(wpCands(maxPieceLen)).as("c"))

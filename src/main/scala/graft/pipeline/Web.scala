@@ -202,17 +202,27 @@ object Web {
     // page (measured 6× recompute = 3.5 s for a 5-host gate graph; 0.9 s
     // persisted). The cached frame is host-pair-granularity — millions of
     // rows for a full crawl, never pages — exactly the table the scaladoc
-    // above promises is small. Released via [[graft.pipeline.releaseShared]]
-    // or session cache clearing; the returned frame keeps it referenced.
+    // above promises is small.
     val edges = linkGraph(df, idCol, urlCol, htmlCol, maxLinksPerPage)
       .select(col("src_host").as(graft.GraphFrame.SRC),
         col("dst_host").as(graft.GraphFrame.DST),
         col("n_links").cast("double").as("_w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.GraphFrame.fromEdges(edges).pageRank
+    val ranks = graft.GraphFrame.fromEdges(edges).pageRank
       .resetProbability(resetProbability).maxIter(maxIter).weightCol("_w")
       .run().vertices
       .select(col(graft.GraphFrame.ID).as("host"), col("pagerank"))
+    // r15 (cache hygiene, ADVICE item): the edge pin is operator-INTERNAL
+    // and must not outlive the call. On the distributed path the result is
+    // lineage-cut and self-contained, but on the small-graph tail it is a
+    // lazy join-back whose vertex side re-derives from `edges` — so cut
+    // the host-count-sized result eagerly here, then unpersist the edges.
+    // The returned frame reads only its own blocks (released by the
+    // ContextCleaner on GC, or eagerly via
+    // [[graft.lib.IterationManager.release]] / GraphFrame.release).
+    val out = ranks.localCheckpoint(true)
+    edges.unpersist(false)
+    out
   }
 
   /** The [[urlCanonical]] host key (lowercased, userinfo and default

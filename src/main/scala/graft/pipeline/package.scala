@@ -28,7 +28,7 @@ package object pipeline {
   def releaseShared(result: DataFrame): Unit =
     org.apache.spark.sql.graftshim.GraftShims.uncacheReferenced(result)
 
-  private[pipeline] def ensureParallelism(df: DataFrame): DataFrame = {
+  private[graft] def ensureParallelism(df: DataFrame): DataFrame = {
     // streaming frames have no static partitioning to probe (and .rdd is
     // illegal on them); micro-batch parallelism comes from the source
     if (df.isStreaming) return df

@@ -158,4 +158,16 @@ class CacheHygieneSpec extends TestBase {
       lib.Cliques.cliques4(friends)
     }
   }
+
+  // r15 (ADVICE item): hostRank's host-edge pin is operator-internal —
+  // the result must be self-contained on BOTH PageRank paths (the local
+  // tail's join-back used to reference the cached edges, pinning a
+  // crawl-sized frame until session cache clear)
+  test("hostRank does not leak its internal edge pin") {
+    val pages = spark.createDataFrame((0 until 30).map { i =>
+      (i.toLong, s"http://h${i % 3}.com/p$i",
+        s"""<a href="http://h${(i + 1) % 3}.com/x">a</a>""")
+    }).toDF("id", "url", "html")
+    assertNoLeak(pipeline.Web.hostRank(pages, "id", "url", "html", maxIter = 3))
+  }
 }

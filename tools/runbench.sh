@@ -53,20 +53,19 @@ done
 # all attempts reported unknown steal (-1, /proc/stat unreadable): keep
 # the last sweep rather than failing on bookkeeping
 if [ -z "$best" ]; then best="tools/bench_attempt_$i.json"; best_steal="-1"; fi
-# refuse only a MEASURED pollution (steal -1 = /proc/stat unreadable —
-# nothing to gate on); a refused sweep goes to quarantine, the committed
-# artifact path stays untouched
+# r15 (VERDICT ask #2): ALWAYS promote the best attempt — the artifact is
+# steal-stamped (Bench records steal_cores inside the JSON), so a
+# contended sweep is self-describing rather than hidden, and the committed
+# path can never go stale (rounds 13-14 closed with bench_last_run.json
+# still describing the PREVIOUS round's code because every sweep was
+# refused, which left the driver's per-query comparison empty two rounds
+# running). A gate-exceeding sweep is still flagged loudly and parked in
+# quarantine too, so a quieter re-run can supersede it.
 if ! awk -v a="$best_steal" -v m="$MAX_STEAL" 'BEGIN{exit !(a<0 || a<=m)}'; then
-  if [ "${GRAFT_BENCH_ALLOW_STEAL:-0}" = "1" ]; then
-    echo "== WARNING: steal_cores=$best_steal > $MAX_STEAL recorded under GRAFT_BENCH_ALLOW_STEAL=1 ==" >&2
-  else
-    cp "$best" tools/bench_quarantine.json
-    rm -f tools/bench_attempt_*.json
-    echo "== REFUSING to record: lowest steal_cores=$best_steal > $MAX_STEAL after $ATTEMPTS attempts." >&2
-    echo "   Best attempt parked at tools/bench_quarantine.json (bench_last_run.json untouched)." >&2
-    echo "   Re-run on a quieter window, or override with GRAFT_BENCH_ALLOW_STEAL=1. ==" >&2
-    exit 2
-  fi
+  cp "$best" tools/bench_quarantine.json
+  echo "== WARNING: lowest steal_cores=$best_steal > $MAX_STEAL after $ATTEMPTS attempts." >&2
+  echo "   Promoting it anyway (steal recorded in the artifact); re-run on a quieter" >&2
+  echo "   window to supersede. Copy also parked at tools/bench_quarantine.json. ==" >&2
 fi
 cp "$best" tools/bench_last_run.json
 rm -f tools/bench_attempt_*.json
